@@ -1,0 +1,61 @@
+"""T-SQL-style scalar helpers the reference query relies on.
+
+Each helper reproduces one expression idiom from the embedded T-SQL at
+``Select de Importação de Dados.py:34-99`` (cited ``S:line``) as a Column
+expression, so it stays JVM-side inside whole-stage codegen — no Python
+UDFs anywhere on this path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def convert_103(col: Column | str) -> Column:
+    """``CONVERT(VARCHAR(10), d, 103)`` -> ``dd/MM/yyyy`` (S:76, S:85-88)."""
+    return F.date_format(col, "dd/MM/yyyy")
+
+
+def convert_108(col: Column | str) -> Column:
+    """``CONVERT(VARCHAR(8), t, 108)`` -> ``HH:mm:ss`` (S:85-88)."""
+    return F.date_format(col, "HH:mm:ss")
+
+
+def isnull(col: Column | str, default) -> Column:
+    """T-SQL ``ISNULL(x, default)`` (S:80) == ``coalesce``."""
+    c = F.col(col) if isinstance(col, str) else col
+    d = default if isinstance(default, Column) else F.lit(default)
+    return F.coalesce(c, d)
+
+
+def concat_null_propagating(*cols: Column) -> Column:
+    """T-SQL ``+`` string concat: NULL if ANY operand is NULL (S:85-88).
+
+    Spark's ``concat`` already null-propagates, which is exactly the T-SQL
+    semantic; ``concat_ws`` would silently skip NULLs and diverge
+    (SURVEY.md §2 #23) — never use it for this.
+    """
+    return F.concat(*cols)
+
+
+def dt_hr_concat(ts: Column | str) -> Column:
+    """``CONVERT(...,103) + ' ' + CONVERT(...,108)`` (S:85-88).
+
+    The testdata carries a single timestamp where the reference had a
+    (date, time) pair (FIXTURES.md §B), so both halves derive from one
+    column; null timestamp -> null composite, matching T-SQL.
+    """
+    return concat_null_propagating(convert_103(ts), F.lit(" "), convert_108(ts))
+
+
+def money(col: Column | str, scale: int = 2) -> Column:
+    """Round a double money column at the projection edge.
+
+    The reference's money columns are NUMERIC (S:109-111); testdata uses
+    double, so we round explicitly wherever a money value reaches an
+    output schema to keep Spark/oracle value-hashes aligned
+    (SURVEY.md §5.2 pitfall 2).
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    return F.round(c, scale)

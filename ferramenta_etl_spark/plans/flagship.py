@@ -1,0 +1,217 @@
+"""The flagship query: the reference's entire embedded T-SQL plan
+(``Select de Importação de Dados.py:34-99``, cited ``S:line``) re-shaped
+onto the driver's star schema (role mapping in FIXTURES.md §B).
+
+Shape, one-to-one with the reference:
+
+- CTE ``manifesto_info`` (S:35-57): 5-way inner-join chain
+  orders⋈customer⋈nation⋈region (dimension lookups, S:50-52) and
+  orders⋈lineitem⋈part (bridge fan-out, S:53-55); computed money column
+  (S:44); nullable fuel column (S:43); date-range + not-null/not-empty
+  filters (S:56); ROW_NUMBER partitioned by the CIOT key ordered newest
+  first (S:49) — with a deterministic tiebreak the reference lacks
+  (SURVEY.md §2 #12).
+- CTE ``latest_manifesto`` (S:58-70): rn = 1.
+- Final select (S:71-98): parcelas LEFT JOIN header LEFT JOIN
+  latest_manifesto, supplier self-aliased twice (motorista C / agregado D,
+  S:94-95), bank-reference lookup (S:96); post-outer-join null filter that
+  re-inners the join (S:97); CASE + ISNULL money adjustment (S:79-82);
+  CONVERT 103/108 formatting with null-propagating concat (S:76,85-88);
+  final multi-column ORDER BY (S:98).
+
+Scale notes: nation/region/part/supplier are broadcast by Catalyst
+(under autoBroadcastJoinThreshold); the only big shuffles are
+orders⋈lineitem on orderkey and the window partition on the CIOT key —
+both hash-partitioned, AQE-coalesced, skew-split. No Python touches rows.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.tsql import convert_103, dt_hr_concat, isnull, money
+from ..operators.dedup import latest_per_key
+from ..sources import load_table
+
+
+def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    supplier = load_table(spark, sf_dir, "supplier")
+
+    # ---- CTE 1: MANIFESTO_INFO (S:35-57) ----
+    manifesto_info = (
+        orders.join(customer, orders.o_custkey == customer.c_custkey)  # S:51
+        .join(nation, customer.c_nationkey == nation.n_nationkey)  # S:52
+        .join(region, nation.n_regionkey == region.r_regionkey)
+        .join(lineitem, orders.o_orderkey == lineitem.l_orderkey)  # bridge S:53
+        .join(part, lineitem.l_partkey == part.p_partkey)  # S:54-55
+        .select(
+            F.col("o_orderkey").alias("id_manifesto"),
+            F.col("o_custkey").cast("string").alias("nr_ciot"),
+            F.col("l_linenumber").alias("nr_movimento"),
+            F.col("c_name").alias("cd_placa"),
+            F.col("n_name").alias("ds_tipo_veiculo"),
+            F.col("r_name").alias("ds_regiao"),
+            F.col("p_brand").alias("ds_tipo_movimento"),
+            money(F.col("o_totalprice") + F.col("c_acctbal")).alias("total_frete"),  # S:44
+            F.when(F.col("c_acctbal") < 0, money(-F.col("c_acctbal"))).alias(
+                "vl_combustivel"
+            ),  # S:43 (nullable)
+            F.col("o_orderdate"),
+        )
+        .filter(
+            (F.col("o_orderdate") >= F.lit("1996-01-01"))  # S:56 range
+            & F.col("nr_ciot").isNotNull()  # S:56 null reject
+            & (F.col("nr_ciot") != "")  # S:56 empty reject
+        )
+    )
+
+    # ---- CTE 2: LATEST_MANIFESTO (S:58-70) ----
+    latest_manifesto = latest_per_key(
+        manifesto_info,
+        keys=["nr_ciot"],
+        order_by=[F.col("id_manifesto").desc()],  # S:49
+        # Deterministic total order over the PROJECTED columns: synthetic
+        # lineitem repeats (orderkey, linenumber), and among such duplicates
+        # only ds_tipo_movimento varies in the projection — so ordering by it
+        # makes the rn=1 pick well-defined (SURVEY.md §5.2 pitfall 1).
+        tiebreak=[F.col("nr_movimento").desc(), F.col("ds_tipo_movimento").asc()],
+    ).select(
+        "nr_ciot",
+        "id_manifesto",
+        "total_frete",
+        "vl_combustivel",
+        "cd_placa",
+        "ds_tipo_veiculo",
+        "ds_regiao",
+        "ds_tipo_movimento",
+    )
+
+    # ---- final select (S:71-98) ----
+    a = lineitem.alias("a")  # parcelas (tbd_22_CIOTParcela)
+    b = orders.alias("b")  # header (tbd_22_CIOT)
+    m = latest_manifesto.alias("m")
+    c = supplier.alias("c")  # motorista (S:94)
+    d = supplier.alias("d")  # agregado  (S:95)
+    bank = nation.alias("bank")  # referencia bancaria (S:96)
+
+    envio_ts = F.when(F.col("a.l_linestatus") == "F", F.col("a.l_shipdate"))
+    cancel_ts = F.when(F.col("a.l_returnflag") == "R", F.col("a.l_shipdate"))
+
+    out = (
+        a.join(b, F.col("a.l_orderkey") == F.col("b.o_orderkey"), "left")  # S:92
+        .join(m, F.col("b.o_custkey").cast("string") == F.col("m.nr_ciot"), "left")  # S:93
+        .join(c, F.col("a.l_suppkey") == F.col("c.s_suppkey"), "left")  # S:94
+        .join(d, (F.col("a.l_partkey") % 10) == F.col("d.s_suppkey"), "left")  # S:95
+        .join(bank, F.col("c.s_nationkey") == F.col("bank.n_nationkey"), "left")  # S:96
+        .filter(
+            (F.col("b.o_orderdate") >= F.lit("1995-07-01"))
+            & F.col("m.id_manifesto").isNotNull()  # S:97 re-inners the LEFT JOINs
+        )
+        .select(
+            F.col("m.id_manifesto").alias("id_manifesto"),
+            F.col("m.nr_ciot").alias("nr_ciot"),
+            F.col("a.l_linenumber").alias("cd_parcela"),
+            F.col("a.l_returnflag").alias("ds_parcela"),
+            convert_103(F.col("a.l_shipdate")).alias("dt_parcela_str"),  # S:76
+            F.col("m.total_frete").alias("total_frete"),
+            F.when(  # S:79-82: fuel deducted only from the freight-balance installment
+                F.col("a.l_returnflag") == "R",
+                money(F.col("a.l_extendedprice") - isnull(F.col("m.vl_combustivel"), 0.0)),
+            )
+            .otherwise(money(F.col("a.l_extendedprice")))
+            .alias("vl_parcela"),
+            money(isnull(F.col("m.vl_combustivel"), 0.0)).alias("vl_combustivel"),  # S:83
+            F.col("a.l_linestatus").alias("cd_status"),
+            dt_hr_concat(envio_ts).alias("dt_hr_envio_str"),  # S:85-88
+            dt_hr_concat(cancel_ts).alias("dt_hr_cancelamento_str"),
+            F.col("m.cd_placa").alias("cd_placa"),
+            F.col("m.ds_tipo_veiculo").alias("ds_tipo_veiculo"),
+            F.col("m.ds_regiao").alias("ds_regiao"),
+            F.col("m.ds_tipo_movimento").alias("ds_tipo_movimento"),
+            F.col("c.s_name").alias("nm_motorista"),
+            F.col("d.s_name").alias("nm_agregado"),
+            F.col("bank.n_name").alias("ds_banco"),
+        )
+        .orderBy("id_manifesto", "cd_parcela")  # S:98
+    )
+    return out
+
+
+FLAGSHIP_ORACLE = """
+WITH manifesto_info AS (
+    SELECT
+        o.o_orderkey                         AS id_manifesto,
+        CAST(o.o_custkey AS VARCHAR)         AS nr_ciot,
+        l.l_linenumber                       AS nr_movimento,
+        c.c_name                             AS cd_placa,
+        n.n_name                             AS ds_tipo_veiculo,
+        r.r_name                             AS ds_regiao,
+        p.p_brand                            AS ds_tipo_movimento,
+        ROUND(o.o_totalprice + c.c_acctbal, 2) AS total_frete,
+        CASE WHEN c.c_acctbal < 0 THEN ROUND(-c.c_acctbal, 2) END AS vl_combustivel,
+        ROW_NUMBER() OVER (
+            PARTITION BY CAST(o.o_custkey AS VARCHAR)
+            ORDER BY o.o_orderkey DESC, l.l_linenumber DESC, p.p_brand ASC
+        ) AS rn
+    FROM orders o
+    JOIN customer c ON o.o_custkey  = c.c_custkey
+    JOIN nation   n ON c.c_nationkey = n.n_nationkey
+    JOIN region   r ON n.n_regionkey = r.r_regionkey
+    JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    JOIN part     p ON l.l_partkey  = p.p_partkey
+    WHERE o.o_orderdate >= TIMESTAMP '1996-01-01'
+      AND CAST(o.o_custkey AS VARCHAR) IS NOT NULL
+      AND CAST(o.o_custkey AS VARCHAR) <> ''
+),
+latest_manifesto AS (
+    SELECT nr_ciot, id_manifesto, total_frete, vl_combustivel,
+           cd_placa, ds_tipo_veiculo, ds_regiao, ds_tipo_movimento
+    FROM manifesto_info WHERE rn = 1
+)
+SELECT
+    m.id_manifesto                                   AS id_manifesto,
+    m.nr_ciot                                        AS nr_ciot,
+    a.l_linenumber                                   AS cd_parcela,
+    a.l_returnflag                                   AS ds_parcela,
+    strftime(a.l_shipdate, '%d/%m/%Y')               AS dt_parcela_str,
+    m.total_frete                                    AS total_frete,
+    CASE WHEN a.l_returnflag = 'R'
+         THEN ROUND(a.l_extendedprice - COALESCE(m.vl_combustivel, 0), 2)
+         ELSE ROUND(a.l_extendedprice, 2) END        AS vl_parcela,
+    ROUND(COALESCE(m.vl_combustivel, 0), 2)          AS vl_combustivel,
+    a.l_linestatus                                   AS cd_status,
+    strftime(CASE WHEN a.l_linestatus = 'F' THEN a.l_shipdate END, '%d/%m/%Y')
+      || ' ' ||
+      strftime(CASE WHEN a.l_linestatus = 'F' THEN a.l_shipdate END, '%H:%M:%S')
+                                                     AS dt_hr_envio_str,
+    strftime(CASE WHEN a.l_returnflag = 'R' THEN a.l_shipdate END, '%d/%m/%Y')
+      || ' ' ||
+      strftime(CASE WHEN a.l_returnflag = 'R' THEN a.l_shipdate END, '%H:%M:%S')
+                                                     AS dt_hr_cancelamento_str,
+    m.cd_placa                                       AS cd_placa,
+    m.ds_tipo_veiculo                                AS ds_tipo_veiculo,
+    m.ds_regiao                                      AS ds_regiao,
+    m.ds_tipo_movimento                              AS ds_tipo_movimento,
+    c.s_name                                         AS nm_motorista,
+    d.s_name                                         AS nm_agregado,
+    bank.n_name                                      AS ds_banco
+FROM lineitem a
+LEFT JOIN orders b            ON a.l_orderkey = b.o_orderkey
+LEFT JOIN latest_manifesto m  ON CAST(b.o_custkey AS VARCHAR) = m.nr_ciot
+LEFT JOIN supplier c          ON a.l_suppkey = c.s_suppkey
+LEFT JOIN supplier d          ON (a.l_partkey % 10) = d.s_suppkey
+LEFT JOIN nation bank         ON c.s_nationkey = bank.n_nationkey
+WHERE b.o_orderdate >= TIMESTAMP '1995-07-01'
+  AND m.id_manifesto IS NOT NULL
+ORDER BY id_manifesto, cd_parcela
+"""
+
+QUERIES = {"flagship": flagship}
+ORACLES = {"flagship": FLAGSHIP_ORACLE}

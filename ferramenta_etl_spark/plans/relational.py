@@ -1,0 +1,3 @@
+"""Relational operator queries (filled in incrementally)."""
+QUERIES = {}
+ORACLES = {}

@@ -1,0 +1,166 @@
+"""Parquet table sources with full-schema contracts.
+
+The reference validates its extract only by column COUNT
+(``Select de Importação de Dados.py:208-210``) — a weak contract called out
+in SURVEY.md §1.3. Here every table load is checked against an explicit
+``StructType`` (names + types), which is strictly stronger and catches the
+positional-contract bugs the reference was exposed to
+(``PG_COLUMN_NAMES`` order, ``S:123-139``).
+
+Scale note: these are plain ``spark.read.parquet`` scans, so Catalyst gets
+predicate pushdown / column pruning / partition pruning for free; at 100 TB
+the same loader points at a date-partitioned table root instead of one file
+and nothing else changes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+# Expected schemas for the driver testdata (TESTDATA.md / FIXTURES.md §B).
+# events.ts is declared LongType because the parquet carries
+# TIMESTAMP(NANOS) read under spark.sql.legacy.parquet.nanosAsLong=true;
+# load_table() normalizes it to a microsecond TimestampType column.
+_long, _int, _str, _dbl = T.LongType(), T.IntegerType(), T.StringType(), T.DoubleType()
+
+EXPECTED_SCHEMAS: dict[str, T.StructType] = {
+    "region": T.StructType(
+        [T.StructField("r_regionkey", _int), T.StructField("r_name", _str)]
+    ),
+    "nation": T.StructType(
+        [
+            T.StructField("n_nationkey", _int),
+            T.StructField("n_name", _str),
+            T.StructField("n_regionkey", _int),
+        ]
+    ),
+    "customer": T.StructType(
+        [
+            T.StructField("c_custkey", _long),
+            T.StructField("c_name", _str),
+            T.StructField("c_nationkey", _int),
+            T.StructField("c_acctbal", _dbl),
+            T.StructField("c_mktsegment", _str),
+        ]
+    ),
+    "supplier": T.StructType(
+        [
+            T.StructField("s_suppkey", _long),
+            T.StructField("s_name", _str),
+            T.StructField("s_nationkey", _int),
+            T.StructField("s_acctbal", _dbl),
+        ]
+    ),
+    "part": T.StructType(
+        [
+            T.StructField("p_partkey", _long),
+            T.StructField("p_name", _str),
+            T.StructField("p_brand", _str),
+            T.StructField("p_type", _str),
+            T.StructField("p_size", _int),
+            T.StructField("p_retailprice", _dbl),
+        ]
+    ),
+    "orders": T.StructType(
+        [
+            T.StructField("o_orderkey", _long),
+            T.StructField("o_custkey", _long),
+            T.StructField("o_orderstatus", _str),
+            T.StructField("o_totalprice", _dbl),
+            T.StructField("o_orderdate", T.TimestampType()),
+            T.StructField("o_orderpriority", _str),
+        ]
+    ),
+    "lineitem": T.StructType(
+        [
+            T.StructField("l_orderkey", _long),
+            T.StructField("l_partkey", _long),
+            T.StructField("l_suppkey", _long),
+            T.StructField("l_linenumber", _int),
+            T.StructField("l_quantity", _dbl),
+            T.StructField("l_extendedprice", _dbl),
+            T.StructField("l_discount", _dbl),
+            T.StructField("l_tax", _dbl),
+            T.StructField("l_returnflag", _str),
+            T.StructField("l_linestatus", _str),
+            T.StructField("l_shipdate", T.TimestampType()),
+        ]
+    ),
+    "events": T.StructType(
+        [
+            T.StructField("event_id", _long),
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("user_id", _long),
+            T.StructField("event_type", _str),
+            T.StructField("value", _dbl),
+            T.StructField("props", _str),
+        ]
+    ),
+    "documents": T.StructType(
+        [
+            T.StructField("doc_id", _long),
+            T.StructField("text", _str),
+            T.StructField("lang", _str),
+            T.StructField("source", _str),
+            T.StructField("n_chars", _long),
+        ]
+    ),
+    "embeddings": T.StructType(
+        [
+            T.StructField("vec_id", _long),
+            T.StructField("embedding", T.ArrayType(T.FloatType())),
+            T.StructField("label", _int),
+        ]
+    ),
+}
+
+TABLES = tuple(EXPECTED_SCHEMAS)
+
+
+class SchemaContractError(RuntimeError):
+    """Raised when a loaded table violates its declared StructType."""
+
+
+def _canon(type_str: str) -> str:
+    # timestamp_ntz vs timestamp: parquet isAdjustedToUTC varies by writer;
+    # session TZ is pinned to UTC so the two behave identically here.
+    return type_str.replace("timestamp_ntz", "timestamp")
+
+
+def assert_schema(df: DataFrame, expected: T.StructType, table: str) -> None:
+    """Full name+type contract (nullable ignored — parquet footers vary)."""
+    actual = [(f.name, _canon(f.dataType.simpleString())) for f in df.schema.fields]
+    wanted = [(f.name, _canon(f.dataType.simpleString())) for f in expected.fields]
+    if actual != wanted:
+        raise SchemaContractError(
+            f"table {table!r}: schema contract violated.\n"
+            f"  expected: {wanted}\n  actual:   {actual}"
+        )
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one testdata table with schema enforcement.
+
+    ``events.ts`` arrives as int64 nanoseconds (see session.py); it is
+    truncated to microseconds exactly like DuckDB truncates TIMESTAMP_NS,
+    so oracle comparisons agree at sub-second precision.
+    """
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        df = df.withColumn(
+            "ts", F.timestamp_micros(F.floor(F.col("ts") / F.lit(1000)).cast("long"))
+        )
+    assert_schema(df, EXPECTED_SCHEMAS[name], name)
+    return df
+
+
+def load_tables(spark: SparkSession, sf_dir: str, *names: str) -> dict[str, DataFrame]:
+    return {n: load_table(spark, sf_dir, n) for n in (names or TABLES)}
+
+
+def register_views(spark: SparkSession, sf_dir: str, *names: str) -> None:
+    """Register tables as temp views so plans can be written in Spark SQL."""
+    for n, df in load_tables(spark, sf_dir, *names).items():
+        df.createOrReplaceTempView(n)

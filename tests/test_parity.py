@@ -1,0 +1,34 @@
+"""The local mirror of the driver's correctness gate: every queries()
+entry that has an oracle must match DuckDB exactly (count + schema +
+order-insensitive values) at sf0.001."""
+
+import pytest
+
+import __spark_entry__ as entry_mod
+from ferramenta_etl_spark.testing import compare_to_oracle
+
+QUERIES = entry_mod.queries()
+ORACLES = entry_mod.oracle_sql()
+
+
+def test_all_oracle_keys_have_queries():
+    assert set(ORACLES) <= set(QUERIES)
+
+
+def test_entry_smoke(spark):
+    df = entry_mod.entry(spark)
+    assert df.count() > 0
+    assert len(df.columns) > 0
+
+
+@pytest.mark.parametrize("name", sorted(ORACLES))
+def test_query_matches_oracle(spark, sf_dir, name):
+    df = QUERIES[name](spark, sf_dir)
+    ok, msg = compare_to_oracle(spark, df, ORACLES[name], sf_dir)
+    assert ok, f"{name}: {msg}"
+
+
+@pytest.mark.parametrize("name", sorted(set(QUERIES) - set(ORACLES)))
+def test_rows_only_queries_run(spark, sf_dir, name):
+    df = QUERIES[name](spark, sf_dir)
+    assert df.count() >= 0
