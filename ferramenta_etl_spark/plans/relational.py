@@ -1,3 +1,877 @@
-"""Relational operator queries (filled in incrementally)."""
-QUERIES = {}
-ORACLES = {}
+"""Relational operator inventory as named queries.
+
+Part 1 — reference parity: one query per row of SURVEY.md §2.2 (the
+embedded T-SQL at ``Select de Importação de Dados.py:34-99``, cited
+``S:line``), isolated so the driver's oracle gate checks each operator on
+its own (the flagship exercises them jointly).
+
+Part 2 — extended relational surface the reference lacks (SURVEY.md §2.4)
+but any engine replacing it needs: aggregation, more window functions,
+set ops, semi/anti joins, pivot, range join, as-of join, scalar function
+library, JSON extraction, exact percentiles.
+
+Numeric-parity conventions (SURVEY.md §5.2):
+- money/double outputs rounded via ``round(x, 2..6)`` in BOTH engines;
+- SUM over doubles goes through ``cast(... as decimal(18,2))`` so the
+  result is order-independent (exact decimal addition), then cast back to
+  double for a stable comparison schema;
+- every window ORDER BY carries a tiebreak making the order total;
+- timestamps never reach an output raw: formatted string or epoch ms.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.tsql import convert_103, convert_108, dt_hr_concat, isnull, money
+from ..operators.dedup import latest_per_key
+from ..sources import load_table
+
+QUERIES: dict = {}
+ORACLES: dict[str, str] = {}
+
+
+def _q(name: str, oracle: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+def _sum2(col_expr) -> F.Column:
+    """Order-independent SUM of a double money column: exact decimal
+    accumulation, double at the edge (map-side partial aggregation still
+    applies — decimal sum is associative)."""
+    return F.sum(col_expr.cast("decimal(18,2)")).cast("double")
+
+
+# ===========================================================================
+# Part 1 — reference parity (SURVEY.md §2.2)
+# ===========================================================================
+
+
+@_q(
+    "projection_rename",
+    """
+    SELECT c_custkey AS cust_id, c_name AS cust_name,
+           c_mktsegment AS segment, c_nationkey AS nation_id
+    FROM customer
+    """,
+)
+def projection_rename(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit column list + AS aliases (S:37-45,71-90); no SELECT *."""
+    return load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("cust_id"),
+        F.col("c_name").alias("cust_name"),
+        F.col("c_mktsegment").alias("segment"),
+        F.col("c_nationkey").alias("nation_id"),
+    )
+
+
+@_q(
+    "computed_arithmetic",
+    """
+    SELECT l_orderkey, l_linenumber,
+           ROUND(l_extendedprice * (1 - l_discount) * (1 + l_tax), 2) AS net_price,
+           ROUND(l_extendedprice + l_quantity, 2) AS gross_plus_qty,
+           ROUND(l_extendedprice - l_quantity, 2) AS gross_minus_qty
+    FROM lineitem
+    """,
+)
+def computed_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Computed money columns: + and - as at S:44, S:80."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        money(F.col("l_extendedprice") * (1 - F.col("l_discount")) * (1 + F.col("l_tax"))).alias(
+            "net_price"
+        ),
+        money(F.col("l_extendedprice") + F.col("l_quantity")).alias("gross_plus_qty"),
+        money(F.col("l_extendedprice") - F.col("l_quantity")).alias("gross_minus_qty"),
+    )
+
+
+@_q(
+    "window_row_number",
+    """
+    SELECT o_orderkey, o_custkey,
+           ROW_NUMBER() OVER (PARTITION BY o_custkey
+                              ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+    FROM orders
+    """,
+)
+def window_row_number(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROW_NUMBER OVER (PARTITION BY ... ORDER BY ... DESC) (S:49), with
+    the deterministic tiebreak the reference lacks."""
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_orderdate").desc(), F.col("o_orderkey").desc()
+    )
+    return o.select("o_orderkey", "o_custkey", F.row_number().over(w).alias("rn"))
+
+
+@_q(
+    "latest_per_key",
+    """
+    SELECT o_custkey, o_orderkey AS latest_orderkey,
+           ROUND(o_totalprice, 2) AS latest_totalprice
+    FROM (
+        SELECT o_custkey, o_orderkey, o_totalprice,
+               ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                  ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+        FROM orders
+    ) WHERE rn = 1
+    """,
+)
+def latest_per_key_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Latest-record-per-key idiom (S:58-70): window rank + rn=1."""
+    o = load_table(spark, sf_dir, "orders")
+    return latest_per_key(
+        o,
+        keys=["o_custkey"],
+        order_by=[F.col("o_orderdate").desc()],
+        tiebreak=[F.col("o_orderkey").desc()],
+    ).select(
+        "o_custkey",
+        F.col("o_orderkey").alias("latest_orderkey"),
+        money("o_totalprice").alias("latest_totalprice"),
+    )
+
+
+@_q(
+    "inner_join_chain",
+    """
+    SELECT l.l_orderkey, l.l_linenumber, o.o_orderstatus,
+           c.c_name, n.n_name AS nation, r.r_name AS region,
+           ROUND(l.l_extendedprice, 2) AS price
+    FROM lineitem l
+    JOIN orders o   ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n   ON c.c_nationkey = n.n_nationkey
+    JOIN region r   ON n.n_regionkey = r.r_regionkey
+    WHERE o.o_orderdate >= TIMESTAMP '1998-01-01'
+    """,
+)
+def inner_join_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chained INNER equi-joins fact->dims (S:50-55). nation/region are
+    broadcast by Catalyst; the only shuffle is lineitem⋈orders."""
+    t = {n: load_table(spark, sf_dir, n) for n in ("lineitem", "orders", "customer", "nation", "region")}
+    return (
+        t["lineitem"]
+        .join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(t["customer"], F.col("o_custkey") == F.col("c_custkey"))
+        .join(t["nation"], F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(t["region"], F.col("n_regionkey") == F.col("r_regionkey"))
+        .filter(F.col("o_orderdate") >= F.lit("1998-01-01"))
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            "o_orderstatus",
+            "c_name",
+            F.col("n_name").alias("nation"),
+            F.col("r_name").alias("region"),
+            money("l_extendedprice").alias("price"),
+        )
+    )
+
+
+@_q(
+    "left_join_chain",
+    """
+    SELECT o.o_orderkey, o.o_orderstatus,
+           big.l_linenumber, ROUND(big.l_extendedprice, 2) AS big_price,
+           s.s_name AS supp_name
+    FROM orders o
+    LEFT JOIN (SELECT * FROM lineitem WHERE l_quantity >= 48) big
+           ON o.o_orderkey = big.l_orderkey
+    LEFT JOIN supplier s ON big.l_suppkey = s.s_suppkey
+    """,
+)
+def left_join_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chained LEFT OUTER joins with null extension (S:92-96)."""
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_quantity") >= 48)
+    s = load_table(spark, sf_dir, "supplier")
+    return (
+        o.join(li, F.col("o_orderkey") == F.col("l_orderkey"), "left")
+        .join(s, F.col("l_suppkey") == F.col("s_suppkey"), "left")
+        .select(
+            "o_orderkey",
+            "o_orderstatus",
+            "l_linenumber",
+            money("l_extendedprice").alias("big_price"),
+            F.col("s_name").alias("supp_name"),
+        )
+    )
+
+
+@_q(
+    "self_alias_join",
+    """
+    SELECT l.l_orderkey, l.l_linenumber,
+           c.s_name AS nm_motorista, d.s_name AS nm_agregado
+    FROM lineitem l
+    JOIN supplier c ON l.l_suppkey = c.s_suppkey
+    JOIN supplier d ON (l.l_partkey % 10) = d.s_suppkey
+    """,
+)
+def self_alias_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same table joined twice under different roles (S:94-95)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    sup = load_table(spark, sf_dir, "supplier")
+    c, d = sup.alias("c"), sup.alias("d")
+    return (
+        li.alias("l")
+        .join(c, F.col("l.l_suppkey") == F.col("c.s_suppkey"))
+        .join(d, (F.col("l.l_partkey") % 10) == F.col("d.s_suppkey"))
+        .select(
+            F.col("l.l_orderkey").alias("l_orderkey"),
+            F.col("l.l_linenumber").alias("l_linenumber"),
+            F.col("c.s_name").alias("nm_motorista"),
+            F.col("d.s_name").alias("nm_agregado"),
+        )
+    )
+
+
+@_q(
+    "filter_range_date",
+    """
+    SELECT o_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS order_date,
+           ROUND(o_totalprice, 2) AS total
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+      AND o_orderdate <  TIMESTAMP '1998-01-01'
+    """,
+)
+def filter_range_date(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range predicate on a date column (S:56, S:97) — pushed to the scan."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.filter(
+            (F.col("o_orderdate") >= F.lit("1997-01-01"))
+            & (F.col("o_orderdate") < F.lit("1998-01-01"))
+        )
+        .select(
+            "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_date"),
+            money("o_totalprice").alias("total"),
+        )
+    )
+
+
+@_q(
+    "filter_null_empty",
+    """
+    SELECT o_orderkey, flag FROM (
+        SELECT o_orderkey, nullif(o_orderstatus, 'P') AS flag FROM orders
+    ) WHERE flag IS NOT NULL AND flag <> 'F'
+    """,
+)
+def filter_null_empty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NULL/empty rejection filter (S:56: IS NOT NULL AND <> '')."""
+    o = load_table(spark, sf_dir, "orders")
+    flagged = o.select(
+        "o_orderkey", F.nullif(F.col("o_orderstatus"), F.lit("P")).alias("flag")
+    )
+    return flagged.filter(F.col("flag").isNotNull() & (F.col("flag") != "F"))
+
+
+@_q(
+    "post_outer_join_filter",
+    """
+    SELECT o.o_orderkey, c.c_name, ROUND(c.c_acctbal, 2) AS acctbal
+    FROM orders o
+    LEFT JOIN customer c
+           ON o.o_custkey = c.c_custkey AND c.c_acctbal > 5000
+    WHERE o.o_orderdate >= TIMESTAMP '1999-01-01'
+      AND c.c_custkey IS NOT NULL
+    """,
+)
+def post_outer_join_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-rejecting WHERE after a LEFT JOIN re-inners it (S:97) —
+    Catalyst performs the outer->inner rewrite; semantics identical."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    return (
+        o.join(
+            c,
+            (F.col("o_custkey") == F.col("c_custkey")) & (F.col("c_acctbal") > 5000),
+            "left",
+        )
+        .filter(
+            (F.col("o_orderdate") >= F.lit("1999-01-01"))
+            & F.col("c_custkey").isNotNull()
+        )
+        .select("o_orderkey", "c_name", money("c_acctbal").alias("acctbal"))
+    )
+
+
+@_q(
+    "case_when_coalesce",
+    """
+    SELECT l_orderkey, l_linenumber,
+           CASE WHEN l_returnflag = 'R'
+                THEN ROUND(l_extendedprice - COALESCE(nullif(l_discount, 0) * 1000, 0), 2)
+                ELSE ROUND(l_extendedprice, 2) END AS vl_parcela,
+           ROUND(COALESCE(nullif(l_discount, 0) * 1000, 0), 2) AS vl_combustivel
+    FROM lineitem
+    """,
+)
+def case_when_coalesce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CASE + ISNULL money adjustment (S:79-82): deduction applies only to
+    the 'Saldo do Frete'-analog rows; NULL deduction defaults to 0."""
+    li = load_table(spark, sf_dir, "lineitem")
+    deduction = F.nullif(F.col("l_discount"), F.lit(0)) * 1000
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.when(
+            F.col("l_returnflag") == "R",
+            money(F.col("l_extendedprice") - isnull(deduction, 0.0)),
+        )
+        .otherwise(money(F.col("l_extendedprice")))
+        .alias("vl_parcela"),
+        money(isnull(deduction, 0.0)).alias("vl_combustivel"),
+    )
+
+
+@_q(
+    "date_format_103",
+    """
+    SELECT l_orderkey, l_linenumber,
+           strftime(l_shipdate, '%d/%m/%Y') AS ship_103
+    FROM lineitem
+    """,
+)
+def date_format_103(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CONVERT(..., 103) -> dd/MM/yyyy (S:76)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.select("l_orderkey", "l_linenumber", convert_103("l_shipdate").alias("ship_103"))
+
+
+@_q(
+    "time_format_108",
+    """
+    SELECT event_id, strftime(ts, '%H:%M:%S') AS ts_108
+    FROM events
+    """,
+)
+def time_format_108(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CONVERT(..., 108) -> HH:mm:ss (S:85-88), on real sub-day times."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.select("event_id", convert_108("ts").alias("ts_108"))
+
+
+@_q(
+    "concat_null_propagating",
+    """
+    SELECT event_id,
+           strftime(CASE WHEN event_type <> 'error' THEN ts END, '%d/%m/%Y')
+             || ' ' ||
+           strftime(CASE WHEN event_type <> 'error' THEN ts END, '%H:%M:%S')
+             AS dt_hr_str
+    FROM events
+    """,
+)
+def concat_null_propagating(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T-SQL '+' concat: NULL operand nulls the whole composite (S:85-88).
+    Spark concat matches; concat_ws would NOT (SURVEY §2 #23)."""
+    ev = load_table(spark, sf_dir, "events")
+    masked = F.when(F.col("event_type") != "error", F.col("ts"))
+    return ev.select("event_id", dt_hr_concat(masked).alias("dt_hr_str"))
+
+
+@_q(
+    "multi_col_sort",
+    """
+    SELECT o_custkey, o_orderkey, ROUND(o_totalprice, 2) AS total
+    FROM orders
+    ORDER BY o_custkey ASC, o_orderkey DESC
+    LIMIT 100
+    """,
+)
+def multi_col_sort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-column global sort (S:98) + LIMIT so the order is observable
+    under the driver's order-insensitive compare. Spark executes
+    TakeOrderedAndProject — no full global sort materialized."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.select("o_custkey", "o_orderkey", money("o_totalprice").alias("total"))
+        .orderBy(F.col("o_custkey").asc(), F.col("o_orderkey").desc())
+        .limit(100)
+    )
+
+
+# ===========================================================================
+# Part 2 — extended relational surface (SURVEY.md §2.4: absent in the
+# reference, required of a complete engine)
+# ===========================================================================
+
+
+@_q(
+    "group_agg",
+    """
+    SELECT l_returnflag, l_linestatus,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)      AS sum_qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+           ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*), 4) AS avg_qty,
+           ROUND(MIN(l_extendedprice), 2) AS min_price,
+           ROUND(MAX(l_extendedprice), 2) AS max_price,
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '2000-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def group_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-shaped grouped aggregation. Decimal-accumulated sums are
+    order-independent, so map-side partial agg + AQE coalescing stay safe
+    for exact comparison."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("2000-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            _sum2(F.col("l_quantity")).alias("sum_qty"),
+            _sum2(F.col("l_extendedprice")).alias("sum_base_price"),
+            F.round(_sum2(F.col("l_quantity")) / F.count(F.lit(1)), 4).alias("avg_qty"),
+            F.round(F.min("l_extendedprice"), 2).alias("min_price"),
+            F.round(F.max("l_extendedprice"), 2).alias("max_price"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+@_q(
+    "distinct_agg",
+    """
+    SELECT l_returnflag,
+           COUNT(DISTINCT l_partkey) AS n_parts,
+           COUNT(DISTINCT l_suppkey) AS n_supps
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def distinct_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact COUNT(DISTINCT) — expands to a two-phase aggregate."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.count_distinct("l_partkey").alias("n_parts"),
+        F.count_distinct("l_suppkey").alias("n_supps"),
+    )
+
+
+@_q(
+    "distinct_rows",
+    "SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem",
+)
+def distinct_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.select("l_returnflag", "l_linestatus").distinct()
+
+
+@_q(
+    "set_ops",
+    """
+    SELECT nk FROM (
+        SELECT c_nationkey AS nk FROM customer
+        INTERSECT
+        SELECT s_nationkey AS nk FROM supplier
+    )
+    UNION
+    SELECT nk FROM (
+        SELECT n_nationkey AS nk FROM nation WHERE n_regionkey = 0
+        EXCEPT
+        SELECT s_nationkey AS nk FROM supplier
+    )
+    """,
+)
+def set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT / EXCEPT / UNION(distinct) — none exist in the reference
+    (SURVEY §2.4)."""
+    c = load_table(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nk"))
+    s = load_table(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nk"))
+    n = (
+        load_table(spark, sf_dir, "nation")
+        .filter(F.col("n_regionkey") == 0)
+        .select(F.col("n_nationkey").alias("nk"))
+    )
+    return c.intersect(s).union(n.exceptAll(s)).distinct()
+
+
+@_q(
+    "topk_per_group",
+    """
+    SELECT l_returnflag, l_orderkey, l_linenumber,
+           ROUND(l_extendedprice, 2) AS price, rnk
+    FROM (
+        SELECT l_returnflag, l_orderkey, l_linenumber, l_extendedprice,
+               RANK() OVER (PARTITION BY l_returnflag
+                            ORDER BY l_extendedprice DESC, l_orderkey ASC,
+                                     l_linenumber ASC) AS rnk
+        FROM lineitem
+    ) WHERE rnk <= 5
+    """,
+)
+def topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k per group via RANK — the scalable top-k idiom (single shuffle
+    on the group key; no global sort)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    w = Window.partitionBy("l_returnflag").orderBy(
+        F.col("l_extendedprice").desc(), F.col("l_orderkey").asc(), F.col("l_linenumber").asc()
+    )
+    return (
+        li.withColumn("rnk", F.rank().over(w))
+        .filter(F.col("rnk") <= 5)
+        .select(
+            "l_returnflag",
+            "l_orderkey",
+            "l_linenumber",
+            money("l_extendedprice").alias("price"),
+            "rnk",
+        )
+    )
+
+
+@_q(
+    "window_lag_lead",
+    """
+    SELECT o_custkey, o_orderkey,
+           ROUND(o_totalprice, 2) AS total,
+           ROUND(LAG(o_totalprice)  OVER w, 2) AS prev_total,
+           ROUND(LEAD(o_totalprice) OVER w, 2) AS next_total
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC)
+    """,
+)
+def window_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(F.col("o_orderdate").asc(), F.col("o_orderkey").asc())
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        money("o_totalprice").alias("total"),
+        money(F.lag("o_totalprice").over(w)).alias("prev_total"),
+        money(F.lead("o_totalprice").over(w)).alias("next_total"),
+    )
+
+
+@_q(
+    "window_running_sum",
+    """
+    SELECT o_custkey, o_orderkey,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+               PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS DOUBLE) AS running_total
+    FROM orders
+    """,
+)
+def window_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running-frame aggregation (ROWS UNBOUNDED PRECEDING..CURRENT);
+    decimal accumulation keeps the prefix sums exact."""
+    o = load_table(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(F.col("o_orderdate").asc(), F.col("o_orderkey").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).over(w).cast("double").alias("running_total"),
+    )
+
+
+@_q(
+    "rollup_agg",
+    """
+    SELECT l_returnflag, l_linestatus,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+           COUNT(*) AS n
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+)
+def rollup_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP grouping sets (subtotals + grand total)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        _sum2(F.col("l_quantity")).alias("sum_qty"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@_q(
+    "cube_agg",
+    """
+    SELECT l_returnflag, l_linestatus,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+    FROM lineitem
+    GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+)
+def cube_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        _sum2(F.col("l_extendedprice")).alias("sum_price")
+    )
+
+
+@_q(
+    "semi_anti_join",
+    """
+    SELECT c_custkey, 'has_order' AS tag FROM customer
+    WHERE EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey
+                    AND o_orderdate >= TIMESTAMP '2001-01-01')
+    UNION ALL
+    SELECT c_custkey, 'no_order' AS tag FROM customer
+    WHERE NOT EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = c_custkey
+                        AND o_orderdate >= TIMESTAMP '2001-01-01')
+    """,
+)
+def semi_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT SEMI + LEFT ANTI — the anti-join is also the engine's
+    idempotent-sink primitive (SURVEY §2 #4, sinks/idempotent.py)."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderdate") >= F.lit("2001-01-01"))
+    cond = F.col("c_custkey") == F.col("o_custkey")
+    has = c.join(o, cond, "left_semi").select("c_custkey", F.lit("has_order").alias("tag"))
+    not_has = c.join(o, cond, "left_anti").select("c_custkey", F.lit("no_order").alias("tag"))
+    return has.unionAll(not_has)
+
+
+@_q(
+    "pivot_agg",
+    """
+    SELECT l_returnflag,
+           CAST(SUM(CASE WHEN l_linestatus = 'F'
+                    THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DOUBLE) AS qty_F,
+           CAST(SUM(CASE WHEN l_linestatus = 'O'
+                    THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DOUBLE) AS qty_O
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def pivot_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot with explicit value list (one pass; no value-discovery job)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["F", "O"])
+        .agg(_sum2(F.col("l_quantity")))
+        .withColumnRenamed("F", "qty_F")
+        .withColumnRenamed("O", "qty_O")
+    )
+
+
+@_q(
+    "string_functions",
+    r"""
+    SELECT p_partkey,
+           upper(p_brand)                         AS brand_up,
+           lower(p_name)                          AS name_lo,
+           substr(p_name, 1, 12)                  AS name_prefix,
+           length(p_name)                         AS name_len,
+           replace(p_type, ' ', '_')              AS type_snake,
+           trim(p_type)                           AS type_trim,
+           regexp_extract(p_type, '^(\w+)', 1)    AS type_head,
+           split_part(p_type, ' ', 1)             AS type_first,
+           lpad(CAST(p_size AS VARCHAR), 4, '0')  AS size_pad,
+           concat(p_brand, ':', p_type)           AS brand_type
+    FROM part
+    """,
+)
+def string_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar string library (absent in the reference, SURVEY §2.4)."""
+    p = load_table(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.upper("p_brand").alias("brand_up"),
+        F.lower("p_name").alias("name_lo"),
+        F.substring("p_name", 1, 12).alias("name_prefix"),
+        F.length("p_name").alias("name_len"),
+        F.replace(F.col("p_type"), F.lit(" "), F.lit("_")).alias("type_snake"),
+        F.trim("p_type").alias("type_trim"),
+        F.regexp_extract("p_type", r"^(\w+)", 1).alias("type_head"),
+        F.split_part(F.col("p_type"), F.lit(" "), F.lit(1)).alias("type_first"),
+        F.lpad(F.col("p_size").cast("string"), 4, "0").alias("size_pad"),
+        F.concat(F.col("p_brand"), F.lit(":"), F.col("p_type")).alias("brand_type"),
+    )
+
+
+@_q(
+    "math_functions",
+    """
+    SELECT l_orderkey, l_linenumber,
+           ROUND(abs(l_extendedprice - 1000), 2)       AS abs_diff,
+           CAST(ceil(l_quantity) AS BIGINT)            AS qty_ceil,
+           CAST(floor(l_quantity) AS BIGINT)           AS qty_floor,
+           ROUND(sqrt(l_extendedprice), 6)             AS price_sqrt,
+           ROUND(ln(l_extendedprice + 1), 6)           AS price_ln,
+           ROUND(pow(l_discount, 2), 6)                AS disc_sq,
+           l_orderkey % 7                              AS key_mod
+    FROM lineitem
+    """,
+)
+def math_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round(F.abs(F.col("l_extendedprice") - 1000), 2).alias("abs_diff"),
+        F.ceil("l_quantity").cast("bigint").alias("qty_ceil"),
+        F.floor("l_quantity").cast("bigint").alias("qty_floor"),
+        F.round(F.sqrt("l_extendedprice"), 6).alias("price_sqrt"),
+        F.round(F.log(F.col("l_extendedprice") + 1), 6).alias("price_ln"),
+        F.round(F.pow("l_discount", F.lit(2)), 6).alias("disc_sq"),
+        (F.col("l_orderkey") % 7).alias("key_mod"),
+    )
+
+
+@_q(
+    "json_extract",
+    """
+    SELECT event_id, event_type,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val
+    FROM events
+    """,
+)
+def json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON field extraction from a string column (events.props)."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        "event_type",
+        F.get_json_object("props", "$.k").cast("bigint").alias("k_val"),
+    )
+
+
+@_q(
+    "exact_percentiles",
+    """
+    SELECT l_returnflag,
+           ROUND(quantile_cont(l_quantity, 0.5), 6)       AS median_qty,
+           ROUND(quantile_cont(l_extendedprice, 0.9), 6)  AS p90_price
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def exact_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact continuous percentiles (Spark `percentile` == DuckDB
+    `quantile_cont` interpolation)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.percentile("l_quantity", F.lit(0.5)), 6).alias("median_qty"),
+        F.round(F.percentile("l_extendedprice", F.lit(0.9)), 6).alias("p90_price"),
+    )
+
+
+@_q(
+    "range_join",
+    """
+    SELECT l.l_orderkey, l.l_linenumber, b.bucket_name
+    FROM lineitem l
+    JOIN (VALUES (0.0, 10.0, 'small'), (10.0, 25.0, 'mid'), (25.0, 100.0, 'large'))
+         AS b(lo, hi, bucket_name)
+      ON l.l_quantity >= b.lo AND l.l_quantity < b.hi
+    """,
+)
+def range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Non-equi (range) join against a tiny bucket dim — broadcast
+    nested-loop by construction, which is the right plan: the big side
+    streams, no shuffle."""
+    li = load_table(spark, sf_dir, "lineitem")
+    buckets = spark.createDataFrame(
+        [(0.0, 10.0, "small"), (10.0, 25.0, "mid"), (25.0, 100.0, "large")],
+        "lo double, hi double, bucket_name string",
+    )
+    return li.join(
+        F.broadcast(buckets),
+        (F.col("l_quantity") >= F.col("lo")) & (F.col("l_quantity") < F.col("hi")),
+    ).select("l_orderkey", "l_linenumber", "bucket_name")
+
+
+@_q(
+    "asof_join",
+    """
+    WITH tagged AS (
+        SELECT user_id, ts, event_id,
+               CASE WHEN event_type = 'signup' THEN ts END AS signup_ts,
+               CASE WHEN event_type = 'signup' THEN event_id END AS signup_id,
+               event_type
+        FROM events WHERE event_type IN ('purchase', 'signup')
+    ),
+    filled AS (
+        SELECT user_id, ts, event_id, event_type,
+               last_value(signup_ts IGNORE NULLS) OVER (
+                   PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_signup_ts,
+               last_value(signup_id IGNORE NULLS) OVER (
+                   PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_signup_id
+        FROM tagged
+    )
+    SELECT user_id, event_id AS purchase_id,
+           epoch_ms(ts) AS purchase_ts_ms,
+           last_signup_id AS signup_id,
+           epoch_ms(last_signup_ts) AS signup_ts_ms
+    FROM filled WHERE event_type = 'purchase'
+    """,
+)
+def asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (latest signup at-or-before each purchase, per user),
+    via the union+last_value idiom: ONE shuffle on user_id, no range
+    explosion, no per-key loop — this is the 100 TB-safe as-of plan
+    (vs. DuckDB's native ASOF JOIN in spirit; oracle uses the same
+    ANSI construction)."""
+    ev = load_table(spark, sf_dir, "events")
+    tagged = ev.filter(F.col("event_type").isin("purchase", "signup")).select(
+        "user_id",
+        "ts",
+        "event_id",
+        "event_type",
+        F.when(F.col("event_type") == "signup", F.col("ts")).alias("signup_ts"),
+        F.when(F.col("event_type") == "signup", F.col("event_id")).alias("signup_id"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts").asc(), F.col("event_id").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    filled = tagged.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "event_type",
+        F.last("signup_ts", ignorenulls=True).over(w).alias("last_signup_ts"),
+        F.last("signup_id", ignorenulls=True).over(w).alias("last_signup_id"),
+    )
+    return filled.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("event_id").alias("purchase_id"),
+        F.unix_millis("ts").alias("purchase_ts_ms"),
+        F.col("last_signup_id").alias("signup_id"),
+        F.unix_millis("last_signup_ts").alias("signup_ts_ms"),
+    )
+
+
+@_q(
+    "in_subquery",
+    """
+    SELECT o_orderkey, o_custkey, ROUND(o_totalprice, 2) AS total
+    FROM orders
+    WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_acctbal > 9000)
+    """,
+)
+def in_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IN-subquery == left-semi join on the subquery keys."""
+    o = load_table(spark, sf_dir, "orders")
+    rich = load_table(spark, sf_dir, "customer").filter(F.col("c_acctbal") > 9000)
+    return o.join(
+        rich, F.col("o_custkey") == F.col("c_custkey"), "left_semi"
+    ).select("o_orderkey", "o_custkey", money("o_totalprice").alias("total"))
