@@ -49,6 +49,25 @@ def dt_hr_concat(ts: Column | str) -> Column:
     return concat_null_propagating(convert_103(ts), F.lit(" "), convert_108(ts))
 
 
+def round2_stable(col: Column) -> Column:
+    """Cross-engine-stable 2-dp rounding for COMPUTED doubles (products,
+    divisions). ``round(x, 2)`` differs between engines at half-cent
+    boundaries (Spark rounds the exact decimal expansion of the double;
+    DuckDB scales then rounds), so for derived values both the Spark plan
+    and the oracle SQL use the identical two-step ``round(x*100)/100`` —
+    the scaled value is bit-identical in both engines and integer rounding
+    of positives agrees (HALF_UP == half-away-from-zero)."""
+    return F.round(col * 100) / 100
+
+
+def epoch_ms(col: Column | str) -> Column:
+    """Milliseconds since epoch with explicit truncation. Spark's
+    ``unix_millis`` and DuckDB's ``epoch_ms`` disagree by 1 ms on
+    microsecond-precision timestamps (round vs truncate); both sides of
+    the oracle contract therefore use floor(epoch_us / 1000)."""
+    return F.floor(F.unix_micros(col) / 1000).cast("long")
+
+
 def money(col: Column | str, scale: int = 2) -> Column:
     """Round a double money column at the projection edge.
 

@@ -24,7 +24,15 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..functions.tsql import convert_103, convert_108, dt_hr_concat, isnull, money
+from ..functions.tsql import (
+    convert_103,
+    convert_108,
+    dt_hr_concat,
+    epoch_ms,
+    isnull,
+    money,
+    round2_stable,
+)
 from ..operators.dedup import latest_per_key
 from ..sources import load_table
 
@@ -76,7 +84,7 @@ def projection_rename(spark: SparkSession, sf_dir: str) -> DataFrame:
     "computed_arithmetic",
     """
     SELECT l_orderkey, l_linenumber,
-           ROUND(l_extendedprice * (1 - l_discount) * (1 + l_tax), 2) AS net_price,
+           ROUND(l_extendedprice * (1 - l_discount) * (1 + l_tax) * 100) / 100 AS net_price,
            ROUND(l_extendedprice + l_quantity, 2) AS gross_plus_qty,
            ROUND(l_extendedprice - l_quantity, 2) AS gross_minus_qty
     FROM lineitem
@@ -88,9 +96,9 @@ def computed_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
     return li.select(
         "l_orderkey",
         "l_linenumber",
-        money(F.col("l_extendedprice") * (1 - F.col("l_discount")) * (1 + F.col("l_tax"))).alias(
-            "net_price"
-        ),
+        round2_stable(
+            F.col("l_extendedprice") * (1 - F.col("l_discount")) * (1 + F.col("l_tax"))
+        ).alias("net_price"),
         money(F.col("l_extendedprice") + F.col("l_quantity")).alias("gross_plus_qty"),
         money(F.col("l_extendedprice") - F.col("l_quantity")).alias("gross_minus_qty"),
     )
@@ -817,9 +825,9 @@ def range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM tagged
     )
     SELECT user_id, event_id AS purchase_id,
-           epoch_ms(ts) AS purchase_ts_ms,
+           CAST(floor(epoch_us(ts) / 1000) AS BIGINT) AS purchase_ts_ms,
            last_signup_id AS signup_id,
-           epoch_ms(last_signup_ts) AS signup_ts_ms
+           CAST(floor(epoch_us(last_signup_ts) / 1000) AS BIGINT) AS signup_ts_ms
     FROM filled WHERE event_type = 'purchase'
     """,
 )
@@ -854,9 +862,9 @@ def asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return filled.filter(F.col("event_type") == "purchase").select(
         "user_id",
         F.col("event_id").alias("purchase_id"),
-        F.unix_millis("ts").alias("purchase_ts_ms"),
+        epoch_ms("ts").alias("purchase_ts_ms"),
         F.col("last_signup_id").alias("signup_id"),
-        F.unix_millis("last_signup_ts").alias("signup_ts_ms"),
+        epoch_ms(F.col("last_signup_ts")).alias("signup_ts_ms"),
     )
 
 

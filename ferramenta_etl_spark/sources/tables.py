@@ -149,9 +149,9 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
-        df = df.withColumn(
-            "ts", F.timestamp_micros(F.floor(F.col("ts") / F.lit(1000)).cast("long"))
-        )
+        # integer division: epoch-nanos (~1.7e18) exceed double's exact
+        # integer range, so a float path would corrupt the low microseconds
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     assert_schema(df, EXPECTED_SCHEMAS[name], name)
     return df
 
