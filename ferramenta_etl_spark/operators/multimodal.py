@@ -1,0 +1,126 @@
+"""Multimodal (image/audio/video) column plumbing.
+
+Media is modeled as an opaque ``binary`` column plus typed metadata —
+the Spark-side machinery (schema, Arrow batching, mapInPandas signature,
+partitioning) is real and tested; the codec step is a deterministic fake
+behind ``decode_media``, clearly marked, because no image/audio libraries
+exist in this container. Swap ``_fake_decode`` for PIL/librosa/pyav calls
+and nothing else changes.
+
+Design points for 100 TB:
+- bytes never leave the JVM except through Arrow record batches
+  (``mapInPandas``), sized by ``spark.sql.execution.arrow.maxRecordsPerBatch``;
+- feature extraction is embarrassingly parallel: no shuffle at all —
+  output partitioning == input partitioning;
+- metadata lives in fixed columns (not a map) so Parquet stats/pruning
+  apply to e.g. ``byte_len`` range filters.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+MEDIA_TYPES = ("image", "audio", "video")
+
+FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("media_type", T.StringType()),
+        T.StructField("byte_len", T.LongType()),
+        T.StructField("width", T.LongType()),
+        T.StructField("height", T.LongType()),
+        T.StructField("checksum", T.LongType()),
+    ]
+)
+
+
+def attach_fake_media(documents: DataFrame) -> DataFrame:
+    """Build a media table from the documents fixture: UTF-8 bytes of the
+    text stand in for encoded media; type assigned round-robin."""
+    return documents.select(
+        "doc_id",
+        F.encode(F.col("text"), "UTF-8").alias("media"),
+        F.element_at(
+            F.array(*[F.lit(t) for t in MEDIA_TYPES]),
+            (F.col("doc_id") % 3 + 1).cast("int"),
+        ).alias("media_type"),
+    )
+
+
+def _fake_decode(media_type: str, raw: bytes) -> dict:
+    """FAKE CODEC — deterministic stand-in for image/audio/video decode.
+    Real implementation would dispatch to PIL / soundfile / pyav here.
+    Kept arithmetic-only so oracles can reproduce it."""
+    n = len(raw)
+    return {
+        "byte_len": n,
+        "width": n % 640,
+        "height": (n * 7) % 480,
+        "checksum": sum(raw[:64]) % (1 << 31),  # real byte access
+    }
+
+
+def extract_media_features(media_df: DataFrame) -> DataFrame:
+    """Decode/feature-extract via mapInPandas (Arrow-batched).
+
+    The UDF sees pandas DataFrames of (doc_id, media, media_type); bytes
+    arrive as Python ``bytes`` through Arrow with zero row-at-a-time
+    pickling. Narrow op: no shuffle.
+    """
+
+    def batches(it: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in it:
+            feats = [
+                _fake_decode(mt, raw)
+                for mt, raw in zip(pdf["media_type"], pdf["media"])
+            ]
+            out = pd.DataFrame(feats)
+            out.insert(0, "media_type", pdf["media_type"].values)
+            out.insert(0, "doc_id", pdf["doc_id"].values)
+            yield out
+
+    return media_df.mapInPandas(batches, FEATURE_SCHEMA)
+
+
+def resize_stub(media_df: DataFrame, width: int, height: int) -> DataFrame:
+    """Image resize — STUB: the container has no imaging library.
+    The Spark plumbing (signature, schema) is the real contract."""
+
+    def batches(it: Iterator) -> Iterator:
+        raise NotImplementedError(
+            "resize requires an imaging library (PIL/opencv) not present "
+            "in this environment; plug the codec into this mapInPandas body"
+        )
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("media", T.BinaryType()),
+        ]
+    )
+    return media_df.mapInPandas(batches, schema)
+
+
+def frame_sample_stub(media_df: DataFrame, every_n: int = 30) -> DataFrame:
+    """Video frame sampling — STUB (no pyav in container); contract only."""
+
+    def batches(it: Iterator) -> Iterator:
+        raise NotImplementedError(
+            "frame sampling requires pyav/ffmpeg, not present in this "
+            "environment; plug the demuxer into this mapInPandas body"
+        )
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("frame_idx", T.IntegerType()),
+            T.StructField("frame", T.BinaryType()),
+        ]
+    )
+    return media_df.mapInPandas(batches, schema)

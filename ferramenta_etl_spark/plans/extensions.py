@@ -1,3 +1,447 @@
-"""Extension operator queries (filled in incrementally)."""
-QUERIES = {}
-ORACLES = {}
+"""Extension queries: the large-scale training-data-pipeline suite
+(SURVEY.md §7 phase 4 / the north-star mandate) — dedup, similarity
+search, text analysis, multimodal plumbing, and event-time windowing.
+
+Oracle notes:
+- vector math uses the identical sequential double fold on both engines
+  (verified bit-identical; see operators/similarity.py);
+- MinHash-LSH / SimHash / IVF probing depend on xxhash64 and seeded
+  centroids, which DuckDB cannot reproduce -> rows-only checks (driver
+  records the weaker gate; flagged here explicitly);
+- event-time milliseconds always floor(epoch_us/1000) (functions/tsql.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.tsql import epoch_ms
+from ..operators import dedup as D
+from ..operators import multimodal as M
+from ..operators import similarity as S
+from ..operators import text as X
+from ..sources import load_table
+
+QUERIES: dict = {}
+ORACLES: dict[str, str] = {}
+
+
+def _q(name: str, oracle: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+# DuckDB rendering of the bit-stable sequential dot product (matches
+# operators/similarity.dot exactly — verified bit-identical).
+def _dot(a: str, b: str) -> str:
+    return (
+        f"list_aggregate(list_transform(list_zip({a}, {b}), "
+        f"x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)), 'sum')"
+    )
+
+
+def _cos(a: str, b: str) -> str:
+    return f"{_dot(a, b)} / (sqrt({_dot(a, a)}) * sqrt({_dot(b, b)}))"
+
+
+# ===========================================================================
+# Deduplication
+# ===========================================================================
+
+
+@_q(
+    "dedup_exact",
+    """
+    SELECT md5(text) AS text_hash,
+           MIN(doc_id) AS canonical_id,
+           COUNT(*) AS n_copies
+    FROM documents GROUP BY md5(text)
+    """,
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: hash-groupBy on md5(text) — only 32-byte digests
+    shuffle, never document bodies."""
+    return D.exact_dup_groups(load_table(spark, sf_dir, "documents"))
+
+
+@_q(
+    "dedup_fingerprint",
+    """
+    SELECT md5(array_to_string(list_sort(list_distinct(
+               string_split(lower(text), ' '))), ' ')) AS fp,
+           MIN(doc_id) AS canonical_id,
+           COUNT(*) AS n_docs
+    FROM documents
+    GROUP BY 1
+    """,
+)
+def dedup_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content fingerprint dedup: md5 of the sorted distinct token set —
+    catches token-reordered copies that exact hashing misses."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select(X.content_fingerprint(F.col("text")).alias("fp"), "doc_id")
+        .groupBy("fp")
+        .agg(F.min("doc_id").alias("canonical_id"), F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
+@_q(
+    "dedup_tokenset_jaccard",
+    """
+    WITH toks AS (
+        SELECT doc_id, lang, CAST(floor(n_chars / 16) AS BIGINT) AS block_len,
+               list_distinct(string_split(lower(text), ' ')) AS t
+        FROM documents
+    ), pairs AS (
+        SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
+               ROUND(CAST(len(list_intersect(a.t, b.t)) AS DOUBLE)
+                     / len(list_distinct(list_concat(a.t, b.t))), 4) AS jaccard
+        FROM toks a
+        JOIN toks b ON a.lang = b.lang AND a.block_len = b.block_len
+                   AND a.doc_id < b.doc_id
+    )
+    SELECT doc_id_a, doc_id_b, jaccard FROM pairs WHERE jaccard >= 0.8
+    """,
+)
+def dedup_tokenset_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked pairwise token-set Jaccard near-dup (n-gram Jaccard with
+    n=1); candidate pairs come from a hash-join on (lang, length-bucket),
+    never a cross join."""
+    return D.tokenset_jaccard_pairs(
+        load_table(spark, sf_dir, "documents"), threshold=0.8
+    )
+
+
+@_q("dedup_minhash_lsh")  # rows-only: xxhash64 family not reproducible in DuckDB
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash(32) + 8-band LSH candidate pairs with signature-estimated
+    Jaccard — THE scale path for near-dup (no pairwise work outside LSH
+    buckets). Rows-only check: the xxhash64-seeded hash family has no
+    DuckDB equivalent; correctness covered by tests/test_operators.py
+    against the exact-Jaccard operator."""
+    return D.minhash_lsh_pairs(
+        load_table(spark, sf_dir, "documents"), num_hashes=32, bands=8, threshold=0.5
+    )
+
+
+@_q("dedup_simhash")  # rows-only: same xxhash64 reproducibility limit
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs (Hamming <= 3) with pigeonhole 16-bit-block
+    candidate generation."""
+    return D.simhash_near_dup_pairs(load_table(spark, sf_dir, "documents"))
+
+
+# ===========================================================================
+# Similarity search
+# ===========================================================================
+
+_COSINE_TOPK_ORACLE = f"""
+    WITH q AS (
+        SELECT vec_id AS query_id, embedding AS qv
+        FROM embeddings WHERE vec_id < 10
+    ), c AS (
+        SELECT vec_id, embedding FROM embeddings WHERE vec_id >= 10
+    ), scored AS (
+        SELECT q.query_id, c.vec_id,
+               ROUND({_cos('q.qv', 'c.embedding')}, 6) AS sim
+        FROM c CROSS JOIN q
+    ), ranked AS (
+        SELECT query_id, vec_id, sim,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY sim DESC, vec_id ASC) AS rnk
+        FROM scored
+    )
+    SELECT query_id, vec_id, sim, rnk FROM ranked WHERE rnk <= 5
+"""
+
+
+@_q("embedding_cosine_topk", _COSINE_TOPK_ORACLE)
+def embedding_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact brute-force cosine top-5 for 10 query vectors: broadcast
+    queries, stream the corpus, window top-k — the ANN correctness
+    baseline."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    corpus = emb.filter(F.col("vec_id") >= 10).select("vec_id", "embedding")
+    return S.cosine_topk(corpus, queries, k=5)
+
+
+@_q("embedding_ann_ivf")  # rows-only: probe pruning isn't SQL-expressible cheaply
+def embedding_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-bucketed approximate top-k (nprobe=2 of 8 centroid buckets) —
+    the 100 TB path: queries scan only probed buckets. Recall vs the
+    exact baseline is asserted in tests/test_operators.py."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    corpus = emb.filter(F.col("vec_id") >= 10).select("vec_id", "embedding")
+    return S.ivf_topk(corpus, queries, n_centroids=8, nprobe=2, k=5)
+
+
+_NEAR_DUP_ORACLE = f"""
+    WITH e AS (SELECT vec_id, embedding, label FROM embeddings)
+    SELECT a.vec_id AS vec_id_a, b.vec_id AS vec_id_b,
+           ROUND({_cos('a.embedding', 'b.embedding')}, 6) AS sim
+    FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+    WHERE ROUND({_cos('a.embedding', 'b.embedding')}, 6) >= 0.35
+"""
+
+
+@_q("embedding_near_dup", _NEAR_DUP_ORACLE)
+def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs blocked by label. (Threshold 0.35:
+    the synthetic embeddings are not clustered — max within-label cosine
+    ~0.45 — so a production 0.9 threshold would be vacuous here.)"""
+    return S.cosine_near_dup_pairs(
+        load_table(spark, sf_dir, "embeddings"), threshold=0.35
+    )
+
+
+# ===========================================================================
+# Text analysis
+# ===========================================================================
+
+_MARKER_SQL = {
+    lang: "(" + ", ".join(f"'{t}'" for t in toks) + ")"
+    for lang, toks in X.LANG_MARKERS.items()
+}
+_SCORES_SQL = ",\n               ".join(
+    f"len(list_filter(string_split(lower(text), ' '), t -> t IN {m})) AS s_{lang}"
+    for lang, m in _MARKER_SQL.items()
+)
+_BEST = "greatest(s_de, s_en, s_es, s_fr, s_zh)"
+_PRED = (
+    "CASE "
+    + " ".join(f"WHEN s_{lang} = {_BEST} THEN '{lang}'" for lang in X.LANGS)
+    + " END"
+)
+
+
+@_q(
+    "text_lang_id",
+    f"""
+    WITH scored AS (
+        SELECT doc_id, lang,
+               {_SCORES_SQL}
+        FROM documents
+    )
+    SELECT doc_id, lang AS true_lang, {_PRED} AS pred_lang FROM scored
+    """,
+)
+def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marker-token language ID (n-gram-heuristic family): argmax of
+    per-language marker counts, alphabetical tiebreak."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.col("lang").alias("true_lang"),
+        X.lang_id(F.col("text")).alias("pred_lang"),
+    )
+
+
+@_q(
+    "text_quality_score",
+    """
+    WITH feats AS (
+        SELECT doc_id,
+               CAST(len(list_filter(string_split(lower(text), ' '),
+                    t -> t IN ('the','a','of','to','and','in','is','on'))) AS DOUBLE)
+                 / len(string_split(lower(text), ' ')) AS stop_ratio,
+               CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS DOUBLE)
+                 / length(text) AS dig_ratio,
+               CAST(length(regexp_replace(lower(text), '[a-z0-9 ]', '', 'g')) AS DOUBLE)
+                 / length(text) AS punct_ratio,
+               least(CAST(len(string_split(lower(text), ' ')) AS DOUBLE) / 100.0, 1.0)
+                 AS len_factor
+        FROM documents
+    )
+    SELECT doc_id,
+           ROUND(stop_ratio, 6) AS stopword_ratio,
+           ROUND(dig_ratio, 6) AS digit_ratio,
+           ROUND(punct_ratio, 6) AS punct_ratio,
+           ROUND(stop_ratio * 0.3 + (1.0 - dig_ratio) * 0.3
+                 + (1.0 - punct_ratio) * 0.2 + len_factor * 0.2, 6) AS quality
+    FROM feats
+    """,
+)
+def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic quality scoring: stopword/digit/punctuation ratios +
+    length factor, composed in a fixed expression order so both engines
+    produce bit-identical doubles."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = F.col("text")
+    return docs.select(
+        "doc_id",
+        F.round(X.stopword_ratio(t), 6).alias("stopword_ratio"),
+        F.round(X.digit_ratio(t), 6).alias("digit_ratio"),
+        F.round(X.punct_ratio(t), 6).alias("punct_ratio"),
+        F.round(X.quality_score(t), 6).alias("quality"),
+    )
+
+
+@_q(
+    "text_token_count",
+    r"""
+    SELECT doc_id,
+           len(string_split(text, ' ')) AS n_ws_tokens,
+           len(regexp_extract_all(lower(text), '[a-z]+|[0-9]|[^a-z0-9\s]'))
+             AS n_bpe_ish
+    FROM documents
+    """,
+)
+def text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting: whitespace tokens + a BPE-ish regex token count."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.size(F.split(F.col("text"), " ")).alias("n_ws_tokens"),
+        X.bpe_ish_count(F.col("text")).alias("n_bpe_ish"),
+    )
+
+
+# ===========================================================================
+# Multimodal plumbing
+# ===========================================================================
+
+
+@_q(
+    "multimodal_meta",
+    """
+    SELECT doc_id,
+           CASE CAST(doc_id % 3 AS INT)
+                WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END
+             AS media_type,
+           CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
+           CAST(octet_length(encode(text)) % 640 AS BIGINT) AS width,
+           CAST((octet_length(encode(text)) * 7) % 480 AS BIGINT) AS height
+    FROM documents
+    """,
+)
+def multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary media columns through real Arrow/mapInPandas plumbing with
+    a deterministic fake codec (operators/multimodal.py) — the oracle
+    reproduces the fake's arithmetic from byte lengths."""
+    media = M.attach_fake_media(load_table(spark, sf_dir, "documents"))
+    return M.extract_media_features(media).drop("checksum")
+
+
+@_q("multimodal_checksum")  # rows-only: byte-level checksum not cheap in SQL
+def multimodal_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same pipeline including the byte-access checksum, proving the UDF
+    really sees the binary payload (not just lengths)."""
+    media = M.attach_fake_media(load_table(spark, sf_dir, "documents"))
+    return M.extract_media_features(media)
+
+
+# ===========================================================================
+# Event-time windowing (batch semantics; streaming mirrors in streaming/)
+# ===========================================================================
+
+_EPOCH = "CAST(floor(epoch_us({0}) / 1000) AS BIGINT)"
+
+
+@_q(
+    "events_tumbling_agg",
+    f"""
+    SELECT {_EPOCH.format("time_bucket(INTERVAL 15 minutes, ts)")} AS win_start_ms,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+    FROM events GROUP BY 1
+    """,
+)
+def events_tumbling_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """15-minute tumbling event-time windows (batch mirror of the
+    Structured Streaming aggregation in streaming/windows.py)."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "15 minutes").alias("win"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("sum_value"),
+        )
+        .select(epoch_ms(F.col("win.start")).alias("win_start_ms"), "n_events", "sum_value")
+    )
+
+
+@_q(
+    "events_sliding_agg",
+    f"""
+    WITH grids AS (
+        SELECT time_bucket(INTERVAL 15 minutes, ts) AS wstart, value FROM events
+        UNION ALL
+        SELECT time_bucket(INTERVAL 15 minutes, ts) - INTERVAL 15 minutes, value
+        FROM events
+    )
+    SELECT {_EPOCH.format("wstart")} AS win_start_ms,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+    FROM grids GROUP BY 1
+    """,
+)
+def events_sliding_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """30-minute windows sliding by 15 — every event lands in exactly two
+    windows; oracle materializes the two offset tumbling grids."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "30 minutes", "15 minutes").alias("win"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("sum_value"),
+        )
+        .select(epoch_ms(F.col("win.start")).alias("win_start_ms"), "n_events", "sum_value")
+    )
+
+
+@_q(
+    "events_session_agg",
+    f"""
+    WITH ordered AS (
+        SELECT user_id, ts, value,
+               CASE WHEN lag(ts) OVER w IS NULL
+                         OR ts - lag(ts) OVER w >= INTERVAL 30 minutes
+                    THEN 1 ELSE 0 END AS new_session
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+    ), sessions AS (
+        SELECT user_id, ts, value,
+               SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts ASC
+                                      ROWS UNBOUNDED PRECEDING) AS session_id
+        FROM ordered
+    )
+    SELECT user_id,
+           {_EPOCH.format("MIN(ts)")} AS session_start_ms,
+           {_EPOCH.format("MAX(ts) + INTERVAL 30 minutes")} AS session_end_ms,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+    FROM sessions GROUP BY user_id, session_id
+    """,
+)
+def events_session_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows (30-minute inactivity gap) per user — Spark's
+    session_window; the oracle derives identical sessions with the
+    gaps-and-islands idiom (session end = last event + gap)."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.session_window("ts", "30 minutes").alias("win"), F.col("user_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("sum_value"),
+        )
+        .select(
+            "user_id",
+            epoch_ms(F.col("win.start")).alias("session_start_ms"),
+            epoch_ms(F.col("win.end")).alias("session_end_ms"),
+            "n_events",
+            "sum_value",
+        )
+    )
