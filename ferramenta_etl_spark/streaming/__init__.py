@@ -1,0 +1,8 @@
+from .windows import (  # noqa: F401
+    dedup_within_watermark,
+    run_available_now,
+    session_agg_stream,
+    sliding_agg_stream,
+    stream_events,
+    tumbling_agg_stream,
+)

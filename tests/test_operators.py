@@ -1,0 +1,89 @@
+"""Operator-level invariants not covered by the SQL oracles:
+LSH vs exact Jaccard agreement, IVF recall vs brute force, JDBC option
+plumbing, latest_per_key determinism."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from ferramenta_etl_spark.operators import dedup as D
+from ferramenta_etl_spark.operators import similarity as S
+from ferramenta_etl_spark.sources import load_table
+from ferramenta_etl_spark.sources.jdbc import JdbcConfig, table_scan_options
+
+
+def test_latest_per_key_deterministic(spark):
+    rows = [(1, 10, "x"), (1, 10, "a"), (1, 9, "z"), (2, 5, "q")]
+    df = spark.createDataFrame(rows, "k int, ord int, v string")
+    out = {
+        r.k: (r.ord, r.v)
+        for r in D.latest_per_key(
+            df, ["k"], [F.col("ord").desc()], tiebreak=["v"]
+        ).collect()
+    }
+    # k=1: ord=10 twice -> tiebreak picks v='a'
+    assert out == {1: (10, "a"), 2: (5, "q")}
+
+
+def test_minhash_lsh_approximates_exact_jaccard(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    exact = D.tokenset_jaccard_pairs(docs, threshold=0.9, length_bucket=10**9)
+    exact_pairs = {(r.doc_id_a, r.doc_id_b) for r in exact.collect()}
+    # shingle_k=1 so MinHash estimates the SAME token-set Jaccard the
+    # exact operator computes (the default k=3 shingle sets are a
+    # different, stricter similarity)
+    lsh = D.minhash_lsh_pairs(docs, num_hashes=32, bands=8, shingle_k=1, threshold=0.5)
+    lsh_pairs = {(r.doc_id_a, r.doc_id_b) for r in lsh.collect()}
+    assert exact_pairs, "fixture should contain >=1 highly-similar pair"
+    recall = len(exact_pairs & lsh_pairs) / len(exact_pairs)
+    assert recall >= 0.8, f"LSH recall {recall:.2f} too low ({len(exact_pairs)} truth pairs)"
+
+
+def test_simhash_pairs_are_actually_similar(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = D.simhash_near_dup_pairs(docs, max_hamming=3).limit(20).collect()
+    assert all(p.hamming <= 3 for p in pairs)
+
+
+def test_ivf_recall_against_brute_force(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    corpus = emb.filter(F.col("vec_id") >= 10).select("vec_id", "embedding")
+    exact = {
+        (r.query_id, r.vec_id) for r in S.cosine_topk(corpus, queries, k=5).collect()
+    }
+    approx = {
+        (r.query_id, r.vec_id)
+        for r in S.ivf_topk(corpus, queries, n_centroids=8, nprobe=4, k=5).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    # unclustered synthetic vectors: IVF probing half the buckets should
+    # still recover a solid fraction of the true top-k
+    assert recall >= 0.4, f"IVF recall {recall:.2f}"
+
+
+def test_jdbc_option_plumbing(spark):
+    cfg = JdbcConfig(
+        url="jdbc:postgresql://example:5432/db", user="u", password="p",
+        driver="org.postgresql.Driver",
+    )
+    opts = table_scan_options(
+        cfg, "gestao_fretes.parcela_ciot",
+        partition_column="id_manifesto", lower_bound=0, upper_bound=10**9,
+        num_partitions=16,
+    )
+    assert opts["fetchsize"] == "50000"  # ≙ BATCH_SIZE, S:26
+    assert opts["numPartitions"] == "16"
+    assert opts["partitionColumn"] == "id_manifesto"
+    assert opts["driver"] == "org.postgresql.Driver"
+
+
+def test_exact_dedup_keeps_one_per_text(spark):
+    df = spark.createDataFrame(
+        [(1, "same text"), (2, "same text"), (3, "other")], "doc_id long, text string"
+    )
+    groups = {r.text_hash: (r.canonical_id, r.n_copies) for r in D.exact_dup_groups(df).collect()}
+    assert sorted(v for v in groups.values()) == [(1, 2), (3, 1)]
+    kept = D.dedup_exact(df).select("doc_id").rdd.map(lambda r: r[0]).collect()
+    assert sorted(kept) == [1, 3]
