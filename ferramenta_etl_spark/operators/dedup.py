@@ -93,8 +93,8 @@ def distinct_tokens(text: Column) -> Column:
 
 
 def shingles(text: Column, k: int = 3) -> Column:
-    """k-token shingles as strings (for MinHash). Pure SQL expression:
-    transform over token indexes, JVM-side, no UDF."""
+    """k-token shingles as strings. Pure SQL expression: transform over
+    token indexes, JVM-side, no UDF."""
     toks = tokens(text)
     n = F.size(toks)
     idx = F.sequence(F.lit(0), F.greatest(n - F.lit(k), F.lit(0)))
@@ -104,6 +104,32 @@ def shingles(text: Column, k: int = 3) -> Column:
             lambda i: F.concat_ws(" ", F.slice(toks, i + 1, k)),
         )
     )
+
+
+def shingle_hashes(text: Column, k: int = 3) -> Column:
+    """k-token shingle HASHES in [0, 2^31-1), skipping string-shingle
+    construction: tokens hash once per pass (xxhash64 mod p), then the
+    shingle hash is a k-term polynomial fold of consecutive token hashes,
+    built as zip_with over k shifted slices of the token-hash array.
+
+    Deliberately NOT transform(indexes, i -> element_at(th, i)): a
+    subexpression referenced inside a higher-order-function lambda is
+    re-evaluated PER ELEMENT, turning the row cost quadratic in token
+    count (measured 2x end-to-end slowdown). The zip_with form keeps
+    every pass O(n). Duplicate shingles are fine downstream because
+    min() is multiset-invariant."""
+    p = F.lit(_MERSENNE31)
+    toks = tokens(text)
+    th = F.transform(toks, lambda t: F.pmod(F.xxhash64(t), p))
+    m = F.greatest(F.size(toks) - F.lit(k - 1), F.lit(0))
+    acc = F.slice(th, 1, m)
+    for j in range(1, k):
+        acc = F.zip_with(
+            acc,
+            F.slice(th, j + 1, m),
+            lambda x, y: F.pmod(x * F.lit(1_000_003) + y, p),
+        )
+    return acc
 
 
 # ---------------------------------------------------------------------------
@@ -193,9 +219,13 @@ def minhash_signatures(
     set-similarity.
     """
     p = F.lit(_MERSENNE31)
-    exploded = df.select(
-        F.col(id_col), F.explode(shingles(F.col(text_col), shingle_k)).alias("shingle")
-    ).select(F.col(id_col), F.pmod(F.xxhash64("shingle"), p).alias("h"))
+    exploded = (
+        df.select(
+            F.col(id_col),
+            F.explode(shingle_hashes(F.col(text_col), shingle_k)).alias("h"),
+        )
+        .filter(F.col("h").isNotNull())  # docs shorter than k tokens drop out
+    )
     aggs = []
     for i in range(num_hashes):
         a, b = _hash_params(i)
