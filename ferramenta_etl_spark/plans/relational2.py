@@ -1,0 +1,525 @@
+"""Relational operator inventory, part 3: wider SQL surface.
+
+Everything here is absent from the reference (its only SQL is the single
+embedded query at ``Select de Importação de Dados.py:34-99`` — SURVEY.md
+§2.4 lists the gaps exhaustively), but belongs to any engine offered as
+its replacement: lateral explode, unpivot, the full window-function
+family and frame kinds, date/time functions, ordered string aggregation,
+FILTER-style conditional aggregation, null-safe equality, LIKE/regex
+predicates, array functions, correlated scalar subqueries (decorrelated
+to a window plan on the Spark side), UNION BY NAME, GROUPING SETS via the
+SQL entry point, histograms, and try_cast.
+
+Same numeric-parity conventions as relational.py: decimal-accumulated
+sums, explicit rounding at the edge, total window orders via tiebreaks.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.tsql import money
+from ..sources import load_table
+
+QUERIES: dict = {}
+ORACLES: dict[str, str] = {}
+
+
+def _q(name: str, oracle: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+def _sum2(col_expr) -> F.Column:
+    return F.sum(col_expr.cast("decimal(18,2)")).cast("double")
+
+
+@_q(
+    "explode_tokens",
+    """
+    SELECT doc_id,
+           unnest(range(1, len(string_split(lower(text), ' ')) + 1)) AS pos,
+           unnest(string_split(lower(text), ' ')) AS tok
+    FROM documents
+    """,
+)
+def explode_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lateral explode with position (posexplode == UNNEST WITH ORDINALITY).
+    Generator runs inside codegen; output fans out ~50x but never collects."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", F.posexplode(F.split(F.lower("text"), " ")).alias("pos", "tok")
+    ).select("doc_id", (F.col("pos") + 1).cast("bigint").alias("pos"), "tok")
+
+
+@_q(
+    "unpivot_metrics",
+    """
+    SELECT l_orderkey, l_linenumber, 'qty' AS metric, l_quantity AS value FROM lineitem
+    UNION ALL
+    SELECT l_orderkey, l_linenumber, 'price', l_extendedprice FROM lineitem
+    UNION ALL
+    SELECT l_orderkey, l_linenumber, 'discount', l_discount FROM lineitem
+    UNION ALL
+    SELECT l_orderkey, l_linenumber, 'tax', l_tax FROM lineitem
+    """,
+)
+def unpivot_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide->long unpivot (melt). Spark's native unpivot is a single-pass
+    generator — the oracle's 4-scan UNION ALL shape is what it replaces."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.withColumnsRenamed(
+            {
+                "l_quantity": "qty",
+                "l_extendedprice": "price",
+                "l_discount": "discount",
+                "l_tax": "tax",
+            }
+        )
+        .unpivot(
+            ["l_orderkey", "l_linenumber"],
+            ["qty", "price", "discount", "tax"],
+            "metric",
+            "value",
+        )
+    )
+
+
+@_q(
+    "window_rank_family",
+    """
+    SELECT o_orderkey, o_custkey,
+           DENSE_RANK()   OVER w AS drnk,
+           NTILE(4)       OVER w AS quartile,
+           ROUND(PERCENT_RANK() OVER w, 6) AS pct_rank,
+           ROUND(CUME_DIST()    OVER w, 6) AS cume
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC)
+    """,
+)
+def window_rank_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dense_rank / ntile / percent_rank / cume_dist — one shuffle on the
+    partition key serves all four (same window spec)."""
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_orderdate").asc(), F.col("o_orderkey").asc()
+    )
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        F.dense_rank().over(w).alias("drnk"),
+        F.ntile(4).over(w).alias("quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+    )
+
+
+@_q(
+    "window_range_frame",
+    """
+    SELECT o_orderkey, o_custkey,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+               PARTITION BY o_custkey ORDER BY o_orderkey
+               RANGE BETWEEN 1000 PRECEDING AND CURRENT ROW
+           ) AS DOUBLE) AS near_total
+    FROM orders
+    """,
+)
+def window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE frame (value-based, vs the ROWS frame in window_running_sum):
+    sums all orders whose key lies within 1000 below the current one."""
+    o = load_table(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(F.col("o_orderkey"))
+        .rangeBetween(-1000, Window.currentRow)
+    )
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .over(w)
+        .cast("double")
+        .alias("near_total"),
+    )
+
+
+@_q(
+    "window_first_last_nth",
+    """
+    SELECT o_orderkey, o_custkey,
+           FIRST_VALUE(o_orderkey) OVER w AS first_key,
+           LAST_VALUE(o_orderkey)  OVER w AS last_key,
+           NTH_VALUE(o_orderkey, 2) OVER w AS second_key
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+    """,
+)
+def window_first_last_nth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """first/last/nth_value over the full-partition frame (the default
+    frame would make last_value == current row — a classic trap)."""
+    o = load_table(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(F.col("o_orderdate").asc(), F.col("o_orderkey").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        F.first("o_orderkey").over(w).alias("first_key"),
+        F.last("o_orderkey").over(w).alias("last_key"),
+        F.nth_value("o_orderkey", 2).over(w).alias("second_key"),
+    )
+
+
+@_q(
+    "date_functions",
+    """
+    SELECT o_orderkey,
+           strftime(date_trunc('month', o_orderdate), '%Y-%m-%d') AS month_start,
+           CAST(extract(year    FROM o_orderdate) AS INT) AS yr,
+           CAST(extract(month   FROM o_orderdate) AS INT) AS mo,
+           CAST(extract(day     FROM o_orderdate) AS INT) AS dy,
+           CAST(extract(quarter FROM o_orderdate) AS INT) AS qtr,
+           CAST(dayofweek(o_orderdate) + 1 AS INT) AS dow,
+           date_diff('day', CAST(o_orderdate AS DATE), DATE '1998-12-31') AS days_to_eoy98,
+           strftime(CAST(o_orderdate AS DATE) + INTERVAL 3 MONTH, '%Y-%m-%d') AS plus3mo,
+           strftime(last_day(CAST(o_orderdate AS DATE)), '%Y-%m-%d') AS month_end
+    FROM orders
+    """,
+)
+def date_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date/time function library: trunc, extract, diff, month arithmetic
+    (end-of-month clamping included), last_day, day-of-week."""
+    o = load_table(spark, sf_dir, "orders")
+    d = F.col("o_orderdate")
+    return o.select(
+        "o_orderkey",
+        F.date_format(F.date_trunc("month", d), "yyyy-MM-dd").alias("month_start"),
+        F.year(d).alias("yr"),
+        F.month(d).alias("mo"),
+        F.dayofmonth(d).alias("dy"),
+        F.quarter(d).alias("qtr"),
+        F.dayofweek(d).alias("dow"),  # 1=Sunday in Spark; oracle shifts to match
+        F.datediff(F.lit("1998-12-31").cast("date"), d).alias("days_to_eoy98"),
+        F.date_format(F.add_months(d, 3), "yyyy-MM-dd").alias("plus3mo"),
+        F.date_format(F.last_day(d), "yyyy-MM-dd").alias("month_end"),
+    )
+
+
+@_q(
+    "string_agg_sorted",
+    """
+    SELECT o_custkey,
+           string_agg(o_orderstatus, ',' ORDER BY o_orderkey) AS status_seq,
+           COUNT(*) AS n_orders
+    FROM orders GROUP BY o_custkey
+    """,
+)
+def string_agg_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered string aggregation (LISTAGG): collect (sortkey, value)
+    structs, array_sort (struct field order == sort order, and o_orderkey
+    is unique so the order is total), project the value, join. Stays
+    JVM-side; one shuffle."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy("o_custkey").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("o_orderkey", "o_orderstatus"))),
+                lambda s: s["o_orderstatus"],
+            ),
+            ",",
+        ).alias("status_seq"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+
+
+@_q(
+    "conditional_agg",
+    """
+    SELECT l_returnflag,
+           COUNT(*) FILTER (WHERE l_quantity > 25) AS n_bulk,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)))
+                FILTER (WHERE l_discount > 0.05) AS DOUBLE) AS discounted_revenue,
+           COUNT(*) AS n_total
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def conditional_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FILTER-clause conditional aggregation == aggregate over CASE; one
+    pass, map-side partials intact."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.count(F.when(F.col("l_quantity") > 25, 1)).alias("n_bulk"),
+        F.sum(
+            F.when(F.col("l_discount") > 0.05, F.col("l_extendedprice")).cast(
+                "decimal(18,2)"
+            )
+        )
+        .cast("double")
+        .alias("discounted_revenue"),
+        F.count(F.lit(1)).alias("n_total"),
+    )
+
+
+@_q(
+    "null_safe_eq",
+    """
+    SELECT l_orderkey, l_linenumber,
+           nullif(l_returnflag, 'N') IS NOT DISTINCT FROM nullif(l_linestatus, 'O')
+             AS ns_eq,
+           (nullif(l_returnflag, 'N') = nullif(l_linestatus, 'O')) AS plain_eq
+    FROM lineitem
+    """,
+)
+def null_safe_eq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equality (<=> / IS NOT DISTINCT FROM) side-by-side with
+    plain `=` (which yields NULL on NULL operands)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    a = F.nullif(F.col("l_returnflag"), F.lit("N"))
+    b = F.nullif(F.col("l_linestatus"), F.lit("O"))
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        a.eqNullSafe(b).alias("ns_eq"),
+        (a == b).alias("plain_eq"),
+    )
+
+
+@_q(
+    "like_regex_predicates",
+    """
+    SELECT p_partkey,
+           p_name LIKE '%bolt%'                     AS has_bolt,
+           p_name LIKE 'red%'                       AS is_red,
+           p_brand LIKE '%1_'                       AS brand_teens,
+           regexp_matches(p_brand, '[0-9]$')        AS brand_digit_end,
+           CASE WHEN regexp_matches(p_type, '^(ECONOMY|PROMO)')
+                THEN 'cheap' ELSE 'other' END       AS tier
+    FROM part
+    """,
+)
+def like_regex_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LIKE patterns (%, _) and regex predicates (RLIKE)."""
+    p = load_table(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.col("p_name").like("%bolt%").alias("has_bolt"),
+        F.col("p_name").like("red%").alias("is_red"),
+        F.col("p_brand").like("%1_").alias("brand_teens"),
+        F.col("p_brand").rlike("[0-9]$").alias("brand_digit_end"),
+        F.when(F.col("p_type").rlike("^(ECONOMY|PROMO)"), "cheap")
+        .otherwise("other")
+        .alias("tier"),
+    )
+
+
+@_q(
+    "array_functions",
+    """
+    SELECT vec_id,
+           len(embedding) AS dim,
+           list_transform(embedding[1:3],
+                          x -> round(CAST(x AS DOUBLE), 4)) AS head3,
+           round(CAST(list_max(embedding) AS DOUBLE), 4) AS vmax,
+           round(CAST(list_min(embedding) AS DOUBLE), 4) AS vmin,
+           round(list_aggregate(list_transform(embedding,
+                 x -> CAST(x AS DOUBLE)), 'sum'), 5) AS vsum
+    FROM embeddings
+    """,
+)
+def array_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array function library over ArrayType(Float) embeddings: size,
+    slice, element-wise transform, min/max, sequential-fold sum (same
+    left-fold order as DuckDB list_aggregate — bit-identical doubles)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    e = F.col("embedding")
+    return emb.select(
+        "vec_id",
+        F.size(e).alias("dim"),
+        F.transform(F.slice(e, 1, 3), lambda x: F.round(x.cast("double"), 4)).alias(
+            "head3"
+        ),
+        F.round(F.array_max(e).cast("double"), 4).alias("vmax"),
+        F.round(F.array_min(e).cast("double"), 4).alias("vmin"),
+        F.round(
+            F.aggregate(e, F.lit(0.0), lambda acc, x: acc + x.cast("double")), 5
+        ).alias("vsum"),
+    )
+
+
+@_q(
+    "correlated_scalar_subquery",
+    """
+    SELECT o_orderkey, o_custkey, ROUND(o_totalprice, 2) AS total
+    FROM orders o
+    WHERE o_totalprice > (
+        SELECT CAST(SUM(CAST(o2.o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+               / COUNT(*)
+        FROM orders o2 WHERE o2.o_custkey = o.o_custkey
+    )
+    """,
+)
+def correlated_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Orders above their customer's average. The oracle states it as a
+    correlated scalar subquery; the Spark plan is the decorrelated form —
+    a window aggregate over one hash-partition pass (what Catalyst's
+    RewriteCorrelatedScalarSubquery produces, written directly). Average
+    built as decimal-sum/count so both engines divide identical doubles."""
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey")
+    avg_c = (
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).over(w).cast("double")
+        / F.count(F.lit(1)).over(w)
+    )
+    return (
+        o.withColumn("avg_c", avg_c)
+        .filter(F.col("o_totalprice") > F.col("avg_c"))
+        .select("o_orderkey", "o_custkey", money("o_totalprice").alias("total"))
+    )
+
+
+@_q(
+    "union_by_name",
+    """
+    SELECT c_custkey AS id, c_name AS name, 'customer' AS src,
+           ROUND(c_acctbal, 2) AS bal
+    FROM customer
+    UNION ALL BY NAME
+    SELECT 'supplier' AS src, s_name AS name, s_suppkey AS id
+    FROM supplier
+    """,
+)
+def union_by_name(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION ALL BY NAME: columns matched by name not position; columns
+    missing on one side null-fill (allowMissingColumns)."""
+    c = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("id"),
+        F.col("c_name").alias("name"),
+        F.lit("customer").alias("src"),
+        money("c_acctbal").alias("bal"),
+    )
+    s = load_table(spark, sf_dir, "supplier").select(
+        F.lit("supplier").alias("src"),
+        F.col("s_name").alias("name"),
+        F.col("s_suppkey").alias("id"),
+    )
+    return c.unionByName(s, allowMissingColumns=True)
+
+
+@_q(
+    "grouping_sets_sql",
+    """
+    SELECT l_returnflag, l_linestatus,
+           GROUPING(l_returnflag)  AS g_rf,
+           GROUPING(l_linestatus)  AS g_ls,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+           COUNT(*) AS n
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+    """,
+)
+def grouping_sets_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS + GROUPING() flags through the engine's SQL
+    entry point (spark.sql over registered views) — exercises the parser/
+    analyzer path the DataFrame queries bypass."""
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("li_gs")
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus,
+               CAST(grouping(l_returnflag) AS INT) AS g_rf,
+               CAST(grouping(l_linestatus) AS INT) AS g_ls,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+               COUNT(*) AS n
+        FROM li_gs
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        """
+    )
+
+
+@_q(
+    "histogram_bins",
+    """
+    SELECT CAST(floor(o_totalprice / 50000) AS BIGINT) AS bin,
+           COUNT(*) AS n,
+           ROUND(MIN(o_totalprice), 2) AS lo,
+           ROUND(MAX(o_totalprice), 2) AS hi
+    FROM orders GROUP BY 1
+    """,
+)
+def histogram_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram by floor-division binning — a single
+    hash aggregation; the distributed histogram primitive."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.groupBy(
+            F.floor(F.col("o_totalprice") / 50000).cast("bigint").alias("bin")
+        ).agg(
+            F.count(F.lit(1)).alias("n"),
+            money(F.min("o_totalprice")).alias("lo"),
+            money(F.max("o_totalprice")).alias("hi"),
+        )
+    )
+
+
+@_q(
+    "try_cast_safe",
+    """
+    SELECT o_orderkey,
+           TRY_CAST(split_part(o_orderpriority, '-', 1) AS INT) AS prio_num,
+           TRY_CAST(o_orderpriority AS INT) AS bad_cast,
+           -- Spark's double->int cast truncates toward zero; DuckDB's rounds.
+           -- floor() == truncation here because prices are positive.
+           TRY_CAST(floor(o_totalprice) AS INT) AS price_int
+    FROM orders
+    """,
+)
+def try_cast_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRY_CAST: malformed input -> NULL instead of job failure — the
+    dirty-data ingestion posture (vs ANSI CAST which would throw)."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.split_part(F.col("o_orderpriority"), F.lit("-"), F.lit(1))
+        .try_cast("int")
+        .alias("prio_num"),
+        F.col("o_orderpriority").try_cast("int").alias("bad_cast"),
+        F.col("o_totalprice").try_cast("int").alias("price_int"),
+    )
+
+
+@_q("approx_sketches")  # rows-only: sketch estimates are engine-specific
+def approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate aggregation sketches — the 100 TB substitutes for exact
+    COUNT(DISTINCT) and percentile: HyperLogLog++ (approx_count_distinct,
+    mergeable, fixed memory) and the Greenwald-Khanna quantile sketch
+    (approx_percentile). Estimates are engine-specific so there is no
+    DuckDB value oracle; accuracy vs exact is asserted in
+    tests/test_operators.py (rel. error < 5%)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey", 0.02).alias("approx_parts"),
+        F.approx_count_distinct("l_suppkey", 0.02).alias("approx_supps"),
+        F.percentile_approx("l_extendedprice", 0.5, 10000).alias("approx_median_price"),
+        F.percentile_approx("l_quantity", 0.9, 10000).alias("approx_p90_qty"),
+    )
+
+
+@_q("sample_seeded")  # rows-only: sampling RNG is engine-specific
+def sample_seeded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seeded Bernoulli sampling (deterministic given seed + partitioning)
+    — the debug-at-scale primitive. No cross-engine oracle: Spark's
+    XORShift row sampling and DuckDB's sampler draw different rows."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.sample(fraction=0.01, seed=42).select(
+        "l_orderkey", "l_linenumber", "l_returnflag"
+    )

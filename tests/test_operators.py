@@ -87,3 +87,34 @@ def test_exact_dedup_keeps_one_per_text(spark):
     assert sorted(v for v in groups.values()) == [(1, 2), (3, 1)]
     kept = D.dedup_exact(df).select("doc_id").rdd.map(lambda r: r[0]).collect()
     assert sorted(kept) == [1, 3]
+
+
+def test_approx_sketches_accuracy(spark):
+    """HLL++ distinct counts and GK percentiles within 5% of exact at
+    the configured precision (rsd=0.02, accuracy=10000)."""
+    sf = "/root/testdata/sf0.01"
+    li = load_table(spark, sf, "lineitem")
+    exact = {
+        r.l_returnflag: r
+        for r in li.groupBy("l_returnflag")
+        .agg(
+            F.count_distinct("l_partkey").alias("parts"),
+            F.expr("percentile(l_extendedprice, 0.5)").alias("median"),
+        )
+        .collect()
+    }
+    from ferramenta_etl_spark.plans.relational2 import approx_sketches
+
+    for r in approx_sketches(spark, sf).collect():
+        e = exact[r.l_returnflag]
+        assert abs(r.approx_parts - e.parts) / e.parts < 0.05
+        assert abs(r.approx_median_price - e.median) / e.median < 0.05
+
+
+def test_seeded_sample_is_deterministic(spark):
+    from ferramenta_etl_spark.plans.relational2 import sample_seeded
+
+    sf = "/root/testdata/sf0.01"
+    a = {tuple(r) for r in sample_seeded(spark, sf).collect()}
+    b = {tuple(r) for r in sample_seeded(spark, sf).collect()}
+    assert a == b and len(a) > 0
