@@ -5,7 +5,11 @@ JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
 
 Timing = full pipeline per query: plan construction + execution to a
 count-style sink (foreach-noop via ``df.write.format('noop')``), which
-forces every operator without collecting rows to the driver.
+forces every operator without collecting rows to the driver. Each query
+runs twice and the SECOND run is reported: the first run pays one-time
+JVM whole-stage-codegen compilation (hundreds of ms of javac per unique
+plan), which is noise for an engine that runs plans repeatedly — warm
+timings measure the engine, not the compiler.
 """
 
 from __future__ import annotations
@@ -25,9 +29,11 @@ HEADLINE = [
     "inner_join_chain",
     "topk_per_group",
     "window_running_sum",
+    "asof_join",
     "dedup_exact",
     "dedup_minhash_lsh",
     "embedding_cosine_topk",
+    "embedding_ann_ivf",
     "text_quality_score",
     "events_session_agg",
 ]
@@ -48,12 +54,10 @@ def main() -> None:
     queries = entry_mod.queries()
     names = [n for n in HEADLINE if n in queries]
 
-    # Warm the JVM + parquet footers once so timings measure the engine,
-    # not first-touch class loading.
-    queries[names[0]](spark, sf_dir).write.format("noop").mode("overwrite").save()
-
     timings: dict[str, float] = {}
     for name in names:
+        # warm-up run: JVM codegen compilation + parquet footer first-touch
+        queries[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
         t0 = time.perf_counter()
         queries[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
         timings[name] = round(time.perf_counter() - t0, 3)
