@@ -84,8 +84,12 @@ def dedup_exact(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
 
 
 def tokens(text: Column, lowercase: bool = True) -> Column:
+    """Single-space split — the ONE tokenization contract shared with
+    every DuckDB oracle (string_split(lower(text), ' ')) and with
+    text.ws_tokens; a regex \\s+ split here would diverge from the
+    oracles on runs of whitespace."""
     t = F.lower(text) if lowercase else text
-    return F.split(t, r"\s+")
+    return F.split(t, " ")
 
 
 def distinct_tokens(text: Column) -> Column:

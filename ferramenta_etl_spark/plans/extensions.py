@@ -406,7 +406,9 @@ def events_sliding_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     "events_session_agg",
     f"""
     WITH ordered AS (
-        SELECT user_id, ts, value,
+        SELECT user_id, ts, value, event_id,
+               -- event_id tiebreak keeps BOTH window orders identical and
+               -- total when a user has duplicate timestamps
                CASE WHEN lag(ts) OVER w IS NULL
                          OR ts - lag(ts) OVER w >= INTERVAL 30 minutes
                     THEN 1 ELSE 0 END AS new_session
@@ -414,7 +416,8 @@ def events_sliding_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
     ), sessions AS (
         SELECT user_id, ts, value,
-               SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts ASC
+               SUM(new_session) OVER (PARTITION BY user_id
+                                      ORDER BY ts ASC, event_id ASC
                                       ROWS UNBOUNDED PRECEDING) AS session_id
         FROM ordered
     )

@@ -328,8 +328,9 @@ def like_regex_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT vec_id,
            len(embedding) AS dim,
-           list_transform(embedding[1:3],
-                          x -> round(CAST(x AS DOUBLE), 4)) AS head3,
+           array_to_string(list_transform(embedding[1:3],
+               x -> CAST(CAST(round(CAST(x AS DOUBLE), 4) + 0.0 AS DECIMAL(10,4))
+                         AS VARCHAR)), ',') AS head3,
            round(CAST(list_max(embedding) AS DOUBLE), 4) AS vmax,
            round(CAST(list_min(embedding) AS DOUBLE), 4) AS vmin,
            round(list_aggregate(list_transform(embedding,
@@ -340,15 +341,26 @@ def like_regex_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
 def array_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Array function library over ArrayType(Float) embeddings: size,
     slice, element-wise transform, min/max, sequential-fold sum (same
-    left-fold order as DuckDB list_aggregate — bit-identical doubles)."""
+    left-fold order as DuckDB list_aggregate — bit-identical doubles).
+
+    head3 is serialized to a fixed 4-dp comma-joined STRING in both
+    engines (decimal(10,4) cast, `+ 0.0` normalizes -0.0): the driver's
+    canonicalizer sorts result cells with pandas, which cannot hash
+    list-typed cells (the one red row in CORRECTNESS_r01)."""
     emb = load_table(spark, sf_dir, "embeddings")
     e = F.col("embedding")
     return emb.select(
         "vec_id",
         F.size(e).alias("dim"),
-        F.transform(F.slice(e, 1, 3), lambda x: F.round(x.cast("double"), 4)).alias(
-            "head3"
-        ),
+        F.array_join(
+            F.transform(
+                F.slice(e, 1, 3),
+                lambda x: (F.round(x.cast("double"), 4) + F.lit(0.0))
+                .cast("decimal(10,4)")
+                .cast("string"),
+            ),
+            ",",
+        ).alias("head3"),
         F.round(F.array_max(e).cast("double"), 4).alias("vmax"),
         F.round(F.array_min(e).cast("double"), 4).alias("vmin"),
         F.round(
