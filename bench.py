@@ -28,10 +28,11 @@ HEADLINE = [
     "latest_per_key",
     "inner_join_chain",
     "topk_per_group",
-    "window_running_sum",
+    "window_functions",
     "asof_join",
     "dedup_exact",
     "dedup_minhash_lsh",
+    "dedup_simhash",
     "embedding_cosine_topk",
     "embedding_ann_ivf",
     "text_quality_score",

@@ -6,11 +6,18 @@ Each plans module exposes:
 
 Names present in QUERIES but absent from ORACLES get the driver's weaker
 rows-only check (non-SQL-expressible ops).
+
+Registration order matters: the driver's correctness gate checks the
+FIRST 50 registered queries (CORRECTNESS_r01 held exactly the first 50
+of 68, leaving the whole extension suite unverified). The registry is
+therefore kept at exactly 50 entries — related micro-operators share one
+merged oracle-checked query — and extensions register right after the
+flagship so the LLM-pipeline suite can never fall outside the window.
 """
 
 from . import extensions, flagship, relational, relational2  # noqa: F401
 
-_MODULES = (flagship, relational, relational2, extensions)
+_MODULES = (flagship, extensions, relational, relational2)
 
 
 def all_queries():

@@ -1,9 +1,11 @@
 """Relational operator inventory as named queries.
 
-Part 1 — reference parity: one query per row of SURVEY.md §2.2 (the
-embedded T-SQL at ``Select de Importação de Dados.py:34-99``, cited
-``S:line``), isolated so the driver's oracle gate checks each operator on
-its own (the flagship exercises them jointly).
+Part 1 — reference parity: SURVEY.md §2.2 (the embedded T-SQL at
+``Select de Importação de Dados.py:34-99``, cited ``S:line``) as
+individually oracle-checked queries (the flagship exercises them
+jointly). Closely-related rows share one merged query (tsql_formats,
+filter_sort_limit) because the driver checks only the first 50
+registered queries — see plans/__init__.py.
 
 Part 2 — extended relational surface the reference lacks (SURVEY.md §2.4)
 but any engine replacing it needs: aggregation, more window functions,
@@ -102,25 +104,6 @@ def computed_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
         money(F.col("l_extendedprice") + F.col("l_quantity")).alias("gross_plus_qty"),
         money(F.col("l_extendedprice") - F.col("l_quantity")).alias("gross_minus_qty"),
     )
-
-
-@_q(
-    "window_row_number",
-    """
-    SELECT o_orderkey, o_custkey,
-           ROW_NUMBER() OVER (PARTITION BY o_custkey
-                              ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
-    FROM orders
-    """,
-)
-def window_row_number(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ROW_NUMBER OVER (PARTITION BY ... ORDER BY ... DESC) (S:49), with
-    the deterministic tiebreak the reference lacks."""
-    o = load_table(spark, sf_dir, "orders")
-    w = Window.partitionBy("o_custkey").orderBy(
-        F.col("o_orderdate").desc(), F.col("o_orderkey").desc()
-    )
-    return o.select("o_orderkey", "o_custkey", F.row_number().over(w).alias("rn"))
 
 
 @_q(
@@ -247,17 +230,24 @@ def self_alias_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
-    "filter_range_date",
+    "filter_sort_limit",
     """
-    SELECT o_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS order_date,
+    SELECT o_custkey, o_orderkey,
+           strftime(o_orderdate, '%Y-%m-%d') AS order_date,
            ROUND(o_totalprice, 2) AS total
     FROM orders
     WHERE o_orderdate >= TIMESTAMP '1997-01-01'
       AND o_orderdate <  TIMESTAMP '1998-01-01'
+    ORDER BY o_custkey ASC, o_orderkey DESC
+    LIMIT 100
     """,
 )
-def filter_range_date(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Range predicate on a date column (S:56, S:97) — pushed to the scan."""
+def filter_sort_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range predicate on a date column (S:56, S:97 — pushed to the scan)
+    + multi-column global sort (S:98) with LIMIT so the order is
+    observable under the driver's order-insensitive compare. Spark
+    executes TakeOrderedAndProject — no full global sort materialized.
+    (Merged former filter_range_date + multi_col_sort queries.)"""
     o = load_table(spark, sf_dir, "orders")
     return (
         o.filter(
@@ -265,10 +255,13 @@ def filter_range_date(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("o_orderdate") < F.lit("1998-01-01"))
         )
         .select(
+            "o_custkey",
             "o_orderkey",
             F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_date"),
             money("o_totalprice").alias("total"),
         )
+        .orderBy(F.col("o_custkey").asc(), F.col("o_orderkey").desc())
+        .limit(100)
     )
 
 
@@ -349,36 +342,11 @@ def case_when_coalesce(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
-    "date_format_103",
-    """
-    SELECT l_orderkey, l_linenumber,
-           strftime(l_shipdate, '%d/%m/%Y') AS ship_103
-    FROM lineitem
-    """,
-)
-def date_format_103(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """CONVERT(..., 103) -> dd/MM/yyyy (S:76)."""
-    li = load_table(spark, sf_dir, "lineitem")
-    return li.select("l_orderkey", "l_linenumber", convert_103("l_shipdate").alias("ship_103"))
-
-
-@_q(
-    "time_format_108",
-    """
-    SELECT event_id, strftime(ts, '%H:%M:%S') AS ts_108
-    FROM events
-    """,
-)
-def time_format_108(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """CONVERT(..., 108) -> HH:mm:ss (S:85-88), on real sub-day times."""
-    ev = load_table(spark, sf_dir, "events")
-    return ev.select("event_id", convert_108("ts").alias("ts_108"))
-
-
-@_q(
-    "concat_null_propagating",
+    "tsql_formats",
     """
     SELECT event_id,
+           strftime(ts, '%d/%m/%Y') AS d_103,
+           strftime(ts, '%H:%M:%S') AS t_108,
            strftime(CASE WHEN event_type <> 'error' THEN ts END, '%d/%m/%Y')
              || ' ' ||
            strftime(CASE WHEN event_type <> 'error' THEN ts END, '%H:%M:%S')
@@ -386,32 +354,21 @@ def time_format_108(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM events
     """,
 )
-def concat_null_propagating(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """T-SQL '+' concat: NULL operand nulls the whole composite (S:85-88).
-    Spark concat matches; concat_ws would NOT (SURVEY §2 #23)."""
+def tsql_formats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's T-SQL formatting trio in one projection
+    (merged former date_format_103 / time_format_108 /
+    concat_null_propagating queries — SURVEY §2 #21-23):
+    - CONVERT(..., 103) -> dd/MM/yyyy (S:76);
+    - CONVERT(..., 108) -> HH:mm:ss (S:85-88);
+    - T-SQL '+' concat: a NULL operand nulls the whole composite
+      (S:85-88). Spark concat matches; concat_ws would NOT."""
     ev = load_table(spark, sf_dir, "events")
     masked = F.when(F.col("event_type") != "error", F.col("ts"))
-    return ev.select("event_id", dt_hr_concat(masked).alias("dt_hr_str"))
-
-
-@_q(
-    "multi_col_sort",
-    """
-    SELECT o_custkey, o_orderkey, ROUND(o_totalprice, 2) AS total
-    FROM orders
-    ORDER BY o_custkey ASC, o_orderkey DESC
-    LIMIT 100
-    """,
-)
-def multi_col_sort(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Multi-column global sort (S:98) + LIMIT so the order is observable
-    under the driver's order-insensitive compare. Spark executes
-    TakeOrderedAndProject — no full global sort materialized."""
-    o = load_table(spark, sf_dir, "orders")
-    return (
-        o.select("o_custkey", "o_orderkey", money("o_totalprice").alias("total"))
-        .orderBy(F.col("o_custkey").asc(), F.col("o_orderkey").desc())
-        .limit(100)
+    return ev.select(
+        "event_id",
+        convert_103("ts").alias("d_103"),
+        convert_108("ts").alias("t_108"),
+        dt_hr_concat(masked).alias("dt_hr_str"),
     )
 
 
@@ -430,6 +387,9 @@ def multi_col_sort(spark: SparkSession, sf_dir: str) -> DataFrame:
            ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*), 4) AS avg_qty,
            ROUND(MIN(l_extendedprice), 2) AS min_price,
            ROUND(MAX(l_extendedprice), 2) AS max_price,
+           COUNT(*) FILTER (WHERE l_quantity > 25) AS n_bulk,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)))
+                FILTER (WHERE l_discount > 0.05) AS DOUBLE) AS discounted_revenue,
            COUNT(*) AS count_order
     FROM lineitem
     WHERE l_shipdate <= TIMESTAMP '2000-09-02'
@@ -437,9 +397,10 @@ def multi_col_sort(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def group_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q1-shaped grouped aggregation. Decimal-accumulated sums are
-    order-independent, so map-side partial agg + AQE coalescing stay safe
-    for exact comparison."""
+    """TPC-H Q1-shaped grouped aggregation, plus FILTER-clause conditional
+    aggregates (== aggregate over CASE; merged former conditional_agg
+    query). Decimal-accumulated sums are order-independent, so map-side
+    partial agg + AQE coalescing stay safe for exact comparison."""
     li = load_table(spark, sf_dir, "lineitem")
     return (
         li.filter(F.col("l_shipdate") <= F.lit("2000-09-02"))
@@ -450,36 +411,43 @@ def group_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(_sum2(F.col("l_quantity")) / F.count(F.lit(1)), 4).alias("avg_qty"),
             F.round(F.min("l_extendedprice"), 2).alias("min_price"),
             F.round(F.max("l_extendedprice"), 2).alias("max_price"),
+            F.count(F.when(F.col("l_quantity") > 25, 1)).alias("n_bulk"),
+            F.sum(
+                F.when(F.col("l_discount") > 0.05, F.col("l_extendedprice")).cast(
+                    "decimal(18,2)"
+                )
+            )
+            .cast("double")
+            .alias("discounted_revenue"),
             F.count(F.lit(1)).alias("count_order"),
         )
     )
 
 
 @_q(
-    "distinct_agg",
+    "exact_stats",
     """
     SELECT l_returnflag,
            COUNT(DISTINCT l_partkey) AS n_parts,
-           COUNT(DISTINCT l_suppkey) AS n_supps
+           COUNT(DISTINCT l_suppkey) AS n_supps,
+           ROUND(quantile_cont(l_quantity, 0.5), 6)       AS median_qty,
+           ROUND(quantile_cont(l_extendedprice, 0.9), 6)  AS p90_price
     FROM lineitem GROUP BY l_returnflag
     """,
 )
-def distinct_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact COUNT(DISTINCT) — expands to a two-phase aggregate."""
+def exact_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-group statistics in one aggregate (merged former
+    distinct_agg + exact_percentiles queries): COUNT(DISTINCT) expands to
+    a two-phase aggregate; Spark `percentile` == DuckDB `quantile_cont`
+    interpolation. The approximate 100 TB substitutes live in
+    approx_sketches."""
     li = load_table(spark, sf_dir, "lineitem")
     return li.groupBy("l_returnflag").agg(
         F.count_distinct("l_partkey").alias("n_parts"),
         F.count_distinct("l_suppkey").alias("n_supps"),
+        F.round(F.percentile("l_quantity", F.lit(0.5)), 6).alias("median_qty"),
+        F.round(F.percentile("l_extendedprice", F.lit(0.9)), 6).alias("p90_price"),
     )
-
-
-@_q(
-    "distinct_rows",
-    "SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem",
-)
-def distinct_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = load_table(spark, sf_dir, "lineitem")
-    return li.select("l_returnflag", "l_linestatus").distinct()
 
 
 @_q(
@@ -499,8 +467,9 @@ def distinct_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """INTERSECT / EXCEPT / UNION(distinct) — none exist in the reference
-    (SURVEY §2.4)."""
+    """INTERSECT / EXCEPT / UNION(distinct) + the trailing .distinct()
+    row-dedup — none exist in the reference (SURVEY §2.4; absorbs the
+    former distinct_rows query)."""
     c = load_table(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nk"))
     s = load_table(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nk"))
     n = (
@@ -546,87 +515,74 @@ def topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
-    "window_lag_lead",
+    "window_functions",
     """
-    SELECT o_custkey, o_orderkey,
-           ROUND(o_totalprice, 2) AS total,
+    SELECT o_orderkey, o_custkey,
+           ROW_NUMBER()   OVER w AS rn,
+           DENSE_RANK()   OVER w AS drnk,
+           NTILE(4)       OVER w AS quartile,
+           ROUND(PERCENT_RANK() OVER w, 6) AS pct_rank,
+           ROUND(CUME_DIST()    OVER w, 6) AS cume,
            ROUND(LAG(o_totalprice)  OVER w, 2) AS prev_total,
-           ROUND(LEAD(o_totalprice) OVER w, 2) AS next_total
-    FROM orders
-    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC)
-    """,
-)
-def window_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
-    o = load_table(spark, sf_dir, "orders")
-    w = Window.partitionBy("o_custkey").orderBy(F.col("o_orderdate").asc(), F.col("o_orderkey").asc())
-    return o.select(
-        "o_custkey",
-        "o_orderkey",
-        money("o_totalprice").alias("total"),
-        money(F.lag("o_totalprice").over(w)).alias("prev_total"),
-        money(F.lead("o_totalprice").over(w)).alias("next_total"),
-    )
-
-
-@_q(
-    "window_running_sum",
-    """
-    SELECT o_custkey, o_orderkey,
+           ROUND(LEAD(o_totalprice) OVER w, 2) AS next_total,
            CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
                PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC
                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
-           ) AS DOUBLE) AS running_total
+           ) AS DOUBLE) AS running_total,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+               PARTITION BY o_custkey ORDER BY o_orderkey
+               RANGE BETWEEN 1000 PRECEDING AND CURRENT ROW
+           ) AS DOUBLE) AS near_total,
+           FIRST_VALUE(o_orderkey)  OVER wf AS first_key,
+           LAST_VALUE(o_orderkey)   OVER wf AS last_key,
+           NTH_VALUE(o_orderkey, 2) OVER wf AS second_key
     FROM orders
+    WINDOW w  AS (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC),
+           wf AS (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
     """,
 )
-def window_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Running-frame aggregation (ROWS UNBOUNDED PRECEDING..CURRENT);
-    decimal accumulation keeps the prefix sums exact."""
+def window_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full window-function family over ONE hash-shuffle on the
+    partition key (merged former window_row_number / window_lag_lead /
+    window_running_sum / window_rank_family / window_range_frame /
+    window_first_last_nth queries):
+    - ranking: row_number (S:49 with the deterministic tiebreak the
+      reference lacks), dense_rank, ntile, percent_rank, cume_dist;
+    - offsets: lag / lead;
+    - ROWS running frame (decimal accumulation keeps prefix sums exact);
+    - RANGE value-based frame (orders within 1000 below the current key);
+    - first/last/nth_value over the full-partition frame (the default
+      frame would make last_value == current row — a classic trap).
+    All four specs share partitionBy(o_custkey): one exchange, the extra
+    sorts (range frame's different ORDER BY) reuse the same partitioning."""
     o = load_table(spark, sf_dir, "orders")
-    w = (
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_orderdate").asc(), F.col("o_orderkey").asc()
+    )
+    w_run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    w_rng = (
         Window.partitionBy("o_custkey")
-        .orderBy(F.col("o_orderdate").asc(), F.col("o_orderkey").asc())
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        .orderBy(F.col("o_orderkey"))
+        .rangeBetween(-1000, Window.currentRow)
     )
+    w_full = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    dec_total = F.col("o_totalprice").cast("decimal(18,2)")
     return o.select(
-        "o_custkey",
         "o_orderkey",
-        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).over(w).cast("double").alias("running_total"),
-    )
-
-
-@_q(
-    "rollup_agg",
-    """
-    SELECT l_returnflag, l_linestatus,
-           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
-           COUNT(*) AS n
-    FROM lineitem
-    GROUP BY ROLLUP (l_returnflag, l_linestatus)
-    """,
-)
-def rollup_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ROLLUP grouping sets (subtotals + grand total)."""
-    li = load_table(spark, sf_dir, "lineitem")
-    return li.rollup("l_returnflag", "l_linestatus").agg(
-        _sum2(F.col("l_quantity")).alias("sum_qty"),
-        F.count(F.lit(1)).alias("n"),
-    )
-
-
-@_q(
-    "cube_agg",
-    """
-    SELECT l_returnflag, l_linestatus,
-           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
-    FROM lineitem
-    GROUP BY CUBE (l_returnflag, l_linestatus)
-    """,
-)
-def cube_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = load_table(spark, sf_dir, "lineitem")
-    return li.cube("l_returnflag", "l_linestatus").agg(
-        _sum2(F.col("l_extendedprice")).alias("sum_price")
+        "o_custkey",
+        F.row_number().over(w).alias("rn"),
+        F.dense_rank().over(w).alias("drnk"),
+        F.ntile(4).over(w).alias("quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+        money(F.lag("o_totalprice").over(w)).alias("prev_total"),
+        money(F.lead("o_totalprice").over(w)).alias("next_total"),
+        F.sum(dec_total).over(w_run).cast("double").alias("running_total"),
+        F.sum(dec_total).over(w_rng).cast("double").alias("near_total"),
+        F.first("o_orderkey").over(w_full).alias("first_key"),
+        F.last("o_orderkey").over(w_full).alias("last_key"),
+        F.nth_value("o_orderkey", 2).over(w_full).alias("second_key"),
     )
 
 
@@ -691,12 +647,20 @@ def pivot_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
            regexp_extract(p_type, '^(\w+)', 1)    AS type_head,
            split_part(p_type, ' ', 1)             AS type_first,
            lpad(CAST(p_size AS VARCHAR), 4, '0')  AS size_pad,
-           concat(p_brand, ':', p_type)           AS brand_type
+           concat(p_brand, ':', p_type)           AS brand_type,
+           p_name LIKE '%bolt%'                   AS has_bolt,
+           p_name LIKE 'red%'                     AS is_red,
+           p_brand LIKE '%1_'                     AS brand_teens,
+           regexp_matches(p_brand, '[0-9]$')      AS brand_digit_end,
+           CASE WHEN regexp_matches(p_type, '^(ECONOMY|PROMO)')
+                THEN 'cheap' ELSE 'other' END     AS tier
     FROM part
     """,
 )
 def string_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Scalar string library (absent in the reference, SURVEY §2.4)."""
+    """Scalar string library + LIKE (%, _) / regex (RLIKE) predicates
+    (absent in the reference, SURVEY §2.4; absorbs the former
+    like_regex_predicates query)."""
     p = load_table(spark, sf_dir, "part")
     return p.select(
         "p_partkey",
@@ -710,6 +674,13 @@ def string_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.split_part(F.col("p_type"), F.lit(" "), F.lit(1)).alias("type_first"),
         F.lpad(F.col("p_size").cast("string"), 4, "0").alias("size_pad"),
         F.concat(F.col("p_brand"), F.lit(":"), F.col("p_type")).alias("brand_type"),
+        F.col("p_name").like("%bolt%").alias("has_bolt"),
+        F.col("p_name").like("red%").alias("is_red"),
+        F.col("p_brand").like("%1_").alias("brand_teens"),
+        F.col("p_brand").rlike("[0-9]$").alias("brand_digit_end"),
+        F.when(F.col("p_type").rlike("^(ECONOMY|PROMO)"), "cheap")
+        .otherwise("other")
+        .alias("tier"),
     )
 
 
@@ -723,12 +694,20 @@ def string_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
            ROUND(sqrt(l_extendedprice), 6)             AS price_sqrt,
            ROUND(ln(l_extendedprice + 1), 6)           AS price_ln,
            ROUND(pow(l_discount, 2), 6)                AS disc_sq,
-           l_orderkey % 7                              AS key_mod
+           l_orderkey % 7                              AS key_mod,
+           nullif(l_returnflag, 'N') IS NOT DISTINCT FROM nullif(l_linestatus, 'O')
+             AS ns_eq,
+           (nullif(l_returnflag, 'N') = nullif(l_linestatus, 'O')) AS plain_eq
     FROM lineitem
     """,
 )
 def math_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar math library + null-safe equality (<=> / IS NOT DISTINCT
+    FROM) side-by-side with plain `=` which yields NULL on NULL operands
+    (absorbs the former null_safe_eq query)."""
     li = load_table(spark, sf_dir, "lineitem")
+    ns_a = F.nullif(F.col("l_returnflag"), F.lit("N"))
+    ns_b = F.nullif(F.col("l_linestatus"), F.lit("O"))
     return li.select(
         "l_orderkey",
         "l_linenumber",
@@ -739,6 +718,8 @@ def math_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.log(F.col("l_extendedprice") + 1), 6).alias("price_ln"),
         F.round(F.pow("l_discount", F.lit(2)), 6).alias("disc_sq"),
         (F.col("l_orderkey") % 7).alias("key_mod"),
+        ns_a.eqNullSafe(ns_b).alias("ns_eq"),
+        (ns_a == ns_b).alias("plain_eq"),
     )
 
 
@@ -757,25 +738,6 @@ def json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         "event_type",
         F.get_json_object("props", "$.k").cast("bigint").alias("k_val"),
-    )
-
-
-@_q(
-    "exact_percentiles",
-    """
-    SELECT l_returnflag,
-           ROUND(quantile_cont(l_quantity, 0.5), 6)       AS median_qty,
-           ROUND(quantile_cont(l_extendedprice, 0.9), 6)  AS p90_price
-    FROM lineitem GROUP BY l_returnflag
-    """,
-)
-def exact_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact continuous percentiles (Spark `percentile` == DuckDB
-    `quantile_cont` interpolation)."""
-    li = load_table(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
-        F.round(F.percentile("l_quantity", F.lit(0.5)), 6).alias("median_qty"),
-        F.round(F.percentile("l_extendedprice", F.lit(0.9)), 6).alias("p90_price"),
     )
 
 
@@ -869,17 +831,37 @@ def asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
-    "in_subquery",
+    "subquery_filters",
     """
     SELECT o_orderkey, o_custkey, ROUND(o_totalprice, 2) AS total
-    FROM orders
-    WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_acctbal > 9000)
+    FROM orders o
+    WHERE o_totalprice > (
+        SELECT CAST(SUM(CAST(o2.o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+               / COUNT(*)
+        FROM orders o2 WHERE o2.o_custkey = o.o_custkey
+    )
+    AND o_custkey IN (SELECT c_custkey FROM customer WHERE c_acctbal > 9000)
     """,
 )
-def in_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IN-subquery == left-semi join on the subquery keys."""
+def subquery_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Subquery predicates, both kinds in one query (merged former
+    in_subquery + correlated_scalar_subquery queries): orders above their
+    customer's average (correlated scalar subquery, written directly in
+    its decorrelated form — a window aggregate over one hash-partition
+    pass, what Catalyst's RewriteCorrelatedScalarSubquery produces) AND
+    customer in a rich-customer set (IN-subquery == left-semi join).
+    Average built as decimal-sum/count so both engines divide identical
+    doubles."""
     o = load_table(spark, sf_dir, "orders")
     rich = load_table(spark, sf_dir, "customer").filter(F.col("c_acctbal") > 9000)
-    return o.join(
-        rich, F.col("o_custkey") == F.col("c_custkey"), "left_semi"
-    ).select("o_orderkey", "o_custkey", money("o_totalprice").alias("total"))
+    w = Window.partitionBy("o_custkey")
+    avg_c = (
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).over(w).cast("double")
+        / F.count(F.lit(1)).over(w)
+    )
+    return (
+        o.withColumn("avg_c", avg_c)
+        .filter(F.col("o_totalprice") > F.col("avg_c"))
+        .join(rich, F.col("o_custkey") == F.col("c_custkey"), "left_semi")
+        .select("o_orderkey", "o_custkey", money("o_totalprice").alias("total"))
+    )

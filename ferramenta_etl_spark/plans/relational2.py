@@ -3,12 +3,14 @@
 Everything here is absent from the reference (its only SQL is the single
 embedded query at ``Select de Importação de Dados.py:34-99`` — SURVEY.md
 §2.4 lists the gaps exhaustively), but belongs to any engine offered as
-its replacement: lateral explode, unpivot, the full window-function
-family and frame kinds, date/time functions, ordered string aggregation,
-FILTER-style conditional aggregation, null-safe equality, LIKE/regex
-predicates, array functions, correlated scalar subqueries (decorrelated
-to a window plan on the Spark side), UNION BY NAME, GROUPING SETS via the
-SQL entry point, histograms, and try_cast.
+its replacement: lateral explode, unpivot, date/time functions (+
+try_cast), ordered string aggregation, array functions, UNION BY NAME,
+GROUPING SETS / CUBE / ROLLUP via the SQL entry point, histograms, and
+approximate sketches + seeded sampling. (The window-function family,
+conditional aggregation, null-safe equality, LIKE/regex predicates, and
+correlated subqueries live in relational.py's merged queries — the
+registry is capped at 50 driver-checked entries, so related operators
+share one oracle-checked query.)
 
 Same numeric-parity conventions as relational.py: decimal-accumulated
 sums, explicit rounding at the edge, total window orders via tiebreaks.
@@ -16,7 +18,7 @@ sums, explicit rounding at the edge, total window orders via tiebreaks.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions.tsql import money
@@ -93,95 +95,6 @@ def unpivot_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
-    "window_rank_family",
-    """
-    SELECT o_orderkey, o_custkey,
-           DENSE_RANK()   OVER w AS drnk,
-           NTILE(4)       OVER w AS quartile,
-           ROUND(PERCENT_RANK() OVER w, 6) AS pct_rank,
-           ROUND(CUME_DIST()    OVER w, 6) AS cume
-    FROM orders
-    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC)
-    """,
-)
-def window_rank_family(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """dense_rank / ntile / percent_rank / cume_dist — one shuffle on the
-    partition key serves all four (same window spec)."""
-    o = load_table(spark, sf_dir, "orders")
-    w = Window.partitionBy("o_custkey").orderBy(
-        F.col("o_orderdate").asc(), F.col("o_orderkey").asc()
-    )
-    return o.select(
-        "o_orderkey",
-        "o_custkey",
-        F.dense_rank().over(w).alias("drnk"),
-        F.ntile(4).over(w).alias("quartile"),
-        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
-        F.round(F.cume_dist().over(w), 6).alias("cume"),
-    )
-
-
-@_q(
-    "window_range_frame",
-    """
-    SELECT o_orderkey, o_custkey,
-           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
-               PARTITION BY o_custkey ORDER BY o_orderkey
-               RANGE BETWEEN 1000 PRECEDING AND CURRENT ROW
-           ) AS DOUBLE) AS near_total
-    FROM orders
-    """,
-)
-def window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """RANGE frame (value-based, vs the ROWS frame in window_running_sum):
-    sums all orders whose key lies within 1000 below the current one."""
-    o = load_table(spark, sf_dir, "orders")
-    w = (
-        Window.partitionBy("o_custkey")
-        .orderBy(F.col("o_orderkey"))
-        .rangeBetween(-1000, Window.currentRow)
-    )
-    return o.select(
-        "o_orderkey",
-        "o_custkey",
-        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
-        .over(w)
-        .cast("double")
-        .alias("near_total"),
-    )
-
-
-@_q(
-    "window_first_last_nth",
-    """
-    SELECT o_orderkey, o_custkey,
-           FIRST_VALUE(o_orderkey) OVER w AS first_key,
-           LAST_VALUE(o_orderkey)  OVER w AS last_key,
-           NTH_VALUE(o_orderkey, 2) OVER w AS second_key
-    FROM orders
-    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC
-                 ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
-    """,
-)
-def window_first_last_nth(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """first/last/nth_value over the full-partition frame (the default
-    frame would make last_value == current row — a classic trap)."""
-    o = load_table(spark, sf_dir, "orders")
-    w = (
-        Window.partitionBy("o_custkey")
-        .orderBy(F.col("o_orderdate").asc(), F.col("o_orderkey").asc())
-        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-    )
-    return o.select(
-        "o_orderkey",
-        "o_custkey",
-        F.first("o_orderkey").over(w).alias("first_key"),
-        F.last("o_orderkey").over(w).alias("last_key"),
-        F.nth_value("o_orderkey", 2).over(w).alias("second_key"),
-    )
-
-
-@_q(
     "date_functions",
     """
     SELECT o_orderkey,
@@ -193,13 +106,21 @@ def window_first_last_nth(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(dayofweek(o_orderdate) + 1 AS INT) AS dow,
            date_diff('day', CAST(o_orderdate AS DATE), DATE '1998-12-31') AS days_to_eoy98,
            strftime(CAST(o_orderdate AS DATE) + INTERVAL 3 MONTH, '%Y-%m-%d') AS plus3mo,
-           strftime(last_day(CAST(o_orderdate AS DATE)), '%Y-%m-%d') AS month_end
+           strftime(last_day(CAST(o_orderdate AS DATE)), '%Y-%m-%d') AS month_end,
+           TRY_CAST(split_part(o_orderpriority, '-', 1) AS INT) AS prio_num,
+           TRY_CAST(o_orderpriority AS INT) AS bad_cast,
+           -- Spark's double->int cast truncates toward zero; DuckDB's rounds.
+           -- floor() == truncation here because prices are positive.
+           TRY_CAST(floor(o_totalprice) AS INT) AS price_int
     FROM orders
     """,
 )
 def date_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Date/time function library: trunc, extract, diff, month arithmetic
-    (end-of-month clamping included), last_day, day-of-week."""
+    (end-of-month clamping included), last_day, day-of-week. Plus
+    TRY_CAST (malformed input -> NULL instead of job failure — the
+    dirty-data ingestion posture; absorbs the former try_cast_safe
+    query)."""
     o = load_table(spark, sf_dir, "orders")
     d = F.col("o_orderdate")
     return o.select(
@@ -213,6 +134,11 @@ def date_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.datediff(F.lit("1998-12-31").cast("date"), d).alias("days_to_eoy98"),
         F.date_format(F.add_months(d, 3), "yyyy-MM-dd").alias("plus3mo"),
         F.date_format(F.last_day(d), "yyyy-MM-dd").alias("month_end"),
+        F.split_part(F.col("o_orderpriority"), F.lit("-"), F.lit(1))
+        .try_cast("int")
+        .alias("prio_num"),
+        F.col("o_orderpriority").try_cast("int").alias("bad_cast"),
+        F.col("o_totalprice").try_cast("int").alias("price_int"),
     )
 
 
@@ -240,86 +166,6 @@ def string_agg_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
             ",",
         ).alias("status_seq"),
         F.count(F.lit(1)).alias("n_orders"),
-    )
-
-
-@_q(
-    "conditional_agg",
-    """
-    SELECT l_returnflag,
-           COUNT(*) FILTER (WHERE l_quantity > 25) AS n_bulk,
-           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)))
-                FILTER (WHERE l_discount > 0.05) AS DOUBLE) AS discounted_revenue,
-           COUNT(*) AS n_total
-    FROM lineitem GROUP BY l_returnflag
-    """,
-)
-def conditional_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """FILTER-clause conditional aggregation == aggregate over CASE; one
-    pass, map-side partials intact."""
-    li = load_table(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
-        F.count(F.when(F.col("l_quantity") > 25, 1)).alias("n_bulk"),
-        F.sum(
-            F.when(F.col("l_discount") > 0.05, F.col("l_extendedprice")).cast(
-                "decimal(18,2)"
-            )
-        )
-        .cast("double")
-        .alias("discounted_revenue"),
-        F.count(F.lit(1)).alias("n_total"),
-    )
-
-
-@_q(
-    "null_safe_eq",
-    """
-    SELECT l_orderkey, l_linenumber,
-           nullif(l_returnflag, 'N') IS NOT DISTINCT FROM nullif(l_linestatus, 'O')
-             AS ns_eq,
-           (nullif(l_returnflag, 'N') = nullif(l_linestatus, 'O')) AS plain_eq
-    FROM lineitem
-    """,
-)
-def null_safe_eq(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Null-safe equality (<=> / IS NOT DISTINCT FROM) side-by-side with
-    plain `=` (which yields NULL on NULL operands)."""
-    li = load_table(spark, sf_dir, "lineitem")
-    a = F.nullif(F.col("l_returnflag"), F.lit("N"))
-    b = F.nullif(F.col("l_linestatus"), F.lit("O"))
-    return li.select(
-        "l_orderkey",
-        "l_linenumber",
-        a.eqNullSafe(b).alias("ns_eq"),
-        (a == b).alias("plain_eq"),
-    )
-
-
-@_q(
-    "like_regex_predicates",
-    """
-    SELECT p_partkey,
-           p_name LIKE '%bolt%'                     AS has_bolt,
-           p_name LIKE 'red%'                       AS is_red,
-           p_brand LIKE '%1_'                       AS brand_teens,
-           regexp_matches(p_brand, '[0-9]$')        AS brand_digit_end,
-           CASE WHEN regexp_matches(p_type, '^(ECONOMY|PROMO)')
-                THEN 'cheap' ELSE 'other' END       AS tier
-    FROM part
-    """,
-)
-def like_regex_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """LIKE patterns (%, _) and regex predicates (RLIKE)."""
-    p = load_table(spark, sf_dir, "part")
-    return p.select(
-        "p_partkey",
-        F.col("p_name").like("%bolt%").alias("has_bolt"),
-        F.col("p_name").like("red%").alias("is_red"),
-        F.col("p_brand").like("%1_").alias("brand_teens"),
-        F.col("p_brand").rlike("[0-9]$").alias("brand_digit_end"),
-        F.when(F.col("p_type").rlike("^(ECONOMY|PROMO)"), "cheap")
-        .otherwise("other")
-        .alias("tier"),
     )
 
 
@@ -370,37 +216,6 @@ def array_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
-    "correlated_scalar_subquery",
-    """
-    SELECT o_orderkey, o_custkey, ROUND(o_totalprice, 2) AS total
-    FROM orders o
-    WHERE o_totalprice > (
-        SELECT CAST(SUM(CAST(o2.o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
-               / COUNT(*)
-        FROM orders o2 WHERE o2.o_custkey = o.o_custkey
-    )
-    """,
-)
-def correlated_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Orders above their customer's average. The oracle states it as a
-    correlated scalar subquery; the Spark plan is the decorrelated form —
-    a window aggregate over one hash-partition pass (what Catalyst's
-    RewriteCorrelatedScalarSubquery produces, written directly). Average
-    built as decimal-sum/count so both engines divide identical doubles."""
-    o = load_table(spark, sf_dir, "orders")
-    w = Window.partitionBy("o_custkey")
-    avg_c = (
-        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).over(w).cast("double")
-        / F.count(F.lit(1)).over(w)
-    )
-    return (
-        o.withColumn("avg_c", avg_c)
-        .filter(F.col("o_totalprice") > F.col("avg_c"))
-        .select("o_orderkey", "o_custkey", money("o_totalprice").alias("total"))
-    )
-
-
-@_q(
     "union_by_name",
     """
     SELECT c_custkey AS id, c_name AS name, 'customer' AS src,
@@ -435,15 +250,20 @@ def union_by_name(spark: SparkSession, sf_dir: str) -> DataFrame:
            GROUPING(l_returnflag)  AS g_rf,
            GROUPING(l_linestatus)  AS g_ls,
            CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
            COUNT(*) AS n
     FROM lineitem
-    GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+    GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
+                            (l_returnflag), (l_linestatus), ())
     """,
 )
 def grouping_sets_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Explicit GROUPING SETS + GROUPING() flags through the engine's SQL
     entry point (spark.sql over registered views) — exercises the parser/
-    analyzer path the DataFrame queries bypass."""
+    analyzer path the DataFrame queries bypass. The four sets equal
+    CUBE(l_returnflag, l_linestatus), and ROLLUP is the subset
+    ((rf,ls),(rf),()) — this query absorbs the former rollup_agg and
+    cube_agg queries (one Expand-based aggregate covers the family)."""
     load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("li_gs")
     return spark.sql(
         """
@@ -451,9 +271,11 @@ def grouping_sets_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
                CAST(grouping(l_returnflag) AS INT) AS g_rf,
                CAST(grouping(l_linestatus) AS INT) AS g_ls,
                CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
                COUNT(*) AS n
         FROM li_gs
-        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
+                                (l_returnflag), (l_linestatus), ())
         """
     )
 
@@ -483,29 +305,15 @@ def histogram_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@_q(
-    "try_cast_safe",
-    """
-    SELECT o_orderkey,
-           TRY_CAST(split_part(o_orderpriority, '-', 1) AS INT) AS prio_num,
-           TRY_CAST(o_orderpriority AS INT) AS bad_cast,
-           -- Spark's double->int cast truncates toward zero; DuckDB's rounds.
-           -- floor() == truncation here because prices are positive.
-           TRY_CAST(floor(o_totalprice) AS INT) AS price_int
-    FROM orders
-    """,
-)
-def try_cast_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TRY_CAST: malformed input -> NULL instead of job failure — the
-    dirty-data ingestion posture (vs ANSI CAST which would throw)."""
-    o = load_table(spark, sf_dir, "orders")
-    return o.select(
-        "o_orderkey",
-        F.split_part(F.col("o_orderpriority"), F.lit("-"), F.lit(1))
-        .try_cast("int")
-        .alias("prio_num"),
-        F.col("o_orderpriority").try_cast("int").alias("bad_cast"),
-        F.col("o_totalprice").try_cast("int").alias("price_int"),
+def sample_seeded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seeded Bernoulli sampling (deterministic given seed + partitioning)
+    — the debug-at-scale primitive. No cross-engine oracle: Spark's
+    XORShift row sampling and DuckDB's sampler draw different rows.
+    Registered through approx_sketches (n_sampled branch); kept callable
+    for the determinism test in tests/test_operators.py."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.sample(fraction=0.01, seed=42).select(
+        "l_orderkey", "l_linenumber", "l_returnflag"
     )
 
 
@@ -514,24 +322,22 @@ def approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate aggregation sketches — the 100 TB substitutes for exact
     COUNT(DISTINCT) and percentile: HyperLogLog++ (approx_count_distinct,
     mergeable, fixed memory) and the Greenwald-Khanna quantile sketch
-    (approx_percentile). Estimates are engine-specific so there is no
-    DuckDB value oracle; accuracy vs exact is asserted in
-    tests/test_operators.py (rel. error < 5%)."""
+    (approx_percentile). Plus a seeded-Bernoulli-sample branch (the
+    debug-at-scale primitive, ex sample_seeded query): n_sampled counts
+    a 1% seed-42 sample per group. Estimates and sampling RNG are
+    engine-specific so there is no DuckDB value oracle; sketch accuracy
+    vs exact and sample determinism are asserted in
+    tests/test_operators.py."""
     li = load_table(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
+    sketches = li.groupBy("l_returnflag").agg(
         F.approx_count_distinct("l_partkey", 0.02).alias("approx_parts"),
         F.approx_count_distinct("l_suppkey", 0.02).alias("approx_supps"),
         F.percentile_approx("l_extendedprice", 0.5, 10000).alias("approx_median_price"),
         F.percentile_approx("l_quantity", 0.9, 10000).alias("approx_p90_qty"),
     )
-
-
-@_q("sample_seeded")  # rows-only: sampling RNG is engine-specific
-def sample_seeded(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Seeded Bernoulli sampling (deterministic given seed + partitioning)
-    — the debug-at-scale primitive. No cross-engine oracle: Spark's
-    XORShift row sampling and DuckDB's sampler draw different rows."""
-    li = load_table(spark, sf_dir, "lineitem")
-    return li.sample(fraction=0.01, seed=42).select(
-        "l_orderkey", "l_linenumber", "l_returnflag"
+    sampled = (
+        sample_seeded(spark, sf_dir)
+        .groupBy("l_returnflag")
+        .agg(F.count(F.lit(1)).alias("n_sampled"))
     )
+    return sketches.join(sampled, "l_returnflag", "left")
