@@ -2,22 +2,31 @@
 
 Two paths, per the standard ANN playbook:
 - ``cosine_topk``: brute-force exact top-k — the correctness baseline.
-  Queries are broadcast; the corpus streams; no shuffle of the corpus at
-  all. Fine whenever |queries| is small, at any corpus size.
+  Queries are broadcast; the corpus streams; the only exchange carries
+  (query_id, vec_id, sim) candidate tuples, never embeddings.
 - ``ivf_topk``: IVF-style approximate top-k — the 100 TB path. Vectors
-  are bucketed by nearest centroid once (one scan + a broadcast of
-  centroids); each query probes only ``nprobe`` buckets, turning the
-  scan into a partition-pruned fraction of the corpus.
+  are bucketed by nearest centroid as a PURE PROJECTION (centroids are
+  inlined as literal arrays — zero shuffle, the corpus never moves);
+  each query probes only ``nprobe`` buckets, turning the scan into a
+  pruned fraction of the corpus.
 
 All vector math is JVM-side SQL expressions (zip_with + aggregate fold)
 — Arrow/pandas never sees the vectors. The sequential left fold is also
 bit-reproducible across engines, which the oracle contract relies on.
+
+Top-k extraction is always two-phase (operators/topk.py): a window
+partitioned only by query_id would sort the whole scored corpus in
+|queries| tasks — the round-1 plan flagged as a scale leak.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, Window
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+
+from .topk import grouped_topk
 
 
 def dot(a: Column, b: Column) -> Column:
@@ -38,6 +47,35 @@ def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / (norm(a) * norm(b))
 
 
+# --------------------------------------------------------------------------
+# SQL-string builders for the hot-path expressions. The Column-API forms
+# above are the readable reference; these exist because PySpark higher-
+# order-function lambdas cost ~30-80 ms of py4j roundtrips EACH at plan-
+# construction time (measured: ~35 dot() constructions = ~1.7 s of driver
+# time per IVF plan build at sf0.1). One F.expr per projection keeps the
+# parsed expression identical — same zip_with/aggregate fold, same IEEE
+# op order — at one py4j call. repr() round-trips doubles exactly.
+# --------------------------------------------------------------------------
+
+
+def _vec_sql(vec: Sequence[float]) -> str:
+    """Literal array<double> SQL from a driver-side vector — the inlining
+    primitive that makes centroid math shuffle-free."""
+    return "array(" + ",".join(f"CAST({float(x)!r} AS DOUBLE)" for x in vec) + ")"
+
+
+def _dot_sql(a: str, b: str) -> str:
+    """SQL text of the same sequential fold as ``dot``."""
+    return (
+        f"aggregate(zip_with({a}, {b}, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), "
+        f"CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+    )
+
+
+def _norm_sql(a: str) -> str:
+    return f"sqrt({_dot_sql(a, a)})"
+
+
 def cosine_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -50,48 +88,118 @@ def cosine_topk(
     """Exact cosine top-k per query, brute force.
 
     Plan shape: broadcast(queries) nested-loop against the corpus scan →
-    per-partition partial top-k via window on (query, rounded sim, id).
-    The rounding (6 dp) + id tiebreak make the ranking a total order, so
-    results are reproducible and engine-independent.
+    two-phase top-k on the scored tuples (partial per input partition,
+    final over <= k x P candidates — never a |queries|-partition sort of
+    the full scored corpus). The rounding (6 dp) + id tiebreak make the
+    ranking a total order, so results are reproducible and
+    engine-independent.
     """
-    sim = cosine(F.col(query_vec_col), F.col(vec_col))
-    scored = corpus.crossJoin(F.broadcast(queries)).select(
+    # norms are projected ONCE per corpus row and once per query row;
+    # the per-pair work is then a single dot fold. Same IEEE op order as
+    # cosine() — dot / (q_norm * c_norm) — so oracles stay bit-identical.
+    corpus_n = corpus.select(
+        F.col(id_col), F.col(vec_col), F.expr(_norm_sql(vec_col)).alias("__nv")
+    )
+    queries_n = queries.select(
+        F.col(query_id_col), F.col(query_vec_col),
+        F.expr(_norm_sql(query_vec_col)).alias("__qn"),
+    )
+    sim = F.expr(f"round({_dot_sql(query_vec_col, vec_col)} / (__qn * __nv), 6)")
+    scored = corpus_n.crossJoin(F.broadcast(queries_n)).select(
         F.col(query_id_col),
         F.col(id_col),
-        F.round(sim, 6).alias("sim"),
+        sim.alias("sim"),
     )
-    w = Window.partitionBy(query_id_col).orderBy(F.col("sim").desc(), F.col(id_col).asc())
-    return (
-        scored.withColumn("rnk", F.row_number().over(w))
-        .filter(F.col("rnk") <= k)
-        .select(query_id_col, id_col, "sim", "rnk")
+    order = [F.col("sim").desc(), F.col(id_col).asc()]
+    return grouped_topk(scored, [query_id_col], order, k).select(
+        query_id_col, id_col, "sim", "rnk"
     )
+
+
+def derive_centroids(
+    corpus: DataFrame,
+    n_centroids: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[tuple[int, list[float]]]:
+    """Deterministic seed centroids: the first ``n_centroids`` corpus
+    vectors by id — one tiny TakeOrdered job collecting metadata-scale
+    rows to the driver."""
+    return [
+        (row[0], list(row[1]))
+        for row in corpus.orderBy(F.col(id_col).asc())
+        .limit(n_centroids)
+        .select(id_col, vec_col)
+        .collect()
+    ]
+
+
+def _seq_norm(vec: Sequence[float]) -> float:
+    """Driver-side vector norm with the same sequential left-fold order
+    as the Spark-side ``norm`` fold — identical IEEE result."""
+    acc = 0.0
+    for x in vec:
+        acc += float(x) * float(x)
+    return acc**0.5
 
 
 def assign_ivf_buckets(
     corpus: DataFrame,
-    centroids: DataFrame,
+    centroid_rows: Sequence[tuple[int, Sequence[float]]],
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    centroid_id_col: str = "centroid_id",
-    centroid_vec_col: str = "centroid_vec",
+    keep_norm: bool = False,
 ) -> DataFrame:
-    """Assign each vector to its nearest centroid (cosine).
+    """Assign each vector to its nearest centroid (cosine) — the 'coarse
+    quantizer' of an IVF index — as a pure projection with ZERO shuffle.
+    With ``keep_norm`` the row's precomputed norm survives as ``__nv`` so
+    downstream scoring pays one fold per pair instead of three.
 
-    One broadcast nested-loop + one window — the 'coarse quantizer' of an
-    IVF index. At scale you'd persist this bucketed table partitioned by
-    centroid_id; queries then prune to nprobe partitions.
+    ``centroid_rows`` are (centroid_id, vector) pairs already on the
+    driver (n_centroids tiny rows — metadata, not data). Each centroid
+    becomes a literal array expression. The round-1 plan instead
+    crossJoined broadcast centroids and ran a window partitioned by
+    vec_id — an n_centroids x N row shuffle carrying full embeddings,
+    purely to compute an argmax that needs no shuffle at all.
+
+    Expression economics (the folds are interpreted, so evaluation count
+    is the cost): the row's norm is projected ONCE, the n_centroids
+    rounded sims are materialized ONCE into an array column (separate
+    projection steps — CollapseProject keeps multiply-referenced
+    non-trivial expressions materialized), centroid norms are Python
+    constants, and the argmax is array_max + array_position (first match
+    == smallest centroid position, the same total order as the old
+    window's ``csim DESC, centroid_id ASC`` since centroid_rows are id-
+    ordered). Total: n_centroids + 1 folds per row, vs the naive
+    greatest()+when-chain form that re-evaluates every sim 2-3x.
+
+    At scale you'd persist the result partitioned by centroid_id;
+    queries then prune to nprobe partitions.
     """
-    sim = cosine(F.col(centroid_vec_col), F.col(vec_col))
-    scored = corpus.crossJoin(F.broadcast(centroids)).select(
-        F.col(id_col), F.col(vec_col), F.col(centroid_id_col), F.round(sim, 6).alias("csim")
+    with_norm = corpus.select(
+        F.col(id_col), F.col(vec_col), F.expr(_norm_sql(vec_col)).alias("__nv")
     )
-    w = Window.partitionBy(id_col).orderBy(F.col("csim").desc(), F.col(centroid_id_col).asc())
-    return (
-        scored.withColumn("rnk", F.row_number().over(w))
-        .filter(F.col("rnk") == 1)
-        .select(id_col, vec_col, centroid_id_col)
+    sims_sql = ",".join(
+        f"round({_dot_sql(_vec_sql(cvec), vec_col)}"
+        f" / (CAST({_seq_norm(cvec)!r} AS DOUBLE) * __nv), 6)"
+        for _cid, cvec in centroid_rows
     )
+    scored = with_norm.select(
+        F.col(id_col),
+        F.col(vec_col),
+        F.col("__nv"),
+        F.expr(f"array({sims_sql})").alias("__sims"),
+    )
+    ids_arr = F.array(*[F.lit(cid).cast("long") for cid, _ in centroid_rows])
+    pos = F.array_position(F.col("__sims"), F.array_max(F.col("__sims")))
+    out = [
+        F.col(id_col),
+        F.col(vec_col),
+        F.element_at(ids_arr, pos.cast("int")).alias("centroid_id"),
+    ]
+    if keep_norm:
+        out.insert(2, F.col("__nv"))
+    return scored.select(*out)
 
 
 def ivf_topk(
@@ -104,44 +212,64 @@ def ivf_topk(
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
     query_vec_col: str = "query_vec",
+    centroid_rows: Sequence[tuple[int, Sequence[float]]] | None = None,
 ) -> DataFrame:
     """Approximate cosine top-k: probe only the ``nprobe`` nearest
     centroid buckets per query.
 
-    Centroids here are seeded deterministically as the first
-    ``n_centroids`` corpus vectors (no iterative k-means — reproducible
-    and cheap; swap in trained centroids for recall).
+    Centroids are index METADATA: pass precomputed ``centroid_rows``
+    (trained/derived once, cached per dataset — what a real IVF index
+    stores) to skip the derivation job entirely. When absent they are
+    seeded deterministically as the first ``n_centroids`` corpus vectors
+    (no iterative k-means — reproducible and cheap; swap in trained
+    centroids for recall), collected to the driver ONCE — n_centroids
+    rows. From there the whole plan is shuffle-free on the corpus side:
+    bucket assignment is a literal projection, probe pruning is a
+    broadcast equi-join, and only the (query_id, vec_id, sim) candidate
+    tuples enter the two-phase top-k exchange.
     """
-    centroids = (
-        corpus.orderBy(F.col(id_col).asc())
-        .limit(n_centroids)
-        .select(
-            F.col(id_col).alias("centroid_id"), F.col(vec_col).alias("centroid_vec")
-        )
-    )
-    bucketed = assign_ivf_buckets(corpus, centroids, id_col, vec_col)
+    if centroid_rows is None:
+        centroid_rows = derive_centroids(corpus, n_centroids, id_col, vec_col)
+    bucketed = assign_ivf_buckets(corpus, centroid_rows, id_col, vec_col, keep_norm=True)
 
-    # per query: nprobe nearest centroids
-    qsim = cosine(F.col("centroid_vec"), F.col(query_vec_col))
-    qw = Window.partitionBy(query_id_col).orderBy(F.col("qsim").desc(), F.col("centroid_id").asc())
-    probes = (
-        queries.crossJoin(F.broadcast(centroids))
-        .select(query_id_col, query_vec_col, "centroid_id", F.round(qsim, 6).alias("qsim"))
-        .withColumn("rnk", F.row_number().over(qw))
-        .filter(F.col("rnk") <= nprobe)
-        .select(query_id_col, query_vec_col, "centroid_id")
+    # per query: nprobe nearest centroids, via the same literal-centroid
+    # trick — sort_array on (neg_sim, centroid_id) structs replicates the
+    # old window order (qsim DESC, centroid_id ASC) without a shuffle
+    queries_n = queries.select(
+        query_id_col,
+        query_vec_col,
+        F.expr(_norm_sql(query_vec_col)).alias("__qn"),
+    )
+    entries_sql = ",".join(
+        f"struct(-round({_dot_sql(_vec_sql(cvec), query_vec_col)}"
+        f" / (CAST({_seq_norm(cvec)!r} AS DOUBLE) * __qn), 6) AS neg_sim,"
+        f" CAST({int(cid)} AS BIGINT) AS centroid_id)"
+        for cid, cvec in centroid_rows
+    )
+    probes = queries_n.select(
+        query_id_col,
+        query_vec_col,
+        "__qn",
+        F.explode(
+            F.slice(F.sort_array(F.expr(f"array({entries_sql})")), 1, nprobe)
+        ).alias("p"),
+    ).select(
+        query_id_col,
+        query_vec_col,
+        "__qn",
+        F.col("p.centroid_id").alias("centroid_id"),
     )
 
-    # search only the probed buckets (equi-join on centroid_id prunes)
-    sim = cosine(F.col(query_vec_col), F.col(vec_col))
+    # search only the probed buckets (broadcast equi-join prunes; the
+    # corpus-side rows stream through without an exchange). One dot fold
+    # per pair — both norms were precomputed upstream.
+    sim = F.expr(f"round({_dot_sql(query_vec_col, vec_col)} / (__qn * __nv), 6)")
     scored = bucketed.join(F.broadcast(probes), "centroid_id").select(
-        F.col(query_id_col), F.col(id_col), F.round(sim, 6).alias("sim")
+        F.col(query_id_col), F.col(id_col), sim.alias("sim")
     )
-    w = Window.partitionBy(query_id_col).orderBy(F.col("sim").desc(), F.col(id_col).asc())
-    return (
-        scored.withColumn("rnk", F.row_number().over(w))
-        .filter(F.col("rnk") <= k)
-        .select(query_id_col, id_col, "sim", "rnk")
+    order = [F.col("sim").desc(), F.col(id_col).asc()]
+    return grouped_topk(scored, [query_id_col], order, k).select(
+        query_id_col, id_col, "sim", "rnk"
     )
 
 
@@ -156,11 +284,22 @@ def cosine_near_dup_pairs(
 
     Blocking on ``block_col`` (a cluster/label/LSH-bucket column) keeps
     the pair space sum-of-squares-of-blocks instead of N^2; the join is a
-    plain shuffled equi-join so AQE skew handling applies.
+    plain shuffled equi-join so AQE skew handling applies. Norms are
+    projected once per row BEFORE the join (N folds, not |pairs| folds);
+    per pair only the dot fold remains, in the same IEEE op order as
+    cosine() so the oracle stays bit-identical.
     """
-    a = embeddings.alias("a")
-    b = embeddings.alias("b")
-    sim = cosine(F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}"))
+    with_n = embeddings.select(
+        F.col(id_col),
+        F.col(vec_col),
+        F.col(block_col),
+        F.expr(_norm_sql(vec_col)).alias("__n"),
+    )
+    a = with_n.alias("a")
+    b = with_n.alias("b")
+    sim = F.expr(
+        f"round({_dot_sql(f'a.{vec_col}', f'b.{vec_col}')} / (a.__n * b.__n), 6)"
+    )
     return (
         a.join(
             b,
@@ -172,7 +311,7 @@ def cosine_near_dup_pairs(
         .select(
             F.col(f"a.{id_col}").alias("vec_id_a"),
             F.col(f"b.{id_col}").alias("vec_id_b"),
-            F.round(sim, 6).alias("sim"),
+            sim.alias("sim"),
         )
         .filter(F.col("sim") >= threshold)
     )

@@ -36,6 +36,7 @@ from ..functions.tsql import (
     round2_stable,
 )
 from ..operators.dedup import latest_per_key
+from ..operators.topk import grouped_topk
 from ..sources import load_table
 
 QUERIES: dict = {}
@@ -495,22 +496,23 @@ def set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Top-k per group via RANK — the scalable top-k idiom (single shuffle
-    on the group key; no global sort)."""
+    """Top-k per group via two-phase RANK (operators/topk.py): l_returnflag
+    has only 3 values, so a single window over it would sort the whole
+    table in 3 tasks — a scale-killer at 100x. The partial phase ranks
+    within (group, input partition), the final window sees <= k x P
+    candidates."""
     li = load_table(spark, sf_dir, "lineitem")
-    w = Window.partitionBy("l_returnflag").orderBy(
-        F.col("l_extendedprice").desc(), F.col("l_orderkey").asc(), F.col("l_linenumber").asc()
-    )
-    return (
-        li.withColumn("rnk", F.rank().over(w))
-        .filter(F.col("rnk") <= 5)
-        .select(
-            "l_returnflag",
-            "l_orderkey",
-            "l_linenumber",
-            money("l_extendedprice").alias("price"),
-            "rnk",
-        )
+    order = [
+        F.col("l_extendedprice").desc(),
+        F.col("l_orderkey").asc(),
+        F.col("l_linenumber").asc(),
+    ]
+    return grouped_topk(li, ["l_returnflag"], order, k=5, rank_fn=F.rank).select(
+        "l_returnflag",
+        "l_orderkey",
+        "l_linenumber",
+        money("l_extendedprice").alias("price"),
+        "rnk",
     )
 
 
