@@ -18,11 +18,17 @@ Scale notes:
 - the anti-join is a plain equi-join: broadcastable when the sink is
   small, AQE-skew-handled when it is not.
 
-Atomicity caveat (documented, as in SURVEY.md §7 phase 2): anti-join +
-append is NOT atomic under concurrent writers — two jobs can both pass
-the anti-join and append the same key. The reference had the same
-at-most-once guarantee only per-process; for true ACID upsert use a
-table format with MERGE (Delta/Iceberg) behind the same call signature.
+Atomicity: the parquet backend's anti-join + append is NOT atomic under
+concurrent writers — two jobs can both pass the anti-join and append the
+same key (single-writer assertion documented below; the reference had
+the same at-most-once guarantee only per-process). For true ACID upsert
+under concurrent writers, the ``delta`` backend issues a table-format
+``MERGE ... WHEN NOT MATCHED THEN INSERT`` (≙ ON CONFLICT's server-side
+conflict check, S:214-218) behind the SAME call signature — selected
+automatically when the target is a Delta table and delta-spark is
+importable (it is not baked into this container, so the MERGE path is
+covered by the pure condition-builder unit tests plus an integration
+test that skips without the package).
 """
 
 from __future__ import annotations
@@ -37,6 +43,15 @@ from ..operators.dedup import latest_per_key
 from ..sources.tables import SchemaContractError
 
 log = logging.getLogger(__name__)
+
+
+def _delta_available() -> bool:
+    try:
+        import delta  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
 
 
 def _exists(spark: SparkSession, path: str) -> bool:
@@ -57,18 +72,58 @@ def ensure_table(spark: SparkSession, path: str, schema_df: DataFrame) -> bool:
     return True
 
 
+def merge_insert_condition(keys: Sequence[str], target: str = "t", source: str = "s") -> str:
+    """The MERGE ON condition for first-writer-wins insert: null-safe
+    equality over the key columns (``<=>`` matches ON CONFLICT's PK
+    semantics where NULL keys compare equal). Pure string builder so the
+    MERGE path is unit-testable without delta-spark installed."""
+    if not keys:
+        raise ValueError("merge requires at least one key column")
+    return " AND ".join(f"{target}.`{k}` <=> {source}.`{k}`" for k in keys)
+
+
+def _write_merge_delta(incoming: DataFrame, path: str, keys: Sequence[str]) -> int:
+    """ACID upsert-ignore via Delta MERGE WHEN NOT MATCHED INSERT —
+    atomic under concurrent writers (the table format serializes
+    commits), unlike the parquet anti-join path."""
+    from delta.tables import DeltaTable
+
+    spark = incoming.sparkSession
+    if not DeltaTable.isDeltaTable(spark, path):
+        incoming.write.format("delta").save(path)
+        return incoming.count()
+    target = DeltaTable.forPath(spark, path)
+    before = target.toDF().count()
+    (
+        target.alias("t")
+        .merge(incoming.alias("s"), merge_insert_condition(keys))
+        .whenNotMatchedInsertAll()
+        .execute()
+    )
+    return target.toDF().count() - before
+
+
 def write_ignore_conflicts(
     df: DataFrame,
     path: str,
     keys: Sequence[str],
     order_by: Sequence[str] = (),
+    backend: str = "auto",
 ) -> int:
     """Keyed first-writer-wins append (≙ ON CONFLICT DO NOTHING, S:214-218).
 
     1. dedup the incoming batch on ``keys`` (deterministic: order_by then
        keys as tiebreak);
-    2. anti-join against the EXISTING key set (key columns only);
+    2. anti-join against the EXISTING key set (key columns only) — or,
+       on the ``delta`` backend, a table-format MERGE that does the
+       conflict check transactionally;
     3. append the survivors.
+
+    ``backend``: ``parquet`` (anti-join + append; SINGLE-WRITER
+    assertion — concurrent writers can race past the anti-join),
+    ``delta`` (ACID MERGE; requires delta-spark), or ``auto`` (delta iff
+    the package is importable and the target is/will be a Delta table,
+    else parquet).
 
     Returns the number of rows appended. Re-running with the same input
     appends 0.
@@ -80,6 +135,14 @@ def write_ignore_conflicts(
         order_by=[F.col(c).asc() for c in order_by] if order_by else [F.col(k).asc() for k in keys],
         tiebreak=list(keys),
     )
+    if backend == "delta" or (backend == "auto" and _delta_available()):
+        if not _delta_available():
+            raise RuntimeError(
+                "backend='delta' requires the delta-spark package; "
+                "use backend='parquet' (single-writer) instead"
+            )
+        return _write_merge_delta(incoming, path, keys)
+
     if ensure_table(spark, path, df):
         fresh = incoming
     else:
@@ -90,13 +153,13 @@ def write_ignore_conflicts(
             )
         existing_keys = existing.select(*keys)
         fresh = incoming.join(existing_keys, on=list(keys), how="left_anti")
-    # one count + one write; cache so the anti-join runs once
-    fresh = fresh.cache()
-    try:
-        n = fresh.count()
-        if n:
-            fresh.write.mode("append").parquet(path)
-        log.info("appended %d rows to %s (ignore-conflicts on %s)", n, path, list(keys))
-        return n
-    finally:
-        fresh.unpersist()
+    # Materialize the survivors BEFORE appending: localCheckpoint cuts
+    # the lineage back to the target parquet, so a task retry / cache
+    # eviction during the append can never re-scan the path mid-write
+    # and double-read its own output (plain .cache() could recompute).
+    fresh = fresh.localCheckpoint(eager=True)
+    n = fresh.count()
+    if n:
+        fresh.write.mode("append").parquet(path)
+    log.info("appended %d rows to %s (ignore-conflicts on %s)", n, path, list(keys))
+    return n
