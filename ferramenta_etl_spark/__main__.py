@@ -1,0 +1,79 @@
+"""Headless CLI entry point — the reference's orchestrator without Qt.
+
+    python -m ferramenta_etl_spark list
+    python -m ferramenta_etl_spark run alimentacao_parcela_ciot
+    python -m ferramenta_etl_spark run-all
+
+≙ the GUI's run-one button (E:321-363), "Executar Todos" (E:365-383)
+with the same sequential fail-fast queue (E:415-422), and the script's
+own headless __main__ (S:270-273). Missing config auto-creates the
+example 5-job registry (≙ E:68-81). Exit code 0 on success, 1 on a
+failed pipeline — the GUI's ✅/❌ status surface becomes per-job status
+lines on stdout.
+"""
+
+from __future__ import annotations
+
+import argparse
+import logging
+import sys
+
+from .pipeline.jobs import build_jobs, default_config
+from .pipeline.registry import JobRegistry, PipelineError
+from .session import get_session
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser(prog="ferramenta_etl_spark")
+    p.add_argument("command", choices=["list", "run", "run-all"])
+    p.add_argument("job", nargs="?", help="job name (for 'run')")
+    p.add_argument("--config", default="etl_jobs.json", help="job registry JSON (auto-created)")
+    p.add_argument("--sf-dir", default="/root/testdata/sf0.01", help="source table directory")
+    p.add_argument("--sink-dir", default="./etl_sinks", help="sink base directory")
+    p.add_argument("--cpus", type=int, default=8)
+    args = p.parse_args(argv)
+
+    logging.basicConfig(
+        level=logging.INFO, format="%(asctime)s - %(levelname)s - %(message)s"
+    )  # ≙ S:8-9
+
+    cfg = default_config(args.config)
+    jobs = build_jobs(args.sf_dir, args.sink_dir)
+
+    def resolver(name: str):
+        if name not in jobs:  # ≙ missing-script ❌ at E:335-340
+            raise KeyError(f"job {name!r} has no implementation")
+        return jobs[name]
+
+    reg = JobRegistry()
+    for name, meta in cfg.items():
+        reg.register(name, resolver(name), meta.get("label", name), meta.get("tooltip", ""))
+
+    if args.command == "list":
+        for name, job in reg.jobs.items():
+            print(f"{name}\t{job.label}")
+        return 0
+
+    spark = get_session(
+        "ferramenta-etl", master=f"local[{args.cpus}]", shuffle_partitions=args.cpus
+    )
+    try:
+        if args.command == "run":
+            if not args.job:
+                p.error("run requires a job name")
+            res = reg.run_one(spark, args.job)
+            print(reg.status_line([res]))
+            return 0 if res.status == "ok" else 1
+        try:
+            results = reg.run_all(spark)
+        except PipelineError as exc:
+            print(reg.status_line(exc.results))
+            return 1
+        print(reg.status_line(results))
+        return 0
+    finally:
+        spark.stop()
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,162 @@
+"""The shipped example pipeline: the reference's 5-job registry as real
+engine jobs.
+
+The reference auto-creates a default config naming five ETL scripts
+(``Executavel do ETL.py:46-67``, auto-creation at ``E:68-81``), of which
+only ``alimentacao_parcela_ciot`` has an implementation in the repo (it
+is ``Select de Importação de Dados.py``; the four ``alimentacao_view_*``
+scripts are registered but absent — SURVEY.md §2.4). Here all five exist:
+each extracts from the engine's parquet tables, transforms with the
+operator library, and loads through the idempotent sink
+(``write_ignore_conflicts`` ≙ ON CONFLICT DO NOTHING, S:214-218), so the
+whole pipeline is re-runnable with zero duplicate rows — the property
+the reference gets from PostgreSQL's PK index.
+
+``default_config`` mirrors E:68-81: if the JSON registry file is
+missing, write the example 5-job config and continue.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from collections.abc import Callable
+
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.tsql import epoch_ms
+from ..operators.dedup import latest_per_key
+from ..sinks import write_ignore_conflicts
+from ..sources import load_table
+
+DEFAULT_JOBS = {
+    "alimentacao_view_manifestos": {
+        "label": "Alimentação View Manifestos",
+        "tooltip": "Latest manifest snapshot per customer (latest_per_key).",
+    },
+    "alimentacao_view_movimento": {
+        "label": "Alimentação View Movimento",
+        "tooltip": "Event movements rolled into 15-minute windows.",
+    },
+    "alimentacao_view_manifestomovimento": {
+        "label": "Alimentação View ManifestoMovimento",
+        "tooltip": "Order-to-line movement join feed.",
+    },
+    "alimentacao_view_adicionais": {
+        "label": "Alimentação View Adicionais",
+        "tooltip": "Computed additional-charge columns feed.",
+    },
+    "alimentacao_parcela_ciot": {
+        "label": "Importação Dados - Parcelas e CIOT",
+        "tooltip": "Flagship parcelas/CIOT extract-transform-load (≙ S:141-242).",
+    },
+}
+
+
+def default_config(path: str) -> dict:
+    """Load the job registry config, auto-creating the example 5-job file
+    when missing (≙ E:68-81)."""
+    if not os.path.exists(path):
+        with open(path, "w") as f:
+            json.dump(DEFAULT_JOBS, f, indent=2, ensure_ascii=False)
+    with open(path) as f:
+        return json.load(f)
+
+
+def build_jobs(
+    sf_dir: str, sink_dir: str
+) -> dict[str, Callable[[SparkSession], int]]:
+    """Job name -> callable(spark) -> rows appended. Every job loads its
+    sink idempotently on explicit keys, so run-all twice appends 0."""
+
+    def manifestos(spark: SparkSession) -> int:
+        o = load_table(spark, sf_dir, "orders")
+        snap = latest_per_key(
+            o,
+            keys=["o_custkey"],
+            order_by=[F.col("o_orderdate").desc()],
+            tiebreak=[F.col("o_orderkey").desc()],
+        ).select(
+            F.col("o_custkey").alias("id_cliente"),
+            F.col("o_orderkey").alias("id_manifesto"),
+            F.col("o_orderstatus").alias("cd_status"),
+            F.round("o_totalprice", 2).alias("vl_total"),
+        )
+        return write_ignore_conflicts(
+            snap, f"{sink_dir}/view_manifestos", keys=["id_cliente"]
+        )
+
+    def movimento(spark: SparkSession) -> int:
+        ev = load_table(spark, sf_dir, "events")
+        agg = (
+            ev.groupBy(F.window("ts", "15 minutes").alias("win"), "event_type")
+            .agg(
+                F.count(F.lit(1)).alias("n_eventos"),
+                F.sum(F.col("value").cast("decimal(18,2)"))
+                .cast("double")
+                .alias("vl_total"),
+            )
+            .select(
+                epoch_ms(F.col("win.start")).alias("ms_inicio"),
+                F.col("event_type").alias("ds_tipo"),
+                "n_eventos",
+                "vl_total",
+            )
+        )
+        return write_ignore_conflicts(
+            agg, f"{sink_dir}/view_movimento", keys=["ms_inicio", "ds_tipo"]
+        )
+
+    def manifestomovimento(spark: SparkSession) -> int:
+        o = load_table(spark, sf_dir, "orders")
+        li = load_table(spark, sf_dir, "lineitem")
+        joined = (
+            li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+            .filter(F.col("o_orderdate") >= F.lit("1998-01-01"))
+            .select(
+                F.col("l_orderkey").alias("id_manifesto"),
+                F.col("l_linenumber").alias("id_movimento"),
+                F.col("o_orderstatus").alias("cd_status"),
+                F.round("l_extendedprice", 2).alias("vl_movimento"),
+            )
+        )
+        return write_ignore_conflicts(
+            joined,
+            f"{sink_dir}/view_manifestomovimento",
+            keys=["id_manifesto", "id_movimento"],
+        )
+
+    def adicionais(spark: SparkSession) -> int:
+        li = load_table(spark, sf_dir, "lineitem")
+        add = li.select(
+            F.col("l_orderkey").alias("id_manifesto"),
+            F.col("l_linenumber").alias("cd_parcela"),
+            F.round(
+                F.col("l_extendedprice") * (1 - F.col("l_discount"))
+                * (1 + F.col("l_tax"))
+                * 100
+            ).alias("vl_adicional_c"),
+        ).withColumn("vl_adicional", (F.col("vl_adicional_c") / 100).cast("double")) \
+         .drop("vl_adicional_c")
+        return write_ignore_conflicts(
+            add, f"{sink_dir}/view_adicionais", keys=["id_manifesto", "cd_parcela"]
+        )
+
+    def parcela_ciot(spark: SparkSession) -> int:
+        from ..plans.flagship import flagship
+
+        df = flagship(spark, sf_dir)
+        return write_ignore_conflicts(
+            df,
+            f"{sink_dir}/parcela_ciot",
+            keys=["id_manifesto", "cd_parcela"],  # composite PK, ≙ S:119
+        )
+
+    return {
+        "alimentacao_view_manifestos": manifestos,
+        "alimentacao_view_movimento": movimento,
+        "alimentacao_view_manifestomovimento": manifestomovimento,
+        "alimentacao_view_adicionais": adicionais,
+        "alimentacao_parcela_ciot": parcela_ciot,
+    }

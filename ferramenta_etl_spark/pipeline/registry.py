@@ -90,7 +90,10 @@ class JobRegistry:
         The job group makes ``cancel(name)`` work mid-flight."""
         job = self.jobs[name]
         sc = spark.sparkContext
-        sc.setJobGroup(name, job.label, interruptOnCancel=True)
+        # interruptOnCancel stays False: interrupting task threads mid-I/O
+        # can wedge a local-mode executor permanently. Cooperative task
+        # kill (checked at codegen batch boundaries) lands in <1s anyway.
+        sc.setJobGroup(name, job.label, interruptOnCancel=False)
         log.info("⌛ %s starting", name)
         t0 = time.perf_counter()
         try:
@@ -124,8 +127,18 @@ class JobRegistry:
         return results
 
     def cancel(self, spark: SparkSession, name: str) -> None:
-        """Cancel a running job by its job group (≙ E:438-451)."""
+        """Cancel a running job by its job group (≙ E:438-451).
+
+        Only jobs already submitted to the scheduler are cancelled —
+        use :meth:`active_job_ids` to confirm the job is in flight
+        before relying on this."""
         spark.sparkContext.cancelJobGroup(name)
+
+    def active_job_ids(self, spark: SparkSession, name: str) -> list[int]:
+        """Scheduler job ids currently active for a registry job."""
+        tracker = spark.sparkContext.statusTracker()
+        active = set(tracker.getActiveJobsIds())
+        return [j for j in tracker.getJobIdsForGroup(name) if j in active]
 
     def status_line(self, results: list[JobResult]) -> str:
         """Per-job status chars (≙ E:288-292)."""
