@@ -227,7 +227,6 @@ def minhash_signatures(
     Docs with no shingles (empty text) drop out, like empty sets in
     set-similarity.
     """
-    p = F.lit(_MERSENNE31)
     exploded = (
         df.select(
             F.col(id_col),
@@ -235,10 +234,12 @@ def minhash_signatures(
         )
         .filter(F.col("h").isNotNull())  # docs shorter than k tokens drop out
     )
+    # SQL-string aggregates: the Column-operator form costs ~5 py4j
+    # round-trips per hash function in driver-side plan construction.
     aggs = []
     for i in range(num_hashes):
         a, b = _hash_params(i)
-        aggs.append(F.min((F.col("h") * F.lit(a) + F.lit(b)) % p).alias(f"m{i}"))
+        aggs.append(F.expr(f"min((h * {a} + {b}) % {_MERSENNE31}) as m{i}"))
     return exploded.groupBy(id_col).agg(*aggs)
 
 
@@ -267,24 +268,20 @@ def minhash_lsh_pairs(
     """
     rows = num_hashes // bands
     sig = minhash_signatures(df, num_hashes, shingle_k, text_col, id_col).select(
-        F.col(id_col), F.array(*[F.col(f"m{i}") for i in range(num_hashes)]).alias("sig")
+        F.col(id_col),
+        F.expr("array(" + ", ".join(f"m{i}" for i in range(num_hashes)) + ") as sig"),
+    )
+    band_structs = ", ".join(
+        "struct({b} as band, xxhash64(concat_ws(',', {elems})) as bhash)".format(
+            b=b,
+            elems=", ".join(f"element_at(sig, {b * rows + r + 1})" for r in range(rows)),
+        )
+        for b in range(bands)
     )
     banded = sig.select(
         id_col,
         "sig",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        F.xxhash64(
-                            F.concat_ws(",", *[F.element_at("sig", b * rows + r + 1) for r in range(rows)])
-                        ).alias("bhash"),
-                    )
-                    for b in range(bands)
-                ]
-            )
-        ).alias("bk"),
+        F.expr(f"explode(array({band_structs})) as bk"),
     ).select(id_col, "sig", "bk.band", "bk.bhash")
     a, b = banded.alias("a"), banded.alias("b")
     pairs = (
@@ -343,25 +340,29 @@ def simhash_fingerprints(
     per-bit ``aggregate()`` higher-order functions per ROW — measured as
     the slowest expression in the repo (4.1 s at sf0.01, ~2.6x the
     flagship; see BENCH notes).
+
+    The token hash is materialized ONCE before the aggregation (not
+    repeated inside all ``bits`` aggregates), and the per-bit expressions
+    are built as SQL strings: the equivalent Column-operator loop costs
+    ~500 py4j round-trips ≈ 1.6 s of driver-side plan construction per
+    call — longer than executing the query at sf0.1.
     """
-    h = F.xxhash64(F.col("__tok"))
     exploded = df.select(
         F.col(id_col), F.explode(distinct_tokens(F.col(text_col))).alias("__tok")
-    )
+    ).select(F.col(id_col), F.xxhash64("__tok").alias("h"))
     votes = exploded.groupBy(id_col).agg(
         *[
-            F.sum(
-                F.when(F.shiftright(h, j).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
-            ).alias(f"v{j}")
+            F.expr(
+                f"sum(if((shiftright(h, {j}) & 1) = 1, 1, -1)) as v{j}"
+            )
             for j in range(bits)
         ]
     )
-    fp = F.lit(0).cast("long")
-    for j in range(bits):
-        fp = fp + F.when(
-            F.col(f"v{j}") > 0, F.shiftleft(F.lit(1).cast("long"), j)
-        ).otherwise(F.lit(0).cast("long"))
-    return votes.select(id_col, fp.alias("fp"))
+    fp = " + ".join(
+        f"if(v{j} > 0, shiftleft(cast(1 as bigint), {j}), cast(0 as bigint))"
+        for j in range(bits)
+    )
+    return votes.select(id_col, F.expr(f"({fp}) as fp"))
 
 
 def simhash_near_dup_pairs(
