@@ -140,6 +140,14 @@ def assert_schema(df: DataFrame, expected: T.StructType, table: str) -> None:
         )
 
 
+# Per-session DataFrame memo: spark.read.parquet re-lists the path and
+# re-reads footers on every call (~0.1 s each driver-side), but the
+# resulting DataFrame is an immutable logical plan — loading the same
+# table twice in one session does identical work. Keyed on the session
+# object so a stopped/replaced session (tests) never serves stale plans.
+_MEMO: dict[tuple[SparkSession, str, str], DataFrame] = {}
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one testdata table with schema enforcement.
 
@@ -147,12 +155,18 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     truncated to microseconds exactly like DuckDB truncates TIMESTAMP_NS,
     so oracle comparisons agree at sub-second precision.
     """
+    key = (spark, sf_dir, name)
+    if key in _MEMO:
+        return _MEMO[key]
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         # integer division: epoch-nanos (~1.7e18) exceed double's exact
         # integer range, so a float path would corrupt the low microseconds
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     assert_schema(df, EXPECTED_SCHEMAS[name], name)
+    if len(_MEMO) > 256:  # bound growth across many sessions/dirs (tests)
+        _MEMO.clear()
+    _MEMO[key] = df
     return df
 
 
