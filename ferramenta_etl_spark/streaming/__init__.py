@@ -1,3 +1,7 @@
+from .stateful import (  # noqa: F401
+    capped_sessions_batch_replay,
+    capped_sessions_stream,
+)
 from .windows import (  # noqa: F401
     dedup_within_watermark,
     run_available_now,

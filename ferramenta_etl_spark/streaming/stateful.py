@@ -1,0 +1,212 @@
+"""Custom stateful streaming operator via ``applyInPandasWithState``.
+
+``capped_sessions_stream`` is sessionization with BOTH an inactivity gap
+AND a maximum session duration — the built-in ``session_window`` merges
+on gap only and cannot cap a session's length, so a user who emits one
+event every minute for a week becomes a single week-long session. The
+cap is the semantics real web/telemetry pipelines want ("a session is at
+most 2 h no matter what"), and it is genuinely stateful: where one
+session ends determines where the next begins, so no window expression
+can produce it (it is an iterated/recursive split, not a grouping).
+
+The reference has no streaming at all (SURVEY.md §2.4); this extends the
+engine's streaming module (windows.py) with the bespoke-state path that
+module's docstring promises.
+
+Scale posture: state is one fixed-width tuple per active user key,
+partitioned by the grouping hash — the same distribution as any
+stateful agg; event-time timeouts bound state lifetime by the watermark
+(a user silent past the gap is flushed and evicted), so state size is
+O(active users in the watermark horizon), not O(history). The per-group
+work is Arrow-batched pandas (vectorized column access, one pass over
+the rows) — applyInPandasWithState is Spark's intended surface for
+exactly this shape.
+"""
+
+from __future__ import annotations
+
+from typing import TYPE_CHECKING
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+if TYPE_CHECKING:  # pragma: no cover
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+SESSION_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("session_start_ms", T.LongType()),
+        T.StructField("session_end_ms", T.LongType()),
+        T.StructField("n_events", T.LongType()),
+        T.StructField("sum_value", T.DoubleType()),
+        T.StructField("closed_by", T.StringType()),  # 'gap' | 'cap' | 'timeout'
+    ]
+)
+
+# (session_start_ms, last_event_ms, n_events, sum_value)
+_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("start_ms", T.LongType()),
+        T.StructField("last_ms", T.LongType()),
+        T.StructField("n", T.LongType()),
+        T.StructField("s", T.DoubleType()),
+    ]
+)
+
+_MS = 1  # state timestamps are epoch millis throughout
+
+
+def _close(user_id: int, st: tuple, reason: str) -> dict:
+    start, last, n, s = st
+    return {
+        "user_id": user_id,
+        "session_start_ms": start,
+        "session_end_ms": last,
+        "n_events": n,
+        "sum_value": s,
+        "closed_by": reason,
+    }
+
+
+def _make_fn(gap_ms: int, cap_ms: int):
+    """Build the per-group state function. Pure module-level logic so the
+    closure ships only two ints to the executors."""
+
+    def fn(
+        key: tuple, pdfs: "Iterator[pd.DataFrame]", state: GroupState
+    ) -> "Iterator[pd.DataFrame]":
+        import pandas as pd
+
+        user_id = key[0]
+        out: list[dict] = []
+
+        if state.hasTimedOut:
+            if state.exists:
+                out.append(_close(user_id, tuple(state.get), "timeout"))
+                state.remove()
+            yield pd.DataFrame(out)
+            return
+
+        st = tuple(state.get) if state.exists else None
+        # The group's batch data may arrive as several Arrow chunks with no
+        # cross-chunk ordering guarantee: gather, then sort ONCE. Memory is
+        # one user's events for one microbatch — the minimum any
+        # order-sensitive stateful operator must see.
+        chunks = [p for p in pdfs if len(p)]
+        if chunks:
+            pdf = pd.concat(chunks).sort_values("ts", kind="mergesort")
+            ts_ms = (pdf["ts"].astype("int64") // 1_000_000).to_numpy()
+            vals = pdf["value"].to_numpy()
+            for t_ms, v in zip(ts_ms, vals):
+                t_ms, v = int(t_ms), float(v)
+                if st is None:
+                    st = (t_ms, t_ms, 1, v)
+                    continue
+                start, last, n, s = st
+                if t_ms - last > gap_ms:
+                    out.append(_close(user_id, st, "gap"))
+                    st = (t_ms, t_ms, 1, v)
+                elif t_ms - start > cap_ms:
+                    out.append(_close(user_id, st, "cap"))
+                    st = (t_ms, t_ms, 1, v)
+                else:
+                    st = (start, t_ms, n + 1, s + v)
+
+        if st is not None:
+            state.update(st)
+            # flush the open session once the watermark passes last+gap
+            # (timeout timestamps must sit strictly beyond the watermark)
+            state.setTimeoutTimestamp(
+                max(st[1] + gap_ms, state.getCurrentWatermarkMs() + 1)
+            )
+        yield pd.DataFrame(out)
+
+    return fn
+
+
+def capped_sessions_stream(
+    events: DataFrame,
+    gap: str = "30 minutes",
+    max_duration: str = "2 hours",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Per-user sessions that close on ``gap`` inactivity OR when the next
+    event would land more than ``max_duration`` after the session start
+    (the event that breaches either bound starts the next session).
+    Open sessions flush with ``closed_by='timeout'`` when the event-time
+    watermark passes their gap deadline."""
+    gap_ms = _duration_ms(gap)
+    cap_ms = _duration_ms(max_duration)
+    return (
+        events.withWatermark("ts", watermark)
+        .select("ts", "user_id", "value")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _make_fn(gap_ms, cap_ms),
+            outputStructType=SESSION_SCHEMA,
+            stateStructType=_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )
+
+
+def _duration_ms(s: str) -> int:
+    """'30 minutes' -> 1_800_000. Supports the CalendarInterval unit names
+    the rest of the streaming module uses."""
+    qty, unit = s.split()
+    unit = unit.rstrip("s")
+    factor = {
+        "millisecond": 1,
+        "second": 1000,
+        "minute": 60_000,
+        "hour": 3_600_000,
+        "day": 86_400_000,
+    }[unit]
+    return int(qty) * factor
+
+
+def capped_sessions_batch_replay(
+    events: DataFrame, gap: str, max_duration: str, watermark: str = "1 hour"
+):
+    """Reference semantics for tests: replay the same algorithm per user
+    over the collected (small-SF) events. Emits every session CLOSED by a
+    later event ('gap'/'cap'), plus 'timeout' flushes for final open
+    sessions whose gap deadline lies before the run's final watermark
+    (max event time − delay): an AvailableNow drain commits that
+    watermark in a closing no-data microbatch, firing exactly those
+    event-time timers. Open sessions past the watermark stay in state."""
+    import pandas as pd
+
+    gap_ms, cap_ms = _duration_ms(gap), _duration_ms(max_duration)
+    wm_delay_ms = _duration_ms(watermark)
+    pdf = events.select("ts", "user_id", "value").toPandas()
+    wm_ms = int(pdf["ts"].astype("int64").max() // 1_000_000) - wm_delay_ms
+    rows: list[dict] = []
+    for user_id, g in pdf.groupby("user_id"):
+        g = g.sort_values("ts", kind="mergesort")
+        ts_ms = (g["ts"].astype("int64") // 1_000_000).to_numpy()
+        vals = g["value"].to_numpy()
+        st = None
+        for t_ms, v in zip(ts_ms, vals):
+            t_ms, v = int(t_ms), float(v)
+            if st is None:
+                st = (t_ms, t_ms, 1, v)
+            else:
+                start, last, n, s = st
+                if t_ms - last > gap_ms:
+                    rows.append(_close(user_id, st, "gap"))
+                    st = (t_ms, t_ms, 1, v)
+                elif t_ms - start > cap_ms:
+                    rows.append(_close(user_id, st, "cap"))
+                    st = (t_ms, t_ms, 1, v)
+                else:
+                    st = (start, t_ms, n + 1, s + v)
+        if st is not None and st[1] + gap_ms < wm_ms:
+            rows.append(_close(user_id, st, "timeout"))
+    return pd.DataFrame(rows)
