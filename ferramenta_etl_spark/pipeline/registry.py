@@ -140,6 +140,35 @@ class JobRegistry:
         active = set(tracker.getActiveJobsIds())
         return [j for j in tracker.getJobIdsForGroup(name) if j in active]
 
+    def progress(self, spark: SparkSession, name: str) -> tuple[int, int]:
+        """(completed_tasks, total_tasks) across every scheduler job the
+        registry job has submitted under its job group so far.
+
+        DATA-DRIVEN progress from the Spark status tracker — the
+        reference's bar is synthetic (+1% per 150 ms QTimer regardless of
+        work, E:37-38, E:385-390; SURVEY.md §2 #30 flags it). Only stages
+        that have launched tasks count: AQE re-submits already-computed
+        upstream stages as new never-run stage ids ("skipped" in the UI),
+        which would otherwise inflate the denominator forever. Totals
+        therefore grow as stages launch — render as 'done/total so far',
+        not a percentage of a fixed whole.
+        """
+        tracker = spark.sparkContext.statusTracker()
+        done = total = 0
+        for jid in tracker.getJobIdsForGroup(name):
+            info = tracker.getJobInfo(jid)
+            if info is None:
+                continue
+            for sid in info.stageIds:
+                st = tracker.getStageInfo(sid)
+                if st is None:
+                    continue
+                if st.numActiveTasks + st.numCompletedTasks + st.numFailedTasks == 0:
+                    continue  # pending or AQE-skipped: no tasks launched yet
+                total += st.numTasks
+                done += st.numCompletedTasks
+        return done, total
+
     def status_line(self, results: list[JobResult]) -> str:
         """Per-job status chars (≙ E:288-292)."""
         icon = {STATUS_OK: "✅", STATUS_FAIL: "❌", STATUS_PENDING: "⌛"}

@@ -105,6 +105,47 @@ def test_example_pipeline_end_to_end_idempotent(spark, tmp_path, sf_dir):
         assert dups == 0, f"{table} has duplicate keys after rerun"
 
 
+def test_progress_is_data_driven(spark):
+    """registry.progress reports real completed/total task counts from the
+    status tracker while a job runs (vs the reference's synthetic +1%/150ms
+    bar, E:385-390): observed mid-flight samples are monotonically
+    non-decreasing and end at done == total > 0."""
+    import threading
+    import time
+
+    reg = JobRegistry()
+
+    def slow(s):
+        return (
+            s.range(0, 400_000_000, 1, 128)
+            .selectExpr("max(sha2(cast(id as string), 256))")
+            .collect()
+        )
+
+    reg.register("prog_job", slow)
+    out = {}
+    t = threading.Thread(
+        target=lambda: out.update(res=reg.run_one(spark, "prog_job")), daemon=True
+    )
+    t.start()
+    samples = []
+    deadline = time.time() + 120
+    while t.is_alive():
+        assert time.time() < deadline, "job did not finish in 120s"
+        d, tot = reg.progress(spark, "prog_job")
+        if tot:
+            samples.append((d, tot))
+        time.sleep(0.05)
+    t.join()
+    assert out["res"].status == "ok"
+    assert samples, "never observed the job in the tracker"
+    dones = [d for d, _ in samples]
+    assert dones == sorted(dones), "completed-task counts went backwards"
+    assert any(0 < d < tot for d, tot in samples), "no mid-flight sample"
+    d, tot = reg.progress(spark, "prog_job")
+    assert d == tot > 0
+
+
 def test_cancel_mid_flight(spark):
     """registry.cancel kills a running job via its job group
     (≙ process terminate, E:438-451): the job fails, it does not run to
