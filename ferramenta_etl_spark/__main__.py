@@ -17,10 +17,31 @@ from __future__ import annotations
 import argparse
 import logging
 import sys
+import threading
 
 from .pipeline.jobs import build_jobs, default_config
 from .pipeline.registry import JobRegistry, PipelineError
 from .session import get_session
+
+
+def _run_with_progress(reg: JobRegistry, spark, name: str, every: float = 2.0):
+    """run_one with a task-level progress line every ``every`` seconds —
+    real statusTracker counts, not the reference's synthetic bar."""
+    stop = threading.Event()
+
+    def poll():
+        while not stop.wait(every):
+            done, total = reg.progress(spark, name)
+            if total:
+                print(f"  ⌛ {name}: {done}/{total} tasks", flush=True)
+
+    t = threading.Thread(target=poll, daemon=True)
+    t.start()
+    try:
+        return reg.run_one(spark, name)
+    finally:
+        stop.set()
+        t.join()
 
 
 def main(argv: list[str] | None = None) -> int:
@@ -61,11 +82,13 @@ def main(argv: list[str] | None = None) -> int:
         if args.command == "run":
             if not args.job:
                 p.error("run requires a job name")
-            res = reg.run_one(spark, args.job)
+            res = _run_with_progress(reg, spark, args.job)
             print(reg.status_line([res]))
             return 0 if res.status == "ok" else 1
         try:
-            results = reg.run_all(spark)
+            results = reg.run_all(
+                spark, runner=lambda s, n: _run_with_progress(reg, s, n)
+            )
         except PipelineError as exc:
             print(reg.status_line(exc.results))
             return 1

@@ -108,16 +108,23 @@ class JobRegistry:
         finally:
             sc.setJobGroup("", "")
 
-    def run_all(self, spark: SparkSession, fail_fast: bool = True) -> list[JobResult]:
+    def run_all(
+        self,
+        spark: SparkSession,
+        fail_fast: bool = True,
+        runner: Callable[[SparkSession, str], JobResult] | None = None,
+    ) -> list[JobResult]:
         """Sequential pipeline over the registry order (≙ E:365-383).
         With ``fail_fast`` (the reference's behavior, E:415-422), a
         failure clears the queue and raises PipelineError carrying the
-        partial results."""
+        partial results. ``runner`` lets callers wrap run_one (e.g. the
+        CLI's progress reporter) without re-implementing the queue."""
+        run = runner or self.run_one
         results: list[JobResult] = []
         queue = list(self.jobs)  # snapshot, ≙ E:371
         while queue:
             name = queue.pop(0)
-            res = self.run_one(spark, name)
+            res = run(spark, name)
             results.append(res)
             if res.status == STATUS_FAIL and fail_fast:
                 skipped = [JobResult(n, STATUS_PENDING) for n in queue]
