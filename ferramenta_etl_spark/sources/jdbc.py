@@ -12,9 +12,11 @@ built-in JDBC datasource:
   replaces the single-cursor stream with N parallel range scans — the
   piece the reference fundamentally could not do single-threaded.
 
-No database exists in the test container, so these builders return fully
-configured DataFrameReader/Writer objects; the option plumbing is unit
-tested, the connection itself is exercised only in a real deployment.
+No database SERVER exists in the test container, but the full connector
+path — driver loading, batched writes, partitioned parallel scans,
+full-query pushdown, filter pushdown — is exercised end-to-end against
+embedded Apache Derby (on Spark's classpath) in tests/test_jdbc_derby.py;
+a server deployment only changes the URL.
 """
 
 from __future__ import annotations
