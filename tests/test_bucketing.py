@@ -1,0 +1,60 @@
+"""Bucketed tables eliminate the join/agg shuffle — proven on the plan,
+not just asserted in prose."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from ferramenta_etl_spark.sources import load_table
+from ferramenta_etl_spark.sources.bucketing import (
+    exchanges_in_plan,
+    read_bucketed,
+    write_bucketed,
+)
+
+
+@pytest.fixture(scope="module")
+def bucketed_tables(spark, sf_dir):
+    orders = load_table(spark, sf_dir, "orders")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    write_bucketed(orders, "orders_b", ["o_orderkey"], 8, sort_cols=["o_orderkey"])
+    write_bucketed(lineitem, "lineitem_b", ["l_orderkey"], 8, sort_cols=["l_orderkey"])
+    yield "orders_b", "lineitem_b"
+    spark.sql("DROP TABLE IF EXISTS orders_b")
+    spark.sql("DROP TABLE IF EXISTS lineitem_b")
+
+
+def test_bucketed_join_is_shuffle_free(spark, sf_dir, bucketed_tables):
+    ot, lt = bucketed_tables
+    o, li = read_bucketed(spark, ot), read_bucketed(spark, lt)
+    # force the sort-merge path so the exchange count is about bucketing,
+    # not about one side being broadcast-small at test scale
+    with_smj = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = li.join(o, li.l_orderkey == o.o_orderkey).select(
+            "l_orderkey", "l_linenumber", "o_orderstatus"
+        )
+        joined.write.format("noop").mode("overwrite").save()
+        assert exchanges_in_plan(joined) == 0, "bucketed equi-join still shuffled"
+
+        # same join on the un-bucketed parquet shuffles BOTH sides
+        o_raw = load_table(spark, sf_dir, "orders")
+        li_raw = load_table(spark, sf_dir, "lineitem")
+        raw = li_raw.join(o_raw, li_raw.l_orderkey == o_raw.o_orderkey).select(
+            "l_orderkey", "l_linenumber", "o_orderstatus"
+        )
+        raw.write.format("noop").mode("overwrite").save()
+        assert exchanges_in_plan(raw) >= 2
+
+        assert joined.count() == raw.count()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", with_smj)
+
+
+def test_bucketed_agg_is_shuffle_free(spark, bucketed_tables):
+    _, lt = bucketed_tables
+    li = read_bucketed(spark, lt)
+    agg = li.groupBy("l_orderkey").agg(F.count(F.lit(1)).alias("n"))
+    agg.write.format("noop").mode("overwrite").save()
+    assert exchanges_in_plan(agg) == 0, "groupBy on the bucket key shuffled"
+    assert agg.count() == li.select("l_orderkey").distinct().count()
