@@ -61,13 +61,21 @@ def _exists(spark: SparkSession, path: str) -> bool:
     return p.getFileSystem(jsc).exists(p)
 
 
-def ensure_table(spark: SparkSession, path: str, schema_df: DataFrame) -> bool:
+def ensure_table(
+    spark: SparkSession,
+    path: str,
+    schema_df: DataFrame,
+    partition_cols: Sequence[str] = (),
+) -> bool:
     """Idempotent DDL bootstrap (≙ S:166-186): if no table exists at
     ``path``, create it empty with ``schema_df``'s schema. Returns True
     if it created the table."""
     if _exists(spark, path):
         return False
-    schema_df.limit(0).write.mode("overwrite").parquet(path)
+    w = schema_df.limit(0).write.mode("overwrite")
+    if partition_cols:
+        w = w.partitionBy(*partition_cols)
+    w.parquet(path)
     log.info("created table at %s", path)
     return True
 
@@ -103,12 +111,32 @@ def _write_merge_delta(incoming: DataFrame, path: str, keys: Sequence[str]) -> i
     return target.toDF().count() - before
 
 
+def _touched_partition_filter(incoming: DataFrame, partition_cols: Sequence[str]):
+    """OR-of-ANDs predicate selecting only the partitions the incoming
+    batch touches. The distinct partition tuples are collected to the
+    driver — bounded by partitions-per-batch (e.g. days in a backfill),
+    metadata-scale — and the resulting literal predicate prunes the
+    existing-keys scan down to those directories."""
+    touched = incoming.select(*partition_cols).distinct().collect()
+    if not touched:
+        return F.lit(False)
+    clause = None
+    for row in touched:
+        c = None
+        for col in partition_cols:
+            eq = F.col(col).eqNullSafe(F.lit(row[col]))
+            c = eq if c is None else (c & eq)
+        clause = c if clause is None else (clause | c)
+    return clause
+
+
 def write_ignore_conflicts(
     df: DataFrame,
     path: str,
     keys: Sequence[str],
     order_by: Sequence[str] = (),
     backend: str = "auto",
+    partition_cols: Sequence[str] = (),
 ) -> int:
     """Keyed first-writer-wins append (≙ ON CONFLICT DO NOTHING, S:214-218).
 
@@ -125,10 +153,23 @@ def write_ignore_conflicts(
     the package is importable and the target is/will be a Delta table,
     else parquet).
 
+    ``partition_cols`` lays the sink out hive-partitioned (the 100 TB
+    posture: date-partitioned fact sinks) and, critically, PRUNES the
+    conflict check to the partitions the batch touches — the existing-key
+    scan reads days, not the whole table. Partition columns must be a
+    subset of ``keys``: key equality then implies partition equality, so
+    pruned conflict detection remains globally exact.
+
     Returns the number of rows appended. Re-running with the same input
     appends 0.
     """
     spark = df.sparkSession
+    if partition_cols and not set(partition_cols) <= set(keys):
+        raise ValueError(
+            f"partition_cols {list(partition_cols)} must be a subset of keys "
+            f"{list(keys)} — otherwise a conflict hiding in an untouched "
+            "partition would escape the pruned anti-join"
+        )
     incoming = latest_per_key(
         df,
         keys=list(keys),
@@ -143,14 +184,23 @@ def write_ignore_conflicts(
             )
         return _write_merge_delta(incoming, path, keys)
 
-    if ensure_table(spark, path, df):
+    if ensure_table(spark, path, df, partition_cols):
         fresh = incoming
     else:
         existing = spark.read.parquet(path)
-        if [f.name for f in existing.schema.fields] != [f.name for f in df.schema.fields]:
+        # a partitioned read reorders partition columns to the end of the
+        # schema, so the contract is name-set equality there; the plain
+        # sink keeps the stricter positional contract (S:123-139)
+        if partition_cols:
+            ok = sorted(existing.columns) == sorted(df.columns)
+        else:
+            ok = [f.name for f in existing.schema.fields] == [f.name for f in df.schema.fields]
+        if not ok:
             raise SchemaContractError(
                 f"sink {path}: existing columns {existing.columns} != incoming {df.columns}"
             )
+        if partition_cols:
+            existing = existing.filter(_touched_partition_filter(incoming, partition_cols))
         existing_keys = existing.select(*keys)
         fresh = incoming.join(existing_keys, on=list(keys), how="left_anti")
     # Materialize the survivors BEFORE appending: localCheckpoint cuts
@@ -160,6 +210,9 @@ def write_ignore_conflicts(
     fresh = fresh.localCheckpoint(eager=True)
     n = fresh.count()
     if n:
-        fresh.write.mode("append").parquet(path)
+        w = fresh.write.mode("append")
+        if partition_cols:
+            w = w.partitionBy(*partition_cols)
+        w.parquet(path)
     log.info("appended %d rows to %s (ignore-conflicts on %s)", n, path, list(keys))
     return n

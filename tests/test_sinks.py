@@ -56,3 +56,51 @@ def test_ensure_table_idempotent(spark, target):
     assert ensure_table(spark, target, df) is True
     assert ensure_table(spark, target, df) is False
     assert spark.read.parquet(target).count() == 0
+
+
+def test_partitioned_sink_rerun_is_noop(spark, target):
+    df = spark.createDataFrame(
+        [("2024-01-01", 1, "a"), ("2024-01-01", 2, "b"), ("2024-01-02", 3, "c")],
+        "dt string, k int, v string",
+    )
+    n1 = write_ignore_conflicts(df, target, keys=["dt", "k"], partition_cols=["dt"])
+    n2 = write_ignore_conflicts(df, target, keys=["dt", "k"], partition_cols=["dt"])
+    assert n1 == 3 and n2 == 0
+    out = spark.read.parquet(target)
+    assert out.count() == 3
+    assert sorted(out.columns) == ["dt", "k", "v"]  # partition col survives
+    import os
+
+    assert os.path.isdir(f"{target}/dt=2024-01-01")  # hive layout on disk
+
+
+def test_partitioned_sink_prunes_conflict_scan(spark, target):
+    """The conflict check must read ONLY the touched partitions: poison an
+    untouched partition directory with a corrupt file — a whole-table key
+    scan would die on it, the pruned scan never opens it."""
+    import os
+
+    day1 = spark.createDataFrame([("2024-01-01", 1, "a")], "dt string, k int, v string")
+    day2 = spark.createDataFrame([("2024-01-02", 2, "b")], "dt string, k int, v string")
+    write_ignore_conflicts(day1, target, keys=["dt", "k"], partition_cols=["dt"])
+    write_ignore_conflicts(day2, target, keys=["dt", "k"], partition_cols=["dt"])
+    bad = f"{target}/dt=2024-01-01/part-99999-corrupt.snappy.parquet"
+    with open(bad, "wb") as f:
+        f.write(b"this is not parquet")
+    try:
+        day2b = spark.createDataFrame(
+            [("2024-01-02", 2, "DUP"), ("2024-01-02", 9, "new")],
+            "dt string, k int, v string",
+        )
+        n = write_ignore_conflicts(day2b, target, keys=["dt", "k"], partition_cols=["dt"])
+        assert n == 1  # k=9 only; k=2 conflict detected within the pruned day
+    finally:
+        os.remove(bad)
+    out = spark.read.parquet(target).filter(F.col("dt") == "2024-01-02")
+    assert {r.k: r.v for r in out.collect()} == {2: "b", 9: "new"}
+
+
+def test_partition_cols_must_be_keys(spark, target):
+    df = spark.createDataFrame([("2024-01-01", 1, "a")], "dt string, k int, v string")
+    with pytest.raises(ValueError, match="subset of keys"):
+        write_ignore_conflicts(df, target, keys=["k"], partition_cols=["dt"])
