@@ -102,3 +102,36 @@ def content_fingerprint(text: Column) -> Column:
     of each other; 32-byte digest is what shuffles, not the text."""
     toks = F.array_sort(F.array_distinct(ws_tokens(text)))
     return F.md5(F.concat_ws(" ", toks))
+
+
+def winnowing_fingerprints(text: Column, k: int = 3, window: int = 4) -> Column:
+    """Rolling-hash document fingerprints by winnowing (the MOSS scheme):
+    hash every k-token shingle with the polynomial rolling hash
+    (operators/dedup.shingle_hashes), slide a ``window`` over the hash
+    sequence, keep each window's minimum, distinct the selections.
+
+    The winnowing guarantee: any shared token run of length >=
+    ``window + k - 1`` between two documents produces at least one
+    SHARED fingerprint — which makes the fingerprints joinable for
+    partial-overlap detection (explode -> equi-join on the hash), unlike
+    a whole-document digest. Docs shorter than one window keep the
+    minimum of what they have; sub-k-token docs fingerprint to an empty
+    set (no shingles), like empty sets in set-similarity.
+
+    Pure SQL higher-order expressions; selections-per-doc ~= 2/(window+1)
+    of the shingle count, so the exploded join input is a fraction of
+    the token stream."""
+    from .dedup import shingle_hashes
+
+    h = shingle_hashes(text, k)
+    n_win = F.greatest(F.size(h) - F.lit(window - 1), F.least(F.size(h), F.lit(1)))
+    mins = F.transform(
+        F.sequence(F.lit(1), n_win),
+        lambda i: F.array_min(F.slice(h, i, window)),
+    )
+    # sequence(1, 0) would count DOWN; route the empty case explicitly
+    return F.array_sort(
+        F.array_distinct(
+            F.when(F.size(h) > 0, mins).otherwise(F.array().cast("array<bigint>"))
+        )
+    )

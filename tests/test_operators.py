@@ -118,3 +118,40 @@ def test_seeded_sample_is_deterministic(spark):
     a = {tuple(r) for r in sample_seeded(spark, sf).collect()}
     b = {tuple(r) for r in sample_seeded(spark, sf).collect()}
     assert a == b and len(a) > 0
+
+
+def test_winnowing_fingerprints(spark):
+    """Winnowing (k=3, window=4): identical docs -> identical sets; a
+    shared run of >= window+k-1 = 6 tokens -> at least one shared
+    fingerprint (the winnowing guarantee); sub-k docs -> empty set;
+    selections are a strict subset of the shingle stream."""
+    from ferramenta_etl_spark.operators.text import winnowing_fingerprints
+
+    shared = "alpha beta gamma delta epsilon zeta"  # 6-token shared run
+    rows = [
+        (1, f"intro words here {shared} tail one"),
+        (2, f"completely different prefix {shared} other ending"),
+        (3, f"intro words here {shared} tail one"),  # == doc 1
+        (4, "tiny doc"),  # < k tokens
+        (5, "unrelated content about nothing shared at all whatsoever"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    out = {
+        r.doc_id: set(r.fp)
+        for r in df.select(
+            "doc_id", winnowing_fingerprints(F.col("text")).alias("fp")
+        ).collect()
+    }
+    assert out[1] == out[3], "identical docs must fingerprint identically"
+    assert out[1] & out[2], "6-token shared run must share a fingerprint"
+    assert out[4] == set()
+    assert not (out[1] & out[5]), "unrelated docs should not collide"
+
+    # density: selections <= shingle count (and usually far fewer)
+    from ferramenta_etl_spark.operators.dedup import shingle_hashes
+
+    dens = df.filter(F.col("doc_id") == 1).select(
+        F.size(winnowing_fingerprints(F.col("text"))).alias("nfp"),
+        F.size(shingle_hashes(F.col("text"))).alias("nsh"),
+    ).first()
+    assert 0 < dens.nfp <= dens.nsh
