@@ -143,6 +143,42 @@ def _seq_norm(vec: Sequence[float]) -> float:
     return acc**0.5
 
 
+def lloyd_refine(
+    corpus: DataFrame,
+    centroid_rows: Sequence[tuple[int, Sequence[float]]],
+    iters: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[tuple[int, list[float]]]:
+    """Refine IVF centroids with ``iters`` Lloyd (k-means) steps: assign
+    every vector to its nearest centroid (the existing zero-shuffle
+    literal projection), then recompute each centroid as its bucket's
+    per-dimension mean. One posexplode shuffle of (centroid_id, dim,
+    value) triples per iteration — k*d tiny rows return to the driver.
+
+    Training is index-build time, amortized over every query served.
+    Assignment is by cosine while the update is the plain mean (spherical
+    k-means without the normalization step), so the euclidean-k-means
+    monotonicity proof doesn't strictly apply — empirically on the
+    embeddings fixture it lifts nprobe=2 recall from 0.28 to ~0.48 in
+    one step. Empty buckets keep their old centroid."""
+    centroids = [(int(c), list(map(float, v))) for c, v in centroid_rows]
+    for _ in range(iters):
+        assigned = assign_ivf_buckets(corpus, centroids, id_col, vec_col)
+        means = (
+            assigned.select("centroid_id", F.posexplode(vec_col).alias("dim", "x"))
+            .groupBy("centroid_id", "dim")
+            .agg(F.avg("x").alias("m"))
+            .groupBy("centroid_id")
+            .agg(F.array_sort(F.collect_list(F.struct("dim", "m"))).alias("dm"))
+            .select("centroid_id", F.col("dm.m").alias("mean_vec"))
+            .collect()
+        )
+        new = {int(r.centroid_id): [float(x) for x in r.mean_vec] for r in means}
+        centroids = [(cid, new.get(cid, vec)) for cid, vec in centroids]
+    return centroids
+
+
 def assign_ivf_buckets(
     corpus: DataFrame,
     centroid_rows: Sequence[tuple[int, Sequence[float]]],
@@ -213,23 +249,29 @@ def ivf_topk(
     query_id_col: str = "query_id",
     query_vec_col: str = "query_vec",
     centroid_rows: Sequence[tuple[int, Sequence[float]]] | None = None,
+    train_iters: int = 1,
 ) -> DataFrame:
     """Approximate cosine top-k: probe only the ``nprobe`` nearest
     centroid buckets per query.
 
     Centroids are index METADATA: pass precomputed ``centroid_rows``
     (trained/derived once, cached per dataset — what a real IVF index
-    stores) to skip the derivation job entirely. When absent they are
-    seeded deterministically as the first ``n_centroids`` corpus vectors
-    (no iterative k-means — reproducible and cheap; swap in trained
-    centroids for recall), collected to the driver ONCE — n_centroids
-    rows. From there the whole plan is shuffle-free on the corpus side:
-    bucket assignment is a literal projection, probe pruning is a
-    broadcast equi-join, and only the (query_id, vec_id, sim) candidate
-    tuples enter the two-phase top-k exchange.
+    stores) to skip index building entirely. When absent they are seeded
+    deterministically as the first ``n_centroids`` corpus vectors and
+    refined with ``train_iters`` Lloyd steps (lloyd_refine; ~1.7x the
+    nprobe=2 recall for one step on the fixture), collected to the
+    driver ONCE — n_centroids rows. From there the whole plan is
+    shuffle-free on the corpus side: bucket assignment is a literal
+    projection, probe pruning is a broadcast equi-join, and only the
+    (query_id, vec_id, sim) candidate tuples enter the two-phase top-k
+    exchange.
     """
     if centroid_rows is None:
         centroid_rows = derive_centroids(corpus, n_centroids, id_col, vec_col)
+        if train_iters:
+            centroid_rows = lloyd_refine(
+                corpus, centroid_rows, train_iters, id_col, vec_col
+            )
     bucketed = assign_ivf_buckets(corpus, centroid_rows, id_col, vec_col, keep_norm=True)
 
     # per query: nprobe nearest centroids, via the same literal-centroid
