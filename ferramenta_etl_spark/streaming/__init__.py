@@ -8,5 +8,6 @@ from .windows import (  # noqa: F401
     session_agg_stream,
     sliding_agg_stream,
     stream_events,
+    stream_ignore_conflicts,
     tumbling_agg_stream,
 )

@@ -116,6 +116,40 @@ def dedup_within_watermark(
     )
 
 
+def stream_ignore_conflicts(
+    stream_df: DataFrame,
+    path: str,
+    keys: list[str],
+    checkpoint_dir: str,
+    order_by: list[str] | None = None,
+):
+    """Keyed idempotent STREAMING load: every microbatch flows through
+    sinks.write_ignore_conflicts, so a replayed batch (checkpoint
+    recovery, reprocessing, at-least-once sources) appends zero
+    duplicate keys — ``ON CONFLICT DO NOTHING`` as a streaming sink,
+    stronger than dropDuplicatesWithinWatermark because idempotency
+    holds against everything ALREADY IN THE SINK, not just rows inside
+    the watermark horizon. Drains with AvailableNow and blocks until
+    done; returns rows appended across the run's batches."""
+    from ..sinks import write_ignore_conflicts
+
+    appended = {"n": 0}
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        appended["n"] += write_ignore_conflicts(
+            batch_df, path, keys, order_by or ()
+        )
+
+    q = (
+        stream_df.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return appended["n"]
+
+
 def run_available_now(stream_df: DataFrame, checkpoint_dir: str, query_name: str) -> DataFrame:
     """Drain the stream with Trigger.AvailableNow into a memory sink and
     return the result as a DataFrame (test/driver harness helper)."""

@@ -46,6 +46,31 @@ def test_dedup_within_watermark(spark, sf_dir, tmp_path):
     assert out.count() > 0
 
 
+def test_stream_ignore_conflicts_idempotent(spark, sf_dir, tmp_path):
+    """Streaming keyed load: a full REPLAY of the stream (fresh
+    checkpoint — the at-least-once worst case) appends zero rows, because
+    idempotency is enforced against the sink itself, not stream state."""
+    from ferramenta_etl_spark.streaming import stream_ignore_conflicts
+
+    sink = str(tmp_path / "stream_sink")
+    n1 = stream_ignore_conflicts(
+        stream_events(spark, sf_dir),
+        sink,
+        keys=["event_id"],
+        checkpoint_dir=str(tmp_path / "ck1"),
+    )
+    n2 = stream_ignore_conflicts(
+        stream_events(spark, sf_dir),
+        sink,
+        keys=["event_id"],
+        checkpoint_dir=str(tmp_path / "ck2"),  # fresh checkpoint: full replay
+    )
+    assert n1 > 0 and n2 == 0
+    out = spark.read.parquet(sink)
+    assert out.count() == n1
+    assert out.select("event_id").distinct().count() == n1
+
+
 def test_capped_sessions_stateful(spark, sf_dir, tmp_path):
     """applyInPandasWithState capped sessionization == the per-user replay
     of the same semantics (gap OR duration-cap closes a session). The
