@@ -1,1 +1,31 @@
-from .dedup import latest_per_key  # noqa: F401
+from .dedup import (  # noqa: F401
+    dedup_exact,
+    exact_dup_groups,
+    latest_per_key,
+    minhash_lsh_pairs,
+    minhash_signatures,
+    simhash_fingerprints,
+    simhash_near_dup_pairs,
+    tokenset_jaccard_pairs,
+)
+from .multimodal import (  # noqa: F401
+    attach_fake_media,
+    extract_media_features,
+    frame_sample_stub,
+    resize_stub,
+)
+from .similarity import (  # noqa: F401
+    cosine_near_dup_pairs,
+    cosine_topk,
+    derive_centroids,
+    ivf_topk,
+    lloyd_refine,
+)
+from .skew import salted_join, top_key_counts  # noqa: F401
+from .text import (  # noqa: F401
+    content_fingerprint,
+    lang_id,
+    quality_score,
+    winnowing_fingerprints,
+)
+from .topk import grouped_topk  # noqa: F401
