@@ -238,6 +238,44 @@ def assign_ivf_buckets(
     return scored.select(*out)
 
 
+def _query_probes(
+    queries: DataFrame,
+    centroid_rows: Sequence[tuple[int, Sequence[float]]],
+    nprobe: int,
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+) -> DataFrame:
+    """Per query: the ``nprobe`` nearest centroids, via the literal-
+    centroid trick — sort_array on (neg_sim, centroid_id) structs gives
+    the (qsim DESC, centroid_id ASC) order without a shuffle."""
+    queries_n = queries.select(
+        query_id_col,
+        query_vec_col,
+        F.expr(_norm_sql(query_vec_col)).alias("__qn"),
+    )
+    entries_sql = ",".join(
+        f"struct(-round({_dot_sql(_vec_sql(cvec), query_vec_col)}"
+        f" / (CAST({_seq_norm(cvec)!r} AS DOUBLE) * __qn), 6) AS neg_sim,"
+        f" CAST({int(cid)} AS BIGINT) AS centroid_id)"
+        for cid, cvec in centroid_rows
+    )
+    return (
+        queries_n.select(
+            query_id_col,
+            query_vec_col,
+            "__qn",
+            F.explode(
+                F.slice(F.sort_array(F.expr(f"array({entries_sql})")), 1, nprobe)
+            ).alias("p"),
+        ).select(
+            query_id_col,
+            query_vec_col,
+            "__qn",
+            F.col("p.centroid_id").alias("centroid_id"),
+        )
+    )
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -273,33 +311,8 @@ def ivf_topk(
                 corpus, centroid_rows, train_iters, id_col, vec_col
             )
     bucketed = assign_ivf_buckets(corpus, centroid_rows, id_col, vec_col, keep_norm=True)
-
-    # per query: nprobe nearest centroids, via the same literal-centroid
-    # trick — sort_array on (neg_sim, centroid_id) structs replicates the
-    # old window order (qsim DESC, centroid_id ASC) without a shuffle
-    queries_n = queries.select(
-        query_id_col,
-        query_vec_col,
-        F.expr(_norm_sql(query_vec_col)).alias("__qn"),
-    )
-    entries_sql = ",".join(
-        f"struct(-round({_dot_sql(_vec_sql(cvec), query_vec_col)}"
-        f" / (CAST({_seq_norm(cvec)!r} AS DOUBLE) * __qn), 6) AS neg_sim,"
-        f" CAST({int(cid)} AS BIGINT) AS centroid_id)"
-        for cid, cvec in centroid_rows
-    )
-    probes = queries_n.select(
-        query_id_col,
-        query_vec_col,
-        "__qn",
-        F.explode(
-            F.slice(F.sort_array(F.expr(f"array({entries_sql})")), 1, nprobe)
-        ).alias("p"),
-    ).select(
-        query_id_col,
-        query_vec_col,
-        "__qn",
-        F.col("p.centroid_id").alias("centroid_id"),
+    probes = _query_probes(
+        queries, centroid_rows, nprobe, query_id_col, query_vec_col
     )
 
     # search only the probed buckets (broadcast equi-join prunes; the
@@ -307,6 +320,74 @@ def ivf_topk(
     # per pair — both norms were precomputed upstream.
     sim = F.expr(f"round({_dot_sql(query_vec_col, vec_col)} / (__qn * __nv), 6)")
     scored = bucketed.join(F.broadcast(probes), "centroid_id").select(
+        F.col(query_id_col), F.col(id_col), sim.alias("sim")
+    )
+    order = [F.col("sim").desc(), F.col(id_col).asc()]
+    return grouped_topk(scored, [query_id_col], order, k).select(
+        query_id_col, id_col, "sim", "rnk"
+    )
+
+
+def build_ivf_index(
+    corpus: DataFrame,
+    path: str,
+    n_centroids: int = 8,
+    train_iters: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[tuple[int, list[float]]]:
+    """Materialize the IVF index: the corpus bucketed by nearest centroid,
+    written hive-partitioned by ``centroid_id`` (with precomputed norms),
+    plus the trained centroids as a JSON sidecar — what an IVF index IS
+    at 100 TB: partitioned storage + metadata. Serving then reads ONLY
+    the probed partitions from disk (see ivf_topk_on_index), instead of
+    re-bucketing the corpus per query batch."""
+    import json
+    import os
+
+    cents = derive_centroids(corpus, n_centroids, id_col, vec_col)
+    if train_iters:
+        cents = lloyd_refine(corpus, cents, train_iters, id_col, vec_col)
+    bucketed = assign_ivf_buckets(corpus, cents, id_col, vec_col, keep_norm=True)
+    bucketed.write.mode("overwrite").partitionBy("centroid_id").parquet(path)
+    with open(os.path.join(path, "_centroids.json"), "w") as f:
+        json.dump([[cid, list(vec)] for cid, vec in cents], f)
+    return cents
+
+
+def load_ivf_centroids(path: str) -> list[tuple[int, list[float]]]:
+    import json
+    import os
+
+    with open(os.path.join(path, "_centroids.json")) as f:
+        return [(int(cid), [float(x) for x in vec]) for cid, vec in json.load(f)]
+
+
+def ivf_topk_on_index(
+    spark,
+    path: str,
+    queries: DataFrame,
+    nprobe: int = 2,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+) -> DataFrame:
+    """Serve approximate top-k from a persisted IVF index: compute the
+    query batch's probes, then scan ONLY the union of probed
+    ``centroid_id=`` partitions (an isin over at most n_centroids values
+    — hive partition pruning turns it into a directory filter, so the
+    unprobed fraction of the corpus is never read from disk), and finish
+    with the same broadcast-probe join + two-phase top-k as ivf_topk."""
+    cents = load_ivf_centroids(path)
+    probes = _query_probes(queries, cents, nprobe, query_id_col, query_vec_col)
+    probed_ids = sorted(
+        {r.centroid_id for r in probes.select("centroid_id").distinct().collect()}
+    )
+    index = spark.read.parquet(path).filter(F.col("centroid_id").isin(probed_ids))
+    sim = F.expr(f"round({_dot_sql(query_vec_col, vec_col)} / (__qn * __nv), 6)")
+    scored = index.join(F.broadcast(probes), "centroid_id").select(
         F.col(query_id_col), F.col(id_col), sim.alias("sim")
     )
     order = [F.col("sim").desc(), F.col(id_col).asc()]

@@ -184,3 +184,41 @@ def test_lloyd_refine_improves_ivf_recall(spark, sf_dir):
         return len(exact & got) / len(exact)
 
     assert recall(trained) > recall(seed)
+
+
+def test_persisted_ivf_index_prunes_partitions(spark, sf_dir, tmp_path):
+    """build_ivf_index writes the corpus hive-partitioned by centroid_id;
+    serving reads ONLY probed partitions (checked on the scan's actual
+    input files) and returns exactly what the in-memory path returns
+    with the same centroids."""
+    import os
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    corpus = emb.filter(F.col("vec_id") >= 10).select("vec_id", "embedding")
+    path = str(tmp_path / "ivf_index")
+    cents = S.build_ivf_index(corpus, path, n_centroids=8, train_iters=1)
+    assert any(d.startswith("centroid_id=") for d in os.listdir(path))
+    assert S.load_ivf_centroids(path) == [(c, list(map(float, v))) for c, v in cents]
+
+    got = S.ivf_topk_on_index(spark, path, queries, nprobe=2, k=5)
+    want = S.ivf_topk(corpus, queries, nprobe=2, k=5, centroid_rows=cents)
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+
+    # pruning proof, behavioral: corrupt an UNPROBED partition directory —
+    # a whole-index scan would die on it; the pruned serve never opens it
+    probes = S._query_probes(queries, cents, nprobe=2)
+    probed = {f"centroid_id={r.centroid_id}" for r in probes.collect()}
+    all_dirs = {d for d in os.listdir(path) if d.startswith("centroid_id=")}
+    assert len(probed) < len(all_dirs), "all buckets probed; cannot prove pruning"
+    victim = sorted(all_dirs - probed)[0]
+    bad = os.path.join(path, victim, "part-99999-corrupt.snappy.parquet")
+    with open(bad, "wb") as f:
+        f.write(b"not parquet")
+    try:
+        again = S.ivf_topk_on_index(spark, path, queries, nprobe=2, k=5)
+        assert sorted(map(tuple, again.collect())) == sorted(map(tuple, want.collect()))
+    finally:
+        os.remove(bad)
