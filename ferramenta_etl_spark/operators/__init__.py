@@ -1,5 +1,7 @@
 from .dedup import (  # noqa: F401
+    connected_components,
     dedup_exact,
+    dedup_keep_canonical,
     exact_dup_groups,
     latest_per_key,
     minhash_lsh_pairs,
@@ -15,11 +17,14 @@ from .multimodal import (  # noqa: F401
     resize_stub,
 )
 from .similarity import (  # noqa: F401
+    build_ivf_index,
     cosine_near_dup_pairs,
     cosine_topk,
     derive_centroids,
     ivf_topk,
+    ivf_topk_on_index,
     lloyd_refine,
+    load_ivf_centroids,
 )
 from .skew import salted_join, top_key_counts  # noqa: F401
 from .text import (  # noqa: F401

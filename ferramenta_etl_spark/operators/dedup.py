@@ -365,6 +365,83 @@ def simhash_fingerprints(
     return votes.select(id_col, F.expr(f"({fp}) as fp"))
 
 
+def connected_components(
+    pairs: DataFrame,
+    a_col: str = "doc_id_a",
+    b_col: str = "doc_id_b",
+    max_iter: int = 20,
+) -> DataFrame:
+    """Cluster near-duplicate PAIRS into components: (v, label) where
+    label is the component's minimum member id — the canonical doc.
+
+    Min-label propagation over the symmetrized edge set: each round every
+    vertex takes the min of its own and its neighbors' labels (one
+    edge-labels hash-join + groupBy-min per round), stopping at fixpoint.
+    Rounds needed = graph diameter, which for near-dup graphs is small
+    (clusters are quasi-cliques: LSH links most members directly).
+    localCheckpoint per round cuts the lineage so the plan doesn't grow
+    exponentially — the standard iterative-algorithm discipline on Spark.
+    Labels are the narrow (v, label) relation; edges never rewrite."""
+    edges = pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
+    edges = edges.union(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).distinct()
+    edges = edges.localCheckpoint(eager=True)
+    labels = (
+        edges.select(F.col("src").alias("v"))
+        .distinct()
+        .withColumn("label", F.col("v"))
+    )
+    for _ in range(max_iter):
+        nbr_min = (
+            edges.join(
+                labels.select(
+                    F.col("v").alias("dst"), F.col("label").alias("dst_label")
+                ),
+                "dst",
+            )
+            .groupBy("src")
+            .agg(F.min("dst_label").alias("nbr_min"))
+        )
+        new_labels = (
+            labels.join(nbr_min, labels.v == nbr_min.src, "left")
+            .select(
+                labels.v,
+                F.least(
+                    F.col("label"), F.coalesce(F.col("nbr_min"), F.col("label"))
+                ).alias("label"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "v")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels
+
+
+def dedup_keep_canonical(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    a_col: str = "doc_id_a",
+    b_col: str = "doc_id_b",
+) -> DataFrame:
+    """The end of the near-dup pipeline: collapse each pair-connected
+    cluster to its canonical (min-id) member. Docs in no pair survive
+    untouched; one left-anti join against the non-canonical vertex set."""
+    comp = connected_components(pairs, a_col, b_col)
+    losers = comp.filter(F.col("v") != F.col("label")).select(
+        F.col("v").alias(id_col)
+    )
+    return docs.join(losers, id_col, "left_anti")
+
+
 def simhash_near_dup_pairs(
     df: DataFrame,
     max_hamming: int = 3,

@@ -222,3 +222,36 @@ def test_persisted_ivf_index_prunes_partitions(spark, sf_dir, tmp_path):
         assert sorted(map(tuple, again.collect())) == sorted(map(tuple, want.collect()))
     finally:
         os.remove(bad)
+
+
+def test_connected_components_and_canonical_dedup(spark):
+    """Chain 1-2-3-4-5 (diameter forces multiple propagation rounds),
+    star 10-{11,12,13}, pairless doc 99: clusters resolve to min-id
+    labels; keep_canonical keeps exactly one doc per cluster plus the
+    untouched singleton."""
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5), (10, 11), (10, 12), (10, 13)],
+        "doc_id_a long, doc_id_b long",
+    )
+    comp = {r.v: r.label for r in D.connected_components(pairs).collect()}
+    assert comp == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1, 10: 10, 11: 10, 12: 10, 13: 10}
+
+    docs = spark.createDataFrame(
+        [(i, f"text {i}") for i in [1, 2, 3, 4, 5, 10, 11, 12, 13, 99]],
+        "doc_id long, text string",
+    )
+    kept = sorted(r.doc_id for r in D.dedup_keep_canonical(docs, pairs).collect())
+    assert kept == [1, 10, 99]
+
+
+def test_canonical_dedup_on_minhash_pairs(spark, sf_dir):
+    """End-to-end near-dup pipeline on the fixture: minhash pairs ->
+    clusters -> survivors. Survivor count = docs - (cluster sizes - 1)."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = D.minhash_lsh_pairs(docs)
+    n_docs = docs.count()
+    comp = D.connected_components(pairs)
+    n_losers = comp.filter(F.col("v") != F.col("label")).count()
+    kept = D.dedup_keep_canonical(docs, pairs)
+    assert kept.count() == n_docs - n_losers
+    assert n_losers > 0, "fixture has known near-dups; pipeline found none"
