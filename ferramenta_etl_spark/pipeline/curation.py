@@ -1,0 +1,71 @@
+"""Training-data curation pipeline: the extension operators composed
+into one idempotent job — what this engine exists to run at 100 TB.
+
+    documents
+      -> language filter (drop unidentified)
+      -> quality floor (text.quality_score)
+      -> exact dedup (md5 hash-groupBy, min-id survivor)
+      -> near-dup collapse (MinHash-LSH pairs -> connected components
+         -> canonical survivor per cluster)
+      -> idempotent keyed load, hive-partitioned by lang
+
+Every stage is a shuffle-conscious DataFrame op (digests and signatures
+shuffle, never document bodies), and the sink makes the whole pipeline
+re-runnable: a second run appends zero rows. The reference has no analog
+— this is the SURVEY §7 phase-4 surface as a single runnable job."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.dedup import dedup_exact, dedup_keep_canonical, minhash_lsh_pairs
+from ..operators.text import lang_id, n_tokens, quality_score
+from ..sinks import write_ignore_conflicts
+from ..sources import load_table
+
+
+def curate_documents(
+    spark: SparkSession,
+    sf_dir: str,
+    sink_dir: str,
+    min_quality: float = 0.5,
+    min_tokens: int = 5,
+) -> int:
+    """Run the curation pipeline; returns rows appended to the sink."""
+    curated = curated_frame(spark, sf_dir, min_quality, min_tokens)
+    return write_ignore_conflicts(
+        curated,
+        f"{sink_dir}/curated_documents",
+        keys=["lang", "doc_id"],
+        partition_cols=["lang"],
+    )
+
+
+def curated_frame(
+    spark: SparkSession,
+    sf_dir: str,
+    min_quality: float = 0.5,
+    min_tokens: int = 5,
+) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    scored = docs.select(
+        "doc_id",
+        "text",
+        "source",
+        "n_chars",
+        lang_id(F.col("text")).alias("lang"),
+        F.round(quality_score(F.col("text")), 6).alias("quality"),
+        n_tokens(F.col("text")).alias("n_tok"),
+    )
+    good = scored.filter(
+        F.col("lang").isNotNull()
+        & (F.col("quality") >= min_quality)
+        & (F.col("n_tok") >= min_tokens)
+    )
+    exact_unique = dedup_exact(good)
+    pairs = minhash_lsh_pairs(exact_unique)
+    survivors = dedup_keep_canonical(exact_unique, pairs)
+    return survivors.select(
+        "doc_id", "lang", "source", "quality", "n_tok", "text"
+    )

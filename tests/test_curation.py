@@ -1,0 +1,35 @@
+"""The curation pipeline end-to-end: filter -> exact dedup -> near-dup
+collapse -> partitioned idempotent load."""
+
+import os
+
+from pyspark.sql import functions as F
+
+from ferramenta_etl_spark.pipeline.curation import curate_documents, curated_frame
+
+
+def test_curation_pipeline_idempotent(spark, sf_dir, tmp_path):
+    sink_dir = str(tmp_path)
+    n1 = curate_documents(spark, sf_dir, sink_dir)
+    n2 = curate_documents(spark, sf_dir, sink_dir)
+    assert n1 > 0 and n2 == 0, "rerun must append nothing"
+    out = spark.read.parquet(f"{sink_dir}/curated_documents")
+    assert out.count() == n1
+    # hive layout by language
+    assert any(
+        d.startswith("lang=") for d in os.listdir(f"{sink_dir}/curated_documents")
+    )
+
+
+def test_curation_invariants(spark, sf_dir):
+    out = curated_frame(spark, sf_dir)
+    rows = out.count()
+    assert rows > 0
+    # quality floor and token floor hold
+    assert out.filter((F.col("quality") < 0.5) | (F.col("n_tok") < 5)).count() == 0
+    # no two surviving docs share an exact text
+    assert out.select(F.md5("text")).distinct().count() == rows
+    # curation actually removed something (fixture has dups + low quality)
+    from ferramenta_etl_spark.sources import load_table
+
+    assert rows < load_table(spark, sf_dir, "documents").count()
