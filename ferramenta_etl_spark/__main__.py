@@ -46,8 +46,9 @@ def _run_with_progress(reg: JobRegistry, spark, name: str, every: float = 2.0):
 
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(prog="ferramenta_etl_spark")
-    p.add_argument("command", choices=["list", "run", "run-all"])
+    p.add_argument("command", choices=["list", "run", "run-all", "curate"])
     p.add_argument("job", nargs="?", help="job name (for 'run')")
+    p.add_argument("--min-quality", type=float, default=0.5, help="curate: quality floor")
     p.add_argument("--config", default="etl_jobs.json", help="job registry JSON (auto-created)")
     p.add_argument("--sf-dir", default="/root/testdata/sf0.01", help="source table directory")
     p.add_argument("--sink-dir", default="./etl_sinks", help="sink base directory")
@@ -79,6 +80,14 @@ def main(argv: list[str] | None = None) -> int:
         "ferramenta-etl", master=f"local[{args.cpus}]", shuffle_partitions=args.cpus
     )
     try:
+        if args.command == "curate":
+            from .pipeline.curation import curate_documents
+
+            n = curate_documents(
+                spark, args.sf_dir, args.sink_dir, min_quality=args.min_quality
+            )
+            print(f"✅ curated_documents: {n} rows appended")
+            return 0
         if args.command == "run":
             if not args.job:
                 p.error("run requires a job name")
