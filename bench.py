@@ -6,10 +6,12 @@ JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
 Timing = full pipeline per query: plan construction + execution to a
 count-style sink (foreach-noop via ``df.write.format('noop')``), which
 forces every operator without collecting rows to the driver. Each query
-runs twice and the SECOND run is reported: the first run pays one-time
-JVM whole-stage-codegen compilation (hundreds of ms of javac per unique
-plan), which is noise for an engine that runs plans repeatedly — warm
-timings measure the engine, not the compiler.
+runs once to warm up (one-time JVM whole-stage-codegen compilation —
+hundreds of ms of javac per unique plan, noise for an engine that runs
+plans repeatedly), then three timed runs; the MEDIAN is reported. Warm
+single-run variance on local[32] is ~±15% (GC pauses, task-scheduling
+jitter); the median keeps round-over-round comparisons about the plans,
+not the noise.
 """
 
 from __future__ import annotations
@@ -59,9 +61,12 @@ def main() -> None:
     for name in names:
         # warm-up run: JVM codegen compilation + parquet footer first-touch
         queries[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
-        t0 = time.perf_counter()
-        queries[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.perf_counter() - t0, 3)
+        runs = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            queries[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+            runs.append(time.perf_counter() - t0)
+        timings[name] = round(sorted(runs)[1], 3)
 
     total = round(sum(timings.values()), 3)
     print(

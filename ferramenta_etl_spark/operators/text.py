@@ -96,6 +96,93 @@ def quality_score(text: Column) -> Column:
     )
 
 
+# ---------------------------------------------------------------------------
+# Repetition signals (the Gopher-paper family, adapted to whitespace
+# tokens): excessive n-gram repetition is the strongest single indicator
+# of low-quality machine-generated / boilerplate text in web-scale
+# training corpora. All pure SQL expressions — one linear fold per doc,
+# no Python, no shuffle; each doc is scored independently at scan speed.
+# ---------------------------------------------------------------------------
+
+
+def token_ngrams(text: Column, n: int = 2) -> Column:
+    """Token n-grams WITH multiplicity (contrast shingles(): distinct).
+    Docs shorter than n keep one partial gram, so the list is never
+    empty and downstream ratios never divide by zero."""
+    toks = ws_tokens(text)
+    idx = F.sequence(F.lit(1), F.greatest(F.size(toks) - F.lit(n - 1), F.lit(1)))
+    return F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, n)))
+
+
+def dup_ngram_fraction(text: Column, n: int = 2) -> Column:
+    """Fraction of n-gram occurrences that are repeats of an earlier one:
+    1 - distinct/total. 0 = no repetition, ->1 = the doc is one phrase
+    looped."""
+    g = token_ngrams(text, n)
+    return F.lit(1.0) - F.size(F.array_distinct(g)).cast("double") / F.size(g).cast(
+        "double"
+    )
+
+
+def _max_equal_run(arr: Column) -> Column:
+    """Longest run of equal ADJACENT elements — one linear aggregate fold
+    with a (prev, run, best) struct accumulator."""
+    init = F.struct(
+        F.lit(None).cast("string").alias("prev"),
+        F.lit(0).alias("run"),
+        F.lit(0).alias("best"),
+    )
+
+    def step(acc: Column, x: Column) -> Column:
+        run = F.when(x.eqNullSafe(acc["prev"]), acc["run"] + 1).otherwise(F.lit(1))
+        return F.struct(
+            x.alias("prev"), run.alias("run"), F.greatest(acc["best"], run).alias("best")
+        )
+
+    return F.aggregate(arr, init, step, lambda acc: acc["best"])
+
+
+def top_ngram_fraction(text: Column, n: int = 2) -> Column:
+    """Fraction of the token stream covered by the single most frequent
+    n-gram: max multiplicity (max equal-run of the SORTED gram list —
+    sorting groups equal grams, so the fold is linear, never the
+    quadratic count-per-distinct-gram form) x n / n_tokens."""
+    best = _max_equal_run(F.array_sort(token_ngrams(text, n)))
+    return best.cast("double") * float(n) / n_tokens(text).cast("double")
+
+
+def max_token_run(text: Column) -> Column:
+    """Longest consecutive repetition of one token ("spam spam spam") —
+    adjacency in the UNSORTED stream, unlike top_ngram_fraction's global
+    multiplicity."""
+    return _max_equal_run(ws_tokens(text))
+
+
+def alpha_word_ratio(text: Column) -> Column:
+    """Fraction of tokens containing at least one letter — low values
+    flag tables/code/garbage masquerading as prose."""
+    toks = ws_tokens(text)
+    n_alpha = F.size(F.filter(toks, lambda t: t.rlike("[a-z]")))
+    return n_alpha.cast("double") / F.size(toks).cast("double")
+
+
+def gopher_keep(text: Column, min_tokens: int = 10, max_tokens: int = 100_000) -> Column:
+    """Composite keep/drop gate in the style of the Gopher rules: token
+    count in range, mean token length in [3, 10], mostly-alphabetic
+    tokens, bounded bigram repetition. Thresholds are defaults, not
+    dogma — tune per corpus."""
+    nt = n_tokens(text)
+    mean_len = avg_token_len(text)
+    return (
+        (nt >= min_tokens)
+        & (nt <= max_tokens)
+        & (mean_len >= 3.0)
+        & (mean_len <= 10.0)
+        & (alpha_word_ratio(text) >= 0.8)
+        & (dup_ngram_fraction(text, 2) <= 0.2)
+    )
+
+
 def content_fingerprint(text: Column) -> Column:
     """Order-insensitive content fingerprint: md5 over the sorted distinct
     token set. Robust to token reordering — pairs docs that are shuffles

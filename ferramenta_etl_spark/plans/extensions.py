@@ -305,20 +305,61 @@ def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 @_q(
     "text_token_count",
     r"""
-    SELECT doc_id,
-           len(string_split(text, ' ')) AS n_ws_tokens,
-           len(regexp_extract_all(lower(text), '[a-z]+|[0-9]|[^a-z0-9\s]'))
-             AS n_bpe_ish
-    FROM documents
+    WITH t AS (
+        SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents
+    ),
+    g AS (
+        SELECT doc_id, toks,
+               list_transform(range(1, greatest(len(toks) - 1, 1) + 1),
+                   i -> array_to_string(list_slice(toks, i, i + 1), ' ')) AS grams
+        FROM t
+    ),
+    runs AS (  -- gaps-and-islands: longest consecutive equal-token run
+        SELECT doc_id, MAX(cnt) AS max_run FROM (
+            SELECT doc_id, COUNT(*) AS cnt FROM (
+                SELECT doc_id, tok, i,
+                       i - ROW_NUMBER() OVER (PARTITION BY doc_id, tok ORDER BY i)
+                         AS grp
+                FROM (SELECT doc_id, unnest(toks) AS tok,
+                             generate_subscripts(toks, 1) AS i FROM t)
+            ) GROUP BY doc_id, tok, grp
+        ) GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           len(string_split(d.text, ' ')) AS n_ws_tokens,
+           len(regexp_extract_all(lower(d.text), '[a-z]+|[0-9]|[^a-z0-9\s]'))
+             AS n_bpe_ish,
+           ROUND(1.0 - CAST(len(list_distinct(g.grams)) AS DOUBLE) / len(g.grams), 6)
+             AS dup_2gram_frac,
+           ROUND(CAST(list_max(list_transform(list_distinct(g.grams),
+                     x -> len(list_filter(g.grams, y -> y = x)))) AS DOUBLE)
+                 * 2.0 / len(g.toks), 6) AS top_2gram_frac,
+           CAST(runs.max_run AS INT) AS max_token_run,
+           ROUND(CAST(len(list_filter(g.toks, x -> regexp_matches(x, '[a-z]')))
+                      AS DOUBLE) / len(g.toks), 6) AS alpha_word_ratio
+    FROM documents d
+    JOIN g    ON d.doc_id = g.doc_id
+    JOIN runs ON d.doc_id = runs.doc_id
     """,
 )
 def text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Token counting: whitespace tokens + a BPE-ish regex token count."""
+    """Token counting + repetition signals: whitespace tokens, a BPE-ish
+    regex token count, and the Gopher-style repetition family
+    (operators/text.py) — duplicate-bigram fraction, top-bigram coverage,
+    longest consecutive token run, alphabetic-token ratio. All linear
+    per-doc folds at scan speed; the oracle's quadratic
+    count-per-distinct-gram and gaps-and-islands window forms are the
+    independent cross-checks of the folds."""
     docs = load_table(spark, sf_dir, "documents")
+    t = F.col("text")
     return docs.select(
         "doc_id",
-        F.size(F.split(F.col("text"), " ")).alias("n_ws_tokens"),
-        X.bpe_ish_count(F.col("text")).alias("n_bpe_ish"),
+        F.size(F.split(t, " ")).alias("n_ws_tokens"),
+        X.bpe_ish_count(t).alias("n_bpe_ish"),
+        F.round(X.dup_ngram_fraction(t, 2), 6).alias("dup_2gram_frac"),
+        F.round(X.top_ngram_fraction(t, 2), 6).alias("top_2gram_frac"),
+        X.max_token_run(t).alias("max_token_run"),
+        F.round(X.alpha_word_ratio(t), 6).alias("alpha_word_ratio"),
     )
 
 

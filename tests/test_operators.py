@@ -255,3 +255,36 @@ def test_canonical_dedup_on_minhash_pairs(spark, sf_dir):
     kept = D.dedup_keep_canonical(docs, pairs)
     assert kept.count() == n_docs - n_losers
     assert n_losers > 0, "fixture has known near-dups; pipeline found none"
+
+
+def test_repetition_signals(spark):
+    """Hand-computed fixtures for the Gopher-style repetition family:
+    a looping doc scores high on every signal, clean prose scores low,
+    and gopher_keep separates them."""
+    from ferramenta_etl_spark.operators import text as T
+
+    looped = "spam spam spam spam ham"          # 5 tokens, run of 4
+    prose = "the quick brown fox jumps over a lazy dog near the bank today more words"
+    df = spark.createDataFrame([(1, looped), (2, prose)], "doc_id long, text string")
+    out = {
+        r.doc_id: r
+        for r in df.select(
+            "doc_id",
+            T.dup_ngram_fraction(F.col("text"), 2).alias("dup2"),
+            T.top_ngram_fraction(F.col("text"), 2).alias("top2"),
+            T.max_token_run(F.col("text")).alias("run"),
+            T.alpha_word_ratio(F.col("text")).alias("alpha"),
+            T.gopher_keep(F.col("text"), min_tokens=5).alias("keep"),
+        ).collect()
+    }
+    # looped: bigrams = [spam spam]x3, [spam ham] -> distinct 2 of 4
+    assert abs(out[1].dup2 - 0.5) < 1e-9
+    assert abs(out[1].top2 - (3 * 2 / 5)) < 1e-9
+    assert out[1].run == 4
+    assert not out[1].keep
+    # prose: all 14 bigrams distinct, max multiplicity 1, no runs
+    assert out[2].dup2 == 0.0
+    assert abs(out[2].top2 - (1 * 2 / 15)) < 1e-9
+    assert out[2].run == 1
+    assert out[2].alpha == 1.0
+    assert out[2].keep
