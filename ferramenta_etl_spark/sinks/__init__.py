@@ -3,6 +3,12 @@ from .idempotent import (  # noqa: F401
     merge_insert_condition,
     write_ignore_conflicts,
 )
+from .layout import (  # noqa: F401
+    compact_small_files,
+    file_clustering_report,
+    write_zordered,
+    zorder_value,
+)
 from .quarantine import (  # noqa: F401
     quarantine_invalid,
     read_json_with_quarantine,

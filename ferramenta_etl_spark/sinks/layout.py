@@ -1,0 +1,159 @@
+"""Physical data layout for scan efficiency at the 100 TB target.
+
+Two tools the reference never needed (its sink was a remote PostgreSQL
+table) but any parquet-lake deployment does:
+
+- ``write_zordered``: multi-column clustering via a Z-order (Morton)
+  space-filling curve. A plain sort clusters file-level min/max stats on
+  ONE column; interleaving the bits of two columns gives every file a
+  narrow range on BOTH, so parquet row-group statistics prune scans for
+  predicates on either column (or their conjunction). This is what
+  Delta/Iceberg ``OPTIMIZE ZORDER BY`` does, expressed with vanilla
+  Spark: one tiny min/max agg (2 rows to the driver — metadata), a pure
+  bit-twiddling projection (whole-stage codegen), and one range
+  exchange.
+- ``compact_small_files``: rewrite a parquet directory into
+  size-targeted files. Streaming/idempotent appends accumulate small
+  files; at scale the scan's task-scheduling overhead and footer reads
+  dominate. Compaction is the standard maintenance job.
+"""
+
+from __future__ import annotations
+
+import math
+import os
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def _scale_to_bits(col: Column, lo: float, hi: float, bits: int) -> Column:
+    """Map a numeric column onto the integer grid [0, 2^bits): rank-free
+    linear scaling against the precomputed (lo, hi) range. Nulls map to
+    cell 0 (they cluster together at the curve origin)."""
+    span = hi - lo
+    if span <= 0:  # constant column: everything in one cell
+        return F.lit(0).cast("long")
+    cells = (1 << bits) - 1
+    scaled = ((col.cast("double") - F.lit(float(lo))) / F.lit(float(span))) * cells
+    return F.coalesce(
+        F.least(F.greatest(F.round(scaled, 0).cast("long"), F.lit(0)), F.lit(cells)),
+        F.lit(0),
+    )
+
+
+def zorder_value(scaled: Sequence[Column], bits: int = 16) -> Column:
+    """Interleave the low ``bits`` bits of each pre-scaled integer column
+    into one Morton code. Built as a balanced tree of bitwise-OR terms —
+    all integer shifts/masks, fully inside whole-stage codegen."""
+    n = len(scaled)
+    terms: list[Column] = []
+    for i in range(bits):
+        for j, c in enumerate(scaled):
+            src = c.cast("long").bitwiseAND(F.lit(1 << i))
+            # bit i of column j lands at interleaved position i*n + j;
+            # src already sits at position i, so shift by the difference
+            terms.append(F.shiftleft(src, i * (n - 1) + j))
+    out = terms[0]
+    for t in terms[1:]:
+        out = out.bitwiseOR(t)
+    return out
+
+
+def write_zordered(
+    df: DataFrame,
+    path: str,
+    cols: Sequence[str],
+    num_files: int,
+    bits: int = 16,
+    mode: str = "overwrite",
+) -> None:
+    """Write ``df`` as parquet clustered on the Z-order curve over
+    ``cols``.
+
+    Plan shape: one 2-value-per-column agg (driver-side metadata), a
+    bit-interleave projection, ``repartitionByRange`` on the Morton code
+    (one exchange — the same cost as any global sort), a within-
+    partition sort so row groups inside each file are clustered too,
+    then the projection drops the helper column before the write. At
+    100 TB: ranges come from table statistics or a sampled agg instead
+    of the exact min/max; the exchange is the only data movement.
+    """
+    ranges = df.agg(
+        *[F.min(c).cast("double").alias(f"lo_{c}") for c in cols],
+        *[F.max(c).cast("double").alias(f"hi_{c}") for c in cols],
+    ).collect()[0]
+    scaled = [
+        _scale_to_bits(F.col(c), ranges[f"lo_{c}"], ranges[f"hi_{c}"], bits)
+        for c in cols
+    ]
+    (
+        df.withColumn("__z", zorder_value(scaled, bits))
+        .repartitionByRange(num_files, F.col("__z"))
+        .sortWithinPartitions("__z")
+        .drop("__z")
+        .write.mode(mode)
+        .parquet(path)
+    )
+
+
+def file_clustering_report(path: str, cols: Sequence[str]) -> list[dict]:
+    """Per-file min/max coverage for ``cols`` straight from the parquet
+    footers (what a reader's row-group pruning sees). Returns one dict
+    per data file: {file, nrows, <col>_min, <col>_max}. Test/ops
+    helper — reads footers only, never data pages."""
+    import pyarrow.parquet as pq
+
+    out = []
+    for name in sorted(os.listdir(path)):
+        if not name.endswith(".parquet"):
+            continue
+        md = pq.ParquetFile(os.path.join(path, name)).metadata
+        schema_names = [md.schema.column(i).name for i in range(md.num_columns)]
+        rec: dict = {"file": name, "nrows": md.num_rows}
+        for c in cols:
+            ci = schema_names.index(c)
+            lo, hi = None, None
+            for rg in range(md.num_row_groups):
+                st = md.row_group(rg).column(ci).statistics
+                if st is None or not st.has_min_max:
+                    continue
+                lo = st.min if lo is None else min(lo, st.min)
+                hi = st.max if hi is None else max(hi, st.max)
+            rec[f"{c}_min"], rec[f"{c}_max"] = lo, hi
+        out.append(rec)
+    return out
+
+
+def compact_small_files(
+    spark: SparkSession,
+    path: str,
+    target_bytes: int = 128 * 1024 * 1024,
+) -> int:
+    """Rewrite the parquet directory at ``path`` into files of roughly
+    ``target_bytes`` each; returns the new file count.
+
+    Sizing uses the CURRENT on-disk bytes (compressed), so the target is
+    hit without a pre-pass over the data. The rewrite stages into
+    ``path + '.compact.tmp'`` and swaps via rename — a reader never sees
+    a half-written directory; crash before the swap leaves the original
+    untouched (rerun-safe), matching the staging discipline of
+    sinks/idempotent.py.
+    """
+    total = sum(
+        os.path.getsize(os.path.join(path, f))
+        for f in os.listdir(path)
+        if f.endswith(".parquet")
+    )
+    n = max(1, math.ceil(total / target_bytes))
+    staging = path.rstrip("/") + ".compact.tmp"
+    old = path.rstrip("/") + ".compact.old"
+    # coalesce, not repartition: merging small files needs no shuffle
+    spark.read.parquet(path).coalesce(n).write.mode("overwrite").parquet(staging)
+    os.rename(path, old)
+    os.rename(staging, path)
+    import shutil
+
+    shutil.rmtree(old)
+    return n

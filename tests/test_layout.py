@@ -1,0 +1,95 @@
+"""Data-layout sinks: Z-order clustering and small-file compaction.
+
+The clustering test is the data-skipping proof: after write_zordered,
+every file's footer min/max covers a narrow slice of BOTH cluster
+columns, so a reader's row-group pruning (which consumes exactly those
+stats) skips most files for a selective predicate on either column. The
+unordered baseline shows the counterfactual: every file spans ~the full
+range, nothing prunes.
+"""
+
+import pyspark.sql.functions as F
+
+from ferramenta_etl_spark.sinks.layout import (
+    compact_small_files,
+    file_clustering_report,
+    write_zordered,
+)
+from ferramenta_etl_spark.sources import load_table
+
+
+def _mean_coverage(report, col, lo, hi):
+    """Average fraction of the full [lo, hi] domain a file's
+    [min, max] spans."""
+    spans = [
+        (r[f"{col}_max"] - r[f"{col}_min"]) / (hi - lo)
+        for r in report
+        if r[f"{col}_min"] is not None
+    ]
+    return sum(spans) / len(spans)
+
+
+def test_zorder_narrows_both_columns(spark, sf_dir, tmp_path):
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_extendedprice"
+    )
+    lo_o, hi_o, lo_p, hi_p = li.agg(
+        F.min("l_orderkey"), F.max("l_orderkey"),
+        F.min("l_partkey"), F.max("l_partkey"),
+    ).collect()[0]
+
+    base = str(tmp_path / "plain")
+    li.repartition(16).write.parquet(base)  # round-robin: no clustering
+    zpath = str(tmp_path / "zorder")
+    # 16 files -> the curve's 4-bit prefix splits BOTH columns twice,
+    # so each file covers ~1/4 of each domain (8 files would halve only
+    # one of them: the prefix bits alternate between columns)
+    write_zordered(li, zpath, ["l_orderkey", "l_partkey"], num_files=16)
+
+    cols = ["l_orderkey", "l_partkey"]
+    rep_base = file_clustering_report(base, cols)
+    rep_z = file_clustering_report(zpath, cols)
+
+    # same data survived the layout change
+    assert sum(r["nrows"] for r in rep_z) == sum(r["nrows"] for r in rep_base)
+
+    for col, lo, hi in (("l_orderkey", lo_o, hi_o), ("l_partkey", lo_p, hi_p)):
+        cov_base = _mean_coverage(rep_base, col, lo, hi)
+        cov_z = _mean_coverage(rep_z, col, lo, hi)
+        # round-robin files each span ~the whole domain; z-ordered files
+        # must each cover well under half of it, on BOTH columns at once
+        assert cov_base > 0.9, f"{col}: baseline unexpectedly clustered ({cov_base:.2f})"
+        assert cov_z < 0.5, f"{col}: z-order did not cluster ({cov_z:.2f})"
+        assert cov_z < cov_base / 2
+
+
+def test_zorder_roundtrip_content(spark, sf_dir, tmp_path):
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    zpath = str(tmp_path / "z")
+    write_zordered(li, zpath, ["l_orderkey", "l_partkey"], num_files=4)
+    back = spark.read.parquet(zpath)
+    assert back.count() == li.count()
+    assert back.exceptAll(li).count() == 0
+    assert li.exceptAll(back).count() == 0
+
+
+def test_compact_small_files(spark, tmp_path):
+    path = str(tmp_path / "many")
+    df = spark.range(10_000).withColumn("v", F.col("id") * 2)
+    df.repartition(40).write.parquet(path)
+    import os
+
+    n_before = len([f for f in os.listdir(path) if f.endswith(".parquet")])
+    assert n_before == 40
+    total = sum(
+        os.path.getsize(os.path.join(path, f))
+        for f in os.listdir(path)
+        if f.endswith(".parquet")
+    )
+    # target = half the current bytes -> exactly 2 output files
+    n_after = compact_small_files(spark, path, target_bytes=total // 2 + 1)
+    n_disk = len([f for f in os.listdir(path) if f.endswith(".parquet")])
+    assert n_after == n_disk == 2
+    back = spark.read.parquet(path)
+    assert back.count() == 10_000
+    assert back.agg(F.sum("v")).collect()[0][0] == 9_999 * 10_000
