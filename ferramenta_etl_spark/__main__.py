@@ -46,9 +46,12 @@ def _run_with_progress(reg: JobRegistry, spark, name: str, every: float = 2.0):
 
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(prog="ferramenta_etl_spark")
-    p.add_argument("command", choices=["list", "run", "run-all", "curate"])
-    p.add_argument("job", nargs="?", help="job name (for 'run')")
+    p.add_argument("command", choices=["list", "run", "run-all", "curate", "optimize"])
+    p.add_argument("job", nargs="?", help="job name (for 'run') / parquet dir (for 'optimize')")
     p.add_argument("--min-quality", type=float, default=0.5, help="curate: quality floor")
+    p.add_argument("--zorder", help="optimize: comma-separated columns to Z-order cluster on")
+    p.add_argument("--target-mb", type=int, default=128, help="optimize: target file size (MiB)")
+    p.add_argument("--files", type=int, default=0, help="optimize --zorder: output file count")
     p.add_argument("--config", default="etl_jobs.json", help="job registry JSON (auto-created)")
     p.add_argument("--sf-dir", default="/root/testdata/sf0.01", help="source table directory")
     p.add_argument("--sink-dir", default="./etl_sinks", help="sink base directory")
@@ -80,6 +83,31 @@ def main(argv: list[str] | None = None) -> int:
         "ferramenta-etl", master=f"local[{args.cpus}]", shuffle_partitions=args.cpus
     )
     try:
+        if args.command == "optimize":
+            if not args.job:
+                p.error("optimize requires a parquet directory path")
+            from .sinks.layout import compact_small_files, write_zordered
+
+            if args.zorder:
+                cols = [c.strip() for c in args.zorder.split(",") if c.strip()]
+                df = spark.read.parquet(args.job)
+                n = args.files or max(1, df.rdd.getNumPartitions())
+                staging = args.job.rstrip("/") + ".zorder.tmp"
+                write_zordered(df, staging, cols, num_files=n)
+                import os
+                import shutil
+
+                old = args.job.rstrip("/") + ".zorder.old"
+                os.rename(args.job, old)
+                os.rename(staging, args.job)
+                shutil.rmtree(old)
+                print(f"✅ z-ordered {args.job} on {cols} into {n} files")
+            else:
+                n = compact_small_files(
+                    spark, args.job, target_bytes=args.target_mb * 1024 * 1024
+                )
+                print(f"✅ compacted {args.job} into {n} files")
+            return 0
         if args.command == "curate":
             from .pipeline.curation import curate_documents
 

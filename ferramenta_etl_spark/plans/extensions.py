@@ -23,18 +23,9 @@ from ..operators import similarity as S
 from ..operators import text as X
 from ..sources import load_table
 
-QUERIES: dict = {}
-ORACLES: dict[str, str] = {}
+from ._registry import make_registry
 
-
-def _q(name: str, oracle: str | None = None):
-    def deco(fn):
-        QUERIES[name] = fn
-        if oracle is not None:
-            ORACLES[name] = oracle
-        return fn
-
-    return deco
+QUERIES, ORACLES, _q = make_registry()
 
 
 # DuckDB rendering of the bit-stable sequential dot product (matches

@@ -220,5 +220,7 @@ WHERE b.o_orderdate >= TIMESTAMP '1995-07-01'
 ORDER BY id_manifesto, cd_parcela
 """
 
-QUERIES = {"flagship": flagship}
-ORACLES = {"flagship": FLAGSHIP_ORACLE}
+from ._registry import make_registry  # noqa: E402
+
+QUERIES, ORACLES, _q = make_registry()
+flagship = _q("flagship", FLAGSHIP_ORACLE)(flagship)

@@ -39,18 +39,9 @@ from ..operators.dedup import latest_per_key
 from ..operators.topk import grouped_topk
 from ..sources import load_table
 
-QUERIES: dict = {}
-ORACLES: dict[str, str] = {}
+from ._registry import make_registry
 
-
-def _q(name: str, oracle: str | None = None):
-    def deco(fn):
-        QUERIES[name] = fn
-        if oracle is not None:
-            ORACLES[name] = oracle
-        return fn
-
-    return deco
+QUERIES, ORACLES, _q = make_registry()
 
 
 def _sum2(col_expr) -> F.Column:

@@ -24,18 +24,9 @@ from pyspark.sql import functions as F
 from ..functions.tsql import money
 from ..sources import load_table
 
-QUERIES: dict = {}
-ORACLES: dict[str, str] = {}
+from ._registry import make_registry
 
-
-def _q(name: str, oracle: str | None = None):
-    def deco(fn):
-        QUERIES[name] = fn
-        if oracle is not None:
-            ORACLES[name] = oracle
-        return fn
-
-    return deco
+QUERIES, ORACLES, _q = make_registry()
 
 
 def _sum2(col_expr) -> F.Column:

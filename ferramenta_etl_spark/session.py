@@ -50,6 +50,9 @@ def get_session(
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions or cpus))
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # un-filtered MIN/MAX/COUNT aggregates answered from parquet
+        # footer statistics instead of data pages (off by default)
+        .config("spark.sql.parquet.aggregatePushdown", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.showConsoleProgress", "false")
