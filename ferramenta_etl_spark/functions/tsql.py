@@ -64,8 +64,15 @@ def epoch_ms(col: Column | str) -> Column:
     """Milliseconds since epoch with explicit truncation. Spark's
     ``unix_millis`` and DuckDB's ``epoch_ms`` disagree by 1 ms on
     microsecond-precision timestamps (round vs truncate); both sides of
-    the oracle contract therefore use floor(epoch_us / 1000)."""
-    return F.floor(F.unix_micros(col) / 1000).cast("long")
+    the oracle contract therefore use floor(epoch_us / 1000).
+
+    The cast to ``timestamp`` first makes this total over TIMESTAMP_NTZ
+    inputs (parquet ``timestamp[us]`` without tz infers as NTZ in Spark 4,
+    and ``unix_micros`` rejects NTZ); the session timezone is pinned to
+    UTC, so NTZ -> TIMESTAMP is a pure reinterpretation that agrees with
+    DuckDB's naive-timestamp ``epoch_us``."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.floor(F.unix_micros(c.cast("timestamp")) / 1000).cast("long")
 
 
 def money(col: Column | str, scale: int = 2) -> Column:

@@ -26,9 +26,12 @@ from ..sources.tables import EXPECTED_SCHEMAS
 
 
 def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """File-source stream over the events fixture. The parquet carries
-    TIMESTAMP(NANOS) read as long (session.py); normalized here exactly
-    like the batch loader (integer ns→µs division).
+    """File-source stream over the events fixture, normalized to the same
+    shape as the batch loader (sources/tables.py): ``ts`` may arrive as a
+    plain timestamp[us] or as TIMESTAMP(NANOS) surfaced as int64 (under
+    nanosAsLong, see session.py) depending on the fixture writer; a cheap
+    batch footer probe picks the matching stream schema so stream and
+    batch read identical values.
 
     Spark's file stream source only accepts directories; the fixture is a
     single file, so it is exposed through a symlink staging directory
@@ -39,6 +42,7 @@ def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     import tempfile
 
     src = f"{sf_dir}/events.parquet"
+    ts_dtype = dict(spark.read.parquet(src).dtypes).get("ts", "timestamp")
     if os.path.isfile(src):
         d = os.path.join(
             tempfile.gettempdir(),
@@ -49,9 +53,18 @@ def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         if not os.path.exists(link):
             os.symlink(src, link)
         src = d
-    schema = "event_id long, ts long, user_id long, event_type string, value double, props string"
+    schema = (
+        f"event_id long, ts {ts_dtype}, user_id long, event_type string, "
+        "value double, props string"
+    )
     raw = spark.readStream.schema(schema).parquet(src)
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if ts_dtype == "bigint":
+        raw = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    elif ts_dtype == "timestamp_ntz":
+        # session TZ is pinned to UTC, so NTZ -> TIMESTAMP is a pure
+        # reinterpretation; keeps watermark/window types uniform
+        raw = raw.withColumn("ts", F.col("ts").cast("timestamp"))
+    return raw
 
 
 def _agg(df: DataFrame):
