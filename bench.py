@@ -41,6 +41,7 @@ HEADLINE = [
     "embedding_cosine_topk",
     "embedding_ann_ivf",
     "text_quality_score",
+    "text_decontaminate",
     "events_session_agg",
 ]
 

@@ -183,6 +183,57 @@ def gopher_keep(text: Column, min_tokens: int = 10, max_tokens: int = 100_000) -
     )
 
 
+def word_ngrams(text: Column, n: int) -> Column:
+    """DISTINCT word n-grams of exactly n tokens (docs shorter than n
+    yield none) — the decontamination unit. Contrast token_ngrams(),
+    which keeps multiplicity and a partial gram for short docs: overlap
+    detection wants set semantics and no sub-length grams."""
+    toks = ws_tokens(text)
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size(toks) - F.lit(n - 1)),
+        lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+    )
+    # sequence(1, 0) counts DOWN; route the short-doc case explicitly
+    return F.array_distinct(
+        F.when(F.size(toks) >= n, grams).otherwise(F.array().cast("array<string>"))
+    )
+
+
+def contamination_hits(
+    corpus,
+    benchmark,
+    n: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+):
+    """Test-set decontamination by n-gram overlap (the GPT-3-style
+    counting method): per corpus doc, how many of its distinct word
+    n-grams appear anywhere in the benchmark set. Docs with hits > 0
+    are contaminated and should be dropped before training.
+
+    100 TB shape: the benchmark's distinct n-gram set is metadata-scale
+    (evaluation suites are millions of grams, not billions) and is
+    BROADCAST; corpus grams are deduped per-doc with array_distinct
+    BEFORE exploding (local, no shuffle), so the only exchange is the
+    per-doc count of surviving hit tuples — a vanishing fraction of the
+    corpus. The corpus itself never shuffles and never holds more state
+    than one doc's gram array.
+
+    Returns (id_col, n_hits) for contaminated docs only; left-join back
+    to the corpus for a keep/drop flag."""
+    bench_grams = benchmark.select(
+        F.explode(word_ngrams(F.col(text_col), n)).alias("g")
+    ).distinct()
+    corpus_grams = corpus.select(
+        F.col(id_col), F.explode(word_ngrams(F.col(text_col), n)).alias("g")
+    )
+    return (
+        corpus_grams.join(F.broadcast(bench_grams), "g")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+
+
 def content_fingerprint(text: Column) -> Column:
     """Order-insensitive content fingerprint: md5 over the sorted distinct
     token set. Robust to token reordering — pairs docs that are shuffles

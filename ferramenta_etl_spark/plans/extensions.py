@@ -354,6 +354,55 @@ def text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "text_decontaminate",
+    """
+    WITH toks AS (
+        SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents
+    ),
+    grams AS (
+        SELECT doc_id, unnest(list_distinct(list_transform(
+                   range(1, greatest(len(t) - 4, 0) + 1),
+                   i -> array_to_string(list_slice(t, i, i + 4), ' ')))) AS g
+        FROM toks
+    ),
+    bench AS (SELECT DISTINCT g FROM grams WHERE doc_id % 97 = 0),
+    hits AS (
+        SELECT c.doc_id, COUNT(*) AS n_hits
+        FROM grams c JOIN bench b USING (g)
+        WHERE c.doc_id % 97 <> 0
+        GROUP BY c.doc_id
+    )
+    SELECT d.doc_id,
+           CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_contaminated,
+           COALESCE(h.n_hits, 0) > 0 AS contaminated
+    FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id
+    WHERE d.doc_id % 97 <> 0
+    """,
+)
+def text_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Test-set decontamination: flag corpus docs sharing any 5-token
+    word n-gram with a held-out benchmark slice (docs with
+    doc_id % 97 == 0 stand in for the eval suite). The GPT-3-style
+    overlap-counting method — production pipelines use 8-13 grams on
+    natural text; 5 matches this fixture's short synthetic docs so the
+    query exercises real positives. See operators/text.contamination_hits
+    for the broadcast-benchmark zero-corpus-shuffle plan shape."""
+    docs = load_table(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 97 == 0)
+    corpus = docs.filter(F.col("doc_id") % 97 != 0)
+    hits = X.contamination_hits(corpus, bench, n=5)
+    return (
+        corpus.select("doc_id")
+        .join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("n_hits"), F.lit(0)).cast("bigint").alias("n_contaminated"),
+            (F.coalesce(F.col("n_hits"), F.lit(0)) > 0).alias("contaminated"),
+        )
+    )
+
+
 # ===========================================================================
 # Multimodal plumbing
 # ===========================================================================

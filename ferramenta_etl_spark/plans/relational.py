@@ -605,26 +605,37 @@ def semi_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
-    "pivot_agg",
+    "pivot_unpivot",
     """
-    SELECT l_returnflag,
-           CAST(SUM(CASE WHEN l_linestatus = 'F'
-                    THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DOUBLE) AS qty_F,
-           CAST(SUM(CASE WHEN l_linestatus = 'O'
-                    THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DOUBLE) AS qty_O
-    FROM lineitem GROUP BY l_returnflag
+    WITH p AS (
+        SELECT l_returnflag,
+               CAST(SUM(CASE WHEN l_linestatus = 'F'
+                        THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DOUBLE) AS qty_F,
+               CAST(SUM(CASE WHEN l_linestatus = 'O'
+                        THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DOUBLE) AS qty_O
+        FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l_returnflag, 'qty_F' AS status, qty_F AS qty FROM p WHERE qty_F IS NOT NULL
+    UNION ALL
+    SELECT l_returnflag, 'qty_O' AS status, qty_O AS qty FROM p WHERE qty_O IS NOT NULL
     """,
 )
-def pivot_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Pivot with explicit value list (one pass; no value-discovery job)."""
+def pivot_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot with explicit value list (one pass; no value-discovery job)
+    melted straight back with the native single-pass unpivot — the
+    round-trip exercises both operators in one plan (absorbs the former
+    pivot_agg and unpivot_metrics queries). Spark's unpivot drops null
+    measures, matching SQL UNPIVOT's EXCLUDE NULLS default; the oracle
+    filters explicitly."""
     li = load_table(spark, sf_dir, "lineitem")
-    return (
+    wide = (
         li.groupBy("l_returnflag")
         .pivot("l_linestatus", ["F", "O"])
         .agg(_sum2(F.col("l_quantity")))
         .withColumnRenamed("F", "qty_F")
         .withColumnRenamed("O", "qty_O")
     )
+    return wide.unpivot(["l_returnflag"], ["qty_F", "qty_O"], "status", "qty")
 
 
 @_q(

@@ -52,40 +52,6 @@ def explode_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
-    "unpivot_metrics",
-    """
-    SELECT l_orderkey, l_linenumber, 'qty' AS metric, l_quantity AS value FROM lineitem
-    UNION ALL
-    SELECT l_orderkey, l_linenumber, 'price', l_extendedprice FROM lineitem
-    UNION ALL
-    SELECT l_orderkey, l_linenumber, 'discount', l_discount FROM lineitem
-    UNION ALL
-    SELECT l_orderkey, l_linenumber, 'tax', l_tax FROM lineitem
-    """,
-)
-def unpivot_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Wide->long unpivot (melt). Spark's native unpivot is a single-pass
-    generator — the oracle's 4-scan UNION ALL shape is what it replaces."""
-    li = load_table(spark, sf_dir, "lineitem")
-    return (
-        li.withColumnsRenamed(
-            {
-                "l_quantity": "qty",
-                "l_extendedprice": "price",
-                "l_discount": "discount",
-                "l_tax": "tax",
-            }
-        )
-        .unpivot(
-            ["l_orderkey", "l_linenumber"],
-            ["qty", "price", "discount", "tax"],
-            "metric",
-            "value",
-        )
-    )
-
-
-@_q(
     "date_functions",
     """
     SELECT o_orderkey,

@@ -288,3 +288,31 @@ def test_repetition_signals(spark):
     assert out[2].run == 1
     assert out[2].alpha == 1.0
     assert out[2].keep
+
+
+def test_decontamination_hits(spark):
+    """Hand-computed overlap: doc 1 shares a 3-gram with the benchmark,
+    doc 2 shares none, doc 3 is shorter than n (zero grams, never a
+    false positive)."""
+    from ferramenta_etl_spark.operators.text import contamination_hits, word_ngrams
+
+    bench = spark.createDataFrame(
+        [(100, "alpha beta gamma delta")], "doc_id long, text string"
+    )
+    corpus = spark.createDataFrame(
+        [
+            (1, "x alpha beta gamma y"),   # contains bench 3-gram "alpha beta gamma"
+            (2, "alpha beta x gamma y"),   # bigram overlap only
+            (3, "al be"),                  # shorter than n
+        ],
+        "doc_id long, text string",
+    )
+    hits = {r.doc_id: r.n_hits for r in contamination_hits(corpus, bench, n=3).collect()}
+    assert hits == {1: 1}
+
+    # word_ngrams: exact-length, distinct, empty for short docs
+    rows = corpus.select("doc_id", word_ngrams(F.col("text"), 3).alias("g")).collect()
+    by_id = {r.doc_id: r.g for r in rows}
+    assert by_id[3] == []
+    assert "alpha beta gamma" in by_id[1]
+    assert len(by_id[1]) == 3  # 5 tokens -> 3 trigrams
