@@ -46,7 +46,10 @@ def _run_with_progress(reg: JobRegistry, spark, name: str, every: float = 2.0):
 
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(prog="ferramenta_etl_spark")
-    p.add_argument("command", choices=["list", "run", "run-all", "curate", "optimize"])
+    p.add_argument(
+        "command",
+        choices=["list", "run", "run-all", "curate", "optimize", "plan-audit"],
+    )
     p.add_argument("job", nargs="?", help="job name (for 'run') / parquet dir (for 'optimize')")
     p.add_argument("--min-quality", type=float, default=0.5, help="curate: quality floor")
     p.add_argument("--zorder", help="optimize: comma-separated columns to Z-order cluster on")
@@ -83,6 +86,39 @@ def main(argv: list[str] | None = None) -> int:
         "ferramenta-etl", master=f"local[{args.cpus}]", shuffle_partitions=args.cpus
     )
     try:
+        if args.command == "plan-audit":
+            from .plans import all_queries
+
+            print(
+                f"{'query':28} {'hashEx':>6} {'bcast':>5} {'rangeEx':>7} "
+                f"{'pyEval':>6} {'cartesian':>9}"
+            )
+            worst = 0
+            for name, q in all_queries().items():
+                try:
+                    plan = (
+                        q(spark, args.sf_dir)
+                        ._jdf.queryExecution()
+                        .executedPlan()
+                        .toString()
+                    )
+                except Exception as exc:  # surface, keep auditing
+                    print(f"{name:28} ERROR {exc!s:.60}")
+                    worst = max(worst, 2)
+                    continue
+                n_range = plan.count("rangepartitioning")
+                n_py = plan.count("BatchEvalPython") + plan.count("ArrowEvalPython")
+                n_cart = plan.count("CartesianProduct")
+                print(
+                    f"{name:28} {plan.count('Exchange hashpartitioning'):>6} "
+                    f"{plan.count('BroadcastExchange'):>5} {n_range:>7} "
+                    f"{n_py:>6} {n_cart:>9}"
+                )
+                # range sorts / row-at-a-time python / cartesians are the
+                # plan smells that break at 100x — flag loudly
+                if n_range or n_py or n_cart:
+                    worst = max(worst, 1)
+            return worst
         if args.command == "optimize":
             if not args.job:
                 p.error("optimize requires a parquet directory path")

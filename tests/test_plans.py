@@ -83,6 +83,24 @@ def test_filter_and_projection_reach_parquet_scan(spark):
     assert "l_orderkey" in readschema and "l_extendedprice" not in readschema
 
 
+def test_decontamination_broadcasts_benchmark(spark):
+    """The benchmark n-gram set must broadcast (metadata-scale) so the
+    corpus-side gram stream joins without an exchange."""
+    from ferramenta_etl_spark.plans import all_queries
+
+    plan = physical(all_queries()["text_decontaminate"](spark, SF_SMOKE))
+    assert "BroadcastHashJoin" in plan
+    # hash exchanges: doc_id-keyed ones (hit counts + the left join back
+    # to the corpus) plus AT MOST ONE gram-keyed exchange — the distinct
+    # over the BENCHMARK grams feeding the broadcast, which is bounded by
+    # benchmark size. The corpus-side gram stream itself never shuffles.
+    part_lines = [
+        l for l in plan.lower().splitlines() if "hashpartitioning" in l
+    ]
+    gram_exchanges = [l for l in part_lines if "doc_id" not in l]
+    assert len(gram_exchanges) <= 1, part_lines
+
+
 def test_exact_dedup_shuffles_digests_not_text(spark):
     """The exact-dedup shuffle must key on the fixed-width digest, not
     raw document text (only 32-byte hashes cross the wire at 100 TB)."""
