@@ -52,6 +52,10 @@ def main(argv: list[str] | None = None) -> int:
     )
     p.add_argument("job", nargs="?", help="job name (for 'run') / parquet dir (for 'optimize')")
     p.add_argument("--min-quality", type=float, default=0.5, help="curate: quality floor")
+    p.add_argument(
+        "--benchmark",
+        help="curate: parquet of benchmark docs (doc_id, text) to decontaminate against",
+    )
     p.add_argument("--zorder", help="optimize: comma-separated columns to Z-order cluster on")
     p.add_argument("--target-mb", type=int, default=128, help="optimize: target file size (MiB)")
     p.add_argument("--files", type=int, default=0, help="optimize --zorder: output file count")
@@ -147,8 +151,13 @@ def main(argv: list[str] | None = None) -> int:
         if args.command == "curate":
             from .pipeline.curation import curate_documents
 
+            bench = spark.read.parquet(args.benchmark) if args.benchmark else None
             n = curate_documents(
-                spark, args.sf_dir, args.sink_dir, min_quality=args.min_quality
+                spark,
+                args.sf_dir,
+                args.sink_dir,
+                min_quality=args.min_quality,
+                benchmark=bench,
             )
             print(f"✅ curated_documents: {n} rows appended")
             return 0

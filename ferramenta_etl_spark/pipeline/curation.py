@@ -7,6 +7,8 @@ into one idempotent job — what this engine exists to run at 100 TB.
       -> exact dedup (md5 hash-groupBy, min-id survivor)
       -> near-dup collapse (MinHash-LSH pairs -> connected components
          -> canonical survivor per cluster)
+      -> test-set decontamination (drop docs sharing an n-gram with the
+         benchmark set, when one is supplied)
       -> idempotent keyed load, hive-partitioned by lang
 
 Every stage is a shuffle-conscious DataFrame op (digests and signatures
@@ -20,7 +22,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..operators.dedup import dedup_exact, dedup_keep_canonical, minhash_lsh_pairs
-from ..operators.text import lang_id, n_tokens, quality_score
+from ..operators.text import contamination_hits, lang_id, n_tokens, quality_score
 from ..sinks import write_ignore_conflicts
 from ..sources import load_table
 
@@ -31,9 +33,13 @@ def curate_documents(
     sink_dir: str,
     min_quality: float = 0.5,
     min_tokens: int = 5,
+    benchmark: DataFrame | None = None,
+    decontaminate_n: int = 5,
 ) -> int:
     """Run the curation pipeline; returns rows appended to the sink."""
-    curated = curated_frame(spark, sf_dir, min_quality, min_tokens)
+    curated = curated_frame(
+        spark, sf_dir, min_quality, min_tokens, benchmark, decontaminate_n
+    )
     return write_ignore_conflicts(
         curated,
         f"{sink_dir}/curated_documents",
@@ -47,6 +53,8 @@ def curated_frame(
     sf_dir: str,
     min_quality: float = 0.5,
     min_tokens: int = 5,
+    benchmark: DataFrame | None = None,
+    decontaminate_n: int = 5,
 ) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     scored = docs.select(
@@ -66,6 +74,15 @@ def curated_frame(
     exact_unique = dedup_exact(good)
     pairs = minhash_lsh_pairs(exact_unique)
     survivors = dedup_keep_canonical(exact_unique, pairs)
+    if benchmark is not None:
+        # decontaminate LAST: dedup has already shrunk the corpus, so
+        # fewer docs pay the gram explode; the benchmark gram set
+        # broadcasts (operators/text.contamination_hits) and the
+        # contaminated ids are an anti-join away
+        contaminated = contamination_hits(
+            survivors, benchmark, n=decontaminate_n
+        ).select("doc_id")
+        survivors = survivors.join(contaminated, "doc_id", "left_anti")
     return survivors.select(
         "doc_id", "lang", "source", "quality", "n_tok", "text"
     )

@@ -21,6 +21,24 @@ def test_curation_pipeline_idempotent(spark, sf_dir, tmp_path):
     )
 
 
+def test_curation_decontaminates(spark, sf_dir):
+    """Supplying a benchmark drops exactly the docs with n-gram overlap
+    and nothing else."""
+    from ferramenta_etl_spark.operators.text import contamination_hits
+
+    base = curated_frame(spark, sf_dir)
+    # use some surviving docs themselves as the "benchmark": guaranteed
+    # overlap, so decontamination must drop at least those docs
+    bench = base.orderBy("doc_id").limit(3).select("doc_id", "text")
+    cleaned = curated_frame(spark, sf_dir, benchmark=bench)
+    dropped = base.count() - cleaned.count()
+    n_contaminated = contamination_hits(base, bench, n=5).count()
+    assert n_contaminated >= 3  # the bench docs at minimum
+    assert dropped == n_contaminated
+    # the cleaned set has zero residual overlap
+    assert contamination_hits(cleaned, bench, n=5).count() == 0
+
+
 def test_curation_invariants(spark, sf_dir):
     out = curated_frame(spark, sf_dir)
     rows = out.count()
