@@ -85,10 +85,15 @@ def test_filter_and_projection_reach_parquet_scan(spark):
 
 def test_decontamination_broadcasts_benchmark(spark):
     """The benchmark n-gram set must broadcast (metadata-scale) so the
-    corpus-side gram stream joins without an exchange."""
-    from ferramenta_etl_spark.plans import all_queries
+    corpus-side gram stream joins without an exchange.
 
-    plan = physical(all_queries()["text_decontaminate"](spark, SF_SMOKE))
+    Uses the UNWRAPPED builder: the registry cache returns the same
+    DataFrame other tests may have executed, whose QueryExecution then
+    shows the final adaptive plan with exchanges duplicated inside
+    materialized query stages."""
+    import ferramenta_etl_spark.plans.extensions as ext
+
+    plan = physical(ext.text_decontaminate.__wrapped__(spark, SF_SMOKE))
     assert "BroadcastHashJoin" in plan
     # hash exchanges: doc_id-keyed ones (hit counts + the left join back
     # to the corpus) plus AT MOST ONE gram-keyed exchange — the distinct

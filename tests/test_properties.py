@@ -1,0 +1,122 @@
+"""Property-based differential tests (hypothesis): each Spark operator
+is checked against an independent pure-Python reference implementation
+on randomized inputs — the cases hand-picked fixtures miss (empty docs,
+all-duplicate tokens, ties on every column).
+
+Example counts are kept small: every example pays a Spark job; the
+value here is input diversity, not volume.
+"""
+
+from __future__ import annotations
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+SETTINGS = dict(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+# small alphabet on purpose: forces token collisions, runs, and shared
+# n-grams that a wide alphabet would never generate
+_token = st.sampled_from(["a", "b", "c", "dd", "e1"])
+_doc = st.lists(_token, min_size=0, max_size=12).map(" ".join)
+
+
+def _py_ngrams(text: str, n: int) -> list[str]:
+    toks = text.lower().split(" ")
+    if len(toks) < n:
+        return []
+    seen: dict[str, None] = {}
+    for i in range(len(toks) - n + 1):
+        seen.setdefault(" ".join(toks[i : i + n]), None)
+    return list(seen)
+
+
+@given(docs=st.lists(_doc, min_size=1, max_size=6), n=st.integers(2, 4))
+@settings(**SETTINGS)
+def test_word_ngrams_matches_python(spark, docs, n):
+    from ferramenta_etl_spark.operators.text import word_ngrams
+
+    df = spark.createDataFrame(
+        [(i, d) for i, d in enumerate(docs)], "doc_id long, text string"
+    )
+    got = {
+        r.doc_id: list(r.g)
+        for r in df.select("doc_id", word_ngrams(F.col("text"), n).alias("g")).collect()
+    }
+    want = {i: _py_ngrams(d, n) for i, d in enumerate(docs)}
+    assert got == want
+
+
+def _py_max_run(toks: list[str]) -> int:
+    best = run = 0
+    prev = object()
+    for t in toks:
+        run = run + 1 if t == prev else 1
+        best = max(best, run)
+        prev = t
+    return best
+
+
+@given(doc=_doc.filter(lambda d: d != ""))
+@settings(**SETTINGS)
+def test_max_token_run_matches_python(spark, doc):
+    from ferramenta_etl_spark.operators.text import max_token_run
+
+    df = spark.createDataFrame([(doc,)], "text string")
+    got = df.select(max_token_run(F.col("text")).alias("r")).first().r
+    assert got == _py_max_run(doc.lower().split(" "))
+
+
+@given(
+    rows=st.lists(
+        st.tuples(st.integers(0, 3), st.integers(0, 5), st.integers(0, 5)),
+        min_size=1,
+        max_size=20,
+    )
+)
+@settings(**SETTINGS)
+def test_latest_per_key_matches_python(spark, rows):
+    """latest_per_key == Python max-by over (order, tiebreak) per key —
+    including duplicate (key, order) rows, where the tiebreak decides."""
+    from ferramenta_etl_spark.operators.dedup import latest_per_key
+
+    df = spark.createDataFrame(rows, "k int, o int, t int")
+    got = {
+        (r.k, r.o, r.t)
+        for r in latest_per_key(
+            df, keys=["k"], order_by=[F.col("o").desc()], tiebreak=[F.col("t").desc()]
+        ).collect()
+    }
+    want = {}
+    for k, o, t in rows:
+        if k not in want or (o, t) > (want[k][1], want[k][2]):
+            want[k] = (k, o, t)
+    assert got == set(want.values())
+
+
+@given(
+    shared=st.lists(_token, min_size=6, max_size=8),
+    pre_a=st.lists(_token, min_size=0, max_size=4),
+    post_b=st.lists(_token, min_size=0, max_size=4),
+)
+@settings(**SETTINGS)
+def test_winnowing_guarantee(spark, shared, pre_a, post_b):
+    """The winnowing theorem: two docs sharing a token run of length >=
+    window + k - 1 (here 4 + 3 - 1 = 6) share at least one fingerprint,
+    regardless of what surrounds the run."""
+    from ferramenta_etl_spark.operators.text import winnowing_fingerprints
+
+    doc_a = " ".join(pre_a + shared)
+    doc_b = " ".join(shared + post_b)
+    df = spark.createDataFrame([(1, doc_a), (2, doc_b)], "doc_id long, text string")
+    fps = {
+        r.doc_id: set(r.fp)
+        for r in df.select(
+            "doc_id", winnowing_fingerprints(F.col("text"), k=3, window=4).alias("fp")
+        ).collect()
+    }
+    assert fps[1] & fps[2], (doc_a, doc_b)
