@@ -13,7 +13,9 @@ from .dedup import (  # noqa: F401
 from .multimodal import (  # noqa: F401
     attach_fake_media,
     extract_media_features,
+    frame_sample_schedule,
     frame_sample_stub,
+    letterbox_dims,
     resize_stub,
 )
 from .similarity import (  # noqa: F401
@@ -28,9 +30,11 @@ from .similarity import (  # noqa: F401
 )
 from .skew import salted_join, top_key_counts  # noqa: F401
 from .text import (  # noqa: F401
+    contamination_hits,
     content_fingerprint,
     lang_id,
     quality_score,
     winnowing_fingerprints,
+    word_ngrams,
 )
 from .topk import grouped_topk  # noqa: F401

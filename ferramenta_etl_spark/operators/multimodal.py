@@ -20,7 +20,7 @@ from __future__ import annotations
 
 from collections.abc import Iterator
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -40,14 +40,18 @@ FEATURE_SCHEMA = T.StructType(
 
 def attach_fake_media(documents: DataFrame) -> DataFrame:
     """Build a media table from the documents fixture: UTF-8 bytes of the
-    text stand in for encoded media; type assigned round-robin."""
+    text stand in for encoded media; type assigned round-robin. The fake
+    container metadata (``n_frames``) is derived deterministically from
+    byte length — what a real demuxer would read from the header."""
+    media = F.encode(F.col("text"), "UTF-8")
     return documents.select(
         "doc_id",
-        F.encode(F.col("text"), "UTF-8").alias("media"),
+        media.alias("media"),
         F.element_at(
             F.array(*[F.lit(t) for t in MEDIA_TYPES]),
             (F.col("doc_id") % 3 + 1).cast("int"),
         ).alias("media_type"),
+        (F.length(media) / 40 + 1).cast("int").alias("n_frames"),
     )
 
 
@@ -88,9 +92,55 @@ def extract_media_features(media_df: DataFrame) -> DataFrame:
     return media_df.mapInPandas(batches, FEATURE_SCHEMA)
 
 
+def letterbox_dims(
+    width: Column | str,
+    height: Column | str,
+    target_w: int,
+    target_h: int,
+) -> Column:
+    """Aspect-preserving fit-inside-box geometry as a pure JVM-side
+    expression: struct(out_w, out_h) with the larger relative dimension
+    pinned to the box and the other scaled, floor-rounded, floored at 1.
+    This is the real distributed piece of a resize pipeline — per-image
+    target geometry at scan speed — with only the pixel resampling left
+    to the codec stub below."""
+    w = F.col(width) if isinstance(width, str) else width
+    h = F.col(height) if isinstance(height, str) else height
+    scale = F.least(
+        F.lit(float(target_w)) / w.cast("double"),
+        F.lit(float(target_h)) / h.cast("double"),
+    )
+    out_w = F.greatest(F.floor(w.cast("double") * scale), F.lit(1)).cast("long")
+    out_h = F.greatest(F.floor(h.cast("double") * scale), F.lit(1)).cast("long")
+    return F.struct(out_w.alias("out_w"), out_h.alias("out_h"))
+
+
+def frame_sample_schedule(
+    media_df: DataFrame,
+    every_n: int = 30,
+    n_frames_col: str = "n_frames",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """The sampling PLAN for video frame extraction: one (doc_id,
+    frame_idx) row per frame to decode — every ``every_n``-th frame,
+    always including frame 0. A JVM-side sequence+explode projection
+    (no shuffle, no Python): at 100 TB the schedule is what Spark
+    parallelizes and prunes; the codec stub below consumes it.
+    """
+    if every_n < 1:
+        raise ValueError(f"every_n must be >= 1, got {every_n}")
+    idx = F.sequence(
+        F.lit(0), F.greatest(F.col(n_frames_col) - 1, F.lit(0)), F.lit(every_n)
+    )
+    return media_df.select(F.col(id_col), F.explode(idx).alias("frame_idx")).select(
+        id_col, F.col("frame_idx").cast("int").alias("frame_idx")
+    )
+
+
 def resize_stub(media_df: DataFrame, width: int, height: int) -> DataFrame:
     """Image resize — STUB: the container has no imaging library.
-    The Spark plumbing (signature, schema) is the real contract."""
+    The Spark plumbing (signature, schema) is the real contract;
+    target geometry comes from letterbox_dims."""
 
     def batches(it: Iterator) -> Iterator:
         raise NotImplementedError(

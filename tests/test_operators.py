@@ -316,3 +316,60 @@ def test_decontamination_hits(spark):
     assert by_id[3] == []
     assert "alpha beta gamma" in by_id[1]
     assert len(by_id[1]) == 3  # 5 tokens -> 3 trigrams
+
+
+def test_frame_sample_schedule_and_letterbox(spark):
+    """The JVM-side halves of the media pipeline: the frame-sampling
+    plan has ceil(n_frames/every_n) entries starting at 0, and letterbox
+    geometry preserves aspect while fitting the target box."""
+    import math
+
+    from ferramenta_etl_spark.operators.multimodal import (
+        frame_sample_schedule,
+        letterbox_dims,
+    )
+
+    media = spark.createDataFrame(
+        [(1, 95), (2, 1), (3, 30), (4, 31)], "doc_id long, n_frames int"
+    )
+    sched = frame_sample_schedule(media, every_n=30)
+    by_doc = {}
+    for r in sched.collect():
+        by_doc.setdefault(r.doc_id, []).append(r.frame_idx)
+    want = {d: list(range(0, n, 30)) for d, n in [(1, 95), (2, 1), (3, 30), (4, 31)]}
+    assert {d: sorted(v) for d, v in by_doc.items()} == want
+    for d, n in [(1, 95), (2, 1), (3, 30), (4, 31)]:
+        assert len(by_doc[d]) == math.ceil(n / 30)
+
+    dims = spark.createDataFrame(
+        [(1, 1920, 1080), (2, 100, 400), (3, 3, 10000)], "id long, w int, h int"
+    )
+    out = {
+        r.id: (r.d.out_w, r.d.out_h)
+        for r in dims.select("id", letterbox_dims("w", "h", 224, 224).alias("d")).collect()
+    }
+    assert out[1] == (224, 126)   # wide: width pinned
+    assert out[2] == (56, 224)    # tall: height pinned
+    assert out[3] == (1, 224)     # extreme aspect floors at 1, never 0
+    for w, h in out.values():
+        assert 1 <= w <= 224 and 1 <= h <= 224
+
+
+def test_media_feature_extraction_arrow_batch(spark, sf_dir):
+    """The Arrow mapInPandas path end-to-end on the fixture: stable
+    schema, one row per media row, checksum actually touches bytes."""
+    from ferramenta_etl_spark.operators.multimodal import (
+        attach_fake_media,
+        extract_media_features,
+    )
+    from ferramenta_etl_spark.sources import load_table
+
+    media = attach_fake_media(load_table(spark, sf_dir, "documents"))
+    feats = extract_media_features(media)
+    assert [f.name for f in feats.schema.fields] == [
+        "doc_id", "media_type", "byte_len", "width", "height", "checksum",
+    ]
+    n = media.count()
+    assert feats.count() == n
+    row = feats.orderBy("doc_id").first()
+    assert row.byte_len > 0 and row.checksum > 0
