@@ -4,6 +4,7 @@ from .stateful import (  # noqa: F401
 )
 from .windows import (  # noqa: F401
     dedup_within_watermark,
+    interval_join_stream,
     run_available_now,
     session_agg_stream,
     sliding_agg_stream,

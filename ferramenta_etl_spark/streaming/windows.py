@@ -117,6 +117,61 @@ def session_agg_stream(
     )
 
 
+def interval_join_stream(
+    events: DataFrame,
+    left_type: str = "signup",
+    right_type: str = "purchase",
+    within: str = "30 minutes",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Watermarked STREAM-STREAM interval join: pair each ``right_type``
+    event with every ``left_type`` event by the same user in the
+    preceding ``within`` interval.
+
+    This is the stateful streaming join proper: both sides buffer in the
+    state store, and the event-time range condition plus the watermarks
+    give Spark the bound it needs to EVICT — a left row older than
+    (right watermark - within) can never match again and is dropped.
+    Without the time-range predicate the state would grow forever; with
+    it, state is O(events inside the watermark horizon), the same
+    discipline as the windowed aggregations above.
+
+    Batch equivalence: running the identical plan over a bounded
+    DataFrame (tests) gives exactly the inner-join-with-range semantics
+    — one more batch==stream contract."""
+    l = (
+        events.filter(F.col("event_type") == left_type)
+        .withWatermark("ts", watermark)
+        .select(
+            F.col("user_id").alias("l_user"),
+            F.col("event_id").alias("left_id"),
+            F.col("ts").alias("l_ts"),
+        )
+    )
+    r = (
+        events.filter(F.col("event_type") == right_type)
+        .withWatermark("ts", watermark)
+        .select(
+            F.col("user_id").alias("r_user"),
+            F.col("event_id").alias("right_id"),
+            F.col("ts").alias("r_ts"),
+        )
+    )
+    joined = l.join(
+        r,
+        (F.col("l_user") == F.col("r_user"))
+        & (F.col("l_ts") <= F.col("r_ts"))
+        & (F.col("r_ts") <= F.col("l_ts") + F.expr(f"INTERVAL {within}")),
+    )
+    return joined.select(
+        F.col("l_user").alias("user_id"),
+        "left_id",
+        "right_id",
+        epoch_ms(F.col("l_ts")).alias("left_ts_ms"),
+        epoch_ms(F.col("r_ts")).alias("right_ts_ms"),
+    )
+
+
 def dedup_within_watermark(
     events: DataFrame, keys: list[str] | None = None, watermark: str = "1 hour"
 ) -> DataFrame:

@@ -37,6 +37,23 @@ def test_stream_matches_batch(spark, sf_dir, tmp_path, stream_fn, batch_name):
     assert _sorted_rows(out) == _sorted_rows(batch)
 
 
+def test_interval_join_stream_matches_batch(spark, sf_dir, tmp_path):
+    """Watermarked stream-stream interval join == the same plan run as a
+    bounded batch join: purchases paired with same-user signups in the
+    preceding 30 minutes."""
+    from ferramenta_etl_spark.streaming import interval_join_stream
+    from ferramenta_etl_spark.sources import load_table
+
+    ev = stream_events(spark, sf_dir)
+    out = run_available_now(
+        interval_join_stream(ev), str(tmp_path / "ckpt_ij"), "q_interval_join"
+    )
+    batch = interval_join_stream(load_table(spark, sf_dir, "events"))
+    assert not batch.isStreaming
+    assert out.count() > 0
+    assert _sorted_rows(out) == _sorted_rows(batch)
+
+
 def test_dedup_within_watermark(spark, sf_dir, tmp_path):
     ev = stream_events(spark, sf_dir)
     deduped = dedup_within_watermark(ev, keys=["user_id", "event_type"])
