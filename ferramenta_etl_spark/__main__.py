@@ -56,6 +56,11 @@ def main(argv: list[str] | None = None) -> int:
         "--benchmark",
         help="curate: parquet of benchmark docs (doc_id, text) to decontaminate against",
     )
+    p.add_argument(
+        "--redact-pii",
+        action="store_true",
+        help="curate: mask emails/IPs/phone numbers in the output text",
+    )
     p.add_argument("--zorder", help="optimize: comma-separated columns to Z-order cluster on")
     p.add_argument("--target-mb", type=int, default=128, help="optimize: target file size (MiB)")
     p.add_argument("--files", type=int, default=0, help="optimize --zorder: output file count")
@@ -158,6 +163,7 @@ def main(argv: list[str] | None = None) -> int:
                 args.sink_dir,
                 min_quality=args.min_quality,
                 benchmark=bench,
+                redact=args.redact_pii,
             )
             print(f"✅ curated_documents: {n} rows appended")
             return 0

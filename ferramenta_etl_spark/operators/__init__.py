@@ -34,6 +34,7 @@ from .text import (  # noqa: F401
     content_fingerprint,
     lang_id,
     quality_score,
+    redact_pii,
     winnowing_fingerprints,
     word_ngrams,
 )

@@ -183,6 +183,28 @@ def gopher_keep(text: Column, min_tokens: int = 10, max_tokens: int = 100_000) -
     )
 
 
+# PII patterns for redaction. Deliberately conservative (precision over
+# recall): each pattern anchors on structure a plain word can't have, so
+# prose is never mangled. Extend per-corpus as needed.
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+IPV4_RE = r"\b(?:\d{1,3}\.){3}\d{1,3}\b"
+# 9+ digits with optional ( ) . - and spaces between them: catches
+# "+1 (555) 123-4567" / "555 123 4567" while leaving year ranges like
+# "1999-2000" (8 digits) and isolated numbers alone
+PHONE_RE = r"\+?\d(?:[\s().-]*\d){8,}"
+
+
+def redact_pii(text: Column, replacement: str = "<PII>") -> Column:
+    """Mask emails, IPv4 addresses, and phone-shaped digit runs — the
+    baseline PII scrub of a training-data pipeline. Three chained
+    regexp_replace expressions: whole-stage codegen, scan speed, no UDF.
+    Order matters: emails first (their domains contain dots that the
+    IP pattern could otherwise clip)."""
+    out = F.regexp_replace(text, EMAIL_RE, replacement)
+    out = F.regexp_replace(out, IPV4_RE, replacement)
+    return F.regexp_replace(out, PHONE_RE, replacement)
+
+
 def word_ngrams(text: Column, n: int) -> Column:
     """DISTINCT word n-grams of exactly n tokens (docs shorter than n
     yield none) — the decontamination unit. Contrast token_ngrams(),

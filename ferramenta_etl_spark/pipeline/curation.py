@@ -9,6 +9,7 @@ into one idempotent job — what this engine exists to run at 100 TB.
          -> canonical survivor per cluster)
       -> test-set decontamination (drop docs sharing an n-gram with the
          benchmark set, when one is supplied)
+      -> PII redaction (email/IP/phone masking, when enabled)
       -> idempotent keyed load, hive-partitioned by lang
 
 Every stage is a shuffle-conscious DataFrame op (digests and signatures
@@ -22,7 +23,13 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..operators.dedup import dedup_exact, dedup_keep_canonical, minhash_lsh_pairs
-from ..operators.text import contamination_hits, lang_id, n_tokens, quality_score
+from ..operators.text import (
+    contamination_hits,
+    lang_id,
+    n_tokens,
+    quality_score,
+    redact_pii,
+)
 from ..sinks import write_ignore_conflicts
 from ..sources import load_table
 
@@ -35,10 +42,11 @@ def curate_documents(
     min_tokens: int = 5,
     benchmark: DataFrame | None = None,
     decontaminate_n: int = 5,
+    redact: bool = False,
 ) -> int:
     """Run the curation pipeline; returns rows appended to the sink."""
     curated = curated_frame(
-        spark, sf_dir, min_quality, min_tokens, benchmark, decontaminate_n
+        spark, sf_dir, min_quality, min_tokens, benchmark, decontaminate_n, redact
     )
     return write_ignore_conflicts(
         curated,
@@ -55,6 +63,7 @@ def curated_frame(
     min_tokens: int = 5,
     benchmark: DataFrame | None = None,
     decontaminate_n: int = 5,
+    redact: bool = False,
 ) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     scored = docs.select(
@@ -83,6 +92,12 @@ def curated_frame(
             survivors, benchmark, n=decontaminate_n
         ).select("doc_id")
         survivors = survivors.join(contaminated, "doc_id", "left_anti")
+    text_out = (
+        # redact AFTER dedup/decontamination: hashing and n-gram overlap
+        # must see the original bytes, or a redacted copy and its
+        # original would stop matching each other
+        redact_pii(F.col("text")).alias("text") if redact else F.col("text")
+    )
     return survivors.select(
-        "doc_id", "lang", "source", "quality", "n_tok", "text"
+        "doc_id", "lang", "source", "quality", "n_tok", text_out
     )

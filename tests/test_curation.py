@@ -51,3 +51,30 @@ def test_curation_invariants(spark, sf_dir):
     from ferramenta_etl_spark.sources import load_table
 
     assert rows < load_table(spark, sf_dir, "documents").count()
+
+
+def test_redact_pii(spark, sf_dir):
+    """PII masking: emails, IPv4s, and phone-shaped runs are replaced;
+    prose (including plain numbers and dotted abbreviations) survives."""
+    from ferramenta_etl_spark.operators.text import redact_pii
+
+    cases = spark.createDataFrame(
+        [
+            (1, "contact me at jane.doe+spam@example.co.uk thanks"),
+            (2, "server 10.0.255.3 timed out"),
+            (3, "call +1 (555) 123-4567 or 555-123-4567"),
+            (4, "chapter 3 section 12 covers e.g. the year 1999"),
+        ],
+        "id long, text string",
+    )
+    out = {r.id: r.t for r in cases.select("id", redact_pii(F.col("text")).alias("t")).collect()}
+    assert out[1] == "contact me at <PII> thanks"
+    assert out[2] == "server <PII> timed out"
+    assert "4567" not in out[3] and "<PII>" in out[3]
+    assert out[4] == "chapter 3 section 12 covers e.g. the year 1999"
+
+    # pipeline flag: redacted output has no emails anywhere
+    cleaned = curated_frame(spark, sf_dir, redact=True)
+    assert cleaned.filter(F.col("text").rlike("@[A-Za-z0-9.-]+\\.")).count() == 0
+    # and row count is unchanged vs unredacted (masking never drops docs)
+    assert cleaned.count() == curated_frame(spark, sf_dir).count()
