@@ -45,6 +45,14 @@ def get_session(
     cpus = default_parallelism()
     builder = (
         SparkSession.builder.appName(app_name)
+        # Spark's default 1g heap serves ALL local-mode task slots; 32
+        # concurrent sort/join tasks OOM on it at ~10x the test scale
+        # (measured: WindowGroupLimit spill-reader allocation failure).
+        # Size the heap like a real executor. Only effective for the
+        # process's first session — a JVM can't grow after launch.
+        .config(
+            "spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g")
+        )
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
