@@ -243,10 +243,14 @@ def contamination_hits(
 
     Returns (id_col, n_hits) for contaminated docs only; left-join back
     to the corpus for a keep/drop flag."""
-    bench_grams = benchmark.select(
+    from ..sources.tables import ensure_scan_parallelism
+
+    # gram generation is the expensive interpreted-HOF projection; make
+    # sure it isn't serialized onto one core by a single-row-group scan
+    bench_grams = ensure_scan_parallelism(benchmark).select(
         F.explode(word_ngrams(F.col(text_col), n)).alias("g")
     ).distinct()
-    corpus_grams = corpus.select(
+    corpus_grams = ensure_scan_parallelism(corpus).select(
         F.col(id_col), F.explode(word_ngrams(F.col(text_col), n)).alias("g")
     )
     return (

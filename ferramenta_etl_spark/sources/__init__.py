@@ -1,1 +1,7 @@
-from .tables import TABLES, load_table, load_tables, register_views  # noqa: F401
+from .tables import (  # noqa: F401
+    TABLES,
+    ensure_scan_parallelism,
+    load_table,
+    load_tables,
+    register_views,
+)

@@ -170,6 +170,21 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def ensure_scan_parallelism(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
+    """Round-robin repartition IFF the plan currently has fewer
+    partitions than the session's parallelism. Guards expression-heavy
+    map work (n-gram explodes and similar interpreted HOF projections)
+    against single-row-group inputs, where the entire pre-shuffle stage
+    would otherwise run on ONE core (measured 4.5x on the contamination
+    gram explode at sf0.1). At production scale inputs span many files,
+    the partition count already exceeds parallelism, and this is a
+    no-op — the exchange only exists when it pays for itself."""
+    target = min_partitions or df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def load_tables(spark: SparkSession, sf_dir: str, *names: str) -> dict[str, DataFrame]:
     return {n: load_table(spark, sf_dir, n) for n in (names or TABLES)}
 
