@@ -227,8 +227,14 @@ def minhash_signatures(
     Docs with no shingles (empty text) drop out, like empty sets in
     set-similarity.
     """
+    from ..sources.tables import ensure_scan_parallelism
+
     exploded = (
-        df.select(
+        # the shingle explode is the expensive map stage; don't let a
+        # single-row-group scan serialize it onto one core (measured
+        # ~13% whole-query win at sf0.1; no-op on many-file inputs)
+        ensure_scan_parallelism(df)
+        .select(
             F.col(id_col),
             F.explode(shingle_hashes(F.col(text_col), shingle_k)).alias("h"),
         )

@@ -51,5 +51,11 @@ def grouped_topk(
             f"rank_fn must be one of {sorted(_GROUP_LIMIT_FNS)} for the "
             f"WindowGroupLimit rewrite to apply, got {rank_fn.__name__!r}"
         )
+    from ..sources.tables import ensure_scan_parallelism
+
+    # the Partial pass sorts each INPUT partition: a single-row-group
+    # scan would serialize that sort onto one core (measured ~15% at
+    # sf0.1); no-op when the input is already parallel
+    df = ensure_scan_parallelism(df)
     w = Window.partitionBy(*group_cols).orderBy(*order)
     return df.withColumn(rank_col, rank_fn().over(w)).filter(F.col(rank_col) <= k)
