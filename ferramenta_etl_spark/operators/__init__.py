@@ -30,6 +30,7 @@ from .similarity import (  # noqa: F401
 )
 from .skew import salted_join, top_key_counts  # noqa: F401
 from .text import (  # noqa: F401
+    chunk_documents,
     contamination_hits,
     content_fingerprint,
     lang_id,

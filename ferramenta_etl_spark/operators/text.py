@@ -260,6 +260,53 @@ def contamination_hits(
     )
 
 
+def chunk_documents(
+    df,
+    chunk_tokens: int = 512,
+    overlap: int = 64,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+):
+    """Split documents into token-bounded overlapping chunks — the
+    standard pre-training/RAG windowing step. Emits one row per chunk:
+    (id, chunk_idx, chunk_text, n_chunk_tokens).
+
+    Stride = chunk_tokens - overlap; chunk i covers tokens
+    [i*stride, i*stride + chunk_tokens). The final chunk may be short;
+    a doc shorter than one chunk yields exactly one chunk (itself).
+    Pure sequence+explode+slice projection: codegen, no UDF, no shuffle —
+    chunking 100 TB is a map-only pass. Chunk on ORIGINAL text (before
+    redaction) only if downstream dedup must pair chunks with their
+    sources; the token definition is the engine-wide single-space
+    contract (ws_tokens)."""
+    if overlap >= chunk_tokens:
+        raise ValueError(
+            f"overlap ({overlap}) must be smaller than chunk_tokens ({chunk_tokens})"
+        )
+    stride = chunk_tokens - overlap
+    toks = ws_tokens(F.col(text_col))
+    # number of chunks: 1 + ceil(max(n - chunk_tokens, 0) / stride)
+    n = F.size(toks)
+    n_chunks = F.lit(1) + F.ceil(
+        F.greatest(n - F.lit(chunk_tokens), F.lit(0)) / F.lit(stride)
+    ).cast("int")
+    starts = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1), lambda i: i * stride + 1
+    )
+    out = df.select(
+        F.col(id_col),
+        toks.alias("__toks"),
+        F.posexplode(starts).alias("chunk_idx", "__start"),
+    )
+    piece = F.slice(F.col("__toks"), F.col("__start"), chunk_tokens)
+    return out.select(
+        id_col,
+        "chunk_idx",
+        F.concat_ws(" ", piece).alias("chunk_text"),
+        F.size(piece).alias("n_chunk_tokens"),
+    )
+
+
 def content_fingerprint(text: Column) -> Column:
     """Order-insensitive content fingerprint: md5 over the sorted distinct
     token set. Robust to token reordering — pairs docs that are shuffles

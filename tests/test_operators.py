@@ -373,3 +373,37 @@ def test_media_feature_extraction_arrow_batch(spark, sf_dir):
     assert feats.count() == n
     row = feats.orderBy("doc_id").first()
     assert row.byte_len > 0 and row.checksum > 0
+
+
+def test_chunk_documents(spark):
+    """Chunking invariants on hand-built docs: coverage (every token
+    appears), overlap stride, short-doc identity, exact chunk count."""
+    from ferramenta_etl_spark.operators.text import chunk_documents
+
+    long_doc = " ".join(f"t{i}" for i in range(25))      # 25 tokens
+    short_doc = "a b c"                                   # shorter than one chunk
+    df = spark.createDataFrame(
+        [(1, long_doc), (2, short_doc)], "doc_id long, text string"
+    )
+    out = chunk_documents(df, chunk_tokens=10, overlap=4)
+    rows = sorted(out.collect(), key=lambda r: (r.doc_id, r.chunk_idx))
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append(r)
+
+    # stride 6: starts 0,6,12,18 -> 1 + ceil((25-10)/6) = 4 chunks
+    assert len(by_doc[1]) == 4
+    assert [r.n_chunk_tokens for r in by_doc[1]] == [10, 10, 10, 7]
+    # chunk 0 and 1 overlap by exactly 4 tokens
+    c0, c1 = by_doc[1][0].chunk_text.split(" "), by_doc[1][1].chunk_text.split(" ")
+    assert c0[-4:] == c1[:4]
+    # coverage: every original token appears in some chunk
+    covered = set()
+    for r in by_doc[1]:
+        covered.update(r.chunk_text.split(" "))
+    assert covered == set(long_doc.split(" "))
+
+    # short doc: exactly one chunk, identical to the doc
+    assert len(by_doc[2]) == 1
+    assert by_doc[2][0].chunk_text == short_doc
+    assert by_doc[2][0].n_chunk_tokens == 3
