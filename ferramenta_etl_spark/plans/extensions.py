@@ -445,55 +445,91 @@ _EPOCH = "CAST(floor(epoch_us({0}) / 1000) AS BIGINT)"
 
 
 @_q(
-    "events_tumbling_agg",
+    "events_windowed_agg",
     f"""
-    SELECT {_EPOCH.format("time_bucket(INTERVAL 15 minutes, ts)")} AS win_start_ms,
-           COUNT(*) AS n_events,
-           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
-    FROM events GROUP BY 1
-    """,
-)
-def events_tumbling_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """15-minute tumbling event-time windows (batch mirror of the
-    Structured Streaming aggregation in streaming/windows.py)."""
-    ev = load_table(spark, sf_dir, "events")
-    return (
-        ev.groupBy(F.window("ts", "15 minutes").alias("win"))
-        .agg(
-            F.count(F.lit(1)).alias("n_events"),
-            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("sum_value"),
-        )
-        .select(epoch_ms(F.col("win.start")).alias("win_start_ms"), "n_events", "sum_value")
-    )
-
-
-@_q(
-    "events_sliding_agg",
-    f"""
-    WITH grids AS (
+    WITH tumb AS (
+        SELECT 'tumbling' AS kind,
+               {_EPOCH.format("time_bucket(INTERVAL 15 minutes, ts)")} AS win_start_ms,
+               COUNT(*) AS n_events,
+               CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        FROM events GROUP BY 1, 2
+    ),
+    grids AS (
         SELECT time_bucket(INTERVAL 15 minutes, ts) AS wstart, value FROM events
         UNION ALL
         SELECT time_bucket(INTERVAL 15 minutes, ts) - INTERVAL 15 minutes, value
         FROM events
+    ),
+    slid AS (
+        SELECT 'sliding' AS kind,
+               {_EPOCH.format("wstart")} AS win_start_ms,
+               COUNT(*) AS n_events,
+               CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        FROM grids GROUP BY 1, 2
     )
-    SELECT {_EPOCH.format("wstart")} AS win_start_ms,
-           COUNT(*) AS n_events,
-           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
-    FROM grids GROUP BY 1
+    SELECT * FROM tumb UNION ALL SELECT * FROM slid
     """,
 )
-def events_sliding_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """30-minute windows sliding by 15 — every event lands in exactly two
-    windows; oracle materializes the two offset tumbling grids."""
+def events_windowed_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-time windowed aggregations, both kinds in one result (batch
+    mirror of the Structured Streaming aggregations in
+    streaming/windows.py): 15-minute tumbling windows, and 30-minute
+    windows sliding by 15 where every event lands in exactly two windows
+    (the oracle materializes the two offset tumbling grids). Tumbling IS
+    sliding with slide == size, so one query covers the family; the
+    ``kind`` column keys the streaming equivalence tests."""
     ev = load_table(spark, sf_dir, "events")
-    return (
-        ev.groupBy(F.window("ts", "30 minutes", "15 minutes").alias("win"))
-        .agg(
-            F.count(F.lit(1)).alias("n_events"),
-            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("sum_value"),
+
+    def windowed(kind: str, *win: str) -> DataFrame:
+        return (
+            ev.groupBy(F.window("ts", *win).alias("win"))
+            .agg(
+                F.count(F.lit(1)).alias("n_events"),
+                F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("sum_value"),
+            )
+            .select(
+                F.lit(kind).alias("kind"),
+                epoch_ms(F.col("win.start")).alias("win_start_ms"),
+                "n_events",
+                "sum_value",
+            )
         )
-        .select(epoch_ms(F.col("win.start")).alias("win_start_ms"), "n_events", "sum_value")
+
+    return windowed("tumbling", "15 minutes").unionAll(
+        windowed("sliding", "30 minutes", "15 minutes")
     )
+
+
+@_q(
+    "text_chunking",
+    """
+    WITH t AS (
+        SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents
+    ),
+    c AS (
+        SELECT doc_id, toks,
+               1 + CAST(ceil(greatest(len(toks) - 64, 0) / 48.0) AS INT) AS n_chunks
+        FROM t
+    ),
+    e AS (
+        SELECT doc_id, toks, unnest(range(0, n_chunks)) AS ci FROM c
+    )
+    SELECT doc_id,
+           CAST(ci AS INT) AS chunk_idx,
+           array_to_string(list_slice(toks, CAST(ci*48 + 1 AS INT),
+                                      CAST(ci*48 + 64 AS INT)), ' ') AS chunk_text,
+           CAST(len(list_slice(toks, CAST(ci*48 + 1 AS INT),
+                               CAST(ci*48 + 64 AS INT))) AS INT) AS n_chunk_tokens
+    FROM e
+    """,
+)
+def text_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-bounded overlapping chunking (64-token chunks, 16-token
+    overlap — the pre-training/RAG windowing step) over the documents
+    table; operators/text.chunk_documents, a map-only
+    sequence/posexplode/slice projection."""
+    docs = load_table(spark, sf_dir, "documents")
+    return X.chunk_documents(docs, chunk_tokens=64, overlap=16)
 
 
 @_q(

@@ -20,20 +20,24 @@ def _sorted_rows(df):
 
 
 @pytest.mark.parametrize(
-    "stream_fn,batch_name",
+    "stream_fn,batch_name,kind",
     [
-        (tumbling_agg_stream, "events_tumbling_agg"),
-        (sliding_agg_stream, "events_sliding_agg"),
-        (session_agg_stream, "events_session_agg"),
+        (tumbling_agg_stream, "events_windowed_agg", "tumbling"),
+        (sliding_agg_stream, "events_windowed_agg", "sliding"),
+        (session_agg_stream, "events_session_agg", None),
     ],
 )
-def test_stream_matches_batch(spark, sf_dir, tmp_path, stream_fn, batch_name):
+def test_stream_matches_batch(spark, sf_dir, tmp_path, stream_fn, batch_name, kind):
+    from pyspark.sql import functions as F
+
     ev = stream_events(spark, sf_dir)
     assert ev.isStreaming
     out = run_available_now(
-        stream_fn(ev), str(tmp_path / "ckpt"), f"q_{batch_name}"
+        stream_fn(ev), str(tmp_path / "ckpt"), f"q_{batch_name}_{kind}"
     )
     batch = extensions.QUERIES[batch_name](spark, sf_dir)
+    if kind is not None:  # merged windowed query: select this stream's kind
+        batch = batch.filter(F.col("kind") == kind).drop("kind")
     assert _sorted_rows(out) == _sorted_rows(batch)
 
 
