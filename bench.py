@@ -42,6 +42,7 @@ HEADLINE = [
     "embedding_ann_ivf",
     "text_quality_score",
     "text_decontaminate",
+    "text_chunking",
     "events_session_agg",
 ]
 
