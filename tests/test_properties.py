@@ -120,3 +120,58 @@ def test_winnowing_guarantee(spark, shared, pre_a, post_b):
         ).collect()
     }
     assert fps[1] & fps[2], (doc_a, doc_b)
+
+
+@given(
+    n_tokens=st.integers(1, 60),
+    chunk=st.integers(2, 20),
+    ov_frac=st.integers(0, 99),
+)
+@settings(**SETTINGS)
+def test_chunking_coverage_property(spark, n_tokens, chunk, ov_frac):
+    """For ANY (doc length, chunk size, overlap < chunk): chunks cover
+    every token in order, consecutive chunks overlap by exactly the
+    configured amount (except possibly the last), and no chunk exceeds
+    chunk_tokens."""
+    from ferramenta_etl_spark.operators.text import chunk_documents
+
+    overlap = (chunk - 1) * ov_frac // 100  # guaranteed < chunk
+    stride = chunk - overlap
+    doc = " ".join(f"w{i}" for i in range(n_tokens))
+    df = spark.createDataFrame([(1, doc)], "doc_id long, text string")
+    rows = sorted(
+        chunk_documents(df, chunk_tokens=chunk, overlap=overlap).collect(),
+        key=lambda r: r.chunk_idx,
+    )
+    toks = doc.split(" ")
+    # each chunk is the expected slice
+    for r in rows:
+        start = r.chunk_idx * stride
+        assert r.chunk_text.split(" ") == toks[start : start + chunk]
+        assert 1 <= r.n_chunk_tokens <= chunk
+    # full coverage, no gaps
+    covered = set()
+    for r in rows:
+        covered.update(r.chunk_text.split(" "))
+    assert covered == set(toks)
+    # chunk count formula
+    import math
+
+    want = 1 + math.ceil(max(n_tokens - chunk, 0) / stride)
+    assert len(rows) == want
+
+
+_prose_word = st.sampled_from(["alpha", "bravo", "x", "year", "1999", "v2"])
+
+
+@given(words=st.lists(_prose_word, min_size=1, max_size=12))
+@settings(**SETTINGS)
+def test_redact_pii_leaves_prose_alone(spark, words):
+    """Prose made of plain words, short numbers, and alphanumerics is
+    NEVER altered by PII redaction — the precision guarantee."""
+    from ferramenta_etl_spark.operators.text import redact_pii
+
+    doc = " ".join(words)
+    df = spark.createDataFrame([(doc,)], "text string")
+    got = df.select(redact_pii(F.col("text")).alias("t")).first().t
+    assert got == doc
