@@ -48,7 +48,7 @@ def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(prog="ferramenta_etl_spark")
     p.add_argument(
         "command",
-        choices=["list", "run", "run-all", "curate", "optimize", "plan-audit"],
+        choices=["list", "run", "run-all", "curate", "optimize", "plan-audit", "stream"],
     )
     p.add_argument("job", nargs="?", help="job name (for 'run') / parquet dir (for 'optimize')")
     p.add_argument("--min-quality", type=float, default=0.5, help="curate: quality floor")
@@ -152,6 +152,25 @@ def main(argv: list[str] | None = None) -> int:
                     spark, args.job, target_bytes=args.target_mb * 1024 * 1024
                 )
                 print(f"✅ compacted {args.job} into {n} files")
+            return 0
+        if args.command == "stream":
+            # Drain the event stream through the keyed idempotent sink
+            # with AvailableNow — the streaming analog of run-all: every
+            # invocation processes whatever arrived and appends only new
+            # keys, so re-running (or replaying after checkpoint loss)
+            # appends zero duplicates.
+            import os as _os
+
+            from .streaming import stream_events, stream_ignore_conflicts
+
+            ev = stream_events(spark, args.sf_dir)
+            n = stream_ignore_conflicts(
+                ev,
+                f"{args.sink_dir}/events_stream",
+                keys=["event_id"],
+                checkpoint_dir=_os.path.join(args.sink_dir, "_checkpoints", "events"),
+            )
+            print(f"✅ events_stream: {n} rows appended")
             return 0
         if args.command == "curate":
             from .pipeline.curation import curate_documents
