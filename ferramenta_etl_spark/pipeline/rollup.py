@@ -1,0 +1,101 @@
+"""Continuous aggregate (hypertable-rollup analog) over event time.
+
+The TimescaleDB/Druid pattern on Spark primitives:
+
+- ``materialize_rollup``: aggregate events into tumbling windows and
+  idempotently append ONLY the windows that have closed (window end <=
+  the watermark). Closed windows are immutable, so the keyed
+  first-writer-wins sink (``write_ignore_conflicts``) is exactly the
+  right consistency model — re-materializing after new data arrives
+  appends only newly-closed windows, never rewrites old ones.
+- ``serve_rollup``: answer the windowed query as materialized windows
+  UNION a live aggregation of only the raw events past the watermark —
+  so the expensive scan is bounded by the un-materialized tail, not
+  corpus history.
+
+At 100 TB the materialized side is a tiny windows table (one row per
+window) while raw events stay in cold storage; the serve path reads
+|tail| raw rows. A scheduler (the job registry, or the streaming sink in
+streaming/windows.py) advances the watermark; here it is an explicit
+argument so batch tests can pin it.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.tsql import epoch_ms
+from ..sinks import write_ignore_conflicts
+
+_MS = {"15 minutes": 15 * 60 * 1000, "30 minutes": 30 * 60 * 1000,
+       "1 hour": 60 * 60 * 1000, "1 day": 24 * 60 * 60 * 1000}
+
+
+def _window_ms(size: str) -> int:
+    if size not in _MS:
+        raise ValueError(f"unsupported window size {size!r}; known: {sorted(_MS)}")
+    return _MS[size]
+
+
+def _windowed_agg(events: DataFrame, size: str) -> DataFrame:
+    return (
+        events.groupBy(F.window("ts", size).alias("win"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("sum_value"),
+        )
+        .select(
+            epoch_ms(F.col("win.start")).alias("win_start_ms"),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def materialize_rollup(
+    events: DataFrame,
+    path: str,
+    size: str = "15 minutes",
+    watermark_ms: int | None = None,
+) -> int:
+    """Append all CLOSED windows (end <= watermark) to the rollup table;
+    returns windows appended. Without a watermark, everything
+    materializes (a final backfill over a finished dataset)."""
+    agg = _windowed_agg(events, size)
+    if watermark_ms is not None:
+        agg = agg.filter(F.col("win_start_ms") + _window_ms(size) <= watermark_ms)
+    return write_ignore_conflicts(agg, path, keys=["win_start_ms"])
+
+
+def serve_rollup(
+    spark: SparkSession,
+    events: DataFrame,
+    path: str,
+    size: str = "15 minutes",
+    watermark_ms: int | None = None,
+) -> DataFrame:
+    """The windowed aggregation, answered as materialized ∪ live tail.
+
+    Events in a window that straddles the watermark were NOT
+    materialized (the window hadn't closed), so the live side recomputes
+    every window whose START is past the last closed boundary — the scan
+    is pruned to ts >= floor(watermark, size) - 0, which partition
+    pruning turns into a directory filter on a date-partitioned events
+    table."""
+    materialized = spark.read.parquet(path)
+    if watermark_ms is None:
+        return materialized
+    wms = _window_ms(size)
+    # A window [s, s+W) was materialized iff s+W <= watermark, so the
+    # live side owns every window with s > watermark - W. Window starts
+    # are W-aligned; the smallest live start is therefore:
+    live_start_ms = ((watermark_ms - wms) // wms + 1) * wms
+    # epoch_ms comparison is total over TIMESTAMP and TIMESTAMP_NTZ ts
+    # columns; on a date-partitioned events table filter the partition
+    # column instead so pruning reaches the directory listing
+    live = _windowed_agg(
+        events.filter(epoch_ms(F.col("ts")) >= F.lit(live_start_ms)), size
+    )
+    mat = materialized.filter(F.col("win_start_ms") + wms <= watermark_ms)
+    return mat.unionByName(live)
