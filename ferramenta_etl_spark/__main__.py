@@ -48,7 +48,10 @@ def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(prog="ferramenta_etl_spark")
     p.add_argument(
         "command",
-        choices=["list", "run", "run-all", "curate", "optimize", "plan-audit", "stream"],
+        choices=[
+            "list", "run", "run-all", "curate", "optimize", "plan-audit",
+            "stream", "rollup",
+        ],
     )
     p.add_argument("job", nargs="?", help="job name (for 'run') / parquet dir (for 'optimize')")
     p.add_argument("--min-quality", type=float, default=0.5, help="curate: quality floor")
@@ -60,6 +63,13 @@ def main(argv: list[str] | None = None) -> int:
         "--redact-pii",
         action="store_true",
         help="curate: mask emails/IPs/phone numbers in the output text",
+    )
+    p.add_argument(
+        "--watermark-ms",
+        type=int,
+        default=None,
+        help="rollup: close windows ending at or before this epoch-ms "
+        "(default: materialize everything — final backfill)",
     )
     p.add_argument("--zorder", help="optimize: comma-separated columns to Z-order cluster on")
     p.add_argument("--target-mb", type=int, default=128, help="optimize: target file size (MiB)")
@@ -152,6 +162,16 @@ def main(argv: list[str] | None = None) -> int:
                     spark, args.job, target_bytes=args.target_mb * 1024 * 1024
                 )
                 print(f"✅ compacted {args.job} into {n} files")
+            return 0
+        if args.command == "rollup":
+            from .pipeline.rollup import materialize_rollup
+            from .sources import load_table
+
+            ev = load_table(spark, args.sf_dir, "events")
+            n = materialize_rollup(
+                ev, f"{args.sink_dir}/events_rollup", watermark_ms=args.watermark_ms
+            )
+            print(f"✅ events_rollup: {n} closed windows appended")
             return 0
         if args.command == "stream":
             # Drain the event stream through the keyed idempotent sink
