@@ -188,10 +188,17 @@ def gopher_keep(text: Column, min_tokens: int = 10, max_tokens: int = 100_000) -
 # prose is never mangled. Extend per-corpus as needed.
 EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
 IPV4_RE = r"\b(?:\d{1,3}\.){3}\d{1,3}\b"
-# 9+ digits with optional ( ) . - and spaces between them: catches
-# "+1 (555) 123-4567" / "555 123 4567" while leaving year ranges like
-# "1999-2000" (8 digits) and isolated numbers alone
-PHONE_RE = r"\+?\d(?:[\s().-]*\d){8,}"
+# Phone-shaped digit runs. Precision rule: bare spaces are never enough
+# to join digit groups (prose like "1999 1999 1999" or numbered lists
+# must survive). Spaces are only allowed once the match is anchored on
+# structure a sentence can't have — a leading "+" or a parenthesized
+# area code. Unanchored runs must be contiguous or joined by "."/"-",
+# 9+ digits total, so "1999-2000" (8 digits) and versions stay intact.
+PHONE_RE = (
+    r"\+\d(?:[ ().-]{0,2}\d){7,}"  # +international: spaces OK after the + anchor
+    r"|\(\d{2,4}\)[ .-]?\d(?:[ .-]?\d){5,}"  # (area) anchor: "(555) 123-4567"
+    r"|\d(?:[.-]?\d){8,}"  # 9+ digits joined only by . or - (no bare spaces)
+)
 
 
 def redact_pii(text: Column, replacement: str = "<PII>") -> Column:
