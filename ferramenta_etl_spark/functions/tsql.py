@@ -66,13 +66,19 @@ def epoch_ms(col: Column | str) -> Column:
     microsecond-precision timestamps (round vs truncate); both sides of
     the oracle contract therefore use floor(epoch_us / 1000).
 
-    The cast to ``timestamp`` first makes this total over TIMESTAMP_NTZ
-    inputs (parquet ``timestamp[us]`` without tz infers as NTZ in Spark 4,
-    and ``unix_micros`` rejects NTZ); the session timezone is pinned to
-    UTC, so NTZ -> TIMESTAMP is a pure reinterpretation that agrees with
-    DuckDB's naive-timestamp ``epoch_us``."""
+    The double cast (``timestamp_ntz`` then ``timestamp``) makes this
+    total over TIMESTAMP_NTZ inputs (parquet ``timestamp[us]`` without tz
+    infers as NTZ in Spark 4, and ``unix_micros`` rejects NTZ) while
+    keeping numeric inputs a LOUD analysis error: Spark allows
+    cast(BIGINT AS TIMESTAMP) — interpreting the value as SECONDS, which
+    would silently corrupt a raw nanosAsLong ``ts`` column that skipped
+    loader normalization — but forbids BIGINT -> TIMESTAMP_NTZ, so the
+    unnormalized path fails at plan time instead. The session timezone is
+    pinned to UTC, so TIMESTAMP <-> NTZ is a pure reinterpretation that
+    agrees with DuckDB's naive-timestamp ``epoch_us``."""
     c = F.col(col) if isinstance(col, str) else col
-    return F.floor(F.unix_micros(c.cast("timestamp")) / 1000).cast("long")
+    micros = F.unix_micros(c.cast("timestamp_ntz").cast("timestamp"))
+    return F.floor(micros / 1000).cast("long")
 
 
 def money(col: Column | str, scale: int = 2) -> Column:

@@ -87,10 +87,18 @@ def serve_rollup(
     if watermark_ms is None:
         return materialized
     wms = _window_ms(size)
-    # A window [s, s+W) was materialized iff s+W <= watermark, so the
-    # live side owns every window with s > watermark - W. Window starts
-    # are W-aligned; the smallest live start is therefore:
-    live_start_ms = ((watermark_ms - wms) // wms + 1) * wms
+    # The live boundary must come from what was ACTUALLY materialized,
+    # not from serve's watermark alone: if serve's watermark ran ahead of
+    # the last materialize, windows that closed in between exist in
+    # neither side unless the live scan backs up to cover them. The max
+    # over the rollup table is metadata-scale (one row per window).
+    mat_max = materialized.agg(F.max("win_start_ms")).first()[0]
+    # A window [s, s+W) belongs to the mat side iff it is present
+    # (s <= mat_max) and closed (s+W <= watermark); live owns the rest.
+    wm_boundary = ((watermark_ms - wms) // wms + 1) * wms
+    if mat_max is None:
+        return _windowed_agg(events, size)
+    live_start_ms = min(mat_max + wms, wm_boundary)
     # epoch_ms comparison is total over TIMESTAMP and TIMESTAMP_NTZ ts
     # columns; on a date-partitioned events table filter the partition
     # column instead so pruning reaches the directory listing

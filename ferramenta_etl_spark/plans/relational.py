@@ -624,9 +624,12 @@ def pivot_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pivot with explicit value list (one pass; no value-discovery job)
     melted straight back with the native single-pass unpivot — the
     round-trip exercises both operators in one plan (absorbs the former
-    pivot_agg and unpivot_metrics queries). Spark's unpivot drops null
-    measures, matching SQL UNPIVOT's EXCLUDE NULLS default; the oracle
-    filters explicitly."""
+    pivot_agg and unpivot_metrics queries). NOTE: Spark's DataFrame
+    unpivot KEEPS null measure rows (unlike SQL UNPIVOT's EXCLUDE NULLS
+    default), so an empty pivot cell — a (returnflag, linestatus) combo
+    that never occurs — would surface as a null-qty row; the explicit
+    isNotNull filter enforces EXCLUDE NULLS to match the oracle on any
+    data, not just fixtures where every cell is populated."""
     li = load_table(spark, sf_dir, "lineitem")
     wide = (
         li.groupBy("l_returnflag")
@@ -635,7 +638,8 @@ def pivot_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumnRenamed("F", "qty_F")
         .withColumnRenamed("O", "qty_O")
     )
-    return wide.unpivot(["l_returnflag"], ["qty_F", "qty_O"], "status", "qty")
+    melted = wide.unpivot(["l_returnflag"], ["qty_F", "qty_O"], "status", "qty")
+    return melted.filter(F.col("qty").isNotNull())
 
 
 @_q(

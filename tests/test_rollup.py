@@ -48,6 +48,21 @@ def test_rollup_serve_equals_direct(spark, sf_dir, tmp_path):
     assert _rows(serve_rollup(spark, ev, path)) == _rows(direct)
 
 
+def test_rollup_serve_watermark_ahead_of_materialize(spark, sf_dir, tmp_path):
+    """Serve with a watermark AHEAD of the last materialize: windows that
+    closed between the two watermarks are in neither the table nor the
+    naive watermark-derived tail — the live boundary must back up to the
+    materialized high-water mark so the gap is recomputed live."""
+    ev = load_table(spark, sf_dir, "events")
+    lo, hi = ev.select(F.min(epoch_ms("ts")), F.max(epoch_ms("ts"))).first()
+    early = lo + (hi - lo) // 4
+    late = lo + 3 * (hi - lo) // 4
+    path = str(tmp_path / "rollup_gap")
+    assert materialize_rollup(ev, path, watermark_ms=early) > 0
+    served = serve_rollup(spark, ev, path, watermark_ms=late)
+    assert _rows(served) == _rows(_windowed_agg(ev, "15 minutes"))
+
+
 def test_rollup_watermark_inside_first_window(spark, sf_dir, tmp_path):
     """Degenerate watermark (before any window closes): nothing
     materializes and the live side answers everything."""
@@ -57,3 +72,14 @@ def test_rollup_watermark_inside_first_window(spark, sf_dir, tmp_path):
     assert materialize_rollup(ev, path, watermark_ms=lo) == 0
     served = serve_rollup(spark, ev, path, watermark_ms=lo)
     assert _rows(served) == _rows(_windowed_agg(ev, "15 minutes"))
+
+
+def test_epoch_ms_rejects_raw_long(spark):
+    """A raw bigint ts (e.g. nanosAsLong parquet that skipped loader
+    normalization) must be a LOUD plan-time error, not a silently-wrong
+    seconds interpretation (cast BIGINT->TIMESTAMP reads seconds)."""
+    import pytest
+
+    df = spark.createDataFrame([(1_755_100_000_123_456_789,)], "ts long")
+    with pytest.raises(Exception, match="TIMESTAMP_NTZ|DATATYPE_MISMATCH"):
+        df.select(epoch_ms("ts")).collect()
