@@ -429,10 +429,34 @@ def multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     return M.extract_media_features(media).drop("checksum")
 
 
-@_q("multimodal_checksum")  # rows-only: byte-level checksum not cheap in SQL
+@_q(
+    "multimodal_checksum",
+    """
+    WITH b AS (
+        SELECT doc_id, text,
+               substr(hex(encode(text)), 1, 128) AS h  -- first 64 bytes, hex
+        FROM documents
+    )
+    SELECT doc_id,
+           CASE CAST(doc_id % 3 AS INT)
+                WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END
+             AS media_type,
+           CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
+           CAST(octet_length(encode(text)) % 640 AS BIGINT) AS width,
+           CAST((octet_length(encode(text)) * 7) % 480 AS BIGINT) AS height,
+           CAST(COALESCE(list_sum(
+               [ (strpos('0123456789ABCDEF', h[i]) - 1)
+                 * (CASE WHEN i % 2 = 1 THEN 16 ELSE 1 END)
+                 for i in range(1, len(h) + 1) ]), 0) % 2147483648 AS BIGINT)
+             AS checksum
+    FROM b
+    """,
+)
 def multimodal_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Same pipeline including the byte-access checksum, proving the UDF
-    really sees the binary payload (not just lengths)."""
+    really sees the binary payload (not just lengths). The oracle folds
+    the hex expansion of the first 64 UTF-8 bytes — pure byte arithmetic
+    DuckDB can reproduce, so this query is fully hash-checked."""
     media = M.attach_fake_media(load_table(spark, sf_dir, "documents"))
     return M.extract_media_features(media)
 
