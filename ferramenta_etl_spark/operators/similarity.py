@@ -179,6 +179,124 @@ def lloyd_refine(
     return centroids
 
 
+# Above this many centroids the literal-array trick stops being the right
+# tool: the expression tree (and codegen input) grows O(n_centroids x dim),
+# so plan construction/analysis time blows up long before execution does.
+# Past the threshold, centroid scoring switches to an Arrow-batched numpy
+# matmul against a plan-size-constant broadcast matrix. 64 x dim literals
+# is comfortably inside Catalyst's budget; 10^3..10^5 centroids is not.
+LITERAL_CENTROID_MAX = 64
+
+
+def _centroid_matrix(centroid_rows: Sequence[tuple[int, Sequence[float]]]):
+    """(ids, matrix, norms) as numpy arrays — the broadcast index metadata
+    of the large-k path. Rows stay in centroid_id order so first-max
+    argmax ties resolve to the smallest centroid id, matching the literal
+    path's array_position semantics."""
+    import numpy as np
+
+    ids = np.array([int(cid) for cid, _ in centroid_rows], dtype=np.int64)
+    mat = np.array([list(map(float, v)) for _, v in centroid_rows], dtype=np.float64)
+    norms = np.sqrt((mat * mat).sum(axis=1))
+    return ids, mat, norms
+
+
+def _assign_buckets_arrow(
+    corpus: DataFrame,
+    centroid_rows: Sequence[tuple[int, Sequence[float]]],
+    id_col: str,
+    vec_col: str,
+    keep_norm: bool,
+) -> DataFrame:
+    """Large-k coarse quantizer: one numpy (batch x dim) @ (dim x k)
+    matmul per Arrow batch. Still a narrow map — no shuffle, output
+    partitioning == input partitioning — and the plan size is constant in
+    n_centroids (the matrix rides along as a task-broadcast closure, the
+    same way a real IVF index ships its codebook). BLAS summation order
+    differs from the sequential SQL fold in the last ulp, which the 6-dp
+    round absorbs except on exact ties — acceptable for an approximate
+    assignment (recall-tested), not used on oracle-checked paths.
+    """
+    from pyspark.sql import types as T
+
+    cids, cmat, cnorms = _centroid_matrix(centroid_rows)
+    in_fields = {f.name: f for f in corpus.schema.fields}
+    fields = [in_fields[id_col], in_fields[vec_col]]
+    if keep_norm:
+        fields.append(T.StructField("__nv", T.DoubleType()))
+    fields.append(T.StructField("centroid_id", T.LongType()))
+    schema = T.StructType(fields)
+
+    def batches(it):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in it:
+            if len(pdf) == 0:
+                continue
+            vecs = np.stack([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
+            nv = np.sqrt((vecs * vecs).sum(axis=1))
+            sims = np.round((vecs @ cmat.T) / (nv[:, None] * cnorms[None, :]), 6)
+            out = {id_col: pdf[id_col].values, vec_col: pdf[vec_col].values}
+            if keep_norm:
+                out["__nv"] = nv
+            out["centroid_id"] = cids[sims.argmax(axis=1)]
+            yield pd.DataFrame(out)
+
+    return corpus.select(id_col, vec_col).mapInPandas(batches, schema)
+
+
+def _query_probes_arrow(
+    queries: DataFrame,
+    centroid_rows: Sequence[tuple[int, Sequence[float]]],
+    nprobe: int,
+    query_id_col: str,
+    query_vec_col: str,
+) -> DataFrame:
+    """Large-k probe selection: score all centroids per query with one
+    matmul, keep the nprobe best. Stable argsort on -sim preserves
+    centroid-id order on ties — the same (qsim DESC, centroid_id ASC)
+    total order as the literal path's sort_array."""
+    from pyspark.sql import types as T
+
+    cids, cmat, cnorms = _centroid_matrix(centroid_rows)
+    in_fields = {f.name: f for f in queries.schema.fields}
+    schema = T.StructType(
+        [
+            in_fields[query_id_col],
+            in_fields[query_vec_col],
+            T.StructField("__qn", T.DoubleType()),
+            T.StructField("centroid_id", T.LongType()),
+        ]
+    )
+    take = min(nprobe, len(centroid_rows))
+
+    def batches(it):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in it:
+            if len(pdf) == 0:
+                continue
+            vecs = np.stack(
+                [np.asarray(v, dtype=np.float64) for v in pdf[query_vec_col]]
+            )
+            qn = np.sqrt((vecs * vecs).sum(axis=1))
+            sims = np.round((vecs @ cmat.T) / (qn[:, None] * cnorms[None, :]), 6)
+            best = np.argsort(-sims, axis=1, kind="stable")[:, :take]
+            idx = np.repeat(np.arange(len(pdf)), take)
+            yield pd.DataFrame(
+                {
+                    query_id_col: pdf[query_id_col].values[idx],
+                    query_vec_col: pdf[query_vec_col].values[idx],
+                    "__qn": qn[idx],
+                    "centroid_id": cids[best.ravel()],
+                }
+            )
+
+    return queries.select(query_id_col, query_vec_col).mapInPandas(batches, schema)
+
+
 def assign_ivf_buckets(
     corpus: DataFrame,
     centroid_rows: Sequence[tuple[int, Sequence[float]]],
@@ -211,7 +329,13 @@ def assign_ivf_buckets(
 
     At scale you'd persist the result partitioned by centroid_id;
     queries then prune to nprobe partitions.
+
+    Past ``LITERAL_CENTROID_MAX`` centroids the literal expression tree
+    would grow O(n_centroids x dim) at plan-build time; the Arrow matmul
+    path takes over with a plan whose size is constant in n_centroids.
     """
+    if len(centroid_rows) > LITERAL_CENTROID_MAX:
+        return _assign_buckets_arrow(corpus, centroid_rows, id_col, vec_col, keep_norm)
     with_norm = corpus.select(
         F.col(id_col), F.col(vec_col), F.expr(_norm_sql(vec_col)).alias("__nv")
     )
@@ -247,7 +371,13 @@ def _query_probes(
 ) -> DataFrame:
     """Per query: the ``nprobe`` nearest centroids, via the literal-
     centroid trick — sort_array on (neg_sim, centroid_id) structs gives
-    the (qsim DESC, centroid_id ASC) order without a shuffle."""
+    the (qsim DESC, centroid_id ASC) order without a shuffle. Large
+    centroid counts dispatch to the Arrow matmul path (same order,
+    constant plan size)."""
+    if len(centroid_rows) > LITERAL_CENTROID_MAX:
+        return _query_probes_arrow(
+            queries, centroid_rows, nprobe, query_id_col, query_vec_col
+        )
     queries_n = queries.select(
         query_id_col,
         query_vec_col,

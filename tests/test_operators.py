@@ -63,6 +63,63 @@ def test_ivf_recall_against_brute_force(spark, sf_dir):
     assert recall >= 0.4, f"IVF recall {recall:.2f}"
 
 
+def test_ivf_arrow_path_matches_literal(spark, sf_dir):
+    """The Arrow matmul scorer and the literal-expression scorer are the
+    same coarse quantizer: identical bucket assignments and probe sets
+    (up to measure-zero rounding ties) on the same centroids."""
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    cents = S.derive_centroids(emb, 16)
+    lit = {r.vec_id: r.centroid_id for r in S.assign_ivf_buckets(emb, cents).collect()}
+    arr = {
+        r.vec_id: r.centroid_id
+        for r in S._assign_buckets_arrow(emb, cents, "vec_id", "embedding", False).collect()
+    }
+    assert set(lit) == set(arr)
+    agree = sum(lit[v] == arr[v] for v in lit) / len(lit)
+    assert agree >= 0.99, f"assignment agreement {agree:.3f}"
+
+    q = emb.limit(5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    lp = {(r.query_id, r.centroid_id) for r in S._query_probes(q, cents, 4).collect()}
+    ap = {
+        (r.query_id, r.centroid_id)
+        for r in S._query_probes_arrow(q, cents, 4, "query_id", "query_vec").collect()
+    }
+    assert len(lp & ap) / len(lp) >= 0.95, f"probe agreement {len(lp & ap)}/{len(lp)}"
+
+
+def test_ivf_large_k_arrow_dispatch(spark, sf_dir, tmp_path):
+    """n_centroids past LITERAL_CENTROID_MAX routes through the Arrow
+    path: a 256-centroid index assigns, builds, persists, and serves with
+    solid recall — the plan no longer embeds centroid literals, so its
+    size is constant in n_centroids (the round-2 scale ceiling)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    corpus = emb.filter(F.col("vec_id") >= 10).select("vec_id", "embedding")
+    exact = {
+        (r.query_id, r.vec_id) for r in S.cosine_topk(corpus, queries, k=5).collect()
+    }
+    assert 256 > S.LITERAL_CENTROID_MAX
+    approx_df = S.ivf_topk(
+        corpus, queries, n_centroids=256, nprobe=128, k=5, train_iters=0
+    )
+    # constant-size plan: no centroid literal arrays in the analyzed plan
+    plan = approx_df._jdf.queryExecution().analyzed().toString()
+    assert "zip_with(array(" not in plan
+    approx = {(r.query_id, r.vec_id) for r in approx_df.collect()}
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.4, f"large-k IVF recall {recall:.2f}"
+
+    # persisted-index round trip through the same large-k dispatch
+    path = str(tmp_path / "ivf_big")
+    S.build_ivf_index(corpus, path, n_centroids=96, train_iters=0)
+    served = S.ivf_topk_on_index(spark, path, queries, nprobe=48, k=5)
+    assert served.count() == queries.count() * 5
+
+
 def test_jdbc_option_plumbing(spark):
     cfg = JdbcConfig(
         url="jdbc:postgresql://example:5432/db", user="u", password="p",
