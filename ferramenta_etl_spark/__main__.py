@@ -77,6 +77,12 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--config", default="etl_jobs.json", help="job registry JSON (auto-created)")
     p.add_argument("--sf-dir", default="/root/testdata/sf0.01", help="source table directory")
     p.add_argument("--sink-dir", default="./etl_sinks", help="sink base directory")
+    p.add_argument(
+        "--quarantine-dir",
+        default=None,
+        help="divert rows with null keys here instead of loading them "
+        "(row-level keep-going, ≙ S:231-236); off by default",
+    )
     p.add_argument("--cpus", type=int, default=8)
     args = p.parse_args(argv)
 
@@ -85,7 +91,7 @@ def main(argv: list[str] | None = None) -> int:
     )  # ≙ S:8-9
 
     cfg = default_config(args.config)
-    jobs = build_jobs(args.sf_dir, args.sink_dir)
+    jobs = build_jobs(args.sf_dir, args.sink_dir, quarantine_dir=args.quarantine_dir)
 
     def resolver(name: str):
         if name not in jobs:  # ≙ missing-script ❌ at E:335-340

@@ -65,10 +65,19 @@ def default_config(path: str) -> dict:
 
 
 def build_jobs(
-    sf_dir: str, sink_dir: str
+    sf_dir: str, sink_dir: str, quarantine_dir: str | None = None
 ) -> dict[str, Callable[[SparkSession], int]]:
     """Job name -> callable(spark) -> rows appended. Every job loads its
-    sink idempotently on explicit keys, so run-all twice appends 0."""
+    sink idempotently on explicit keys, so run-all twice appends 0.
+
+    With ``quarantine_dir`` set, every job's load runs with row-level
+    quarantine (≙ the reference's skip-bad-batch-and-continue posture,
+    S:231-236): rows whose key columns are null are diverted to
+    ``{quarantine_dir}/{job_sink}`` with a ``_violations`` audit column
+    instead of failing or silently corrupting the sink."""
+
+    def _bad(job_sink: str) -> str | None:
+        return f"{quarantine_dir}/{job_sink}" if quarantine_dir else None
 
     def manifestos(spark: SparkSession) -> int:
         o = load_table(spark, sf_dir, "orders")
@@ -84,7 +93,8 @@ def build_jobs(
             F.round("o_totalprice", 2).alias("vl_total"),
         )
         return write_ignore_conflicts(
-            snap, f"{sink_dir}/view_manifestos", keys=["id_cliente"]
+            snap, f"{sink_dir}/view_manifestos", keys=["id_cliente"],
+            bad_records_path=_bad("view_manifestos"),
         )
 
     def movimento(spark: SparkSession) -> int:
@@ -105,7 +115,8 @@ def build_jobs(
             )
         )
         return write_ignore_conflicts(
-            agg, f"{sink_dir}/view_movimento", keys=["ms_inicio", "ds_tipo"]
+            agg, f"{sink_dir}/view_movimento", keys=["ms_inicio", "ds_tipo"],
+            bad_records_path=_bad("view_movimento"),
         )
 
     def manifestomovimento(spark: SparkSession) -> int:
@@ -125,6 +136,7 @@ def build_jobs(
             joined,
             f"{sink_dir}/view_manifestomovimento",
             keys=["id_manifesto", "id_movimento"],
+            bad_records_path=_bad("view_manifestomovimento"),
         )
 
     def adicionais(spark: SparkSession) -> int:
@@ -140,7 +152,8 @@ def build_jobs(
         ).withColumn("vl_adicional", (F.col("vl_adicional_c") / 100).cast("double")) \
          .drop("vl_adicional_c")
         return write_ignore_conflicts(
-            add, f"{sink_dir}/view_adicionais", keys=["id_manifesto", "cd_parcela"]
+            add, f"{sink_dir}/view_adicionais", keys=["id_manifesto", "cd_parcela"],
+            bad_records_path=_bad("view_adicionais"),
         )
 
     def parcela_ciot(spark: SparkSession) -> int:
@@ -151,6 +164,7 @@ def build_jobs(
             df,
             f"{sink_dir}/parcela_ciot",
             keys=["id_manifesto", "cd_parcela"],  # composite PK, ≙ S:119
+            bad_records_path=_bad("parcela_ciot"),
         )
 
     return {

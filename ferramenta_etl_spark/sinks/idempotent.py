@@ -137,6 +137,8 @@ def write_ignore_conflicts(
     order_by: Sequence[str] = (),
     backend: str = "auto",
     partition_cols: Sequence[str] = (),
+    bad_records_path: str | None = None,
+    rules=None,
 ) -> int:
     """Keyed first-writer-wins append (≙ ON CONFLICT DO NOTHING, S:214-218).
 
@@ -160,9 +162,30 @@ def write_ignore_conflicts(
     subset of ``keys``: key equality then implies partition equality, so
     pruned conflict detection remains globally exact.
 
+    ``bad_records_path`` turns on row-level quarantine BEFORE the
+    conflict check — the reference's keep-going posture (S:231-236) as
+    one flag: rows violating ``rules`` (name -> boolean Column; defaults
+    to every key column being non-null, the condition a PK insert would
+    reject) are appended to the quarantine parquet with a
+    ``_violations`` audit column, and the load continues with the valid
+    rows. ``rules`` without ``bad_records_path`` is an error — silently
+    dropping rows with nowhere to audit them would be data loss.
+
     Returns the number of rows appended. Re-running with the same input
     appends 0.
     """
+    if rules is not None and bad_records_path is None:
+        raise ValueError(
+            "rules require bad_records_path — refusing to drop rows "
+            "without a quarantine destination"
+        )
+    if bad_records_path is not None:
+        from .quarantine import quarantine_invalid
+
+        all_rules = {f"{k}_not_null": F.col(k).isNotNull() for k in keys}
+        if rules:
+            all_rules.update(rules)
+        df, _ = quarantine_invalid(df, all_rules, bad_records_path)
     spark = df.sparkSession
     if partition_cols and not set(partition_cols) <= set(keys):
         raise ValueError(

@@ -104,3 +104,69 @@ def test_delta_merge_roundtrip(spark, tmp_path):
     assert write_ignore_conflicts(df2, target, keys=["k"], backend="delta") == 1
     rows = {r.k: r.v for r in spark.read.format("delta").load(target).collect()}
     assert rows == {1: "a", 2: "b", 3: "c"}
+
+
+def test_sink_quarantine_flag(spark, tmp_path):
+    """write_ignore_conflicts with bad_records_path: one flag gives the
+    reference's keep-going posture — bad rows audited, load succeeds."""
+    df = spark.createDataFrame(
+        [(1, 10.0), (None, 5.0), (2, -3.0), (2, -3.0)], "k int, amount double"
+    )
+    sink = str(tmp_path / "sink")
+    qdir = str(tmp_path / "bad")
+    # default rules: key columns non-null
+    n = write_ignore_conflicts(df, sink, keys=["k"], bad_records_path=qdir)
+    assert n == 2  # k=1 and k=2 (deduped); null key quarantined
+    bad = spark.read.parquet(qdir).collect()
+    assert len(bad) == 1 and bad[0]._violations == ["k_not_null"]
+    # extra caller rules compose with the defaults
+    df2 = spark.createDataFrame([(3, -1.0), (4, 7.0)], "k int, amount double")
+    n2 = write_ignore_conflicts(
+        df2, sink, keys=["k"], bad_records_path=qdir,
+        rules={"amount_positive": F.col("amount") > 0},
+    )
+    assert n2 == 1
+    assert spark.read.parquet(qdir).count() == 2
+    # rules without a quarantine destination would silently lose rows
+    with pytest.raises(ValueError, match="bad_records_path"):
+        write_ignore_conflicts(
+            df2, sink, keys=["k"], rules={"amount_positive": F.col("amount") > 0}
+        )
+
+
+def test_shipped_job_quarantines_poisoned_fixture(spark, sf_dir, tmp_path):
+    """A shipped registry job over a poisoned source: N-k rows load, k
+    rows land in quarantine with _violations, and the job SUCCEEDS —
+    the reference's S:231-236 posture as one build_jobs argument."""
+    import pyarrow.parquet as pq
+    import pyarrow as pa
+
+    from ferramenta_etl_spark.pipeline.jobs import build_jobs
+
+    src = pq.read_table(f"{sf_dir}/lineitem.parquet")
+    k = 7
+    poison = src.slice(0, k).set_column(
+        src.schema.get_field_index("l_orderkey"),
+        "l_orderkey",
+        pa.array([None] * k, type=src.schema.field("l_orderkey").type),
+    )
+    poisoned_dir = tmp_path / "sf_poisoned"
+    poisoned_dir.mkdir()
+    pq.write_table(
+        pa.concat_tables([src, poison]), str(poisoned_dir / "lineitem.parquet")
+    )
+
+    sink_dir = str(tmp_path / "sinks")
+    qdir = str(tmp_path / "quarantine")
+    jobs = build_jobs(str(poisoned_dir), sink_dir, quarantine_dir=qdir)
+    n = jobs["alimentacao_view_adicionais"](spark)
+    assert n > 0
+    bad = spark.read.parquet(f"{qdir}/view_adicionais")
+    assert bad.count() == k
+    assert {tuple(r._violations) for r in bad.collect()} == {
+        ("id_manifesto_not_null",)
+    }
+    # loaded side has no null keys and is idempotent on rerun
+    loaded = spark.read.parquet(f"{sink_dir}/view_adicionais")
+    assert loaded.filter(F.col("id_manifesto").isNull()).count() == 0
+    assert jobs["alimentacao_view_adicionais"](spark) == 0
