@@ -409,23 +409,24 @@ def connected_components(
             .groupBy("src")
             .agg(F.min("dst_label").alias("nbr_min"))
         )
-        new_labels = (
+        # The changed flag rides along in the update projection, so the
+        # fixpoint check is a scan of the just-checkpointed result — not
+        # a second labels-vs-labels join per round.
+        updated = (
             labels.join(nbr_min, labels.v == nbr_min.src, "left")
             .select(
                 labels.v,
                 F.least(
                     F.col("label"), F.coalesce(F.col("nbr_min"), F.col("label"))
                 ).alias("label"),
+                F.coalesce(
+                    F.col("nbr_min") < F.col("label"), F.lit(False)
+                ).alias("__changed"),
             )
             .localCheckpoint(eager=True)
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "v")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .count()
-        )
-        labels = new_labels
+        changed = updated.filter(F.col("__changed")).count()
+        labels = updated.drop("__changed")
         if changed == 0:
             break
     return labels
