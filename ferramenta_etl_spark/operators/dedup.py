@@ -15,10 +15,13 @@ space so nothing ever goes quadratic in the corpus size.
 
 from __future__ import annotations
 
+import logging
 from collections.abc import Sequence
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+
+log = logging.getLogger(__name__)
 
 # ---------------------------------------------------------------------------
 # Reference-parity: latest-record-per-key
@@ -249,6 +252,26 @@ def minhash_signatures(
     return exploded.groupBy(id_col).agg(*aggs)
 
 
+def _cap_blocks(blocked: DataFrame, keys: list[str], cap: int) -> DataFrame:
+    """Drop candidate blocks larger than ``cap`` members before the
+    self-join. Intra-block pair output is quadratic in block size, so one
+    pathological bucket (templated/boilerplate corpora put thousands of
+    docs in one band) dominates the whole job; capping bounds the pair
+    fan-out at cap^2/2 per block. The size aggregation shuffles on the
+    same keys as the join that follows, so the partitioning is reused.
+    Docs in dropped blocks still pair through their OTHER bands/blocks
+    (recall degrades gracefully; the cap is logged, not silent)."""
+    log.warning(
+        "near-dup candidate blocks capped at %d members; larger blocks dropped "
+        "(pairs in them are mostly exact/boilerplate dups - run exact dedup first)",
+        cap,
+    )
+    sizes = blocked.groupBy(*keys).agg(F.count(F.lit(1)).alias("__bsz"))
+    return blocked.join(
+        sizes.filter(F.col("__bsz") <= cap).select(*keys), keys
+    )
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     num_hashes: int = 32,
@@ -257,6 +280,7 @@ def minhash_lsh_pairs(
     threshold: float = 0.7,
     text_col: str = "text",
     id_col: str = "doc_id",
+    max_block_size: int | None = None,
 ) -> DataFrame:
     """Candidate near-dup pairs via banded LSH, verified by signature
     similarity.
@@ -289,6 +313,8 @@ def minhash_lsh_pairs(
         "sig",
         F.expr(f"explode(array({band_structs})) as bk"),
     ).select(id_col, "sig", "bk.band", "bk.bhash")
+    if max_block_size is not None:
+        banded = _cap_blocks(banded, ["band", "bhash"], max_block_size)
     a, b = banded.alias("a"), banded.alias("b")
     pairs = (
         a.join(
@@ -455,13 +481,17 @@ def simhash_near_dup_pairs(
     text_col: str = "text",
     id_col: str = "doc_id",
     n_blocks: int = 4,
+    max_block_size: int | None = None,
 ) -> DataFrame:
     """Near-dup pairs with Hamming distance <= max_hamming on SimHash.
 
     Pigeonhole blocking: split the 64-bit fingerprint into ``n_blocks``
     16-bit blocks; any pair within distance n_blocks-1 shares at least one
     exact block, so candidate generation is an equi-join on (block_idx,
-    block_value) — again no cross join at scale.
+    block_value) — again no cross join at scale. ``max_block_size`` caps
+    per-block membership (quadratic pair fan-out guard, see _cap_blocks);
+    on high-duplication corpora run exact dedup FIRST — identical texts
+    share a fingerprint, putting whole dup-groups into every block.
     """
     assert 64 % n_blocks == 0
     width = 64 // n_blocks
@@ -482,6 +512,8 @@ def simhash_near_dup_pairs(
             )
         ).alias("b"),
     ).select(id_col, "fp", "b.blk", "b.bval")
+    if max_block_size is not None:
+        blocked = _cap_blocks(blocked, ["blk", "bval"], max_block_size)
     a, b = blocked.alias("a"), blocked.alias("b")
     ham = F.bit_count(F.col("a.fp").bitwiseXOR(F.col("b.fp")))
     return (

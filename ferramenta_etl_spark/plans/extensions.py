@@ -114,19 +114,30 @@ def dedup_tokenset_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash(32) + 8-band LSH candidate pairs with signature-estimated
     Jaccard — THE scale path for near-dup (no pairwise work outside LSH
-    buckets). Rows-only check: the xxhash64-seeded hash family has no
+    buckets). Exact duplicates are collapsed FIRST (the cheap hash-groupBy
+    pass): identical texts share every band, so on a high-duplication
+    corpus they alone make intra-bucket pair output quadratic in
+    dup-group size — the one super-linear row in the round-2 10x scale
+    experiment. Near-dup detection owes pairs only between DISTINCT
+    texts. Rows-only check: the xxhash64-seeded hash family has no
     DuckDB equivalent; correctness covered by tests/test_operators.py
     against the exact-Jaccard operator."""
     return D.minhash_lsh_pairs(
-        load_table(spark, sf_dir, "documents"), num_hashes=32, bands=8, threshold=0.5
+        D.dedup_exact(load_table(spark, sf_dir, "documents")),
+        num_hashes=32,
+        bands=8,
+        threshold=0.5,
     )
 
 
 @_q("dedup_simhash")  # rows-only: same xxhash64 reproducibility limit
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs (Hamming <= 3) with pigeonhole 16-bit-block
-    candidate generation."""
-    return D.simhash_near_dup_pairs(load_table(spark, sf_dir, "documents"))
+    candidate generation, over exact-deduped docs (identical texts share
+    a fingerprint — same quadratic-fan-out argument as dedup_minhash_lsh)."""
+    return D.simhash_near_dup_pairs(
+        D.dedup_exact(load_table(spark, sf_dir, "documents"))
+    )
 
 
 # ===========================================================================

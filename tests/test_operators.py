@@ -120,6 +120,29 @@ def test_ivf_large_k_arrow_dispatch(spark, sf_dir, tmp_path):
     assert served.count() == queries.count() * 5
 
 
+def test_near_dup_pair_output_bounded_on_duplication(spark):
+    """High-duplication corpora: intra-block pair output is quadratic in
+    dup-group size. Exact-dedup composition removes the blow-up entirely;
+    max_block_size caps it when pre-dedup isn't possible."""
+    rows = [(i, "the same boilerplate text repeated " * 5) for i in range(60)]
+    rows += [
+        (100 + i, f"unique document number {i} covering topic {i * 7}")
+        for i in range(20)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    raw = D.simhash_near_dup_pairs(df).count()
+    assert raw >= 60 * 59 / 2  # the dup clique alone is ~1770 pairs
+    capped = D.simhash_near_dup_pairs(df, max_block_size=10).count()
+    assert capped < 60 * 59 / 2
+    pre = D.simhash_near_dup_pairs(D.dedup_exact(df)).count()
+    assert pre <= 20 * 19 / 2  # dup clique collapsed to one representative
+    # same guards on the LSH path
+    capped_lsh = D.minhash_lsh_pairs(
+        df, shingle_k=1, threshold=0.5, max_block_size=10
+    ).count()
+    assert capped_lsh < 60 * 59 / 2
+
+
 def test_jdbc_option_plumbing(spark):
     cfg = JdbcConfig(
         url="jdbc:postgresql://example:5432/db", user="u", password="p",
