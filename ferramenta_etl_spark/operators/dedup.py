@@ -402,28 +402,47 @@ def connected_components(
     a_col: str = "doc_id_a",
     b_col: str = "doc_id_b",
     max_iter: int = 20,
+    driver_max_edges: int = 2_000_000,
 ) -> DataFrame:
     """Cluster near-duplicate PAIRS into components: (v, label) where
     label is the component's minimum member id — the canonical doc.
 
-    Min-label propagation over the symmetrized edge set: each round every
-    vertex takes the min of its own and its neighbors' labels (one
-    edge-labels hash-join + groupBy-min per round), stopping at fixpoint.
-    Rounds needed = graph diameter, which for near-dup graphs is small
-    (clusters are quasi-cliques: LSH links most members directly).
-    localCheckpoint per round cuts the lineage so the plan doesn't grow
-    exponentially — the standard iterative-algorithm discipline on Spark.
-    Labels are the narrow (v, label) relation; edges never rewrite."""
+    Two physical strategies behind one contract:
+
+    1. **Driver union-find** when the (deduplicated, directed) edge count
+       is at most ``driver_max_edges``. The pair relation is orders of
+       magnitude smaller than the corpus (LSH emits only verified
+       near-dup pairs), so even a 100 TB corpus with a 1% near-dup rate
+       yields an edge set in the tens of millions — and below the
+       threshold it fits in tens of MB of driver memory, where path-
+       compressed union-find finishes in milliseconds instead of paying
+       several Spark jobs per propagation round. This is the ONE
+       deliberate collect in the dedup suite, size-guarded and with the
+       same min-label output as the distributed path.
+    2. **Distributed min-label propagation** above the threshold: each
+       round every vertex takes the min of its own and its neighbors'
+       labels (one edge-labels hash-join + groupBy-min per round),
+       stopping at fixpoint. Rounds needed = graph diameter, which for
+       near-dup graphs is small (clusters are quasi-cliques: LSH links
+       most members directly). localCheckpoint per round cuts the
+       lineage so the plan doesn't grow exponentially — the standard
+       iterative-algorithm discipline on Spark. Labels are the narrow
+       (v, label) relation; edges never rewrite."""
     edges = pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
     edges = edges.union(
         edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     ).distinct()
     edges = edges.localCheckpoint(eager=True)
+    # count() on the checkpointed relation is a cheap scan, and the
+    # count doubles as the strategy selector.
+    n_edges = edges.count()
+    if n_edges <= driver_max_edges:
+        return _cc_driver_union_find(edges)
     labels = (
         edges.select(F.col("src").alias("v"))
         .distinct()
         .withColumn("label", F.col("v"))
-    )
+    )  # distributed path continues below
     for _ in range(max_iter):
         nbr_min = (
             edges.join(
@@ -456,6 +475,44 @@ def connected_components(
         if changed == 0:
             break
     return labels
+
+
+def _cc_driver_union_find(edges: DataFrame) -> DataFrame:
+    """Path-compressed union-find over a collected edge list; emits the
+    same (v, label=min component member) relation as the distributed
+    propagation. Only reachable through connected_components' size guard
+    (edge count <= driver_max_edges), so the collect is bounded."""
+    import pyspark.sql.types as T
+
+    parent: dict = {}
+
+    def find(x):
+        root = x
+        while parent[root] != root:
+            root = parent[root]
+        while parent[x] != root:  # path compression
+            parent[x], x = root, parent[x]
+        return root
+
+    for src, dst in edges.select("src", "dst").toLocalIterator():
+        if src not in parent:
+            parent[src] = src
+        if dst not in parent:
+            parent[dst] = dst
+        ra, rb = find(src), find(dst)
+        if ra != rb:
+            # min-id root so the final label IS the component minimum
+            if rb < ra:
+                ra, rb = rb, ra
+            parent[rb] = ra
+
+    rows = [(v, find(v)) for v in parent]
+    id_type = edges.schema["src"].dataType
+    schema = T.StructType(
+        [T.StructField("v", id_type), T.StructField("label", id_type)]
+    )
+    spark = edges.sparkSession
+    return spark.createDataFrame(rows, schema)
 
 
 def dedup_keep_canonical(

@@ -80,7 +80,14 @@ def curated_frame(
         & (F.col("quality") >= min_quality)
         & (F.col("n_tok") >= min_tokens)
     )
-    exact_unique = dedup_exact(good)
+    # exact_unique feeds TWO consumers: the MinHash pair generation (which
+    # materializes under connected_components' edge checkpoint) and the
+    # final survivor anti-join. Without a persist the scan + regex-heavy
+    # scoring + window dedup lineage executes twice; MEMORY_AND_DISK is
+    # the standard multi-consumer discipline (on a cluster this spills per
+    # executor — same tradeoff a production pipeline makes by writing an
+    # intermediate table).
+    exact_unique = dedup_exact(good).persist()
     pairs = minhash_lsh_pairs(exact_unique)
     survivors = dedup_keep_canonical(exact_unique, pairs)
     if benchmark is not None:

@@ -308,13 +308,21 @@ def test_connected_components_and_canonical_dedup(spark):
     """Chain 1-2-3-4-5 (diameter forces multiple propagation rounds),
     star 10-{11,12,13}, pairless doc 99: clusters resolve to min-id
     labels; keep_canonical keeps exactly one doc per cluster plus the
-    untouched singleton."""
+    untouched singleton. Both physical strategies (driver union-find
+    and distributed min-label propagation) must agree."""
     pairs = spark.createDataFrame(
         [(1, 2), (2, 3), (3, 4), (4, 5), (10, 11), (10, 12), (10, 13)],
         "doc_id_a long, doc_id_b long",
     )
+    want = {1: 1, 2: 1, 3: 1, 4: 1, 5: 1, 10: 10, 11: 10, 12: 10, 13: 10}
     comp = {r.v: r.label for r in D.connected_components(pairs).collect()}
-    assert comp == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1, 10: 10, 11: 10, 12: 10, 13: 10}
+    assert comp == want
+    # driver_max_edges=0 forces the distributed propagation path
+    dist = {
+        r.v: r.label
+        for r in D.connected_components(pairs, driver_max_edges=0).collect()
+    }
+    assert dist == want
 
     docs = spark.createDataFrame(
         [(i, f"text {i}") for i in [1, 2, 3, 4, 5, 10, 11, 12, 13, 99]],
