@@ -99,6 +99,18 @@ def distinct_tokens(text: Column) -> Column:
     return F.array_distinct(tokens(text))
 
 
+def portable_hash(col: Column, hex_chars: int = 14) -> Column:
+    """Deterministic 4*hex_chars-bit hash reproducible bit-for-bit in
+    DuckDB (``('0x' || substr(md5(x), 1, n))::BIGINT``): the first n hex
+    chars of md5, parsed as an integer. Slower than xxhash64 (md5 + a
+    radix conversion per value) but it is what lets the MinHash/SimHash
+    QUERIES graduate from rows-only to fully hash-checked against the
+    DuckDB oracle; the xxhash64 family stays the library default.
+    hex_chars <= 15 keeps the value inside a signed 64-bit int."""
+    assert hex_chars <= 15
+    return F.conv(F.substring(F.md5(col), 1, hex_chars), 16, 10).cast("bigint")
+
+
 def shingles(text: Column, k: int = 3) -> Column:
     """k-token shingles as strings. Pure SQL expression: transform over
     token indexes, JVM-side, no UDF."""
@@ -113,7 +125,7 @@ def shingles(text: Column, k: int = 3) -> Column:
     )
 
 
-def shingle_hashes(text: Column, k: int = 3) -> Column:
+def shingle_hashes(text: Column, k: int = 3, portable: bool = False) -> Column:
     """k-token shingle HASHES in [0, 2^31-1), skipping string-shingle
     construction: tokens hash once per pass (xxhash64 mod p), then the
     shingle hash is a k-term polynomial fold of consecutive token hashes,
@@ -127,7 +139,8 @@ def shingle_hashes(text: Column, k: int = 3) -> Column:
     min() is multiset-invariant."""
     p = F.lit(_MERSENNE31)
     toks = tokens(text)
-    th = F.transform(toks, lambda t: F.pmod(F.xxhash64(t), p))
+    base = portable_hash if portable else F.xxhash64
+    th = F.transform(toks, lambda t: F.pmod(base(t), p))
     m = F.greatest(F.size(toks) - F.lit(k - 1), F.lit(0))
     acc = F.slice(th, 1, m)
     for j in range(1, k):
@@ -210,6 +223,7 @@ def minhash_signatures(
     shingle_k: int = 3,
     text_col: str = "text",
     id_col: str = "doc_id",
+    portable: bool = False,
 ) -> DataFrame:
     """MinHash signatures as one row per doc, columns m0..m{n-1}.
 
@@ -239,7 +253,7 @@ def minhash_signatures(
         ensure_scan_parallelism(df)
         .select(
             F.col(id_col),
-            F.explode(shingle_hashes(F.col(text_col), shingle_k)).alias("h"),
+            F.explode(shingle_hashes(F.col(text_col), shingle_k, portable)).alias("h"),
         )
         .filter(F.col("h").isNotNull())  # docs shorter than k tokens drop out
     )
@@ -281,6 +295,7 @@ def minhash_lsh_pairs(
     text_col: str = "text",
     id_col: str = "doc_id",
     max_block_size: int | None = None,
+    portable: bool = False,
 ) -> DataFrame:
     """Candidate near-dup pairs via banded LSH, verified by signature
     similarity.
@@ -297,12 +312,20 @@ def minhash_lsh_pairs(
     buckets, and bucket skew is handled by AQE skew-join splitting.
     """
     rows = num_hashes // bands
-    sig = minhash_signatures(df, num_hashes, shingle_k, text_col, id_col).select(
+    sig = minhash_signatures(
+        df, num_hashes, shingle_k, text_col, id_col, portable
+    ).select(
         F.col(id_col),
         F.expr("array(" + ", ".join(f"m{i}" for i in range(num_hashes)) + ") as sig"),
     )
+    # portable band hash = the same md5-prefix parse the oracle uses
+    bhash_fmt = (
+        "conv(substr(md5(concat_ws(',', {elems})), 1, 14), 16, 10)"
+        if portable
+        else "xxhash64(concat_ws(',', {elems}))"
+    )
     band_structs = ", ".join(
-        "struct({b} as band, xxhash64(concat_ws(',', {elems})) as bhash)".format(
+        ("struct({b} as band, " + bhash_fmt + " as bhash)").format(
             b=b,
             elems=", ".join(f"element_at(sig, {b * rows + r + 1})" for r in range(rows)),
         )
@@ -342,8 +365,10 @@ def minhash_lsh_pairs(
         ).cast("double")
         / F.lit(float(num_hashes))
     )
+    # n/num_hashes with num_hashes a power of two is exact in binary:
+    # no rounding, so the DuckDB oracle reproduces the doubles bit-for-bit
     return (
-        pairs.withColumn("est_jaccard", F.round(match_frac, 4))
+        pairs.withColumn("est_jaccard", match_frac)
         .filter(F.col("est_jaccard") >= threshold)
         .select("doc_id_a", "doc_id_b", "est_jaccard")
     )
@@ -359,6 +384,7 @@ def simhash_fingerprints(
     text_col: str = "text",
     id_col: str = "doc_id",
     bits: int = 64,
+    portable: bool = False,
 ) -> DataFrame:
     """64-bit SimHash per doc as (id, fp), via explode + groupBy.
 
@@ -379,9 +405,14 @@ def simhash_fingerprints(
     ~500 py4j round-trips ≈ 1.6 s of driver-side plan construction per
     call — longer than executing the query at sf0.1.
     """
+    base = (
+        # 15 hex chars of md5 = 60 bits: DuckDB-reproducible (callers
+        # pass bits=60 with portable=True so no vote reads past bit 59)
+        portable_hash(F.col("__tok"), 15) if portable else F.xxhash64("__tok")
+    )
     exploded = df.select(
         F.col(id_col), F.explode(distinct_tokens(F.col(text_col))).alias("__tok")
-    ).select(F.col(id_col), F.xxhash64("__tok").alias("h"))
+    ).select(F.col(id_col), base.alias("h"))
     votes = exploded.groupBy(id_col).agg(
         *[
             F.expr(
@@ -539,6 +570,7 @@ def simhash_near_dup_pairs(
     id_col: str = "doc_id",
     n_blocks: int = 4,
     max_block_size: int | None = None,
+    portable: bool = False,
 ) -> DataFrame:
     """Near-dup pairs with Hamming distance <= max_hamming on SimHash.
 
@@ -550,10 +582,11 @@ def simhash_near_dup_pairs(
     on high-duplication corpora run exact dedup FIRST — identical texts
     share a fingerprint, putting whole dup-groups into every block.
     """
-    assert 64 % n_blocks == 0
-    width = 64 // n_blocks
+    bits = 60 if portable else 64  # 60 = 15 md5 hex chars, see portable_hash
+    assert bits % n_blocks == 0
+    width = bits // n_blocks
     mask = (1 << width) - 1
-    fp = simhash_fingerprints(df, text_col, id_col)
+    fp = simhash_fingerprints(df, text_col, id_col, bits, portable)
     blocked = fp.select(
         id_col,
         "fp",

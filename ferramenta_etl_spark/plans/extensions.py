@@ -5,9 +5,11 @@ search, text analysis, multimodal plumbing, and event-time windowing.
 Oracle notes:
 - vector math uses the identical sequential double fold on both engines
   (verified bit-identical; see operators/similarity.py);
-- MinHash-LSH / SimHash / IVF probing depend on xxhash64 and seeded
-  centroids, which DuckDB cannot reproduce -> rows-only checks (driver
-  records the weaker gate; flagged here explicitly);
+- MinHash-LSH and SimHash run their registered queries with the
+  portable md5-prefix hash family (operators/dedup.portable_hash),
+  reproducible bit-for-bit in DuckDB -> fully hash-checked; the library
+  default stays xxhash64. IVF probing depends on derived centroids and
+  is rows-only (recall asserted in pytest);
 - event-time milliseconds always floor(epoch_us/1000) (functions/tsql.py).
 """
 
@@ -110,7 +112,68 @@ def dedup_tokenset_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@_q("dedup_minhash_lsh")  # rows-only: xxhash64 family not reproducible in DuckDB
+# The portable md5-prefix hash family (operators/dedup.portable_hash) is
+# reproducible bit-for-bit in DuckDB, so the full MinHash+LSH pipeline —
+# exact-dedup, token hashing, shingle poly-fold, 32 affine min-hashes,
+# 8-band bucketing, signature-match estimation — is hash-checked end to
+# end (round 2 recorded it rows-only under xxhash64).
+_P31 = 2_147_483_647
+_DEDUP_CTE = """dedup AS (
+        SELECT doc_id, text FROM (
+            SELECT doc_id, text,
+                   row_number() OVER (PARTITION BY md5(text)
+                                      ORDER BY doc_id) AS rn
+            FROM documents
+        ) WHERE rn = 1
+    )"""
+
+
+def _minhash_oracle() -> str:
+    mins = ", ".join(
+        "MIN((g * {a} + {b}) % {p})".format(a=a, b=b, p=_P31)
+        for a, b in (D._hash_params(i) for i in range(32))
+    )
+    bands = ", ".join(
+        "{{'band': {b}, 'bhash': ('0x' || substr(md5(concat_ws(',', "
+        "{elems})), 1, 14))::BIGINT}}".format(
+            b=b, elems=", ".join("sig[{}]".format(b * 4 + r + 1) for r in range(4))
+        )
+        for b in range(8)
+    )
+    return f"""
+    WITH {_DEDUP_CTE},
+    th AS (
+        SELECT doc_id,
+               list_transform(string_split(lower(text), ' '),
+                   t -> ('0x' || substr(md5(t), 1, 14))::BIGINT % {_P31}) AS h
+        FROM dedup
+    ),
+    grams AS (
+        SELECT doc_id,
+               unnest(list_transform(range(1, greatest(len(h) - 2, 0) + 1),
+                   i -> ((h[i] * 1000003 + h[i+1]) % {_P31} * 1000003
+                         + h[i+2]) % {_P31})) AS g
+        FROM th
+    ),
+    sigs AS (SELECT doc_id, [{mins}] AS sig FROM grams GROUP BY doc_id),
+    banded AS (
+        SELECT doc_id, sig, b.band AS band, b.bhash AS bhash FROM (
+            SELECT doc_id, sig, unnest([{bands}]) AS b FROM sigs
+        )
+    ),
+    pairs AS (
+        SELECT DISTINCT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
+               list_sum(list_transform(range(1, 33),
+                   i -> CASE WHEN a.sig[i] = b.sig[i] THEN 1 ELSE 0 END))
+                 / 32.0 AS est_jaccard
+        FROM banded a JOIN banded b
+          ON a.band = b.band AND a.bhash = b.bhash AND a.doc_id < b.doc_id
+    )
+    SELECT doc_id_a, doc_id_b, est_jaccard FROM pairs WHERE est_jaccard >= 0.5
+    """
+
+
+@_q("dedup_minhash_lsh", _minhash_oracle())
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash(32) + 8-band LSH candidate pairs with signature-estimated
     Jaccard — THE scale path for near-dup (no pairwise work outside LSH
@@ -119,24 +182,66 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus they alone make intra-bucket pair output quadratic in
     dup-group size — the one super-linear row in the round-2 10x scale
     experiment. Near-dup detection owes pairs only between DISTINCT
-    texts. Rows-only check: the xxhash64-seeded hash family has no
-    DuckDB equivalent; correctness covered by tests/test_operators.py
-    against the exact-Jaccard operator."""
+    texts. portable=True swaps xxhash64 for the md5-prefix hash family so
+    the DuckDB oracle reproduces every stage (fully hash-checked); the
+    est_jaccard fraction n/32 is a dyadic rational, exact in binary on
+    both engines."""
     return D.minhash_lsh_pairs(
         D.dedup_exact(load_table(spark, sf_dir, "documents")),
         num_hashes=32,
         bands=8,
         threshold=0.5,
+        portable=True,
     )
 
 
-@_q("dedup_simhash")  # rows-only: same xxhash64 reproducibility limit
+def _simhash_oracle() -> str:
+    votes = ", ".join(
+        "SUM(CASE WHEN (h >> {j}) & 1 = 1 THEN 1 ELSE -1 END) AS v{j}".format(j=j)
+        for j in range(60)
+    )
+    fp = " + ".join(
+        "CASE WHEN v{j} > 0 THEN 1::BIGINT << {j} ELSE 0::BIGINT END".format(j=j)
+        for j in range(60)
+    )
+    blocks = ", ".join(
+        "{{'blk': {i}, 'bval': (fp >> {s}) & 32767}}".format(i=i, s=15 * i)
+        for i in range(4)
+    )
+    return f"""
+    WITH {_DEDUP_CTE},
+    toks AS (
+        SELECT doc_id, unnest(list_distinct(string_split(lower(text), ' '))) AS t
+        FROM dedup
+    ),
+    h AS (SELECT doc_id, ('0x' || substr(md5(t), 1, 15))::BIGINT AS h FROM toks),
+    votes AS (SELECT doc_id, {votes} FROM h GROUP BY doc_id),
+    fps AS (SELECT doc_id, ({fp}) AS fp FROM votes),
+    blocked AS (
+        SELECT doc_id, fp, b.blk AS blk, b.bval AS bval FROM (
+            SELECT doc_id, fp, unnest([{blocks}]) AS b FROM fps
+        )
+    ),
+    pairs AS (
+        SELECT DISTINCT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
+               CAST(bit_count(xor(a.fp, b.fp)) AS INT) AS hamming
+        FROM blocked a JOIN blocked b
+          ON a.blk = b.blk AND a.bval = b.bval AND a.doc_id < b.doc_id
+    )
+    SELECT doc_id_a, doc_id_b, hamming FROM pairs WHERE hamming <= 3
+    """
+
+
+@_q("dedup_simhash", _simhash_oracle())
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup pairs (Hamming <= 3) with pigeonhole 16-bit-block
+    """SimHash near-dup pairs (Hamming <= 3) with pigeonhole block
     candidate generation, over exact-deduped docs (identical texts share
-    a fingerprint — same quadratic-fan-out argument as dedup_minhash_lsh)."""
+    a fingerprint — same quadratic-fan-out argument as dedup_minhash_lsh).
+    portable=True uses the 60-bit md5-prefix token hash (15-bit pigeonhole
+    blocks) so the DuckDB oracle reproduces fingerprints, blocking, and
+    Hamming distances exactly — fully hash-checked since round 3."""
     return D.simhash_near_dup_pairs(
-        D.dedup_exact(load_table(spark, sf_dir, "documents"))
+        D.dedup_exact(load_table(spark, sf_dir, "documents")), portable=True
     )
 
 
