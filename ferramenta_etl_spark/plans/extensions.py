@@ -285,7 +285,58 @@ def embedding_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 _IVF_CENTROIDS: dict[tuple[str, int], list] = {}
 
 
-@_q("embedding_ann_ivf")  # rows-only: probe pruning isn't SQL-expressible cheaply
+# The registered IVF query is fully deterministic: seed centroids are the
+# first 8 corpus vectors by id (no Lloyd refinement on this memoized
+# path), assignment/probing use the same rounded sequential-fold cosine
+# as the hash-green cosine queries, and every tiebreak is total — so the
+# whole index + search pipeline has an exact DuckDB rendering.
+def _ivf_oracle() -> str:
+    def _nrm(x: str) -> str:
+        return f"sqrt({_dot(x, x)})"
+
+    return f"""
+    WITH q AS (
+        SELECT vec_id AS query_id, embedding AS qv, {_nrm('embedding')} AS qn
+        FROM embeddings WHERE vec_id < 10
+    ), c AS (
+        SELECT vec_id, embedding, {_nrm('embedding')} AS nv
+        FROM embeddings WHERE vec_id >= 10
+    ), cents AS (
+        SELECT vec_id AS cid, embedding AS cvec, {_nrm('embedding')} AS cn
+        FROM embeddings WHERE vec_id >= 10 ORDER BY vec_id LIMIT 8
+    ), assign AS (
+        SELECT vec_id, embedding, nv, cid FROM (
+            SELECT c.vec_id, c.embedding, c.nv, cents.cid,
+                   ROW_NUMBER() OVER (PARTITION BY c.vec_id
+                       ORDER BY ROUND({_dot('cents.cvec', 'c.embedding')}
+                                      / (cents.cn * c.nv), 6) DESC,
+                                cents.cid ASC) AS rn
+            FROM c CROSS JOIN cents
+        ) WHERE rn = 1
+    ), probes AS (
+        SELECT query_id, qv, qn, cid FROM (
+            SELECT q.query_id, q.qv, q.qn, cents.cid,
+                   ROW_NUMBER() OVER (PARTITION BY q.query_id
+                       ORDER BY ROUND({_dot('cents.cvec', 'q.qv')}
+                                      / (cents.cn * q.qn), 6) DESC,
+                                cents.cid ASC) AS rn
+            FROM q CROSS JOIN cents
+        ) WHERE rn <= 2
+    ), scored AS (
+        SELECT p.query_id, a.vec_id,
+               ROUND({_dot('p.qv', 'a.embedding')} / (p.qn * a.nv), 6) AS sim
+        FROM assign a JOIN probes p USING (cid)
+    ), ranked AS (
+        SELECT query_id, vec_id, sim,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY sim DESC, vec_id ASC) AS rnk
+        FROM scored
+    )
+    SELECT query_id, vec_id, sim, rnk FROM ranked WHERE rnk <= 5
+    """
+
+
+@_q("embedding_ann_ivf", _ivf_oracle())
 def embedding_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-bucketed approximate top-k (nprobe=2 of 8 centroid buckets) —
     the 100 TB path: queries scan only probed buckets; the corpus never
