@@ -10,6 +10,12 @@ from .dedup import (  # noqa: F401
     simhash_near_dup_pairs,
     tokenset_jaccard_pairs,
 )
+from .sampling import (  # noqa: F401
+    hash_sample,
+    proportional_allocation,
+    split_train_eval,
+    stratified_sample,
+)
 from .multimodal import (  # noqa: F401
     attach_fake_media,
     extract_media_features,

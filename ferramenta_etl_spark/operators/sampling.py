@@ -1,0 +1,128 @@
+"""Deterministic sampling operators for training-data pipelines.
+
+A 100 TB curation job needs sampling that is (a) reproducible across
+reruns and engines — no RNG state, no partition-order dependence — and
+(b) shuffle-free where possible. Everything here keys off a hash of a
+stable id column, so the same row always makes the same decision:
+reruns are idempotent, and the sample composes with the idempotent sink
+(a resumed job re-selects exactly the same rows).
+
+No analog in the reference (its closest notion is LIMIT-less full
+loads); this module belongs to the mandated large-scale extension suite
+alongside dedup/curation.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from .dedup import portable_hash
+
+# Hash-bucket denominator: rates quantize to 1/10_000 (0.01%).
+_BUCKETS = 10_000
+
+
+def _bucket(id_col: Column, seed: int) -> Column:
+    """Stable per-row bucket in [0, _BUCKETS): md5-based portable hash of
+    (seed, id) — changing the seed draws an independent sample; the same
+    (seed, id) always lands in the same bucket, on any engine."""
+    return F.pmod(
+        portable_hash(F.concat_ws(":", F.lit(str(seed)), id_col.cast("string"))),
+        F.lit(_BUCKETS),
+    )
+
+
+def hash_sample(
+    df: DataFrame,
+    rate: float,
+    id_col: str = "doc_id",
+    seed: int = 0,
+) -> DataFrame:
+    """Deterministic Bernoulli-style sample: keep rows whose hash bucket
+    falls under ``rate``. A pure narrow filter — no shuffle, no RNG —
+    so it pushes into the scan stage and costs one hash per row at any
+    scale. Unlike ``DataFrame.sample`` the selection is a function of
+    the DATA, not of partitioning: repartitioned, re-read, or re-run
+    inputs yield the identical sample."""
+    if not 0.0 <= rate <= 1.0:
+        raise ValueError(f"rate must be in [0, 1], got {rate}")
+    cutoff = int(round(rate * _BUCKETS))
+    return df.filter(_bucket(F.col(id_col), seed) < cutoff)
+
+
+def stratified_sample(
+    df: DataFrame,
+    strata: Sequence[str],
+    quota: int,
+    id_col: str = "doc_id",
+    seed: int = 0,
+) -> DataFrame:
+    """Exact per-stratum quotas: at most ``quota`` rows per distinct
+    ``strata`` key, chosen deterministically as the lowest hash buckets
+    (ties broken by id — a total order, so the pick is unique).
+
+    Physical shape: one hash-shuffle on the strata key + per-partition
+    sort — the same WindowGroupLimit idiom as grouped top-k, so only
+    ~quota rows per stratum survive the partial rank before the final
+    exchange. The common use: balance a training mix per (lang, source)
+    so one dominant stratum can't swamp the corpus."""
+    w = Window.partitionBy(*strata).orderBy(
+        _bucket(F.col(id_col), seed).asc(), F.col(id_col).asc()
+    )
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= quota)
+        .drop("__rn")
+    )
+
+
+def proportional_allocation(
+    df: DataFrame,
+    strata: Sequence[str],
+    total: int,
+    id_col: str = "doc_id",
+    seed: int = 0,
+) -> DataFrame:
+    """Sample ~``total`` rows overall, allocated across strata
+    proportionally to stratum size (each stratum contributes
+    ceil(total * |stratum| / N) rows, so small strata keep >=1 row and
+    the realized total lands within |strata| of the target).
+
+    Stratum sizes come from one metadata-scale aggregate (|strata|
+    rows), broadcast back; selection then reuses the deterministic
+    lowest-bucket rule. Two jobs total, nothing collects beyond the
+    stratum-count relation."""
+    sizes = df.groupBy(*strata).agg(F.count(F.lit(1)).alias("__n"))
+    n_total = df.count()
+    if n_total == 0:
+        return df
+    quotas = sizes.select(
+        *strata,
+        F.ceil(F.lit(total) * F.col("__n") / F.lit(n_total)).alias("__quota"),
+    )
+    w = Window.partitionBy(*strata).orderBy(
+        _bucket(F.col(id_col), seed).asc(), F.col(id_col).asc()
+    )
+    return (
+        df.join(F.broadcast(quotas), list(strata))
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= F.col("__quota"))
+        .drop("__rn", "__quota")
+    )
+
+
+def split_train_eval(
+    df: DataFrame,
+    eval_rate: float = 0.01,
+    id_col: str = "doc_id",
+    seed: int = 0,
+) -> tuple[DataFrame, DataFrame]:
+    """Disjoint, exhaustive train/eval split by hash bucket: the same
+    doc can never appear on both sides, across any rerun or engine —
+    the property that makes downstream decontamination trustworthy."""
+    cutoff = int(round(eval_rate * _BUCKETS))
+    b = _bucket(F.col(id_col), seed)
+    return df.filter(b >= cutoff), df.filter(b < cutoff)

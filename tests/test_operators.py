@@ -332,6 +332,15 @@ def test_connected_components_and_canonical_dedup(spark):
     assert kept == [1, 10, 99]
 
 
+def test_connected_components_empty_pairs(spark):
+    """Zero near-dup pairs: both CC strategies return an empty labeling
+    and keep_canonical passes every doc through untouched."""
+    pairs = spark.createDataFrame([], "doc_id_a long, doc_id_b long")
+    assert D.connected_components(pairs).count() == 0
+    docs = spark.createDataFrame([(1, "a"), (2, "b")], "doc_id long, text string")
+    assert D.dedup_keep_canonical(docs, pairs).count() == 2
+
+
 def test_canonical_dedup_on_minhash_pairs(spark, sf_dir):
     """End-to-end near-dup pipeline on the fixture: minhash pairs ->
     clusters -> survivors. Survivor count = docs - (cluster sizes - 1)."""

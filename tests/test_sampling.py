@@ -1,0 +1,80 @@
+"""Deterministic sampling: reproducibility, disjointness, quota
+exactness — the properties that make sampling safe to compose with the
+idempotent sink at scale."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from ferramenta_etl_spark.operators import sampling as SMP
+from ferramenta_etl_spark.sources import load_table
+
+
+def test_hash_sample_deterministic_and_partition_invariant(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    a = {r.doc_id for r in SMP.hash_sample(docs, 0.2).select("doc_id").collect()}
+    b = {r.doc_id for r in SMP.hash_sample(docs, 0.2).select("doc_id").collect()}
+    assert a == b
+    # repartitioned input yields the IDENTICAL sample (decision is a
+    # function of the data, unlike DataFrame.sample)
+    c = {
+        r.doc_id
+        for r in SMP.hash_sample(docs.repartition(7), 0.2).select("doc_id").collect()
+    }
+    assert a == c
+    n = docs.count()
+    assert 0.1 * n < len(a) < 0.3 * n  # rate is approximately honored
+
+
+def test_hash_sample_rate_monotone_nested(spark, sf_dir):
+    """A lower rate draws a SUBSET of a higher rate at the same seed —
+    the property that lets you grow a sample without resampling."""
+    docs = load_table(spark, sf_dir, "documents")
+    small = {r.doc_id for r in SMP.hash_sample(docs, 0.1).select("doc_id").collect()}
+    big = {r.doc_id for r in SMP.hash_sample(docs, 0.4).select("doc_id").collect()}
+    assert small <= big
+    # different seeds draw (nearly) independent samples
+    other = {
+        r.doc_id for r in SMP.hash_sample(docs, 0.1, seed=1).select("doc_id").collect()
+    }
+    assert other != small
+
+
+def test_hash_sample_rejects_bad_rate(spark):
+    df = spark.range(5)
+    with pytest.raises(ValueError):
+        SMP.hash_sample(df, 1.5, id_col="id")
+
+
+def test_stratified_sample_exact_quota(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    out = SMP.stratified_sample(docs, ["lang"], quota=20)
+    per = {r.lang: r.n for r in out.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    src = {r.lang: r.n for r in docs.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    for lang, n in per.items():
+        assert n == min(20, src[lang])
+    # deterministic pick
+    again = SMP.stratified_sample(docs, ["lang"], quota=20)
+    assert sorted(r.doc_id for r in out.collect()) == sorted(
+        r.doc_id for r in again.collect()
+    )
+
+
+def test_proportional_allocation_tracks_strata(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    total = 100
+    out = SMP.proportional_allocation(docs, ["lang"], total=total)
+    n_strata = docs.select("lang").distinct().count()
+    got = out.count()
+    assert total <= got <= total + n_strata  # ceil rounding adds < 1/stratum
+    # every stratum with data is represented
+    assert out.select("lang").distinct().count() == n_strata
+
+
+def test_split_train_eval_disjoint_exhaustive(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    train, ev = SMP.split_train_eval(docs, eval_rate=0.05)
+    n, nt, ne = docs.count(), train.count(), ev.count()
+    assert nt + ne == n
+    both = train.select("doc_id").intersect(ev.select("doc_id")).count()
+    assert both == 0
+    assert 0 < ne < 0.15 * n
