@@ -105,13 +105,29 @@ def quality_score(text: Column) -> Column:
 # ---------------------------------------------------------------------------
 
 
+def _gram_zip(toks: Column, n: int, m: Column) -> Column:
+    """Sliding n-gram strings as a zip_with chain over n shifted slices
+    of the token array — every pass is O(tokens). The transform(indexes,
+    i -> concat_ws(slice(toks, i, n))) form re-evaluates ``toks`` (the
+    split) PER ELEMENT inside the lambda, turning each row quadratic in
+    token count — the same measured trap dedup.shingle_hashes documents
+    for hashes. concat_ws skips the nulls zip_with pads with, which is
+    what gives token_ngrams its partial short-doc gram for free."""
+    acc = F.slice(toks, 1, m)
+    for j in range(1, n):
+        acc = F.zip_with(
+            acc, F.slice(toks, j + 1, m), lambda x, y: F.concat_ws(" ", x, y)
+        )
+    return acc
+
+
 def token_ngrams(text: Column, n: int = 2) -> Column:
     """Token n-grams WITH multiplicity (contrast shingles(): distinct).
     Docs shorter than n keep one partial gram, so the list is never
     empty and downstream ratios never divide by zero."""
     toks = ws_tokens(text)
-    idx = F.sequence(F.lit(1), F.greatest(F.size(toks) - F.lit(n - 1), F.lit(1)))
-    return F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, n)))
+    m = F.greatest(F.size(toks) - F.lit(n - 1), F.lit(1))
+    return _gram_zip(toks, n, m)
 
 
 def dup_ngram_fraction(text: Column, n: int = 2) -> Column:
@@ -218,14 +234,8 @@ def word_ngrams(text: Column, n: int) -> Column:
     which keeps multiplicity and a partial gram for short docs: overlap
     detection wants set semantics and no sub-length grams."""
     toks = ws_tokens(text)
-    grams = F.transform(
-        F.sequence(F.lit(1), F.size(toks) - F.lit(n - 1)),
-        lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
-    )
-    # sequence(1, 0) counts DOWN; route the short-doc case explicitly
-    return F.array_distinct(
-        F.when(F.size(toks) >= n, grams).otherwise(F.array().cast("array<string>"))
-    )
+    m = F.greatest(F.size(toks) - F.lit(n - 1), F.lit(0))
+    return F.array_distinct(_gram_zip(toks, n, m))
 
 
 def contamination_hits(
