@@ -352,14 +352,14 @@ def winnowing_fingerprints(text: Column, k: int = 3, window: int = 4) -> Column:
     from .dedup import shingle_hashes
 
     h = shingle_hashes(text, k)
-    n_win = F.greatest(F.size(h) - F.lit(window - 1), F.least(F.size(h), F.lit(1)))
-    mins = F.transform(
-        F.sequence(F.lit(1), n_win),
-        lambda i: F.array_min(F.slice(h, i, window)),
-    )
-    # sequence(1, 0) would count DOWN; route the empty case explicitly
-    return F.array_sort(
-        F.array_distinct(
-            F.when(F.size(h) > 0, mins).otherwise(F.array().cast("array<bigint>"))
-        )
-    )
+    # window-min as a zip_with fold over `window` shifted slices: the
+    # shingle-hash expression evaluates ~window times per ROW, where the
+    # old transform(sequence(1, n_win), i -> array_min(slice(h, i, w)))
+    # form re-evaluated it per WINDOW POSITION (the HOF-lambda trap, see
+    # _gram_zip). least() skips the nulls zip_with pads at the tail, so
+    # end windows truncate exactly like array_min(slice(...)) did.
+    m = F.greatest(F.size(h) - F.lit(window - 1), F.least(F.size(h), F.lit(1)))
+    acc = F.slice(h, 1, m)
+    for j in range(1, window):
+        acc = F.zip_with(acc, F.slice(h, j + 1, m), lambda x, y: F.least(x, y))
+    return F.array_sort(F.array_distinct(acc))
