@@ -112,17 +112,18 @@ def portable_hash(col: Column, hex_chars: int = 14) -> Column:
 
 
 def shingles(text: Column, k: int = 3) -> Column:
-    """k-token shingles as strings. Pure SQL expression: transform over
-    token indexes, JVM-side, no UDF."""
+    """DISTINCT k-token shingles as strings — a zip_with fold over k
+    shifted slices (JVM-side, no UDF, O(tokens) per pass; the
+    transform-with-index form re-evaluates the split per element, see
+    shingle_hashes)."""
     toks = tokens(text)
-    n = F.size(toks)
-    idx = F.sequence(F.lit(0), F.greatest(n - F.lit(k), F.lit(0)))
-    return F.array_distinct(
-        F.transform(
-            idx,
-            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, k)),
+    m = F.greatest(F.size(toks) - F.lit(k - 1), F.lit(0))
+    acc = F.slice(toks, 1, m)
+    for j in range(1, k):
+        acc = F.zip_with(
+            acc, F.slice(toks, j + 1, m), lambda x, y: F.concat_ws(" ", x, y)
         )
-    )
+    return F.array_distinct(acc)
 
 
 def shingle_hashes(text: Column, k: int = 3, portable: bool = False) -> Column:
