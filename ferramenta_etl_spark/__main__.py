@@ -65,6 +65,20 @@ def main(argv: list[str] | None = None) -> int:
         help="curate: mask emails/IPs/phone numbers in the output text",
     )
     p.add_argument(
+        "--sample-rate",
+        type=float,
+        default=None,
+        help="curate: deterministic hash-sample this fraction of docs at "
+        "ingest (reruns draw the identical subset)",
+    )
+    p.add_argument(
+        "--lang-quota",
+        type=int,
+        default=None,
+        help="curate: cap surviving docs per language (deterministic "
+        "stratified pick, applied after dedup/decontamination)",
+    )
+    p.add_argument(
         "--watermark-ms",
         type=int,
         default=None,
@@ -209,6 +223,8 @@ def main(argv: list[str] | None = None) -> int:
                 min_quality=args.min_quality,
                 benchmark=bench,
                 redact=args.redact_pii,
+                sample_rate=args.sample_rate,
+                lang_quota=args.lang_quota,
             )
             print(f"✅ curated_documents: {n} rows appended")
             return 0

@@ -23,6 +23,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..operators.dedup import dedup_exact, dedup_keep_canonical, minhash_lsh_pairs
+from ..operators.sampling import hash_sample, stratified_sample
 from ..operators.text import (
     contamination_hits,
     lang_id,
@@ -43,10 +44,13 @@ def curate_documents(
     benchmark: DataFrame | None = None,
     decontaminate_n: int = 5,
     redact: bool = False,
+    sample_rate: float | None = None,
+    lang_quota: int | None = None,
 ) -> int:
     """Run the curation pipeline; returns rows appended to the sink."""
     curated = curated_frame(
-        spark, sf_dir, min_quality, min_tokens, benchmark, decontaminate_n, redact
+        spark, sf_dir, min_quality, min_tokens, benchmark, decontaminate_n,
+        redact, sample_rate, lang_quota,
     )
     return write_ignore_conflicts(
         curated,
@@ -64,8 +68,15 @@ def curated_frame(
     benchmark: DataFrame | None = None,
     decontaminate_n: int = 5,
     redact: bool = False,
+    sample_rate: float | None = None,
+    lang_quota: int | None = None,
 ) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
+    if sample_rate is not None:
+        # deterministic hash sample at INGEST — the cheapest point (a
+        # narrow filter the scan absorbs), and reruns draw the identical
+        # subset so the idempotent sink still appends zero on replay
+        docs = hash_sample(docs, sample_rate)
     scored = docs.select(
         "doc_id",
         "text",
@@ -99,6 +110,11 @@ def curated_frame(
             survivors, benchmark, n=decontaminate_n
         ).select("doc_id")
         survivors = survivors.join(contaminated, "doc_id", "left_anti")
+    if lang_quota is not None:
+        # balance the training mix AFTER dedup/decontamination: quotas
+        # count surviving docs, and the lowest-hash-bucket pick keeps
+        # the selection deterministic across reruns
+        survivors = stratified_sample(survivors, ["lang"], lang_quota)
     text_out = (
         # redact AFTER dedup/decontamination: hashing and n-gram overlap
         # must see the original bytes, or a redacted copy and its

@@ -78,3 +78,25 @@ def test_split_train_eval_disjoint_exhaustive(spark, sf_dir):
     both = train.select("doc_id").intersect(ev.select("doc_id")).count()
     assert both == 0
     assert 0 < ne < 0.15 * n
+
+
+def test_curation_with_sampling_stages(spark, sf_dir, tmp_path):
+    """Sampling composes with the curation pipeline: a sampled run loads
+    fewer rows, honors the per-lang quota, and stays idempotent (the
+    deterministic sample means a rerun re-selects the same docs, so the
+    keyed sink appends zero)."""
+    from ferramenta_etl_spark.pipeline.curation import curate_documents
+
+    sink = str(tmp_path / "sink")
+    full = curate_documents(spark, sf_dir, str(tmp_path / "full"))
+    n = curate_documents(
+        spark, sf_dir, sink, sample_rate=0.5, lang_quota=30
+    )
+    assert 0 < n < full
+    out = spark.read.parquet(f"{sink}/curated_documents")
+    per_lang = out.groupBy("lang").count().collect()
+    assert all(r["count"] <= 30 for r in per_lang)
+    again = curate_documents(
+        spark, sf_dir, sink, sample_rate=0.5, lang_quota=30
+    )
+    assert again == 0  # identical deterministic selection -> no new rows
