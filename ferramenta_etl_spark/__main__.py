@@ -50,7 +50,7 @@ def main(argv: list[str] | None = None) -> int:
         "command",
         choices=[
             "list", "run", "run-all", "curate", "optimize", "plan-audit",
-            "stream", "rollup",
+            "stream", "curate-stream", "rollup",
         ],
     )
     p.add_argument("job", nargs="?", help="job name (for 'run') / parquet dir (for 'optimize')")
@@ -192,6 +192,26 @@ def main(argv: list[str] | None = None) -> int:
                 ev, f"{args.sink_dir}/events_rollup", watermark_ms=args.watermark_ms
             )
             print(f"✅ events_rollup: {n} closed windows appended")
+            return 0
+        if args.command == "curate-stream":
+            # Streaming curation ingest: stateless scoring/filter/sample
+            # stages over the document stream, exact dedup via the
+            # hash-keyed idempotent sink (the sink IS the dedup state;
+            # replay-safe). Near-dup collapse stays a periodic batch
+            # pass over the sink -- see streaming/curation.py.
+            import os as _os
+
+            from .streaming import run_curation_stream
+
+            n = run_curation_stream(
+                spark,
+                args.sf_dir,
+                args.sink_dir,
+                _os.path.join(args.sink_dir, "_curate_stream_ckpt"),
+                min_quality=args.min_quality,
+                sample_rate=args.sample_rate,
+            )
+            print(f"✅ curated_stream: {n} rows appended")
             return 0
         if args.command == "stream":
             # Drain the event stream through the keyed idempotent sink

@@ -1,3 +1,8 @@
+from .curation import (  # noqa: F401
+    curation_stream,
+    run_curation_stream,
+    stream_documents,
+)
 from .stateful import (  # noqa: F401
     capped_sessions_batch_replay,
     capped_sessions_stream,

@@ -2,6 +2,7 @@
 exactly the batch plans' results when drained with AvailableNow."""
 
 import pytest
+from pyspark.sql import functions as F
 
 from ferramenta_etl_spark.plans import extensions
 from ferramenta_etl_spark.streaming import (
@@ -127,3 +128,64 @@ def test_capped_sessions_stateful(spark, sf_dir, tmp_path):
     for col in ["user_id", "session_start_ms", "session_end_ms", "n_events", "closed_by"]:
         assert got[col].tolist() == want[col].tolist(), col
     assert (got["sum_value"] - want["sum_value"]).abs().max() < 1e-9
+
+
+def test_streaming_curation_matches_batch_and_is_idempotent(spark, sf_dir, tmp_path):
+    """The streaming curation ingest: (1) the surviving distinct-text
+    set equals the batch pipeline's scoring+filter+exact-dedup stages;
+    (2) a second drain (fresh checkpoint, same sink) appends zero — the
+    hash-keyed sink is the dedup state, so idempotency holds against
+    everything already loaded."""
+    from ferramenta_etl_spark.operators.dedup import dedup_exact
+    from ferramenta_etl_spark.operators.text import lang_id, n_tokens, quality_score
+    from ferramenta_etl_spark.sources import load_table
+    from ferramenta_etl_spark.streaming.curation import run_curation_stream
+
+    sink = str(tmp_path / "sink")
+    n = run_curation_stream(spark, sf_dir, sink, str(tmp_path / "ckpt1"))
+    assert n > 0
+
+    docs = load_table(spark, sf_dir, "documents")
+    scored = docs.select(
+        "doc_id", "text",
+        lang_id(F.col("text")).alias("lang"),
+        F.round(quality_score(F.col("text")), 6).alias("quality"),
+        n_tokens(F.col("text")).alias("n_tok"),
+    )
+    good = scored.filter(
+        F.col("lang").isNotNull() & (F.col("quality") >= 0.5) & (F.col("n_tok") >= 5)
+    )
+    batch_hashes = {
+        r.h for r in dedup_exact(good).select(F.md5("text").alias("h")).collect()
+    }
+    out = spark.read.parquet(f"{sink}/curated_stream")
+    stream_hashes = {r.text_hash for r in out.select("text_hash").collect()}
+    assert stream_hashes == batch_hashes
+    assert out.count() == len(batch_hashes)  # exactly one row per distinct text
+
+    again = run_curation_stream(spark, sf_dir, sink, str(tmp_path / "ckpt2"))
+    assert again == 0
+
+
+def test_streaming_curation_sampled_subset(spark, sf_dir, tmp_path):
+    """The deterministic hash sample streams: the sampled run's
+    survivors are a subset of the full run's, selected by the same
+    data-keyed rule the batch path uses."""
+    from ferramenta_etl_spark.streaming.curation import run_curation_stream
+
+    full_sink = str(tmp_path / "full")
+    samp_sink = str(tmp_path / "samp")
+    n_full = run_curation_stream(spark, sf_dir, full_sink, str(tmp_path / "c1"))
+    n_samp = run_curation_stream(
+        spark, sf_dir, samp_sink, str(tmp_path / "c2"), sample_rate=0.5
+    )
+    assert 0 < n_samp < n_full
+    full = {
+        r.text_hash
+        for r in spark.read.parquet(f"{full_sink}/curated_stream").collect()
+    }
+    samp = {
+        r.text_hash
+        for r in spark.read.parquet(f"{samp_sink}/curated_stream").collect()
+    }
+    assert samp <= full
