@@ -10,6 +10,7 @@ from .dedup import (  # noqa: F401
     simhash_near_dup_pairs,
     tokenset_jaccard_pairs,
 )
+from .packing import pack_sequences  # noqa: F401
 from .sampling import (  # noqa: F401
     hash_sample,
     proportional_allocation,
