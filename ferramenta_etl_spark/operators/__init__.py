@@ -11,6 +11,11 @@ from .dedup import (  # noqa: F401
     tokenset_jaccard_pairs,
 )
 from .packing import pack_sequences  # noqa: F401
+from .quantize import (  # noqa: F401
+    dequantize,
+    quantize_embeddings,
+    quantized_cosine_topk,
+)
 from .sampling import (  # noqa: F401
     hash_sample,
     proportional_allocation,

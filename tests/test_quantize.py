@@ -1,0 +1,65 @@
+"""int8 embedding quantization: reconstruction error bounds, storage
+schema, and ranking fidelity of the quantized-domain cosine top-k."""
+
+from pyspark.sql import functions as F
+
+from ferramenta_etl_spark.operators import quantize as Q
+from ferramenta_etl_spark.operators import similarity as S
+from ferramenta_etl_spark.sources import load_table
+
+
+def test_quantize_roundtrip_error_bounded(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    qed = Q.quantize_embeddings(emb)
+    assert dict(qed.dtypes)["q_embedding"] == "array<tinyint>"
+    # max |x - dequant(q)| <= scale/2 per element (symmetric rounding)
+    err = (
+        qed.join(load_table(spark, sf_dir, "embeddings"), "vec_id")
+        .select(
+            F.array_max(
+                F.zip_with(
+                    F.col("embedding"),
+                    Q.dequantize(F.col("q_embedding"), F.col("q_scale")),
+                    lambda x, y: F.abs(x.cast("double") - y),
+                )
+            ).alias("e"),
+            (F.col("q_scale") / 2 + F.lit(1e-12)).alias("bound"),
+        )
+        .filter(F.col("e") > F.col("bound"))
+    )
+    assert err.count() == 0
+
+
+def test_quantize_zero_vector(spark):
+    df = spark.createDataFrame(
+        [(1, [0.0, 0.0, 0.0]), (2, [1.0, -2.0, 0.5])],
+        "vec_id long, embedding array<double>",
+    )
+    rows = {r.vec_id: r for r in Q.quantize_embeddings(df).collect()}
+    assert rows[1].q_scale == 0.0 and list(rows[1].q_embedding) == [0, 0, 0]
+    assert rows[2].q_embedding[1] == -127  # amax element maps to +-127
+
+
+def test_quantized_topk_recall_vs_exact(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    corpus = emb.filter(F.col("vec_id") >= 10).select("vec_id", "embedding")
+    exact = {
+        (r.query_id, r.vec_id) for r in S.cosine_topk(corpus, queries, k=5).collect()
+    }
+    qc = Q.quantize_embeddings(corpus)
+    qq = Q.quantize_embeddings(
+        queries.withColumnRenamed("query_vec", "embedding"),
+    ).select(
+        F.col("query_id"),
+        F.col("q_embedding").alias("query_q"),
+        F.col("q_scale").alias("query_scale"),
+    )
+    approx = {
+        (r.query_id, r.vec_id)
+        for r in Q.quantized_cosine_topk(qc, qq, k=5).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.9, f"int8 top-5 recall {recall:.2f}"
