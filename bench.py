@@ -45,6 +45,8 @@ HEADLINE = [
     "text_chunking",
     "events_session_agg",
     "curation",
+    "seq_packing",
+    "embedding_quantized_topk",
 ]
 
 
@@ -68,6 +70,34 @@ def main() -> None:
     from ferramenta_etl_spark.pipeline.curation import curated_frame
 
     queries["curation"] = lambda spark, sf: curated_frame(spark, sf, redact=True)
+
+    from pyspark.sql import functions as F
+
+    from ferramenta_etl_spark.operators.packing import pack_sequences
+    from ferramenta_etl_spark.operators.quantize import (
+        quantize_embeddings,
+        quantized_cosine_topk,
+    )
+    from ferramenta_etl_spark.operators.text import chunk_documents
+    from ferramenta_etl_spark.sources import load_table
+
+    def _seq_packing(spark, sf):
+        docs = load_table(spark, sf, "documents")
+        chunks = chunk_documents(docs, chunk_tokens=128, overlap=16)
+        return pack_sequences(chunks, budget_tokens=2048, n_shards=64)
+
+    def _quantized_topk(spark, sf):
+        emb = load_table(spark, sf, "embeddings")
+        qc = quantize_embeddings(emb.filter(F.col("vec_id") >= 10))
+        qq = quantize_embeddings(emb.filter(F.col("vec_id") < 10)).select(
+            F.col("vec_id").alias("query_id"),
+            F.col("q_embedding").alias("query_q"),
+            F.col("q_scale").alias("query_scale"),
+        )
+        return quantized_cosine_topk(qc, qq, k=5)
+
+    queries["seq_packing"] = _seq_packing
+    queries["embedding_quantized_topk"] = _quantized_topk
     names = [n for n in HEADLINE if n in queries]
 
     timings: dict[str, float] = {}

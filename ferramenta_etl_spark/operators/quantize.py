@@ -31,11 +31,17 @@ def quantize_embeddings(
     scale = amax/127, so dequantization is ``code * scale``."""
     v = F.col(vec_col)
     amax = F.array_max(F.transform(v, lambda x: F.abs(x.cast("double"))))
-    scale = (amax / F.lit(127.0)).cast("double")
+    # scale MUST be a materialized column before the code transform: an
+    # outer expression referenced inside a HOF lambda re-evaluates per
+    # element (the amax fold would run dim times per row — measured 3x
+    # on the whole quantized-topk bench entry; see hof-lambda trap notes
+    # in operators/text._gram_zip)
+    with_scale = df.withColumn(scale_col, (amax / F.lit(127.0)).cast("double"))
+    scale = F.col(scale_col)
     code = F.when(scale > 0, F.transform(
         v, lambda x: F.round(x.cast("double") / scale).cast("tinyint")
     )).otherwise(F.transform(v, lambda x: F.lit(0).cast("tinyint")))
-    return df.withColumn(q_col, code).withColumn(scale_col, scale).drop(vec_col)
+    return with_scale.withColumn(q_col, code).drop(vec_col)
 
 
 def dequantize(q: Column, scale: Column) -> Column:
