@@ -62,13 +62,20 @@ def bpe_ish_count(text: Column) -> Column:
 
 
 def digit_ratio(text: Column) -> Column:
-    return F.length(F.regexp_replace(text, "[^0-9]", "")).cast("double") / F.length(text)
+    # empty text has no digits: define the ratio as 0 rather than 0/0
+    # (ANSI division by zero aborts the whole job on one empty doc)
+    return F.coalesce(
+        F.length(F.regexp_replace(text, "[^0-9]", "")).cast("double")
+        / F.nullif(F.length(text), F.lit(0)),
+        F.lit(0.0),
+    )
 
 
 def punct_ratio(text: Column) -> Column:
-    return (
+    return F.coalesce(
         F.length(F.regexp_replace(F.lower(text), "[a-z0-9 ]", "")).cast("double")
-        / F.length(text)
+        / F.nullif(F.length(text), F.lit(0)),
+        F.lit(0.0),
     )
 
 

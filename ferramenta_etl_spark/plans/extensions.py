@@ -428,10 +428,10 @@ def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
                CAST(len(list_filter(string_split(lower(text), ' '),
                     t -> t IN ('the','a','of','to','and','in','is','on'))) AS DOUBLE)
                  / len(string_split(lower(text), ' ')) AS stop_ratio,
-               CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS DOUBLE)
-                 / length(text) AS dig_ratio,
-               CAST(length(regexp_replace(lower(text), '[a-z0-9 ]', '', 'g')) AS DOUBLE)
-                 / length(text) AS punct_ratio,
+               COALESCE(CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS DOUBLE)
+                 / nullif(length(text), 0), 0.0) AS dig_ratio,
+               COALESCE(CAST(length(regexp_replace(lower(text), '[a-z0-9 ]', '', 'g')) AS DOUBLE)
+                 / nullif(length(text), 0), 0.0) AS punct_ratio,
                least(CAST(len(string_split(lower(text), ' ')) AS DOUBLE) / 100.0, 1.0)
                  AS len_factor
         FROM documents
