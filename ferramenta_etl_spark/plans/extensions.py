@@ -730,8 +730,14 @@ def text_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT user_id, ts, value, event_id,
                -- event_id tiebreak keeps BOTH window orders identical and
                -- total when a user has duplicate timestamps
+               -- STRICT >: Spark's session_window keeps an event
+               -- arriving exactly `gap` after the previous one in the
+               -- SAME session (the window end is last+gap and arrival
+               -- at the end extends it); >= here split it — a latent
+               -- boundary bug the adversarial event fixture caught
+               -- (microsecond fixture timestamps never tie exactly)
                CASE WHEN lag(ts) OVER w IS NULL
-                         OR ts - lag(ts) OVER w >= INTERVAL 30 minutes
+                         OR ts - lag(ts) OVER w > INTERVAL 30 minutes
                     THEN 1 ELSE 0 END AS new_session
         FROM events
         WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)

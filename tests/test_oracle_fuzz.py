@@ -99,3 +99,73 @@ def test_doc_oracles_on_adversarial_corpus(spark, nasty_dir, name):
     df = QUERIES[name](spark, nasty_dir)
     ok, msg = compare_to_oracle(spark, df, ORACLES[name], nasty_dir)
     assert ok, f"{name} diverged on the adversarial corpus: {msg}"
+
+
+# ---------------------------------------------------------------------------
+# Event-time adversarial fixture: timestamps exactly on window boundaries,
+# session-gap ties, duplicate timestamps, zero/negative values — the edge
+# set where Spark's window()/session_window and the oracle's manual
+# bucketing could silently disagree.
+# ---------------------------------------------------------------------------
+
+EVENT_QUERIES = ["events_windowed_agg", "events_session_agg"]
+
+
+def _nasty_events():
+    from datetime import datetime, timedelta
+
+    base = datetime(2024, 1, 1)
+    rows = []
+
+    def add(dt, user, etype="click", value=1.0):
+        rows.append((len(rows), dt, user, etype, value, '{"k": 1}'))
+
+    # exactly on 15-min tumbling boundaries (window [start, end) semantics)
+    for m in [0, 15, 30, 45, 60]:
+        add(base + timedelta(minutes=m), 1)
+    # one microsecond before/after a boundary
+    add(base + timedelta(minutes=15) - timedelta(microseconds=1), 2)
+    add(base + timedelta(minutes=15) + timedelta(microseconds=1), 2)
+    # duplicate timestamps, same and different users
+    add(base + timedelta(minutes=7), 3)
+    add(base + timedelta(minutes=7), 3)
+    add(base + timedelta(minutes=7), 4)
+    # session-gap ties: events exactly gap (30 min default) apart
+    add(base + timedelta(hours=2), 5)
+    add(base + timedelta(hours=2, minutes=30), 5)  # exactly at gap: merge or not?
+    add(base + timedelta(hours=3, minutes=0, seconds=1), 5)  # just past gap
+    # zero / negative / large values
+    add(base + timedelta(minutes=3), 6, "purchase", 0.0)
+    add(base + timedelta(minutes=4), 6, "purchase", -12.5)
+    add(base + timedelta(minutes=5), 6, "purchase", 1e9)
+    # a lone user far away
+    add(base + timedelta(days=2), 7)
+    return rows
+
+
+@pytest.fixture(scope="module")
+def nasty_events_dir(tmp_path_factory, sf_dir):
+    d = tmp_path_factory.mktemp("nasty_events")
+    for t in os.listdir(sf_dir):
+        if t != "events.parquet":
+            os.symlink(os.path.join(sf_dir, t), os.path.join(d, t))
+    rows = _nasty_events()
+    table = pa.table(
+        {
+            "event_id": pa.array([r[0] for r in rows], pa.int64()),
+            "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+            "user_id": pa.array([r[2] for r in rows], pa.int64()),
+            "event_type": pa.array([r[3] for r in rows], pa.string()),
+            "value": pa.array([r[4] for r in rows], pa.float64()),
+            "props": pa.array([r[5] for r in rows], pa.string()),
+        }
+    )
+    pq.write_table(table, os.path.join(d, "events.parquet"))
+    return str(d)
+
+
+@pytest.mark.parametrize("name", EVENT_QUERIES)
+def test_event_oracles_on_adversarial_fixture(spark, nasty_events_dir, name):
+    df = QUERIES[name](spark, nasty_events_dir)
+    ok, msg = compare_to_oracle(spark, df, ORACLES[name], nasty_events_dir)
+    assert ok, f"{name} diverged on boundary/tie events: {msg}"
