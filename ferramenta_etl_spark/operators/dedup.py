@@ -491,19 +491,32 @@ def connected_components(
             .groupBy("src")
             .agg(F.min("dst_label").alias("nbr_min"))
         )
+        stepped = labels.join(nbr_min, labels.v == nbr_min.src, "left").select(
+            labels.v,
+            F.least(
+                F.col("label"), F.coalesce(F.col("nbr_min"), F.col("label"))
+            ).alias("label"),
+            F.col("label").alias("__old"),
+        )
+        # Pointer jumping: label <- label[label]. Labels only decrease
+        # and label[u] <= u, so the jump stays inside the component and
+        # is monotone; combined with the one-hop edge step above it
+        # halves remaining label-distance per round — convergence in
+        # O(log diameter) rounds instead of O(diameter). Without this a
+        # chain longer than max_iter SILENTLY mislabeled (caught by
+        # test_connected_components_strategies_agree_at_size).
+        ptr = stepped.select(F.col("v").alias("jv"), F.col("label").alias("jl"))
+        new_label = F.least(F.col("s.label"), F.coalesce(F.col("p.jl"), F.col("s.label")))
         # The changed flag rides along in the update projection, so the
         # fixpoint check is a scan of the just-checkpointed result — not
         # a second labels-vs-labels join per round.
         updated = (
-            labels.join(nbr_min, labels.v == nbr_min.src, "left")
+            stepped.alias("s")
+            .join(ptr.alias("p"), F.col("s.label") == F.col("p.jv"), "left")
             .select(
-                labels.v,
-                F.least(
-                    F.col("label"), F.coalesce(F.col("nbr_min"), F.col("label"))
-                ).alias("label"),
-                F.coalesce(
-                    F.col("nbr_min") < F.col("label"), F.lit(False)
-                ).alias("__changed"),
+                F.col("s.v").alias("v"),
+                new_label.alias("label"),
+                (new_label < F.col("s.__old")).alias("__changed"),
             )
             .localCheckpoint(eager=True)
         )
@@ -511,6 +524,12 @@ def connected_components(
         labels = updated.drop("__changed")
         if changed == 0:
             break
+    else:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} rounds "
+            "(component diameter too large even with pointer jumping); "
+            "raise max_iter"
+        )
     return labels
 
 

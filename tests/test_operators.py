@@ -332,6 +332,33 @@ def test_connected_components_and_canonical_dedup(spark):
     assert kept == [1, 10, 99]
 
 
+def test_connected_components_strategies_agree_at_size(spark):
+    """Distributed min-label propagation vs driver union-find on a
+    2000-edge graph mixing long chains (forces multi-round propagation),
+    dense blobs, and singleton pairs — the insurance that the 100 TB
+    path computes the same clustering as the fast path."""
+    import random
+
+    rng = random.Random(42)
+    edges = [(i, i + 1) for i in range(0, 300)]        # one 300-vertex chain
+    for blob in range(10):                              # 10 dense blobs
+        base = 1000 + blob * 50
+        members = [base + j for j in range(20)]
+        edges += [(rng.choice(members), rng.choice(members)) for _ in range(60)]
+    edges += [(5000 + 2 * i, 5001 + 2 * i) for i in range(400)]  # pair islands
+    pairs = spark.createDataFrame(
+        [(a, b) for a, b in edges if a != b], "doc_id_a long, doc_id_b long"
+    )
+    fast = {r.v: r.label for r in D.connected_components(pairs).collect()}
+    dist = {
+        r.v: r.label
+        for r in D.connected_components(pairs, driver_max_edges=0).collect()
+    }
+    assert fast == dist
+    assert fast[300] == 0  # chain end reaches the min label
+    assert len({lab for v, lab in fast.items() if v >= 5000}) == 400
+
+
 def test_connected_components_empty_pairs(spark):
     """Zero near-dup pairs: both CC strategies return an empty labeling
     and keep_canonical passes every doc through untouched."""
