@@ -83,14 +83,14 @@ def quantized_cosine_topk(
         F.col(id_col),
         F.col(q_col),
         F.expr(f"sqrt(CAST({_int_dot(q_col, q_col)} AS DOUBLE))").alias("__cn"),
-    )
+    ).filter(F.col("__cn") > 0)  # all-zero codes never rank (zero-norm policy)
     q = queries.select(
         F.col(query_id_col),
         F.col(query_q_col),
         F.expr(
             f"sqrt(CAST({_int_dot(query_q_col, query_q_col)} AS DOUBLE))"
         ).alias("__qn"),
-    )
+    ).filter(F.col("__qn") > 0)
     sim = F.expr(
         f"round(CAST({_int_dot(query_q_col, q_col)} AS DOUBLE) / (__qn * __cn), 6)"
     )

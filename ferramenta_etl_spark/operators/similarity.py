@@ -97,13 +97,18 @@ def cosine_topk(
     # norms are projected ONCE per corpus row and once per query row;
     # the per-pair work is then a single dot fold. Same IEEE op order as
     # cosine() — dot / (q_norm * c_norm) — so oracles stay bit-identical.
+    # zero-norm vectors have no defined cosine, and under ANSI mode the
+    # division aborts the whole job on ONE such row (real corpora contain
+    # zero embeddings: failed encodes, padding). Policy: they never rank
+    # — zero-norm corpus vectors are not candidates, zero-norm queries
+    # return no rows. Oracles mirror the same WHERE.
     corpus_n = corpus.select(
         F.col(id_col), F.col(vec_col), F.expr(_norm_sql(vec_col)).alias("__nv")
-    )
+    ).filter(F.col("__nv") > 0)
     queries_n = queries.select(
         F.col(query_id_col), F.col(query_vec_col),
         F.expr(_norm_sql(query_vec_col)).alias("__qn"),
-    )
+    ).filter(F.col("__qn") > 0)
     sim = F.expr(f"round({_dot_sql(query_vec_col, vec_col)} / (__qn * __nv), 6)")
     scored = corpus_n.crossJoin(F.broadcast(queries_n)).select(
         F.col(query_id_col),
@@ -127,11 +132,12 @@ def derive_centroids(
     rows to the driver."""
     return [
         (row[0], list(row[1]))
-        for row in corpus.orderBy(F.col(id_col).asc())
+        for row in corpus.filter(F.expr(_norm_sql(vec_col)) > 0)
+        .orderBy(F.col(id_col).asc())
         .limit(n_centroids)
         .select(id_col, vec_col)
         .collect()
-    ]
+    ]  # zero-norm vectors are excluded: a zero centroid has no cosine
 
 
 def _seq_norm(vec: Sequence[float]) -> float:
@@ -338,7 +344,7 @@ def assign_ivf_buckets(
         return _assign_buckets_arrow(corpus, centroid_rows, id_col, vec_col, keep_norm)
     with_norm = corpus.select(
         F.col(id_col), F.col(vec_col), F.expr(_norm_sql(vec_col)).alias("__nv")
-    )
+    ).filter(F.col("__nv") > 0)  # zero vectors are unassignable (see cosine_topk)
     sims_sql = ",".join(
         f"round({_dot_sql(_vec_sql(cvec), vec_col)}"
         f" / (CAST({_seq_norm(cvec)!r} AS DOUBLE) * __nv), 6)"
@@ -382,7 +388,7 @@ def _query_probes(
         query_id_col,
         query_vec_col,
         F.expr(_norm_sql(query_vec_col)).alias("__qn"),
-    )
+    ).filter(F.col("__qn") > 0)  # zero-norm queries probe nothing
     entries_sql = ",".join(
         f"struct(-round({_dot_sql(_vec_sql(cvec), query_vec_col)}"
         f" / (CAST({_seq_norm(cvec)!r} AS DOUBLE) * __qn), 6) AS neg_sim,"
@@ -547,7 +553,7 @@ def cosine_near_dup_pairs(
         F.col(vec_col),
         F.col(block_col),
         F.expr(_norm_sql(vec_col)).alias("__n"),
-    )
+    ).filter(F.col("__n") > 0)  # zero-norm vectors never pair (see cosine_topk)
     a = with_n.alias("a")
     b = with_n.alias("b")
     sim = F.expr(

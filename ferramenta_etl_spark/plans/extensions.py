@@ -252,9 +252,11 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 _COSINE_TOPK_ORACLE = f"""
     WITH q AS (
         SELECT vec_id AS query_id, embedding AS qv
-        FROM embeddings WHERE vec_id < 10
+        FROM embeddings
+        WHERE vec_id < 10 AND sqrt({_dot('embedding', 'embedding')}) > 0
     ), c AS (
-        SELECT vec_id, embedding FROM embeddings WHERE vec_id >= 10
+        SELECT vec_id, embedding FROM embeddings
+        WHERE vec_id >= 10 AND sqrt({_dot('embedding', 'embedding')}) > 0
     ), scored AS (
         SELECT q.query_id, c.vec_id,
                ROUND({_cos('q.qv', 'c.embedding')}, 6) AS sim
@@ -297,13 +299,15 @@ def _ivf_oracle() -> str:
     return f"""
     WITH q AS (
         SELECT vec_id AS query_id, embedding AS qv, {_nrm('embedding')} AS qn
-        FROM embeddings WHERE vec_id < 10
+        FROM embeddings WHERE vec_id < 10 AND {_nrm('embedding')} > 0
     ), c AS (
         SELECT vec_id, embedding, {_nrm('embedding')} AS nv
-        FROM embeddings WHERE vec_id >= 10
+        FROM embeddings WHERE vec_id >= 10 AND {_nrm('embedding')} > 0
     ), cents AS (
         SELECT vec_id AS cid, embedding AS cvec, {_nrm('embedding')} AS cn
-        FROM embeddings WHERE vec_id >= 10 ORDER BY vec_id LIMIT 8
+        FROM embeddings
+        WHERE vec_id >= 10 AND {_nrm('embedding')} > 0
+        ORDER BY vec_id LIMIT 8
     ), assign AS (
         SELECT vec_id, embedding, nv, cid FROM (
             SELECT c.vec_id, c.embedding, c.nv, cents.cid,
@@ -360,7 +364,8 @@ def embedding_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _NEAR_DUP_ORACLE = f"""
-    WITH e AS (SELECT vec_id, embedding, label FROM embeddings)
+    WITH e AS (SELECT vec_id, embedding, label FROM embeddings
+               WHERE sqrt({_dot('embedding', 'embedding')}) > 0)
     SELECT a.vec_id AS vec_id_a, b.vec_id AS vec_id_b,
            ROUND({_cos('a.embedding', 'b.embedding')}, 6) AS sim
     FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id

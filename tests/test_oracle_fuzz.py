@@ -169,3 +169,61 @@ def test_event_oracles_on_adversarial_fixture(spark, nasty_events_dir, name):
     df = QUERIES[name](spark, nasty_events_dir)
     ok, msg = compare_to_oracle(spark, df, ORACLES[name], nasty_events_dir)
     assert ok, f"{name} diverged on boundary/tie events: {msg}"
+
+
+# ---------------------------------------------------------------------------
+# Embedding adversarial fixture: zero vectors (NaN cosines), exact
+# duplicate vectors (rank ties resolved only by the id tiebreak), and
+# extreme magnitudes — where IEEE edge handling could differ between
+# engines.
+# ---------------------------------------------------------------------------
+
+EMB_QUERIES = ["embedding_cosine_topk", "embedding_ann_ivf", "embedding_near_dup"]
+
+
+@pytest.fixture(scope="module")
+def nasty_emb_dir(tmp_path_factory, sf_dir):
+    import struct
+
+    rng = random.Random(11)
+    d = tmp_path_factory.mktemp("nasty_emb")
+    for t in os.listdir(sf_dir):
+        if t != "embeddings.parquet":
+            os.symlink(os.path.join(sf_dir, t), os.path.join(d, t))
+    dim = 8
+    rows = []
+
+    def add(vec, label=0):
+        rows.append((len(rows), [float(x) for x in vec], label))
+
+    # queries (vec_id < 10): ordinary + a zero query vector
+    for _ in range(9):
+        add([rng.uniform(-1, 1) for _ in range(dim)])
+    add([0.0] * dim)  # zero QUERY vector -> all sims NaN
+    # corpus: ordinary, exact duplicates (tie ranks), zero vector,
+    # huge/tiny magnitudes, negated copies
+    base = [rng.uniform(-1, 1) for _ in range(dim)]
+    add(base, 1)
+    add(base, 1)          # exact duplicate -> identical sim, id tiebreak
+    add([-x for x in base], 1)
+    add([0.0] * dim, 2)   # zero CORPUS vector -> NaN against every query
+    add([x * 1e6 for x in base], 2)
+    add([x * 1e-6 for x in base], 2)
+    for _ in range(40):
+        add([rng.uniform(-1, 1) for _ in range(dim)], rng.randint(0, 3))
+    table = pa.table(
+        {
+            "vec_id": pa.array([r[0] for r in rows], pa.int64()),
+            "embedding": pa.array([r[1] for r in rows], pa.list_(pa.float32())),
+            "label": pa.array([r[2] for r in rows], pa.int32()),
+        }
+    )
+    pq.write_table(table, os.path.join(d, "embeddings.parquet"))
+    return str(d)
+
+
+@pytest.mark.parametrize("name", EMB_QUERIES)
+def test_embedding_oracles_on_adversarial_vectors(spark, nasty_emb_dir, name):
+    df = QUERIES[name](spark, nasty_emb_dir)
+    ok, msg = compare_to_oracle(spark, df, ORACLES[name], nasty_emb_dir)
+    assert ok, f"{name} diverged on degenerate vectors: {msg}"
