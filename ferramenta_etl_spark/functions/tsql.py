@@ -56,8 +56,12 @@ def round2_stable(col: Column) -> Column:
     DuckDB scales then rounds), so for derived values both the Spark plan
     and the oracle SQL use the identical two-step ``round(x*100)/100`` —
     the scaled value is bit-identical in both engines and integer rounding
-    of positives agrees (HALF_UP == half-away-from-zero)."""
-    return F.round(col * 100) / 100
+    agrees (Spark HALF_UP == C round == half-away-from-zero, both signs).
+    The trailing + 0.0 normalizes IEEE negative zero: DuckDB's round
+    keeps -0.0 (std::round of -0.4 is -0.0), Spark's BigDecimal path
+    drops the sign — adding +0.0 maps -0.0 to +0.0 in BOTH engines.
+    Oracle-side mirror: (ROUND((x) * 100) / 100 + 0.0)."""
+    return F.round(col * 100) / 100 + F.lit(0.0)
 
 
 def epoch_ms(col: Column | str) -> Column:

@@ -78,9 +78,10 @@ def projection_rename(spark: SparkSession, sf_dir: str) -> DataFrame:
     "computed_arithmetic",
     """
     SELECT l_orderkey, l_linenumber,
-           ROUND(l_extendedprice * (1 - l_discount) * (1 + l_tax) * 100) / 100 AS net_price,
-           ROUND(l_extendedprice + l_quantity, 2) AS gross_plus_qty,
-           ROUND(l_extendedprice - l_quantity, 2) AS gross_minus_qty
+           ROUND(l_extendedprice * (1 - l_discount) * (1 + l_tax) * 100) / 100 + 0.0
+             AS net_price,
+           ROUND((l_extendedprice + l_quantity) * 100) / 100 + 0.0 AS gross_plus_qty,
+           ROUND((l_extendedprice - l_quantity) * 100) / 100 + 0.0 AS gross_minus_qty
     FROM lineitem
     """,
 )
@@ -93,8 +94,15 @@ def computed_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
         round2_stable(
             F.col("l_extendedprice") * (1 - F.col("l_discount")) * (1 + F.col("l_tax"))
         ).alias("net_price"),
-        money(F.col("l_extendedprice") + F.col("l_quantity")).alias("gross_plus_qty"),
-        money(F.col("l_extendedprice") - F.col("l_quantity")).alias("gross_minus_qty"),
+        # COMPUTED money needs the stable two-step (round(x,2) diverges
+        # between engines when a sum lands on a half-cent, e.g.
+        # 999.995 + 50.5 — caught by the adversarial relational fixture)
+        round2_stable(F.col("l_extendedprice") + F.col("l_quantity")).alias(
+            "gross_plus_qty"
+        ),
+        round2_stable(F.col("l_extendedprice") - F.col("l_quantity")).alias(
+            "gross_minus_qty"
+        ),
     )
 
 
@@ -106,7 +114,8 @@ def computed_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM (
         SELECT o_custkey, o_orderkey, o_totalprice,
                ROW_NUMBER() OVER (PARTITION BY o_custkey
-                                  ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+                                  ORDER BY o_orderdate DESC NULLS LAST,
+                                           o_orderkey DESC) AS rn
         FROM orders
     ) WHERE rn = 1
     """,
@@ -519,7 +528,8 @@ def topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
            ROUND(LAG(o_totalprice)  OVER w, 2) AS prev_total,
            ROUND(LEAD(o_totalprice) OVER w, 2) AS next_total,
            CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
-               PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC
+               PARTITION BY o_custkey
+               ORDER BY o_orderdate ASC NULLS FIRST, o_orderkey ASC
                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
            ) AS DOUBLE) AS running_total,
            CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
@@ -530,8 +540,13 @@ def topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
            LAST_VALUE(o_orderkey)   OVER wf AS last_key,
            NTH_VALUE(o_orderkey, 2) OVER wf AS second_key
     FROM orders
-    WINDOW w  AS (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC),
-           wf AS (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC
+    -- NULLS FIRST: Spark ASC places nulls first, DuckDB ASC places them
+    -- LAST by default — on a null o_orderdate the whole ranking family
+    -- silently diverges (caught by the adversarial relational fixture)
+    WINDOW w  AS (PARTITION BY o_custkey
+                  ORDER BY o_orderdate ASC NULLS FIRST, o_orderkey ASC),
+           wf AS (PARTITION BY o_custkey
+                  ORDER BY o_orderdate ASC NULLS FIRST, o_orderkey ASC
                   ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
     """,
 )
@@ -699,8 +714,10 @@ def string_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
            ROUND(abs(l_extendedprice - 1000), 2)       AS abs_diff,
            CAST(ceil(l_quantity) AS BIGINT)            AS qty_ceil,
            CAST(floor(l_quantity) AS BIGINT)           AS qty_floor,
-           ROUND(sqrt(l_extendedprice), 6)             AS price_sqrt,
-           ROUND(ln(l_extendedprice + 1), 6)           AS price_ln,
+           ROUND(CASE WHEN l_extendedprice >= 0
+                      THEN sqrt(l_extendedprice) END, 6) AS price_sqrt,
+           ROUND(CASE WHEN l_extendedprice + 1 > 0
+                      THEN ln(l_extendedprice + 1) END, 6) AS price_ln,
            ROUND(pow(l_discount, 2), 6)                AS disc_sq,
            l_orderkey % 7                              AS key_mod,
            nullif(l_returnflag, 'N') IS NOT DISTINCT FROM nullif(l_linestatus, 'O')
@@ -722,8 +739,19 @@ def math_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.abs(F.col("l_extendedprice") - 1000), 2).alias("abs_diff"),
         F.ceil("l_quantity").cast("bigint").alias("qty_ceil"),
         F.floor("l_quantity").cast("bigint").alias("qty_floor"),
-        F.round(F.sqrt("l_extendedprice"), 6).alias("price_sqrt"),
-        F.round(F.log(F.col("l_extendedprice") + 1), 6).alias("price_ln"),
+        # domain guards (NULL outside): DuckDB ABORTS on sqrt/ln of a
+        # negative where Spark yields NaN/NULL — a single bad price row
+        # must not diverge engines or kill the oracle
+        F.round(
+            F.when(F.col("l_extendedprice") >= 0, F.sqrt("l_extendedprice")), 6
+        ).alias("price_sqrt"),
+        F.round(
+            F.when(
+                F.col("l_extendedprice") + 1 > 0,
+                F.log(F.col("l_extendedprice") + 1),
+            ),
+            6,
+        ).alias("price_ln"),
         F.round(F.pow("l_discount", F.lit(2)), 6).alias("disc_sq"),
         (F.col("l_orderkey") % 7).alias("key_mod"),
         ns_a.eqNullSafe(ns_b).alias("ns_eq"),

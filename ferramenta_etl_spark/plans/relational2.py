@@ -95,7 +95,11 @@ def date_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         .try_cast("int")
         .alias("prio_num"),
         F.col("o_orderpriority").try_cast("int").alias("bad_cast"),
-        F.col("o_totalprice").try_cast("int").alias("price_int"),
+        # explicit floor on BOTH engines: Spark's double->int cast
+        # truncates toward zero, DuckDB's TRY_CAST(floor(...)) floors —
+        # they agree only for positive prices (adversarial fixture's
+        # -12.5 exposed -12 vs -13)
+        F.floor("o_totalprice").try_cast("int").alias("price_int"),
     )
 
 

@@ -227,3 +227,116 @@ def test_embedding_oracles_on_adversarial_vectors(spark, nasty_emb_dir, name):
     df = QUERIES[name](spark, nasty_emb_dir)
     ok, msg = compare_to_oracle(spark, df, ORACLES[name], nasty_emb_dir)
     assert ok, f"{name} diverged on degenerate vectors: {msg}"
+
+
+# ---------------------------------------------------------------------------
+# Relational adversarial fixture: calendar edges (leap days, month-end
+# clamping, epoch, year 9999), null dates/strings/statuses, negative and
+# zero prices, unicode priorities, duplicate keys — run under every
+# oracle whose SQL touches orders or lineitem.
+# ---------------------------------------------------------------------------
+
+import re
+
+REL_QUERIES = sorted(
+    name
+    for name, sql in ORACLES.items()
+    if re.search(r"\b(orders|lineitem)\b", sql)
+)
+
+
+def _nasty_orders_lineitem():
+    from datetime import datetime
+
+    dates = [
+        datetime(1970, 1, 1),     # epoch
+        datetime(2000, 2, 29),    # leap day
+        datetime(1999, 2, 28),
+        datetime(2019, 11, 30),   # +3mo -> Feb clamp in a leap year
+        datetime(2020, 1, 31),    # +3mo -> Apr 30 clamp
+        datetime(1998, 12, 31),   # the diff anchor itself
+        datetime(9999, 9, 9),     # far future
+        datetime(1582, 10, 20),   # proleptic-Gregorian sensitivity
+        None,                     # null date
+        datetime(2024, 6, 15),
+    ]
+    statuses = ["O", "F", "P", None, ""]
+    prios = ["1-URGENT", "", None, "não-prioritário ünïcode", "13-weird", "5-LOW"]
+    orders = []
+    for i, dt in enumerate(dates * 3):
+        orders.append(
+            (
+                i,
+                i % 7,
+                statuses[i % len(statuses)],
+                [0.0, -12.5, 1e9, 123.455, 0.5][i % 5],
+                dt,
+                prios[i % len(prios)],
+            )
+        )
+    lineitem = []
+    for i in range(40):
+        lineitem.append(
+            (
+                i % 12,                      # l_orderkey: many per order
+                i % 5,
+                i % 3,
+                i % 4,                       # duplicate (orderkey, linenumber)!
+                [0.0, -1.0, 50.5, 12.0][i % 4],
+                [0.0, 999.995, 1000.0, 1e7, -5.0][i % 5],
+                [0.0, 0.5, 1.0, 0.05][i % 4],
+                0.08,
+                ["N", "R", "A", None][i % 4],
+                ["O", "F", None][i % 3],
+                dates[i % len(dates)],
+            )
+        )
+    return orders, lineitem
+
+
+@pytest.fixture(scope="module")
+def nasty_rel_dir(tmp_path_factory, sf_dir):
+    d = tmp_path_factory.mktemp("nasty_rel")
+    for t in os.listdir(sf_dir):
+        if t not in ("orders.parquet", "lineitem.parquet"):
+            os.symlink(os.path.join(sf_dir, t), os.path.join(d, t))
+    orders, lineitem = _nasty_orders_lineitem()
+    pq.write_table(
+        pa.table(
+            {
+                "o_orderkey": pa.array([r[0] for r in orders], pa.int64()),
+                "o_custkey": pa.array([r[1] for r in orders], pa.int64()),
+                "o_orderstatus": pa.array([r[2] for r in orders], pa.string()),
+                "o_totalprice": pa.array([r[3] for r in orders], pa.float64()),
+                "o_orderdate": pa.array([r[4] for r in orders], pa.timestamp("us")),
+                "o_orderpriority": pa.array([r[5] for r in orders], pa.string()),
+            }
+        ),
+        os.path.join(d, "orders.parquet"),
+    )
+    pq.write_table(
+        pa.table(
+            {
+                "l_orderkey": pa.array([r[0] for r in lineitem], pa.int64()),
+                "l_partkey": pa.array([r[1] for r in lineitem], pa.int64()),
+                "l_suppkey": pa.array([r[2] for r in lineitem], pa.int64()),
+                "l_linenumber": pa.array([r[3] for r in lineitem], pa.int32()),
+                "l_quantity": pa.array([r[4] for r in lineitem], pa.float64()),
+                "l_extendedprice": pa.array([r[5] for r in lineitem], pa.float64()),
+                "l_discount": pa.array([r[6] for r in lineitem], pa.float64()),
+                "l_tax": pa.array([r[7] for r in lineitem], pa.float64()),
+                "l_returnflag": pa.array([r[8] for r in lineitem], pa.string()),
+                "l_linestatus": pa.array([r[9] for r in lineitem], pa.string()),
+                "l_shipdate": pa.array([r[10] for r in lineitem], pa.timestamp("us")),
+            }
+        ),
+        os.path.join(d, "lineitem.parquet"),
+    )
+    return str(d)
+
+
+@pytest.mark.parametrize("name", REL_QUERIES)
+def test_relational_oracles_on_adversarial_fixture(spark, nasty_rel_dir, name):
+    df = QUERIES[name](spark, nasty_rel_dir)
+    ok, msg = compare_to_oracle(spark, df, ORACLES[name], nasty_rel_dir)
+    assert ok, f"{name} diverged on calendar/null/price edges: {msg}"
