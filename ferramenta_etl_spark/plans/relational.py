@@ -668,9 +668,14 @@ def pivot_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
            replace(p_type, ' ', '_')              AS type_snake,
            trim(p_type)                           AS type_trim,
            regexp_extract(p_type, '^(\w+)', 1)    AS type_head,
-           split_part(p_type, ' ', 1)             AS type_first,
+           -- NULL guard: DuckDB split_part(NULL, ...) returns ''
+           -- where Spark propagates NULL
+           CASE WHEN p_type IS NULL
+                THEN NULL ELSE split_part(p_type, ' ', 1) END AS type_first,
            lpad(CAST(p_size AS VARCHAR), 4, '0')  AS size_pad,
-           concat(p_brand, ':', p_type)           AS brand_type,
+           -- || propagates NULL like Spark's concat; DuckDB's concat()
+           -- silently SKIPS null arguments
+           (p_brand || ':' || p_type)             AS brand_type,
            p_name LIKE '%bolt%'                   AS has_bolt,
            p_name LIKE 'red%'                     AS is_red,
            p_brand LIKE '%1_'                     AS brand_teens,
@@ -762,9 +767,19 @@ def math_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
 @_q(
     "json_extract",
     """
+    WITH j AS (
+        SELECT event_id, event_type,
+               CASE WHEN json_valid(props)
+                    THEN json_extract_string(props, '$.k') END AS ks
+        FROM events
+    )
     SELECT event_id, event_type,
-           CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val
-    FROM events
+           -- strict integer strings only: DuckDB's TRY_CAST parses '1.9'
+           -- as a double and ROUNDS to 2 where Spark's try_cast yields
+           -- NULL; the regex pins both engines to the Spark rule
+           CASE WHEN regexp_matches(trim(ks), '^[+-]?[0-9]+$')
+                THEN TRY_CAST(trim(ks) AS BIGINT) END AS k_val
+    FROM j
     """,
 )
 def json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -773,7 +788,9 @@ def json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.select(
         "event_id",
         "event_type",
-        F.get_json_object("props", "$.k").cast("bigint").alias("k_val"),
+        # try_cast: a non-scalar or junk $.k ('[1,2]', 'true', 'x')
+        # yields NULL instead of aborting the job under ANSI mode
+        F.get_json_object("props", "$.k").try_cast("bigint").alias("k_val"),
     )
 
 

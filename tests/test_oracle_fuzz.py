@@ -340,3 +340,135 @@ def test_relational_oracles_on_adversarial_fixture(spark, nasty_rel_dir, name):
     df = QUERIES[name](spark, nasty_rel_dir)
     ok, msg = compare_to_oracle(spark, df, ORACLES[name], nasty_rel_dir)
     assert ok, f"{name} diverged on calendar/null/price edges: {msg}"
+
+
+# ---------------------------------------------------------------------------
+# String/JSON adversarial fixtures: unicode case edges (ß, dotted İ,
+# full-width chars), empty/null strings, regex metacharacters in data,
+# LIKE wildcards as literals, malformed/nested/empty JSON props.
+# ---------------------------------------------------------------------------
+
+STR_QUERIES = sorted(
+    name for name, sql in ORACLES.items() if re.search(r"\bpart\b", sql)
+)
+JSON_QUERIES = ["json_extract", "tsql_formats"]
+
+
+@pytest.fixture(scope="module")
+def nasty_str_dir(tmp_path_factory, sf_dir):
+    d = tmp_path_factory.mktemp("nasty_str")
+    for t in os.listdir(sf_dir):
+        if t != "part.parquet":
+            os.symlink(os.path.join(sf_dir, t), os.path.join(d, t))
+    names = [
+        "", None, "red bolt small", "RED BOLT", "straße größe",
+        "istanbul plain", "ｆｕｌｌｗｉｄｔｈ", "tab\tand\nnewline",
+        "percent%under_score", "regex .* meta [chars]+", "café naïve",
+        "bolt", "red", "x" * 200,
+    ]
+    types = ["ECONOMY ANODIZED", "PROMO  double space", "", None,
+             " leading", "trailing ", "PROMO", "中文 类型"]
+    # no sharp-s: upper('ß') is a GENUINE engine divergence (Java 'SS'
+    # vs DuckDB 'ẞ'), pinned separately in test_known_unicode_case_divergence
+    brands = ["Brand#13", "brand#1_", "B", "", None, "brånd", "Brand#9"]
+    rows = [
+        (i, names[i % len(names)], brands[i % len(brands)],
+         types[i % len(types)], [0, -3, 4, 9999, 42][i % 5],
+         [0.0, -1.5, 901.0][i % 3])
+        for i in range(30)
+    ]
+    pq.write_table(
+        pa.table(
+            {
+                "p_partkey": pa.array([r[0] for r in rows], pa.int64()),
+                "p_name": pa.array([r[1] for r in rows], pa.string()),
+                "p_brand": pa.array([r[2] for r in rows], pa.string()),
+                "p_type": pa.array([r[3] for r in rows], pa.string()),
+                "p_size": pa.array([r[4] for r in rows], pa.int32()),
+                "p_retailprice": pa.array([r[5] for r in rows], pa.float64()),
+            }
+        ),
+        os.path.join(d, "part.parquet"),
+    )
+    return str(d)
+
+
+def test_known_unicode_case_divergence(spark):
+    """Pinned engine difference, excluded from the oracle contract: Java
+    (Spark) uppercases 'ß' to 'SS' while DuckDB maps it to the capital
+    sharp s 'ẞ'. Documented so the divergence is a known quantity, not a
+    surprise — corpora relying on case-folded comparisons of German text
+    should fold with lower(), where both engines agree ('ß' -> 'ß')."""
+    row = (
+        spark.createDataFrame([("ßrand",)], "t string")
+        .selectExpr("upper(t) AS u", "lower(t) AS l")
+        .first()
+    )
+    assert row.u == "SSRAND"
+    import duckdb
+
+    u, lo = duckdb.connect().execute(
+        "SELECT upper('ßrand'), lower('ßrand')"
+    ).fetchone()
+    assert u == "ẞRAND"  # != Spark
+    assert lo == row.l == "ßrand"  # lower() agrees
+
+    # second pinned difference: lower of the Turkish dotted capital İ —
+    # Java produces 'i' + U+0307 combining dot above, DuckDB plain 'i'
+    srow = (
+        spark.createDataFrame([("İstanbul",)], "t string")
+        .selectExpr("lower(t) AS l")
+        .first()
+    )
+    (dl,) = duckdb.connect().execute("SELECT lower('İstanbul')").fetchone()
+    assert srow.l == "i\u0307stanbul"
+    assert dl == "istanbul"  # != Spark
+
+
+@pytest.mark.parametrize("name", STR_QUERIES)
+def test_string_oracles_on_adversarial_fixture(spark, nasty_str_dir, name):
+    df = QUERIES[name](spark, nasty_str_dir)
+    ok, msg = compare_to_oracle(spark, df, ORACLES[name], nasty_str_dir)
+    assert ok, f"{name} diverged on unicode/regex/null strings: {msg}"
+
+
+@pytest.fixture(scope="module")
+def nasty_json_dir(tmp_path_factory, sf_dir):
+    from datetime import datetime, timedelta
+
+    d = tmp_path_factory.mktemp("nasty_json")
+    for t in os.listdir(sf_dir):
+        if t != "events.parquet":
+            os.symlink(os.path.join(sf_dir, t), os.path.join(d, t))
+    props = [
+        '{"k": 7}', '{"k": "12"}', '{"k": null}', '{"k": -3}',
+        '{"other": 1}', '{}', '', None, 'not json at all', '{"k": [1,2]}',
+        '{"k": {"nested": 5}}', '{"k": 1.9}', '[]', '{"k": true}',
+    ]
+    base = datetime(2024, 3, 1)
+    rows = [
+        (i, base + timedelta(minutes=3 * i), i % 4,
+         ["click", "error", "signup"][i % 3], float(i), props[i % len(props)])
+        for i in range(40)
+    ]
+    pq.write_table(
+        pa.table(
+            {
+                "event_id": pa.array([r[0] for r in rows], pa.int64()),
+                "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+                "user_id": pa.array([r[2] for r in rows], pa.int64()),
+                "event_type": pa.array([r[3] for r in rows], pa.string()),
+                "value": pa.array([r[4] for r in rows], pa.float64()),
+                "props": pa.array([r[5] for r in rows], pa.string()),
+            }
+        ),
+        os.path.join(d, "events.parquet"),
+    )
+    return str(d)
+
+
+@pytest.mark.parametrize("name", JSON_QUERIES)
+def test_json_oracles_on_adversarial_fixture(spark, nasty_json_dir, name):
+    df = QUERIES[name](spark, nasty_json_dir)
+    ok, msg = compare_to_oracle(spark, df, ORACLES[name], nasty_json_dir)
+    assert ok, f"{name} diverged on malformed JSON: {msg}"
