@@ -79,18 +79,23 @@ def quantized_cosine_topk(
     as the exact operator (operators/similarity.cosine_topk)."""
     from .topk import grouped_topk
 
-    c = corpus.select(
+    # zero-norm policy via the SCALE column: scale > 0 iff the code
+    # vector is nonzero (the amax element always maps to +-127), so the
+    # filter is an O(1) column test. Filtering on __cn itself would
+    # duplicate the integer-dot fold (filter + projection both evaluate
+    # it -- measured 2.5x on the bench entry).
+    c = corpus.filter(F.col(scale_col) > 0).select(
         F.col(id_col),
         F.col(q_col),
         F.expr(f"sqrt(CAST({_int_dot(q_col, q_col)} AS DOUBLE))").alias("__cn"),
-    ).filter(F.col("__cn") > 0)  # all-zero codes never rank (zero-norm policy)
-    q = queries.select(
+    )
+    q = queries.filter(F.col(query_scale_col) > 0).select(
         F.col(query_id_col),
         F.col(query_q_col),
         F.expr(
             f"sqrt(CAST({_int_dot(query_q_col, query_q_col)} AS DOUBLE))"
         ).alias("__qn"),
-    ).filter(F.col("__qn") > 0)
+    )
     sim = F.expr(
         f"round(CAST({_int_dot(query_q_col, q_col)} AS DOUBLE) / (__qn * __cn), 6)"
     )
