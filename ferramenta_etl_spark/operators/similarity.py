@@ -102,13 +102,20 @@ def cosine_topk(
     # zero embeddings: failed encodes, padding). Policy: they never rank
     # — zero-norm corpus vectors are not candidates, zero-norm queries
     # return no rows. Oracles mirror the same WHERE.
-    corpus_n = corpus.select(
+    # the filter tests element-wise nonzero-ness (short-circuit exists),
+    # NOT the computed __nv: a filter on the projected norm would be
+    # pushed below the projection and DUPLICATE the fold per row
+    corpus_n = corpus.filter(
+        F.expr(f"exists({vec_col}, x -> x != 0.0D)")
+    ).select(
         F.col(id_col), F.col(vec_col), F.expr(_norm_sql(vec_col)).alias("__nv")
-    ).filter(F.col("__nv") > 0)
-    queries_n = queries.select(
+    )
+    queries_n = queries.filter(
+        F.expr(f"exists({query_vec_col}, x -> x != 0.0D)")
+    ).select(
         F.col(query_id_col), F.col(query_vec_col),
         F.expr(_norm_sql(query_vec_col)).alias("__qn"),
-    ).filter(F.col("__qn") > 0)
+    )
     sim = F.expr(f"round({_dot_sql(query_vec_col, vec_col)} / (__qn * __nv), 6)")
     scored = corpus_n.crossJoin(F.broadcast(queries_n)).select(
         F.col(query_id_col),
@@ -342,9 +349,11 @@ def assign_ivf_buckets(
     """
     if len(centroid_rows) > LITERAL_CENTROID_MAX:
         return _assign_buckets_arrow(corpus, centroid_rows, id_col, vec_col, keep_norm)
-    with_norm = corpus.select(
+    with_norm = corpus.filter(
+        F.expr(f"exists({vec_col}, x -> x != 0.0D)")  # zero vectors unassignable
+    ).select(
         F.col(id_col), F.col(vec_col), F.expr(_norm_sql(vec_col)).alias("__nv")
-    ).filter(F.col("__nv") > 0)  # zero vectors are unassignable (see cosine_topk)
+    )
     sims_sql = ",".join(
         f"round({_dot_sql(_vec_sql(cvec), vec_col)}"
         f" / (CAST({_seq_norm(cvec)!r} AS DOUBLE) * __nv), 6)"
@@ -384,11 +393,13 @@ def _query_probes(
         return _query_probes_arrow(
             queries, centroid_rows, nprobe, query_id_col, query_vec_col
         )
-    queries_n = queries.select(
+    queries_n = queries.filter(
+        F.expr(f"exists({query_vec_col}, x -> x != 0.0D)")  # zero queries probe nothing
+    ).select(
         query_id_col,
         query_vec_col,
         F.expr(_norm_sql(query_vec_col)).alias("__qn"),
-    ).filter(F.col("__qn") > 0)  # zero-norm queries probe nothing
+    )
     entries_sql = ",".join(
         f"struct(-round({_dot_sql(_vec_sql(cvec), query_vec_col)}"
         f" / (CAST({_seq_norm(cvec)!r} AS DOUBLE) * __qn), 6) AS neg_sim,"
@@ -548,12 +559,14 @@ def cosine_near_dup_pairs(
     per pair only the dot fold remains, in the same IEEE op order as
     cosine() so the oracle stays bit-identical.
     """
-    with_n = embeddings.select(
+    with_n = embeddings.filter(
+        F.expr(f"exists({vec_col}, x -> x != 0.0D)")  # zero vectors never pair
+    ).select(
         F.col(id_col),
         F.col(vec_col),
         F.col(block_col),
         F.expr(_norm_sql(vec_col)).alias("__n"),
-    ).filter(F.col("__n") > 0)  # zero-norm vectors never pair (see cosine_topk)
+    )
     a = with_n.alias("a")
     b = with_n.alias("b")
     sim = F.expr(
