@@ -472,3 +472,54 @@ def test_json_oracles_on_adversarial_fixture(spark, nasty_json_dir, name):
     df = QUERIES[name](spark, nasty_json_dir)
     ok, msg = compare_to_oracle(spark, df, ORACLES[name], nasty_json_dir)
     assert ok, f"{name} diverged on malformed JSON: {msg}"
+
+
+# ---------------------------------------------------------------------------
+# Null-join-key fixture: customers with null keys/balances/segments under
+# every oracle that touches customer — the IN/EXISTS/left-join null
+# semantics corner.
+# ---------------------------------------------------------------------------
+
+CUST_QUERIES = sorted(
+    name for name, sql in ORACLES.items() if re.search(r"\bcustomer\b", sql)
+)
+
+
+@pytest.fixture(scope="module")
+def nasty_cust_dir(tmp_path_factory, sf_dir):
+    d = tmp_path_factory.mktemp("nasty_cust")
+    for t in os.listdir(sf_dir):
+        if t != "customer.parquet":
+            os.symlink(os.path.join(sf_dir, t), os.path.join(d, t))
+    rows = []
+    for i in range(60):
+        rows.append(
+            (
+                # duplicate custkeys AND a null key
+                None if i % 13 == 7 else i % 40,
+                ["Customer#1", "", None, "cliente ünico"][i % 4],
+                None if i % 11 == 5 else i % 5,
+                [None, 9500.5, -999.99, 0.0, 9000.0][i % 5],  # 9000 boundary
+                ["BUILDING", None, "", "AUTOMOBILE"][i % 4],
+            )
+        )
+    pq.write_table(
+        pa.table(
+            {
+                "c_custkey": pa.array([r[0] for r in rows], pa.int64()),
+                "c_name": pa.array([r[1] for r in rows], pa.string()),
+                "c_nationkey": pa.array([r[2] for r in rows], pa.int32()),
+                "c_acctbal": pa.array([r[3] for r in rows], pa.float64()),
+                "c_mktsegment": pa.array([r[4] for r in rows], pa.string()),
+            }
+        ),
+        os.path.join(d, "customer.parquet"),
+    )
+    return str(d)
+
+
+@pytest.mark.parametrize("name", CUST_QUERIES)
+def test_customer_oracles_on_null_keys(spark, nasty_cust_dir, name):
+    df = QUERIES[name](spark, nasty_cust_dir)
+    ok, msg = compare_to_oracle(spark, df, ORACLES[name], nasty_cust_dir)
+    assert ok, f"{name} diverged on null join keys: {msg}"
