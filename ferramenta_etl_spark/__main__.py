@@ -44,7 +44,7 @@ def _run_with_progress(reg: JobRegistry, spark, name: str, every: float = 2.0):
         t.join()
 
 
-def main(argv: list[str] | None = None) -> int:
+def main(argv: list[str] | None = None, _stop_session: bool = True) -> int:
     p = argparse.ArgumentParser(prog="ferramenta_etl_spark")
     p.add_argument(
         "command",
@@ -264,7 +264,8 @@ def main(argv: list[str] | None = None) -> int:
         print(reg.status_line(results))
         return 0
     finally:
-        spark.stop()
+        if _stop_session:  # in-process tests share the session
+            spark.stop()
 
 
 if __name__ == "__main__":

@@ -1,0 +1,56 @@
+"""One end-to-end smoke of every user-facing CLI command (in-process
+via main(argv)) — the wiring regressions that per-module tests miss:
+argument plumbing, sink layout, registry auto-creation, idempotent
+re-runs. Uses sf0.001 and a tmp cwd so nothing touches the repo root."""
+
+import os
+
+import pytest
+
+from ferramenta_etl_spark.__main__ import main
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture()
+def cli_tmp(tmp_path, monkeypatch, spark):
+    # the CLI auto-creates its job registry and sinks relative to cwd;
+    # the shared pytest session is reused via getOrCreate
+    monkeypatch.chdir(tmp_path)
+    return tmp_path
+
+
+def _run(*argv) -> int:
+    return main([*argv, "--sf-dir", SF, "--cpus", "4"], _stop_session=False)
+
+
+def test_cli_list_run_and_rerun_idempotent(cli_tmp):
+    assert _run("list") == 0
+    assert _run("run", "alimentacao_parcela_ciot", "--sink-dir", "s") == 0
+    # second run appends zero (idempotent sink) and still exits 0
+    assert _run("run", "alimentacao_parcela_ciot", "--sink-dir", "s") == 0
+
+
+def test_cli_run_all(cli_tmp):
+    assert _run("run-all", "--sink-dir", "s") == 0
+
+
+def test_cli_curate_batch_and_stream(cli_tmp):
+    assert (
+        _run("curate", "--sink-dir", "s", "--redact-pii", "--sample-rate", "0.8")
+        == 0
+    )
+    assert _run("curate-stream", "--sink-dir", "ss") == 0
+
+
+def test_cli_stream_and_rollup(cli_tmp):
+    assert _run("stream", "--sink-dir", "s") == 0
+    assert _run("rollup", "--sink-dir", "s") == 0
+
+
+def test_cli_optimize_compact_and_zorder(cli_tmp, spark):
+    src = str(cli_tmp / "t.parquet")
+    spark.range(1000).selectExpr("id", "id % 7 AS k").repartition(8).write.parquet(src)
+    assert _run("optimize", src) == 0
+    assert _run("optimize", src, "--zorder", "k", "--files", "2") == 0
+    assert spark.read.parquet(src).count() == 1000
