@@ -251,6 +251,7 @@ def contamination_hits(
     n: int = 8,
     text_col: str = "text",
     id_col: str = "doc_id",
+    hashed: bool = False,
 ):
     """Test-set decontamination by n-gram overlap (the GPT-3-style
     counting method): per corpus doc, how many of its distinct word
@@ -265,17 +266,36 @@ def contamination_hits(
     corpus. The corpus itself never shuffles and never holds more state
     than one doc's gram array.
 
+    ``hashed=True`` swaps gram STRINGS for 31-bit polynomial gram hashes
+    (dedup.shingle_hashes): no string construction (measured ~5x on
+    20k-token book-length docs, where building every 8-token gram string
+    dominates), long join keys instead of strings, and a smaller
+    broadcast. Cost: hash collisions can count a gram as contaminated
+    that isn't (~|grams|^2/2^32 expected false hits — harmless spurious
+    DROPS at curation scale, which is why production pipelines hash).
+    The registered text_decontaminate query keeps exact string grams so
+    its DuckDB oracle checks the textbook semantics; the curation
+    pipeline uses the hashed path.
+
     Returns (id_col, n_hits) for contaminated docs only; left-join back
     to the corpus for a keep/drop flag."""
+    from ..operators.dedup import shingle_hashes
     from ..sources.tables import ensure_scan_parallelism
+
+    if hashed:
+        def grams(col):
+            return F.array_distinct(shingle_hashes(col, n))
+    else:
+        def grams(col):
+            return word_ngrams(col, n)
 
     # gram generation is the expensive interpreted-HOF projection; make
     # sure it isn't serialized onto one core by a single-row-group scan
     bench_grams = ensure_scan_parallelism(benchmark).select(
-        F.explode(word_ngrams(F.col(text_col), n)).alias("g")
+        F.explode(grams(F.col(text_col))).alias("g")
     ).distinct()
     corpus_grams = ensure_scan_parallelism(corpus).select(
-        F.col(id_col), F.explode(word_ngrams(F.col(text_col), n)).alias("g")
+        F.col(id_col), F.explode(grams(F.col(text_col))).alias("g")
     )
     return (
         corpus_grams.join(F.broadcast(bench_grams), "g")

@@ -107,7 +107,7 @@ def curated_frame(
         # broadcasts (operators/text.contamination_hits) and the
         # contaminated ids are an anti-join away
         contaminated = contamination_hits(
-            survivors, benchmark, n=decontaminate_n
+            survivors, benchmark, n=decontaminate_n, hashed=True
         ).select("doc_id")
         survivors = survivors.join(contaminated, "doc_id", "left_anti")
     if lang_quota is not None:

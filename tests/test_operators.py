@@ -531,3 +531,24 @@ def test_chunk_documents(spark):
     assert len(by_doc[2]) == 1
     assert by_doc[2][0].chunk_text == short_doc
     assert by_doc[2][0].n_chunk_tokens == 3
+
+
+def test_contamination_hashed_matches_string_path(spark, sf_dir):
+    """The hashed fast path flags the same contaminated docs as the
+    exact string-gram path (hash collisions are measure-zero at fixture
+    scale), while never building a gram string."""
+    from ferramenta_etl_spark.operators.text import contamination_hits
+    from ferramenta_etl_spark.sources import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 97 == 0)
+    corpus = docs.filter(F.col("doc_id") % 97 != 0)
+    s = {
+        (r.doc_id, r.n_hits)
+        for r in contamination_hits(corpus, bench, n=5).collect()
+    }
+    h = {
+        (r.doc_id, r.n_hits)
+        for r in contamination_hits(corpus, bench, n=5, hashed=True).collect()
+    }
+    assert s == h
