@@ -14,8 +14,9 @@ SF = "/root/testdata/sf0.001"
 
 @pytest.fixture()
 def cli_tmp(tmp_path, monkeypatch, spark):
-    # the CLI auto-creates its job registry and sinks relative to cwd;
-    # the shared pytest session is reused via getOrCreate
+    # chdir for the CLI's auto-created job registry (Python-side); sink
+    # paths must be ABSOLUTE because Spark resolves relative output
+    # paths against the driver JVM's cwd, not the Python process cwd
     monkeypatch.chdir(tmp_path)
     return tmp_path
 
@@ -25,27 +26,29 @@ def _run(*argv) -> int:
 
 
 def test_cli_list_run_and_rerun_idempotent(cli_tmp):
+    s = str(cli_tmp / "s")
     assert _run("list") == 0
-    assert _run("run", "alimentacao_parcela_ciot", "--sink-dir", "s") == 0
+    assert _run("run", "alimentacao_parcela_ciot", "--sink-dir", s) == 0
     # second run appends zero (idempotent sink) and still exits 0
-    assert _run("run", "alimentacao_parcela_ciot", "--sink-dir", "s") == 0
+    assert _run("run", "alimentacao_parcela_ciot", "--sink-dir", s) == 0
 
 
 def test_cli_run_all(cli_tmp):
-    assert _run("run-all", "--sink-dir", "s") == 0
+    assert _run("run-all", "--sink-dir", str(cli_tmp / "s")) == 0
 
 
 def test_cli_curate_batch_and_stream(cli_tmp):
     assert (
-        _run("curate", "--sink-dir", "s", "--redact-pii", "--sample-rate", "0.8")
-        == 0
+        _run("curate", "--sink-dir", str(cli_tmp / "s"),
+             "--redact-pii", "--sample-rate", "0.8") == 0
     )
-    assert _run("curate-stream", "--sink-dir", "ss") == 0
+    assert _run("curate-stream", "--sink-dir", str(cli_tmp / "ss")) == 0
 
 
 def test_cli_stream_and_rollup(cli_tmp):
-    assert _run("stream", "--sink-dir", "s") == 0
-    assert _run("rollup", "--sink-dir", "s") == 0
+    s = str(cli_tmp / "s")
+    assert _run("stream", "--sink-dir", s) == 0
+    assert _run("rollup", "--sink-dir", s) == 0
 
 
 def test_cli_optimize_compact_and_zorder(cli_tmp, spark):
