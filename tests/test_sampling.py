@@ -100,3 +100,28 @@ def test_curation_with_sampling_stages(spark, sf_dir, tmp_path):
         spark, sf_dir, sink, sample_rate=0.5, lang_quota=30
     )
     assert again == 0  # identical deterministic selection -> no new rows
+
+
+def test_hash_sample_reproducible_in_duckdb(spark, sf_dir):
+    """The module's engine-portability claim, proven: DuckDB selects the
+    IDENTICAL sample with the same md5-bucket rule — so a sample drawn
+    by this engine can be re-derived (audited, extended) by any SQL
+    engine with md5, without Spark in the loop."""
+    import duckdb
+
+    from ferramenta_etl_spark.operators.sampling import _BUCKETS, hash_sample
+
+    docs = load_table(spark, sf_dir, "documents")
+    got = {r.doc_id for r in hash_sample(docs, 0.2, seed=3).select("doc_id").collect()}
+    cutoff = int(round(0.2 * _BUCKETS))
+    want = {
+        r[0]
+        for r in duckdb.connect().execute(
+            f"""
+            SELECT doc_id FROM read_parquet('{sf_dir}/documents.parquet')
+            WHERE ('0x' || substr(md5('3:' || CAST(doc_id AS VARCHAR)), 1, 14))::BIGINT
+                  % {_BUCKETS} < {cutoff}
+            """
+        ).fetchall()
+    }
+    assert got == want
