@@ -587,3 +587,34 @@ def cosine_near_dup_pairs(
         )
         .filter(F.col("sim") >= threshold)
     )
+
+
+def dedup_semantic(
+    items: DataFrame,
+    embeddings: DataFrame,
+    threshold: float = 0.95,
+    block_col: str = "label",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication: collapse groups of items
+    whose EMBEDDINGS are near-identical (cosine >= threshold within
+    equality blocks) to one canonical member — catches paraphrases and
+    re-encodings that text-level dedup (exact/MinHash/SimHash) cannot
+    see, at the price of trusting the embedding space.
+
+    Composition of the existing scale pieces: blocked cosine pairs
+    (cosine_near_dup_pairs — no all-pairs work outside blocks) ->
+    connected components (dedup.connected_components — driver union-find
+    under the edge-count guard, pointer-jumped propagation above it) ->
+    one anti-join against the non-canonical vertex set. ``items`` is any
+    relation keyed by ``id_col`` (documents, images, rows of a training
+    mix); ``embeddings`` maps the same ids to vectors."""
+    from .dedup import dedup_keep_canonical
+
+    pairs = cosine_near_dup_pairs(
+        embeddings, threshold, block_col, id_col, vec_col
+    )
+    return dedup_keep_canonical(
+        items, pairs, id_col=id_col, a_col="vec_id_a", b_col="vec_id_b"
+    )

@@ -552,3 +552,34 @@ def test_contamination_hashed_matches_string_path(spark, sf_dir):
         for r in contamination_hits(corpus, bench, n=5, hashed=True).collect()
     }
     assert s == h
+
+
+def test_dedup_semantic_collapses_near_identical_embeddings(spark, sf_dir):
+    """SemDeDup composition: items whose embeddings are near-identical
+    within a label block collapse to the min-id survivor; everything
+    else passes through. Built with a planted clone group on top of the
+    fixture embeddings."""
+    emb = load_table(spark, sf_dir, "embeddings").limit(200)
+    # plant 3 near-clones of vec 0 (same label, vector scaled slightly)
+    base = emb.filter(F.col("vec_id") == 0)
+    clones = [
+        base.select(
+            (F.col("vec_id") + 100000 + i).alias("vec_id"),
+            F.transform("embedding", lambda x: x * F.lit(1.0 + i * 1e-4)).alias(
+                "embedding"
+            ),
+            "label",
+        )
+        for i in range(3)
+    ]
+    aug = emb
+    for c in clones:
+        aug = aug.unionByName(c)
+    items = aug.select("vec_id")
+    kept = S.dedup_semantic(items, aug, threshold=0.999)
+    kept_ids = {r.vec_id for r in kept.collect()}
+    # clone group {0, 100000, 100001, 100002} -> only 0 survives
+    assert 0 in kept_ids
+    assert not kept_ids & {100000, 100001, 100002}
+    # survivors = all - collapsed members (at least the 3 clones)
+    assert len(kept_ids) <= aug.count() - 3
