@@ -175,3 +175,50 @@ def test_redact_pii_leaves_prose_alone(spark, words):
     df = spark.createDataFrame([(doc,)], "text string")
     got = df.select(redact_pii(F.col("text")).alias("t")).first().t
     assert got == doc
+
+
+@given(
+    sizes=st.lists(st.integers(min_value=1, max_value=50), min_size=1, max_size=60),
+    budget=st.integers(min_value=8, max_value=64),
+)
+@settings(**SETTINGS)
+def test_pack_sequences_invariants(spark, sizes, budget):
+    """Packing invariants on random chunk-size streams: every chunk
+    lands in exactly one sequence; a sequence over budget contains
+    exactly one (oversize) chunk; within a shard the greedy fill is
+    maximal (a sequence closes only because the next chunk would not
+    fit)."""
+    from ferramenta_etl_spark.operators.packing import pack_sequences
+
+    rows = [(i, 0, int(s)) for i, s in enumerate(sizes)]
+    df = spark.createDataFrame(rows, "doc_id long, chunk_idx int, n_chunk_tokens long")
+    out = pack_sequences(df, budget_tokens=budget, n_shards=4).collect()
+    assert len(out) == len(sizes)
+    assert len({(r.doc_id, r.chunk_idx) for r in out}) == len(sizes)
+    by_seq = {}
+    for r in out:
+        by_seq.setdefault(r.seq_id, []).append(r)
+    for members in by_seq.values():
+        tot = sum(m.n_chunk_tokens for m in members)
+        assert all(m.seq_tokens == tot for m in members)
+        if tot > budget:
+            assert len(members) == 1  # only a single oversize chunk may exceed
+    # greedy maximality within each shard: a sequence closes only
+    # because the next chunk would not fit
+    by_shard = {}
+    for r in sorted(out, key=lambda r: r.doc_id):
+        by_shard.setdefault(r.seq_id >> 40, []).append(r)
+    for members in by_shard.values():
+        ordered = sorted(members, key=lambda r: (r.doc_id, r.chunk_idx))
+        i = 0
+        while i < len(ordered):
+            sid = ordered[i].seq_id
+            tot = ordered[i].seq_tokens
+            j = i
+            while j < len(ordered) and ordered[j].seq_id == sid:
+                j += 1
+            if j < len(ordered):
+                assert tot + ordered[j].n_chunk_tokens > budget, (
+                    "sequence closed although the next chunk fit"
+                )
+            i = j
