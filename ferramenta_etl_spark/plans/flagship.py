@@ -174,7 +174,10 @@ WITH manifesto_info AS (
         CASE WHEN c.c_acctbal < 0 THEN ROUND(-c.c_acctbal, 2) END AS vl_combustivel,
         ROW_NUMBER() OVER (
             PARTITION BY CAST(o.o_custkey AS VARCHAR)
-            ORDER BY o.o_orderkey DESC, l.l_linenumber DESC, p.p_brand ASC
+            ORDER BY o.o_orderkey DESC, l.l_linenumber DESC,
+                     -- NULLS FIRST: Spark ASC default; DuckDB defaults
+                     -- to NULLS LAST (null p_brand flips the rn=1 pick)
+                     p.p_brand ASC NULLS FIRST
         ) AS rn
     FROM orders o
     JOIN customer c ON o.o_custkey  = c.c_custkey

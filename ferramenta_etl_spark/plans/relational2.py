@@ -138,10 +138,10 @@ def string_agg_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
            array_to_string(list_transform(embedding[1:3],
                x -> CAST(CAST(round(CAST(x AS DOUBLE), 4) + 0.0 AS DECIMAL(10,4))
                          AS VARCHAR)), ',') AS head3,
-           round(CAST(list_max(embedding) AS DOUBLE), 4) AS vmax,
-           round(CAST(list_min(embedding) AS DOUBLE), 4) AS vmin,
+           round(CAST(list_max(embedding) AS DOUBLE), 4) + 0.0 AS vmax,
+           round(CAST(list_min(embedding) AS DOUBLE), 4) + 0.0 AS vmin,
            round(list_aggregate(list_transform(embedding,
-                 x -> CAST(x AS DOUBLE)), 'sum'), 5) AS vsum
+                 x -> CAST(x AS DOUBLE)), 'sum'), 5) + 0.0 AS vsum
     FROM embeddings
     """,
 )
@@ -168,10 +168,15 @@ def array_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
             ",",
         ).alias("head3"),
-        F.round(F.array_max(e).cast("double"), 4).alias("vmax"),
-        F.round(F.array_min(e).cast("double"), 4).alias("vmin"),
-        F.round(
-            F.aggregate(e, F.lit(0.0), lambda acc, x: acc + x.cast("double")), 5
+        # + 0.0 normalizes IEEE -0.0: DuckDB's round keeps the sign of a
+        # tiny negative rounded to zero, Spark's BigDecimal path drops it
+        (F.round(F.array_max(e).cast("double"), 4) + F.lit(0.0)).alias("vmax"),
+        (F.round(F.array_min(e).cast("double"), 4) + F.lit(0.0)).alias("vmin"),
+        (
+            F.round(
+                F.aggregate(e, F.lit(0.0), lambda acc, x: acc + x.cast("double")), 5
+            )
+            + F.lit(0.0)
         ).alias("vsum"),
     )
 

@@ -523,3 +523,68 @@ def test_customer_oracles_on_null_keys(spark, nasty_cust_dir, name):
     df = QUERIES[name](spark, nasty_cust_dir)
     ok, msg = compare_to_oracle(spark, df, ORACLES[name], nasty_cust_dir)
     assert ok, f"{name} diverged on null join keys: {msg}"
+
+
+# ---------------------------------------------------------------------------
+# Capstone: EVERY table adversarial at once, under the FULL oracle gate —
+# the combined-interaction coverage the per-table fixtures can't give
+# (e.g. flagship's 9-join chain over null keys + null dates + unicode).
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def nasty_all_dir(
+    tmp_path_factory, nasty_dir, nasty_events_dir, nasty_rel_dir,
+    nasty_str_dir, nasty_cust_dir, nasty_emb_dir,
+):
+    d = tmp_path_factory.mktemp("nasty_all")
+    srcs = {
+        "documents.parquet": nasty_dir,
+        "events.parquet": nasty_events_dir,
+        "orders.parquet": nasty_rel_dir,
+        "lineitem.parquet": nasty_rel_dir,
+        "part.parquet": nasty_str_dir,
+        "customer.parquet": nasty_cust_dir,
+        "embeddings.parquet": nasty_emb_dir,
+    }
+    for t, src in srcs.items():
+        os.symlink(os.path.join(src, t), os.path.join(d, t))
+    # nasty dims: null keys, null/unicode names, dangling region refs
+    pq.write_table(
+        pa.table(
+            {
+                "s_suppkey": pa.array([0, 1, 2, None, 4], pa.int64()),
+                "s_name": pa.array(["Supplier#1", None, "", "fornecedor ünico", "S"], pa.string()),
+                "s_nationkey": pa.array([0, None, 2, 3, 99], pa.int32()),
+                "s_acctbal": pa.array([0.0, -5.5, None, 1e6, 9000.0], pa.float64()),
+            }
+        ),
+        os.path.join(d, "supplier.parquet"),
+    )
+    pq.write_table(
+        pa.table(
+            {
+                "n_nationkey": pa.array([0, 1, 2, 3, None], pa.int32()),
+                "n_name": pa.array(["BRAZIL", None, "", "日本", "X"], pa.string()),
+                "n_regionkey": pa.array([0, 1, None, 9, 0], pa.int32()),
+            }
+        ),
+        os.path.join(d, "nation.parquet"),
+    )
+    pq.write_table(
+        pa.table(
+            {
+                "r_regionkey": pa.array([0, 1, None], pa.int32()),
+                "r_name": pa.array(["AMERICA", None, ""], pa.string()),
+            }
+        ),
+        os.path.join(d, "region.parquet"),
+    )
+    return str(d)
+
+
+@pytest.mark.parametrize("name", sorted(ORACLES))
+def test_full_gate_on_everything_nasty(spark, nasty_all_dir, name):
+    df = QUERIES[name](spark, nasty_all_dir)
+    ok, msg = compare_to_oracle(spark, df, ORACLES[name], nasty_all_dir)
+    assert ok, f"{name} diverged on the everything-nasty fixture: {msg}"
