@@ -189,3 +189,53 @@ def test_streaming_curation_sampled_subset(spark, sf_dir, tmp_path):
         for r in spark.read.parquet(f"{samp_sink}/curated_stream").collect()
     }
     assert samp <= full
+
+
+@pytest.mark.parametrize(
+    "stream_fn,batch_name,kind",
+    [
+        (tumbling_agg_stream, "events_windowed_agg", "tumbling"),
+        (session_agg_stream, "events_session_agg", None),
+    ],
+)
+def test_stream_matches_batch_on_boundary_events(
+    spark, tmp_path, tmp_path_factory, stream_fn, batch_name, kind
+):
+    """Stream==batch equality on the ADVERSARIAL event fixture
+    (timestamps exactly on window boundaries, one microsecond either
+    side, session gaps exactly at the threshold): the streaming
+    session/window state machine must agree with the batch plans on the
+    same edges the DuckDB oracle gate pins."""
+    import os as _os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from tests.test_oracle_fuzz import _nasty_events
+
+    d = tmp_path_factory.mktemp("nasty_events_stream")
+    for t in _os.listdir("/root/testdata/sf0.001"):
+        if t != "events.parquet":
+            _os.symlink(_os.path.join("/root/testdata/sf0.001", t), _os.path.join(str(d), t))
+    rows = _nasty_events()
+    pq.write_table(
+        pa.table(
+            {
+                "event_id": pa.array([r[0] for r in rows], pa.int64()),
+                "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+                "user_id": pa.array([r[2] for r in rows], pa.int64()),
+                "event_type": pa.array([r[3] for r in rows], pa.string()),
+                "value": pa.array([r[4] for r in rows], pa.float64()),
+                "props": pa.array([r[5] for r in rows], pa.string()),
+            }
+        ),
+        _os.path.join(str(d), "events.parquet"),
+    )
+    ev = stream_events(spark, str(d))
+    out = run_available_now(
+        stream_fn(ev), str(tmp_path / "ckpt"), f"qb_{batch_name}_{kind}"
+    )
+    batch = extensions.QUERIES[batch_name](spark, str(d))
+    if kind is not None:
+        batch = batch.filter(F.col("kind") == kind).drop("kind")
+    assert _sorted_rows(out) == _sorted_rows(batch)
