@@ -128,12 +128,54 @@ def main(argv: list[str] | None = None, _stop_session: bool = True) -> int:
         if args.command == "plan-audit":
             from .plans import all_queries
 
+            def _audited():
+                yield from all_queries().items()
+                # bench-only composites: not in the 50-slot driver
+                # registry but graded for perf — audit their plans too
+                from pyspark.sql import functions as _F
+
+                from .operators.packing import pack_sequences
+                from .operators.quantize import (
+                    quantize_embeddings,
+                    quantized_cosine_topk,
+                )
+                from .operators.text import chunk_documents
+                from .pipeline.curation import curated_frame
+                from .sources import load_table as _lt
+
+                yield (
+                    "curation",
+                    lambda s, sf: curated_frame(s, sf, redact=True),
+                )
+                yield (
+                    "seq_packing",
+                    lambda s, sf: pack_sequences(
+                        chunk_documents(_lt(s, sf, "documents"), 128, 16),
+                        budget_tokens=2048,
+                        n_shards=64,
+                    ),
+                )
+
+                def _qtopk(s, sf):
+                    emb = _lt(s, sf, "embeddings")
+                    qc = quantize_embeddings(emb.filter(_F.col("vec_id") >= 10))
+                    qq = quantize_embeddings(
+                        emb.filter(_F.col("vec_id") < 10)
+                    ).select(
+                        _F.col("vec_id").alias("query_id"),
+                        _F.col("q_embedding").alias("query_q"),
+                        _F.col("q_scale").alias("query_scale"),
+                    )
+                    return quantized_cosine_topk(qc, qq, k=5)
+
+                yield ("embedding_quantized_topk", _qtopk)
+
             print(
                 f"{'query':28} {'hashEx':>6} {'bcast':>5} {'rangeEx':>7} "
                 f"{'pyEval':>6} {'cartesian':>9}"
             )
             worst = 0
-            for name, q in all_queries().items():
+            for name, q in _audited():
                 try:
                     plan = (
                         q(spark, args.sf_dir)
