@@ -16,7 +16,7 @@ from .quantize import (  # noqa: F401
     quantize_embeddings,
     quantized_cosine_topk,
 )
-from .similarity import dedup_semantic  # noqa: F401
+from .similarity import dedup_semantic, lsh_ann_topk  # noqa: F401
 from .sampling import (  # noqa: F401
     hash_sample,
     proportional_allocation,

@@ -618,3 +618,119 @@ def dedup_semantic(
     return dedup_keep_canonical(
         items, pairs, id_col=id_col, a_col="vec_id_a", b_col="vec_id_b"
     )
+
+
+# ---------------------------------------------------------------------------
+# LSH-bucketed ANN (random hyperplane / SRP) — the second scale path the
+# extension mandate names alongside IVF. Signatures are sign-bits of
+# projections onto deterministic pseudo-random hyperplanes; banded
+# signature prefixes form the buckets; candidates rerank with the exact
+# rounded cosine. Complements IVF: no training pass at all (hyperplanes
+# are seed-derived constants), at the price of less adaptive buckets.
+# ---------------------------------------------------------------------------
+
+
+def _srp_planes(n_planes: int, dim: int, seed: int = 7) -> list[list[float]]:
+    """Deterministic Gaussian hyperplanes: seeded PRNG, no data pass —
+    the index metadata is literally a seed + shape."""
+    import random as _random
+
+    rng = _random.Random(seed)
+    return [[rng.gauss(0.0, 1.0) for _ in range(dim)] for _ in range(n_planes)]
+
+
+def srp_signature(vec_col: str, planes: Sequence[Sequence[float]]) -> Column:
+    """Packed sign-bit signature: bit i = 1 iff dot(v, plane_i) >= 0.
+    n_planes literal dot folds per row — same literal-inlining economics
+    as the IVF coarse quantizer (zero shuffle, plans bounded by
+    LITERAL_CENTROID_MAX-scale plane counts)."""
+    bits = " + ".join(
+        f"if({_dot_sql(_vec_sql(p), vec_col)} >= 0.0, "
+        f"shiftleft(cast(1 as bigint), {i}), cast(0 as bigint))"
+        for i, p in enumerate(planes)
+    )
+    return F.expr(f"({bits})")
+
+
+def lsh_ann_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_planes: int = 16,
+    n_bands: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+    seed: int = 7,
+) -> DataFrame:
+    """Approximate cosine top-k via signed-random-projection LSH.
+
+    Shape: signature projection (map-only, literal planes) -> explode
+    into ``n_bands`` band keys -> band equi-join queries x corpus (only
+    colliding buckets pair; AQE handles skewed buckets) -> exact rounded
+    cosine rerank of the candidate set -> two-phase grouped top-k with
+    the id tiebreak. A query can emit fewer than k rows when its buckets
+    hold fewer than k candidates — the standard LSH-ANN recall trade,
+    tunable via n_planes/n_bands.
+    """
+    assert n_planes % n_bands == 0
+    width = n_planes // n_bands
+    mask = (1 << width) - 1
+    dim = len(corpus.select(vec_col).first()[0])
+    planes = _srp_planes(n_planes, dim, seed)
+
+    def banded(df, idc, vc):
+        nonzero = df.filter(F.expr(f"exists({vc}, x -> x != 0.0D)"))
+        sig = nonzero.select(
+            F.col(idc), F.col(vc),
+            F.expr(_norm_sql(vc)).alias("__n"),
+            srp_signature(vc, planes).alias("__sig"),
+        )
+        return sig.select(
+            idc, vc, "__n",
+            F.explode(
+                F.array(*[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.shiftright("__sig", b * width)
+                        .bitwiseAND(F.lit(mask))
+                        .alias("bval"),
+                    )
+                    for b in range(n_bands)
+                ])
+            ).alias("bk"),
+        ).select(idc, vc, "__n", "bk.band", "bk.bval")
+
+    c = banded(corpus, id_col, vec_col)
+    q = banded(queries, query_id_col, query_vec_col)
+    sim = F.expr(
+        f"round({_dot_sql(query_vec_col, vec_col)} / (__qn * __cn), 6)"
+    )
+    cand = (
+        c.join(
+            F.broadcast(
+                q.select(
+                    query_id_col, query_vec_col,
+                    F.col("__n").alias("__qn"), "band", "bval",
+                )
+            ),
+            ["band", "bval"],
+        )
+        .select(
+            F.col(query_id_col),
+            F.col(id_col),
+            F.col("__n").alias("__cn"),
+            F.col("__qn"),
+            F.col(query_vec_col),
+            F.col(vec_col),
+        )
+        .dropDuplicates([query_id_col, id_col])
+        .select(F.col(query_id_col), F.col(id_col), sim.alias("sim"))
+    )
+    from .topk import grouped_topk
+
+    order = [F.col("sim").desc(), F.col(id_col).asc()]
+    return grouped_topk(cand, [query_id_col], order, k).select(
+        query_id_col, id_col, "sim", "rnk"
+    )

@@ -583,3 +583,29 @@ def test_dedup_semantic_collapses_near_identical_embeddings(spark, sf_dir):
     assert not kept_ids & {100000, 100001, 100002}
     # survivors = all - collapsed members (at least the 3 clones)
     assert len(kept_ids) <= aug.count() - 3
+
+
+def test_lsh_ann_recall_against_brute_force(spark, sf_dir):
+    """Signed-random-projection LSH ANN: solid recall of the true top-5
+    on the fixture, no row exceeds k per query, determinism across runs
+    (seeded hyperplanes, no data-dependent training)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    corpus = emb.filter(F.col("vec_id") >= 10).select("vec_id", "embedding")
+    exact = {
+        (r.query_id, r.vec_id) for r in S.cosine_topk(corpus, queries, k=5).collect()
+    }
+    got = S.lsh_ann_topk(corpus, queries, k=5, n_planes=16, n_bands=8)
+    rows = got.collect()
+    per_q = {}
+    for r in rows:
+        per_q.setdefault(r.query_id, []).append(r)
+    assert all(len(v) <= 5 for v in per_q.values())
+    approx = {(r.query_id, r.vec_id) for r in rows}
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.5, f"SRP-LSH recall {recall:.2f}"
+    again = {(r.query_id, r.vec_id) for r in S.lsh_ann_topk(
+        corpus, queries, k=5, n_planes=16, n_bands=8).collect()}
+    assert approx == again  # deterministic
