@@ -47,6 +47,7 @@ HEADLINE = [
     "curation",
     "seq_packing",
     "embedding_quantized_topk",
+    "embedding_ann_lsh",
 ]
 
 
@@ -96,8 +97,19 @@ def main() -> None:
         )
         return quantized_cosine_topk(qc, qq, k=5)
 
+    from ferramenta_etl_spark.operators.similarity import lsh_ann_topk
+
+    def _lsh_ann(spark, sf):
+        emb = load_table(spark, sf, "embeddings")
+        queries_df = emb.filter(F.col("vec_id") < 10).select(
+            F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+        )
+        corpus = emb.filter(F.col("vec_id") >= 10).select("vec_id", "embedding")
+        return lsh_ann_topk(corpus, queries_df, k=5, n_planes=16, n_bands=4)
+
     queries["seq_packing"] = _seq_packing
     queries["embedding_quantized_topk"] = _quantized_topk
+    queries["embedding_ann_lsh"] = _lsh_ann
     names = [n for n in HEADLINE if n in queries]
 
     timings: dict[str, float] = {}

@@ -671,8 +671,16 @@ def lsh_ann_topk(
     colliding buckets pair; AQE handles skewed buckets) -> exact rounded
     cosine rerank of the candidate set -> two-phase grouped top-k with
     the id tiebreak. A query can emit fewer than k rows when its buckets
-    hold fewer than k candidates — the standard LSH-ANN recall trade,
-    tunable via n_planes/n_bands.
+    hold fewer than k candidates — the standard LSH-ANN recall trade.
+
+    Tuning: band WIDTH (n_planes/n_bands) sets the collision bar. SRP
+    collision probability per bit is 1 - angle/pi, so wide bands only
+    recall neighbors that are actually close — on the synthetic fixture
+    (random, near-orthogonal vectors; true top-k cosine ~0.4) width-4
+    bands recall ~0.5 and width-2 recall ~1.0 at 4x the candidates,
+    while a real embedding corpus with genuine near-neighbors supports
+    width 8-16 at a tiny candidate fraction. Measure recall on YOUR
+    corpus (tests/test_operators.py shows the harness).
     """
     assert n_planes % n_bands == 0
     width = n_planes // n_bands
