@@ -50,7 +50,7 @@ def main(argv: list[str] | None = None, _stop_session: bool = True) -> int:
         "command",
         choices=[
             "list", "run", "run-all", "curate", "optimize", "plan-audit",
-            "stream", "curate-stream", "rollup",
+            "stream", "curate-stream", "rollup", "stats",
         ],
     )
     p.add_argument("job", nargs="?", help="job name (for 'run') / parquet dir (for 'optimize')")
@@ -234,6 +234,18 @@ def main(argv: list[str] | None = None, _stop_session: bool = True) -> int:
                 ev, f"{args.sink_dir}/events_rollup", watermark_ms=args.watermark_ms
             )
             print(f"✅ events_rollup: {n} closed windows appended")
+            return 0
+        if args.command == "stats":
+            from .operators.text import corpus_stats
+            from .sources import load_table
+
+            rows = corpus_stats(load_table(spark, args.sf_dir, "documents")).collect()
+            print(f"{'lang':6} {'source':8} {'docs':>7} {'tokens':>10} "
+                  f"{'bytes':>11} {'q_mean':>7} {'q_p10/p50/p90'}")
+            for r in rows:
+                pcts = "/".join(f"{x:.2f}" for x in r.quality_p10_p50_p90)
+                print(f"{str(r.lang):6} {str(r.source):8} {r.n_docs:>7} "
+                      f"{r.n_tokens:>10} {r.n_bytes:>11} {r.quality_mean:>7.3f} {pcts}")
             return 0
         if args.command == "curate-stream":
             # Streaming curation ingest: stateless scoring/filter/sample

@@ -9,6 +9,8 @@ in plans/extensions.py.
 
 from __future__ import annotations
 
+from collections.abc import Sequence
+
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
@@ -390,3 +392,28 @@ def winnowing_fingerprints(text: Column, k: int = 3, window: int = 4) -> Column:
     for j in range(1, window):
         acc = F.zip_with(acc, F.slice(h, j + 1, m), lambda x, y: F.least(x, y))
     return F.array_sort(F.array_distinct(acc))
+
+
+def corpus_stats(
+    docs,
+    strata: Sequence[str] = ("lang", "source"),
+    text_col: str = "text",
+):
+    """Training-mix accounting per stratum: docs, whitespace tokens,
+    bytes, and the quality-score distribution (mean + P10/P50/P90 via
+    the sketch-backed percentile_approx). One map-side-combined
+    aggregation pass — the report a mix-rebalancing decision needs
+    (pair with sampling.stratified_sample to act on it)."""
+    q = F.round(quality_score(F.col(text_col)), 6)
+    return (
+        docs.groupBy(*strata)
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(n_tokens(F.col(text_col)).cast("bigint")).alias("n_tokens"),
+            F.sum(F.octet_length(text_col).cast("bigint")).alias("n_bytes"),
+            F.round(F.avg(q), 6).alias("quality_mean"),
+            F.percentile_approx(q, F.array(F.lit(0.1), F.lit(0.5), F.lit(0.9)))
+            .alias("quality_p10_p50_p90"),
+        )
+        .orderBy(F.col("n_tokens").desc())
+    )

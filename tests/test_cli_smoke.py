@@ -57,3 +57,9 @@ def test_cli_optimize_compact_and_zorder(cli_tmp, spark):
     assert _run("optimize", src) == 0
     assert _run("optimize", src, "--zorder", "k", "--files", "2") == 0
     assert spark.read.parquet(src).count() == 1000
+
+
+def test_cli_stats(cli_tmp, capsys):
+    assert _run("stats") == 0
+    out = capsys.readouterr().out
+    assert "tokens" in out and "q_p10/p50/p90" in out

@@ -125,3 +125,17 @@ def test_hash_sample_reproducible_in_duckdb(spark, sf_dir):
         ).fetchall()
     }
     assert got == want
+
+
+def test_corpus_stats_accounts_every_doc(spark, sf_dir):
+    """The mix report's doc counts partition the corpus exactly, token
+    sums are positive, and the quality percentiles are ordered."""
+    from ferramenta_etl_spark.operators.text import corpus_stats
+
+    docs = load_table(spark, sf_dir, "documents")
+    rows = corpus_stats(docs).collect()
+    assert sum(r.n_docs for r in rows) == docs.count()
+    assert all(r.n_tokens > 0 for r in rows)
+    for r in rows:
+        p10, p50, p90 = r.quality_p10_p50_p90
+        assert p10 <= p50 <= p90
