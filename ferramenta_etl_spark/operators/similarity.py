@@ -76,6 +76,20 @@ def _norm_sql(a: str) -> str:
     return f"sqrt({_dot_sql(a, a)})"
 
 
+
+def _usable_vec_sql(vc: str) -> str:
+    """Predicate: vector is usable for cosine math — nonzero AND every
+    element finite. Zero vectors have no defined cosine; a NaN/Inf
+    element poisons every fold it touches (and NaN compares GREATER
+    than everything in both engines, so a plain norm > 0 filter KEEPS
+    it — caught by the NaN-vector fuzz fixture). Element-wise exists so
+    the filter pushes into the scan without duplicating norm folds."""
+    return (
+        f"exists({vc}, x -> x != 0.0D) AND NOT exists({vc}, "
+        f"x -> isnan(x) OR abs(x) = double('Infinity'))"
+    )
+
+
 def cosine_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -105,14 +119,10 @@ def cosine_topk(
     # the filter tests element-wise nonzero-ness (short-circuit exists),
     # NOT the computed __nv: a filter on the projected norm would be
     # pushed below the projection and DUPLICATE the fold per row
-    corpus_n = corpus.filter(
-        F.expr(f"exists({vec_col}, x -> x != 0.0D)")
-    ).select(
+    corpus_n = corpus.filter(F.expr(_usable_vec_sql(vec_col))).select(
         F.col(id_col), F.col(vec_col), F.expr(_norm_sql(vec_col)).alias("__nv")
     )
-    queries_n = queries.filter(
-        F.expr(f"exists({query_vec_col}, x -> x != 0.0D)")
-    ).select(
+    queries_n = queries.filter(F.expr(_usable_vec_sql(query_vec_col))).select(
         F.col(query_id_col), F.col(query_vec_col),
         F.expr(_norm_sql(query_vec_col)).alias("__qn"),
     )
@@ -139,7 +149,7 @@ def derive_centroids(
     rows to the driver."""
     return [
         (row[0], list(row[1]))
-        for row in corpus.filter(F.expr(_norm_sql(vec_col)) > 0)
+        for row in corpus.filter(F.expr(_usable_vec_sql(vec_col)))
         .orderBy(F.col(id_col).asc())
         .limit(n_centroids)
         .select(id_col, vec_col)
@@ -350,7 +360,7 @@ def assign_ivf_buckets(
     if len(centroid_rows) > LITERAL_CENTROID_MAX:
         return _assign_buckets_arrow(corpus, centroid_rows, id_col, vec_col, keep_norm)
     with_norm = corpus.filter(
-        F.expr(f"exists({vec_col}, x -> x != 0.0D)")  # zero vectors unassignable
+        F.expr(_usable_vec_sql(vec_col))  # zero/non-finite unassignable
     ).select(
         F.col(id_col), F.col(vec_col), F.expr(_norm_sql(vec_col)).alias("__nv")
     )
@@ -394,7 +404,7 @@ def _query_probes(
             queries, centroid_rows, nprobe, query_id_col, query_vec_col
         )
     queries_n = queries.filter(
-        F.expr(f"exists({query_vec_col}, x -> x != 0.0D)")  # zero queries probe nothing
+        F.expr(_usable_vec_sql(query_vec_col))  # degenerate queries probe nothing
     ).select(
         query_id_col,
         query_vec_col,
@@ -560,7 +570,7 @@ def cosine_near_dup_pairs(
     cosine() so the oracle stays bit-identical.
     """
     with_n = embeddings.filter(
-        F.expr(f"exists({vec_col}, x -> x != 0.0D)")  # zero vectors never pair
+        F.expr(_usable_vec_sql(vec_col))  # zero/non-finite vectors never pair
     ).select(
         F.col(id_col),
         F.col(vec_col),
@@ -689,7 +699,7 @@ def lsh_ann_topk(
     planes = _srp_planes(n_planes, dim, seed)
 
     def banded(df, idc, vc):
-        nonzero = df.filter(F.expr(f"exists({vc}, x -> x != 0.0D)"))
+        nonzero = df.filter(F.expr(_usable_vec_sql(vc)))
         sig = nonzero.select(
             F.col(idc), F.col(vc),
             F.expr(_norm_sql(vc)).alias("__n"),

@@ -39,6 +39,16 @@ def _dot(a: str, b: str) -> str:
     )
 
 
+
+# vector usable for cosine math: nonzero AND all elements finite (the
+# operators' _usable_vec_sql policy, DuckDB rendering)
+def _usable_vec(col: str) -> str:
+    return (
+        f"sqrt({_dot(col, col)}) > 0 "
+        f"AND len(list_filter({col}, x -> NOT isfinite(x::DOUBLE))) = 0"
+    )
+
+
 def _cos(a: str, b: str) -> str:
     return f"{_dot(a, b)} / (sqrt({_dot(a, a)}) * sqrt({_dot(b, b)}))"
 
@@ -253,10 +263,10 @@ _COSINE_TOPK_ORACLE = f"""
     WITH q AS (
         SELECT vec_id AS query_id, embedding AS qv
         FROM embeddings
-        WHERE vec_id < 10 AND sqrt({_dot('embedding', 'embedding')}) > 0
+        WHERE vec_id < 10 AND {_usable_vec('embedding')}
     ), c AS (
         SELECT vec_id, embedding FROM embeddings
-        WHERE vec_id >= 10 AND sqrt({_dot('embedding', 'embedding')}) > 0
+        WHERE vec_id >= 10 AND {_usable_vec('embedding')}
     ), scored AS (
         SELECT q.query_id, c.vec_id,
                ROUND({_cos('q.qv', 'c.embedding')}, 6) AS sim
@@ -299,14 +309,14 @@ def _ivf_oracle() -> str:
     return f"""
     WITH q AS (
         SELECT vec_id AS query_id, embedding AS qv, {_nrm('embedding')} AS qn
-        FROM embeddings WHERE vec_id < 10 AND {_nrm('embedding')} > 0
+        FROM embeddings WHERE vec_id < 10 AND {_usable_vec('embedding')}
     ), c AS (
         SELECT vec_id, embedding, {_nrm('embedding')} AS nv
-        FROM embeddings WHERE vec_id >= 10 AND {_nrm('embedding')} > 0
+        FROM embeddings WHERE vec_id >= 10 AND {_usable_vec('embedding')}
     ), cents AS (
         SELECT vec_id AS cid, embedding AS cvec, {_nrm('embedding')} AS cn
         FROM embeddings
-        WHERE vec_id >= 10 AND {_nrm('embedding')} > 0
+        WHERE vec_id >= 10 AND {_usable_vec('embedding')}
         ORDER BY vec_id LIMIT 8
     ), assign AS (
         SELECT vec_id, embedding, nv, cid FROM (
@@ -365,7 +375,7 @@ def embedding_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _NEAR_DUP_ORACLE = f"""
     WITH e AS (SELECT vec_id, embedding, label FROM embeddings
-               WHERE sqrt({_dot('embedding', 'embedding')}) > 0)
+               WHERE {_usable_vec('embedding')})
     SELECT a.vec_id AS vec_id_a, b.vec_id AS vec_id_b,
            ROUND({_cos('a.embedding', 'b.embedding')}, 6) AS sim
     FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id

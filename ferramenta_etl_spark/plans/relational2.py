@@ -136,8 +136,12 @@ def string_agg_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT vec_id,
            len(embedding) AS dim,
            array_to_string(list_transform(embedding[1:3],
-               x -> CAST(CAST(round(CAST(x AS DOUBLE), 4) + 0.0 AS DECIMAL(10,4))
-                         AS VARCHAR)), ',') AS head3,
+               -- non-finite guard: Spark's decimal cast maps NaN/Inf to
+               -- NULL where DuckDB raises; CASE makes both sides NULL
+               x -> CASE WHEN NOT isfinite(CAST(x AS DOUBLE)) THEN NULL
+                         ELSE CAST(CAST(round(CAST(x AS DOUBLE), 4) + 0.0
+                                        AS DECIMAL(10,4)) AS VARCHAR) END), ',')
+             AS head3,
            round(CAST(list_max(embedding) AS DOUBLE), 4) + 0.0 AS vmax,
            round(CAST(list_min(embedding) AS DOUBLE), 4) + 0.0 AS vmin,
            round(list_aggregate(list_transform(embedding,

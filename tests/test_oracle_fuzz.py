@@ -207,6 +207,9 @@ def nasty_emb_dir(tmp_path_factory, sf_dir):
     add(base, 1)          # exact duplicate -> identical sim, id tiebreak
     add([-x for x in base], 1)
     add([0.0] * dim, 2)   # zero CORPUS vector -> NaN against every query
+    # NaN element: dot/norm fold to NaN; both engines rank NaN FIRST in
+    # DESC order (probed identical), so the pick is stable
+    add([float("nan")] + base[1:], 2)
     add([x * 1e6 for x in base], 2)
     add([x * 1e-6 for x in base], 2)
     for _ in range(40):
