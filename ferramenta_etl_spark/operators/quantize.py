@@ -38,10 +38,24 @@ def quantize_embeddings(
     # in operators/text._gram_zip)
     with_scale = df.withColumn(scale_col, (amax / F.lit(127.0)).cast("double"))
     scale = F.col(scale_col)
-    code = F.when(scale > 0, F.transform(
+    # the guard must be "finite AND positive": NaN compares GREATER than
+    # 0 in Spark, so a NaN amax (corrupt vector) would take the quantize
+    # branch and abort on the tinyint cast. Non-finite vectors get
+    # scale 0 + all-zero code — the downstream zero-norm policy then
+    # drops them from every ranking.
+    usable = scale > 0
+    for bad in (F.isnan(scale), scale == F.lit(float("inf"))):
+        usable = usable & ~bad
+    code = F.when(usable, F.transform(
         v, lambda x: F.round(x.cast("double") / scale).cast("tinyint")
     )).otherwise(F.transform(v, lambda x: F.lit(0).cast("tinyint")))
-    return with_scale.withColumn(q_col, code).drop(vec_col)
+    return (
+        with_scale.withColumn(
+            scale_col, F.when(usable, scale).otherwise(F.lit(0.0))
+        )
+        .withColumn(q_col, code)
+        .drop(vec_col)
+    )
 
 
 def dequantize(q: Column, scale: Column) -> Column:

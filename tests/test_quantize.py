@@ -63,3 +63,19 @@ def test_quantized_topk_recall_vs_exact(spark, sf_dir):
     }
     recall = len(exact & approx) / len(exact)
     assert recall >= 0.9, f"int8 top-5 recall {recall:.2f}"
+
+
+def test_quantize_non_finite_vectors_get_zero_code(spark):
+    """NaN/Inf elements (corrupt encodes) must not abort the job: NaN
+    compares greater than 0 in Spark, so a naive scale > 0 guard sends
+    the vector into the tinyint cast and dies. They quantize to
+    scale 0 + zero code, which the zero-norm ranking policy then
+    drops."""
+    df = spark.createDataFrame(
+        [(1, [1.0, float("nan")]), (2, [float("inf"), 0.5]), (3, [1.0, 2.0])],
+        "vec_id long, embedding array<double>",
+    )
+    rows = {r.vec_id: r for r in Q.quantize_embeddings(df).collect()}
+    assert rows[1].q_scale == 0.0 and list(rows[1].q_embedding) == [0, 0]
+    assert rows[2].q_scale == 0.0 and list(rows[2].q_embedding) == [0, 0]
+    assert rows[3].q_scale > 0
