@@ -357,11 +357,12 @@ def assign_ivf_buckets(
     would grow O(n_centroids x dim) at plan-build time; the Arrow matmul
     path takes over with a plan whose size is constant in n_centroids.
     """
+    # the usable-vector filter applies BEFORE dispatch: the Arrow path
+    # would otherwise matmul NaN/zero vectors into garbage buckets
+    corpus = corpus.filter(F.expr(_usable_vec_sql(vec_col)))
     if len(centroid_rows) > LITERAL_CENTROID_MAX:
         return _assign_buckets_arrow(corpus, centroid_rows, id_col, vec_col, keep_norm)
-    with_norm = corpus.filter(
-        F.expr(_usable_vec_sql(vec_col))  # zero/non-finite unassignable
-    ).select(
+    with_norm = corpus.select(
         F.col(id_col), F.col(vec_col), F.expr(_norm_sql(vec_col)).alias("__nv")
     )
     sims_sql = ",".join(
@@ -399,13 +400,12 @@ def _query_probes(
     the (qsim DESC, centroid_id ASC) order without a shuffle. Large
     centroid counts dispatch to the Arrow matmul path (same order,
     constant plan size)."""
+    queries = queries.filter(F.expr(_usable_vec_sql(query_vec_col)))
     if len(centroid_rows) > LITERAL_CENTROID_MAX:
         return _query_probes_arrow(
             queries, centroid_rows, nprobe, query_id_col, query_vec_col
         )
-    queries_n = queries.filter(
-        F.expr(_usable_vec_sql(query_vec_col))  # degenerate queries probe nothing
-    ).select(
+    queries_n = queries.select(
         query_id_col,
         query_vec_col,
         F.expr(_norm_sql(query_vec_col)).alias("__qn"),

@@ -657,7 +657,7 @@ _EPOCH = "CAST(floor(epoch_us({0}) / 1000) AS BIGINT)"
         SELECT 'tumbling' AS kind,
                {_EPOCH.format("time_bucket(INTERVAL 15 minutes, ts)")} AS win_start_ms,
                COUNT(*) AS n_events,
-               CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+               CAST(SUM(CAST(CASE WHEN isnan(value) THEN NULL ELSE value END AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
         FROM events GROUP BY 1, 2
     ),
     grids AS (
@@ -670,7 +670,7 @@ _EPOCH = "CAST(floor(epoch_us({0}) / 1000) AS BIGINT)"
         SELECT 'sliding' AS kind,
                {_EPOCH.format("wstart")} AS win_start_ms,
                COUNT(*) AS n_events,
-               CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+               CAST(SUM(CAST(CASE WHEN isnan(value) THEN NULL ELSE value END AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
         FROM grids GROUP BY 1, 2
     )
     SELECT * FROM tumb UNION ALL SELECT * FROM slid
@@ -691,6 +691,9 @@ def events_windowed_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             ev.groupBy(F.window("ts", *win).alias("win"))
             .agg(
                 F.count(F.lit(1)).alias("n_events"),
+                # NaN value -> NULL under Spark's decimal cast (sum skips
+                # it); the oracle mirrors with an explicit isnan CASE —
+                # DuckDB's decimal cast would ABORT on NaN otherwise
                 F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("sum_value"),
             )
             .select(
@@ -767,7 +770,7 @@ def text_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
            {_EPOCH.format("MIN(ts)")} AS session_start_ms,
            {_EPOCH.format("MAX(ts) + INTERVAL 30 minutes")} AS session_end_ms,
            COUNT(*) AS n_events,
-           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+           CAST(SUM(CAST(CASE WHEN isnan(value) THEN NULL ELSE value END AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
     FROM sessions GROUP BY user_id, session_id
     """,
 )

@@ -134,7 +134,10 @@ def _nasty_events():
     add(base + timedelta(hours=2), 5)
     add(base + timedelta(hours=2, minutes=30), 5)  # exactly at gap: merge or not?
     add(base + timedelta(hours=3, minutes=0, seconds=1), 5)  # just past gap
-    # zero / negative / large values
+    # zero / negative / large / NaN values (NaN -> NULL under the
+    # decimal cast on both engines; DuckDB would abort without the
+    # oracle's isnan guard)
+    add(base + timedelta(minutes=2), 6, "purchase", float("nan"))
     add(base + timedelta(minutes=3), 6, "purchase", 0.0)
     add(base + timedelta(minutes=4), 6, "purchase", -12.5)
     add(base + timedelta(minutes=5), 6, "purchase", 1e9)
