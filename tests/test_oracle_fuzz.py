@@ -252,6 +252,13 @@ REL_QUERIES = sorted(
 
 
 def _nasty_orders_lineitem():
+    """Money columns stay FINITE by contract: the reference declares
+    them NUMERIC (S:109-111), where NaN cannot exist — the doubles in
+    the testdata are a storage artifact, and the ~15 decimal-cast
+    aggregation sites across the relational oracles rely on that
+    contract (DuckDB's decimal cast aborts on NaN). Corrupt-value
+    tolerance is exercised where corruption is in-domain: events.value
+    and embeddings (NaN/Inf fixtures above/below)."""
     from datetime import datetime
 
     dates = [
