@@ -50,7 +50,7 @@ def main(argv: list[str] | None = None, _stop_session: bool = True) -> int:
         "command",
         choices=[
             "list", "run", "run-all", "curate", "optimize", "plan-audit",
-            "stream", "curate-stream", "rollup", "stats",
+            "stream", "curate-stream", "rollup", "stats", "ingest",
         ],
     )
     p.add_argument("job", nargs="?", help="job name (for 'run') / parquet dir (for 'optimize')")
@@ -96,6 +96,17 @@ def main(argv: list[str] | None = None, _stop_session: bool = True) -> int:
         default=None,
         help="divert rows with null keys here instead of loading them "
         "(row-level keep-going, ≙ S:231-236); off by default",
+    )
+    p.add_argument(
+        "--format",
+        choices=["jsonl", "csv"],
+        default="jsonl",
+        help="ingest: input file format",
+    )
+    p.add_argument(
+        "--table",
+        default="documents",
+        help="ingest: contract table name (schema from the catalog)",
     )
     p.add_argument("--cpus", type=int, default=8)
     args = p.parse_args(argv)
@@ -234,6 +245,32 @@ def main(argv: list[str] | None = None, _stop_session: bool = True) -> int:
                 ev, f"{args.sink_dir}/events_rollup", watermark_ms=args.watermark_ms
             )
             print(f"✅ events_rollup: {n} closed windows appended")
+            return 0
+        if args.command == "ingest":
+            # file -> schema contract -> corrupt-line quarantine ->
+            # idempotent keyed load: the ingest front door for
+            # JSONL/CSV corpora (one mangled line quarantines, reruns
+            # append zero).
+            if not args.job:
+                p.error("ingest requires an input path")
+            from .sinks import write_ignore_conflicts
+            from .sources.files import load_csv, load_jsonl
+            from .sources.tables import EXPECTED_SCHEMAS
+
+            schema = EXPECTED_SCHEMAS[args.table]
+            loader = load_jsonl if args.format == "jsonl" else load_csv
+            good, bad = loader(spark, args.job, schema)
+            n_bad = bad.count()
+            if n_bad and args.quarantine_dir:
+                bad.write.mode("append").parquet(
+                    f"{args.quarantine_dir}/{args.table}_corrupt"
+                )
+            key = schema.names[0]
+            n = write_ignore_conflicts(
+                good, f"{args.sink_dir}/{args.table}", keys=[key]
+            )
+            print(f"✅ ingest {args.table}: {n} rows loaded, {n_bad} corrupt lines"
+                  + (" quarantined" if args.quarantine_dir else " dropped (no --quarantine-dir)"))
             return 0
         if args.command == "stats":
             from .operators.text import corpus_stats

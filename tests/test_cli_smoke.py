@@ -63,3 +63,21 @@ def test_cli_stats(cli_tmp, capsys):
     assert _run("stats") == 0
     out = capsys.readouterr().out
     assert "tokens" in out and "q_p10/p50/p90" in out
+
+
+def test_cli_ingest_jsonl(cli_tmp, capsys):
+    src = cli_tmp / "in.jsonl"
+    src.write_text(
+        '{"doc_id": 1, "text": "hello world", "lang": "en", "source": "s", "n_chars": 11}\n'
+        "garbage line\n"
+        '{"doc_id": 2, "text": "ola", "lang": "pt", "source": "s", "n_chars": 3}\n'
+    )
+    sink = str(cli_tmp / "sink")
+    qdir = str(cli_tmp / "quar")
+    assert _run("ingest", str(src), "--sink-dir", sink, "--quarantine-dir", qdir) == 0
+    out = capsys.readouterr().out
+    assert "2 rows loaded, 1 corrupt" in out
+    # rerun: idempotent — zero appended
+    assert _run("ingest", str(src), "--sink-dir", sink, "--quarantine-dir", qdir) == 0
+    out = capsys.readouterr().out
+    assert "0 rows loaded" in out
