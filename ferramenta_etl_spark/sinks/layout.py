@@ -157,3 +157,35 @@ def compact_small_files(
 
     shutil.rmtree(old)
     return n
+
+
+def export_jsonl(
+    df: DataFrame,
+    path: str,
+    target_mb: int = 256,
+    compression: str = "gzip",
+    mode: str = "overwrite",
+) -> int:
+    """Export a curated relation as sharded JSONL — the format training
+    data-loaders consume. Shard count is sized from a sampled average
+    row width so files land near ``target_mb`` UNCOMPRESSED (loaders
+    stream-decompress; the uncompressed size is what bounds their
+    memory), floor one shard. Returns the shard count.
+
+    Columns serialize via Spark's JSON writer (UTF-8, one object per
+    line, null fields omitted — the de-facto JSONL corpus convention)."""
+    sample = df.limit(1000).select(
+        F.octet_length(F.to_json(F.struct(*df.columns))).alias("w")
+    ).agg(F.avg("w").alias("w"), F.count(F.lit(1)).alias("n")).first()
+    if not sample.n:
+        n_shards = 1
+    else:
+        total = df.count() * float(sample.w)
+        n_shards = max(1, int(total // (target_mb * 1024 * 1024)) + 1)
+    (
+        df.repartition(n_shards)
+        .write.mode(mode)
+        .option("compression", compression)
+        .json(path)
+    )
+    return n_shards

@@ -93,3 +93,20 @@ def test_compact_small_files(spark, tmp_path):
     back = spark.read.parquet(path)
     assert back.count() == 10_000
     assert back.agg(F.sum("v")).collect()[0][0] == 9_999 * 10_000
+
+
+def test_export_jsonl_roundtrip(spark, sf_dir, tmp_path):
+    """Curated relation -> sharded gzip JSONL -> read back identical
+    (modulo null-field omission, the JSONL corpus convention)."""
+    from ferramenta_etl_spark.sinks.layout import export_jsonl
+    from ferramenta_etl_spark.sources import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text", "lang")
+    path = str(tmp_path / "export")
+    n_shards = export_jsonl(docs, path, target_mb=1)
+    assert n_shards >= 1
+    back = spark.read.json(path)
+    assert back.count() == docs.count()
+    a = {(r.doc_id, r.text) for r in docs.collect()}
+    b = {(r.doc_id, r.text) for r in back.collect()}
+    assert a == b
