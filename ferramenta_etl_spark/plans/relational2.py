@@ -277,37 +277,118 @@ def histogram_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def sample_seeded(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Seeded Bernoulli sampling (deterministic given seed + partitioning)
-    — the debug-at-scale primitive. No cross-engine oracle: Spark's
-    XORShift row sampling and DuckDB's sampler draw different rows.
-    Registered through approx_sketches (n_sampled branch); kept callable
-    for the determinism test in tests/test_operators.py."""
+    — Spark's built-in XORShift row sampler, kept callable for the
+    determinism test in tests/test_operators.py. Not registered: its RNG
+    is engine-specific. The registered approx_sketches query samples via
+    the engine-portable hash-bucket rule instead (operators/sampling)."""
     li = load_table(spark, sf_dir, "lineitem")
     return li.sample(fraction=0.01, seed=42).select(
         "l_orderkey", "l_linenumber", "l_returnflag"
     )
 
 
-@_q("approx_sketches")  # rows-only: sketch estimates are engine-specific
-def approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approximate aggregation sketches — the 100 TB substitutes for exact
-    COUNT(DISTINCT) and percentile: HyperLogLog++ (approx_count_distinct,
-    mergeable, fixed memory) and the Greenwald-Khanna quantile sketch
-    (approx_percentile). Plus a seeded-Bernoulli-sample branch (the
-    debug-at-scale primitive, ex sample_seeded query): n_sampled counts
-    a 1% seed-42 sample per group. Estimates and sampling RNG are
-    engine-specific so there is no DuckDB value oracle; sketch accuracy
-    vs exact and sample determinism are asserted in
-    tests/test_operators.py."""
+def hll_gk_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The production approximate aggregates at 100 TB: HyperLogLog++
+    (approx_count_distinct — fixed memory, mergeable) and the
+    Greenwald-Khanna quantile sketch (approx_percentile). Their estimates
+    are implementation-specific (no cross-engine oracle exists), so they
+    stay the library path — accuracy vs exact is asserted in
+    tests/test_operators.py — while the registered approx_sketches query
+    computes engine-portable sketches of the same shape."""
     li = load_table(spark, sf_dir, "lineitem")
-    sketches = li.groupBy("l_returnflag").agg(
+    return li.groupBy("l_returnflag").agg(
         F.approx_count_distinct("l_partkey", 0.02).alias("approx_parts"),
         F.approx_count_distinct("l_suppkey", 0.02).alias("approx_supps"),
         F.percentile_approx("l_extendedprice", 0.5, 10000).alias("approx_median_price"),
         F.percentile_approx("l_quantity", 0.9, 10000).alias("approx_p90_qty"),
     )
-    sampled = (
-        sample_seeded(spark, sf_dir)
-        .groupBy("l_returnflag")
-        .agg(F.count(F.lit(1)).alias("n_sampled"))
+
+
+def _kmv_branch_sql(value_sql: str, out_col: str) -> str:
+    from ..operators.sketch import kmv_oracle_sql
+
+    return kmv_oracle_sql("lineitem", "l_returnflag", value_sql, k=64, out_col=out_col)
+
+
+_SKETCH_SAMPLE_BUCKETS = 10_000  # operators/sampling._BUCKETS
+_SKETCH_SAMPLE_CUTOFF = 200  # rate 0.02
+
+
+def _approx_sketches_oracle() -> str:
+    return f"""
+    WITH parts AS ({_kmv_branch_sql("l_partkey", "est_parts")}),
+    supps AS ({_kmv_branch_sql("l_suppkey", "est_supps")}),
+    smp AS (
+        SELECT l_returnflag AS g,
+               ROUND(quantile_cont(l_extendedprice, 0.5), 6) AS sampled_median_price,
+               ROUND(quantile_cont(l_quantity, 0.9), 6) AS sampled_p90_qty,
+               COUNT(*) AS n_sampled
+        FROM lineitem
+        WHERE ('0x' || substr(md5('0:' || CAST(l_orderkey AS VARCHAR) || '-'
+                  || CAST(l_linenumber AS VARCHAR)), 1, 14))::BIGINT
+              % {_SKETCH_SAMPLE_BUCKETS} < {_SKETCH_SAMPLE_CUTOFF}
+        GROUP BY 1
     )
-    return sketches.join(sampled, "l_returnflag", "left")
+    SELECT parts.g AS l_returnflag, est_parts, est_supps,
+           sampled_median_price, sampled_p90_qty, n_sampled
+    FROM parts
+    JOIN supps ON parts.g = supps.g
+    LEFT JOIN smp ON parts.g = smp.g
+    """
+
+
+@_q("approx_sketches", _approx_sketches_oracle())
+def approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate aggregation sketches, engine-portable edition: the
+    100 TB substitutes for exact COUNT(DISTINCT) and percentile.
+
+    - est_parts / est_supps: KMV k-minimum-values distinct-count
+      estimates (operators/sketch.kmv_distinct) — deterministic md5
+      hashing, so DuckDB reproduces the estimate BIT-FOR-BIT, unlike
+      HLL++ whose register layout no other engine shares. k=64 ->
+      ~1/sqrt(62) relative error, exact below 64 distinct values.
+    - sampled_median_price / sampled_p90_qty / n_sampled: exact
+      percentiles over a 2% deterministic hash-bucket sample
+      (operators/sampling.hash_sample on the (orderkey, linenumber)
+      composite row id) — the sample is a pure function of the data, so
+      both engines select the identical rows and interpolate the
+      identical quantiles.
+
+    The implementation-specific production sketches (HLL++/GK) remain
+    available as hll_gk_sketches with pytest accuracy bands; this
+    registered query trades them for sketches an independent engine can
+    verify — the same portability posture as dedup_minhash_lsh."""
+    from ..operators.sampling import hash_sample
+    from ..operators.sketch import kmv_distinct
+
+    li = load_table(spark, sf_dir, "lineitem")
+    parts = kmv_distinct(li, ["l_returnflag"], "l_partkey", k=64, out_col="est_parts")
+    supps = kmv_distinct(li, ["l_returnflag"], "l_suppkey", k=64, out_col="est_supps")
+    # F.concat, NOT concat_ws: the composite id must be NULL when either
+    # key is NULL (concat_ws silently skips nulls), so a null-key row is
+    # excluded from the sample on BOTH engines — the oracle's `'0:' || x`
+    # propagates NULL and its WHERE drops the row
+    with_id = li.withColumn(
+        "__rid",
+        F.concat(
+            F.col("l_orderkey").cast("string"),
+            F.lit("-"),
+            F.col("l_linenumber").cast("string"),
+        ),
+    ).filter(F.col("__rid").isNotNull())
+    sampled = (
+        hash_sample(with_id, rate=0.02, id_col="__rid", seed=0)
+        .groupBy("l_returnflag")
+        .agg(
+            F.round(F.percentile("l_extendedprice", F.lit(0.5)), 6).alias(
+                "sampled_median_price"
+            ),
+            F.round(F.percentile("l_quantity", F.lit(0.9)), 6).alias(
+                "sampled_p90_qty"
+            ),
+            F.count(F.lit(1)).alias("n_sampled"),
+        )
+    )
+    # three metadata-scale aggregates (one row per returnflag) joined on
+    # the group key: broadcast-sized by construction
+    return parts.join(supps, "l_returnflag").join(sampled, "l_returnflag", "left")

@@ -183,12 +183,40 @@ def test_approx_sketches_accuracy(spark):
         )
         .collect()
     }
-    from ferramenta_etl_spark.plans.relational2 import approx_sketches
+    from ferramenta_etl_spark.plans.relational2 import hll_gk_sketches
 
-    for r in approx_sketches(spark, sf).collect():
+    for r in hll_gk_sketches(spark, sf).collect():
         e = exact[r.l_returnflag]
         assert abs(r.approx_parts - e.parts) / e.parts < 0.05
         assert abs(r.approx_median_price - e.median) / e.median < 0.05
+
+
+def test_kmv_sketch_accuracy_and_exact_below_k(spark):
+    """KMV estimate within ~2/sqrt(k-2) of exact on real cardinalities
+    (thousands of distinct parts per returnflag), and EXACT when the
+    group has fewer than k distinct values."""
+    from ferramenta_etl_spark.operators.sketch import kmv_distinct
+
+    sf = "/root/testdata/sf0.01"
+    li = load_table(spark, sf, "lineitem")
+    exact = {
+        r.l_returnflag: r.parts
+        for r in li.groupBy("l_returnflag")
+        .agg(F.count_distinct("l_partkey").alias("parts"))
+        .collect()
+    }
+    est = {
+        r.l_returnflag: r.est
+        for r in kmv_distinct(li, ["l_returnflag"], "l_partkey", k=64, out_col="est")
+        .collect()
+    }
+    assert set(est) == set(exact)
+    for g, e in exact.items():
+        assert abs(est[g] - e) / e < 2 / (62**0.5), (g, est[g], e)
+    # below-k groups: nation has 25 distinct keys < k -> exact count
+    nat = load_table(spark, sf, "nation").withColumn("one", F.lit(1))
+    small = kmv_distinct(nat, ["one"], "n_nationkey", k=64, out_col="est").collect()
+    assert small[0].est == 25.0
 
 
 def test_seeded_sample_is_deterministic(spark):

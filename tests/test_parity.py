@@ -18,12 +18,13 @@ def test_all_oracle_keys_have_queries():
 def test_driver_window_contract():
     """The driver's gate checks the FIRST 50 registered queries; the
     registry is deliberately pinned at exactly 50 so nothing ever falls
-    outside the checked window (plans/__init__.py). Only approx_sketches
-    (genuinely approximate) may run rows-only — a regression that drops
-    an oracle or adds a 51st query fails here, not in the next round's
-    verdict."""
+    outside the checked window (plans/__init__.py). Since round 3 EVERY
+    registered query carries a DuckDB oracle (approx_sketches, the last
+    rows-only holdout, now computes engine-portable KMV/hash-sample
+    sketches) — a regression that drops an oracle or adds a 51st query
+    fails here, not in the next round's verdict."""
     assert len(QUERIES) == 50
-    assert set(QUERIES) - set(ORACLES) == {"approx_sketches"}
+    assert set(QUERIES) - set(ORACLES) == set()
 
 
 def test_entry_smoke(spark):
