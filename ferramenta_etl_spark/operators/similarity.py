@@ -725,6 +725,12 @@ def lsh_ann_topk(
     sim = F.expr(
         f"round({_dot_sql(query_vec_col, vec_col)} / (__qn * __cn), 6)"
     )
+    # Score BEFORE the duplicate-pair dedup: a pair colliding in j>1
+    # bands recomputes the fold j times map-side (j <= n_bands, usually
+    # 1), but the dedup shuffle then carries only (query_id, vec_id,
+    # sim) — 3 scalars — instead of both full vectors (2 x dim doubles
+    # per candidate pair). sim is deterministic per pair, so whichever
+    # duplicate survives carries the identical value.
     cand = (
         c.join(
             F.broadcast(
@@ -743,8 +749,8 @@ def lsh_ann_topk(
             F.col(query_vec_col),
             F.col(vec_col),
         )
-        .dropDuplicates([query_id_col, id_col])
         .select(F.col(query_id_col), F.col(id_col), sim.alias("sim"))
+        .dropDuplicates([query_id_col, id_col])
     )
     from .topk import grouped_topk
 
