@@ -287,6 +287,59 @@ def _cap_blocks(blocked: DataFrame, keys: list[str], cap: int) -> DataFrame:
     )
 
 
+def banded_signatures(
+    df: DataFrame,
+    num_hashes: int = 32,
+    bands: int = 8,
+    shingle_k: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    portable: bool = False,
+) -> DataFrame:
+    """(id, sig, band, bhash) — the banded-LSH key relation: one row per
+    (doc, band), carrying the full signature for downstream Jaccard
+    estimation. Map-only (signature projection + band explode); this is
+    both minhash_lsh_pairs' candidate stage and the PERSISTED layout of
+    the incremental dedup index (pipeline/dedup_index.py)."""
+    rows = num_hashes // bands
+    sig = minhash_signatures(
+        df, num_hashes, shingle_k, text_col, id_col, portable
+    ).select(
+        F.col(id_col),
+        F.expr("array(" + ", ".join(f"m{i}" for i in range(num_hashes)) + ") as sig"),
+    )
+    # portable band hash = the same md5-prefix parse the oracle uses
+    bhash_fmt = (
+        "conv(substr(md5(concat_ws(',', {elems})), 1, 14), 16, 10)"
+        if portable
+        else "xxhash64(concat_ws(',', {elems}))"
+    )
+    band_structs = ", ".join(
+        ("struct({b} as band, " + bhash_fmt + " as bhash)").format(
+            b=b,
+            elems=", ".join(f"element_at(sig, {b * rows + r + 1})" for r in range(rows)),
+        )
+        for b in range(bands)
+    )
+    return sig.select(
+        id_col,
+        "sig",
+        F.expr(f"explode(array({band_structs})) as bk"),
+    ).select(id_col, "sig", "bk.band", "bk.bhash")
+
+
+def estimated_jaccard(sig_a: Column, sig_b: Column, num_hashes: int) -> Column:
+    """Fraction of matching signature positions. n/num_hashes with
+    num_hashes a power of two is exact in binary: no rounding, so the
+    DuckDB oracle reproduces the doubles bit-for-bit."""
+    return (
+        F.size(
+            F.filter(F.zip_with(sig_a, sig_b, lambda x, y: x == y), lambda m: m)
+        ).cast("double")
+        / F.lit(float(num_hashes))
+    )
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     num_hashes: int = 32,
@@ -312,31 +365,9 @@ def minhash_lsh_pairs(
     At 100 TB this is THE near-dup design: no pairwise work outside LSH
     buckets, and bucket skew is handled by AQE skew-join splitting.
     """
-    rows = num_hashes // bands
-    sig = minhash_signatures(
-        df, num_hashes, shingle_k, text_col, id_col, portable
-    ).select(
-        F.col(id_col),
-        F.expr("array(" + ", ".join(f"m{i}" for i in range(num_hashes)) + ") as sig"),
+    banded = banded_signatures(
+        df, num_hashes, bands, shingle_k, text_col, id_col, portable
     )
-    # portable band hash = the same md5-prefix parse the oracle uses
-    bhash_fmt = (
-        "conv(substr(md5(concat_ws(',', {elems})), 1, 14), 16, 10)"
-        if portable
-        else "xxhash64(concat_ws(',', {elems}))"
-    )
-    band_structs = ", ".join(
-        ("struct({b} as band, " + bhash_fmt + " as bhash)").format(
-            b=b,
-            elems=", ".join(f"element_at(sig, {b * rows + r + 1})" for r in range(rows)),
-        )
-        for b in range(bands)
-    )
-    banded = sig.select(
-        id_col,
-        "sig",
-        F.expr(f"explode(array({band_structs})) as bk"),
-    ).select(id_col, "sig", "bk.band", "bk.bhash")
     if max_block_size is not None:
         banded = _cap_blocks(banded, ["band", "bhash"], max_block_size)
     a, b = banded.alias("a"), banded.alias("b")
@@ -357,19 +388,11 @@ def minhash_lsh_pairs(
         )
         .dropDuplicates(["doc_id_a", "doc_id_b"])
     )
-    match_frac = (
-        F.size(
-            F.filter(
-                F.zip_with("sig_a", "sig_b", lambda x, y: x == y),
-                lambda m: m,
-            )
-        ).cast("double")
-        / F.lit(float(num_hashes))
-    )
-    # n/num_hashes with num_hashes a power of two is exact in binary:
-    # no rounding, so the DuckDB oracle reproduces the doubles bit-for-bit
     return (
-        pairs.withColumn("est_jaccard", match_frac)
+        pairs.withColumn(
+            "est_jaccard",
+            estimated_jaccard(F.col("sig_a"), F.col("sig_b"), num_hashes),
+        )
         .filter(F.col("est_jaccard") >= threshold)
         .select("doc_id_a", "doc_id_b", "est_jaccard")
     )

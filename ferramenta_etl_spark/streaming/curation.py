@@ -17,8 +17,10 @@ and it is replay-safe under checkpoint recovery.
 Near-dup collapse (MinHash -> connected components) is deliberately NOT
 streamed: candidate generation is a self-join over the accumulated
 corpus, which no bounded-state streaming operator expresses. Production
-shape: this stream curates at ingest; the batch near-dup pass runs
-periodically over the sink (the rollup module's closed-window pattern).
+shape: this stream curates at ingest; the periodic batch near-dup pass
+is pipeline/dedup_index.dedup_incremental — each new batch probes the
+persisted signature index and pays only for itself, never recomputing
+the corpus.
 """
 
 from __future__ import annotations

@@ -1,0 +1,117 @@
+"""Incremental near-dup dedup against the persisted signature index
+(pipeline/dedup_index.py): cross-batch first-arrived-wins, intra-batch
+min-id canonicals, idempotent reruns, and agreement with the all-corpus
+batch pipeline on a first-arrived == min-id corpus."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from ferramenta_etl_spark.operators import dedup as D
+from ferramenta_etl_spark.pipeline.dedup_index import (
+    dedup_incremental,
+    index_exists,
+    load_index,
+)
+
+# 20-token docs where near-dups differ only in the LAST token: one
+# changed final token perturbs exactly one of 18 shingles (shingle-set
+# Jaccard ~= 0.94), so banded LSH collides with near-certainty and the
+# deterministic MinHash estimate clears the 0.5 threshold with margin.
+# (A mid-doc substitution — Jaccard ~0.71, per-pair band-collision
+# probability ~0.90 — was measured to MISS for specific pairs.)
+_BASE = (
+    "alpha beta gamma delta epsilon zeta eta theta iota kappa "
+    "lambda mu nu xi omicron pi rho sigma tau upsilon"
+)
+_DOCS1 = [
+    (1, _BASE),
+    (2, _BASE.replace("tau upsilon", "tau ypsilon")),  # near-dup of 1
+    (3, "one two three four five six seven eight nine ten "
+        "eleven twelve thirteen fourteen fifteen sixteen seventeen "
+        "eighteen nineteen twenty"),
+]
+_DOCS2 = [
+    (10, _BASE.replace("tau upsilon", "tau apsilon")),  # near-dup of indexed 1
+    (11, "completely different words with no overlap whatsoever at all "
+         "here now today tomorrow yesterday never always sometimes often "
+         "rarely occasionally"),
+    (12, "red orange yellow green blue indigo violet pink brown black "
+         "white gray silver gold bronze copper teal maroon navy olive"),
+    (13, "red orange yellow green blue indigo violet pink brown black "
+         "white gray silver gold bronze copper teal maroon navy olivine"),
+]
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+@pytest.fixture()
+def index_path(tmp_path):
+    return str(tmp_path / "minhash_index")
+
+
+def test_first_batch_admits_canonicals_and_builds_index(spark, index_path):
+    out = dedup_incremental(
+        spark, _docs(spark, _DOCS1), index_path, threshold=0.5
+    )
+    ids = {r.doc_id for r in out.select("doc_id").collect()}
+    # 1/2 are an intra-batch near-dup component -> min id 1 survives
+    assert ids == {1, 3}
+    assert index_exists(index_path)
+    idx = load_index(spark, index_path)
+    # one row per (admitted doc, band)
+    assert idx.count() == 2 * 8
+    assert set(idx.columns) >= {"doc_id", "sig", "band", "bhash"}
+
+
+def test_second_batch_defers_to_index_and_dedups_itself(spark, index_path):
+    dedup_incremental(spark, _docs(spark, _DOCS1), index_path, threshold=0.5)
+    out = dedup_incremental(
+        spark, _docs(spark, _DOCS2), index_path, threshold=0.5
+    )
+    ids = {r.doc_id for r in out.select("doc_id").collect()}
+    # 10 near-dups indexed doc 1 -> dropped (first-arrived batch wins);
+    # 12/13 intra-batch near-dups -> 12 survives; 11 unique
+    assert ids == {11, 12}
+    idx_ids = {r.doc_id for r in load_index(spark, index_path).select("doc_id").distinct().collect()}
+    assert idx_ids == {1, 3, 11, 12}
+
+
+def test_rerun_is_idempotent(spark, index_path):
+    dedup_incremental(spark, _docs(spark, _DOCS1), index_path, threshold=0.5)
+    dedup_incremental(spark, _docs(spark, _DOCS2), index_path, threshold=0.5)
+    n_index = load_index(spark, index_path).count()
+    again = dedup_incremental(
+        spark, _docs(spark, _DOCS2), index_path, threshold=0.5
+    )
+    ids = {r.doc_id for r in again.select("doc_id").collect()}
+    # same survivors computed, zero new index rows
+    assert ids == {11, 12}
+    assert load_index(spark, index_path).count() == n_index
+
+
+def test_incremental_agrees_with_all_corpus_batch(spark, index_path):
+    """On a corpus where arrival order matches id order (batch 1 ids <
+    batch 2 ids), incremental first-arrived-wins == the all-corpus
+    min-id canonical rule: both admit exactly the same doc set."""
+    all_docs = _docs(spark, _DOCS1 + _DOCS2)
+    pairs = D.minhash_lsh_pairs(all_docs, threshold=0.5)
+    batch_survivors = {
+        r.doc_id
+        for r in D.dedup_keep_canonical(all_docs, pairs).select("doc_id").collect()
+    }
+    a = dedup_incremental(spark, _docs(spark, _DOCS1), index_path, threshold=0.5)
+    b = dedup_incremental(spark, _docs(spark, _DOCS2), index_path, threshold=0.5)
+    incr_survivors = {r.doc_id for r in a.select("doc_id").collect()} | {
+        r.doc_id for r in b.select("doc_id").collect()
+    }
+    assert incr_survivors == batch_survivors
+
+
+def test_index_layout_is_band_partitioned(spark, index_path):
+    import os
+
+    dedup_incremental(spark, _docs(spark, _DOCS1), index_path, threshold=0.5)
+    parts = [p for p in os.listdir(index_path) if p.startswith("band=")]
+    assert len(parts) == 8  # hive partitioning: probes prune to colliding bands
