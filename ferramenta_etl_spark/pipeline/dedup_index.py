@@ -25,12 +25,18 @@ made incremental:
   incremental analog of dedup_keep_canonical's min-id rule, and the
   same semantics the hash-keyed streaming sink gives exact dedup.
 
-At 100 TB: the index is narrow (id + num_hashes longs per band row —
-no text bodies), append-only, and partition-pruned on ``band``; the
-per-batch cost is O(batch + collisions), independent of corpus size
-except through the (band, bhash) join, which broadcast-joins the BATCH
-side when small. No analog in the reference (SURVEY §2 stops at exact
-keyed idempotence); part of the mandated large-scale extension suite.
+At 100 TB, stated honestly: the per-batch cost is one NARROW scan of
+the index (ids + signatures — never text bodies; the batch's band keys
+push into the scan as an InSet filter, so everything past the scan is
+O(batch + collisions)) plus the batch's own signature pass. The scan
+is the LSM-style floor every probe-an-accumulated-index design pays;
+what the index buys is never re-SHUFFLING and never re-HASHING the
+corpus. Measured at a 500k-doc index (SCALING.md): admitting a 500-doc
+batch costs 10.0 s vs 19.0 s for the full-corpus recompute, and the
+full recompute grows with the corpus while the batch cost grows only
+with the (narrow) index scan. No analog in the reference (SURVEY §2
+stops at exact keyed idempotence); part of the mandated large-scale
+extension suite.
 """
 
 from __future__ import annotations
@@ -58,6 +64,17 @@ def load_index(spark: SparkSession, index_path: str) -> DataFrame:
     return spark.read.parquet(index_path)
 
 
+# Batches whose distinct band-hash count fits under this bound push the
+# keys into the index scan as an InSet filter: rows that can't collide
+# are dropped AT THE SCAN, so the join input is O(collisions), not
+# O(index). (Row-group I/O pruning is not achievable here — bhash is a
+# uniform hash, so min/max stats and bucket pruning both saturate once
+# the batch has more keys than row groups; what the filter buys is the
+# join/shuffle work.) Above the bound, the plain hash join amortizes the
+# scan over a batch that is no longer small.
+_PUSHDOWN_MAX_KEYS = 50_000
+
+
 def _cross_batch_dups(
     new_banded: DataFrame, index: DataFrame, num_hashes: int, threshold: float
 ) -> DataFrame:
@@ -69,6 +86,10 @@ def _cross_batch_dups(
     verification: deduping candidates per new doc before scoring could
     keep a colliding pair that fails the Jaccard bar while another
     passes."""
+    keys = new_banded.select("bhash").distinct()
+    if keys.count() <= _PUSHDOWN_MAX_KEYS:
+        vals = [r.bhash for r in keys.collect()]
+        index = index.filter(F.col("bhash").isin(vals))
     cand = (
         index.alias("old")
         .join(new_banded.alias("new"), ["band", "bhash"])
@@ -156,7 +177,12 @@ def dedup_incremental(
     intra_drops = labels.filter(F.col("v") != F.col("label")).select(
         F.col("v").alias("doc_id")
     )
-    admitted_banded = survivors_banded.join(intra_drops, "doc_id", "left_anti")
+    # checkpoint: the admitted relation feeds both the index append and
+    # the returned semi-join — without it the probe + connected-
+    # components chain re-executes after the write already ran it
+    admitted_banded = survivors_banded.join(
+        intra_drops, "doc_id", "left_anti"
+    ).localCheckpoint(eager=True)
 
     # extend the index idempotently: (doc_id, band) is the row identity,
     # band partitions the layout so probes prune to colliding bands
