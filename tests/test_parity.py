@@ -40,7 +40,6 @@ def test_query_matches_oracle(spark, sf_dir, name):
     assert ok, f"{name}: {msg}"
 
 
-@pytest.mark.parametrize("name", sorted(set(QUERIES) - set(ORACLES)))
-def test_rows_only_queries_run(spark, sf_dir, name):
-    df = QUERIES[name](spark, sf_dir)
-    assert df.count() >= 0
+# (No rows-only smoke test: since round 3 every registered query has an
+# oracle, so test_query_matches_oracle covers the whole registry —
+# test_driver_window_contract pins that invariant.)
