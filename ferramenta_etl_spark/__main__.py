@@ -51,6 +51,7 @@ def main(argv: list[str] | None = None, _stop_session: bool = True) -> int:
         choices=[
             "list", "run", "run-all", "curate", "optimize", "plan-audit",
             "stream", "curate-stream", "rollup", "stats", "ingest",
+            "neardup-admit",
         ],
     )
     p.add_argument("job", nargs="?", help="job name (for 'run') / parquet dir (for 'optimize')")
@@ -245,6 +246,24 @@ def main(argv: list[str] | None = None, _stop_session: bool = True) -> int:
                 ev, f"{args.sink_dir}/events_rollup", watermark_ms=args.watermark_ms
             )
             print(f"✅ events_rollup: {n} closed windows appended")
+            return 0
+        if args.command == "neardup-admit":
+            # The periodic batch companion to curate-stream: admit this
+            # batch's near-dup-free docs against (and into) the
+            # persisted MinHash signature index. First-arrived batch
+            # wins across runs; rerunning a batch admits the same docs
+            # and appends zero index rows.
+            from .pipeline.dedup_index import dedup_incremental
+            from .sources import load_table
+
+            docs = load_table(spark, args.sf_dir, "documents").select(
+                "doc_id", "text"
+            )
+            admitted = dedup_incremental(
+                spark, docs, f"{args.sink_dir}/minhash_index"
+            )
+            n = admitted.count()
+            print(f"✅ neardup-admit: {n} docs admitted (near-dup-free vs index)")
             return 0
         if args.command == "ingest":
             # file -> schema contract -> corrupt-line quarantine ->

@@ -81,3 +81,17 @@ def test_cli_ingest_jsonl(cli_tmp, capsys):
     assert _run("ingest", str(src), "--sink-dir", sink, "--quarantine-dir", qdir) == 0
     out = capsys.readouterr().out
     assert "0 rows loaded" in out
+
+
+def test_cli_neardup_admit_idempotent(cli_tmp, capsys):
+    s = str(cli_tmp / "s")
+    assert _run("neardup-admit", "--sink-dir", s) == 0
+    first = capsys.readouterr().out
+    assert "docs admitted" in first
+    n_first = int(first.split("neardup-admit:")[1].split()[0])
+    assert n_first > 0
+    # rerun: the same batch re-admits the same docs, index appends zero
+    assert _run("neardup-admit", "--sink-dir", s) == 0
+    second = capsys.readouterr().out
+    assert int(second.split("neardup-admit:")[1].split()[0]) == n_first
+    assert os.path.isdir(os.path.join(s, "minhash_index"))
