@@ -143,11 +143,19 @@ def dedup_incremental(
     # signature computation runs once
     banded = banded.localCheckpoint(eager=True)
 
-    survivors_banded = banded
+    # Docs too short to shingle (< shingle_k tokens, incl. empty/null
+    # text) have NO banded rows: they cannot near-dup anything through
+    # this index and must be ADMITTED, not silently lost — so admission
+    # is computed as new_docs MINUS dropped ids, never as a semi-join
+    # against the banded relation. (They also stay out of the index:
+    # there is no signature to store.)
+    drop_ids = None
     if index_exists(index_path):
         index = load_index(spark, index_path)
-        dup_ids = _cross_batch_dups(banded, index, num_hashes, threshold)
-        survivors_banded = banded.join(dup_ids, "doc_id", "left_anti")
+        drop_ids = _cross_batch_dups(banded, index, num_hashes, threshold)
+        survivors_banded = banded.join(drop_ids, "doc_id", "left_anti")
+    else:
+        survivors_banded = banded
 
     # intra-batch near-dups among the cross-batch survivors: the same
     # banded self-join as minhash_lsh_pairs, then connected components
@@ -192,7 +200,8 @@ def dedup_incremental(
         keys=["doc_id", "band"],
         partition_cols=["band"],
     )
-    admitted_ids = admitted_banded.select("doc_id").distinct()
+    dropped_ids = intra_drops if drop_ids is None else drop_ids.union(intra_drops)
+    dropped_ids = dropped_ids.distinct()
     if id_col != "doc_id":
-        admitted_ids = admitted_ids.withColumnRenamed("doc_id", id_col)
-    return new_docs.join(admitted_ids, id_col, "left_semi")
+        dropped_ids = dropped_ids.withColumnRenamed("doc_id", id_col)
+    return new_docs.join(dropped_ids, id_col, "left_anti")

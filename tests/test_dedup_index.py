@@ -115,3 +115,23 @@ def test_index_layout_is_band_partitioned(spark, index_path):
     dedup_incremental(spark, _docs(spark, _DOCS1), index_path, threshold=0.5)
     parts = [p for p in os.listdir(index_path) if p.startswith("band=")]
     assert len(parts) == 8  # hive partitioning: probes prune to colliding bands
+
+
+def test_short_and_empty_docs_are_admitted_not_lost(spark, index_path):
+    """Docs below shingle_k tokens (incl. empty text) have no signature
+    and cannot near-dup through the index — they must pass through, not
+    silently disappear from the admitted set."""
+    batch = _docs(
+        spark,
+        _DOCS1 + [(90, "tiny"), (91, ""), (92, "two tokens")],
+    )
+    out = dedup_incremental(spark, batch, index_path, threshold=0.5)
+    ids = {r.doc_id for r in out.select("doc_id").collect()}
+    assert {90, 91, 92} <= ids  # short docs admitted
+    assert ids == {1, 3, 90, 91, 92}
+    # and they are NOT in the index (nothing to probe against)
+    idx_ids = {
+        r.doc_id
+        for r in load_index(spark, index_path).select("doc_id").distinct().collect()
+    }
+    assert idx_ids == {1, 3}
