@@ -222,3 +222,47 @@ def test_pack_sequences_invariants(spark, sizes, budget):
                     "sequence closed although the next chunk fit"
                 )
             i = j
+
+
+# longer docs than _doc so shingle-based near-dups actually occur: a
+# doc is 6-14 tokens over a 4-token vocabulary, giving frequent genuine
+# high-Jaccard pairs AND sub-shingle docs (the silent-loss regression)
+_nd_doc = st.lists(
+    st.sampled_from(["x", "y", "z", "w"]), min_size=0, max_size=14
+).map(" ".join)
+
+
+@given(
+    docs=st.lists(_nd_doc, min_size=1, max_size=10),
+    split=st.integers(0, 10),
+)
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_incremental_dedup_agrees_with_all_corpus(spark, tmp_path_factory, docs, split):
+    """Differential: admitting a corpus in two arrival-ordered batches
+    through the persisted signature index equals the all-corpus batch
+    pipeline (pairs -> keep-canonical). Ids follow arrival order, so
+    incremental first-arrived-wins == global min-id canonicals. Also
+    pins the every-doc-accounted-for invariant (nothing silently lost,
+    nothing duplicated)."""
+    from ferramenta_etl_spark.operators import dedup as D
+    from ferramenta_etl_spark.pipeline.dedup_index import dedup_incremental
+
+    split = min(split, len(docs))
+    rows = [(i, t) for i, t in enumerate(docs)]
+    all_df = spark.createDataFrame(rows, "doc_id long, text string")
+    pairs = D.minhash_lsh_pairs(all_df, threshold=0.5)
+    want = {
+        r.doc_id
+        for r in D.dedup_keep_canonical(all_df, pairs).select("doc_id").collect()
+    }
+
+    idx = str(tmp_path_factory.mktemp("nd_idx") / "index")
+    got = set()
+    for batch_rows in (rows[:split], rows[split:]):
+        if not batch_rows:
+            continue
+        bdf = spark.createDataFrame(batch_rows, "doc_id long, text string")
+        out = dedup_incremental(spark, bdf, idx, threshold=0.5)
+        got |= {r.doc_id for r in out.select("doc_id").collect()}
+    assert got == want
