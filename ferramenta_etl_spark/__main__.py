@@ -51,7 +51,7 @@ def main(argv: list[str] | None = None, _stop_session: bool = True) -> int:
         choices=[
             "list", "run", "run-all", "curate", "optimize", "plan-audit",
             "stream", "curate-stream", "rollup", "stats", "ingest",
-            "neardup-admit",
+            "neardup-admit", "make-dataset",
         ],
     )
     p.add_argument("job", nargs="?", help="job name (for 'run') / parquet dir (for 'optimize')")
@@ -246,6 +246,41 @@ def main(argv: list[str] | None = None, _stop_session: bool = True) -> int:
                 ev, f"{args.sink_dir}/events_rollup", watermark_ms=args.watermark_ms
             )
             print(f"✅ events_rollup: {n} closed windows appended")
+            return 0
+        if args.command == "make-dataset":
+            # The full corpus -> training-shards composition: curate
+            # (filter/dedup/near-dup collapse/redact) -> token-bounded
+            # chunking -> fixed-budget sequence packing -> sharded JSONL
+            # export ordered by (seq_id, chunk position) so a data
+            # loader streams whole packed sequences contiguously.
+            from pyspark.sql import functions as F
+
+            from .operators.packing import pack_sequences
+            from .operators.text import chunk_documents
+            from .pipeline.curation import curated_frame
+            from .sinks.layout import export_jsonl
+
+            curated = curated_frame(
+                spark, args.sf_dir,
+                min_quality=args.min_quality,
+                redact=args.redact_pii,
+                sample_rate=args.sample_rate,
+                lang_quota=args.lang_quota,
+            )
+            chunks = chunk_documents(curated, chunk_tokens=512, overlap=64)
+            packed = pack_sequences(chunks, budget_tokens=2048, n_shards=64)
+            out = packed.select(
+                "seq_id", "seq_tokens", "doc_id", "chunk_idx",
+                F.col("chunk_text").alias("text"),
+                "n_chunk_tokens",
+            )
+            n_shards = export_jsonl(
+                out,
+                f"{args.sink_dir}/dataset_jsonl",
+                cluster_by=["seq_id"],
+                order_by=["seq_id", "doc_id", "chunk_idx"],
+            )
+            print(f"✅ make-dataset: {n_shards} JSONL shard(s) written")
             return 0
         if args.command == "neardup-admit":
             # The periodic batch companion to curate-stream: admit this

@@ -165,12 +165,20 @@ def export_jsonl(
     target_mb: int = 256,
     compression: str = "gzip",
     mode: str = "overwrite",
+    cluster_by: Sequence[str] = (),
+    order_by: Sequence[str] = (),
 ) -> int:
     """Export a curated relation as sharded JSONL — the format training
     data-loaders consume. Shard count is sized from a sampled average
     row width so files land near ``target_mb`` UNCOMPRESSED (loaders
     stream-decompress; the uncompressed size is what bounds their
     memory), floor one shard. Returns the shard count.
+
+    ``cluster_by`` hash-partitions the shards on those columns and
+    ``order_by`` sorts lines within each shard — e.g. cluster and order
+    by a packed ``seq_id`` so every training sequence's chunks land
+    contiguously in ONE shard (round-robin would scatter them). Both
+    default off (pure round-robin balance).
 
     Columns serialize via Spark's JSON writer (UTF-8, one object per
     line, null fields omitted — the de-facto JSONL corpus convention)."""
@@ -182,10 +190,11 @@ def export_jsonl(
     else:
         total = df.count() * float(sample.w)
         n_shards = max(1, int(total // (target_mb * 1024 * 1024)) + 1)
-    (
-        df.repartition(n_shards)
-        .write.mode(mode)
-        .option("compression", compression)
-        .json(path)
-    )
+    if cluster_by:
+        out = df.repartition(n_shards, *[F.col(c) for c in cluster_by])
+    else:
+        out = df.repartition(n_shards)
+    if order_by:
+        out = out.sortWithinPartitions(*order_by)
+    out.write.mode(mode).option("compression", compression).json(path)
     return n_shards

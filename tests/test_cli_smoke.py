@@ -95,3 +95,31 @@ def test_cli_neardup_admit_idempotent(cli_tmp, capsys):
     second = capsys.readouterr().out
     assert int(second.split("neardup-admit:")[1].split()[0]) == n_first
     assert os.path.isdir(os.path.join(s, "minhash_index"))
+
+
+def test_cli_make_dataset(cli_tmp, capsys):
+    import gzip
+    import json
+
+    s = str(cli_tmp / "s")
+    assert _run("make-dataset", "--sink-dir", s) == 0
+    assert "JSONL shard" in capsys.readouterr().out
+    out_dir = os.path.join(s, "dataset_jsonl")
+    files = [f for f in os.listdir(out_dir) if f.endswith(".json.gz")]
+    assert files
+    rows = []
+    for f in files:
+        with gzip.open(os.path.join(out_dir, f), "rt") as fh:
+            rows += [json.loads(line) for line in fh]
+    assert rows
+    assert {"seq_id", "seq_tokens", "doc_id", "chunk_idx", "text",
+            "n_chunk_tokens"} <= set(rows[0])
+    # packing contract: no sequence exceeds the budget unless it is a
+    # single over-long chunk
+    by_seq = {}
+    for r in rows:
+        by_seq.setdefault(r["seq_id"], []).append(r)
+    for seq, chunks in by_seq.items():
+        total = sum(c["n_chunk_tokens"] for c in chunks)
+        assert total == chunks[0]["seq_tokens"]
+        assert total <= 2048 or len(chunks) == 1
