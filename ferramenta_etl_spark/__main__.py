@@ -80,6 +80,12 @@ def main(argv: list[str] | None = None, _stop_session: bool = True) -> int:
         "stratified pick, applied after dedup/decontamination)",
     )
     p.add_argument(
+        "--clean-lines",
+        action="store_true",
+        help="curate/make-dataset: C4-style line cleaning before "
+        "scoring/hashing (drop short/no-punct/repeated boilerplate lines)",
+    )
+    p.add_argument(
         "--watermark-ms",
         type=int,
         default=None,
@@ -266,6 +272,7 @@ def main(argv: list[str] | None = None, _stop_session: bool = True) -> int:
                 redact=args.redact_pii,
                 sample_rate=args.sample_rate,
                 lang_quota=args.lang_quota,
+                clean_lines=args.clean_lines,
             )
             chunks = chunk_documents(curated, chunk_tokens=512, overlap=64)
             packed = pack_sequences(chunks, budget_tokens=2048, n_shards=64)
@@ -390,6 +397,7 @@ def main(argv: list[str] | None = None, _stop_session: bool = True) -> int:
                 redact=args.redact_pii,
                 sample_rate=args.sample_rate,
                 lang_quota=args.lang_quota,
+                clean_lines=args.clean_lines,
             )
             print(f"✅ curated_documents: {n} rows appended")
             return 0

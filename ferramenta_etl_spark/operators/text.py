@@ -361,6 +361,49 @@ def content_fingerprint(text: Column) -> Column:
     return F.md5(F.concat_ws(" ", toks))
 
 
+def clean_document_lines(
+    df,
+    text_col: str = "text",
+    min_words: int = 3,
+    require_terminal_punct: bool = False,
+    max_lines: int = 10_000,
+):
+    """C4-style intra-document line cleaning: rewrite ``text_col`` with
+    boilerplate-shaped lines dropped, survivors in original order.
+
+    Rules (C4, Raffel et al. 2020, §2.2 — the web-scrape cleaning pass
+    that precedes dedup): a line survives iff, after trimming, it has at
+    least ``min_words`` whitespace words, optionally ends in terminal
+    punctuation (``.!?"``), and is the FIRST occurrence of that trimmed
+    line in the document (repeated nav/cookie boilerplate collapses to
+    one). Cleaning runs BEFORE hashing/dedup in a curation pipeline so
+    two scrapes differing only in boilerplate become exact duplicates.
+
+    Map-only, pure SQL, no UDF, no shuffle. DataFrame-level on purpose:
+    the trimmed line array materializes as a real column FIRST, so the
+    per-line lambda's array_position reads a column reference — an
+    outer computed expression inside the lambda would re-run the split
+    per line (the measured HOF trap, see _gram_zip). Cost is then
+    O(lines^2) string-pointer comparisons per doc, capped by
+    ``max_lines``; token work stays O(tokens)."""
+    lines = F.slice(F.split(F.col(text_col), "\n"), 1, max_lines)
+    with_lines = df.withColumn(
+        "__lines", F.transform(lines, lambda line: F.trim(line))
+    )
+    arr = F.col("__lines")
+
+    def keeps(line: Column, i: Column) -> Column:
+        rules = (F.size(F.split(line, r"\s+")) >= min_words) & (line != "")
+        if require_terminal_punct:
+            rules = rules & line.rlike(r'[.!?"]$')
+        # first occurrence: this index IS where the line first appears
+        return rules & (F.array_position(arr, line) == i + 1)
+
+    return with_lines.withColumn(
+        text_col, F.array_join(F.filter(arr, keeps), "\n")
+    ).drop("__lines")
+
+
 def winnowing_fingerprints(text: Column, k: int = 3, window: int = 4) -> Column:
     """Rolling-hash document fingerprints by winnowing (the MOSS scheme):
     hash every k-token shingle with the polynomial rolling hash

@@ -25,6 +25,7 @@ from pyspark.sql import functions as F
 from ..operators.dedup import dedup_exact, dedup_keep_canonical, minhash_lsh_pairs
 from ..operators.sampling import hash_sample, stratified_sample
 from ..operators.text import (
+    clean_document_lines,
     contamination_hits,
     lang_id,
     n_tokens,
@@ -46,11 +47,12 @@ def curate_documents(
     redact: bool = False,
     sample_rate: float | None = None,
     lang_quota: int | None = None,
+    clean_lines: bool = False,
 ) -> int:
     """Run the curation pipeline; returns rows appended to the sink."""
     curated = curated_frame(
         spark, sf_dir, min_quality, min_tokens, benchmark, decontaminate_n,
-        redact, sample_rate, lang_quota,
+        redact, sample_rate, lang_quota, clean_lines,
     )
     return write_ignore_conflicts(
         curated,
@@ -70,6 +72,7 @@ def curated_frame(
     redact: bool = False,
     sample_rate: float | None = None,
     lang_quota: int | None = None,
+    clean_lines: bool = False,
 ) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     if sample_rate is not None:
@@ -77,6 +80,11 @@ def curated_frame(
         # narrow filter the scan absorbs), and reruns draw the identical
         # subset so the idempotent sink still appends zero on replay
         docs = hash_sample(docs, sample_rate)
+    if clean_lines:
+        # C4-style line cleaning BEFORE scoring/hashing: two scrapes
+        # differing only in nav/cookie boilerplate become exact dups,
+        # and quality scores measure the content, not the chrome
+        docs = clean_document_lines(docs)
     scored = docs.select(
         "doc_id",
         "text",

@@ -123,3 +123,9 @@ def test_cli_make_dataset(cli_tmp, capsys):
         total = sum(c["n_chunk_tokens"] for c in chunks)
         assert total == chunks[0]["seq_tokens"]
         assert total <= 2048 or len(chunks) == 1
+
+
+def test_cli_curate_clean_lines(cli_tmp):
+    assert (
+        _run("curate", "--sink-dir", str(cli_tmp / "s"), "--clean-lines") == 0
+    )

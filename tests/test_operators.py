@@ -637,3 +637,50 @@ def test_lsh_ann_recall_against_brute_force(spark, sf_dir):
     again = {(r.query_id, r.vec_id) for r in S.lsh_ann_topk(
         corpus, queries, k=5, n_planes=16, n_bands=8).collect()}
     assert approx == again  # deterministic
+
+
+def test_clean_document_lines_c4_rules(spark):
+    """C4 line cleaning: short lines drop, repeated boilerplate keeps
+    only its first occurrence, order is preserved, and the optional
+    terminal-punctuation rule applies."""
+    from ferramenta_etl_spark.operators.text import clean_document_lines
+
+    doc = "\n".join([
+        "Accept cookies",                       # 2 words -> drop
+        "This is a real first sentence.",       # keep
+        "  Accept all cookies now  ",           # boilerplate, first occurrence -> keep
+        "Another genuine content line here",    # keep
+        "Accept all cookies now",               # repeat (same after trim) -> drop
+        "",                                     # empty -> drop
+        "This is a real first sentence.",       # repeat -> drop
+    ])
+    df = spark.createDataFrame([(1, doc), (2, ""), (3, "one two")],
+                               "doc_id long, text string")
+    out = {r.doc_id: r.text for r in clean_document_lines(df).collect()}
+    assert out[1] == "\n".join([
+        "This is a real first sentence.",
+        "Accept all cookies now",
+        "Another genuine content line here",
+    ])
+    assert out[2] == ""        # empty doc -> empty, not null, no crash
+    assert out[3] == ""        # single short line -> everything dropped
+
+    strict = {
+        r.doc_id: r.text
+        for r in clean_document_lines(df, require_terminal_punct=True).collect()
+    }
+    assert strict[1] == "This is a real first sentence."
+
+
+def test_curation_clean_lines_collapses_boilerplate_variants(spark, tmp_path):
+    """Two scrapes differing only in boilerplate become exact duplicates
+    once cleaning runs before hashing (the C4 ordering argument)."""
+    from ferramenta_etl_spark.operators.dedup import dedup_exact
+    from ferramenta_etl_spark.operators.text import clean_document_lines
+
+    body = "the quick brown fox jumps over the lazy dog again and again."
+    a = "cookie banner\n" + body
+    b = body + "\nsubscribe now"
+    df = spark.createDataFrame([(1, a), (2, b)], "doc_id long, text string")
+    cleaned = clean_document_lines(df, min_words=3)
+    assert dedup_exact(cleaned).count() == 1  # identical after cleaning
