@@ -8,6 +8,7 @@ from .dedup import (  # noqa: F401
     minhash_signatures,
     simhash_fingerprints,
     simhash_near_dup_pairs,
+    substring_dup_pairs,
     tokenset_jaccard_pairs,
 )
 from .packing import pack_sequences  # noqa: F401

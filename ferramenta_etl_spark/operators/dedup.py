@@ -674,3 +674,66 @@ def simhash_near_dup_pairs(
         .filter(F.col("hamming") <= max_hamming)
         .dropDuplicates(["doc_id_a", "doc_id_b"])
     )
+
+
+# ---------------------------------------------------------------------------
+# Exact-substring overlap candidates (winnowing-blocked)
+# ---------------------------------------------------------------------------
+
+
+def substring_dup_pairs(
+    df: DataFrame,
+    k: int = 3,
+    window: int = 4,
+    min_shared: int = 1,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_block_size: int | None = None,
+) -> DataFrame:
+    """Document pairs sharing a long EXACT token run — the scalable
+    stand-in for suffix-array substring dedup (Lee et al. 2022,
+    "Deduplicating Training Data Makes Language Models Better"), which
+    catches copied passages that token-SET similarity (MinHash/SimHash)
+    dilutes away inside otherwise-different documents.
+
+    Winnowing gives the guarantee suffix arrays give, probabilistically
+    priced: any shared token run of length >= window + k - 1 (default 6)
+    forces at least one shared selected fingerprint
+    (operators/text.winnowing_fingerprints — the classic winnowing
+    theorem), so ``min_shared=1`` has full recall on runs that long, up
+    to 31-bit hash collisions. Raise ``min_shared`` for precision: t
+    shared fingerprints witness roughly t distinct shared windows.
+
+    Shape is exactly the LSH-bands pattern: fingerprints explode to
+    (fp, doc) keys, candidates come from an equi-join on fp (never
+    all-pairs), the pair relation aggregates shared-fp counts with
+    map-side combine, and ``max_block_size`` caps pathological blocks
+    (a fingerprint shared by every doc — boilerplate — is precisely a
+    block to drop, logged). Output: (doc_id_a, doc_id_b, n_shared).
+    """
+    from .text import winnowing_fingerprints
+
+    from ..sources.tables import ensure_scan_parallelism
+
+    fps = ensure_scan_parallelism(df).select(
+        F.col(id_col),
+        F.explode(winnowing_fingerprints(F.col(text_col), k, window)).alias("fp"),
+    )
+    if max_block_size is not None:
+        fps = _cap_blocks(fps, ["fp"], max_block_size)
+    a, b = fps.alias("a"), fps.alias("b")
+    return (
+        a.join(
+            b,
+            [
+                F.col("a.fp") == F.col("b.fp"),
+                F.col(f"a.{id_col}") < F.col(f"b.{id_col}"),
+            ],
+        )
+        .groupBy(
+            F.col(f"a.{id_col}").alias("doc_id_a"),
+            F.col(f"b.{id_col}").alias("doc_id_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+    )

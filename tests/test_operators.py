@@ -684,3 +684,32 @@ def test_curation_clean_lines_collapses_boilerplate_variants(spark, tmp_path):
     df = spark.createDataFrame([(1, a), (2, b)], "doc_id long, text string")
     cleaned = clean_document_lines(df, min_words=3)
     assert dedup_exact(cleaned).count() == 1  # identical after cleaning
+
+
+def test_substring_dup_pairs_winnowing_guarantee(spark):
+    """Pairs sharing a >= window+k-1 = 6-token run are found (the
+    winnowing guarantee); docs with no long shared run produce no pair;
+    min_shared raises the bar; boilerplate blocks can be capped."""
+    run = "alpha beta gamma delta epsilon zeta"  # exactly 6 shared tokens
+    rows = [
+        (1, f"{run} and then something completely else follows here"),
+        (2, f"totally different opening before {run}"),
+        (3, "no overlap with anything at all in this one whatsoever"),
+        (4, "another document that shares nothing with its neighbors"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    pairs = {
+        (r.doc_id_a, r.doc_id_b): r.n_shared
+        for r in D.substring_dup_pairs(df).collect()
+    }
+    assert (1, 2) in pairs  # guaranteed by the shared 6-token run
+    assert all(p == (1, 2) for p in pairs), pairs  # nothing else pairs
+    # a higher min_shared bar drops single-window witnesses
+    strict = D.substring_dup_pairs(df, min_shared=10).count()
+    assert strict == 0
+    # boilerplate cap: a fingerprint in every doc is a droppable block
+    boiler = [(i, f"{run} unique tail {i} {i*3} {i*7}") for i in range(10, 20)]
+    bdf = spark.createDataFrame(rows + boiler, "doc_id long, text string")
+    uncapped = D.substring_dup_pairs(bdf).count()
+    capped = D.substring_dup_pairs(bdf, max_block_size=3).count()
+    assert capped < uncapped
