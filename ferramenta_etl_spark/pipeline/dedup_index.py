@@ -55,9 +55,17 @@ from ..sinks.idempotent import write_ignore_conflicts
 
 
 def index_exists(index_path: str) -> bool:
-    return os.path.isdir(index_path) and any(
-        not p.startswith(("_", ".")) for p in os.listdir(index_path)
-    )
+    """True iff the index holds actual signature data. A batch of only
+    sub-shingle docs bootstraps the sink directory without writing any
+    parquet file (zero rows -> zero partition dirs), and probing that
+    would fail schema inference — so the probe requires a data file,
+    not just the directory."""
+    if not os.path.isdir(index_path):
+        return False
+    for _root, _dirs, files in os.walk(index_path):
+        if any(f.endswith(".parquet") for f in files):
+            return True
+    return False
 
 
 def load_index(spark: SparkSession, index_path: str) -> DataFrame:

@@ -61,6 +61,27 @@ def _exists(spark: SparkSession, path: str) -> bool:
     return p.getFileSystem(jsc).exists(p)
 
 
+def _has_data_files(spark: SparkSession, path: str) -> bool:
+    """True iff the table directory holds at least one parquet data
+    file (recursive — partitioned layouts nest them). A PARTITIONED
+    empty bootstrap writes NO part files (zero rows → zero partition
+    values → only _SUCCESS), so a later read would fail with
+    UNABLE_TO_INFER_SCHEMA; callers treat footerless directories as a
+    fresh sink instead. Hadoop FS API, so any supported filesystem
+    works, not just local."""
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
+    p = jvm.org.apache.hadoop.fs.Path(path)
+    fs = p.getFileSystem(conf)
+    if not fs.exists(p):
+        return False
+    it = fs.listFiles(p, True)  # recursive
+    while it.hasNext():
+        if it.next().getPath().getName().endswith(".parquet"):
+            return True
+    return False
+
+
 def ensure_table(
     spark: SparkSession,
     path: str,
@@ -207,7 +228,12 @@ def write_ignore_conflicts(
             )
         return _write_merge_delta(incoming, path, keys)
 
-    if ensure_table(spark, path, df, partition_cols):
+    if ensure_table(spark, path, df, partition_cols) or not _has_data_files(
+        spark, path
+    ):
+        # a partitioned bootstrap holds no data files (zero rows write
+        # zero partition directories), so there is nothing to conflict
+        # with — reading it would fail schema inference
         fresh = incoming
     else:
         existing = spark.read.parquet(path)

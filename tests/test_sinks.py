@@ -104,3 +104,25 @@ def test_partition_cols_must_be_keys(spark, target):
     df = spark.createDataFrame([("2024-01-01", 1, "a")], "dt string, k int, v string")
     with pytest.raises(ValueError, match="subset of keys"):
         write_ignore_conflicts(df, target, keys=["k"], partition_cols=["dt"])
+
+
+def test_partitioned_sink_survives_empty_first_write(spark, tmp_path):
+    """A partitioned first load with ZERO rows writes no part files
+    (nothing to partition) — the sink directory must not poison later
+    loads with UNABLE_TO_INFER_SCHEMA (regression: hypothesis found it
+    via an all-sub-shingle first batch in the dedup index)."""
+    from ferramenta_etl_spark.sinks import write_ignore_conflicts
+
+    path = str(tmp_path / "sink")
+    empty = spark.createDataFrame([], "k long, p long, v string")
+    assert write_ignore_conflicts(
+        empty, path, keys=["k", "p"], partition_cols=["p"]
+    ) == 0
+    rows = spark.createDataFrame([(1, 0, "x"), (2, 1, "y")], "k long, p long, v string")
+    assert write_ignore_conflicts(
+        rows, path, keys=["k", "p"], partition_cols=["p"]
+    ) == 2
+    # and the conflict check works once data exists
+    assert write_ignore_conflicts(
+        rows, path, keys=["k", "p"], partition_cols=["p"]
+    ) == 0
