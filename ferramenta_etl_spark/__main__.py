@@ -58,7 +58,8 @@ def main(argv: list[str] | None = None, _stop_session: bool = True) -> int:
     p.add_argument("--min-quality", type=float, default=0.5, help="curate: quality floor")
     p.add_argument(
         "--benchmark",
-        help="curate: parquet of benchmark docs (doc_id, text) to decontaminate against",
+        help="curate/make-dataset: parquet of benchmark docs (doc_id, text) "
+        "to decontaminate against",
     )
     p.add_argument(
         "--redact-pii",
@@ -266,9 +267,11 @@ def main(argv: list[str] | None = None, _stop_session: bool = True) -> int:
             from .pipeline.curation import curated_frame
             from .sinks.layout import export_jsonl
 
+            bench = spark.read.parquet(args.benchmark) if args.benchmark else None
             curated = curated_frame(
                 spark, args.sf_dir,
                 min_quality=args.min_quality,
+                benchmark=bench,
                 redact=args.redact_pii,
                 sample_rate=args.sample_rate,
                 lang_quota=args.lang_quota,

@@ -385,10 +385,22 @@ def clean_document_lines(
     outer computed expression inside the lambda would re-run the split
     per line (the measured HOF trap, see _gram_zip). Cost is then
     O(lines^2) string-pointer comparisons per doc, capped by
-    ``max_lines``; token work stays O(tokens)."""
-    lines = F.slice(F.split(F.col(text_col), "\n"), 1, max_lines)
+    ``max_lines``; token work stays O(tokens). Lines past ``max_lines``
+    pass through UNCLEANED (appended verbatim) — the cap bounds the
+    quadratic first-occurrence scan, it never deletes content."""
+    all_lines = F.split(F.col(text_col), "\n")
     with_lines = df.withColumn(
-        "__lines", F.transform(lines, lambda line: F.trim(line))
+        "__lines",
+        F.transform(
+            F.slice(all_lines, 1, max_lines), lambda line: F.trim(line)
+        ),
+    ).withColumn(
+        "__tail",
+        F.slice(
+            all_lines,
+            max_lines + 1,
+            F.greatest(F.size(all_lines) - F.lit(max_lines), F.lit(0)),
+        ),
     )
     arr = F.col("__lines")
 
@@ -400,8 +412,9 @@ def clean_document_lines(
         return rules & (F.array_position(arr, line) == i + 1)
 
     return with_lines.withColumn(
-        text_col, F.array_join(F.filter(arr, keeps), "\n")
-    ).drop("__lines")
+        text_col,
+        F.array_join(F.concat(F.filter(arr, keeps), F.col("__tail")), "\n"),
+    ).drop("__lines", "__tail")
 
 
 def winnowing_fingerprints(text: Column, k: int = 3, window: int = 4) -> Column:

@@ -41,8 +41,6 @@ extension suite.
 
 from __future__ import annotations
 
-import os
-
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -54,22 +52,56 @@ from ..operators.dedup import (
 from ..sinks.idempotent import write_ignore_conflicts
 
 
-def index_exists(index_path: str) -> bool:
-    """True iff the index holds actual signature data. A batch of only
-    sub-shingle docs bootstraps the sink directory without writing any
-    parquet file (zero rows -> zero partition dirs), and probing that
-    would fail schema inference — so the probe requires a data file,
-    not just the directory."""
-    if not os.path.isdir(index_path):
-        return False
-    for _root, _dirs, files in os.walk(index_path):
-        if any(f.endswith(".parquet") for f in files):
-            return True
-    return False
+def index_exists(spark: SparkSession, index_path: str) -> bool:
+    """True iff the index holds actual signature data. Two subtleties:
+    a batch of only sub-shingle docs bootstraps the sink directory
+    without writing any parquet file (zero rows -> zero partition
+    dirs), and probing that would fail schema inference — so the check
+    requires a data file, not just the directory; and it goes through
+    the Hadoop FS API (sinks.idempotent._has_data_files), not os.path —
+    an os.path check on an hdfs:///s3a:// index would return False
+    forever and silently skip every cross-batch probe."""
+    from ..sinks.idempotent import _has_data_files
+
+    return _has_data_files(spark, index_path)
 
 
 def load_index(spark: SparkSession, index_path: str) -> DataFrame:
     return spark.read.parquet(index_path)
+
+
+# The sketch parameters are part of the index's identity: probing a
+# 32-hash/8-band index with 64-hash/16-band signatures never collides
+# (and appending would corrupt the layout), so they persist alongside
+# the data and every later call must match.
+_META_DIR = "_meta"
+
+
+def _write_index_meta(spark: SparkSession, index_path: str, meta: dict) -> None:
+    spark.createDataFrame([meta]).coalesce(1).write.mode("overwrite").json(
+        f"{index_path}/{_META_DIR}"
+    )
+
+
+def _check_index_meta(spark: SparkSession, index_path: str, meta: dict) -> None:
+    try:
+        stored = spark.read.json(f"{index_path}/{_META_DIR}").first().asDict()
+    except Exception as exc:  # missing/unreadable meta on a data-bearing index
+        raise ValueError(
+            f"signature index at {index_path} has data but no readable "
+            f"{_META_DIR}; rebuild the index or restore its metadata"
+        ) from exc
+    mismatched = {
+        k: (stored.get(k), v) for k, v in meta.items() if stored.get(k) != v
+    }
+    if mismatched:
+        raise ValueError(
+            f"signature index at {index_path} was built with different "
+            f"sketch parameters: {mismatched} (stored vs requested). "
+            "Probing or appending with mismatched parameters silently "
+            "admits near-dups and corrupts the layout — rebuild the index "
+            "or pass the stored parameters."
+        )
 
 
 # Batches whose distinct band-hash count fits under this bound push the
@@ -94,9 +126,11 @@ def _cross_batch_dups(
     verification: deduping candidates per new doc before scoring could
     keep a colliding pair that fails the Jaccard bar while another
     passes."""
-    keys = new_banded.select("bhash").distinct()
-    if keys.count() <= _PUSHDOWN_MAX_KEYS:
-        vals = [r.bhash for r in keys.collect()]
+    # one job, not count()-then-collect(): cap the fetch at MAX+1 rows
+    # so an over-bound batch transfers only the sentinel row extra
+    keys = new_banded.select("bhash").distinct().limit(_PUSHDOWN_MAX_KEYS + 1)
+    vals = [r.bhash for r in keys.collect()]
+    if len(vals) <= _PUSHDOWN_MAX_KEYS:
         index = index.filter(F.col("bhash").isin(vals))
     cand = (
         index.alias("old")
@@ -157,12 +191,17 @@ def dedup_incremental(
     # is computed as new_docs MINUS dropped ids, never as a semi-join
     # against the banded relation. (They also stay out of the index:
     # there is no signature to store.)
+    meta = {"num_hashes": num_hashes, "bands": bands, "shingle_k": shingle_k}
     drop_ids = None
-    if index_exists(index_path):
+    if index_exists(spark, index_path):
+        # sketch parameters are the index's identity: mismatched probes
+        # never collide and mismatched appends corrupt the layout
+        _check_index_meta(spark, index_path, meta)
         index = load_index(spark, index_path)
         drop_ids = _cross_batch_dups(banded, index, num_hashes, threshold)
         survivors_banded = banded.join(drop_ids, "doc_id", "left_anti")
     else:
+        _write_index_meta(spark, index_path, meta)
         survivors_banded = banded
 
     # intra-batch near-dups among the cross-batch survivors: the same

@@ -58,7 +58,7 @@ def test_first_batch_admits_canonicals_and_builds_index(spark, index_path):
     ids = {r.doc_id for r in out.select("doc_id").collect()}
     # 1/2 are an intra-batch near-dup component -> min id 1 survives
     assert ids == {1, 3}
-    assert index_exists(index_path)
+    assert index_exists(spark, index_path)
     idx = load_index(spark, index_path)
     # one row per (admitted doc, band)
     assert idx.count() == 2 * 8
@@ -92,9 +92,11 @@ def test_rerun_is_idempotent(spark, index_path):
 
 
 def test_incremental_agrees_with_all_corpus_batch(spark, index_path):
-    """On a corpus where arrival order matches id order (batch 1 ids <
-    batch 2 ids), incremental first-arrived-wins == the all-corpus
-    min-id canonical rule: both admit exactly the same doc set."""
+    """On THIS corpus — arrival order matches id order AND every
+    near-dup component is a clique — incremental first-arrived-wins
+    equals the all-corpus min-id canonical rule. (Not a theorem in
+    general: chain components split across batches can diverge — the
+    property test asserts the invariants that DO always hold.)"""
     all_docs = _docs(spark, _DOCS1 + _DOCS2)
     pairs = D.minhash_lsh_pairs(all_docs, threshold=0.5)
     batch_survivors = {
@@ -135,3 +137,18 @@ def test_short_and_empty_docs_are_admitted_not_lost(spark, index_path):
         for r in load_index(spark, index_path).select("doc_id").distinct().collect()
     }
     assert idx_ids == {1, 3}
+
+
+def test_mismatched_sketch_params_rejected(spark, index_path):
+    """The index stores its sketch parameters; probing or appending with
+    different num_hashes/bands/shingle_k never collides (silent near-dup
+    admission) and would corrupt the layout — it must fail fast."""
+    dedup_incremental(spark, _docs(spark, _DOCS1), index_path, threshold=0.5)
+    with pytest.raises(ValueError, match="sketch parameters"):
+        dedup_incremental(
+            spark, _docs(spark, _DOCS2), index_path,
+            num_hashes=64, bands=16, threshold=0.5,
+        )
+    # matching parameters still work after the rejected attempt
+    out = dedup_incremental(spark, _docs(spark, _DOCS2), index_path, threshold=0.5)
+    assert {r.doc_id for r in out.select("doc_id").collect()} == {11, 12}

@@ -713,3 +713,21 @@ def test_substring_dup_pairs_winnowing_guarantee(spark):
     uncapped = D.substring_dup_pairs(bdf).count()
     capped = D.substring_dup_pairs(bdf, max_block_size=3).count()
     assert capped < uncapped
+
+
+def test_clean_document_lines_cap_preserves_tail(spark):
+    """max_lines bounds the quadratic scan but must NOT delete content:
+    lines past the cap pass through uncleaned."""
+    from ferramenta_etl_spark.operators.text import clean_document_lines
+
+    doc = "\n".join(
+        [f"content line number {i} present here" for i in range(12)] + ["x"]
+    )
+    df = spark.createDataFrame([(1, doc)], "doc_id long, text string")
+    out = clean_document_lines(df, max_lines=10).first().text
+    lines = out.split("\n")
+    # 10 cleaned lines + 3 verbatim tail lines (two long + the short 'x',
+    # which survives because the tail is NOT cleaned)
+    assert len(lines) == 13
+    assert lines[-1] == "x"
+    assert lines[10] == "content line number 10 present here"
