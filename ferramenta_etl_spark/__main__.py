@@ -324,17 +324,29 @@ def main(argv: list[str] | None = None, _stop_session: bool = True) -> int:
             schema = EXPECTED_SCHEMAS[args.table]
             loader = load_jsonl if args.format == "jsonl" else load_csv
             good, bad = loader(spark, args.job, schema)
+            # everything diverted lands under ONE quarantine root: the
+            # user's --quarantine-dir, or a sink-adjacent default —
+            # never silently dropped
+            qdir = args.quarantine_dir or f"{args.sink_dir}/_quarantine"
             n_bad = bad.count()
-            if n_bad and args.quarantine_dir:
-                bad.write.mode("append").parquet(
-                    f"{args.quarantine_dir}/{args.table}_corrupt"
-                )
+            if n_bad:
+                bad.write.mode("append").parquet(f"{qdir}/{args.table}_corrupt")
             key = schema.names[0]
+            # a valid-JSON line MISSING the key parses clean but loads a
+            # NULL key, which the anti-join can never match — every
+            # rerun would re-append it, breaking 'reruns append zero'.
+            # Null-key rows therefore divert through the sink's own
+            # row-level quarantine rules.
             n = write_ignore_conflicts(
-                good, f"{args.sink_dir}/{args.table}", keys=[key]
+                good,
+                f"{args.sink_dir}/{args.table}",
+                keys=[key],
+                bad_records_path=f"{qdir}/{args.table}_invalid",
             )
-            print(f"✅ ingest {args.table}: {n} rows loaded, {n_bad} corrupt lines"
-                  + (" quarantined" if args.quarantine_dir else " dropped (no --quarantine-dir)"))
+            print(
+                f"✅ ingest {args.table}: {n} rows loaded, "
+                f"{n_bad} corrupt lines quarantined under {qdir}"
+            )
             return 0
         if args.command == "stats":
             from .operators.text import corpus_stats

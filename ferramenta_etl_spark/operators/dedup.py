@@ -115,7 +115,13 @@ def shingles(text: Column, k: int = 3) -> Column:
     """DISTINCT k-token shingles as strings — a zip_with fold over k
     shifted slices (JVM-side, no UDF, O(tokens) per pass; the
     transform-with-index form re-evaluates the split per element, see
-    shingle_hashes)."""
+    shingle_hashes).
+
+    Contract: docs shorter than k tokens yield an EMPTY set —
+    consistent with shingle_hashes (short docs drop out of MinHash by
+    design); contrast text.token_ngrams, which keeps a partial gram so
+    downstream ratios never divide by zero. (Round-3 change: the old
+    index-transform form emitted one partial shingle for short docs.)"""
     toks = tokens(text)
     m = F.greatest(F.size(toks) - F.lit(k - 1), F.lit(0))
     acc = F.slice(toks, 1, m)
@@ -276,9 +282,14 @@ def _cap_blocks(blocked: DataFrame, keys: list[str], cap: int) -> DataFrame:
     same keys as the join that follows, so the partitioning is reused.
     Docs in dropped blocks still pair through their OTHER bands/blocks
     (recall degrades gracefully; the cap is logged, not silent)."""
+    # This logs the CONFIGURATION (cap armed), not an observed drop —
+    # it fires at plan-build time; whether any block actually exceeds
+    # the cap is only known at execution. Audit actual drops with:
+    # blocked.groupBy(keys).count().filter(F.col("count") > cap).count()
     log.warning(
-        "near-dup candidate blocks capped at %d members; larger blocks dropped "
-        "(pairs in them are mostly exact/boilerplate dups - run exact dedup first)",
+        "near-dup candidate block cap armed at %d members; any larger "
+        "block will be dropped at execution (pairs in oversized blocks "
+        "are mostly exact/boilerplate dups - run exact dedup first)",
         cap,
     )
     sizes = blocked.groupBy(*keys).agg(F.count(F.lit(1)).alias("__bsz"))

@@ -91,17 +91,27 @@ def proportional_allocation(
     ceil(total * |stratum| / N) rows, so small strata keep >=1 row and
     the realized total lands within |strata| of the target).
 
-    Stratum sizes come from one metadata-scale aggregate (|strata|
-    rows), broadcast back; selection then reuses the deterministic
-    lowest-bucket rule. Two jobs total, nothing collects beyond the
-    stratum-count relation."""
-    sizes = df.groupBy(*strata).agg(F.count(F.lit(1)).alias("__n"))
-    n_total = df.count()
+    Stratum sizes come from ONE metadata-scale aggregate (|strata|
+    rows) collected once — the grand total is the sum of the stratum
+    counts, so no separate full-scan count() job runs. Selection then
+    reuses the deterministic lowest-bucket rule; nothing collects
+    beyond the stratum-count relation."""
+    size_rows = (
+        df.groupBy(*strata).agg(F.count(F.lit(1)).alias("__n")).collect()
+    )
+    n_total = sum(r["__n"] for r in size_rows)
     if n_total == 0:
         return df
-    quotas = sizes.select(
-        *strata,
-        F.ceil(F.lit(total) * F.col("__n") / F.lit(n_total)).alias("__quota"),
+    spark = df.sparkSession
+    quota_rows = [
+        tuple(r[c] for c in strata) + (-(-total * r["__n"] // n_total),)
+        for r in size_rows
+    ]
+    schema_cols = ", ".join(
+        f"`{c}` {df.schema[c].dataType.simpleString()}" for c in strata
+    )
+    quotas = spark.createDataFrame(
+        quota_rows, f"{schema_cols}, __quota long"
     )
     w = Window.partitionBy(*strata).orderBy(
         _bucket(F.col(id_col), seed).asc(), F.col(id_col).asc()

@@ -673,6 +673,7 @@ def lsh_ann_topk(
     query_id_col: str = "query_id",
     query_vec_col: str = "query_vec",
     seed: int = 7,
+    dim: int | None = None,
 ) -> DataFrame:
     """Approximate cosine top-k via signed-random-projection LSH.
 
@@ -695,7 +696,25 @@ def lsh_ann_topk(
     assert n_planes % n_bands == 0
     width = n_planes // n_bands
     mask = (1 << width) - 1
-    dim = len(corpus.select(vec_col).first()[0])
+    if dim is None:
+        # hyperplanes need the vector dimension; probing the first
+        # USABLE corpus row costs one small driver job at composition
+        # time — pass dim explicitly to build the plan without it
+        probe = (
+            corpus.filter(F.expr(_usable_vec_sql(vec_col)))
+            .select(vec_col)
+            .first()
+        )
+        if probe is None:
+            # empty/all-degenerate corpus: no candidates for any query —
+            # return the operator's empty result, not a TypeError
+            spark = corpus.sparkSession
+            id_t = corpus.schema[id_col].dataType.simpleString()
+            qid_t = queries.schema[query_id_col].dataType.simpleString()
+            return spark.createDataFrame(
+                [], f"{query_id_col} {qid_t}, {id_col} {id_t}, sim double, rnk int"
+            )
+        dim = len(probe[0])
     planes = _srp_planes(n_planes, dim, seed)
 
     def banded(df, idc, vc):

@@ -185,16 +185,33 @@ def export_jsonl(
     sample = df.limit(1000).select(
         F.octet_length(F.to_json(F.struct(*df.columns))).alias("w")
     ).agg(F.avg("w").alias("w"), F.count(F.lit(1)).alias("n")).first()
-    if not sample.n:
-        n_shards = 1
-    else:
-        total = df.count() * float(sample.w)
-        n_shards = max(1, int(total // (target_mb * 1024 * 1024)) + 1)
-    if cluster_by:
-        out = df.repartition(n_shards, *[F.col(c) for c in cluster_by])
-    else:
-        out = df.repartition(n_shards)
-    if order_by:
-        out = out.sortWithinPartitions(*order_by)
-    out.write.mode(mode).option("compression", compression).json(path)
+    persisted = False
+    try:
+        if not sample.n:
+            n_shards = 1
+        elif sample.n < 1000:
+            # limit(1000) returned everything: the sample count IS the
+            # row count — no second pass needed for small exports
+            n_shards = max(
+                1, int(sample.n * float(sample.w) // (target_mb * 1024 * 1024)) + 1
+            )
+        else:
+            # big export: persist so the sizing count and the write run
+            # the upstream pipeline once, not twice (curation upstream
+            # of an export is a multi-join near-dup pass — recomputing
+            # it doubles the export's cost)
+            df = df.persist()
+            persisted = True
+            total = df.count() * float(sample.w)
+            n_shards = max(1, int(total // (target_mb * 1024 * 1024)) + 1)
+        if cluster_by:
+            out = df.repartition(n_shards, *[F.col(c) for c in cluster_by])
+        else:
+            out = df.repartition(n_shards)
+        if order_by:
+            out = out.sortWithinPartitions(*order_by)
+        out.write.mode(mode).option("compression", compression).json(path)
+    finally:
+        if persisted:
+            df.unpersist()
     return n_shards

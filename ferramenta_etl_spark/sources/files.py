@@ -37,16 +37,27 @@ def _split(raw: DataFrame, schema: T.StructType) -> tuple[DataFrame, DataFrame]:
     """(good, bad): bad keeps only the raw corrupt line — the quarantine
     payload; good drops the corrupt column and must match the contract.
 
-    The raw frame is cached before the split: PERMISSIVE parsing
-    populates `_corrupt_record` lazily, and Spark disallows filtering on
-    it straight off the scan (the internal-column restriction) — the
-    cache materializes the parse once for both branches anyway, which is
-    also what keeps good/bad consistent on re-evaluation."""
+    The raw frame is cached for the split: PERMISSIVE parsing populates
+    `_corrupt_record` lazily, and Spark disallows filtering on it
+    straight off the scan (the internal-column restriction). Both sides
+    then materialize via localCheckpoint and the cache is RELEASED —
+    without the unpersist every ingest in a long-lived session pins a
+    full parsed copy of its input in executor storage forever (same
+    discipline as sinks/quarantine.read_json_with_quarantine)."""
     raw = raw.cache()
-    bad = raw.filter(F.col(CORRUPT_COL).isNotNull()).select(
-        F.col(CORRUPT_COL).alias("raw_record")
-    )
-    good = raw.filter(F.col(CORRUPT_COL).isNull()).drop(CORRUPT_COL)
+    try:
+        bad = (
+            raw.filter(F.col(CORRUPT_COL).isNotNull())
+            .select(F.col(CORRUPT_COL).alias("raw_record"))
+            .localCheckpoint(eager=True)
+        )
+        good = (
+            raw.filter(F.col(CORRUPT_COL).isNull())
+            .drop(CORRUPT_COL)
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        raw.unpersist()
     assert_schema(good, schema, "file-source")
     return good, bad
 

@@ -129,3 +129,22 @@ def test_cli_curate_clean_lines(cli_tmp):
     assert (
         _run("curate", "--sink-dir", str(cli_tmp / "s"), "--clean-lines") == 0
     )
+
+
+def test_cli_ingest_null_key_rows_quarantined_idempotent(cli_tmp, capsys):
+    """A valid-JSON line MISSING the key column must not poison the
+    idempotent sink: NULL keys never match the anti-join, so without
+    quarantine they re-append on every rerun (review finding)."""
+    src = cli_tmp / "nokey.jsonl"
+    src.write_text(
+        '{"doc_id": 1, "text": "with key", "lang": "en", "source": "s", "n_chars": 8}\n'
+        '{"text": "no key at all", "lang": "en", "source": "s", "n_chars": 13}\n'
+    )
+    sink = str(cli_tmp / "sink2")
+    assert _run("ingest", str(src), "--sink-dir", sink) == 0
+    assert "1 rows loaded" in capsys.readouterr().out
+    # rerun appends ZERO — the null-key row was quarantined, not loaded
+    assert _run("ingest", str(src), "--sink-dir", sink) == 0
+    assert "0 rows loaded" in capsys.readouterr().out
+    q = os.path.join(sink, "_quarantine", "documents_invalid")
+    assert os.path.isdir(q)
