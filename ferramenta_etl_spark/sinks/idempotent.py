@@ -111,25 +111,56 @@ def merge_insert_condition(keys: Sequence[str], target: str = "t", source: str =
     return " AND ".join(f"{target}.`{k}` <=> {source}.`{k}`" for k in keys)
 
 
-def _write_merge_delta(incoming: DataFrame, path: str, keys: Sequence[str]) -> int:
+def _delta_usable(df: DataFrame, path: str) -> bool:
+    """backend='auto' may take the delta path ONLY when the target
+    either does not exist yet (delta will create it) or already IS a
+    Delta table. Selecting delta just because the package is importable
+    would crash on (or silently shadow) a sink previously written as
+    plain parquet — installing delta-spark must not break existing
+    parquet sinks."""
+    if not _delta_available():
+        return False
+    from delta.tables import DeltaTable
+
+    spark = df.sparkSession
+    if DeltaTable.isDeltaTable(spark, path):
+        return True
+    return not _exists(spark, path)
+
+
+def _write_merge_delta(
+    incoming: DataFrame,
+    path: str,
+    keys: Sequence[str],
+    partition_cols: Sequence[str] = (),
+) -> int:
     """ACID upsert-ignore via Delta MERGE WHEN NOT MATCHED INSERT —
     atomic under concurrent writers (the table format serializes
-    commits), unlike the parquet anti-join path."""
+    commits), unlike the parquet anti-join path. Creation honors
+    ``partition_cols``; the appended-row count comes from the MERGE
+    commit's own operationMetrics (exact and transaction-consistent —
+    before/after table counts would cost two full scans per batch and
+    mis-count under the very concurrency this backend exists for)."""
     from delta.tables import DeltaTable
 
     spark = incoming.sparkSession
     if not DeltaTable.isDeltaTable(spark, path):
-        incoming.write.format("delta").save(path)
+        w = incoming.write.format("delta")
+        if partition_cols:
+            w = w.partitionBy(*partition_cols)
+        w.save(path)
         return incoming.count()
     target = DeltaTable.forPath(spark, path)
-    before = target.toDF().count()
     (
         target.alias("t")
         .merge(incoming.alias("s"), merge_insert_condition(keys))
         .whenNotMatchedInsertAll()
         .execute()
     )
-    return target.toDF().count() - before
+    metrics = (
+        target.history(1).select("operationMetrics").first()[0] or {}
+    )
+    return int(metrics.get("numTargetRowsInserted", 0))
 
 
 def _touched_partition_filter(incoming: DataFrame, partition_cols: Sequence[str]):
@@ -214,19 +245,27 @@ def write_ignore_conflicts(
             f"{list(keys)} — otherwise a conflict hiding in an untouched "
             "partition would escape the pruned anti-join"
         )
+    # In-batch key dedup needs a TOTAL order: with the default
+    # order_by=keys, every ordering column is constant inside a key
+    # partition, so which of two same-key rows in one batch survived was
+    # whatever the shuffle produced first — nondeterministic across
+    # reruns/partitioning. The non-key columns break the tie (maps are
+    # unorderable in Spark; no sink schema here carries one — callers
+    # with map columns must pass an explicit total order_by).
+    non_key = [c for c in df.columns if c not in set(keys)]
     incoming = latest_per_key(
         df,
         keys=list(keys),
         order_by=[F.col(c).asc() for c in order_by] if order_by else [F.col(k).asc() for k in keys],
-        tiebreak=list(keys),
+        tiebreak=non_key if non_key else list(keys),
     )
-    if backend == "delta" or (backend == "auto" and _delta_available()):
+    if backend == "delta" or (backend == "auto" and _delta_usable(df, path)):
         if not _delta_available():
             raise RuntimeError(
                 "backend='delta' requires the delta-spark package; "
                 "use backend='parquet' (single-writer) instead"
             )
-        return _write_merge_delta(incoming, path, keys)
+        return _write_merge_delta(incoming, path, keys, partition_cols)
 
     if ensure_table(spark, path, df, partition_cols) or not _has_data_files(
         spark, path
@@ -239,11 +278,28 @@ def write_ignore_conflicts(
         existing = spark.read.parquet(path)
         # a partitioned read reorders partition columns to the end of the
         # schema, so the contract is name-set equality there; the plain
-        # sink keeps the stricter positional contract (S:123-139)
+        # sink keeps the stricter positional contract (S:123-139).
+        # TYPES are checked too (for non-partition columns — partition
+        # values are re-inferred from directory names, so their read-back
+        # type is not authoritative): a same-named column whose type
+        # drifted would append mixed-type part files that poison every
+        # later read of the sink, far from the batch that caused it.
         if partition_cols:
             ok = sorted(existing.columns) == sorted(df.columns)
         else:
             ok = [f.name for f in existing.schema.fields] == [f.name for f in df.schema.fields]
+        if ok:
+            part = set(partition_cols)
+            in_types = {f.name: f.dataType for f in df.schema.fields}
+            drift = {
+                f.name: (f.dataType.simpleString(), in_types[f.name].simpleString())
+                for f in existing.schema.fields
+                if f.name not in part and f.dataType != in_types[f.name]
+            }
+            if drift:
+                raise SchemaContractError(
+                    f"sink {path}: column type drift (existing vs incoming): {drift}"
+                )
         if not ok:
             raise SchemaContractError(
                 f"sink {path}: existing columns {existing.columns} != incoming {df.columns}"

@@ -144,8 +144,21 @@ def assert_schema(df: DataFrame, expected: T.StructType, table: str) -> None:
 # re-reads footers on every call (~0.1 s each driver-side), but the
 # resulting DataFrame is an immutable logical plan — loading the same
 # table twice in one session does identical work. Keyed on the session
-# object so a stopped/replaced session (tests) never serves stale plans.
-_MEMO: dict[tuple[SparkSession, str, str], DataFrame] = {}
+# object so a stopped/replaced session (tests) never serves stale plans,
+# AND on the path's mtime: a memoized DataFrame pins the file listing
+# snapshotted at first load, so a fixture regenerated in-place mid-
+# session would otherwise serve deleted part files (FileNotFound) or
+# stale rows. The mtime stat is ~microseconds vs the ~0.1 s re-plan.
+_MEMO: dict[tuple[SparkSession, str, str, float], DataFrame] = {}
+
+
+def _path_mtime(path: str) -> float:
+    import os
+
+    try:
+        return os.path.getmtime(path)
+    except OSError:
+        return -1.0  # nonexistent/remote: let the read itself report it
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -155,7 +168,7 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     truncated to microseconds exactly like DuckDB truncates TIMESTAMP_NS,
     so oracle comparisons agree at sub-second precision.
     """
-    key = (spark, sf_dir, name)
+    key = (spark, sf_dir, name, _path_mtime(f"{sf_dir}/{name}.parquet"))
     if key in _MEMO:
         return _MEMO[key]
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")

@@ -25,36 +25,21 @@ the corpus.
 
 from __future__ import annotations
 
-import hashlib
-import os
-import tempfile
-
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..operators.sampling import hash_sample
 from ..operators.text import lang_id, n_tokens, quality_score
-from .windows import stream_ignore_conflicts
+from .windows import stage_single_file, stream_ddl, stream_ignore_conflicts
 
 
 def stream_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """File-source stream over the documents fixture with the batch
-    loader's schema. Spark's file stream source only accepts
-    directories; a single-file fixture is exposed through a read-only
-    symlink staging directory (same approach as stream_events)."""
-    src = f"{sf_dir}/documents.parquet"
-    if os.path.isfile(src):
-        d = os.path.join(
-            tempfile.gettempdir(),
-            "ferramenta_docstream_" + hashlib.md5(src.encode()).hexdigest()[:8],
-        )
-        os.makedirs(d, exist_ok=True)
-        link = os.path.join(d, "documents.parquet")
-        if not os.path.exists(link):
-            os.symlink(src, link)
-        src = d
-    schema = "doc_id long, text string, lang string, source string, n_chars long"
-    return spark.readStream.schema(schema).parquet(src)
+    loader's schema (derived from the same EXPECTED_SCHEMAS catalog, so
+    stream and batch cannot drift); single-file fixtures stage through
+    the shared symlink helper."""
+    src = stage_single_file(f"{sf_dir}/documents.parquet", "ferramenta_docstream")
+    return spark.readStream.schema(stream_ddl("documents")).parquet(src)
 
 
 def curation_stream(

@@ -58,7 +58,6 @@ _STATE_SCHEMA = T.StructType(
     ]
 )
 
-_MS = 1  # state timestamps are epoch millis throughout
 
 
 def _close(user_id: int, st: tuple, reason: str) -> dict:
@@ -115,7 +114,15 @@ def _make_fn(gap_ms: int, cap_ms: int):
                     out.append(_close(user_id, st, "cap"))
                     st = (t_ms, t_ms, 1, v)
                 else:
-                    st = (start, t_ms, n + 1, s + v)
+                    # ENVELOPE update, not assignment: a cross-batch late
+                    # event (inside the watermark, so not dropped) can
+                    # carry t_ms < last — assigning last=t_ms would
+                    # regress session_end_ms, mis-split the NEXT event on
+                    # a phantom gap, and re-arm the timeout in the past
+                    # (premature flush). min/max keeps the session the
+                    # envelope of its events; in-order streams see the
+                    # identical transitions as before.
+                    st = (min(start, t_ms), max(last, t_ms), n + 1, s + v)
 
         if st is not None:
             state.update(st)
@@ -186,6 +193,8 @@ def capped_sessions_batch_replay(
     gap_ms, cap_ms = _duration_ms(gap), _duration_ms(max_duration)
     wm_delay_ms = _duration_ms(watermark)
     pdf = events.select("ts", "user_id", "value").toPandas()
+    if pdf.empty:  # no events -> no sessions (max() of nothing is NaN)
+        return pd.DataFrame(columns=[f.name for f in SESSION_SCHEMA.fields])
     wm_ms = int(pdf["ts"].astype("int64").max() // 1_000_000) - wm_delay_ms
     rows: list[dict] = []
     for user_id, g in pdf.groupby("user_id"):

@@ -25,39 +25,54 @@ from ..functions.tsql import epoch_ms
 from ..sources.tables import EXPECTED_SCHEMAS
 
 
+def stage_single_file(src: str, prefix: str) -> str:
+    """Spark's file stream source only accepts directories; a single-file
+    fixture is exposed through a read-only symlink staging directory
+    (nothing copied). In production the source is simply the ingest
+    directory and this helper is a no-op. Shared by every stream source
+    so staging fixes land once."""
+    import hashlib
+    import os
+    import tempfile
+
+    if not os.path.isfile(src):
+        return src
+    d = os.path.join(
+        tempfile.gettempdir(),
+        prefix + "_" + hashlib.md5(src.encode()).hexdigest()[:8],
+    )
+    os.makedirs(d, exist_ok=True)
+    link = os.path.join(d, os.path.basename(src))
+    if not os.path.exists(link):
+        os.symlink(src, link)
+    return d
+
+
+def stream_ddl(table: str, overrides: dict[str, str] | None = None) -> str:
+    """Render EXPECTED_SCHEMAS[table] as a readStream DDL string, with
+    per-column type overrides — ONE source of truth for stream and batch
+    schemas, so a retyped column in the catalog can't silently drift
+    from a hand-rolled stream schema."""
+    overrides = overrides or {}
+    return ", ".join(
+        f"{f.name} {overrides.get(f.name, f.dataType.simpleString())}"
+        for f in EXPECTED_SCHEMAS[table].fields
+    )
+
+
 def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """File-source stream over the events fixture, normalized to the same
     shape as the batch loader (sources/tables.py): ``ts`` may arrive as a
     plain timestamp[us] or as TIMESTAMP(NANOS) surfaced as int64 (under
     nanosAsLong, see session.py) depending on the fixture writer; a cheap
     batch footer probe picks the matching stream schema so stream and
-    batch read identical values.
-
-    Spark's file stream source only accepts directories; the fixture is a
-    single file, so it is exposed through a symlink staging directory
-    (read-only, nothing copied) — in production the source is simply the
-    ingest directory and this branch never runs."""
-    import hashlib
-    import os
-    import tempfile
-
+    batch read identical values."""
     src = f"{sf_dir}/events.parquet"
     ts_dtype = dict(spark.read.parquet(src).dtypes).get("ts", "timestamp")
-    if os.path.isfile(src):
-        d = os.path.join(
-            tempfile.gettempdir(),
-            "ferramenta_stream_" + hashlib.md5(src.encode()).hexdigest()[:8],
-        )
-        os.makedirs(d, exist_ok=True)
-        link = os.path.join(d, "events.parquet")
-        if not os.path.exists(link):
-            os.symlink(src, link)
-        src = d
-    schema = (
-        f"event_id long, ts {ts_dtype}, user_id long, event_type string, "
-        "value double, props string"
-    )
-    raw = spark.readStream.schema(schema).parquet(src)
+    src = stage_single_file(src, "ferramenta_stream")
+    raw = spark.readStream.schema(
+        stream_ddl("events", {"ts": ts_dtype})
+    ).parquet(src)
     if ts_dtype == "bigint":
         raw = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     elif ts_dtype == "timestamp_ntz":
