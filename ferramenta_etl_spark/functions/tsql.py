@@ -79,10 +79,17 @@ def epoch_ms(col: Column | str) -> Column:
     loader normalization — but forbids BIGINT -> TIMESTAMP_NTZ, so the
     unnormalized path fails at plan time instead. The session timezone is
     pinned to UTC, so TIMESTAMP <-> NTZ is a pure reinterpretation that
-    agrees with DuckDB's naive-timestamp ``epoch_us``."""
+    agrees with DuckDB's naive-timestamp ``epoch_us``.
+
+    The floor is EXACT integer math (subtract the non-negative remainder,
+    then divide — the result is an integral value below 2^53, so the
+    double division is exact): ``floor(micros / 1000.0)`` in IEEE doubles
+    can land one ms high when |micros| > ~2^53 (quotient ulp ~0.03 at
+    year 9999 sentinels). Oracle-side mirror (same exact math):
+    ``(epoch_us(x) - ((epoch_us(x) % 1000) + 1000) % 1000) / 1000``."""
     c = F.col(col) if isinstance(col, str) else col
     micros = F.unix_micros(c.cast("timestamp_ntz").cast("timestamp"))
-    return F.floor(micros / 1000).cast("long")
+    return ((micros - F.pmod(micros, F.lit(1000))) / 1000).cast("long")
 
 
 def money(col: Column | str, scale: int = 2) -> Column:

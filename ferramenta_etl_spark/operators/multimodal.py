@@ -47,18 +47,25 @@ def attach_fake_media(documents: DataFrame) -> DataFrame:
     return documents.select(
         "doc_id",
         media.alias("media"),
+        # pmod, not %: Spark's % keeps the dividend's sign, so a
+        # negative doc_id would index element_at at 0 (runtime error) or
+        # negatively (silent from-the-end lookup); null ids stay null
         F.element_at(
             F.array(*[F.lit(t) for t in MEDIA_TYPES]),
-            (F.col("doc_id") % 3 + 1).cast("int"),
+            (F.pmod(F.col("doc_id"), F.lit(len(MEDIA_TYPES))) + 1).cast("int"),
         ).alias("media_type"),
         (F.length(media) / 40 + 1).cast("int").alias("n_frames"),
     )
 
 
-def _fake_decode(media_type: str, raw: bytes) -> dict:
+def _fake_decode(media_type: str, raw: bytes | None) -> dict:
     """FAKE CODEC — deterministic stand-in for image/audio/video decode.
     Real implementation would dispatch to PIL / soundfile / pyav here.
-    Kept arithmetic-only so oracles can reproduce it."""
+    Kept arithmetic-only so oracles can reproduce it. A NULL payload
+    (failed upstream fetch) yields all-null features — one bad row must
+    not TypeError the whole Arrow batch."""
+    if raw is None:
+        return {"byte_len": None, "width": None, "height": None, "checksum": None}
     n = len(raw)
     return {
         "byte_len": n,
@@ -129,11 +136,17 @@ def frame_sample_schedule(
     """
     if every_n < 1:
         raise ValueError(f"every_n must be >= 1, got {every_n}")
-    idx = F.sequence(
-        F.lit(0), F.greatest(F.col(n_frames_col) - 1, F.lit(0)), F.lit(every_n)
+    # media with no frames (n_frames <= 0) or unknown frame count (NULL)
+    # schedules NOTHING — the old greatest(n-1, 0) clamp told the decoder
+    # to fetch frame 0 of a zero-frame container, and a NULL count was
+    # silently dropped by the inner explode with no visible policy
+    idx = F.when(
+        F.col(n_frames_col) >= 1,
+        F.sequence(F.lit(0), F.col(n_frames_col) - 1, F.lit(every_n)),
     )
-    return media_df.select(F.col(id_col), F.explode(idx).alias("frame_idx")).select(
-        id_col, F.col("frame_idx").cast("int").alias("frame_idx")
+    return (
+        media_df.select(F.col(id_col), F.explode(idx).alias("frame_idx"))
+        .select(id_col, F.col("frame_idx").cast("int").alias("frame_idx"))
     )
 
 

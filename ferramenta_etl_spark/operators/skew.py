@@ -54,6 +54,11 @@ def salted_join(
     """
     if how not in ("inner", "left"):
         raise ValueError("salted_join supports inner and left equi-joins")
+    if salt < 1:
+        # salt=0 would pmod-divide by zero (ANSI abort — or, with ANSI
+        # off, NULL salts that silently match nothing: zero-row inner
+        # joins); negative salts build an empty replica sequence
+        raise ValueError(f"salt must be >= 1, got {salt}")
     salt_col = F.pmod(F.monotonically_increasing_id(), F.lit(salt)).cast("int")
     big_s = big.withColumn("__salt", salt_col)
     small_s = small.withColumn(

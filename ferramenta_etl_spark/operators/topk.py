@@ -46,10 +46,18 @@ def grouped_topk(
     WindowGroupLimit(Final): no task ever sorts more than its own input
     partition, and only <= k rows per (group, input-partition) shuffle.
     """
-    if rank_fn.__name__ not in _GROUP_LIMIT_FNS:
+    fn_name = getattr(rank_fn, "__name__", repr(rank_fn))
+    if fn_name not in _GROUP_LIMIT_FNS:
         raise ValueError(
             f"rank_fn must be one of {sorted(_GROUP_LIMIT_FNS)} for the "
-            f"WindowGroupLimit rewrite to apply, got {rank_fn.__name__!r}"
+            f"WindowGroupLimit rewrite to apply, got {fn_name!r}"
+        )
+    if rank_col in df.columns:
+        # withColumn would silently overwrite the caller's data with
+        # window ranks; refuse instead
+        raise ValueError(
+            f"input already has a column named {rank_col!r}; pass a "
+            "different rank_col"
         )
     from ..sources.tables import ensure_scan_parallelism
 

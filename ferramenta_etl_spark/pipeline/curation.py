@@ -49,17 +49,27 @@ def curate_documents(
     lang_quota: int | None = None,
     clean_lines: bool = False,
 ) -> int:
-    """Run the curation pipeline; returns rows appended to the sink."""
+    """Run the curation pipeline; returns rows appended to the sink.
+
+    The intermediate persist curated_frame creates (exact_unique, which
+    feeds both the pair generation and the survivor anti-join) is
+    RELEASED after the sink write — without the unpersist every run in a
+    long-lived session (run-all, repeated CLI invocations) left another
+    cached copy pinned in executor storage."""
     curated = curated_frame(
         spark, sf_dir, min_quality, min_tokens, benchmark, decontaminate_n,
         redact, sample_rate, lang_quota, clean_lines,
     )
-    return write_ignore_conflicts(
-        curated,
-        f"{sink_dir}/curated_documents",
-        keys=["lang", "doc_id"],
-        partition_cols=["lang"],
-    )
+    try:
+        return write_ignore_conflicts(
+            curated,
+            f"{sink_dir}/curated_documents",
+            keys=["lang", "doc_id"],
+            partition_cols=["lang"],
+        )
+    finally:
+        for dep in getattr(curated, "_persisted_deps", ()):
+            dep.unpersist()
 
 
 def curated_frame(
@@ -129,6 +139,11 @@ def curated_frame(
         # original would stop matching each other
         redact_pii(F.col("text")).alias("text") if redact else F.col("text")
     )
-    return survivors.select(
+    out = survivors.select(
         "doc_id", "lang", "source", "quality", "n_tok", text_out
     )
+    # expose the persisted intermediate so batch callers (curate_documents)
+    # can release it once the result is materialized; bench's plan-cached
+    # composite deliberately keeps it warm across timed runs
+    out._persisted_deps = (exact_unique,)
+    return out

@@ -140,17 +140,20 @@ def build_jobs(
         )
 
     def adicionais(spark: SparkSession) -> int:
+        from ..functions.tsql import round2_stable
+
         li = load_table(spark, sf_dir, "lineitem")
         add = li.select(
             F.col("l_orderkey").alias("id_manifesto"),
             F.col("l_linenumber").alias("cd_parcela"),
-            F.round(
+            # the shared cross-engine money rounding (round(x*100)/100
+            # + the -0.0 normalization) — not a hand-rolled copy that
+            # could drift from the helper's contract
+            round2_stable(
                 F.col("l_extendedprice") * (1 - F.col("l_discount"))
                 * (1 + F.col("l_tax"))
-                * 100
-            ).alias("vl_adicional_c"),
-        ).withColumn("vl_adicional", (F.col("vl_adicional_c") / 100).cast("double")) \
-         .drop("vl_adicional_c")
+            ).alias("vl_adicional"),
+        )
         return write_ignore_conflicts(
             add, f"{sink_dir}/view_adicionais", keys=["id_manifesto", "cd_parcela"],
             bad_records_path=_bad("view_adicionais"),

@@ -594,8 +594,12 @@ def text_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     "multimodal_meta",
     """
     SELECT doc_id,
-           CASE CAST(doc_id % 3 AS INT)
-                WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END
+           -- pmod + explicit WHEN 2: negative ids map like Spark's pmod
+           -- (DuckDB % keeps the dividend sign) and a NULL id yields
+           -- NULL, not the ELSE arm
+           CASE CAST(((doc_id % 3) + 3) % 3 AS INT)
+                WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+                WHEN 2 THEN 'video' END
              AS media_type,
            CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
            CAST(octet_length(encode(text)) % 640 AS BIGINT) AS width,
@@ -620,16 +624,21 @@ def multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM documents
     )
     SELECT doc_id,
-           CASE CAST(doc_id % 3 AS INT)
-                WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END
+           CASE CAST(((doc_id % 3) + 3) % 3 AS INT)
+                WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+                WHEN 2 THEN 'video' END
              AS media_type,
            CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
            CAST(octet_length(encode(text)) % 640 AS BIGINT) AS width,
            CAST((octet_length(encode(text)) * 7) % 480 AS BIGINT) AS height,
-           CAST(COALESCE(list_sum(
-               [ (strpos('0123456789ABCDEF', h[i]) - 1)
-                 * (CASE WHEN i % 2 = 1 THEN 16 ELSE 1 END)
-                 for i in range(1, len(h) + 1) ]), 0) % 2147483648 AS BIGINT)
+           -- NULL text -> NULL checksum (the fake codec's null-payload
+           -- policy); the COALESCE 0 is only for EMPTY payloads
+           CASE WHEN text IS NULL THEN NULL
+                ELSE CAST(COALESCE(list_sum(
+                    [ (strpos('0123456789ABCDEF', h[i]) - 1)
+                      * (CASE WHEN i % 2 = 1 THEN 16 ELSE 1 END)
+                      for i in range(1, len(h) + 1) ]), 0) % 2147483648
+                    AS BIGINT) END
              AS checksum
     FROM b
     """,
@@ -647,7 +656,13 @@ def multimodal_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Event-time windowing (batch semantics; streaming mirrors in streaming/)
 # ===========================================================================
 
-_EPOCH = "CAST(floor(epoch_us({0}) / 1000) AS BIGINT)"
+# exact integer floor (mirrors functions/tsql.epoch_ms): subtract the
+# non-negative remainder, then divide — no double-rounding at extreme
+# timestamps
+_EPOCH = (
+    "CAST((epoch_us({0}) - ((epoch_us({0}) % 1000) + 1000) % 1000) / 1000"
+    " AS BIGINT)"
+)
 
 
 @_q(

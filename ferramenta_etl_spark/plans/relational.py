@@ -840,9 +840,12 @@ def range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM tagged
     )
     SELECT user_id, event_id AS purchase_id,
-           CAST(floor(epoch_us(ts) / 1000) AS BIGINT) AS purchase_ts_ms,
+           CAST((epoch_us(ts) - ((epoch_us(ts) % 1000) + 1000) % 1000) / 1000
+                AS BIGINT) AS purchase_ts_ms,
            last_signup_id AS signup_id,
-           CAST(floor(epoch_us(last_signup_ts) / 1000) AS BIGINT) AS signup_ts_ms
+           CAST((epoch_us(last_signup_ts)
+                 - ((epoch_us(last_signup_ts) % 1000) + 1000) % 1000) / 1000
+                AS BIGINT) AS signup_ts_ms
     FROM filled WHERE event_type = 'purchase'
     """,
 )

@@ -71,11 +71,20 @@ def table_scan_options(
     source's connection budget, not the cluster's core count)."""
     opts = {**cfg.base_options(), "dbtable": table}
     if partition_column is not None:
+        # fail HERE, not as a NumberFormatException('None') deep inside
+        # the JDBC scan build: a partitioned scan needs real bounds
+        if lower_bound is None or upper_bound is None:
+            raise ValueError(
+                "partition_column requires lower_bound and upper_bound "
+                f"(got {lower_bound!r}, {upper_bound!r})"
+            )
+        if num_partitions is not None and num_partitions < 1:
+            raise ValueError(f"num_partitions must be >= 1, got {num_partitions}")
         opts.update(
             partitionColumn=partition_column,
             lowerBound=str(lower_bound),
             upperBound=str(upper_bound),
-            numPartitions=str(num_partitions or 8),
+            numPartitions=str(num_partitions if num_partitions is not None else 8),
         )
     return opts
 
@@ -105,7 +114,8 @@ def jdbc_append_writer(df: DataFrame, cfg: JdbcConfig, table: str):
     For the reference's ON CONFLICT DO NOTHING semantics, pre-filter with
     sinks.write_ignore_conflicts-style anti-join against the target keys,
     or point the writer at a staging table and MERGE server-side."""
-    w = df.write.format("jdbc").mode("append")
-    for k, v in {**cfg.base_options(), "dbtable": table}.items():
-        w = w.option(k, v)
-    return w
+    return (
+        df.write.format("jdbc")
+        .mode("append")
+        .options(**cfg.base_options(), dbtable=table)
+    )
