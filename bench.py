@@ -70,18 +70,9 @@ def main() -> None:
     # (session, dataset) — the prepared-statement analog — so warm runs
     # measure execution, not py4j plan-reconstruction; for curation this
     # also keeps its persist()/checkpoint intermediates stable across
-    # runs instead of re-materializing them per timed run).
-    def _cached(fn):
-        cache: dict = {}
-
-        def wrapper(spark, sf):
-            key = (spark.sparkContext.applicationId, sf)
-            if key not in cache:
-                cache.clear()
-                cache[key] = fn(spark, sf)
-            return cache[key]
-
-        return wrapper
+    # runs instead of re-materializing them per timed run). One shared
+    # implementation with the registry — policy changes land once.
+    from ferramenta_etl_spark.plans._registry import plan_cache as _cached
 
     # The flagship composition (filter -> dedup -> near-dup collapse ->
     # redact) benches end-to-end as one entry; it is not in the 50-query
@@ -130,6 +121,12 @@ def main() -> None:
     queries["embedding_quantized_topk"] = _cached(_quantized_topk)
     queries["embedding_ann_lsh"] = _cached(_lsh_ann)
     names = [n for n in HEADLINE if n in queries]
+    missing = [n for n in HEADLINE if n not in queries]
+    if missing:
+        # stderr: stdout must stay exactly one JSON line. A silently
+        # shrunken headline set would read as a round-over-round speedup.
+        print(f"WARNING: headline queries missing from registry: {missing}",
+              file=sys.stderr)
 
     timings: dict[str, float] = {}
     for name in names:

@@ -9,13 +9,45 @@ driver-side socket latency at local[32]; an IVF build additionally
 re-collects its centroid metadata). Query engines cache parsed/optimized
 plans for exactly this reason — the registry's jobs re-run the same
 plans on every schedule tick. The cache key includes
-``applicationId``, so a new session (new catalog/conf) re-plans, and
-``sf_dir``, so different datasets never share a plan.
+``applicationId``, so a new session (new catalog/conf) re-plans,
+``sf_dir``, so different datasets never share a plan, and the data
+directory's mtime, so a fixture regenerated in place re-plans instead
+of serving a DataFrame whose file listing pins deleted part files
+(the same staleness guard as sources/tables.load_table's memo).
 """
 
 from __future__ import annotations
 
 import functools
+import os
+
+
+def _dir_mtime(path: str) -> float:
+    try:
+        return os.path.getmtime(path)
+    except OSError:
+        return -1.0  # nonexistent/remote: let the read itself report it
+
+
+def plan_cache(fn):
+    """Cache fn(spark, sf_dir) per (session, dataset, dataset-mtime).
+    Extra keyword arguments BYPASS the cache (a non-default variant must
+    not overwrite — or be served from — the default plan). Shared by the
+    registry below and bench.py's bench-only composites, so the caching
+    policy lives in one place."""
+    cache: dict = {}
+
+    @functools.wraps(fn)
+    def wrapper(spark, sf_dir, **kwargs):
+        if kwargs:
+            return fn(spark, sf_dir, **kwargs)
+        key = (spark.sparkContext.applicationId, sf_dir, _dir_mtime(sf_dir))
+        if key not in cache:
+            cache.clear()  # one live session at a time: no growth
+            cache[key] = fn(spark, sf_dir)
+        return cache[key]
+
+    return wrapper
 
 
 def make_registry():
@@ -25,16 +57,7 @@ def make_registry():
 
     def _q(name: str, oracle: str | None = None):
         def deco(fn):
-            cache: dict = {}
-
-            @functools.wraps(fn)
-            def wrapper(spark, sf_dir):
-                key = (spark.sparkContext.applicationId, sf_dir)
-                if key not in cache:
-                    cache.clear()  # one live session at a time: no growth
-                    cache[key] = fn(spark, sf_dir)
-                return cache[key]
-
+            wrapper = plan_cache(fn)
             queries[name] = wrapper
             if oracle is not None:
                 oracles[name] = oracle

@@ -15,9 +15,9 @@ import math
 
 from pyspark.sql import DataFrame, SparkSession
 
-TABLE_NAMES = (
-    "region nation customer supplier part orders lineitem events documents embeddings"
-).split()
+# one source of truth with the batch loaders: a table added to the
+# catalog is automatically visible to every local oracle run
+from ferramenta_etl_spark.sources.tables import TABLES as TABLE_NAMES
 
 
 def _norm_value(v):
@@ -28,7 +28,10 @@ def _norm_value(v):
     if isinstance(v, float):
         if math.isnan(v):
             return "f:nan"
-        return f"f:{v!r}"
+        # float(v): np.float64 subclasses float, and its repr under
+        # numpy>=2 is 'np.float64(1.5)' — normalizing through the plain
+        # float constructor keeps both engines' 1.5 equal
+        return f"f:{float(v)!r}"
     if isinstance(v, _dec.Decimal):
         return f"d:{v}"
     if isinstance(v, _dt.datetime):
@@ -57,10 +60,16 @@ def duckdb_connection(sf_dir: str):
     import duckdb
 
     con = duckdb.connect()
-    for t in TABLE_NAMES:
-        con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
-        )
+    safe_dir = sf_dir.replace("'", "''")  # path with a quote must not break SQL
+    try:
+        for t in TABLE_NAMES:
+            con.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM "
+                f"read_parquet('{safe_dir}/{t}.parquet')"
+            )
+    except Exception:
+        con.close()
+        raise
     return con
 
 
