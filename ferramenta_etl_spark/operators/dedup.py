@@ -111,11 +111,23 @@ def portable_hash(col: Column, hex_chars: int = 14) -> Column:
     return F.conv(F.substring(F.md5(col), 1, hex_chars), 16, 10).cast("bigint")
 
 
+def shifted_fold(arr: Column, k: int, m: Column, combine) -> Column:
+    """Fold ``k`` shifted slices of ``arr`` with ``combine`` via zip_with
+    — THE O(tokens)-per-pass sliding-window idiom shared by shingles,
+    shingle hashes, winnowing window-min, and the n-gram builders
+    (text._gram_zip). Deliberately NOT transform-over-indexes: an outer
+    expression referenced inside a HOF lambda re-evaluates PER ELEMENT,
+    turning each row quadratic (measured 2x end-to-end; ~40x on
+    book-length docs). ``m`` is the output length (window count)."""
+    acc = F.slice(arr, 1, m)
+    for j in range(1, k):
+        acc = F.zip_with(acc, F.slice(arr, j + 1, m), combine)
+    return acc
+
+
 def shingles(text: Column, k: int = 3) -> Column:
-    """DISTINCT k-token shingles as strings — a zip_with fold over k
-    shifted slices (JVM-side, no UDF, O(tokens) per pass; the
-    transform-with-index form re-evaluates the split per element, see
-    shingle_hashes).
+    """DISTINCT k-token shingles as strings (shifted_fold with a
+    space-concat combiner).
 
     Contract: docs shorter than k tokens yield an EMPTY set —
     consistent with shingle_hashes (short docs drop out of MinHash by
@@ -124,12 +136,9 @@ def shingles(text: Column, k: int = 3) -> Column:
     index-transform form emitted one partial shingle for short docs.)"""
     toks = tokens(text)
     m = F.greatest(F.size(toks) - F.lit(k - 1), F.lit(0))
-    acc = F.slice(toks, 1, m)
-    for j in range(1, k):
-        acc = F.zip_with(
-            acc, F.slice(toks, j + 1, m), lambda x, y: F.concat_ws(" ", x, y)
-        )
-    return F.array_distinct(acc)
+    return F.array_distinct(
+        shifted_fold(toks, k, m, lambda x, y: F.concat_ws(" ", x, y))
+    )
 
 
 def shingle_hashes(text: Column, k: int = 3, portable: bool = False) -> Column:
@@ -149,14 +158,9 @@ def shingle_hashes(text: Column, k: int = 3, portable: bool = False) -> Column:
     base = portable_hash if portable else F.xxhash64
     th = F.transform(toks, lambda t: F.pmod(base(t), p))
     m = F.greatest(F.size(toks) - F.lit(k - 1), F.lit(0))
-    acc = F.slice(th, 1, m)
-    for j in range(1, k):
-        acc = F.zip_with(
-            acc,
-            F.slice(th, j + 1, m),
-            lambda x, y: F.pmod(x * F.lit(1_000_003) + y, p),
-        )
-    return acc
+    return shifted_fold(
+        th, k, m, lambda x, y: F.pmod(x * F.lit(1_000_003) + y, p)
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -178,9 +182,12 @@ def tokenset_jaccard_pairs(
     Blocking = equality on ``block_cols`` plus a coarse length bucket:
     candidate pairs are generated by a hash-join on the block key, never a
     cross join, so cost is sum over blocks of |block|^2 rather than N^2.
-    (Docs whose lengths differ by more than one bucket cannot reach a 0.8
-    Jaccard anyway for uniform token lengths — standard prefix/length
-    filtering.)
+    Docs whose lengths differ by more than one bucket cannot reach a high
+    Jaccard for uniform token lengths (standard length filtering) — so
+    each doc is keyed under BOTH its bucket and the next one, making
+    pairs that STRADDLE a bucket boundary collide (equal-bucket-only
+    joins silently missed a 15-char/17-char identical-token pair at the
+    16-char boundary); same-bucket pairs collide twice and dedup.
     """
     toks = df.select(
         F.col(id_col),
@@ -189,10 +196,11 @@ def tokenset_jaccard_pairs(
         distinct_tokens(F.col(text_col)).alias("toks"),
     )
     if length_col is not None:
+        bucket = F.floor(F.col(length_col) / F.lit(length_bucket))
         toks = toks.withColumn(
-            "block_len", F.floor(F.col(length_col) / F.lit(length_bucket))
+            "block_key", F.explode(F.array(bucket, bucket + 1))
         )
-    block_keys = list(block_cols) + ([] if length_col is None else ["block_len"])
+    block_keys = list(block_cols) + ([] if length_col is None else ["block_key"])
     a = toks.alias("a")
     b = toks.alias("b")
     cond = [F.col(f"a.{c}") == F.col(f"b.{c}") for c in block_keys]
@@ -206,6 +214,7 @@ def tokenset_jaccard_pairs(
             F.col(f"b.{id_col}").alias("doc_id_b"),
             F.round(inter.cast("double") / union.cast("double"), 4).alias("jaccard"),
         )
+        .dropDuplicates(["doc_id_a", "doc_id_b"])
         .filter(F.col("jaccard") >= threshold)
     )
 
@@ -312,6 +321,12 @@ def banded_signatures(
     estimation. Map-only (signature projection + band explode); this is
     both minhash_lsh_pairs' candidate stage and the PERSISTED layout of
     the incremental dedup index (pipeline/dedup_index.py)."""
+    if bands < 1 or num_hashes % bands != 0:
+        # rows = num_hashes // bands = 0 would hash EMPTY band slices:
+        # every doc gets the same constant bhash and the LSH self-join
+        # degenerates into a full N^2 cross join; a non-dividing bands
+        # count would silently ignore trailing signature positions
+        raise ValueError(f"bands ({bands}) must divide num_hashes ({num_hashes})")
     rows = num_hashes // bands
     sig = minhash_signatures(
         df, num_hashes, shingle_k, text_col, id_col, portable
@@ -525,12 +540,19 @@ def connected_components(
             .groupBy("src")
             .agg(F.min("dst_label").alias("nbr_min"))
         )
-        stepped = labels.join(nbr_min, labels.v == nbr_min.src, "left").select(
-            labels.v,
-            F.least(
-                F.col("label"), F.coalesce(F.col("nbr_min"), F.col("label"))
-            ).alias("label"),
-            F.col("label").alias("__old"),
+        # checkpoint: stepped feeds BOTH sides of the pointer-jump
+        # self-join below — un-materialized, the edge-labels join +
+        # groupBy-min would execute twice per round (the dominant cost)
+        stepped = (
+            labels.join(nbr_min, labels.v == nbr_min.src, "left")
+            .select(
+                labels.v,
+                F.least(
+                    F.col("label"), F.coalesce(F.col("nbr_min"), F.col("label"))
+                ).alias("label"),
+                F.col("label").alias("__old"),
+            )
+            .localCheckpoint(eager=True)
         )
         # Pointer jumping: label <- label[label]. Labels only decrease
         # and label[u] <= u, so the jump stays inside the component and
@@ -644,6 +666,15 @@ def simhash_near_dup_pairs(
     on high-duplication corpora run exact dedup FIRST — identical texts
     share a fingerprint, putting whole dup-groups into every block.
     """
+    if max_hamming > n_blocks - 1:
+        # the pigeonhole guarantee only covers distance <= n_blocks-1:
+        # a more distant pair can differ in EVERY block and never become
+        # a candidate — returning a plausible-looking but incomplete
+        # pair set would silently violate the recall contract
+        raise ValueError(
+            f"max_hamming ({max_hamming}) exceeds the pigeonhole recall "
+            f"bound n_blocks-1 ({n_blocks - 1}); raise n_blocks"
+        )
     bits = 60 if portable else 64  # 60 = 15 md5 hex chars, see portable_hash
     assert bits % n_blocks == 0
     width = bits // n_blocks

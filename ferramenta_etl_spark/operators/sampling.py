@@ -116,8 +116,18 @@ def proportional_allocation(
     w = Window.partitionBy(*strata).orderBy(
         _bucket(F.col(id_col), seed).asc(), F.col(id_col).asc()
     )
+    # eqNullSafe join: a NULL stratum is counted and allocated a quota
+    # like any other group (groupBy keeps it; Window.partitionBy keeps
+    # it), so a null-rejecting equi-join here would silently drop every
+    # NULL-stratum row from the sample — stratified_sample and this
+    # operator must agree on the NULL group
+    cond = None
+    for c in strata:
+        eq = df[c].eqNullSafe(quotas[c])
+        cond = eq if cond is None else (cond & eq)
     return (
-        df.join(F.broadcast(quotas), list(strata))
+        df.join(F.broadcast(quotas), cond)
+        .drop(*[quotas[c] for c in strata])
         .withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") <= F.col("__quota"))
         .drop("__rn", "__quota")

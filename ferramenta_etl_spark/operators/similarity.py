@@ -198,7 +198,14 @@ def lloyd_refine(
             .collect()
         )
         new = {int(r.centroid_id): [float(x) for x in r.mean_vec] for r in means}
-        centroids = [(cid, new.get(cid, vec)) for cid, vec in centroids]
+        # zero-norm means (a bucket of exact negations averages to the
+        # origin) keep the OLD centroid: a zero centroid has no cosine
+        # and would divide-by-zero the next assignment pass (ANSI abort
+        # on the literal path, inf/nan garbage on the Arrow path)
+        centroids = [
+            (cid, new[cid] if _seq_norm(new.get(cid, [])) > 0 else vec)
+            for cid, vec in centroids
+        ]
     return centroids
 
 
@@ -538,7 +545,12 @@ def ivf_topk_on_index(
     unprobed fraction of the corpus is never read from disk), and finish
     with the same broadcast-probe join + two-phase top-k as ivf_topk."""
     cents = load_ivf_centroids(path)
-    probes = _query_probes(queries, cents, nprobe, query_id_col, query_vec_col)
+    # checkpoint: the probes plan serves TWO consumers (the pruning
+    # collect and the broadcast join) — un-materialized it would execute
+    # the probe scoring twice per serve call
+    probes = _query_probes(
+        queries, cents, nprobe, query_id_col, query_vec_col
+    ).localCheckpoint(eager=True)
     probed_ids = sorted(
         {r.centroid_id for r in probes.select("centroid_id").distinct().collect()}
     )

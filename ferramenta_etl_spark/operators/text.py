@@ -115,19 +115,15 @@ def quality_score(text: Column) -> Column:
 
 
 def _gram_zip(toks: Column, n: int, m: Column) -> Column:
-    """Sliding n-gram strings as a zip_with chain over n shifted slices
-    of the token array — every pass is O(tokens). The transform(indexes,
-    i -> concat_ws(slice(toks, i, n))) form re-evaluates ``toks`` (the
-    split) PER ELEMENT inside the lambda, turning each row quadratic in
-    token count — the same measured trap dedup.shingle_hashes documents
-    for hashes. concat_ws skips the nulls zip_with pads with, which is
-    what gives token_ngrams its partial short-doc gram for free."""
-    acc = F.slice(toks, 1, m)
-    for j in range(1, n):
-        acc = F.zip_with(
-            acc, F.slice(toks, j + 1, m), lambda x, y: F.concat_ws(" ", x, y)
-        )
-    return acc
+    """Sliding n-gram strings via the shared shifted-slice fold
+    (dedup.shifted_fold — every pass O(tokens); see its docstring for
+    the measured per-element re-evaluation trap the transform-over-
+    indexes form falls into). concat_ws skips the nulls zip_with pads
+    with, which is what gives token_ngrams its partial short-doc gram
+    for free."""
+    from .dedup import shifted_fold
+
+    return shifted_fold(toks, n, m, lambda x, y: F.concat_ws(" ", x, y))
 
 
 def token_ngrams(text: Column, n: int = 2) -> Column:
@@ -226,15 +222,24 @@ PHONE_RE = (
 )
 
 
+def _quote_replacement(replacement: str) -> str:
+    """Escape Java Matcher replacement metacharacters: a user-supplied
+    '$0' would re-insert the MATCHED text (a PII leak), and a stray
+    '$9'/trailing backslash throws per-row — Matcher.quoteReplacement
+    semantics, inlined."""
+    return replacement.replace("\\", "\\\\").replace("$", "\\$")
+
+
 def redact_pii(text: Column, replacement: str = "<PII>") -> Column:
     """Mask emails, IPv4 addresses, and phone-shaped digit runs — the
     baseline PII scrub of a training-data pipeline. Three chained
     regexp_replace expressions: whole-stage codegen, scan speed, no UDF.
     Order matters: emails first (their domains contain dots that the
     IP pattern could otherwise clip)."""
-    out = F.regexp_replace(text, EMAIL_RE, replacement)
-    out = F.regexp_replace(out, IPV4_RE, replacement)
-    return F.regexp_replace(out, PHONE_RE, replacement)
+    rep = _quote_replacement(replacement)
+    out = F.regexp_replace(text, EMAIL_RE, rep)
+    out = F.regexp_replace(out, IPV4_RE, rep)
+    return F.regexp_replace(out, PHONE_RE, rep)
 
 
 def word_ngrams(text: Column, n: int) -> Column:
@@ -325,9 +330,12 @@ def chunk_documents(
     redaction) only if downstream dedup must pair chunks with their
     sources; the token definition is the engine-wide single-space
     contract (ws_tokens)."""
-    if overlap >= chunk_tokens:
+    if not 0 <= overlap < chunk_tokens:
+        # negative overlap -> stride > chunk_tokens: silent COVERAGE
+        # GAPS between consecutive chunks, violating the contract below
         raise ValueError(
-            f"overlap ({overlap}) must be smaller than chunk_tokens ({chunk_tokens})"
+            f"overlap ({overlap}) must be in [0, chunk_tokens) "
+            f"(chunk_tokens={chunk_tokens})"
         )
     stride = chunk_tokens - overlap
     toks = ws_tokens(F.col(text_col))
@@ -434,20 +442,18 @@ def winnowing_fingerprints(text: Column, k: int = 3, window: int = 4) -> Column:
     Pure SQL higher-order expressions; selections-per-doc ~= 2/(window+1)
     of the shingle count, so the exploded join input is a fraction of
     the token stream."""
-    from .dedup import shingle_hashes
+    from .dedup import shifted_fold, shingle_hashes
 
     h = shingle_hashes(text, k)
-    # window-min as a zip_with fold over `window` shifted slices: the
-    # shingle-hash expression evaluates ~window times per ROW, where the
-    # old transform(sequence(1, n_win), i -> array_min(slice(h, i, w)))
-    # form re-evaluated it per WINDOW POSITION (the HOF-lambda trap, see
-    # _gram_zip). least() skips the nulls zip_with pads at the tail, so
-    # end windows truncate exactly like array_min(slice(...)) did.
+    # window-min via the shared shifted-slice fold (dedup.shifted_fold;
+    # the old transform(sequence(1, n_win), i -> array_min(slice(h,i,w)))
+    # form re-evaluated the shingle-hash expression per WINDOW POSITION —
+    # the HOF-lambda trap). least() skips the nulls zip_with pads at the
+    # tail, so end windows truncate exactly like array_min(slice()) did.
     m = F.greatest(F.size(h) - F.lit(window - 1), F.least(F.size(h), F.lit(1)))
-    acc = F.slice(h, 1, m)
-    for j in range(1, window):
-        acc = F.zip_with(acc, F.slice(h, j + 1, m), lambda x, y: F.least(x, y))
-    return F.array_sort(F.array_distinct(acc))
+    return F.array_sort(
+        F.array_distinct(shifted_fold(h, window, m, lambda x, y: F.least(x, y)))
+    )
 
 
 def corpus_stats(

@@ -102,12 +102,17 @@ def dedup_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT doc_id, lang, CAST(floor(n_chars / 16) AS BIGINT) AS block_len,
                list_distinct(string_split(lower(text), ' ')) AS t
         FROM documents
+    ), keyed AS (
+        -- each doc under its bucket AND the next: boundary-straddling
+        -- pairs collide (mirrors operators/dedup.tokenset_jaccard_pairs)
+        SELECT doc_id, lang, t, unnest([block_len, block_len + 1]) AS bk
+        FROM toks
     ), pairs AS (
-        SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
+        SELECT DISTINCT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
                ROUND(CAST(len(list_intersect(a.t, b.t)) AS DOUBLE)
                      / len(list_distinct(list_concat(a.t, b.t))), 4) AS jaccard
-        FROM toks a
-        JOIN toks b ON a.lang = b.lang AND a.block_len = b.block_len
+        FROM keyed a
+        JOIN keyed b ON a.lang = b.lang AND a.bk = b.bk
                    AND a.doc_id < b.doc_id
     )
     SELECT doc_id_a, doc_id_b, jaccard FROM pairs WHERE jaccard >= 0.8
