@@ -81,15 +81,20 @@ def epoch_ms(col: Column | str) -> Column:
     pinned to UTC, so TIMESTAMP <-> NTZ is a pure reinterpretation that
     agrees with DuckDB's naive-timestamp ``epoch_us``.
 
-    The floor is EXACT integer math (subtract the non-negative remainder,
-    then divide — the result is an integral value below 2^53, so the
-    double division is exact): ``floor(micros / 1000.0)`` in IEEE doubles
-    can land one ms high when |micros| > ~2^53 (quotient ulp ~0.03 at
-    year 9999 sentinels). Oracle-side mirror (same exact math):
-    ``(epoch_us(x) - ((epoch_us(x) % 1000) + 1000) % 1000) / 1000``."""
+    The floor is EXACT integer math end to end: subtract the
+    non-negative remainder (pmod), then divide through DECIMAL — Spark's
+    decimal division is exact at this scale, and the final long cast
+    truncates an already-integral value. Any double in the chain breaks
+    at large |micros|: ``floor(micros / 1000.0)`` can land one ms high
+    past ~year 2248 (quotient ulp), and even the subtracted numerator
+    stops being representable past ~2^53. Oracle-side mirror (DuckDB
+    ``//`` truncates toward zero, which equals floor here because the
+    numerator is exactly divisible):
+    ``(epoch_us(x) - ((epoch_us(x) % 1000) + 1000) % 1000) // 1000``."""
     c = F.col(col) if isinstance(col, str) else col
     micros = F.unix_micros(c.cast("timestamp_ntz").cast("timestamp"))
-    return ((micros - F.pmod(micros, F.lit(1000))) / 1000).cast("long")
+    floored = (micros - F.pmod(micros, F.lit(1000))).cast("decimal(20,0)")
+    return (floored / F.lit(1000)).cast("long")
 
 
 def money(col: Column | str, scale: int = 2) -> Column:
@@ -102,3 +107,11 @@ def money(col: Column | str, scale: int = 2) -> Column:
     """
     c = F.col(col) if isinstance(col, str) else col
     return F.round(c, scale)
+
+def sum2(col_expr) -> Column:
+    """Order-independent SUM of a double money column: exact decimal
+    accumulation (associative — map-side partial aggregation still
+    applies), double at the edge for a stable comparison schema. Shared
+    by both plans modules so the money-sum convention lives in one
+    place."""
+    return F.sum(col_expr.cast("decimal(18,2)")).cast("double")

@@ -78,15 +78,21 @@ def _norm_sql(a: str) -> str:
 
 
 def _usable_vec_sql(vc: str) -> str:
-    """Predicate: vector is usable for cosine math — nonzero AND every
-    element finite. Zero vectors have no defined cosine; a NaN/Inf
-    element poisons every fold it touches (and NaN compares GREATER
-    than everything in both engines, so a plain norm > 0 filter KEEPS
-    it — caught by the NaN-vector fuzz fixture). Element-wise exists so
-    the filter pushes into the scan without duplicating norm folds."""
+    """Predicate: vector is usable for cosine math — every element
+    non-null and finite, AND the computed norm is positive. The element
+    screen comes FIRST (NaN compares GREATER than everything in both
+    engines, so a bare norm > 0 would keep NaN vectors — caught by the
+    NaN-vector fuzz fixture), and the norm test uses the SAME fold the
+    projection uses: an exists(x != 0) shortcut diverged from the
+    oracle on subnormal vectors whose squares underflow to 0 (norm 0 on
+    both engines, but element-wise 'nonzero' true) — those rows emitted
+    0/0 = NaN sims the oracle lacked. NULL elements are screened
+    explicitly: inside exists() a NULL predicate result would
+    null-reject the row on Spark while DuckDB's list_filter drops NULL
+    results and kept it."""
     return (
-        f"exists({vc}, x -> x != 0.0D) AND NOT exists({vc}, "
-        f"x -> isnan(x) OR abs(x) = double('Infinity'))"
+        f"NOT exists({vc}, x -> x IS NULL OR isnan(x) "
+        f"OR abs(x) = double('Infinity')) AND {_norm_sql(vc)} > 0.0D"
     )
 
 

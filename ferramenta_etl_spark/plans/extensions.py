@@ -43,9 +43,13 @@ def _dot(a: str, b: str) -> str:
 # vector usable for cosine math: nonzero AND all elements finite (the
 # operators' _usable_vec_sql policy, DuckDB rendering)
 def _usable_vec(col: str) -> str:
+    # mirrors operators/similarity._usable_vec_sql exactly: every element
+    # non-null and finite (x IS NULL OR NOT isfinite — list_filter drops
+    # NULL lambda results, so the null test must be explicit), and the
+    # same norm fold the projections use is positive
     return (
-        f"sqrt({_dot(col, col)}) > 0 "
-        f"AND len(list_filter({col}, x -> NOT isfinite(x::DOUBLE))) = 0"
+        f"len(list_filter({col}, x -> x IS NULL OR NOT isfinite(x::DOUBLE))) = 0 "
+        f"AND sqrt({_dot(col, col)}) > 0"
     )
 
 
@@ -299,7 +303,7 @@ def embedding_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.cosine_topk(corpus, queries, k=5)
 
 
-_IVF_CENTROIDS: dict[tuple[str, int], list] = {}
+_IVF_CENTROIDS: dict[tuple[str, int, float], list] = {}
 
 
 # The registered IVF query is fully deterministic: seed centroids are the
@@ -364,13 +368,19 @@ def embedding_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     and memoized — a real deployment trains and PERSISTS them with the
     bucketed table. Recall vs the exact baseline is asserted in
     tests/test_operators.py."""
+    from ._registry import _dir_mtime
+
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 10).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
     )
     corpus = emb.filter(F.col("vec_id") >= 10).select("vec_id", "embedding")
-    key = (sf_dir, 8)
+    # mtime in the key (like plan_cache/load_table): a dataset
+    # regenerated in place must re-derive its centroids, or the stale
+    # index metadata diverges from the fresh data the oracle reads
+    key = (sf_dir, 8, _dir_mtime(f"{sf_dir}/embeddings.parquet"))
     if key not in _IVF_CENTROIDS:
+        _IVF_CENTROIDS.clear()  # one live dataset at a time: no growth
         _IVF_CENTROIDS[key] = S.derive_centroids(corpus, n_centroids=8)
     return S.ivf_topk(
         corpus, queries, n_centroids=8, nprobe=2, k=5,
@@ -665,7 +675,7 @@ def multimodal_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
 # non-negative remainder, then divide — no double-rounding at extreme
 # timestamps
 _EPOCH = (
-    "CAST((epoch_us({0}) - ((epoch_us({0}) % 1000) + 1000) % 1000) / 1000"
+    "CAST((epoch_us({0}) - ((epoch_us({0}) % 1000) + 1000) % 1000) // 1000"
     " AS BIGINT)"
 )
 
@@ -677,7 +687,7 @@ _EPOCH = (
         SELECT 'tumbling' AS kind,
                {_EPOCH.format("time_bucket(INTERVAL 15 minutes, ts)")} AS win_start_ms,
                COUNT(*) AS n_events,
-               CAST(SUM(CAST(CASE WHEN isnan(value) THEN NULL ELSE value END AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+               CAST(SUM(CAST(CASE WHEN NOT isfinite(value) THEN NULL ELSE value END AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
         FROM events GROUP BY 1, 2
     ),
     grids AS (
@@ -690,7 +700,7 @@ _EPOCH = (
         SELECT 'sliding' AS kind,
                {_EPOCH.format("wstart")} AS win_start_ms,
                COUNT(*) AS n_events,
-               CAST(SUM(CAST(CASE WHEN isnan(value) THEN NULL ELSE value END AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+               CAST(SUM(CAST(CASE WHEN NOT isfinite(value) THEN NULL ELSE value END AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
         FROM grids GROUP BY 1, 2
     )
     SELECT * FROM tumb UNION ALL SELECT * FROM slid
@@ -778,11 +788,11 @@ def text_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
                          OR ts - lag(ts) OVER w > INTERVAL 30 minutes
                     THEN 1 ELSE 0 END AS new_session
         FROM events
-        WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC NULLS FIRST, event_id ASC)
     ), sessions AS (
         SELECT user_id, ts, value,
                SUM(new_session) OVER (PARTITION BY user_id
-                                      ORDER BY ts ASC, event_id ASC
+                                      ORDER BY ts ASC NULLS FIRST, event_id ASC
                                       ROWS UNBOUNDED PRECEDING) AS session_id
         FROM ordered
     )
@@ -790,7 +800,7 @@ def text_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
            {_EPOCH.format("MIN(ts)")} AS session_start_ms,
            {_EPOCH.format("MAX(ts) + INTERVAL 30 minutes")} AS session_end_ms,
            COUNT(*) AS n_events,
-           CAST(SUM(CAST(CASE WHEN isnan(value) THEN NULL ELSE value END AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+           CAST(SUM(CAST(CASE WHEN NOT isfinite(value) THEN NULL ELSE value END AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
     FROM sessions GROUP BY user_id, session_id
     """,
 )

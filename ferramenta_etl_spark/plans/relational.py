@@ -34,6 +34,7 @@ from ..functions.tsql import (
     isnull,
     money,
     round2_stable,
+    sum2 as _sum2,
 )
 from ..operators.dedup import latest_per_key
 from ..operators.topk import grouped_topk
@@ -44,11 +45,6 @@ from ._registry import make_registry
 QUERIES, ORACLES, _q = make_registry()
 
 
-def _sum2(col_expr) -> F.Column:
-    """Order-independent SUM of a double money column: exact decimal
-    accumulation, double at the edge (map-side partial aggregation still
-    applies — decimal sum is associative)."""
-    return F.sum(col_expr.cast("decimal(18,2)")).cast("double")
 
 
 # ===========================================================================
@@ -318,15 +314,22 @@ def post_outer_join_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT l_orderkey, l_linenumber,
            CASE WHEN l_returnflag = 'R'
-                THEN ROUND(l_extendedprice - COALESCE(nullif(l_discount, 0) * 1000, 0), 2)
+                THEN ROUND((l_extendedprice
+                            - COALESCE(nullif(l_discount, 0) * 1000, 0)) * 100)
+                     / 100 + 0.0
                 ELSE ROUND(l_extendedprice, 2) END AS vl_parcela,
-           ROUND(COALESCE(nullif(l_discount, 0) * 1000, 0), 2) AS vl_combustivel
+           ROUND(COALESCE(nullif(l_discount, 0) * 1000, 0) * 100) / 100 + 0.0
+             AS vl_combustivel
     FROM lineitem
     """,
 )
 def case_when_coalesce(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CASE + ISNULL money adjustment (S:79-82): deduction applies only to
-    the 'Saldo do Frete'-analog rows; NULL deduction defaults to 0."""
+    the 'Saldo do Frete'-analog rows; NULL deduction defaults to 0.
+    COMPUTED money (the subtraction, the *1000 product) rounds via
+    round2_stable — plain round(x,2) diverges between engines on
+    half-cent landings; the untouched l_extendedprice keeps plain
+    round (stored values round identically)."""
     li = load_table(spark, sf_dir, "lineitem")
     deduction = F.nullif(F.col("l_discount"), F.lit(0)) * 1000
     return li.select(
@@ -334,11 +337,11 @@ def case_when_coalesce(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_linenumber",
         F.when(
             F.col("l_returnflag") == "R",
-            money(F.col("l_extendedprice") - isnull(deduction, 0.0)),
+            round2_stable(F.col("l_extendedprice") - isnull(deduction, 0.0)),
         )
         .otherwise(money(F.col("l_extendedprice")))
         .alias("vl_parcela"),
-        money(isnull(deduction, 0.0)).alias("vl_combustivel"),
+        round2_stable(isnull(deduction, 0.0)).alias("vl_combustivel"),
     )
 
 
@@ -385,7 +388,11 @@ def tsql_formats(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT l_returnflag, l_linestatus,
            CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)      AS sum_qty,
            CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
-           ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*), 4) AS avg_qty,
+           -- computed ratio: scale-then-round (round2_stable's idiom at
+           -- 4 dp) so a half-way landing rounds identically on both
+           -- engines
+           ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+                 / COUNT(*) * 10000) / 10000 + 0.0 AS avg_qty,
            ROUND(MIN(l_extendedprice), 2) AS min_price,
            ROUND(MAX(l_extendedprice), 2) AS max_price,
            COUNT(*) FILTER (WHERE l_quantity > 25) AS n_bulk,
@@ -409,7 +416,11 @@ def group_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             _sum2(F.col("l_quantity")).alias("sum_qty"),
             _sum2(F.col("l_extendedprice")).alias("sum_base_price"),
-            F.round(_sum2(F.col("l_quantity")) / F.count(F.lit(1)), 4).alias("avg_qty"),
+            (
+                F.round(_sum2(F.col("l_quantity")) / F.count(F.lit(1)) * 10000)
+                / 10000
+                + F.lit(0.0)
+            ).alias("avg_qty"),
             F.round(F.min("l_extendedprice"), 2).alias("min_price"),
             F.round(F.max("l_extendedprice"), 2).alias("max_price"),
             F.count(F.when(F.col("l_quantity") > 25, 1)).alias("n_bulk"),
@@ -832,19 +843,19 @@ def range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     filled AS (
         SELECT user_id, ts, event_id, event_type,
                last_value(signup_ts IGNORE NULLS) OVER (
-                   PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+                   PARTITION BY user_id ORDER BY ts ASC NULLS FIRST, event_id ASC
                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_signup_ts,
                last_value(signup_id IGNORE NULLS) OVER (
-                   PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+                   PARTITION BY user_id ORDER BY ts ASC NULLS FIRST, event_id ASC
                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_signup_id
         FROM tagged
     )
     SELECT user_id, event_id AS purchase_id,
-           CAST((epoch_us(ts) - ((epoch_us(ts) % 1000) + 1000) % 1000) / 1000
+           CAST((epoch_us(ts) - ((epoch_us(ts) % 1000) + 1000) % 1000) // 1000
                 AS BIGINT) AS purchase_ts_ms,
            last_signup_id AS signup_id,
            CAST((epoch_us(last_signup_ts)
-                 - ((epoch_us(last_signup_ts) % 1000) + 1000) % 1000) / 1000
+                 - ((epoch_us(last_signup_ts) % 1000) + 1000) % 1000) // 1000
                 AS BIGINT) AS signup_ts_ms
     FROM filled WHERE event_type = 'purchase'
     """,

@@ -21,7 +21,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..functions.tsql import money
+from ..functions.tsql import money, sum2 as _sum2
 from ..sources import load_table
 
 from ._registry import make_registry
@@ -29,8 +29,6 @@ from ._registry import make_registry
 QUERIES, ORACLES, _q = make_registry()
 
 
-def _sum2(col_expr) -> F.Column:
-    return F.sum(col_expr.cast("decimal(18,2)")).cast("double")
 
 
 @_q(
