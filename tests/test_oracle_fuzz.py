@@ -215,6 +215,12 @@ def nasty_emb_dir(tmp_path_factory, sf_dir):
     add([float("nan")] + base[1:], 2)
     add([x * 1e6 for x in base], 2)
     add([x * 1e-6 for x in base], 2)
+    # NULL element: the usability predicate must exclude it explicitly
+    # on BOTH engines — inside Spark's exists() a NULL lambda result
+    # null-rejects the row, while DuckDB's list_filter silently drops
+    # NULL results and would KEEP the vector (review-found divergence)
+    rows.append((len(rows), [None] + [float(x) for x in base[1:]], 2))
+    add([float("inf")] + base[1:], 3)  # Inf element: same exclusion rule
     for _ in range(40):
         add([rng.uniform(-1, 1) for _ in range(dim)], rng.randint(0, 3))
     table = pa.table(
