@@ -174,9 +174,18 @@ def array_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         # tiny negative rounded to zero, Spark's BigDecimal path drops it
         (F.round(F.array_max(e).cast("double"), 4) + F.lit(0.0)).alias("vmax"),
         (F.round(F.array_min(e).cast("double"), 4) + F.lit(0.0)).alias("vmin"),
+        # NULL elements are dropped BEFORE the fold: a NULL in acc + x
+        # poisons Spark's whole sum to NULL while DuckDB's list_aggregate
+        # 'sum' skips nulls — SQL SUM semantics (skip) on both engines.
+        # array_max/min and the joined head3 already skip nulls on both.
         (
             F.round(
-                F.aggregate(e, F.lit(0.0), lambda acc, x: acc + x.cast("double")), 5
+                F.aggregate(
+                    F.filter(e, lambda x: x.isNotNull()),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x.cast("double"),
+                ),
+                5,
             )
             + F.lit(0.0)
         ).alias("vsum"),
