@@ -64,6 +64,14 @@ def round2_stable(col: Column) -> Column:
     return F.round(col * 100) / 100 + F.lit(0.0)
 
 
+def round6_stable(col: Column) -> Column:
+    """round2_stable's scale-then-round idiom at 6 dp — for computed
+    doubles (interpolated quantiles, ratios) where plain round(x, 6)
+    diverges between engines on half-ulp landings. Oracle-side mirror:
+    (ROUND((x) * 1000000) / 1000000 + 0.0)."""
+    return F.round(col * 1000000) / 1000000 + F.lit(0.0)
+
+
 def epoch_ms(col: Column | str) -> Column:
     """Milliseconds since epoch with explicit truncation. Spark's
     ``unix_millis`` and DuckDB's ``epoch_ms`` disagree by 1 ms on

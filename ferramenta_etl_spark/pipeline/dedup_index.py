@@ -9,21 +9,39 @@ the streaming curation ingest (streaming/curation.py) explicitly defers
 near-dup handling to "a periodic batch pass". This module IS that pass,
 made incremental:
 
-- The INDEX is the banded-signature relation of every admitted doc —
-  (doc_id, sig, band, bhash), hive-partitioned by ``band`` — persisted
-  once per doc through the idempotent sink (keys = (doc_id, band), so
-  replays and reruns append zero; the same first-writer-wins contract
-  as every other sink in the engine).
+- The INDEX is the banded-signature relation of every SIGNED doc ever
+  processed — (doc_id, sig, band, bhash, canonical_id), hive-partitioned
+  by ``band`` — persisted once per doc through the idempotent sink
+  (keys = (doc_id, band), so replays and reruns append zero; the same
+  first-writer-wins contract as every other sink in the engine).
+  ``canonical_id`` is the doc's cluster representative: itself when
+  admitted, else the representative it was collapsed into. Dropped
+  docs' signatures ARE indexed (flagged by canonical_id != doc_id):
+  that is what makes (a) replay deterministic on CHAIN components
+  (A~B, B~C, A!~C: a replayed C still finds its bridge B) and
+  (b) cross-batch drops transitive like the all-corpus connected
+  components (a later doc that near-dups only a dropped chain member
+  still joins that member's cluster and drops). The price is index
+  rows proportional to all signed docs rather than survivors — still
+  five narrow columns, never text bodies.
 - A new batch computes its own banded signatures (map-only, O(batch)),
   then candidates are (new ⋈ index) on (band, bhash) — the index side
   never reshuffles its signatures; only colliding buckets pair — plus
   (new ⋈ new) for intra-batch dups. Estimated Jaccard >= threshold
-  verifies candidates, exactly as the batch operator does.
-- A new doc survives iff it near-dups NO indexed doc and is its
-  intra-batch component's canonical (min id) member. Survivors' bands
-  then extend the index. First-arrived-wins across batches — the
+  verifies candidates, exactly as the batch operator does. A match
+  whose canonical_id equals the probing doc's own id is the doc's own
+  cluster from a previous run of the same batch and never drops it —
+  the replay-stability rule.
+- A new doc survives iff it near-dups NO indexed doc (of a different
+  cluster) and is its intra-batch component's canonical (min id)
+  member. The whole batch's bands then extend the index (survivors
+  canonical, drops flagged). First-arrived-wins across batches — the
   incremental analog of dedup_keep_canonical's min-id rule, and the
   same semantics the hash-keyed streaming sink gives exact dedup.
+  (Known, documented divergence from the all-corpus pipeline: a pair
+  discovered ACROSS batches cannot retroactively merge two clusters
+  that were each already admitted — incremental admission never
+  revokes.)
 
 At 100 TB, stated honestly: the per-batch cost is one NARROW scan of
 the index (ids + signatures — never text bodies; the batch's band keys
@@ -118,14 +136,21 @@ _PUSHDOWN_MAX_KEYS = 50_000
 def _cross_batch_dups(
     new_banded: DataFrame, index: DataFrame, num_hashes: int, threshold: float
 ) -> DataFrame:
-    """doc_ids of new docs that near-dup an already-indexed doc.
+    """(doc_id, canonical_id) of new docs that near-dup an already-
+    indexed doc of a different cluster; canonical_id is the min matched
+    cluster representative (deterministic when a doc bridges several
+    indexed clusters — incremental admission cannot merge them, so it
+    picks one, the same min-id convention as everywhere else).
 
     Join shape: the index is the big side and stays put; the new batch's
     band keys broadcast when small (AQE decides). Only (band, bhash)
-    collisions pair; est_jaccard verifies. The distinct comes AFTER
-    verification: deduping candidates per new doc before scoring could
-    keep a colliding pair that fails the Jaccard bar while another
-    passes."""
+    collisions pair; est_jaccard verifies. Two exclusions: the doc's own
+    replayed rows (old.doc_id == new.doc_id) and rows of the doc's OWN
+    cluster (old.canonical_id == new.doc_id — on replay, a canonical
+    doc's dropped neighbors point back at it and must not drop it).
+    The aggregation comes AFTER verification: deduping candidates per
+    new doc before scoring could keep a colliding pair that fails the
+    Jaccard bar while another passes."""
     # one job, not count()-then-collect(): cap the fetch at MAX+1 rows
     # so an over-bound batch transfers only the sentinel row extra
     keys = new_banded.select("bhash").distinct().limit(_PUSHDOWN_MAX_KEYS + 1)
@@ -136,15 +161,17 @@ def _cross_batch_dups(
         index.alias("old")
         .join(new_banded.alias("new"), ["band", "bhash"])
         .filter(F.col("old.doc_id") != F.col("new.doc_id"))
+        .filter(F.col("old.canonical_id") != F.col("new.doc_id"))
         .select(
             F.col("new.doc_id").alias("doc_id"),
+            F.col("old.canonical_id").alias("canonical_id"),
             estimated_jaccard(
                 F.col("old.sig"), F.col("new.sig"), num_hashes
             ).alias("est_jaccard"),
         )
         .filter(F.col("est_jaccard") >= threshold)
-        .select("doc_id")
-        .distinct()
+        .groupBy("doc_id")
+        .agg(F.min("canonical_id").alias("canonical_id"))
     )
     return cand
 
@@ -165,11 +192,16 @@ def dedup_incremental(
     ``new_docs``.
 
     Survivor rule (deterministic, order-independent within a batch):
-    drop a new doc if it near-dups any indexed doc (first-arrived batch
-    wins); among the remainder, intra-batch near-dup components keep
-    their min-id member (dedup_keep_canonical's rule). Survivors'
-    banded signatures append to the index idempotently — re-running the
-    same batch admits the same survivors and appends zero index rows.
+    drop a new doc if it near-dups any indexed doc of another cluster
+    (first-arrived batch wins); among the remainder, intra-batch
+    near-dup components keep their min-id member (dedup_keep_canonical's
+    rule). The WHOLE batch's banded signatures then append to the index
+    idempotently — survivors with canonical_id = their own id, drops
+    with canonical_id = their cluster representative. Indexing the
+    drops is what makes re-running the same batch admit the same
+    survivors even on chain components (A~B, B~C, A!~C: the replayed C
+    finds its bridge B in the index and resolves to canonical A), and
+    appends zero index rows (same (doc_id, band) keys).
 
     The returned DataFrame is computed eagerly enough to be stable: the
     index append happens inside this call, so a crash between return
@@ -191,15 +223,23 @@ def dedup_incremental(
     # is computed as new_docs MINUS dropped ids, never as a semi-join
     # against the banded relation. (They also stay out of the index:
     # there is no signature to store.)
-    meta = {"num_hashes": num_hashes, "bands": bands, "shingle_k": shingle_k}
-    drop_ids = None
+    # layout 2 = canonical_id column + drops indexed (replay-stable
+    # chains); a layout-1 index has no canonical_id to resolve against,
+    # so the meta check fails it loudly instead of mis-probing
+    meta = {
+        "num_hashes": num_hashes, "bands": bands, "shingle_k": shingle_k,
+        "layout": 2,
+    }
+    drop_pairs = None
     if index_exists(spark, index_path):
         # sketch parameters are the index's identity: mismatched probes
         # never collide and mismatched appends corrupt the layout
         _check_index_meta(spark, index_path, meta)
         index = load_index(spark, index_path)
-        drop_ids = _cross_batch_dups(banded, index, num_hashes, threshold)
-        survivors_banded = banded.join(drop_ids, "doc_id", "left_anti")
+        drop_pairs = _cross_batch_dups(banded, index, num_hashes, threshold)
+        survivors_banded = banded.join(
+            drop_pairs.select("doc_id"), "doc_id", "left_anti"
+        )
     else:
         _write_index_meta(spark, index_path, meta)
         survivors_banded = banded
@@ -229,26 +269,34 @@ def dedup_incremental(
         .select("doc_id_a", "doc_id_b")
     )
     labels = connected_components(intra_pairs)
-    intra_drops = labels.filter(F.col("v") != F.col("label")).select(
-        F.col("v").alias("doc_id")
+    intra_drop_pairs = labels.filter(F.col("v") != F.col("label")).select(
+        F.col("v").alias("doc_id"), F.col("label").alias("canonical_id")
     )
-    # checkpoint: the admitted relation feeds both the index append and
-    # the returned semi-join — without it the probe + connected-
-    # components chain re-executes after the write already ran it
-    admitted_banded = survivors_banded.join(
-        intra_drops, "doc_id", "left_anti"
+    # the (dropped doc -> cluster representative) map feeds both the
+    # index append and the returned anti-join: checkpoint so the probe +
+    # connected-components chain runs once (it is one small row per
+    # dropped doc — never bodies or signatures)
+    canon = (
+        intra_drop_pairs
+        if drop_pairs is None
+        else drop_pairs.unionByName(intra_drop_pairs)
     ).localCheckpoint(eager=True)
 
-    # extend the index idempotently: (doc_id, band) is the row identity,
-    # band partitions the layout so probes prune to colliding bands
+    # extend the index idempotently with the WHOLE batch's signatures —
+    # survivors point at themselves, drops at their representative (the
+    # bridge rows replayed chain members resolve through). (doc_id, band)
+    # is the row identity, band partitions the layout so probes prune to
+    # colliding bands.
+    indexed_banded = banded.join(canon, "doc_id", "left").withColumn(
+        "canonical_id", F.coalesce(F.col("canonical_id"), F.col("doc_id"))
+    )
     write_ignore_conflicts(
-        admitted_banded.select("doc_id", "sig", "band", "bhash"),
+        indexed_banded.select("doc_id", "sig", "band", "bhash", "canonical_id"),
         index_path,
         keys=["doc_id", "band"],
         partition_cols=["band"],
     )
-    dropped_ids = intra_drops if drop_ids is None else drop_ids.union(intra_drops)
-    dropped_ids = dropped_ids.distinct()
+    dropped_ids = canon.select("doc_id")
     if id_col != "doc_id":
         dropped_ids = dropped_ids.withColumnRenamed("doc_id", id_col)
     return new_docs.join(dropped_ids, id_col, "left_anti")

@@ -10,8 +10,8 @@ re-collects its centroid metadata). Query engines cache parsed/optimized
 plans for exactly this reason — the registry's jobs re-run the same
 plans on every schedule tick. The cache key includes
 ``applicationId``, so a new session (new catalog/conf) re-plans,
-``sf_dir``, so different datasets never share a plan, and the data
-directory's mtime, so a fixture regenerated in place re-plans instead
+``sf_dir``, so different datasets never share a plan, and the dataset's
+max file mtime, so a fixture regenerated in place re-plans instead
 of serving a DataFrame whose file listing pins deleted part files
 (the same staleness guard as sources/tables.load_table's memo).
 """
@@ -23,10 +23,27 @@ import os
 
 
 def _dir_mtime(path: str) -> float:
+    """Staleness stamp for the dataset directory: the max mtime over the
+    directory AND its immediate entries. The directory mtime alone only
+    moves on create/delete/rename — rewriting a fixture file IN PLACE
+    (same filename) leaves it unchanged on POSIX, which would serve a
+    plan pinning the replaced file's listing. Statting the entries too
+    catches the in-place rewrite (same guard load_table's memo gets from
+    its per-file mtime). One listdir + a handful of stats: ~microseconds
+    vs the ~0.1 s re-plan."""
     try:
-        return os.path.getmtime(path)
+        stamps = [os.path.getmtime(path)]
     except OSError:
         return -1.0  # nonexistent/remote: let the read itself report it
+    try:
+        for name in os.listdir(path):
+            try:
+                stamps.append(os.path.getmtime(os.path.join(path, name)))
+            except OSError:
+                pass  # entry vanished mid-listing: the dir mtime moved
+    except OSError:
+        pass  # not listable (file path / permissions): dir stamp suffices
+    return max(stamps)
 
 
 def plan_cache(fn):

@@ -327,8 +327,13 @@ def _approx_sketches_oracle() -> str:
     supps AS ({_kmv_branch_sql("l_suppkey", "est_supps")}),
     smp AS (
         SELECT l_returnflag AS g,
-               ROUND(quantile_cont(l_extendedprice, 0.5), 6) AS sampled_median_price,
-               ROUND(quantile_cont(l_quantity, 0.9), 6) AS sampled_p90_qty,
+               -- scale-then-round (round6_stable's idiom): plain ROUND(x, 6)
+               -- diverges between engines on half-ulp landings of the
+               -- interpolated quantile (same class as round2_stable)
+               (ROUND(quantile_cont(l_extendedprice, 0.5) * 1000000) / 1000000 + 0.0)
+                   AS sampled_median_price,
+               (ROUND(quantile_cont(l_quantity, 0.9) * 1000000) / 1000000 + 0.0)
+                   AS sampled_p90_qty,
                COUNT(*) AS n_sampled
         FROM lineitem
         WHERE ('0x' || substr(md5('0:' || CAST(l_orderkey AS VARCHAR) || '-'
@@ -375,6 +380,8 @@ def approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
     # key is NULL (concat_ws silently skips nulls), so a null-key row is
     # excluded from the sample on BOTH engines — the oracle's `'0:' || x`
     # propagates NULL and its WHERE drops the row
+    from ..functions.tsql import round6_stable
+
     with_id = li.withColumn(
         "__rid",
         F.concat(
@@ -387,10 +394,10 @@ def approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
         hash_sample(with_id, rate=0.02, id_col="__rid", seed=0)
         .groupBy("l_returnflag")
         .agg(
-            F.round(F.percentile("l_extendedprice", F.lit(0.5)), 6).alias(
+            round6_stable(F.percentile("l_extendedprice", F.lit(0.5))).alias(
                 "sampled_median_price"
             ),
-            F.round(F.percentile("l_quantity", F.lit(0.9)), 6).alias(
+            round6_stable(F.percentile("l_quantity", F.lit(0.9))).alias(
                 "sampled_p90_qty"
             ),
             F.count(F.lit(1)).alias("n_sampled"),

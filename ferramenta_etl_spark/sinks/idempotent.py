@@ -140,7 +140,17 @@ def _write_merge_delta(
     ``partition_cols``; the appended-row count comes from the MERGE
     commit's own operationMetrics (exact and transaction-consistent —
     before/after table counts would cost two full scans per batch and
-    mis-count under the very concurrency this backend exists for)."""
+    mis-count under the very concurrency this backend exists for).
+
+    Finding the right history entry: under the concurrent writers this
+    backend exists for, another commit can land between ``execute()``
+    and the history read, so ``history(1)`` may describe a DIFFERENT
+    operation. Each merge therefore tags its commit with a unique
+    ``userMetadata`` value (the documented Delta mechanism for exactly
+    this) and reads back the entry matching the tag — a metadata-scale
+    scan of the commit log, never the data."""
+    import uuid
+
     from delta.tables import DeltaTable
 
     spark = incoming.sparkSession
@@ -151,15 +161,32 @@ def _write_merge_delta(
         w.save(path)
         return incoming.count()
     target = DeltaTable.forPath(spark, path)
-    (
-        target.alias("t")
-        .merge(incoming.alias("s"), merge_insert_condition(keys))
-        .whenNotMatchedInsertAll()
-        .execute()
+    tag = f"ferramenta-merge-{uuid.uuid4().hex}"
+    meta_key = "spark.databricks.delta.commitInfo.userMetadata"
+    try:
+        prev = spark.conf.get(meta_key)
+    except Exception:
+        prev = None
+    spark.conf.set(meta_key, tag)
+    try:
+        (
+            target.alias("t")
+            .merge(incoming.alias("s"), merge_insert_condition(keys))
+            .whenNotMatchedInsertAll()
+            .execute()
+        )
+    finally:
+        if prev is None:
+            spark.conf.unset(meta_key)
+        else:
+            spark.conf.set(meta_key, prev)
+    row = (
+        target.history()
+        .filter((F.col("operation") == "MERGE") & (F.col("userMetadata") == tag))
+        .select("operationMetrics")
+        .first()
     )
-    metrics = (
-        target.history(1).select("operationMetrics").first()[0] or {}
-    )
+    metrics = (row[0] if row is not None else {}) or {}
     return int(metrics.get("numTargetRowsInserted", 0))
 
 

@@ -60,9 +60,15 @@ def test_first_batch_admits_canonicals_and_builds_index(spark, index_path):
     assert ids == {1, 3}
     assert index_exists(spark, index_path)
     idx = load_index(spark, index_path)
-    # one row per (admitted doc, band)
-    assert idx.count() == 2 * 8
-    assert set(idx.columns) >= {"doc_id", "sig", "band", "bhash"}
+    # one row per (SIGNED doc, band) — drops are indexed too (flagged by
+    # canonical_id != doc_id), the replay-determinism bridge rows
+    assert idx.count() == 3 * 8
+    assert set(idx.columns) >= {"doc_id", "sig", "band", "bhash", "canonical_id"}
+    canon = {
+        r.doc_id: r.canonical_id
+        for r in idx.select("doc_id", "canonical_id").distinct().collect()
+    }
+    assert canon == {1: 1, 2: 1, 3: 3}  # 2 collapsed into 1's cluster
 
 
 def test_second_batch_defers_to_index_and_dedups_itself(spark, index_path):
@@ -74,8 +80,16 @@ def test_second_batch_defers_to_index_and_dedups_itself(spark, index_path):
     # 10 near-dups indexed doc 1 -> dropped (first-arrived batch wins);
     # 12/13 intra-batch near-dups -> 12 survives; 11 unique
     assert ids == {11, 12}
-    idx_ids = {r.doc_id for r in load_index(spark, index_path).select("doc_id").distinct().collect()}
-    assert idx_ids == {1, 3, 11, 12}
+    idx = load_index(spark, index_path)
+    # every signed doc is indexed; only the admitted ones are canonical
+    idx_ids = {r.doc_id for r in idx.select("doc_id").distinct().collect()}
+    assert idx_ids == {1, 2, 3, 10, 11, 12, 13}
+    canonical_ids = {
+        r.doc_id
+        for r in idx.filter(F.col("canonical_id") == F.col("doc_id"))
+        .select("doc_id").distinct().collect()
+    }
+    assert canonical_ids == {1, 3, 11, 12}
 
 
 def test_rerun_is_idempotent(spark, index_path):
@@ -136,7 +150,58 @@ def test_short_and_empty_docs_are_admitted_not_lost(spark, index_path):
         r.doc_id
         for r in load_index(spark, index_path).select("doc_id").distinct().collect()
     }
-    assert idx_ids == {1, 3}
+    assert idx_ids == {1, 2, 3}
+
+
+def test_chain_component_replay_is_deterministic(spark, index_path):
+    """ADVICE r03 (medium): a chain component A~B, B~C, A!~C in one
+    batch must REPLAY to the same admitted set with zero index appends.
+    Before layout 2 only survivors were indexed, so a replayed C lost
+    its bridge B (never indexed) and was wrongly re-admitted — the
+    admitted corpus depended on whether a retry happened."""
+    base = [f"tok{i}" for i in range(20)]
+    a = " ".join(base)
+    b = " ".join(base[:-2] + ["zz1", "zz2"])
+    c = " ".join(["qq1", "qq2"] + base[2:-2] + ["zz1", "zz2"])
+    docs = [(1, a), (2, b), (3, c)]
+    # fixture self-check: the detected pair graph is exactly the chain
+    # (shingle Jaccard: A-B 16/20, B-C 16/20, A-C 14/22 vs threshold 0.7)
+    pairs = {
+        (r.doc_id_a, r.doc_id_b)
+        for r in D.minhash_lsh_pairs(_docs(spark, docs), threshold=0.7).collect()
+    }
+    assert pairs == {(1, 2), (2, 3)}
+
+    out1 = dedup_incremental(spark, _docs(spark, docs), index_path, threshold=0.7)
+    assert {r.doc_id for r in out1.select("doc_id").collect()} == {1}
+    n_index = load_index(spark, index_path).count()
+    assert n_index == 3 * 8  # all three signed docs indexed
+
+    out2 = dedup_incremental(spark, _docs(spark, docs), index_path, threshold=0.7)
+    # replay: B drops via A's canonical rows, C via B's BRIDGE rows
+    # (canonical_id=1 != 3); A survives — its neighbors' rows point back
+    # at it (canonical_id == probing id is never a drop witness)
+    assert {r.doc_id for r in out2.select("doc_id").collect()} == {1}
+    assert load_index(spark, index_path).count() == n_index  # zero appends
+
+
+def test_cross_batch_drop_is_transitive_through_bridges(spark, index_path):
+    """A later doc that near-dups ONLY a dropped chain member joins that
+    member's cluster and drops — matching the all-corpus connected-
+    components semantics (layout 1 admitted it, silently diverging)."""
+    base = [f"tok{i}" for i in range(20)]
+    a = " ".join(base)
+    b = " ".join(base[:-2] + ["zz1", "zz2"])
+    c = " ".join(["qq1", "qq2"] + base[2:-2] + ["zz1", "zz2"])
+    out1 = dedup_incremental(
+        spark, _docs(spark, [(1, a), (2, b)]), index_path, threshold=0.7
+    )
+    assert {r.doc_id for r in out1.select("doc_id").collect()} == {1}
+    # batch 2: C pairs with dropped B only (A-C Jaccard is sub-threshold)
+    out2 = dedup_incremental(
+        spark, _docs(spark, [(3, c)]), index_path, threshold=0.7
+    )
+    assert out2.count() == 0  # C resolves through B's bridge to cluster 1
 
 
 def test_mismatched_sketch_params_rejected(spark, index_path):

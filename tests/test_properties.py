@@ -254,11 +254,16 @@ def test_incremental_dedup_invariants_vs_all_corpus_pairs(
        detected pair (docs nothing pairs with are never dropped).
 
     Deliberately NOT asserted: admitted == all-corpus keep-canonical.
-    That equality is not a theorem — on a chain component A-B-C split
-    across batches, connected components drops C (same cluster as A)
-    while the incremental pass admits C (its only link, B, was never
-    indexed). Both outputs satisfy the invariants above; the batch
-    pipeline is simply more aggressive on chains."""
+    That equality is not a theorem — incremental admission never
+    revokes, so when a later batch's doc B bridges two clusters that
+    were EACH already admitted (A alone in batch 1, C alone in batch 2,
+    A!~C; then B with A~B, B~C), connected components would merge them
+    and drop C while the incremental pass keeps both A and C (and drops
+    B). Both outputs satisfy the invariants above; the batch pipeline
+    is simply more aggressive on late-discovered merges. (Chain
+    components split across batches in topological order DO now agree:
+    dropped docs' signatures are indexed as bridge rows — the layout-2
+    replay-determinism fix.)"""
     from ferramenta_etl_spark.operators import dedup as D
     from ferramenta_etl_spark.pipeline.dedup_index import dedup_incremental
 
