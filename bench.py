@@ -15,6 +15,26 @@ plans repeatedly), then three timed runs; the MEDIAN is reported. Warm
 single-run variance on local[32] is ~±15% (GC pauses, task-scheduling
 jitter); the median keeps round-over-round comparisons about the plans,
 not the noise.
+
+MEASUREMENT PROTOCOL (for comparable round-over-round numbers): run with
+NO concurrent JVMs on the box (a parallel pytest session steals cores
+and inflates every number ~15-25% — the source of round 3's phantom
+flagship "regression" on an unchanged plan), default SPARK_GRAFT_CPUS=32,
+and read the MEDIAN (already what this prints). Plans are cached
+(prepared-statement analog), so one-time costs — codegen, parquet
+footers, the IVF centroid derivation, the bucketed-mirror writes — land
+in plan build + warm-up, outside the timed runs, exactly where a
+production engine pays them.
+
+Two deliberate variant pairs in the headline set:
+- dedup_minhash_lsh / dedup_simhash run portable=True (md5-prefix hash
+  family) — the ORACLE-CHECKABLE variants, paying a documented ~25%
+  hashing tax; dedup_minhash_fast / dedup_simhash_fast are the library
+  DEFAULT (xxhash64) production path. Both are benched so the gate
+  variant can't mask the real engine's trend (VERDICT r03 #2).
+- flagship / flagship_bucketed: same plan over plain parquet vs
+  bucketed orderkey mirrors (write-once shuffle amortized across every
+  downstream orderkey join — plans/bucketed.py; VERDICT r03 #4).
 """
 
 from __future__ import annotations
@@ -29,6 +49,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 # Headline set: the flagship plus the most load-bearing operators.
 HEADLINE = [
     "flagship",
+    "flagship_bucketed",
     "group_agg",
     "latest_per_key",
     "inner_join_chain",
@@ -37,7 +58,9 @@ HEADLINE = [
     "asof_join",
     "dedup_exact",
     "dedup_minhash_lsh",
+    "dedup_minhash_fast",
     "dedup_simhash",
+    "dedup_simhash_fast",
     "embedding_cosine_topk",
     "embedding_ann_ivf",
     "text_quality_score",
@@ -115,11 +138,41 @@ def main() -> None:
             F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
         )
         corpus = emb.filter(F.col("vec_id") >= 10).select("vec_id", "embedding")
-        return lsh_ann_topk(corpus, queries_df, k=5, n_planes=16, n_bands=4)
+        # dim passed explicitly: composition must not run the one-row
+        # dim-probe driver job (tests/test_plans.py asserts plan builds
+        # are job-free engine-wide)
+        return lsh_ann_topk(
+            corpus, queries_df, k=5, n_planes=16, n_bands=4, dim=64
+        )
 
     queries["seq_packing"] = _cached(_seq_packing)
     queries["embedding_quantized_topk"] = _cached(_quantized_topk)
     queries["embedding_ann_lsh"] = _cached(_lsh_ann)
+
+    # Library-default (xxhash64) near-dup paths: the production engine,
+    # vs the portable=True oracle variants registered in the gate.
+    from ferramenta_etl_spark.operators import dedup as D
+
+    def _minhash_fast(spark, sf):
+        docs = load_table(spark, sf, "documents")
+        return D.minhash_lsh_pairs(
+            D.dedup_exact(docs), num_hashes=32, bands=8, threshold=0.5,
+            portable=False,
+        )
+
+    def _simhash_fast(spark, sf):
+        docs = load_table(spark, sf, "documents")
+        return D.simhash_near_dup_pairs(D.dedup_exact(docs), portable=False)
+
+    queries["dedup_minhash_fast"] = _cached(_minhash_fast)
+    queries["dedup_simhash_fast"] = _cached(_simhash_fast)
+
+    # flagship over bucketed orderkey mirrors: the mirrors are written
+    # at plan-build time (amortized, like the index builds); timed runs
+    # measure the exchange-free joins (plans/bucketed.py).
+    from ferramenta_etl_spark.plans.bucketed import flagship_bucketed
+
+    queries["flagship_bucketed"] = _cached(flagship_bucketed)
     names = [n for n in HEADLINE if n in queries]
     missing = [n for n in HEADLINE if n not in queries]
     if missing:

@@ -35,7 +35,12 @@ from ..operators.dedup import latest_per_key
 from ..sources import load_table
 
 
-def flagship(spark: SparkSession, sf_dir: str, ordered: bool = False) -> DataFrame:
+def flagship(
+    spark: SparkSession,
+    sf_dir: str,
+    ordered: bool = False,
+    tables: dict[str, DataFrame] | None = None,
+) -> DataFrame:
     """``ordered=True`` adds the reference's final global ORDER BY (S:98).
     The reference sorts only to control insertion order into an unordered
     PG table — cosmetic for every consumer that doesn't read rows
@@ -43,14 +48,26 @@ def flagship(spark: SparkSession, sf_dir: str, ordered: bool = False) -> DataFra
     re-shuffles on the key anyway) — and at 100 TB the range-partitioned
     sort of the full result would be the single avoidable exchange in
     this plan, so the scale-correct unordered plan is the default. The
-    driver's correctness compare is order-insensitive either way."""
-    orders = load_table(spark, sf_dir, "orders")
-    customer = load_table(spark, sf_dir, "customer")
-    nation = load_table(spark, sf_dir, "nation")
-    region = load_table(spark, sf_dir, "region")
-    lineitem = load_table(spark, sf_dir, "lineitem")
-    part = load_table(spark, sf_dir, "part")
-    supplier = load_table(spark, sf_dir, "supplier")
+    driver's correctness compare is order-insensitive either way.
+
+    ``tables`` substitutes alternative relations for the named inputs —
+    the hook plans/bucketed.py uses to run the identical query over
+    BUCKETED orders/lineitem mirrors (co-located orderkey joins, no
+    exchange). Kwargs bypass the plan cache, so variants never shadow
+    the default plan."""
+    t = tables or {}
+
+    def tab(name: str) -> DataFrame:
+        got = t.get(name)
+        return got if got is not None else load_table(spark, sf_dir, name)
+
+    orders = tab("orders")
+    customer = tab("customer")
+    nation = tab("nation")
+    region = tab("region")
+    lineitem = tab("lineitem")
+    part = tab("part")
+    supplier = tab("supplier")
 
     # ---- CTE 1: MANIFESTO_INFO (S:35-57) ----
     manifesto_info = (

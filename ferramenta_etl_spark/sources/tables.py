@@ -183,6 +183,32 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def _estimated_scan_partitions(df: DataFrame, files: list[str]) -> int:
+    """Spark's own FilePartition sizing formula, computed from driver
+    metadata: maxSplitBytes = min(maxPartitionBytes, max(openCostInBytes,
+    (totalBytes + files*openCost) / defaultParallelism)), partitions ~
+    ceil(padded total / maxSplitBytes). Called only when len(files) is
+    below the parallelism target, so the per-file FileStatus stat is a
+    handful of metadata calls, never thousands."""
+    spark = df.sparkSession
+    jvm = spark._jvm
+    byte_str = jvm.org.apache.spark.network.util.JavaUtils.byteStringAsBytes
+    max_pb = byte_str(spark.conf.get("spark.sql.files.maxPartitionBytes", "128MB"))
+    open_cost = byte_str(spark.conf.get("spark.sql.files.openCostInBytes", "4MB"))
+    hconf = spark._jsc.hadoopConfiguration()
+    total = 0
+    for f in files:
+        p = jvm.org.apache.hadoop.fs.Path(f)
+        try:
+            total += p.getFileSystem(hconf).getFileStatus(p).getLen()
+        except Exception:
+            return 1  # unlistable file: assume the worst (serial scan)
+    padded = total + len(files) * open_cost
+    per_core = padded // max(1, spark.sparkContext.defaultParallelism)
+    max_split = min(max_pb, max(open_cost, per_core))
+    return max(1, -(-padded // max(1, max_split)))  # ceil div
+
+
 def ensure_scan_parallelism(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
     """Round-robin repartition IFF the plan currently has fewer
     partitions than the session's parallelism. Guards expression-heavy
@@ -191,8 +217,44 @@ def ensure_scan_parallelism(df: DataFrame, min_partitions: int | None = None) ->
     would otherwise run on ONE core (measured 4.5x on the contamination
     gram explode at sf0.1). At production scale inputs span many files,
     the partition count already exceeds parallelism, and this is a
-    no-op — the exchange only exists when it pays for itself."""
+    no-op — the exchange only exists when it pays for itself.
+
+    The partition count is decided from the STATIC plan + file metadata,
+    never ``df.rdd`` — under AQE, ``df.rdd`` materializes every upstream
+    query stage to learn the final partitioning, i.e. plan COMPOSITION
+    would partially execute the query and throw the work away
+    (tests/test_plans.py::test_plan_construction_is_driver_job_free
+    caught exactly that). Decision tree:
+
+    - a shuffle exchange anywhere below means downstream parallelism is
+      already ``spark.sql.shuffle.partitions`` (session-sized >= cores):
+      no-op. BroadcastExchange deliberately does NOT count — it never
+      re-partitions the probe side (the single-file-corpus broadcast
+      join is precisely a case this guard must catch);
+    - a map-only lineage over file scans estimates the scan's split
+      count with Spark's own FilePartition formula (>= target files
+      short-circuits: each file is at least one split);
+    - scan-free plans (local relations) fall back to the rdd probe —
+      with no scans and no exchanges there are no query stages to
+      trigger."""
+    import re
+
     target = min_partitions or df.sparkSession.sparkContext.defaultParallelism
+    if df.isStreaming:
+        return df  # micro-batch partitioning is the source's business
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    if re.search(
+        r"\bExchange (hashpartitioning|rangepartitioning|"
+        r"RoundRobinPartitioning|SinglePartition)", plan
+    ):
+        return df
+    files = df.inputFiles()
+    if len(files) >= target:
+        return df
+    if files:
+        if _estimated_scan_partitions(df, files) >= target:
+            return df
+        return df.repartition(target)
     if df.rdd.getNumPartitions() < target:
         return df.repartition(target)
     return df

@@ -58,3 +58,40 @@ def test_bucketed_agg_is_shuffle_free(spark, bucketed_tables):
     agg.write.format("noop").mode("overwrite").save()
     assert exchanges_in_plan(agg) == 0, "groupBy on the bucket key shuffled"
     assert agg.count() == li.select("l_orderkey").distinct().count()
+
+
+def test_flagship_bucketed_same_result_fewer_exchanges(spark, sf_dir):
+    """The measured shuffle-eliminator path (VERDICT r03 #4): flagship
+    over bucketed orderkey mirrors must return the IDENTICAL multiset of
+    rows with strictly fewer shuffle exchanges (both orderkey fact joins
+    read co-located buckets)."""
+    from ferramenta_etl_spark.plans.bucketed import flagship_bucketed
+    from ferramenta_etl_spark.plans.flagship import QUERIES
+
+    plain = QUERIES["flagship"](spark, sf_dir)
+    bucketed = flagship_bucketed(spark, sf_dir)
+
+    cols = plain.columns
+    assert bucketed.columns == cols
+    # order-insensitive multiset compare, driver-gate style
+    key = F.md5(F.concat_ws("\x1f", *[F.col(c).cast("string") for c in cols]))
+    a = plain.select(key.alias("h")).groupBy("h").count()
+    b = bucketed.select(key.alias("h")).groupBy("h").count()
+    assert a.exceptAll(b).isEmpty() and b.exceptAll(a).isEmpty()
+
+    # the plan property the mirrors exist for: with broadcast disabled
+    # (at fixture scale EVERY table broadcasts, which models nothing —
+    # at 100 TB the fact joins are shuffle joins), the bucketed plan
+    # must shuffle strictly less. Execute (AQE finalizes), then count.
+    thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plain.write.format("noop").mode("overwrite").save()
+        bucketed.write.format("noop").mode("overwrite").save()
+        n_plain = exchanges_in_plan(plain)
+        n_bucketed = exchanges_in_plan(bucketed)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thresh)
+    assert n_bucketed < n_plain, (
+        f"bucketed flagship should shuffle less: {n_bucketed} vs {n_plain}"
+    )

@@ -117,3 +117,47 @@ def test_exact_dedup_shuffles_digests_not_text(spark):
         l for l in plan.lower().splitlines() if "hashpartitioning" in l
     ]
     assert all("text#" not in l for l in part_lines), part_lines
+
+
+def test_plan_construction_is_driver_job_free(spark, tmp_path):
+    """Building a registered query must DECLARE the plan, not run it:
+    zero Spark jobs during construction (VERDICT r03 #5). The one
+    exception is embedding_ann_ivf, whose first build per dataset
+    derives and memoizes IVF centroids — an index-BUILD step, the same
+    class as building the MinHash index, documented in plans/extensions.
+
+    The dataset path is a fresh symlink to the smoke fixture so the
+    plan cache and the load_table memo (both keyed on the sf_dir
+    string) cannot serve pre-built plans and trivially pass the test;
+    jobs are attributed per-build via job groups (public API). The
+    table memo is pre-warmed first: Spark runs one tiny footer/schema
+    job per NEW spark.read.parquet — that is scan DECLARATION (paid
+    once per dataset by any engine), not plan composition, and it is
+    not what this test polices."""
+    import __spark_entry__ as m
+
+    from ferramenta_etl_spark.sources import load_table
+
+    link = tmp_path / "sfdir"
+    link.symlink_to(SF_SMOKE)
+    sf = str(link)
+    for t in ("region", "nation", "customer", "supplier", "part", "orders",
+              "lineitem", "events", "documents", "embeddings"):
+        load_table(spark, sf, t)
+
+    allowed = {"embedding_ann_ivf"}
+    sc = spark.sparkContext
+    offenders: dict[str, int] = {}
+    for name, fn in sorted(m.queries().items()):
+        group = f"plan-build-{name}"
+        sc.setJobGroup(group, f"plan construction: {name}")
+        try:
+            fn(spark, sf)
+        finally:
+            sc.setLocalProperty("spark.jobGroup.id", None)
+        jobs = sc.statusTracker().getJobIdsForGroup(group)
+        if jobs and name not in allowed:
+            offenders[name] = len(jobs)
+    assert not offenders, (
+        f"plan builders ran driver jobs at composition time: {offenders}"
+    )
