@@ -55,6 +55,16 @@ def get_session(
         )
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # parallelism-first coalescing picks target size =
+        # max(minPartitionSize, total/defaultParallelism); the default
+        # 1MB floor collapses a small shuffle output (e.g. the deduped
+        # corpus feeding the shingle explode) onto a handful of cores.
+        # A 128k floor keeps post-shuffle map stages parallel on small
+        # intermediates while changing NOTHING at scale, where
+        # total/parallelism >> 1MB and the advisory 64MB target governs.
+        # (Coalescing can only merge, never split, so the worst case is
+        # simply the pre-coalesce shuffle.partitions.)
+        .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "128k")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions or cpus))
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
