@@ -113,6 +113,16 @@ def flagship(
         # only ds_tipo_movimento varies in the projection — so ordering by it
         # makes the rn=1 pick well-defined (SURVEY.md §5.2 pitfall 1).
         tiebreak=[F.col("nr_movimento").desc(), F.col("ds_tipo_movimento").asc()],
+        # Sort-free hash-agg pick: min under (id DESC, nr_mov DESC,
+        # ds ASC NULLS FIRST), encoded as an ascending struct (numeric
+        # fields negated; struct comparison is ASC NULLS FIRST per
+        # field). Same rows as the window (pinned by test + the oracle
+        # hash), no per-partition sorts around the exchange.
+        agg_order=F.struct(
+            (-F.col("id_manifesto")).alias("k1"),
+            (-F.col("nr_movimento")).alias("k2"),
+            F.col("ds_tipo_movimento").alias("k3"),
+        ),
     ).select(
         "ciot_key",
         "nr_ciot",

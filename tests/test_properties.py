@@ -97,6 +97,21 @@ def test_latest_per_key_matches_python(spark, rows):
             want[k] = (k, o, t)
     assert got == set(want.values())
 
+    # the sort-free agg strategy picks the identical rows when the
+    # caller's ascending struct encodes the same total order (numeric
+    # DESC fields negated)
+    got_agg = {
+        (r.k, r.o, r.t)
+        for r in latest_per_key(
+            df,
+            keys=["k"],
+            order_by=[F.col("o").desc()],
+            tiebreak=[F.col("t").desc()],
+            agg_order=F.struct((-F.col("o")).alias("a"), (-F.col("t")).alias("b")),
+        ).collect()
+    }
+    assert got_agg == set(want.values())
+
 
 @given(
     shared=st.lists(_token, min_size=6, max_size=8),
