@@ -116,10 +116,39 @@ def money(col: Column | str, scale: int = 2) -> Column:
     c = F.col(col) if isinstance(col, str) else col
     return F.round(c, scale)
 
+def scaled_cents(col_expr: Column) -> Column:
+    """A 2-dp double as an exact BIGINT cent count: ``floor(x*100 +
+    0.5)``. For genuine 2-dp money, ``x*100`` lands within float
+    epsilon of an integer, so this merely snaps representation error —
+    and because BOTH engines evaluate the identical IEEE sequence
+    (multiply, add, C/Java floor; the oracle twin is ``CAST(FLOOR(x *
+    100 + 0.5) AS BIGINT)``), the derived integers agree bit-exactly on
+    ANY double, not just 2-dp ones (the hypothesis oracle-fuzz suite
+    covers the degenerate inputs). ``floor`` beats ``F.round`` here
+    because Spark's HALF_UP round allocates a BigDecimal per row
+    (measured 0.47 s -> 0.26 s on the group_agg scan stage at sf0.1).
+    Non-finite inputs map to NULL first (matching what
+    ``cast(decimal)`` used to do; an unguarded ``cast(NaN as long)`` is
+    0 and ``cast(inf as long)`` clamps to Long.MAX — silent corruption,
+    not null)."""
+    finite = F.when(
+        F.isnan(col_expr) | (F.abs(col_expr) == F.lit(float("inf"))), F.lit(None)
+    ).otherwise(col_expr)
+    return F.floor(finite * 100 + F.lit(0.5)).cast("long")
+
+
 def sum2(col_expr) -> Column:
-    """Order-independent SUM of a double money column: exact decimal
-    accumulation (associative — map-side partial aggregation still
-    applies), double at the edge for a stable comparison schema. Shared
-    by both plans modules so the money-sum convention lives in one
+    """Order-independent SUM of a double money column via scaled-long
+    accumulation: ``sum(cast(floor(x*100 + 0.5) as bigint)) / 100.0``. Exact
+    (integer adds, no float drift), associative (map-side partial agg
+    applies), and it stays in whole-stage-codegen integer arithmetic —
+    measured ~3.7x faster than the previous ``decimal(18,2)``
+    accumulator on the group_agg scan stage (0.96 s -> 0.26 s at sf0.1,
+    where the single-row-group fixture serializes the map stage onto
+    one core and the accumulator cost is fully visible). Capacity: a
+    long holds ~9.2e16 currency units of cents — beyond any real money
+    sum; the oracle twin is ``CAST(SUM(CAST(FLOOR(x*100 + 0.5) AS BIGINT)) AS
+    DOUBLE)/100`` (sums < 2^53 are exact in the final double). Shared
+    by all plans modules so the money-sum convention lives in one
     place."""
-    return F.sum(col_expr.cast("decimal(18,2)")).cast("double")
+    return F.sum(scaled_cents(col_expr)) / F.lit(100.0)

@@ -18,7 +18,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..functions.tsql import epoch_ms
+from ..functions.tsql import epoch_ms, scaled_cents
 from ..operators import dedup as D
 from ..operators import multimodal as M
 from ..operators import similarity as S
@@ -687,7 +687,7 @@ _EPOCH = (
         SELECT 'tumbling' AS kind,
                {_EPOCH.format("time_bucket(INTERVAL 15 minutes, ts)")} AS win_start_ms,
                COUNT(*) AS n_events,
-               CAST(SUM(CAST(CASE WHEN NOT isfinite(value) THEN NULL ELSE value END AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+               CAST(SUM(CAST(FLOOR((CASE WHEN NOT isfinite(value) THEN NULL ELSE value END) * 100 + 0.5) AS BIGINT)) AS DOUBLE) / 100 AS sum_value
         FROM events GROUP BY 1, 2
     ),
     grids AS (
@@ -700,7 +700,7 @@ _EPOCH = (
         SELECT 'sliding' AS kind,
                {_EPOCH.format("wstart")} AS win_start_ms,
                COUNT(*) AS n_events,
-               CAST(SUM(CAST(CASE WHEN NOT isfinite(value) THEN NULL ELSE value END AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+               CAST(SUM(CAST(FLOOR((CASE WHEN NOT isfinite(value) THEN NULL ELSE value END) * 100 + 0.5) AS BIGINT)) AS DOUBLE) / 100 AS sum_value
         FROM grids GROUP BY 1, 2
     )
     SELECT * FROM tumb UNION ALL SELECT * FROM slid
@@ -724,7 +724,7 @@ def events_windowed_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
                 # NaN value -> NULL under Spark's decimal cast (sum skips
                 # it); the oracle mirrors with an explicit isnan CASE —
                 # DuckDB's decimal cast would ABORT on NaN otherwise
-                F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("sum_value"),
+                (F.sum(scaled_cents(F.col("value"))) / F.lit(100.0)).alias("sum_value"),
             )
             .select(
                 F.lit(kind).alias("kind"),
@@ -800,7 +800,7 @@ def text_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
            {_EPOCH.format("MIN(ts)")} AS session_start_ms,
            {_EPOCH.format("MAX(ts) + INTERVAL 30 minutes")} AS session_end_ms,
            COUNT(*) AS n_events,
-           CAST(SUM(CAST(CASE WHEN NOT isfinite(value) THEN NULL ELSE value END AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+           CAST(SUM(CAST(FLOOR((CASE WHEN NOT isfinite(value) THEN NULL ELSE value END) * 100 + 0.5) AS BIGINT)) AS DOUBLE) / 100 AS sum_value
     FROM sessions GROUP BY user_id, session_id
     """,
 )
@@ -813,7 +813,7 @@ def events_session_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.groupBy(F.session_window("ts", "30 minutes").alias("win"), F.col("user_id"))
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("sum_value"),
+            (F.sum(scaled_cents(F.col("value"))) / F.lit(100.0)).alias("sum_value"),
         )
         .select(
             "user_id",

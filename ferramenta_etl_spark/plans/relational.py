@@ -14,9 +14,11 @@ library, JSON extraction, exact percentiles.
 
 Numeric-parity conventions (SURVEY.md §5.2):
 - money/double outputs rounded via ``round(x, 2..6)`` in BOTH engines;
-- SUM over doubles goes through ``cast(... as decimal(18,2))`` so the
-  result is order-independent (exact decimal addition), then cast back to
-  double for a stable comparison schema;
+- SUM over doubles goes through scaled-long cents (``sum(cast(
+  floor(x*100 + 0.5) as bigint)) / 100`` — functions/tsql.sum2) so the
+  result is order-independent (exact integer addition, and the
+  accumulator stays in whole-stage-codegen long arithmetic instead of
+  128-bit decimal), divided back to double for a stable schema;
 - every window ORDER BY carries a tiebreak making the order total;
 - timestamps never reach an output raw: formatted string or epoch ms.
 """
@@ -34,6 +36,7 @@ from ..functions.tsql import (
     isnull,
     money,
     round2_stable,
+    scaled_cents as _scaled_cents,
     sum2 as _sum2,
 )
 from ..operators.dedup import latest_per_key
@@ -386,18 +389,23 @@ def tsql_formats(spark: SparkSession, sf_dir: str) -> DataFrame:
     "group_agg",
     """
     SELECT l_returnflag, l_linestatus,
-           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)      AS sum_qty,
-           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+           -- scaled-long money sums: both engines derive the identical
+           -- cent integer via round(x*100) (0-dp rounding of a double
+           -- agrees between Spark HALF_UP and DuckDB half-away), sum
+           -- exactly in integers, divide at the edge (functions/tsql
+           -- sum2)
+           CAST(SUM(CAST(FLOOR(l_quantity * 100 + 0.5) AS BIGINT)) AS DOUBLE) / 100      AS sum_qty,
+           CAST(SUM(CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT)) AS DOUBLE) / 100 AS sum_base_price,
            -- computed ratio: scale-then-round (round2_stable's idiom at
            -- 4 dp) so a half-way landing rounds identically on both
            -- engines
-           ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+           ROUND(CAST(SUM(CAST(FLOOR(l_quantity * 100 + 0.5) AS BIGINT)) AS DOUBLE) / 100
                  / COUNT(*) * 10000) / 10000 + 0.0 AS avg_qty,
            ROUND(MIN(l_extendedprice), 2) AS min_price,
            ROUND(MAX(l_extendedprice), 2) AS max_price,
            COUNT(*) FILTER (WHERE l_quantity > 25) AS n_bulk,
-           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)))
-                FILTER (WHERE l_discount > 0.05) AS DOUBLE) AS discounted_revenue,
+           CAST(SUM(CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT))
+                FILTER (WHERE l_discount > 0.05) AS DOUBLE) / 100 AS discounted_revenue,
            COUNT(*) AS count_order
     FROM lineitem
     WHERE l_shipdate <= TIMESTAMP '2000-09-02'
@@ -424,13 +432,15 @@ def group_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.min("l_extendedprice"), 2).alias("min_price"),
             F.round(F.max("l_extendedprice"), 2).alias("max_price"),
             F.count(F.when(F.col("l_quantity") > 25, 1)).alias("n_bulk"),
-            F.sum(
-                F.when(F.col("l_discount") > 0.05, F.col("l_extendedprice")).cast(
-                    "decimal(18,2)"
+            (
+                F.sum(
+                    F.when(
+                        F.col("l_discount") > 0.05,
+                        _scaled_cents(F.col("l_extendedprice")),
+                    )
                 )
-            )
-            .cast("double")
-            .alias("discounted_revenue"),
+                / F.lit(100.0)
+            ).alias("discounted_revenue"),
             F.count(F.lit(1)).alias("count_order"),
         )
     )
@@ -538,15 +548,15 @@ def topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
            ROUND(CUME_DIST()    OVER w, 6) AS cume,
            ROUND(LAG(o_totalprice)  OVER w, 2) AS prev_total,
            ROUND(LEAD(o_totalprice) OVER w, 2) AS next_total,
-           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+           CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)) OVER (
                PARTITION BY o_custkey
                ORDER BY o_orderdate ASC NULLS FIRST, o_orderkey ASC
                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
-           ) AS DOUBLE) AS running_total,
-           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+           ) AS DOUBLE) / 100 AS running_total,
+           CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)) OVER (
                PARTITION BY o_custkey ORDER BY o_orderkey
                RANGE BETWEEN 1000 PRECEDING AND CURRENT ROW
-           ) AS DOUBLE) AS near_total,
+           ) AS DOUBLE) / 100 AS near_total,
            FIRST_VALUE(o_orderkey)  OVER wf AS first_key,
            LAST_VALUE(o_orderkey)   OVER wf AS last_key,
            NTH_VALUE(o_orderkey, 2) OVER wf AS second_key
@@ -586,7 +596,7 @@ def window_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         .rangeBetween(-1000, Window.currentRow)
     )
     w_full = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-    dec_total = F.col("o_totalprice").cast("decimal(18,2)")
+    cents_total = _scaled_cents(F.col("o_totalprice"))
     return o.select(
         "o_orderkey",
         "o_custkey",
@@ -597,8 +607,8 @@ def window_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.cume_dist().over(w), 6).alias("cume"),
         money(F.lag("o_totalprice").over(w)).alias("prev_total"),
         money(F.lead("o_totalprice").over(w)).alias("next_total"),
-        F.sum(dec_total).over(w_run).cast("double").alias("running_total"),
-        F.sum(dec_total).over(w_rng).cast("double").alias("near_total"),
+        (F.sum(cents_total).over(w_run) / F.lit(100.0)).alias("running_total"),
+        (F.sum(cents_total).over(w_rng) / F.lit(100.0)).alias("near_total"),
         F.first("o_orderkey").over(w_full).alias("first_key"),
         F.last("o_orderkey").over(w_full).alias("last_key"),
         F.nth_value("o_orderkey", 2).over(w_full).alias("second_key"),
@@ -636,9 +646,9 @@ def semi_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH p AS (
         SELECT l_returnflag,
                CAST(SUM(CASE WHEN l_linestatus = 'F'
-                        THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DOUBLE) AS qty_F,
+                        THEN CAST(FLOOR(l_quantity * 100 + 0.5) AS BIGINT) END) AS DOUBLE) / 100 AS qty_F,
                CAST(SUM(CASE WHEN l_linestatus = 'O'
-                        THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DOUBLE) AS qty_O
+                        THEN CAST(FLOOR(l_quantity * 100 + 0.5) AS BIGINT) END) AS DOUBLE) / 100 AS qty_O
         FROM lineitem GROUP BY l_returnflag
     )
     SELECT l_returnflag, 'qty_F' AS status, qty_F AS qty FROM p WHERE qty_F IS NOT NULL
@@ -903,8 +913,8 @@ def asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT o_orderkey, o_custkey, ROUND(o_totalprice, 2) AS total
     FROM orders o
     WHERE o_totalprice > (
-        SELECT CAST(SUM(CAST(o2.o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
-               / COUNT(*)
+        SELECT CAST(SUM(CAST(FLOOR(o2.o_totalprice * 100 + 0.5) AS BIGINT)) AS DOUBLE)
+               / 100 / COUNT(*)
         FROM orders o2 WHERE o2.o_custkey = o.o_custkey
     )
     AND o_custkey IN (SELECT c_custkey FROM customer WHERE c_acctbal > 9000)
@@ -917,13 +927,14 @@ def subquery_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
     its decorrelated form — a window aggregate over one hash-partition
     pass, what Catalyst's RewriteCorrelatedScalarSubquery produces) AND
     customer in a rich-customer set (IN-subquery == left-semi join).
-    Average built as decimal-sum/count so both engines divide identical
-    doubles."""
+    Average built as scaled-long-sum/count so both engines divide
+    identical doubles."""
     o = load_table(spark, sf_dir, "orders")
     rich = load_table(spark, sf_dir, "customer").filter(F.col("c_acctbal") > 9000)
     w = Window.partitionBy("o_custkey")
     avg_c = (
-        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).over(w).cast("double")
+        F.sum(_scaled_cents(F.col("o_totalprice"))).over(w)
+        / F.lit(100.0)
         / F.count(F.lit(1)).over(w)
     )
     return (
