@@ -8,10 +8,13 @@ count-style sink (foreach-noop via ``df.write.format('noop')``), which
 forces every operator without collecting rows to the driver. Plans are
 built once per (session, dataset) and cached by the query registry
 (plans/_registry.py) — the engine's prepared-statement analog — so the
-warm runs measure execution, not py4j plan-reconstruction chatter. Each query
-runs once to warm up (one-time JVM whole-stage-codegen compilation —
-hundreds of ms of javac per unique plan, noise for an engine that runs
-plans repeatedly), then three timed runs; the MEDIAN is reported. Warm
+warm runs measure execution, not py4j plan-reconstruction chatter. A
+GLOBAL warm-up pass first runs EVERY headline query once — this compiles
+each plan's whole-stage codegen AND brings the JVM itself to steady
+state (C2 JIT of the shuffle/sort/scan infrastructure takes several
+seconds of JVM life; before round 4's global pass, whichever query ran
+FIRST absorbed that as a phantom +15-25% — the flagship, every round).
+Then each query gets three timed runs; the MEDIAN is reported. Warm
 single-run variance on local[32] is ~±15% (GC pauses, task-scheduling
 jitter); the median keeps round-over-round comparisons about the plans,
 not the noise.
@@ -181,10 +184,14 @@ def main() -> None:
         print(f"WARNING: headline queries missing from registry: {missing}",
               file=sys.stderr)
 
+    # global warm-up pass: per-plan codegen + parquet footer first-touch
+    # for every query, and JVM C2 steady state before ANY timing starts
+    # (ordering-independent numbers; see module docstring)
+    for name in names:
+        queries[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+
     timings: dict[str, float] = {}
     for name in names:
-        # warm-up run: JVM codegen compilation + parquet footer first-touch
-        queries[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
         runs = []
         for _ in range(3):
             t0 = time.perf_counter()
