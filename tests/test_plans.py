@@ -161,3 +161,24 @@ def test_plan_construction_is_driver_job_free(spark, tmp_path):
     assert not offenders, (
         f"plan builders ran driver jobs at composition time: {offenders}"
     )
+
+
+def test_no_rowwise_python_or_cartesian_in_any_registered_plan(spark):
+    """Registry-wide anti-pattern sweep: no registered query's physical
+    plan may contain BatchEvalPython (a row-at-a-time Python UDF — the
+    slow path this engine bans; Python is allowed only Arrow-batched as
+    ArrowEvalPython / mapInPandas / FlatMapGroupsInPandas) or
+    CartesianProduct (an unkeyed all-pairs join — every pairwise
+    operator here must go through blocking/banding keys or an explicit
+    broadcast nested loop of a bounded query side). A regression that
+    sneaks either into ANY of the 50 registered plans fails here, not
+    in the next round's plan audit."""
+    import __spark_entry__ as m
+
+    offenders: dict[str, str] = {}
+    for name, fn in sorted(m.queries().items()):
+        plan = physical(fn(spark, SF_SMOKE))
+        for marker in ("BatchEvalPython", "CartesianProduct"):
+            if marker in plan:
+                offenders[name] = marker
+    assert not offenders, f"anti-patterns in registered plans: {offenders}"
