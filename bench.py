@@ -91,91 +91,16 @@ def main() -> None:
 
     queries = dict(entry_mod.queries())
 
-    # Bench-only composites get the same plan cache the registry gives
-    # registered queries (bench methodology: plans build once per
-    # (session, dataset) — the prepared-statement analog — so warm runs
-    # measure execution, not py4j plan-reconstruction; for curation this
-    # also keeps its persist()/checkpoint intermediates stable across
-    # runs instead of re-materializing them per timed run). One shared
-    # implementation with the registry — policy changes land once.
-    from ferramenta_etl_spark.plans._registry import plan_cache as _cached
+    # Bench-only composites (curation, seq_packing, quantized/LSH top-k,
+    # the *_fast hash-family pair, flagship_bucketed) come from ONE
+    # shared module (plans/composites.py) also used by
+    # scale_experiment.py — the two harnesses measure the same queries
+    # by construction, with the registry's plan cache (plans build once
+    # per (session, dataset); curation's persist()/checkpoint
+    # intermediates stay stable across timed runs).
+    from ferramenta_etl_spark.plans.composites import add_bench_composites
 
-    # The flagship composition (filter -> dedup -> near-dup collapse ->
-    # redact) benches end-to-end as one entry; it is not in the 50-query
-    # oracle registry (its stages are individually oracle-checked), so it
-    # rides along here rather than in queries().
-    from ferramenta_etl_spark.pipeline.curation import curated_frame
-
-    queries["curation"] = _cached(lambda spark, sf: curated_frame(spark, sf, redact=True))
-
-    from pyspark.sql import functions as F
-
-    from ferramenta_etl_spark.operators.packing import pack_sequences
-    from ferramenta_etl_spark.operators.quantize import (
-        quantize_embeddings,
-        quantized_cosine_topk,
-    )
-    from ferramenta_etl_spark.operators.text import chunk_documents
-    from ferramenta_etl_spark.sources import load_table
-
-    def _seq_packing(spark, sf):
-        docs = load_table(spark, sf, "documents")
-        chunks = chunk_documents(docs, chunk_tokens=128, overlap=16)
-        return pack_sequences(chunks, budget_tokens=2048, n_shards=64)
-
-    def _quantized_topk(spark, sf):
-        emb = load_table(spark, sf, "embeddings")
-        qc = quantize_embeddings(emb.filter(F.col("vec_id") >= 10))
-        qq = quantize_embeddings(emb.filter(F.col("vec_id") < 10)).select(
-            F.col("vec_id").alias("query_id"),
-            F.col("q_embedding").alias("query_q"),
-            F.col("q_scale").alias("query_scale"),
-        )
-        return quantized_cosine_topk(qc, qq, k=5)
-
-    from ferramenta_etl_spark.operators.similarity import lsh_ann_topk
-
-    def _lsh_ann(spark, sf):
-        emb = load_table(spark, sf, "embeddings")
-        queries_df = emb.filter(F.col("vec_id") < 10).select(
-            F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
-        )
-        corpus = emb.filter(F.col("vec_id") >= 10).select("vec_id", "embedding")
-        # dim passed explicitly: composition must not run the one-row
-        # dim-probe driver job (tests/test_plans.py asserts plan builds
-        # are job-free engine-wide)
-        return lsh_ann_topk(
-            corpus, queries_df, k=5, n_planes=16, n_bands=4, dim=64
-        )
-
-    queries["seq_packing"] = _cached(_seq_packing)
-    queries["embedding_quantized_topk"] = _cached(_quantized_topk)
-    queries["embedding_ann_lsh"] = _cached(_lsh_ann)
-
-    # Library-default (xxhash64) near-dup paths: the production engine,
-    # vs the portable=True oracle variants registered in the gate.
-    from ferramenta_etl_spark.operators import dedup as D
-
-    def _minhash_fast(spark, sf):
-        docs = load_table(spark, sf, "documents")
-        return D.minhash_lsh_pairs(
-            D.dedup_exact(docs), num_hashes=32, bands=8, threshold=0.5,
-            portable=False,
-        )
-
-    def _simhash_fast(spark, sf):
-        docs = load_table(spark, sf, "documents")
-        return D.simhash_near_dup_pairs(D.dedup_exact(docs), portable=False)
-
-    queries["dedup_minhash_fast"] = _cached(_minhash_fast)
-    queries["dedup_simhash_fast"] = _cached(_simhash_fast)
-
-    # flagship over bucketed orderkey mirrors: the mirrors are written
-    # at plan-build time (amortized, like the index builds); timed runs
-    # measure the exchange-free joins (plans/bucketed.py).
-    from ferramenta_etl_spark.plans.bucketed import flagship_bucketed
-
-    queries["flagship_bucketed"] = _cached(flagship_bucketed)
+    add_bench_composites(queries)
     names = [n for n in HEADLINE if n in queries]
     missing = [n for n in HEADLINE if n not in queries]
     if missing:

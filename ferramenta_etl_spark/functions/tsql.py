@@ -122,9 +122,14 @@ def scaled_cents(col_expr: Column) -> Column:
     epsilon of an integer, so this merely snaps representation error —
     and because BOTH engines evaluate the identical IEEE sequence
     (multiply, add, C/Java floor; the oracle twin is ``CAST(FLOOR(x *
-    100 + 0.5) AS BIGINT)``), the derived integers agree bit-exactly on
-    ANY double, not just 2-dp ones (the hypothesis oracle-fuzz suite
-    covers the degenerate inputs). ``floor`` beats ``F.round`` here
+    100 + 0.5) AS BIGINT)``), the derived integers agree bit-exactly
+    for any double within long range (|x| < ~9.2e16; the oracle-fuzz
+    suite plants half-cent landings, negatives, and 1e9 magnitudes).
+    Beyond long range the engines diverge in FAILURE MODE, not value:
+    Spark's FLOOR->long saturates at Long.MAX while DuckDB's
+    FLOOR->BIGINT cast errors — money columns never approach that
+    regime, but don't reuse this idiom for arbitrary-magnitude
+    science floats. ``floor`` beats ``F.round`` here
     because Spark's HALF_UP round allocates a BigDecimal per row
     (measured 0.47 s -> 0.26 s on the group_agg scan stage at sf0.1).
     Non-finite inputs map to NULL first (matching what

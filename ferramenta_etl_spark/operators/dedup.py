@@ -53,9 +53,15 @@ def latest_per_key(
     payload struct). Same shuffle volume as the group-limited window,
     minus both sorts; measured ~7% off the flagship's first half at
     sf0.1 and strictly better shape at 100 TB. The CALLER guarantees
-    the encoding matches (struct comparison is field-by-field, nulls
-    first — i.e. ASC NULLS FIRST per field); the property test
-    ``tests/test_operators.py`` pins window ≡ agg on the fixture.
+    the encoding matches — struct comparison is field-by-field, nulls
+    first, i.e. ASC NULLS FIRST per field. NULL-PLACEMENT TRAP for
+    nullable ordering columns: ``.desc()`` in the window path is NULLS
+    LAST (a NULL never wins), but a negated numeric field in the struct
+    is NULLS FIRST (``-NULL`` is NULL, which compares SMALLEST — the
+    NULL row wins ``min_by``); encode nullable DESC fields with an
+    explicit sentinel (e.g. ``coalesce(-x, lit(Long.MAX))``) or keep
+    the window path. The equivalence is pinned (non-null orderings) by
+    ``tests/test_properties.py::test_latest_per_key_matches_python``.
     """
     if agg_order is not None:
         payload = F.struct(*[F.col(c) for c in df.columns])

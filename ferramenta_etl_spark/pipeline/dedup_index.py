@@ -49,10 +49,11 @@ push into the scan as an InSet filter, so everything past the scan is
 O(batch + collisions)) plus the batch's own signature pass. The scan
 is the LSM-style floor every probe-an-accumulated-index design pays;
 what the index buys is never re-SHUFFLING and never re-HASHING the
-corpus. Measured at a 500k-doc index (SCALING.md): admitting a 500-doc
-batch costs 10.0 s vs 19.0 s for the full-corpus recompute, and the
-full recompute grows with the corpus while the batch cost grows only
-with the (narrow) index scan. No analog in the reference (SURVEY §2
+corpus. Measured at a 500k-distinct-doc index (SCALING.md; round-3 and
+round-4 runs agree): admitting a 500-doc batch costs 10-12 s vs
+17-19 s for the full-corpus recompute, and the full recompute grows
+with the corpus (re-shingle + re-hash + self-join) while the batch
+cost grows only with the (narrow) index scan. No analog in the reference (SURVEY §2
 stops at exact keyed idempotence); part of the mandated large-scale
 extension suite.
 """

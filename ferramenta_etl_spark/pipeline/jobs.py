@@ -25,7 +25,7 @@ from collections.abc import Callable
 from pyspark.sql import SparkSession
 from pyspark.sql import functions as F
 
-from ..functions.tsql import epoch_ms, scaled_cents
+from ..functions.tsql import epoch_ms, sum2
 from ..operators.dedup import latest_per_key
 from ..sinks import write_ignore_conflicts
 from ..sources import load_table
@@ -103,8 +103,7 @@ def build_jobs(
             ev.groupBy(F.window("ts", "15 minutes").alias("win"), "event_type")
             .agg(
                 F.count(F.lit(1)).alias("n_eventos"),
-                (F.sum(scaled_cents(F.col("value"))) / F.lit(100.0))
-                .alias("vl_total"),
+                sum2(F.col("value")).alias("vl_total"),
             )
             .select(
                 epoch_ms(F.col("win.start")).alias("ms_inicio"),

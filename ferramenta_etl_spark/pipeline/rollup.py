@@ -25,7 +25,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..functions.tsql import epoch_ms, scaled_cents
+from ..functions.tsql import epoch_ms, sum2
 from ..sinks import write_ignore_conflicts
 
 _MS = {"15 minutes": 15 * 60 * 1000, "30 minutes": 30 * 60 * 1000,
@@ -43,7 +43,7 @@ def _windowed_agg(events: DataFrame, size: str) -> DataFrame:
         events.groupBy(F.window("ts", size).alias("win"))
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            (F.sum(scaled_cents(F.col("value"))) / F.lit(100.0)).alias("sum_value"),
+            sum2(F.col("value")).alias("sum_value"),
         )
         .select(
             epoch_ms(F.col("win.start")).alias("win_start_ms"),

@@ -18,7 +18,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..functions.tsql import epoch_ms, scaled_cents
+from ..functions.tsql import epoch_ms, sum2
 from ..operators import dedup as D
 from ..operators import multimodal as M
 from ..operators import similarity as S
@@ -729,10 +729,11 @@ def events_windowed_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             ev.groupBy(F.window("ts", *win).alias("win"))
             .agg(
                 F.count(F.lit(1)).alias("n_events"),
-                # NaN value -> NULL under Spark's decimal cast (sum skips
-                # it); the oracle mirrors with an explicit isnan CASE —
-                # DuckDB's decimal cast would ABORT on NaN otherwise
-                (F.sum(scaled_cents(F.col("value"))) / F.lit(100.0)).alias("sum_value"),
+                # NaN/Inf value -> NULL via scaled_cents' non-finite
+                # guard (sum skips it); the oracle mirrors with an
+                # explicit isfinite CASE — DuckDB's FLOOR->BIGINT cast
+                # would ABORT on NaN otherwise
+                sum2(F.col("value")).alias("sum_value"),
             )
             .select(
                 F.lit(kind).alias("kind"),
@@ -821,7 +822,7 @@ def events_session_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.groupBy(F.session_window("ts", "30 minutes").alias("win"), F.col("user_id"))
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            (F.sum(scaled_cents(F.col("value"))) / F.lit(100.0)).alias("sum_value"),
+            sum2(F.col("value")).alias("sum_value"),
         )
         .select(
             "user_id",

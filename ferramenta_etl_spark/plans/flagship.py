@@ -116,8 +116,12 @@ def flagship(
         # Sort-free hash-agg pick: min under (id DESC, nr_mov DESC,
         # ds ASC NULLS FIRST), encoded as an ascending struct (numeric
         # fields negated; struct comparison is ASC NULLS FIRST per
-        # field). Same rows as the window (pinned by test + the oracle
-        # hash), no per-partition sorts around the exchange.
+        # field). The negated fields are inner-join keys / linenumbers —
+        # never NULL — so the NULLS LAST (window desc) vs NULLS FIRST
+        # (negated struct) divergence latest_per_key documents cannot
+        # bite here; ds is ASC, where both paths agree on NULLS FIRST.
+        # Same rows as the window (oracle hash-checked at sf0.01; the
+        # non-null property test pins the general equivalence).
         agg_order=F.struct(
             (-F.col("id_manifesto")).alias("k1"),
             (-F.col("nr_movimento")).alias("k2"),

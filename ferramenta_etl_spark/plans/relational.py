@@ -390,10 +390,13 @@ def tsql_formats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT l_returnflag, l_linestatus,
            -- scaled-long money sums: both engines derive the identical
-           -- cent integer via round(x*100) (0-dp rounding of a double
-           -- agrees between Spark HALF_UP and DuckDB half-away), sum
-           -- exactly in integers, divide at the edge (functions/tsql
-           -- sum2)
+           -- cent integer via floor(x*100 + 0.5) — the same IEEE
+           -- multiply/add/floor sequence on both sides, so the longs
+           -- match bit-exactly (do NOT "simplify" to ROUND: half-up
+           -- and floor(x+0.5) differ on negative halves, and the
+           -- parity argument is same-sequence, not same-rounding-mode)
+           -- — then sum exactly in integers and divide at the edge
+           -- (functions/tsql sum2)
            CAST(SUM(CAST(FLOOR(l_quantity * 100 + 0.5) AS BIGINT)) AS DOUBLE) / 100      AS sum_qty,
            CAST(SUM(CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT)) AS DOUBLE) / 100 AS sum_base_price,
            -- computed ratio: scale-then-round (round2_stable's idiom at

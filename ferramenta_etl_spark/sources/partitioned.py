@@ -73,14 +73,10 @@ def load_partitioned(spark: SparkSession, path: str) -> DataFrame:
     """Read a partitioned mirror. Partition-column values come from
     directory names (hive-style discovery); predicates on the partition
     column become PartitionFilters — metadata-only, no file I/O for
-    excluded partitions."""
+    excluded partitions. Observability note: neither ``inputFiles()``
+    (computed pre-optimization) nor any static plan property shows the
+    pruned FILE list — assert pruning via the scan node's
+    ``PartitionFilters`` / ``dynamicpruning`` plan text, or behaviorally
+    (tests/test_partitioned.py corrupts an excluded partition and shows
+    the pruned query never opens it)."""
     return spark.read.parquet(path)
-
-
-def scanned_files(df: DataFrame) -> int:
-    """Number of data files the (pruned) scan would read — the
-    observable static pruning actually changes. DPP prunes at RUNTIME,
-    after broadcast of the dim side, so for DPP assertions inspect the
-    plan for ``dynamicpruning`` instead (inputFiles is computed before
-    execution and cannot see runtime pruning)."""
-    return len(df.inputFiles())

@@ -21,7 +21,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..functions.tsql import epoch_ms, scaled_cents
+from ..functions.tsql import epoch_ms, sum2
 from ..sources.tables import EXPECTED_SCHEMAS
 
 
@@ -85,7 +85,7 @@ def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _agg(df: DataFrame):
     return (
         F.count(F.lit(1)).alias("n_events"),
-        (F.sum(scaled_cents(F.col("value"))) / F.lit(100.0)).alias("sum_value"),
+        sum2(F.col("value")).alias("sum_value"),
     )
 
 

@@ -79,9 +79,15 @@ def generate(spark, sf_dir: str, out_dir: str, factor: int) -> None:
 
 
 def time_queries(spark, queries, names, sf_dir: str) -> dict[str, float]:
-    out = {}
+    # global warm-up pass first (bench.py's protocol): every query once,
+    # so no single query absorbs JVM C2 JIT of the shared execution
+    # infrastructure — without this the FIRST query of the base pass ran
+    # in a fresh JVM and its base_s carried a phantom +15-25%, silently
+    # deflating its printed ratio
     for name in names:
         queries[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+    out = {}
+    for name in names:
         runs = []
         for _ in range(3):
             t0 = time.perf_counter()
@@ -96,10 +102,11 @@ def time_queries(spark, queries, names, sf_dir: str) -> dict[str, float]:
 
 def dedup_admit_experiment(spark, sf_dir: str, factor: int, scratch: str) -> dict:
     """The incremental near-dup index story at scale: build the index
-    over a large DISTINCT corpus (documents replicated with per-doc
-    unique suffixes so replicas are not near-dups of each other), then
-    time admitting a small unseen batch against it vs recomputing the
-    whole corpus. The batch step must not grow with corpus size."""
+    over a large DISTINCT corpus (every replica's text has a replica tag
+    interleaved between all tokens, so replicas share no shingles — see
+    ``tagged``), then time admitting a small unseen batch against it vs
+    recomputing the whole corpus. The batch step must not grow with
+    corpus size."""
     import shutil
 
     from pyspark.sql import functions as F
@@ -112,22 +119,37 @@ def dedup_admit_experiment(spark, sf_dir: str, factor: int, scratch: str) -> dic
     from ferramenta_etl_spark.sources import load_table
 
     base = load_table(spark, sf_dir, "documents")
+
+    def tagged(df, tag: str):
+        # interleave the tag between EVERY token: replica r's 3-shingles
+        # all contain "r", so replicas share ZERO shingles with the base
+        # or with each other — genuinely distinct docs. (A single
+        # TRAILING tag is NOT enough: it leaves (T-4)/T of the shingles
+        # shared, which is >= 0.7 Jaccard for any doc over ~14 tokens —
+        # the whole "large distinct corpus" premise would be false and
+        # the corpus would collapse to ~|base| in the exact/near-dup
+        # passes.)
+        return df.withColumn(
+            "text", F.regexp_replace(F.col("text"), F.lit(" "), F.lit(f" {tag} "))
+        )
+
     out = base
     for i in range(1, factor):
-        # replica i gets a distinct trailing token: genuinely new docs,
-        # no cross-replica near-dups at threshold 0.7
         out = out.unionByName(
-            base.withColumn("doc_id", F.col("doc_id") + F.lit(i * _OFFSET))
-            .withColumn(
-                "text", F.concat_ws(" ", F.col("text"), F.lit(f"replica{i}"))
+            tagged(
+                base.withColumn("doc_id", F.col("doc_id") + F.lit(i * _OFFSET)),
+                f"replica{i}",
             )
         )
     corpus = out.localCheckpoint(eager=True)
     n_corpus = corpus.count()
     batch = (
-        base.limit(500)
-        .withColumn("doc_id", F.col("doc_id") + F.lit(factor * _OFFSET))
-        .withColumn("text", F.concat_ws(" ", F.col("text"), F.lit("unseen")))
+        tagged(
+            base.limit(500).withColumn(
+                "doc_id", F.col("doc_id") + F.lit(factor * _OFFSET)
+            ),
+            "unseen",
+        )
         .localCheckpoint(eager=True)
     )
 
@@ -194,72 +216,14 @@ def main() -> None:
 
     import bench as bench_mod
     import __spark_entry__ as entry_mod
-    from ferramenta_etl_spark.plans._registry import plan_cache as _cached
 
     queries = dict(entry_mod.queries())
-    # the bench-only composites, same wiring as bench.py
-    from ferramenta_etl_spark.pipeline.curation import curated_frame
+    # bench-only composites from the SAME shared module bench.py uses
+    # (plans/composites.py) — the ratio table and the headline bench
+    # measure identical queries by construction
+    from ferramenta_etl_spark.plans.composites import add_bench_composites
 
-    queries["curation"] = _cached(lambda s, sf: curated_frame(s, sf, redact=True))
-
-    # the bench-only composites, built the same way bench.py builds them
-    from pyspark.sql import functions as F
-
-    from ferramenta_etl_spark.operators import dedup as D
-    from ferramenta_etl_spark.operators.packing import pack_sequences
-    from ferramenta_etl_spark.operators.quantize import (
-        quantize_embeddings,
-        quantized_cosine_topk,
-    )
-    from ferramenta_etl_spark.operators.similarity import lsh_ann_topk
-    from ferramenta_etl_spark.operators.text import chunk_documents
-    from ferramenta_etl_spark.plans.bucketed import flagship_bucketed
-    from ferramenta_etl_spark.sources import load_table
-
-    def _seq_packing(s, sf):
-        return pack_sequences(
-            chunk_documents(load_table(s, sf, "documents"), 128, 16),
-            budget_tokens=2048, n_shards=64,
-        )
-
-    def _quantized(s, sf):
-        emb = load_table(s, sf, "embeddings")
-        qc = quantize_embeddings(emb.filter(F.col("vec_id") >= 10))
-        qq = quantize_embeddings(emb.filter(F.col("vec_id") < 10)).select(
-            F.col("vec_id").alias("query_id"),
-            F.col("q_embedding").alias("query_q"),
-            F.col("q_scale").alias("query_scale"),
-        )
-        return quantized_cosine_topk(qc, qq, k=5)
-
-    def _lsh(s, sf):
-        emb = load_table(s, sf, "embeddings")
-        q = emb.filter(F.col("vec_id") < 10).select(
-            F.col("vec_id").alias("query_id"),
-            F.col("embedding").alias("query_vec"),
-        )
-        return lsh_ann_topk(
-            emb.filter(F.col("vec_id") >= 10).select("vec_id", "embedding"),
-            q, k=5, n_planes=16, n_bands=4, dim=64,
-        )
-
-    def _minhash_fast(s, sf):
-        return D.minhash_lsh_pairs(
-            D.dedup_exact(load_table(s, sf, "documents")),
-            num_hashes=32, bands=8, threshold=0.5, portable=False,
-        )
-
-    def _simhash_fast(s, sf):
-        return D.simhash_near_dup_pairs(
-            D.dedup_exact(load_table(s, sf, "documents")), portable=False
-        )
-
-    queries["seq_packing"] = _cached(_seq_packing)
-    queries["embedding_quantized_topk"] = _cached(_quantized)
-    queries["embedding_ann_lsh"] = _cached(_lsh)
-    queries["dedup_minhash_fast"] = _cached(_minhash_fast)
-    queries["dedup_simhash_fast"] = _cached(_simhash_fast)
-    queries["flagship_bucketed"] = _cached(flagship_bucketed)
+    add_bench_composites(queries)
 
     names = (
         [q for q in args.queries.split(",") if q]

@@ -260,11 +260,14 @@ REL_QUERIES = sorted(
 def _nasty_orders_lineitem():
     """Money columns stay FINITE by contract: the reference declares
     them NUMERIC (S:109-111), where NaN cannot exist — the doubles in
-    the testdata are a storage artifact, and the ~15 decimal-cast
-    aggregation sites across the relational oracles rely on that
-    contract (DuckDB's decimal cast aborts on NaN). Corrupt-value
-    tolerance is exercised where corruption is in-domain: events.value
-    and embeddings (NaN/Inf fixtures above/below)."""
+    the testdata are a storage artifact, and the scaled-long-cents
+    aggregation sites across the relational ORACLES rely on that
+    contract (DuckDB's CAST(FLOOR(NaN*100+0.5) AS BIGINT) aborts; the
+    Spark side's scaled_cents guards non-finite to NULL, but the gate
+    compares both engines). Half-cent landings and large magnitudes ARE
+    in-domain and are planted below (999.995, 123.455, 1e9, negatives).
+    Corrupt-value tolerance is exercised where corruption is in-domain:
+    events.value and embeddings (NaN/Inf fixtures above/below)."""
     from datetime import datetime
 
     dates = [

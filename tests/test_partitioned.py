@@ -11,7 +11,6 @@ from pyspark.sql import functions as F
 from ferramenta_etl_spark.sources import load_table
 from ferramenta_etl_spark.sources.partitioned import (
     load_partitioned,
-    scanned_files,
     write_partitioned_mirror,
 )
 from tests.conftest import SF_SMOKE

@@ -306,3 +306,58 @@ def test_incremental_dedup_invariants_vs_all_corpus_pairs(
     assert dropped <= paired  # 3: every drop has a witness pair
     both_admitted = {p for p in pairs if p[0] in admitted and p[1] in admitted}
     assert not both_admitted  # 2: admitted is an independent set
+
+
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(0, 3),
+            st.one_of(st.none(), st.integers(0, 5)),
+            st.integers(0, 5),
+        ),
+        min_size=1,
+        max_size=20,
+    )
+)
+@settings(**SETTINGS)
+def test_latest_per_key_agg_sentinel_handles_nullable_desc(spark, rows):
+    """The documented workaround for the NULL-placement trap
+    (operators/dedup.latest_per_key): a nullable DESC ordering column
+    must be encoded with a coalesce sentinel in the agg path, because a
+    bare negated field would be NULLS FIRST (NULL wins min_by) while
+    the window's desc() is NULLS LAST (NULL loses). With the sentinel,
+    agg == window == the Python model on tie-heavy nullable inputs."""
+    from ferramenta_etl_spark.operators.dedup import latest_per_key
+
+    df = spark.createDataFrame(rows, "k int, o int, t int")
+    sentinel = (1 << 62)  # larger than any -o, so NULL o always loses
+    got_agg = {
+        (r.k, r.o, r.t)
+        for r in latest_per_key(
+            df,
+            keys=["k"],
+            order_by=[F.col("o").desc()],  # desc == desc_nulls_last
+            tiebreak=[F.col("t").desc()],
+            agg_order=F.struct(
+                F.coalesce(-F.col("o"), F.lit(sentinel)).alias("a"),
+                (-F.col("t")).alias("b"),
+            ),
+        ).collect()
+    }
+    got_win = {
+        (r.k, r.o, r.t)
+        for r in latest_per_key(
+            df, keys=["k"], order_by=[F.col("o").desc()], tiebreak=[F.col("t").desc()]
+        ).collect()
+    }
+    want = {}
+    for k, o, t in rows:
+        cur = want.get(k)
+        # desc_nulls_last: any non-null o beats null o; ties on o fall
+        # to t desc
+        key = ((o is not None, o if o is not None else -1, t))
+        if cur is None or key > cur[0]:
+            want[k] = (key, (k, o, t))
+    expect = {v for _, v in want.values()}
+    assert got_win == expect
+    assert got_agg == expect
