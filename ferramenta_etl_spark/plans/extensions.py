@@ -102,10 +102,23 @@ def dedup_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 @_q(
     "dedup_tokenset_jaccard",
     """
-    WITH toks AS (
+    WITH dedup AS (
+        -- exact duplicates collapse FIRST (min-id survivor): identical
+        -- texts land in the same block with Jaccard 1.0, so on a
+        -- high-duplication corpus the equality blocks would otherwise
+        -- grow by the duplication factor and the pair space by its
+        -- square (caught at 100x replication: the operator ground on
+        -- ~10,000x the pairs; same fix as MinHash/SimHash)
+        SELECT doc_id, text, lang, n_chars FROM (
+            SELECT doc_id, text, lang, n_chars,
+                   row_number() OVER (PARTITION BY md5(text)
+                                      ORDER BY doc_id) AS rn
+            FROM documents
+        ) WHERE rn = 1
+    ), toks AS (
         SELECT doc_id, lang, CAST(floor(n_chars / 16) AS BIGINT) AS block_len,
                list_distinct(string_split(lower(text), ' ')) AS t
-        FROM documents
+        FROM dedup
     ), keyed AS (
         -- each doc under its bucket AND the next: boundary-straddling
         -- pairs collide (mirrors operators/dedup.tokenset_jaccard_pairs)
@@ -125,9 +138,14 @@ def dedup_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 def dedup_tokenset_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Blocked pairwise token-set Jaccard near-dup (n-gram Jaccard with
     n=1); candidate pairs come from a hash-join on (lang, length-bucket),
-    never a cross join."""
+    never a cross join. Exact duplicates collapse first (the cheap
+    hash-groupBy): identical texts are exact dedup's job, and without
+    the pre-pass a high-duplication corpus inflates every equality
+    block by the duplication factor — pairs by its SQUARE (the 100x
+    replication sweep caught exactly that; MinHash and SimHash gained
+    the same pre-pass in round 2)."""
     return D.tokenset_jaccard_pairs(
-        load_table(spark, sf_dir, "documents"), threshold=0.8
+        D.dedup_exact(load_table(spark, sf_dir, "documents")), threshold=0.8
     )
 
 
@@ -389,8 +407,23 @@ def embedding_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _NEAR_DUP_ORACLE = f"""
-    WITH e AS (SELECT vec_id, embedding, label FROM embeddings
-               WHERE {_usable_vec('embedding')})
+    WITH u AS (SELECT vec_id, embedding, label FROM embeddings
+               WHERE {_usable_vec('embedding')}),
+    e AS (
+        -- bit-identical vectors collapse FIRST (min-id survivor):
+        -- they are exact dedup's job (sim 1.0 by construction), and
+        -- without the pre-pass a high-duplication corpus inflates the
+        -- label blocks by the duplication factor — pairs by its square
+        -- (the 100x replication sweep caught this; usable-filter runs
+        -- BEFORE the collapse so non-finite vectors never reach the
+        -- array group key)
+        SELECT vec_id, embedding, label FROM (
+            SELECT vec_id, embedding, label,
+                   row_number() OVER (PARTITION BY embedding
+                                      ORDER BY vec_id) AS rn
+            FROM u
+        ) WHERE rn = 1
+    )
     SELECT a.vec_id AS vec_id_a, b.vec_id AS vec_id_b,
            ROUND({_cos('a.embedding', 'b.embedding')}, 6) AS sim
     FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
@@ -400,12 +433,24 @@ _NEAR_DUP_ORACLE = f"""
 
 @_q("embedding_near_dup", _NEAR_DUP_ORACLE)
 def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-dup pairs blocked by label. (Threshold 0.35:
-    the synthetic embeddings are not clustered — max within-label cosine
-    ~0.45 — so a production 0.9 threshold would be vacuous here.)"""
-    return S.cosine_near_dup_pairs(
-        load_table(spark, sf_dir, "embeddings"), threshold=0.35
+    """Embedding-cosine near-dup pairs blocked by label, after
+    collapsing bit-identical vectors to their min-id survivor (exact
+    dedup's job — and the guard that keeps label blocks from inflating
+    by the duplication factor on a replicated corpus; see the oracle
+    comment). The usable-vector filter runs before the collapse so
+    array group keys are all-finite. (Threshold 0.35: the synthetic
+    embeddings are not clustered — max within-label cosine ~0.45 — so a
+    production 0.9 threshold would be vacuous here.)"""
+    from ..operators.dedup import latest_per_key
+    from ..operators.similarity import _usable_vec_sql
+
+    emb = load_table(spark, sf_dir, "embeddings").filter(
+        F.expr(_usable_vec_sql("embedding"))
     )
+    distinct = latest_per_key(
+        emb, keys=[F.col("embedding")], order_by=[F.col("vec_id").asc()]
+    )
+    return S.cosine_near_dup_pairs(distinct, threshold=0.35)
 
 
 # ===========================================================================
