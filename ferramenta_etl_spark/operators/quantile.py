@@ -1,0 +1,106 @@
+"""Exact grouped quantiles that survive 100 TB group sizes.
+
+Spark's ``percentile`` aggregate is exact but buffers EVERY value of a
+group inside the aggregation state — at warehouse scale a single group
+holds 10^10+ values and the executor OOMs; aggregate buffers have no
+spill path. The naive sort-based alternative (window over
+``partitionBy(group).orderBy(value)``) spills but serializes: with
+O(1)-cardinality groups the whole table sorts in |groups| tasks — the
+exact scale-killer operators/topk.py documents (measured 70 s vs 29 s
+at the 100x sweep for 3 groups).
+
+The formulation here is a VALUE HISTOGRAM in two declarative steps:
+
+1. ``groupBy(group, value).count()`` — the only heavy shuffle, a plain
+   parallel hash aggregate with map-side combine (duplicate values
+   collapse before the exchange; spillable; AQE-skew-handled).
+2. cumulative counts over the compact histogram (window per group) and
+   the SQL ``quantile_cont`` rank arithmetic: the value at 1-based rank
+   r is the histogram row with ``cum - cnt < r <= cum``.
+
+Step 2's window runs one task per group, but over DISTINCT VALUES, not
+rows — for real numeric columns (prices, quantities, scores) that is
+orders of magnitude smaller than the data; a 10^12-row group with 10^6
+distinct prices sorts 10^6 histogram rows. Honest worst case: a column
+with ~all-distinct values (random doubles) degrades the histogram to
+row scale and the per-group window serializes again — for that shape
+use the Greenwald-Khanna sketch in operators/sketch.py (bounded error)
+or range-partition the sort; exactness on low-distinct columns is what
+this operator is for.
+
+Interpolation is quantile_cont's ``lo + (hi - lo) * frac`` on 0-based
+``pos = (n-1)*q`` — bit-identical to DuckDB. Deliberately NOT Spark's
+``percentile`` form ``(1-frac)*lo + frac*hi``, which differs by float
+ulps on some fractions (property-test-discovered; see
+tests/test_properties.py::test_grouped_exact_quantile_matches_quantile_cont).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def grouped_exact_quantile(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    value_col: str,
+    q: float,
+    out_col: str,
+) -> DataFrame:
+    """Exact interpolated quantile per group: SQL ``quantile_cont(q)``.
+
+    Nulls ignored (a group whose values are all null yields no row).
+    See the module docstring for the physical shape and its trade-off.
+    """
+    hist = (
+        df.filter(F.col(value_col).isNotNull())
+        .groupBy(*group_cols, value_col)
+        .agg(F.count(F.lit(1)).alias("__cnt"))
+    )
+    wg = Window.partitionBy(*group_cols)
+    wcum = wg.orderBy(F.col(value_col).asc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    n = F.sum("__cnt").over(wg)
+    pos = (n - 1) * F.lit(float(q))  # 0-based fractional rank
+    lo_rank = F.floor(pos) + 1  # 1-based
+    cum = F.sum("__cnt").over(wcum)
+    prev = cum - F.col("__cnt")
+    ranked = hist.select(
+        *group_cols,
+        value_col,
+        pos.alias("__pos"),
+        lo_rank.alias("__lo"),
+        cum.alias("__cum"),
+        prev.alias("__prev"),
+    )
+    # a histogram row covers ranks (prev, cum]; pick the rows covering
+    # lo_rank and lo_rank+1 (often the same row)
+    cand = ranked.filter(
+        (F.col("__prev") < F.col("__lo") + 1) & (F.col("__lo") <= F.col("__cum"))
+    )
+    agg = cand.groupBy(*group_cols).agg(
+        F.min(
+            F.when(
+                (F.col("__prev") < F.col("__lo")) & (F.col("__lo") <= F.col("__cum")),
+                F.col(value_col),
+            )
+        ).alias("__lov"),
+        F.min(
+            F.when(
+                (F.col("__prev") < F.col("__lo") + 1)
+                & (F.col("__lo") + 1 <= F.col("__cum")),
+                F.col(value_col),
+            )
+        ).alias("__hiv"),
+        F.first("__pos").alias("__p"),  # identical for every row of a group
+    )
+    frac = F.col("__p") - F.floor(F.col("__p"))
+    value = (
+        F.col("__lov")
+        + (F.coalesce(F.col("__hiv"), F.col("__lov")) - F.col("__lov")) * frac
+    )
+    return agg.select(*group_cols, value.alias(out_col))

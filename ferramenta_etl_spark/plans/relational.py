@@ -461,17 +461,39 @@ def group_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def exact_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact per-group statistics in one aggregate (merged former
-    distinct_agg + exact_percentiles queries): COUNT(DISTINCT) expands to
-    a two-phase aggregate; Spark `percentile` == DuckDB `quantile_cont`
-    interpolation. The approximate 100 TB substitutes live in
+    """Exact per-group statistics (merged former distinct_agg +
+    exact_percentiles queries): COUNT(DISTINCT) expands to a two-phase
+    aggregate; the exact quantiles go through the SPILLABLE sort-based
+    operator (operators/quantile.py) rather than Spark's `percentile`
+    aggregate, whose per-group in-memory value buffer cannot spill and
+    OOMs at warehouse group sizes. Same quantile_cont interpolation
+    either way; the approximate 100 TB substitutes live in
     approx_sketches."""
+    from ..operators.quantile import grouped_exact_quantile
+
     li = load_table(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
+    base = li.groupBy("l_returnflag").agg(
         F.count_distinct("l_partkey").alias("n_parts"),
         F.count_distinct("l_suppkey").alias("n_supps"),
-        F.round(F.percentile("l_quantity", F.lit(0.5)), 6).alias("median_qty"),
-        F.round(F.percentile("l_extendedprice", F.lit(0.9)), 6).alias("p90_price"),
+    )
+    mq = grouped_exact_quantile(
+        li, ["l_returnflag"], "l_quantity", 0.5, "__mq"
+    ).withColumnRenamed("l_returnflag", "__g1")
+    pp = grouped_exact_quantile(
+        li, ["l_returnflag"], "l_extendedprice", 0.9, "__pp"
+    ).withColumnRenamed("l_returnflag", "__g2")
+    return (
+        # eqNullSafe: a NULL group key is a real group (both engines
+        # aggregate it); a plain equi-join would drop its quantiles
+        base.join(mq, F.col("l_returnflag").eqNullSafe(F.col("__g1")), "left")
+        .join(pp, F.col("l_returnflag").eqNullSafe(F.col("__g2")), "left")
+        .select(
+            "l_returnflag",
+            "n_parts",
+            "n_supps",
+            F.round(F.col("__mq"), 6).alias("median_qty"),
+            F.round(F.col("__pp"), 6).alias("p90_price"),
+        )
     )
 
 

@@ -361,3 +361,57 @@ def test_latest_per_key_agg_sentinel_handles_nullable_desc(spark, rows):
     expect = {v for _, v in want.values()}
     assert got_win == expect
     assert got_agg == expect
+
+
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.one_of(st.none(), st.integers(0, 2)),
+            st.one_of(st.none(), st.integers(-50, 50)),
+        ),
+        min_size=1,
+        max_size=25,
+    ).filter(lambda rs: any(v is not None for _, v in rs)),
+    q100=st.integers(0, 100),
+)
+@settings(**SETTINGS)
+def test_grouped_exact_quantile_matches_quantile_cont(spark, rows, q100):
+    """The spillable sort-based quantile (operators/quantile.py) equals
+    a bit-exact Python quantile_cont reference — ``lo + (hi-lo)*frac``
+    on 0-based pos=(n-1)*q — on random groups, fractions, null group
+    keys, and null values.
+
+    Deliberately NOT compared against Spark's ``percentile`` aggregate:
+    writing this test surfaced that Spark interpolates in the
+    weighted-average form ``(1-frac)*lo + frac*hi``, which differs from
+    quantile_cont's ``lo + (hi-lo)*frac`` by float ulps on some
+    fractions (falsifying example: values [0,35,44,44], q=0.35 ->
+    35.45 vs 35.449999999999996). DuckDB's quantile_cont uses the
+    lo+delta form — one more reason exact_stats now goes through this
+    operator instead of ``percentile``: its interpolation is the
+    oracle's, bit for bit."""
+    import math
+
+    from ferramenta_etl_spark.operators.quantile import grouped_exact_quantile
+
+    q = q100 / 100.0
+    df = spark.createDataFrame(
+        [(g, float(v) if v is not None else None) for g, v in rows],
+        "g int, v double",
+    )
+    got = {
+        r.g: r.q
+        for r in grouped_exact_quantile(df, ["g"], "v", q, "q").collect()
+    }
+    groups: dict = {}
+    for g, v in rows:
+        if v is not None:
+            groups.setdefault(g, []).append(float(v))
+    want = {}
+    for g, vs in groups.items():
+        vs.sort()
+        pos = (len(vs) - 1) * q
+        lo = math.floor(pos)
+        hi = min(lo + 1, len(vs) - 1)
+        want[g] = vs[lo] + (vs[hi] - vs[lo]) * (pos - lo)
+    assert got == want
