@@ -390,17 +390,36 @@ def approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("l_linenumber").cast("string"),
         ),
     ).filter(F.col("__rid").isNotNull())
+    # persisted (lazily — plan composition stays job-free): the sample
+    # feeds THREE branches (count + two quantile histograms), and
+    # without it each branch re-runs the 2% md5 hash-sample over the
+    # full fact scan — at the 100x sweep that tripled the query
+    sample = hash_sample(with_id, rate=0.02, id_col="__rid", seed=0).persist()
+    # quantiles via the histogram operator (operators/quantile.py), not
+    # F.percentile: same spill-safe shape as exact_stats, and its
+    # lo+(hi-lo)*frac interpolation is DuckDB quantile_cont's bit-for-bit
+    # (F.percentile's weighted-average form differs by float ulps on
+    # some fractions — the exact fragility round6_stable cannot absorb
+    # when the ulp flips a half-way landing)
+    from ..operators.quantile import grouped_exact_quantile
+
+    mp = grouped_exact_quantile(
+        sample, ["l_returnflag"], "l_extendedprice", 0.5, "__mp"
+    )
+    pq = grouped_exact_quantile(sample, ["l_returnflag"], "l_quantity", 0.9, "__pq")
     sampled = (
-        hash_sample(with_id, rate=0.02, id_col="__rid", seed=0)
-        .groupBy("l_returnflag")
-        .agg(
-            round6_stable(F.percentile("l_extendedprice", F.lit(0.5))).alias(
-                "sampled_median_price"
-            ),
-            round6_stable(F.percentile("l_quantity", F.lit(0.9))).alias(
-                "sampled_p90_qty"
-            ),
-            F.count(F.lit(1)).alias("n_sampled"),
+        sample.groupBy("l_returnflag")
+        .agg(F.count(F.lit(1)).alias("n_sampled"))
+        # plain (null-dropping) joins on purpose: the oracle's smp CTE
+        # also joins on g with SQL equality, so a NULL returnflag group
+        # is excluded identically on both engines
+        .join(mp, "l_returnflag", "left")
+        .join(pq, "l_returnflag", "left")
+        .select(
+            "l_returnflag",
+            round6_stable(F.col("__mp")).alias("sampled_median_price"),
+            round6_stable(F.col("__pq")).alias("sampled_p90_qty"),
+            "n_sampled",
         )
     )
     # three metadata-scale aggregates (one row per returnflag) joined on
