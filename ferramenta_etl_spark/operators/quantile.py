@@ -24,9 +24,10 @@ orders of magnitude smaller than the data; a 10^12-row group with 10^6
 distinct prices sorts 10^6 histogram rows. Honest worst case: a column
 with ~all-distinct values (random doubles) degrades the histogram to
 row scale and the per-group window serializes again — for that shape
-use the Greenwald-Khanna sketch in operators/sketch.py (bounded error)
-or range-partition the sort; exactness on low-distinct columns is what
-this operator is for.
+use ``percentile_approx`` (the GK-style bounded-error sketch; see the
+``hll_gk_sketches`` query in plans/relational2.py) or range-partition
+the sort; exactness on low-distinct columns is what this operator is
+for.
 
 Interpolation is quantile_cont's ``lo + (hi - lo) * frac`` on 0-based
 ``pos = (n-1)*q`` — bit-identical to DuckDB. Deliberately NOT Spark's
@@ -55,6 +56,11 @@ def grouped_exact_quantile(
     Nulls ignored (a group whose values are all null yields no row).
     See the module docstring for the physical shape and its trade-off.
     """
+    if not 0.0 <= q <= 1.0:
+        # DuckDB's quantile_cont raises on out-of-range q too; without
+        # this, q=90 (percent instead of fraction) silently drops every
+        # group from the output
+        raise ValueError(f"q must be a fraction in [0, 1], got {q!r}")
     hist = (
         df.filter(F.col(value_col).isNotNull())
         .groupBy(*group_cols, value_col)

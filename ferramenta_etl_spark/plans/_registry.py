@@ -60,7 +60,19 @@ def plan_cache(fn):
             return fn(spark, sf_dir, **kwargs)
         key = (spark.sparkContext.applicationId, sf_dir, _dir_mtime(sf_dir))
         if key not in cache:
-            cache.clear()  # one live session at a time: no growth
+            # one live (session, dataset) at a time: no growth — and
+            # evicted plans must RELEASE their persisted dependencies
+            # (the curation/_persisted_deps convention), else a dataset
+            # switch in one session (scale_experiment base -> scaled)
+            # drops the only Python reference while the cached data
+            # stays pinned in executor storage
+            for old in cache.values():
+                for dep in getattr(old, "_persisted_deps", ()):
+                    try:
+                        dep.unpersist()
+                    except Exception:
+                        pass  # a previous, already-stopped session
+            cache.clear()
             cache[key] = fn(spark, sf_dir)
         return cache[key]
 

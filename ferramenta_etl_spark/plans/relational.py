@@ -36,6 +36,7 @@ from ..functions.tsql import (
     isnull,
     money,
     round2_stable,
+    round6_stable,
     scaled_cents as _scaled_cents,
     sum2 as _sum2,
 )
@@ -455,18 +456,27 @@ def group_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT l_returnflag,
            COUNT(DISTINCT l_partkey) AS n_parts,
            COUNT(DISTINCT l_suppkey) AS n_supps,
-           ROUND(quantile_cont(l_quantity, 0.5), 6)       AS median_qty,
-           ROUND(quantile_cont(l_extendedprice, 0.9), 6)  AS p90_price
+           -- round6_stable's scale-then-round idiom: interpolated
+           -- quantiles are computed doubles, where plain ROUND(x, 6)
+           -- diverges between engines on half-ulp landings
+           (ROUND(quantile_cont(l_quantity, 0.5) * 1000000) / 1000000 + 0.0)
+                                                          AS median_qty,
+           (ROUND(quantile_cont(l_extendedprice, 0.9) * 1000000) / 1000000 + 0.0)
+                                                          AS p90_price
     FROM lineitem GROUP BY l_returnflag
     """,
 )
 def exact_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact per-group statistics (merged former distinct_agg +
     exact_percentiles queries): COUNT(DISTINCT) expands to a two-phase
-    aggregate; the exact quantiles go through the SPILLABLE sort-based
-    operator (operators/quantile.py) rather than Spark's `percentile`
-    aggregate, whose per-group in-memory value buffer cannot spill and
-    OOMs at warehouse group sizes. Same quantile_cont interpolation
+    aggregate; the exact quantiles go through the HISTOGRAM-based
+    operator (operators/quantile.py — parallel value-count shuffle,
+    rank arithmetic over the compact histogram) rather than Spark's
+    `percentile` aggregate, whose per-group in-memory value buffer
+    cannot spill and OOMs at warehouse group sizes. Known cost: each
+    quantile call scans the fact once (two scans here); stacking both
+    value columns through one histogram pass would halve that and is
+    the upgrade path if more quantile columns accrete. Same quantile_cont interpolation
     either way; the approximate 100 TB substitutes live in
     approx_sketches."""
     from ..operators.quantile import grouped_exact_quantile
@@ -491,8 +501,8 @@ def exact_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             "l_returnflag",
             "n_parts",
             "n_supps",
-            F.round(F.col("__mq"), 6).alias("median_qty"),
-            F.round(F.col("__pp"), 6).alias("p90_price"),
+            round6_stable(F.col("__mq")).alias("median_qty"),
+            round6_stable(F.col("__pp")).alias("p90_price"),
         )
     )
 

@@ -424,4 +424,8 @@ def approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # three metadata-scale aggregates (one row per returnflag) joined on
     # the group key: broadcast-sized by construction
-    return parts.join(supps, "l_returnflag").join(sampled, "l_returnflag", "left")
+    out = parts.join(supps, "l_returnflag").join(sampled, "l_returnflag", "left")
+    # the plan cache releases these on eviction (plans/_registry.py) —
+    # the same _persisted_deps convention as pipeline/curation.py
+    out._persisted_deps = (sample,)
+    return out

@@ -376,7 +376,7 @@ def test_latest_per_key_agg_sentinel_handles_nullable_desc(spark, rows):
 )
 @settings(**SETTINGS)
 def test_grouped_exact_quantile_matches_quantile_cont(spark, rows, q100):
-    """The spillable sort-based quantile (operators/quantile.py) equals
+    """The histogram-based quantile (operators/quantile.py) equals
     a bit-exact Python quantile_cont reference — ``lo + (hi-lo)*frac``
     on 0-based pos=(n-1)*q — on random groups, fractions, null group
     keys, and null values.
