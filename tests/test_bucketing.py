@@ -82,14 +82,26 @@ def test_flagship_bucketed_same_result_fewer_exchanges(spark, sf_dir):
     # the plan property the mirrors exist for: with broadcast disabled
     # (at fixture scale EVERY table broadcasts, which models nothing —
     # at 100 TB the fact joins are shuffle joins), the bucketed plan
-    # must shuffle strictly less. Execute (AQE finalizes), then count.
+    # must shuffle strictly less. Both DataFrames are built FRESH under
+    # the disabled conf (kwargs bypass the plan cache): a DataFrame's
+    # AQE plan finalizes on its FIRST execution, so the plan-cached
+    # `plain` above may already carry a broadcast-planned execution from
+    # an earlier test and would under-count its shuffles here (caught as
+    # an order-dependent failure when parity ran before this file).
+    from ferramenta_etl_spark.plans.bucketed import bucketed_facts
+    from ferramenta_etl_spark.plans.flagship import flagship as flagship_fn
+
     thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try:
-        plain.write.format("noop").mode("overwrite").save()
-        bucketed.write.format("noop").mode("overwrite").save()
-        n_plain = exchanges_in_plan(plain)
-        n_bucketed = exchanges_in_plan(bucketed)
+        plain_f = flagship_fn(spark, sf_dir, ordered=False)
+        bucketed_f = flagship_fn(
+            spark, sf_dir, ordered=False, tables=bucketed_facts(spark, sf_dir)
+        )
+        plain_f.write.format("noop").mode("overwrite").save()
+        bucketed_f.write.format("noop").mode("overwrite").save()
+        n_plain = exchanges_in_plan(plain_f)
+        n_bucketed = exchanges_in_plan(bucketed_f)
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thresh)
     assert n_bucketed < n_plain, (
