@@ -110,3 +110,103 @@ def grouped_exact_quantile(
         + (F.coalesce(F.col("__hiv"), F.col("__lov")) - F.col("__lov")) * frac
     )
     return agg.select(*group_cols, value.alias(out_col))
+
+
+def grouped_exact_quantiles(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    specs: Sequence[tuple[str, float, str]],
+) -> DataFrame:
+    """Several exact quantiles — possibly over DIFFERENT value columns
+    and fractions — in ONE scan of ``df``.
+
+    ``specs`` is ``[(value_col, q, out_col), ...]``. Each per-spec call
+    to :func:`grouped_exact_quantile` scans the input once; stacking
+    the value columns (explode of per-spec structs, values cast to
+    double — both engines interpolate quantile_cont in double anyway)
+    folds all histograms into a single ``groupBy(group, spec, value)``
+    pass, so the fact is read once no matter how many quantile columns
+    a report accretes. The spec index joins the group key, so the rank
+    arithmetic is unchanged; the final conditional aggregation pivots
+    the (group, spec) rows back to one row per group with one column
+    per spec.
+
+    Output: ``group_cols`` + one double column per spec (NULL for a
+    group whose values for that spec are all null — note the
+    single-spec function instead DROPS a group with no values, a
+    difference only visible when every spec of a group is null).
+    """
+    if not specs:
+        raise ValueError("specs must be non-empty")
+    for _, q, _ in specs:
+        if not 0.0 <= q <= 1.0:
+            raise ValueError(f"q must be a fraction in [0, 1], got {q!r}")
+    stacked = df.select(
+        *group_cols,
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("__qi"),
+                        F.col(v).cast("double").alias("__v"),
+                    )
+                    for i, (v, _, _) in enumerate(specs)
+                ]
+            )
+        ).alias("__s"),
+    ).select(*group_cols, F.col("__s.__qi").alias("__qi"), F.col("__s.__v").alias("__v"))
+    q_for_spec = F.element_at(
+        F.array(*[F.lit(float(q)) for _, q, _ in specs]), F.col("__qi") + 1
+    )
+    keys = [*group_cols, "__qi"]
+    hist = (
+        stacked.filter(F.col("__v").isNotNull())
+        .groupBy(*keys, "__v")
+        .agg(F.count(F.lit(1)).alias("__cnt"))
+    )
+    wg = Window.partitionBy(*keys)
+    wcum = wg.orderBy(F.col("__v").asc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    pos = (F.sum("__cnt").over(wg) - 1) * q_for_spec
+    lo_rank = F.floor(pos) + 1
+    cum = F.sum("__cnt").over(wcum)
+    prev = cum - F.col("__cnt")
+    ranked = hist.select(
+        *keys,
+        "__v",
+        pos.alias("__pos"),
+        lo_rank.alias("__lo"),
+        cum.alias("__cum"),
+        prev.alias("__prev"),
+    )
+    cand = ranked.filter(
+        (F.col("__prev") < F.col("__lo") + 1) & (F.col("__lo") <= F.col("__cum"))
+    )
+    per_spec = cand.groupBy(*keys).agg(
+        F.min(
+            F.when(
+                (F.col("__prev") < F.col("__lo")) & (F.col("__lo") <= F.col("__cum")),
+                F.col("__v"),
+            )
+        ).alias("__lov"),
+        F.min(
+            F.when(
+                (F.col("__prev") < F.col("__lo") + 1)
+                & (F.col("__lo") + 1 <= F.col("__cum")),
+                F.col("__v"),
+            )
+        ).alias("__hiv"),
+        F.first("__pos").alias("__p"),
+    )
+    frac = F.col("__p") - F.floor(F.col("__p"))
+    qv = F.col("__lov") + (
+        F.coalesce(F.col("__hiv"), F.col("__lov")) - F.col("__lov")
+    ) * frac
+    per_spec = per_spec.select(*keys, qv.alias("__qv"))
+    return per_spec.groupBy(*group_cols).agg(
+        *[
+            F.min(F.when(F.col("__qi") == i, F.col("__qv"))).alias(out)
+            for i, (_, _, out) in enumerate(specs)
+        ]
+    )

@@ -473,30 +473,27 @@ def exact_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     operator (operators/quantile.py — parallel value-count shuffle,
     rank arithmetic over the compact histogram) rather than Spark's
     `percentile` aggregate, whose per-group in-memory value buffer
-    cannot spill and OOMs at warehouse group sizes. Known cost: each
-    quantile call scans the fact once (two scans here); stacking both
-    value columns through one histogram pass would halve that and is
-    the upgrade path if more quantile columns accrete. Same quantile_cont interpolation
+    cannot spill and OOMs at warehouse group sizes. Both quantiles ride
+    ONE fact scan: grouped_exact_quantiles stacks the value columns
+    into a single histogram pass. Same quantile_cont interpolation
     either way; the approximate 100 TB substitutes live in
     approx_sketches."""
-    from ..operators.quantile import grouped_exact_quantile
+    from ..operators.quantile import grouped_exact_quantiles
 
     li = load_table(spark, sf_dir, "lineitem")
     base = li.groupBy("l_returnflag").agg(
         F.count_distinct("l_partkey").alias("n_parts"),
         F.count_distinct("l_suppkey").alias("n_supps"),
     )
-    mq = grouped_exact_quantile(
-        li, ["l_returnflag"], "l_quantity", 0.5, "__mq"
+    qs = grouped_exact_quantiles(
+        li,
+        ["l_returnflag"],
+        [("l_quantity", 0.5, "__mq"), ("l_extendedprice", 0.9, "__pp")],
     ).withColumnRenamed("l_returnflag", "__g1")
-    pp = grouped_exact_quantile(
-        li, ["l_returnflag"], "l_extendedprice", 0.9, "__pp"
-    ).withColumnRenamed("l_returnflag", "__g2")
     return (
         # eqNullSafe: a NULL group key is a real group (both engines
         # aggregate it); a plain equi-join would drop its quantiles
-        base.join(mq, F.col("l_returnflag").eqNullSafe(F.col("__g1")), "left")
-        .join(pp, F.col("l_returnflag").eqNullSafe(F.col("__g2")), "left")
+        base.join(qs, F.col("l_returnflag").eqNullSafe(F.col("__g1")), "left")
         .select(
             "l_returnflag",
             "n_parts",

@@ -415,3 +415,49 @@ def test_grouped_exact_quantile_matches_quantile_cont(spark, rows, q100):
         hi = min(lo + 1, len(vs) - 1)
         want[g] = vs[lo] + (vs[hi] - vs[lo]) * (pos - lo)
     assert got == want
+
+
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.one_of(st.none(), st.integers(0, 2)),
+            st.one_of(st.none(), st.integers(-20, 20)),
+            st.one_of(st.none(), st.integers(0, 40)),
+        ),
+        min_size=1,
+        max_size=20,
+    ),
+    qa=st.integers(0, 100),
+    qb=st.integers(0, 100),
+)
+@settings(**SETTINGS)
+def test_grouped_exact_quantiles_matches_per_spec_calls(spark, rows, qa, qb):
+    """The single-scan stacked variant == two independent single-spec
+    calls, per spec, on random groups/fractions/nulls (modulo the
+    documented difference: the stacked variant emits a NULL cell where
+    the single-spec call drops the group entirely)."""
+    from ferramenta_etl_spark.operators.quantile import (
+        grouped_exact_quantile,
+        grouped_exact_quantiles,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (g, float(a) if a is not None else None, float(b) if b is not None else None)
+            for g, a, b in rows
+        ],
+        "g int, a double, b double",
+    )
+    stacked = {
+        r.g: (r.qa, r.qb)
+        for r in grouped_exact_quantiles(
+            df, ["g"], [("a", qa / 100.0, "qa"), ("b", qb / 100.0, "qb")]
+        ).collect()
+    }
+    for col, q, idx in (("a", qa / 100.0, 0), ("b", qb / 100.0, 1)):
+        single = {
+            r.g: r.q
+            for r in grouped_exact_quantile(df, ["g"], col, q, "q").collect()
+        }
+        from_stacked = {g: v[idx] for g, v in stacked.items() if v[idx] is not None}
+        assert from_stacked == single
