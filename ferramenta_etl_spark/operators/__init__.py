@@ -12,7 +12,10 @@ from .dedup import (  # noqa: F401
     tokenset_jaccard_pairs,
 )
 from .packing import pack_sequences  # noqa: F401
-from .quantile import grouped_exact_quantile  # noqa: F401
+from .quantile import (  # noqa: F401
+    grouped_exact_quantile,
+    grouped_exact_quantiles,
+)
 from .quantize import (  # noqa: F401
     dequantize,
     quantize_embeddings,

@@ -62,8 +62,23 @@ def latest_per_key(
     explicit sentinel (e.g. ``coalesce(-x, lit(Long.MAX))``) or keep
     the window path. The equivalence is pinned (non-null orderings) by
     ``tests/test_properties.py::test_latest_per_key_matches_python``.
+
+    With ``agg_order``, ``order_by``/``tiebreak`` are NOT consulted —
+    they stay required as the declarative statement of the order the
+    struct must encode (and the cross-check below rejects an empty
+    ``order_by``, the tell that a caller thought ``agg_order`` replaces
+    rather than re-encodes the ordering). The encoding itself cannot be
+    verified cheaply — comparing the two paths costs the very sort this
+    path exists to skip — so the contract is documentation + the
+    property test, per ADVICE r04.
     """
     if agg_order is not None:
+        if not list(order_by):
+            raise ValueError(
+                "agg_order re-encodes order_by, it does not replace it: "
+                "pass the order_by (and tiebreak) columns the struct "
+                "encodes so the intended total order stays declared"
+            )
         payload = F.struct(*[F.col(c) for c in df.columns])
         key_cols = [F.col(k) if isinstance(k, str) else k for k in keys]
         return (

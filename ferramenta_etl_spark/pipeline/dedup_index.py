@@ -193,10 +193,13 @@ def dedup_incremental(
     ``new_docs``.
 
     Survivor rule (deterministic, order-independent within a batch):
-    drop a new doc if it near-dups any indexed doc of another cluster
-    (first-arrived batch wins); among the remainder, intra-batch
-    near-dup components keep their min-id member (dedup_keep_canonical's
-    rule). The WHOLE batch's banded signatures then append to the index
+    intra-batch near-dup pairs and cross-batch (doc -> indexed cluster)
+    matches resolve TOGETHER as connected components — a component
+    touching any indexed cluster drops entirely into it (first-arrived
+    batch wins, transitively: a doc whose only near-dup is a same-batch
+    doc that itself collapses into an indexed cluster follows it); a
+    component touching none keeps its min-id member
+    (dedup_keep_canonical's rule). The WHOLE batch's banded signatures then append to the index
     idempotently — survivors with canonical_id = their own id, drops
     with canonical_id = their cluster representative. Indexing the
     drops is what makes re-running the same batch admit the same
@@ -238,17 +241,19 @@ def dedup_incremental(
         _check_index_meta(spark, index_path, meta)
         index = load_index(spark, index_path)
         drop_pairs = _cross_batch_dups(banded, index, num_hashes, threshold)
-        survivors_banded = banded.join(
-            drop_pairs.select("doc_id"), "doc_id", "left_anti"
-        )
     else:
         _write_index_meta(spark, index_path, meta)
-        survivors_banded = banded
 
-    # intra-batch near-dups among the cross-batch survivors: the same
-    # banded self-join as minhash_lsh_pairs, then connected components
-    # keep each cluster's min id
-    a, b = survivors_banded.alias("a"), survivors_banded.alias("b")
+    # Intra-batch near-dups over the WHOLE banded batch — including
+    # cross-dropped docs (ADVICE r04 high). Restricting this self-join
+    # to cross-batch survivors admitted a doc whose only near-dup was a
+    # same-batch cross-dropped neighbor, but a REPLAY then found that
+    # neighbor's bridge rows in the index (foreign canonical_id) and
+    # dropped it — first-run admission and replay disagreed. Generating
+    # pairs over everything and resolving components together with the
+    # cross-drop edges makes the first run perform exactly the bridge
+    # resolution a replay performs.
+    a, b = banded.alias("a"), banded.alias("b")
     intra_pairs = (
         a.join(
             b,
@@ -269,19 +274,50 @@ def dedup_incremental(
         .dropDuplicates(["doc_id_a", "doc_id_b"])
         .select("doc_id_a", "doc_id_b")
     )
-    labels = connected_components(intra_pairs)
-    intra_drop_pairs = labels.filter(F.col("v") != F.col("label")).select(
-        F.col("v").alias("doc_id"), F.col("label").alias("canonical_id")
-    )
+
+    # Resolve intra-batch pairs and cross-drop (doc -> indexed anchor)
+    # edges TRANSITIVELY in one connected-components pass. Anchors —
+    # the per-doc min matched indexed canonical from _cross_batch_dups —
+    # are vertices like any other, but they DOMINATE labeling: an
+    # already-admitted representative can never be revoked, so every
+    # component containing an anchor collapses onto its minimum anchor
+    # (not its minimum vertex — a batch doc with a smaller id than the
+    # anchor still drops). Components with no anchor keep their min-id
+    # batch member, dedup_keep_canonical's rule. Per-doc min-anchor
+    # edges (not ALL matched anchors) are what replay reproduces: a
+    # replayed doc resolves through its neighbors' stored bridge rows,
+    # each carrying the component canonical this pass computed.
+    edges = intra_pairs
+    if drop_pairs is not None:
+        edges = edges.unionByName(
+            drop_pairs.select(
+                F.col("doc_id").alias("doc_id_a"),
+                F.col("canonical_id").alias("doc_id_b"),
+            )
+        )
+    labels = connected_components(edges)
+    if drop_pairs is not None:
+        anchors = drop_pairs.select(F.col("canonical_id").alias("v")).distinct()
+        comp_anchor = (
+            labels.join(anchors, "v")
+            .groupBy("label")
+            .agg(F.min("v").alias("anchor"))
+        )
+        labels = labels.join(comp_anchor, "label", "left").select(
+            "v", F.coalesce("anchor", "label").alias("label")
+        )
+    batch_ids = banded.select("doc_id").distinct()
     # the (dropped doc -> cluster representative) map feeds both the
     # index append and the returned anti-join: checkpoint so the probe +
     # connected-components chain runs once (it is one small row per
-    # dropped doc — never bodies or signatures)
+    # dropped doc — never bodies or signatures). Restricted to batch
+    # docs: anchor vertices are index-resident, not batch members.
     canon = (
-        intra_drop_pairs
-        if drop_pairs is None
-        else drop_pairs.unionByName(intra_drop_pairs)
-    ).localCheckpoint(eager=True)
+        labels.filter(F.col("v") != F.col("label"))
+        .join(batch_ids, labels.v == batch_ids.doc_id, "left_semi")
+        .select(F.col("v").alias("doc_id"), F.col("label").alias("canonical_id"))
+        .localCheckpoint(eager=True)
+    )
 
     # extend the index idempotently with the WHOLE batch's signatures —
     # survivors point at themselves, drops at their representative (the

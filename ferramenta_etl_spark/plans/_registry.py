@@ -29,20 +29,32 @@ def _dir_mtime(path: str) -> float:
     (same filename) leaves it unchanged on POSIX, which would serve a
     plan pinning the replaced file's listing. Statting the entries too
     catches the in-place rewrite (same guard load_table's memo gets from
-    its per-file mtime). One listdir + a handful of stats: ~microseconds
-    vs the ~0.1 s re-plan."""
+    its per-file mtime). Depth 2, not 1 (ADVICE r04): the sf_dir's
+    tables are DIRECTORIES (``<table>.parquet/part-*.parquet``), so a
+    part file rewritten in place moves neither the sf_dir nor the
+    table-dir mtime — only statting the table dirs' own entries catches
+    it. Two listdir levels + O(files) stats: still ~microseconds vs the
+    ~0.1 s re-plan."""
     try:
         stamps = [os.path.getmtime(path)]
     except OSError:
         return -1.0  # nonexistent/remote: let the read itself report it
-    try:
-        for name in os.listdir(path):
+
+    def _scan(dir_path: str, depth: int) -> None:
+        try:
+            names = os.listdir(dir_path)
+        except OSError:
+            return  # not listable (file path / permissions): parent stamp suffices
+        for name in names:
+            child = os.path.join(dir_path, name)
             try:
-                stamps.append(os.path.getmtime(os.path.join(path, name)))
+                stamps.append(os.path.getmtime(child))
             except OSError:
-                pass  # entry vanished mid-listing: the dir mtime moved
-    except OSError:
-        pass  # not listable (file path / permissions): dir stamp suffices
+                continue  # entry vanished mid-listing: the dir mtime moved
+            if depth > 1 and os.path.isdir(child):
+                _scan(child, depth - 1)
+
+    _scan(path, 2)
     return max(stamps)
 
 

@@ -180,12 +180,17 @@ def _write_merge_delta(
             spark.conf.unset(meta_key)
         else:
             spark.conf.set(meta_key, prev)
+    # Bounded lookback (ADVICE r04): our commit is the most recent MERGE
+    # modulo whatever landed between execute() and here, so scan the last
+    # few entries first; the unbounded scan is only the fallback for a
+    # pathological commit storm, not the per-batch cost — history() over
+    # a long-lived high-frequency sink's full log grows without bound.
+    tag_match = (F.col("operation") == "MERGE") & (F.col("userMetadata") == tag)
     row = (
-        target.history()
-        .filter((F.col("operation") == "MERGE") & (F.col("userMetadata") == tag))
-        .select("operationMetrics")
-        .first()
+        target.history(20).filter(tag_match).select("operationMetrics").first()
     )
+    if row is None:
+        row = target.history().filter(tag_match).select("operationMetrics").first()
     metrics = (row[0] if row is not None else {}) or {}
     return int(metrics.get("numTargetRowsInserted", 0))
 

@@ -204,6 +204,66 @@ def test_cross_batch_drop_is_transitive_through_bridges(spark, index_path):
     assert out2.count() == 0  # C resolves through B's bridge to cluster 1
 
 
+def test_same_batch_cross_drop_chain_replays_identically(spark, index_path):
+    """ADVICE r04 (high): index={A}; one batch {B~A, C~B, C!~A}. Intra
+    pairs generated only over cross-batch SURVIVORS admitted C on the
+    first run (its only near-dup B was cross-dropped before the
+    self-join), but a replay found B's bridge rows (canonical A) and
+    dropped C — first-run admission and replay disagreed, and C sat in
+    the index as a canonical that reruns kept dropping. Pairs over the
+    whole banded batch + cross-drop edges in one connected-components
+    pass make both runs drop the full chain into A's cluster."""
+    base = [f"tok{i}" for i in range(20)]
+    a = " ".join(base)
+    b = " ".join(base[:-2] + ["zz1", "zz2"])
+    c = " ".join(["qq1", "qq2"] + base[2:-2] + ["zz1", "zz2"])
+    out0 = dedup_incremental(spark, _docs(spark, [(1, a)]), index_path, threshold=0.7)
+    assert {r.doc_id for r in out0.select("doc_id").collect()} == {1}
+
+    out1 = dedup_incremental(
+        spark, _docs(spark, [(2, b), (3, c)]), index_path, threshold=0.7
+    )
+    # B drops into indexed 1's cluster; C follows B transitively even
+    # though C itself is sub-threshold against A
+    assert out1.count() == 0
+    idx = load_index(spark, index_path)
+    n_index = idx.count()
+    canon = {
+        r.doc_id: r.canonical_id
+        for r in idx.select("doc_id", "canonical_id").distinct().collect()
+    }
+    assert canon == {1: 1, 2: 1, 3: 1}
+
+    out2 = dedup_incremental(
+        spark, _docs(spark, [(2, b), (3, c)]), index_path, threshold=0.7
+    )
+    assert out2.count() == 0  # replay admits the same (empty) set
+    assert load_index(spark, index_path).count() == n_index  # zero appends
+
+
+def test_anchor_dominates_smaller_batch_ids(spark, index_path):
+    """An indexed cluster representative can never be revoked: a batch
+    doc with a SMALLER id than the anchor it near-dups still drops into
+    the anchor's cluster (min-anchor labeling, not min-vertex)."""
+    base = [f"tok{i}" for i in range(20)]
+    a = " ".join(base)
+    b = " ".join(base[:-2] + ["zz1", "zz2"])
+    out0 = dedup_incremental(
+        spark, _docs(spark, [(50, a)]), index_path, threshold=0.7
+    )
+    assert {r.doc_id for r in out0.select("doc_id").collect()} == {50}
+    out1 = dedup_incremental(
+        spark, _docs(spark, [(7, b)]), index_path, threshold=0.7
+    )
+    assert out1.count() == 0  # 7 < 50 but 50 arrived first
+    canon = {
+        r.doc_id: r.canonical_id
+        for r in load_index(spark, index_path)
+        .select("doc_id", "canonical_id").distinct().collect()
+    }
+    assert canon == {50: 50, 7: 50}
+
+
 def test_mismatched_sketch_params_rejected(spark, index_path):
     """The index stores its sketch parameters; probing or appending with
     different num_hashes/bands/shingle_k never collides (silent near-dup

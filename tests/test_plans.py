@@ -182,3 +182,28 @@ def test_no_rowwise_python_or_cartesian_in_any_registered_plan(spark):
             if marker in plan:
                 offenders[name] = marker
     assert not offenders, f"anti-patterns in registered plans: {offenders}"
+
+
+def test_dir_mtime_sees_part_file_rewritten_in_place(tmp_path):
+    """ADVICE r04 (low): a part file rewritten IN PLACE one level down
+    (inside <table>.parquet/) moves neither the sf_dir nor the table-dir
+    mtime on POSIX — the staleness stamp must stat the table dirs' own
+    entries or a cached plan pinning deleted listings survives."""
+    import os
+
+    from ferramenta_etl_spark.plans._registry import _dir_mtime
+
+    sf_dir = tmp_path / "sf"
+    table = sf_dir / "orders.parquet"
+    table.mkdir(parents=True)
+    part = table / "part-00000.parquet"
+    part.write_bytes(b"v1")
+    before = _dir_mtime(str(sf_dir))
+    # rewrite in place, then push the part file's mtime forward without
+    # touching either directory (utime on the file only)
+    part.write_bytes(b"v2")
+    future = before + 100
+    os.utime(part, (future, future))
+    os.utime(table, (before, before))
+    os.utime(sf_dir, (before, before))
+    assert _dir_mtime(str(sf_dir)) >= future
