@@ -3,10 +3,7 @@ from .curation import (  # noqa: F401
     run_curation_stream,
     stream_documents,
 )
-from .stateful import (  # noqa: F401
-    capped_sessions_batch_replay,
-    capped_sessions_stream,
-)
+from .stateful import capped_sessions_stream  # noqa: F401
 from .windows import (  # noqa: F401
     dedup_within_watermark,
     interval_join_stream,

@@ -178,44 +178,9 @@ def _duration_ms(s: str) -> int:
     return int(qty) * factor
 
 
-def capped_sessions_batch_replay(
-    events: DataFrame, gap: str, max_duration: str, watermark: str = "1 hour"
-):
-    """Reference semantics for tests: replay the same algorithm per user
-    over the collected (small-SF) events. Emits every session CLOSED by a
-    later event ('gap'/'cap'), plus 'timeout' flushes for final open
-    sessions whose gap deadline lies before the run's final watermark
-    (max event time − delay): an AvailableNow drain commits that
-    watermark in a closing no-data microbatch, firing exactly those
-    event-time timers. Open sessions past the watermark stay in state."""
-    import pandas as pd
-
-    gap_ms, cap_ms = _duration_ms(gap), _duration_ms(max_duration)
-    wm_delay_ms = _duration_ms(watermark)
-    pdf = events.select("ts", "user_id", "value").toPandas()
-    if pdf.empty:  # no events -> no sessions (max() of nothing is NaN)
-        return pd.DataFrame(columns=[f.name for f in SESSION_SCHEMA.fields])
-    wm_ms = int(pdf["ts"].astype("int64").max() // 1_000_000) - wm_delay_ms
-    rows: list[dict] = []
-    for user_id, g in pdf.groupby("user_id"):
-        g = g.sort_values("ts", kind="mergesort")
-        ts_ms = (g["ts"].astype("int64") // 1_000_000).to_numpy()
-        vals = g["value"].to_numpy()
-        st = None
-        for t_ms, v in zip(ts_ms, vals):
-            t_ms, v = int(t_ms), float(v)
-            if st is None:
-                st = (t_ms, t_ms, 1, v)
-            else:
-                start, last, n, s = st
-                if t_ms - last > gap_ms:
-                    rows.append(_close(user_id, st, "gap"))
-                    st = (t_ms, t_ms, 1, v)
-                elif t_ms - start > cap_ms:
-                    rows.append(_close(user_id, st, "cap"))
-                    st = (t_ms, t_ms, 1, v)
-                else:
-                    st = (start, t_ms, n + 1, s + v)
-        if st is not None and st[1] + gap_ms < wm_ms:
-            rows.append(_close(user_id, st, "timeout"))
-    return pd.DataFrame(rows)
+# The per-user batch-replay oracle for capped sessions lives in
+# tests/test_streaming.py (VERDICT r04 watch item #1): it collects the
+# whole events frame to the driver via toPandas(), which is a fine test
+# oracle at small SF but must not ship as a callable package API a user
+# could point at a full-size table. _duration_ms/_close/SESSION_SCHEMA
+# stay importable for it.
