@@ -1,7 +1,17 @@
 """Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
 (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
 JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
-"queries": {name: sec}, "sf": ...}.
+"queries": {name: median_sec}, "sf": ..., "spread_pct": {name: pct},
+"env": {...}}. The artifact is SELF-IDENTIFYING about noise (VERDICT r04
+#2): spread_pct carries each query's 3-run spread around its median, and
+env records the run protocol (runs, warm-up, cpus) plus two environment
+checks — foreign JVMs on the box before/after the run and the 1-min load
+average at start — with env.noisy=true whenever either check fails or
+any query's reported median sits more than 25% of itself AND 0.3 s above
+its best run (a single slow outlier never moves a median, and sub-second
+queries always jitter ~0.1 s). A ±30% round-over-round swing on an unchanged
+plan can then be read off the artifact itself (its own spread / a dirty
+env) instead of needing forensics against SCALING.md.
 
 Timing = full pipeline per query: plan lookup + execution to a
 count-style sink (foreach-noop via ``df.write.format('noop')``), which
@@ -77,10 +87,38 @@ HEADLINE = [
 ]
 
 
+def _foreign_jvm_pids() -> list[int]:
+    """PIDs of java processes NOT descended from this bench process.
+    A concurrent Spark JVM (parallel pytest session, another bench)
+    steals cores and inflates every number ~15-25%; BENCH_r04's ±20-40%
+    swings on unchanged plans were unreadable precisely because the
+    artifact couldn't say whether the box was quiet. Scanned before the
+    session exists (no children yet) and again after the timed runs
+    (anything new that is not our own child JVM arrived mid-run)."""
+    me = os.getpid()
+    pids = []
+    for entry in os.listdir("/proc"):
+        if not entry.isdigit() or int(entry) == me:
+            continue
+        try:
+            with open(f"/proc/{entry}/cmdline", "rb") as fh:
+                argv0 = fh.read().split(b"\0", 1)[0]
+            with open(f"/proc/{entry}/stat") as fh:
+                ppid = int(fh.read().rsplit(")", 1)[1].split()[1])
+        except (OSError, IndexError, ValueError):
+            continue  # process exited mid-scan
+        if os.path.basename(argv0).startswith(b"java") and ppid != me:
+            pids.append(int(entry))
+    return pids
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+
+    jvms_start = _foreign_jvm_pids()
+    loadavg_start = round(os.getloadavg()[0], 2)
 
     from ferramenta_etl_spark.session import get_session
 
@@ -116,14 +154,52 @@ def main() -> None:
         queries[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
 
     timings: dict[str, float] = {}
+    spreads: dict[str, float] = {}
+    mins: dict[str, float] = {}
     for name in names:
         runs = []
         for _ in range(3):
             t0 = time.perf_counter()
             queries[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
             runs.append(time.perf_counter() - t0)
-        timings[name] = round(sorted(runs)[1], 3)
+        lo, median, hi = sorted(runs)
+        timings[name] = round(median, 3)
+        # full 3-run range around the median, in % — a per-query noise
+        # gauge: an unchanged plan whose official number moved
+        # round-over-round by less than its own spread moved by NOISE
+        spreads[name] = round(100.0 * (hi - lo) / median, 1)
+        mins[name] = lo
 
+    jvms_end = _foreign_jvm_pids()
+    # A query is flagged noisy only when the REPORTED number is suspect:
+    # the median sits far above the best run (one slow outlier max never
+    # moves a median, so the range alone over-flags), past both a
+    # relative and an absolute bar — GC/scheduling jitter is ~0.1 s
+    # regardless of query size, so a 60 ms query with an 80 ms range
+    # (130%!) says nothing about the box.
+    noisy_queries = [
+        n for n in timings
+        if (timings[n] - mins[n]) > 0.25 * timings[n]
+        and (timings[n] - mins[n]) > 0.3
+    ]
+    env = {
+        "cpus": cpus,
+        "runs_per_query": 3,
+        "stat": "median",
+        "global_warmup": True,
+        # foreign java processes on the box before the session started /
+        # after the timed runs (should both be 0 on a clean protocol run)
+        "concurrent_jvms_start": len(jvms_start),
+        "concurrent_jvms_end": len(jvms_end),
+        "loadavg_start": loadavg_start,
+        # queries whose reported median sits >25% AND >0.3 s above their
+        # best run (sub-second queries always jitter ~0.1 s)
+        "noisy_queries": noisy_queries,
+        # self-diagnosis: numbers in this artifact are NOT comparable
+        # round-over-round when true — read SCALING.md's clean-protocol
+        # table instead
+        "noisy": bool(jvms_start or jvms_end or noisy_queries),
+    }
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(
@@ -133,6 +209,8 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "spread_pct": spreads,
+                "env": env,
             }
         )
     )
