@@ -15,6 +15,8 @@ from .packing import pack_sequences  # noqa: F401
 from .quantile import (  # noqa: F401
     grouped_exact_quantile,
     grouped_exact_quantiles,
+    grouped_quantiles_auto,
+    probe_distinct_ratios,
 )
 from .quantize import (  # noqa: F401
     dequantize,

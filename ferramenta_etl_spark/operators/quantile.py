@@ -27,7 +27,8 @@ row scale and the per-group window serializes again — for that shape
 use ``percentile_approx`` (the GK-style bounded-error sketch; see the
 ``hll_gk_sketches`` query in plans/relational2.py) or range-partition
 the sort; exactness on low-distinct columns is what this operator is
-for.
+for. :func:`grouped_quantiles_auto` makes that switch automatically
+per column via a cheap cardinality probe.
 
 Interpolation is quantile_cont's ``lo + (hi - lo) * frac`` on 0-based
 ``pos = (n-1)*q`` — bit-identical to DuckDB. Deliberately NOT Spark's
@@ -38,10 +39,13 @@ tests/test_properties.py::test_grouped_exact_quantile_matches_quantile_cont).
 
 from __future__ import annotations
 
+import logging
 from collections.abc import Sequence
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+
+log = logging.getLogger(__name__)
 
 
 def grouped_exact_quantile(
@@ -210,3 +214,93 @@ def grouped_exact_quantiles(
             for i, (_, _, out) in enumerate(specs)
         ]
     )
+
+
+def probe_distinct_ratios(
+    df: DataFrame, value_cols: Sequence[str], probe_mod: int = 64
+) -> dict[str, float]:
+    """Estimate distinct/total per value column with ONE aggregate job
+    over a VALUE-HASH sample: a value v (all its copies) is sampled iff
+    ``pmod(xxhash64(v), probe_mod) == 0``, so the sampled
+    distinct-over-rows ratio is an unbiased estimator of the global one
+    — each distinct value enters with probability 1/probe_mod carrying
+    its full multiplicity, which a uniform ROW sample would distort
+    (row-sampling a heavy-tailed column overestimates distinctness).
+    Map-side filter + approx_count_distinct: one narrow scan of just the
+    probed columns, ~1/probe_mod of it surviving to the (tiny) agg.
+    Columns with no sampled non-null rows report 0.0."""
+    aggs = []
+    for i, v in enumerate(value_cols):
+        sampled = F.when(
+            F.pmod(F.xxhash64(F.col(v)), F.lit(probe_mod)) == 0, F.col(v)
+        )
+        aggs.append(F.approx_count_distinct(sampled).alias(f"__d{i}"))
+        aggs.append(F.count(sampled).alias(f"__n{i}"))
+    row = df.agg(*aggs).first()
+    return {
+        v: (row[f"__d{i}"] / row[f"__n{i}"] if row[f"__n{i}"] else 0.0)
+        for i, v in enumerate(value_cols)
+    }
+
+
+def grouped_quantiles_auto(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    specs: Sequence[tuple[str, float, str]],
+    distinct_ratio_threshold: float = 0.5,
+    accuracy: int = 10_000,
+    probe_mod: int = 64,
+) -> DataFrame:
+    """:func:`grouped_exact_quantiles` with an AUTOMATIC escape hatch for
+    its documented worst case (VERDICT r04 #3): a ~all-distinct value
+    column (random doubles, high-resolution timestamps) degrades the
+    value histogram to row scale, and the per-group rank window then
+    sorts whole-group row counts in one task each — the exact
+    serialization + memory shape the histogram exists to avoid.
+
+    A cheap cardinality probe (:func:`probe_distinct_ratios`, one
+    narrow hash-sampled aggregate job) estimates each spec column's
+    distinct/total ratio; specs at or under ``distinct_ratio_threshold``
+    take the exact histogram path, specs above it fall back to Spark's
+    ``percentile_approx`` — the GK-style bounded-error sketch whose
+    state is O(accuracy) per group regardless of group size, i.e.
+    memory-safe on exactly the shape that breaks the histogram. The
+    fallback is logged per column. Results of the two paths join on the
+    group key (sketch-path groups whose other-spec values are all null
+    still appear, with nulls — same as the exact multi-spec contract).
+
+    NOTE this function runs ONE small Spark job at call time (the
+    probe), unlike the pure plan-builders in this module — don't use it
+    inside a registered plan constructor (those are asserted
+    driver-job-free); call it from job code where execution is expected.
+    """
+    if not specs:
+        raise ValueError("specs must be non-empty")
+    ratios = probe_distinct_ratios(
+        df, list(dict.fromkeys(v for v, _, _ in specs)), probe_mod
+    )
+    exact_specs = [s for s in specs if ratios[s[0]] <= distinct_ratio_threshold]
+    approx_specs = [s for s in specs if ratios[s[0]] > distinct_ratio_threshold]
+    for v, _, out in approx_specs:
+        log.info(
+            "grouped_quantiles_auto: column %r distinct-ratio ~%.2f > %.2f; "
+            "falling back to percentile_approx(accuracy=%d) for %r",
+            v, ratios[v], distinct_ratio_threshold, accuracy, out,
+        )
+    parts = []
+    if exact_specs:
+        parts.append(grouped_exact_quantiles(df, group_cols, exact_specs))
+    if approx_specs:
+        parts.append(
+            df.groupBy(*group_cols).agg(
+                *[
+                    F.percentile_approx(
+                        F.col(v).cast("double"), F.lit(q), F.lit(accuracy)
+                    ).alias(out)
+                    for v, q, out in approx_specs
+                ]
+            )
+        )
+    if len(parts) == 1:
+        return parts[0]
+    return parts[0].join(parts[1], list(group_cols), "full_outer")

@@ -731,3 +731,145 @@ def test_clean_document_lines_cap_preserves_tail(spark):
     assert len(lines) == 13
     assert lines[-1] == "x"
     assert lines[10] == "content line number 10 present here"
+
+
+def _quantile_fixture(spark):
+    # 4 groups x 1000 rows; 'low' repeats 10 values (histogram gold
+    # case), 'hi' is all-distinct (the documented histogram worst case)
+    rows = [(i % 4, float(i % 10), i * 1.0 + 0.5) for i in range(4000)]
+    return spark.createDataFrame(rows, "g int, low double, hi double")
+
+
+def test_probe_distinct_ratios(spark):
+    from ferramenta_etl_spark.operators.quantile import probe_distinct_ratios
+
+    df = _quantile_fixture(spark)
+    # probe_mod=1 samples every value: ratios are exact modulo the HLL
+    ratios = probe_distinct_ratios(df, ["low", "hi"], probe_mod=1)
+    assert ratios["low"] < 0.02
+    assert ratios["hi"] > 0.9
+    # all-null column: no sampled non-null rows -> 0.0 (exact path,
+    # which handles empty histograms), not a division error
+    null_df = spark.createDataFrame([(1, None)], "g int, v double")
+    assert probe_distinct_ratios(null_df, ["v"], probe_mod=1) == {"v": 0.0}
+
+
+def test_quantiles_auto_exact_path_bit_identical(spark):
+    from ferramenta_etl_spark.operators.quantile import (
+        grouped_exact_quantiles,
+        grouped_quantiles_auto,
+    )
+
+    df = _quantile_fixture(spark)
+    specs = [("low", 0.5, "p50"), ("low", 0.9, "p90")]
+    auto = {
+        r.g: (r.p50, r.p90)
+        for r in grouped_quantiles_auto(df, ["g"], specs, probe_mod=1).collect()
+    }
+    exact = {
+        r.g: (r.p50, r.p90)
+        for r in grouped_exact_quantiles(df, ["g"], specs).collect()
+    }
+    assert auto == exact  # low-distinct column stays on the exact path
+
+
+def test_quantiles_auto_fallback_engages_on_all_distinct(spark, caplog):
+    import logging
+
+    from ferramenta_etl_spark.operators.quantile import (
+        grouped_exact_quantiles,
+        grouped_quantiles_auto,
+    )
+
+    df = _quantile_fixture(spark)
+    with caplog.at_level(
+        logging.INFO, logger="ferramenta_etl_spark.operators.quantile"
+    ):
+        out = grouped_quantiles_auto(
+            df, ["g"], [("hi", 0.5, "p50")], probe_mod=1
+        )
+        got = {r.g: r.p50 for r in out.collect()}
+    assert "falling back to percentile_approx" in caplog.text
+    # GK sketch at accuracy=10000 on 1000-row groups is exact-rank; the
+    # sketch returns an actual value, the exact path interpolates — with
+    # 1000 values per group they differ by at most one inter-value gap
+    exact = {
+        r.g: r.p50
+        for r in grouped_exact_quantiles(df, ["g"], [("hi", 0.5, "p50")]).collect()
+    }
+    for g in exact:
+        assert abs(got[g] - exact[g]) <= 4.0, (g, got[g], exact[g])
+
+
+def test_quantiles_auto_mixed_specs_join(spark, caplog):
+    import logging
+
+    from ferramenta_etl_spark.operators.quantile import (
+        grouped_exact_quantiles,
+        grouped_quantiles_auto,
+    )
+
+    df = _quantile_fixture(spark)
+    specs = [("low", 0.5, "low_p50"), ("hi", 0.5, "hi_p50")]
+    with caplog.at_level(
+        logging.INFO, logger="ferramenta_etl_spark.operators.quantile"
+    ):
+        out = grouped_quantiles_auto(df, ["g"], specs, probe_mod=1)
+    assert set(out.columns) == {"g", "low_p50", "hi_p50"}
+    rows = {r.g: (r.low_p50, r.hi_p50) for r in out.collect()}
+    assert len(rows) == 4
+    exact_low = {
+        r.g: r.low_p50
+        for r in grouped_exact_quantiles(df, ["g"], [("low", 0.5, "low_p50")]).collect()
+    }
+    for g in rows:
+        assert rows[g][0] == exact_low[g]  # exact-path spec bit-identical
+        assert rows[g][1] is not None  # sketch-path spec present
+    assert "'hi'" in caplog.text and "'low'" not in caplog.text.split("ratio")[0]
+
+
+def test_cosine_near_dup_srp_blocking(spark):
+    """SRP-banded candidate generation (the fixed-label-set scale path)
+    must emit a SUBSET of the exact within-block pairs with identical
+    sims, and find every planted high-cosine near-dup: with 32 planes /
+    8 bands a cos>=0.9 pair misses all 8 bands with p~2e-3."""
+    import math
+    import random
+
+    rng = random.Random(11)
+    rows = []
+    for i in range(60):
+        base = [rng.gauss(0, 1) for _ in range(32)]
+        rows.append((2 * i, base, i % 3))
+        # planted near-dup: tiny perturbation -> cosine ~0.999
+        rows.append((2 * i + 1, [x + 0.02 * rng.gauss(0, 1) for x in base], i % 3))
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v], l) for i, v, l in rows],
+        "vec_id long, embedding array<float>, label int",
+    )
+    exact = {
+        (r.vec_id_a, r.vec_id_b): r.sim
+        for r in S.cosine_near_dup_pairs(df, threshold=0.9).collect()
+    }
+    srp = {
+        (r.vec_id_a, r.vec_id_b): r.sim
+        for r in S.cosine_near_dup_pairs(
+            df, threshold=0.9, srp_planes=32, srp_bands=8, dim=32
+        ).collect()
+    }
+    assert set(srp) <= set(exact)  # never a pair the exact path lacks
+    for k in srp:
+        assert srp[k] == exact[k]  # identical verified sims
+    planted = {(2 * i, 2 * i + 1) for i in range(60)} & set(exact)
+    assert len(planted) >= 55  # fixture sanity: perturbation stayed tiny
+    recall = len(planted & set(srp)) / len(planted)
+    assert recall >= 0.95, f"SRP recall {recall:.3f} on planted near-dups"
+
+
+def test_cosine_near_dup_srp_empty_and_bad_args(spark):
+    df = spark.createDataFrame([], "vec_id long, embedding array<float>, label int")
+    out = S.cosine_near_dup_pairs(df, threshold=0.9, srp_planes=32)
+    assert out.count() == 0
+    assert out.columns == ["vec_id_a", "vec_id_b", "sim"]
+    with pytest.raises(ValueError, match="not divisible"):
+        S.cosine_near_dup_pairs(df, srp_planes=30, srp_bands=8, dim=4)
