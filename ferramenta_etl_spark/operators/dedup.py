@@ -221,6 +221,7 @@ def tokenset_jaccard_pairs(
     block_cols: Sequence[str] = ("lang",),
     length_col: str | None = "n_chars",
     length_bucket: int = 16,
+    prefix_filter: bool = False,
 ) -> DataFrame:
     """Near-duplicate pairs by token-set Jaccard within blocks.
 
@@ -233,6 +234,24 @@ def tokenset_jaccard_pairs(
     pairs that STRADDLE a bucket boundary collide (equal-bucket-only
     joins silently missed a 15-char/17-char identical-token pair at the
     16-char boundary); same-bucket pairs collide twice and dedup.
+
+    ``prefix_filter=True`` keeps the SAME output (block + length-window
+    + exact Jaccard semantics, pinned by
+    tests/test_properties.py::test_tokenset_prefix_filter_matches_blocked)
+    but generates candidates by PREFIX FILTERING (Bayardo/Ma/Srikant's
+    All-Pairs scheme): tokens sort by ascending global frequency, each
+    doc exposes only its first ``|T| - ceil(t*|T|) + 1`` rarest tokens,
+    and candidates are docs sharing an exposed token — any pair with
+    J >= t must share one (if A∩B avoided A's whole prefix it would fit
+    inside A's top ``ceil(t|A|)-1`` suffix, below the ``t|A|`` floor
+    J >= t implies). This breaks the round-5 mixed-corpus quadratic:
+    length-blocking alone puts every same-length doc in one bucket, so
+    a corpus of N same-length DISTINCT docs pays N^2/2 full Jaccard
+    verifications; frequency-ordered prefixes expose rare tokens, which
+    distinct docs don't share. Extra cost is linear: one token-frequency
+    aggregate, one join of exploded prefixes to frequencies, one re-agg.
+    The default stays the plain blocked join — cheaper on small or
+    high-duplication corpora (the oracle fixture) where blocks stay tiny.
     """
     toks = df.select(
         F.col(id_col),
@@ -240,6 +259,15 @@ def tokenset_jaccard_pairs(
         *([] if length_col is None else [F.col(length_col)]),
         distinct_tokens(F.col(text_col)).alias("toks"),
     )
+    if prefix_filter:
+        if threshold <= 0.0:
+            # J >= t > 0 implies a shared token — the prefix guarantee's
+            # floor; at t=0 the blocked variant also pairs docs sharing
+            # NO token, which no token-join can produce
+            raise ValueError("prefix_filter requires threshold > 0")
+        return _tokenset_jaccard_prefix(
+            toks, threshold, id_col, block_cols, length_col, length_bucket
+        )
     if length_col is not None:
         bucket = F.floor(F.col(length_col) / F.lit(length_bucket))
         toks = toks.withColumn(
@@ -260,6 +288,93 @@ def tokenset_jaccard_pairs(
             F.round(inter.cast("double") / union.cast("double"), 4).alias("jaccard"),
         )
         .dropDuplicates(["doc_id_a", "doc_id_b"])
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def _tokenset_jaccard_prefix(
+    toks: DataFrame,
+    threshold: float,
+    id_col: str,
+    block_cols: Sequence[str],
+    length_col: str | None,
+    length_bucket: int,
+) -> DataFrame:
+    """Prefix-filter candidate generation for tokenset_jaccard_pairs.
+
+    Physical shape (all linear except the candidate join itself):
+    1. token -> global frequency (one groupBy over exploded tokens);
+    2. exploded tokens join frequencies, re-aggregate per doc, sort the
+       (freq, token) structs ARRAY-NATIVELY (array_sort in a hash agg —
+       no per-doc window sort pass) and slice the prefix;
+    3. candidates = self-join of exploded prefixes on the token, plus
+       the block/length-window predicates and id<;
+    4. exact Jaccard verification on the candidate ids joined back to
+       their full token arrays.
+    """
+    base_cols = [id_col, *block_cols] + ([] if length_col is None else [length_col])
+    tok_rows = toks.select(*base_cols, F.explode("toks").alias("__tok"))
+    freq = tok_rows.groupBy("__tok").agg(F.count(F.lit(1)).alias("__freq"))
+    # per-doc prefix of the frequency-ascending token order; ties break
+    # on the token itself so the order is total and deterministic
+    pref_len = (
+        F.size("__sorted")
+        - F.ceil(F.lit(float(threshold)) * F.size("__sorted"))
+        + 1
+    ).cast("int")
+    prefixes = (
+        tok_rows.join(freq, "__tok")
+        .groupBy(*base_cols)
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("__freq"), F.col("__tok")))
+            ).alias("__sorted")
+        )
+        .select(
+            *base_cols,
+            F.explode(F.slice("__sorted", F.lit(1), pref_len)).alias("__p"),
+        )
+        .select(*base_cols, F.col("__p.__tok").alias("__tok"))
+    )
+    a, b = prefixes.alias("a"), prefixes.alias("b")
+    cond = [F.col("a.__tok") == F.col("b.__tok")]
+    cond += [F.col(f"a.{c}") == F.col(f"b.{c}") for c in block_cols]
+    if length_col is not None:
+        # same pair window the blocked variant's [bucket, bucket+1]
+        # double-keying admits: bucket distance at most 1
+        ab = F.floor(F.col(f"a.{length_col}") / F.lit(length_bucket))
+        bb = F.floor(F.col(f"b.{length_col}") / F.lit(length_bucket))
+        cond.append(F.abs(ab - bb) <= 1)
+    cond.append(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+    cand = (
+        a.join(b, cond)
+        .select(
+            F.col(f"a.{id_col}").alias("doc_id_a"),
+            F.col(f"b.{id_col}").alias("doc_id_b"),
+        )
+        .dropDuplicates(["doc_id_a", "doc_id_b"])
+    )
+    full = toks.select(F.col(id_col), F.col("toks"))
+    inter = F.size(F.array_intersect(F.col("__ta"), F.col("__tb")))
+    union = F.size(F.array_union(F.col("__ta"), F.col("__tb")))
+    return (
+        cand.join(
+            full.select(
+                F.col(id_col).alias("doc_id_a"), F.col("toks").alias("__ta")
+            ),
+            "doc_id_a",
+        )
+        .join(
+            full.select(
+                F.col(id_col).alias("doc_id_b"), F.col("toks").alias("__tb")
+            ),
+            "doc_id_b",
+        )
+        .select(
+            "doc_id_a",
+            "doc_id_b",
+            F.round(inter.cast("double") / union.cast("double"), 4).alias("jaccard"),
+        )
         .filter(F.col("jaccard") >= threshold)
     )
 

@@ -577,6 +577,10 @@ def cosine_near_dup_pairs(
     block_col: str = "label",
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    srp_planes: int | None = None,
+    srp_bands: int = 8,
+    dim: int | None = None,
+    seed: int = 7,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs within equality blocks.
 
@@ -586,6 +590,21 @@ def cosine_near_dup_pairs(
     projected once per row BEFORE the join (N folds, not |pairs| folds);
     per pair only the dot fold remains, in the same IEEE op order as
     cosine() so the oracle stays bit-identical.
+
+    EXACT within-block pairing is quadratic in block population — fine
+    while blocks stay small, but a growing corpus over a FIXED label set
+    (the round-5 mixed-corpus sweep's finding: 100x corpus, same labels
+    -> 10,000x scored pairs) needs ``srp_planes``: candidates then come
+    from signed-random-projection banding WITHIN the block (same SRP
+    family as lsh_ann_topk — map-only signatures, band equi-join), and
+    only colliding candidates pay the exact-cosine verification, which
+    keeps reported sims identical. The trade is recall<1 on pairs near
+    the threshold: per-bit collision is 1-angle/pi, so with the default
+    32 planes / 8 bands a cos>=0.9 pair collides in >=1 band with
+    p~0.998 while near-orthogonal pairs almost never do. Use the exact
+    path for oracle-grade completeness on bounded blocks, SRP for
+    production near-dup thresholds (>=0.9) at scale. ``dim`` skips the
+    one-row dimension probe (pass it to keep plan builds job-free).
     """
     with_n = embeddings.filter(
         F.expr(_usable_vec_sql(vec_col))  # zero/non-finite vectors never pair
@@ -595,15 +614,69 @@ def cosine_near_dup_pairs(
         F.col(block_col),
         F.expr(_norm_sql(vec_col)).alias("__n"),
     )
-    a = with_n.alias("a")
-    b = with_n.alias("b")
     sim = F.expr(
         f"round({_dot_sql(f'a.{vec_col}', f'b.{vec_col}')} / (a.__n * b.__n), 6)"
     )
+    if srp_planes is None:
+        a = with_n.alias("a")
+        b = with_n.alias("b")
+        return (
+            a.join(
+                b,
+                [
+                    F.col(f"a.{block_col}") == F.col(f"b.{block_col}"),
+                    F.col(f"a.{id_col}") < F.col(f"b.{id_col}"),
+                ],
+            )
+            .select(
+                F.col(f"a.{id_col}").alias("vec_id_a"),
+                F.col(f"b.{id_col}").alias("vec_id_b"),
+                sim.alias("sim"),
+            )
+            .filter(F.col("sim") >= threshold)
+        )
+    if srp_planes % srp_bands:
+        raise ValueError(f"srp_planes={srp_planes} not divisible by srp_bands={srp_bands}")
+    width = srp_planes // srp_bands
+    mask = (1 << width) - 1
+    if dim is None:
+        probe = with_n.select(vec_col).first()
+        if probe is None:
+            spark = embeddings.sparkSession
+            id_t = embeddings.schema[id_col].dataType.simpleString()
+            return spark.createDataFrame(
+                [], f"vec_id_a {id_t}, vec_id_b {id_t}, sim double"
+            )
+        dim = len(probe[0])
+    planes = _srp_planes(srp_planes, dim, seed)
+    banded = with_n.withColumn("__sig", srp_signature(vec_col, planes)).select(
+        id_col,
+        vec_col,
+        block_col,
+        "__n",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(bnd).alias("band"),
+                        F.shiftright("__sig", bnd * width)
+                        .bitwiseAND(F.lit(mask))
+                        .alias("bval"),
+                    )
+                    for bnd in range(srp_bands)
+                ]
+            )
+        ).alias("bk"),
+    ).select(id_col, vec_col, block_col, "__n", "bk.band", "bk.bval")
+    a, b = banded.alias("a"), banded.alias("b")
+    # score BEFORE the multi-band dedup (lsh_ann_topk's trick): the
+    # dedup shuffle then moves 3 scalars per candidate, not two vectors
     return (
         a.join(
             b,
             [
+                F.col("a.band") == F.col("b.band"),
+                F.col("a.bval") == F.col("b.bval"),
                 F.col(f"a.{block_col}") == F.col(f"b.{block_col}"),
                 F.col(f"a.{id_col}") < F.col(f"b.{id_col}"),
             ],
@@ -613,6 +686,7 @@ def cosine_near_dup_pairs(
             F.col(f"b.{id_col}").alias("vec_id_b"),
             sim.alias("sim"),
         )
+        .dropDuplicates(["vec_id_a", "vec_id_b"])
         .filter(F.col("sim") >= threshold)
     )
 

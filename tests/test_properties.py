@@ -461,3 +461,33 @@ def test_grouped_exact_quantiles_matches_per_spec_calls(spark, rows, qa, qb):
         }
         from_stacked = {g: v[idx] for g, v in stacked.items() if v[idx] is not None}
         assert from_stacked == single
+
+
+@given(
+    docs=st.lists(_doc, min_size=1, max_size=10),
+    t100=st.integers(1, 100),
+    langs=st.lists(st.sampled_from(["en", "pt"]), min_size=10, max_size=10),
+)
+@settings(**SETTINGS)
+def test_tokenset_prefix_filter_matches_blocked(spark, docs, t100, langs):
+    """Prefix-filter candidate generation (the 100x scale path) must be
+    LOSSLESS: identical pair set + jaccard values as the blocked
+    quadratic join, for any threshold>0, on corpora with token
+    collisions, shared tokens across docs, and block boundaries."""
+    from ferramenta_etl_spark.operators.dedup import tokenset_jaccard_pairs
+
+    t = t100 / 100.0
+    rows = [
+        (i, d, langs[i], len(d)) for i, d in enumerate(docs)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string, n_chars long")
+    kw = dict(threshold=t, length_bucket=4)
+    blocked = {
+        (r.doc_id_a, r.doc_id_b, r.jaccard)
+        for r in tokenset_jaccard_pairs(df, **kw).collect()
+    }
+    prefixed = {
+        (r.doc_id_a, r.doc_id_b, r.jaccard)
+        for r in tokenset_jaccard_pairs(df, prefix_filter=True, **kw).collect()
+    }
+    assert prefixed == blocked
