@@ -84,6 +84,8 @@ HEADLINE = [
     "seq_packing",
     "embedding_quantized_topk",
     "embedding_ann_lsh",
+    "join_skewed_plain",
+    "join_skewed_salted",
 ]
 
 

@@ -182,6 +182,269 @@ def dedup_admit_experiment(spark, sf_dir: str, factor: int, scratch: str) -> dic
     }
 
 
+def generate_mixed(spark, sf_dir: str, out_dir: str, factor: int) -> None:
+    """Mixed duplicate-profile corpus (VERDICT r05 #1): per replica of
+    the base tables, 60% DISTINCT docs/vectors, 30% NEAR-DUP mutations,
+    10% EXACT dups — so at any factor the near-dup candidate stages see
+    a corpus that is mostly distinct and cannot be collapsed away by the
+    exact-dup pre-pass (the all-exact-dup replication sweep's blind
+    spot, which hid two quadratics until round 4).
+
+    Documents: every token of replica i is SUFFIXED with ``_r{i}`` —
+    replicas share zero tokens AND zero shingles (an interleaved tag is
+    NOT enough for token-SET similarity: the tag is one distinct token,
+    leaving same-base replicas at Jaccard ~0.98). Near-dups substitute
+    two tokens of their partner's text (token-level edits); exact dups
+    copy it. Embeddings: per-(vec_id, element, replica) hash-derived
+    pseudo-random vectors (near-orthogonal across docs/replicas),
+    near-dups perturb 4 of 64 elements by +0.05 (cosine ~0.9998),
+    labels pass through so the label-blocked pair space scales with the
+    corpus over a FIXED block set — the shape that exposes quadratic
+    within-block scoring."""
+    from pyspark.sql import functions as F
+
+    from ferramenta_etl_spark.sources import load_table
+
+    near_off, exact_off = _OFFSET // 4, _OFFSET // 2
+    os.makedirs(out_dir, exist_ok=True)
+
+    docs = load_table(spark, sf_dir, "documents")
+    doc_parts = []
+    for i in range(factor):
+        suffixed = docs.withColumn(
+            "text", F.regexp_replace("text", r"(\S+)", f"$1_r{i}")
+        )
+        distinct = suffixed.filter(F.col("doc_id") % 10 < 6)
+        mut = (
+            suffixed.filter(F.col("doc_id") % 10 < 3)
+            .withColumn(
+                "text",
+                F.concat_ws(
+                    " ",
+                    F.transform(
+                        F.split(F.col("text"), " "),
+                        lambda x, idx: F.when(idx == F.lit(4), F.lit("mutq"))
+                        .when(idx == F.lit(12), F.lit("mutz"))
+                        .otherwise(x),
+                    ),
+                ),
+            )
+            .withColumn("doc_id", F.col("doc_id") + F.lit(near_off))
+        )
+        exact = distinct.filter(F.col("doc_id") % 10 == 0).withColumn(
+            "doc_id", F.col("doc_id") + F.lit(exact_off)
+        )
+        rep = distinct.unionByName(mut).unionByName(exact)
+        doc_parts.append(rep.withColumn("doc_id", F.col("doc_id") + F.lit(i * _OFFSET)))
+    out = doc_parts[0]
+    for part in doc_parts[1:]:
+        out = out.unionByName(part)
+    out = out.withColumn("n_chars", F.length("text").cast("bigint"))
+    out.repartition(max(factor, 32)).write.mode("overwrite").parquet(
+        f"{out_dir}/documents.parquet"
+    )
+    print(f"generated mixed documents x{factor}", file=sys.stderr)
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    emb_parts = []
+    for i in range(factor):
+        randomized = emb.withColumn(
+            "embedding",
+            F.transform(
+                F.col("embedding"),
+                lambda x, idx: (
+                    (
+                        F.pmod(
+                            F.xxhash64(F.col("vec_id"), idx, F.lit(i)), F.lit(2001)
+                        )
+                        - F.lit(1000)
+                    ).cast("double")
+                    / F.lit(1000.0)
+                ).cast("float"),
+            ),
+        )
+        distinct = randomized.filter(F.col("vec_id") % 10 < 6)
+        near = (
+            randomized.filter(F.col("vec_id") % 10 < 3)
+            .withColumn(
+                "embedding",
+                F.transform(
+                    F.col("embedding"),
+                    lambda x, idx: F.when(
+                        idx < 4, (x + F.lit(0.05)).cast("float")
+                    ).otherwise(x),
+                ),
+            )
+            .withColumn("vec_id", F.col("vec_id") + F.lit(near_off))
+        )
+        exact = distinct.filter(F.col("vec_id") % 10 == 0).withColumn(
+            "vec_id", F.col("vec_id") + F.lit(exact_off)
+        )
+        rep = distinct.unionByName(near).unionByName(exact)
+        emb_parts.append(rep.withColumn("vec_id", F.col("vec_id") + F.lit(i * _OFFSET)))
+    out = emb_parts[0]
+    for part in emb_parts[1:]:
+        out = out.unionByName(part)
+    out.repartition(max(factor, 32)).write.mode("overwrite").parquet(
+        f"{out_dir}/embeddings.parquet"
+    )
+    print(f"generated mixed embeddings x{factor}", file=sys.stderr)
+
+
+def _mixed_queries():
+    """The near-dup family over a mixed-profile corpus: the registered
+    gate queries plus the pre-fix quadratic variants (for the before
+    number) and the SRP scale variant of embedding near-dup."""
+    from pyspark.sql import functions as F
+
+    import __spark_entry__ as entry_mod
+    from ferramenta_etl_spark.operators import dedup as D
+    from ferramenta_etl_spark.operators import similarity as S
+    from ferramenta_etl_spark.operators.dedup import latest_per_key
+    from ferramenta_etl_spark.operators.similarity import _usable_vec_sql
+    from ferramenta_etl_spark.pipeline.curation import curated_frame
+    from ferramenta_etl_spark.sources import load_table
+
+    reg = dict(entry_mod.queries())
+
+    def tokenset_blocked(spark, sf):
+        return D.tokenset_jaccard_pairs(
+            D.dedup_exact(load_table(spark, sf, "documents")),
+            threshold=0.8,
+            prefix_filter=False,
+        )
+
+    def near_dup_srp(spark, sf):
+        emb = load_table(spark, sf, "embeddings").filter(
+            F.expr(_usable_vec_sql("embedding"))
+        )
+        distinct = latest_per_key(
+            emb, keys=[F.col("embedding")], order_by=[F.col("vec_id").asc()]
+        )
+        return S.cosine_near_dup_pairs(
+            distinct, threshold=0.9, srp_planes=32, srp_bands=8, dim=64
+        )
+
+    def curation(spark, sf):
+        return curated_frame(spark, sf, redact=True)
+
+    return {
+        "dedup_tokenset_jaccard": reg["dedup_tokenset_jaccard"],  # prefix
+        "tokenset_blocked": tokenset_blocked,  # pre-fix quadratic
+        "dedup_minhash_lsh": reg["dedup_minhash_lsh"],
+        "dedup_simhash": reg["dedup_simhash"],
+        "embedding_near_dup": reg["embedding_near_dup"],  # exact, quadratic
+        "embedding_near_dup_srp": near_dup_srp,  # SRP scale path
+        "curation": curation,
+    }
+
+
+# exact within-block pair variants: quadratic by construction, measured
+# only to the cap factor (the point is the before/after contrast, not a
+# multi-hour run)
+_QUADRATIC = ("tokenset_blocked", "embedding_near_dup")
+
+
+def mixed_experiment(spark, sf_dir: str, factor: int, scratch: str, cap: int) -> dict:
+    """Timing = one warm-up + one timed run per (query, dir): the signal
+    (linear vs quadratic growth) is orders of magnitude above the ±15%
+    warm-run noise band, and the quadratic variants are too expensive to
+    run in medians at scale."""
+    dirs = {1: f"{scratch}/mixed_1", cap: f"{scratch}/mixed_{cap}",
+            factor: f"{scratch}/mixed_{factor}"}
+    for f_, d in sorted(dirs.items()):
+        if not os.path.exists(f"{d}/documents.parquet"):
+            generate_mixed(spark, sf_dir, d, f_)
+
+    queries = _mixed_queries()
+    rows: dict[str, dict] = {}
+    for name, fn in queries.items():
+        measured_factor = cap if name in _QUADRATIC else factor
+        res = {}
+        for f_ in (1, measured_factor):
+            fn(spark, dirs[f_]).write.format("noop").mode("overwrite").save()
+            t0 = time.perf_counter()
+            fn(spark, dirs[f_]).write.format("noop").mode("overwrite").save()
+            res[f_] = round(time.perf_counter() - t0, 2)
+            print(f"  {name} x{f_}: {res[f_]}s", file=sys.stderr)
+        rows[name] = {
+            "factor": measured_factor,
+            "base_s": res[1],
+            "scaled_s": res[measured_factor],
+            "ratio": round(res[measured_factor] / res[1], 1) if res[1] else None,
+        }
+    # sanity: the planted structure is actually found at scale
+    found = {
+        "minhash_pairs_x%d" % factor: queries["dedup_minhash_lsh"](
+            spark, dirs[factor]
+        ).count(),
+        "srp_pairs_x%d" % factor: queries["embedding_near_dup_srp"](
+            spark, dirs[factor]
+        ).count(),
+        "tokenset_prefix_pairs_x%d" % factor: queries["dedup_tokenset_jaccard"](
+            spark, dirs[factor]
+        ).count(),
+    }
+    return {"rows": rows, "pair_counts": found}
+
+
+def quantile_auto_experiment(spark, n_rows: int) -> dict:
+    """The histogram quantile's all-distinct worst case at scale
+    (VERDICT r05 #3): on an all-distinct double column the value
+    histogram IS the data, so the per-group rank window serializes at
+    row scale — grouped_quantiles_auto must detect the shape via the
+    cardinality probe and route to percentile_approx, which aggregates
+    with O(accuracy) state per group. Reports both paths' times at the
+    same row count plus the probed ratios."""
+    from pyspark.sql import functions as F
+
+    from ferramenta_etl_spark.operators.quantile import (
+        grouped_exact_quantiles,
+        grouped_quantiles_auto,
+        probe_distinct_ratios,
+    )
+
+    df = (
+        spark.range(n_rows)
+        .select(
+            (F.col("id") % 4).alias("g"),
+            # all-distinct: unique per row, non-monotonic
+            (F.col("id").cast("double")
+             + F.pmod(F.xxhash64("id"), F.lit(997)).cast("double") / 1000.0
+             ).alias("v_distinct"),
+            (F.col("id") % 1000).cast("double").alias("v_low"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    ratios = probe_distinct_ratios(df, ["v_distinct", "v_low"])
+
+    def timed(fn):
+        fn().write.format("noop").mode("overwrite").save()
+        t0 = time.perf_counter()
+        fn().write.format("noop").mode("overwrite").save()
+        return round(time.perf_counter() - t0, 2)
+
+    auto_s = timed(
+        lambda: grouped_quantiles_auto(
+            df, ["g"], [("v_distinct", 0.5, "p50"), ("v_low", 0.9, "p90")]
+        )
+    )
+    exact_low_s = timed(
+        lambda: grouped_exact_quantiles(df, ["g"], [("v_low", 0.9, "p90")])
+    )
+    exact_distinct_s = timed(
+        lambda: grouped_exact_quantiles(df, ["g"], [("v_distinct", 0.5, "p50")])
+    )
+    return {
+        "rows": n_rows,
+        "probed_ratios": {k: round(v, 3) for k, v in ratios.items()},
+        "fallback_engaged": ratios["v_distinct"] > 0.5,
+        "auto_s": auto_s,
+        "exact_histogram_low_distinct_s": exact_low_s,
+        "exact_histogram_all_distinct_s": exact_distinct_s,
+    }
+
+
 def main() -> None:
     p = argparse.ArgumentParser()
     p.add_argument("--factor", type=int, default=100)
@@ -194,6 +457,20 @@ def main() -> None:
         "--dedup-admit", action="store_true",
         help="run the incremental-index admit experiment instead of the "
              "query ratio table",
+    )
+    p.add_argument(
+        "--mixed", action="store_true",
+        help="run the mixed-duplicate-profile near-dup sweep (60%% "
+             "distinct / 30%% near-dup / 10%% exact)",
+    )
+    p.add_argument(
+        "--exact-cap", type=int, default=10,
+        help="max factor at which the exact quadratic pair variants run "
+             "in the --mixed sweep",
+    )
+    p.add_argument(
+        "--quantile-auto", type=int, metavar="N_ROWS", default=0,
+        help="run the all-distinct quantile fallback experiment at N_ROWS",
     )
     args = p.parse_args()
 
@@ -208,6 +485,22 @@ def main() -> None:
     if args.dedup_admit:
         result = dedup_admit_experiment(spark, args.sf, args.factor, args.out)
         print(json.dumps({"experiment": "dedup_admit", **result}))
+        spark.stop()
+        return
+
+    if args.mixed:
+        result = mixed_experiment(
+            spark, args.sf, args.factor, args.out, args.exact_cap
+        )
+        print(json.dumps(
+            {"experiment": "mixed_dedup", "factor": args.factor, **result}
+        ))
+        spark.stop()
+        return
+
+    if args.quantile_auto:
+        result = quantile_auto_experiment(spark, args.quantile_auto)
+        print(json.dumps({"experiment": "quantile_auto", **result}))
         spark.stop()
         return
 
