@@ -47,6 +47,7 @@ from .similarity import (  # noqa: F401
     ivf_topk_on_index,
     lloyd_refine,
     load_ivf_centroids,
+    srp_params_for,
 )
 from .skew import salted_join, top_key_counts  # noqa: F401
 from .text import (  # noqa: F401

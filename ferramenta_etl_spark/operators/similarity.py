@@ -596,15 +596,21 @@ def cosine_near_dup_pairs(
     (the round-5 mixed-corpus sweep's finding: 100x corpus, same labels
     -> 10,000x scored pairs) needs ``srp_planes``: candidates then come
     from signed-random-projection banding WITHIN the block (same SRP
-    family as lsh_ann_topk — map-only signatures, band equi-join), and
+    family as lsh_ann_topk — map-only band keys, band equi-join), and
     only colliding candidates pay the exact-cosine verification, which
     keeps reported sims identical. The trade is recall<1 on pairs near
-    the threshold: per-bit collision is 1-angle/pi, so with the default
-    32 planes / 8 bands a cos>=0.9 pair collides in >=1 band with
-    p~0.998 while near-orthogonal pairs almost never do. Use the exact
-    path for oracle-grade completeness on bounded blocks, SRP for
-    production near-dup thresholds (>=0.9) at scale. ``dim`` skips the
-    one-row dimension probe (pass it to keep plan builds job-free).
+    the threshold; per-bit collision is 1-angle/pi, so BAND WIDTH
+    (srp_planes/srp_bands) is the lever on both recall and cost —
+    narrow bands admit near-orthogonal pairs too (width 4 admits ~40%
+    of ALL random pairs across 8 bands: that is 0.4x the quadratic,
+    not sub-quadratic — the round-5 mixed-corpus sweep caught exactly
+    this). Size the scheme with ``srp_params_for(threshold, recall)``
+    rather than guessing; past 64 total planes the band keys come from
+    an Arrow matmul instead of the packed-bigint literal projection
+    (same keys, plan size constant in plane count). Use the exact path
+    for oracle-grade completeness on bounded blocks, SRP for production
+    near-dup thresholds (>=0.9) at scale. ``dim`` skips the one-row
+    dimension probe (pass it to keep plan builds job-free).
     """
     with_n = embeddings.filter(
         F.expr(_usable_vec_sql(vec_col))  # zero/non-finite vectors never pair
@@ -649,25 +655,36 @@ def cosine_near_dup_pairs(
             )
         dim = len(probe[0])
     planes = _srp_planes(srp_planes, dim, seed)
-    banded = with_n.withColumn("__sig", srp_signature(vec_col, planes)).select(
-        id_col,
-        vec_col,
-        block_col,
-        "__n",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(bnd).alias("band"),
-                        F.shiftright("__sig", bnd * width)
-                        .bitwiseAND(F.lit(mask))
-                        .alias("bval"),
-                    )
-                    for bnd in range(srp_bands)
-                ]
-            )
-        ).alias("bk"),
-    ).select(id_col, vec_col, block_col, "__n", "bk.band", "bk.bval")
+    if srp_planes <= _SRP_PACK_MAX:
+        banded = with_n.withColumn("__sig", srp_signature(vec_col, planes)).select(
+            id_col,
+            vec_col,
+            block_col,
+            "__n",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(bnd).alias("band"),
+                            F.shiftright("__sig", bnd * width)
+                            .bitwiseAND(F.lit(mask))
+                            .alias("bval"),
+                        )
+                        for bnd in range(srp_bands)
+                    ]
+                )
+            ).alias("bk"),
+        ).select(id_col, vec_col, block_col, "__n", "bk.band", "bk.bval")
+    else:
+        # past the 64-bit pack (and the literal-expression economics),
+        # band values come from one Arrow matmul per batch — the same
+        # large-k posture as the IVF coarse quantizer: narrow map, no
+        # shuffle, plan size constant in srp_planes. Both join sides
+        # read the SAME banded frame, so a sign flip on a dot==0 ulp
+        # tie stays self-consistent.
+        banded = _srp_banded_arrow(
+            with_n, planes, srp_bands, id_col, vec_col, block_col
+        )
     a, b = banded.alias("a"), banded.alias("b")
     # score BEFORE the multi-band dedup (lsh_ann_topk's trick): the
     # dedup shuffle then moves 3 scalars per candidate, not two vectors
@@ -732,6 +749,120 @@ def dedup_semantic(
 # ---------------------------------------------------------------------------
 
 
+_SRP_PACK_MAX = 64  # sign bits packed into ONE bigint by srp_signature
+
+
+def srp_params_for(
+    threshold: float, recall: float = 0.95, max_planes: int = 256
+) -> tuple[int, int]:
+    """Pick ``(srp_planes, srp_bands)`` so a pair at EXACTLY
+    ``threshold`` cosine survives candidate generation with probability
+    >= ``recall`` — pairs above the threshold survive with higher
+    probability, and wider bands admit fewer random pairs.
+
+    The math (standard SRP-LSH): per-bit collision for angle t is
+    ``p = 1 - acos(threshold)/pi``; a width-w band collides with
+    ``p**w``; b bands give recall ``1 - (1 - p**w)**b``. For each band
+    width the minimal band count hitting ``recall`` is computed, and
+    the WIDEST width whose total plane budget fits ``max_planes`` wins:
+    width drives the random-collision rate ``~b * 2**-w`` — the term
+    that decides whether banding is sub-quadratic on a big block — so
+    spend the whole budget on width. The round-5 mixed-corpus sweep is
+    the motivation: 32 planes / 8 bands (width 4) admits ~40% of ALL
+    near-orthogonal pairs, which is the quadratic it was meant to
+    avoid; at threshold 0.9 this returns (216, 18) — width 12, random
+    admission ~0.4%."""
+    import math
+
+    if not -1.0 < threshold < 1.0:
+        raise ValueError(f"threshold must be in (-1, 1), got {threshold}")
+    if not 0.0 < recall < 1.0:
+        raise ValueError(f"recall must be in (0, 1), got {recall}")
+    p_bit = 1.0 - math.acos(threshold) / math.pi
+    best = None
+    for width in range(2, 65):
+        p_band = p_bit**width
+        if p_band <= 0.0:
+            break
+        bands = math.ceil(math.log(1.0 - recall) / math.log(1.0 - p_band))
+        if width * bands <= max_planes:
+            best = (width * bands, bands)  # ascending: last kept = widest
+    if best is None:
+        raise ValueError(
+            f"no (width, bands) meets recall {recall} at threshold "
+            f"{threshold} within max_planes={max_planes}; raise max_planes"
+        )
+    return best
+
+
+def _srp_banded_arrow(
+    with_n: DataFrame,
+    planes: Sequence[Sequence[float]],
+    bands: int,
+    id_col: str,
+    vec_col: str,
+    block_col: str,
+) -> DataFrame:
+    """Band-value projection for plane counts past the 64-bit pack:
+    one (batch x dim) @ (dim x n_planes) matmul per Arrow batch, sign
+    bits reshaped (bands, width) and packed per band — bit i of band b
+    is plane ``b*width + i`` with weight ``2**i``, the same layout the
+    literal ``shiftright(sig, b*width) & mask`` path extracts, so the
+    two paths produce identical band keys up to matmul ulp on exact
+    dot==0 ties."""
+    import numpy as np
+
+    from pyspark.sql import types as T
+
+    pmat = np.array([list(map(float, p)) for p in planes], dtype=np.float64)
+    width = len(planes) // bands
+    weights = np.left_shift(np.int64(1), np.arange(width, dtype=np.int64))
+    in_fields = {f.name: f for f in with_n.schema.fields}
+    schema = T.StructType(
+        [
+            in_fields[id_col],
+            in_fields[vec_col],
+            in_fields[block_col],
+            T.StructField("__n", T.DoubleType()),
+            T.StructField("band", T.IntegerType(), False),
+            T.StructField("bval", T.LongType(), False),
+        ]
+    )
+    n_bands = bands
+
+    def batches(it):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in it:
+            if len(pdf) == 0:
+                continue
+            vecs = np.stack(
+                [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
+            )
+            bits = (vecs @ pmat.T) >= 0.0  # (batch, n_planes)
+            bvals = (
+                bits.reshape(len(pdf), n_bands, width) * weights[None, None, :]
+            ).sum(axis=2)
+            idx = np.repeat(np.arange(len(pdf)), n_bands)
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col].values[idx],
+                    vec_col: pdf[vec_col].values[idx],
+                    block_col: pdf[block_col].values[idx],
+                    "__n": pdf["__n"].values[idx],
+                    "band": np.tile(
+                        np.arange(n_bands, dtype=np.int32), len(pdf)
+                    ),
+                    "bval": bvals.ravel().astype(np.int64),
+                }
+            )
+
+    return with_n.select(id_col, vec_col, block_col, "__n").mapInPandas(
+        batches, schema
+    )
+
+
 def _srp_planes(n_planes: int, dim: int, seed: int = 7) -> list[list[float]]:
     """Deterministic Gaussian hyperplanes: seeded PRNG, no data pass —
     the index metadata is literally a seed + shape."""
@@ -745,7 +876,13 @@ def srp_signature(vec_col: str, planes: Sequence[Sequence[float]]) -> Column:
     """Packed sign-bit signature: bit i = 1 iff dot(v, plane_i) >= 0.
     n_planes literal dot folds per row — same literal-inlining economics
     as the IVF coarse quantizer (zero shuffle, plans bounded by
-    LITERAL_CENTROID_MAX-scale plane counts)."""
+    LITERAL_CENTROID_MAX-scale plane counts). Hard cap: one bigint holds
+    64 sign bits — wider schemes use the per-band Arrow projection
+    (_srp_banded_arrow)."""
+    if len(planes) > _SRP_PACK_MAX:
+        raise ValueError(
+            f"{len(planes)} planes exceed the {_SRP_PACK_MAX}-bit pack"
+        )
     bits = " + ".join(
         f"if({_dot_sql(_vec_sql(p), vec_col)} >= 0.0, "
         f"shiftleft(cast(1 as bigint), {i}), cast(0 as bigint))"

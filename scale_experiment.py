@@ -321,8 +321,14 @@ def _mixed_queries():
         distinct = latest_per_key(
             emb, keys=[F.col("embedding")], order_by=[F.col("vec_id").asc()]
         )
+        # width-12 x 18 bands from the chooser: recall >= 0.95 AT the
+        # 0.9 threshold, random-pair admission ~0.4% (the sweep's first
+        # run used 32 planes / 8 bands = width 4, which admits ~40% of
+        # near-orthogonal pairs — 0.4x quadratic, effectively hung at
+        # 100x; that catch is the point of this experiment)
+        planes, bands = S.srp_params_for(0.9, recall=0.95, max_planes=256)
         return S.cosine_near_dup_pairs(
-            distinct, threshold=0.9, srp_planes=32, srp_bands=8, dim=64
+            distinct, threshold=0.9, srp_planes=planes, srp_bands=bands, dim=64
         )
 
     def curation(spark, sf):

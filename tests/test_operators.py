@@ -873,3 +873,74 @@ def test_cosine_near_dup_srp_empty_and_bad_args(spark):
     assert out.columns == ["vec_id_a", "vec_id_b", "sim"]
     with pytest.raises(ValueError, match="not divisible"):
         S.cosine_near_dup_pairs(df, srp_planes=30, srp_bands=8, dim=4)
+
+
+def test_srp_params_for_chooser():
+    """The (planes, bands) chooser must (a) hit the recall bound by its
+    own collision model, (b) spend the budget on band WIDTH — the term
+    that decides sub-quadratic candidate generation (width 4 admits
+    ~40% of random pairs; the round-5 mixed sweep caught that shape
+    effectively hanging at 100x)."""
+    import math
+
+    for threshold, recall, max_planes in [
+        (0.9, 0.95, 256),
+        (0.9, 0.99, 512),
+        (0.95, 0.95, 256),
+        (0.99, 0.95, 256),
+    ]:
+        planes, bands = S.srp_params_for(threshold, recall, max_planes)
+        assert planes % bands == 0 and planes <= max_planes
+        width = planes // bands
+        p_band = (1.0 - math.acos(threshold) / math.pi) ** width
+        assert 1.0 - (1.0 - p_band) ** bands >= recall  # model recall holds
+        # random-pair admission stays small: near-orthogonal pairs
+        # collide per band at ~2^-width
+        assert bands * 2.0**-width < 0.02
+    # higher threshold -> wider bands affordable at the same budget
+    assert S.srp_params_for(0.99)[0] // S.srp_params_for(0.99)[1] > (
+        S.srp_params_for(0.9)[0] // S.srp_params_for(0.9)[1]
+    )
+    with pytest.raises(ValueError, match="max_planes"):
+        S.srp_params_for(0.5, recall=0.999, max_planes=16)
+    with pytest.raises(ValueError, match="threshold"):
+        S.srp_params_for(1.0)
+
+
+def test_cosine_near_dup_srp_arrow_wide_bands(spark):
+    """Plane counts past the 64-bit pack route through the Arrow
+    band-value projection: still a subset of the exact pairs with
+    identical sims, and chooser-sized bands recall the planted
+    near-dups. Exercises srp_params_for end-to-end (216 planes at
+    threshold 0.9 > _SRP_PACK_MAX)."""
+    import random
+
+    rng = random.Random(13)
+    rows = []
+    for i in range(50):
+        base = [rng.gauss(0, 1) for _ in range(32)]
+        rows.append((2 * i, base, i % 3))
+        rows.append((2 * i + 1, [x + 0.02 * rng.gauss(0, 1) for x in base], i % 3))
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v], l) for i, v, l in rows],
+        "vec_id long, embedding array<float>, label int",
+    )
+    planes, bands = S.srp_params_for(0.9, recall=0.95, max_planes=256)
+    assert planes > 64  # must exercise the Arrow path
+    exact = {
+        (r.vec_id_a, r.vec_id_b): r.sim
+        for r in S.cosine_near_dup_pairs(df, threshold=0.9).collect()
+    }
+    srp = {
+        (r.vec_id_a, r.vec_id_b): r.sim
+        for r in S.cosine_near_dup_pairs(
+            df, threshold=0.9, srp_planes=planes, srp_bands=bands, dim=32
+        ).collect()
+    }
+    assert set(srp) <= set(exact)
+    for k in srp:
+        assert srp[k] == exact[k]
+    planted = {(2 * i, 2 * i + 1) for i in range(50)} & set(exact)
+    assert len(planted) >= 45
+    recall = len(planted & set(srp)) / len(planted)
+    assert recall >= 0.95, f"wide-band SRP recall {recall:.3f}"
