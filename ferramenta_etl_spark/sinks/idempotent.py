@@ -68,17 +68,30 @@ def _has_data_files(spark: SparkSession, path: str) -> bool:
     values → only _SUCCESS), so a later read would fail with
     UNABLE_TO_INFER_SCHEMA; callers treat footerless directories as a
     fresh sink instead. Hadoop FS API, so any supported filesystem
-    works, not just local."""
+    works, not just local.
+
+    Hidden path components (``_temporary``, ``.staging`` — any segment
+    starting with ``_`` or ``.``) are SKIPPED, matching the reader's own
+    visibility rule: a job killed mid-append leaves orphan part files
+    under ``_temporary/`` that no read will ever see, and counting them
+    here would send a crashed-first-batch replay down the read path of a
+    sink whose only VISIBLE content is the footerless bootstrap."""
     jvm = spark._jvm
     conf = spark._jsc.hadoopConfiguration()
     p = jvm.org.apache.hadoop.fs.Path(path)
     fs = p.getFileSystem(conf)
     if not fs.exists(p):
         return False
+    root = p.toUri().getPath()
     it = fs.listFiles(p, True)  # recursive
     while it.hasNext():
-        if it.next().getPath().getName().endswith(".parquet"):
-            return True
+        f = it.next().getPath()
+        if not f.getName().endswith(".parquet"):
+            continue
+        rel = f.toUri().getPath()[len(root):]
+        if any(seg and seg[0] in "_." for seg in rel.split("/")[:-1]):
+            continue  # invisible to the reader (killed-job leftovers)
+        return True
     return False
 
 

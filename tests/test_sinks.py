@@ -126,3 +126,80 @@ def test_partitioned_sink_survives_empty_first_write(spark, tmp_path):
     assert write_ignore_conflicts(
         rows, path, keys=["k", "p"], partition_cols=["p"]
     ) == 0
+
+
+# ---------------------------------------------------------------------------
+# Chaos: interrupted writes (VERDICT r05 #6). S:225/S:217's crash story
+# is "lose at most the in-flight batch; a rerun inserts only new keys".
+# These simulate the two ways a killed append actually manifests on a
+# parquet sink: (a) a SUBSET of the batch became visible (non-atomic
+# multi-file commit on an object store), (b) nothing became visible but
+# orphan part files sit under _temporary/ (killed before job commit).
+
+
+def test_interrupted_append_replay_plain(spark, target):
+    """Crash made only part of batch 2 visible; replaying the FULL job
+    (batch 1 + batch 2) must insert exactly the missing keys once."""
+    b1 = spark.createDataFrame([(1, "a"), (2, "b")], "k int, v string")
+    b2 = spark.createDataFrame([(3, "c"), (4, "d"), (5, "e")], "k int, v string")
+    write_ignore_conflicts(b1, target, keys=["k"])
+    # simulated torn commit: one of batch 2's rows landed, rest lost
+    b2.filter(F.col("k") == 3).write.mode("append").parquet(target)
+    n = write_ignore_conflicts(b2, target, keys=["k"])
+    assert n == 2  # k=4, k=5 — k=3 survived the crash and is not re-inserted
+    out = spark.read.parquet(target)
+    assert out.count() == 5
+    assert out.groupBy("k").count().filter(F.col("count") > 1).count() == 0
+
+
+def test_interrupted_append_replay_partitioned(spark, target):
+    """Torn multi-partition append: the crash committed one day's
+    directory but not the other; replay completes the batch exactly-once
+    with the conflict scan still pruned to the touched days."""
+    df = spark.createDataFrame(
+        [("2024-01-01", 1, "a"), ("2024-01-02", 2, "b"), ("2024-01-02", 3, "c")],
+        "dt string, k int, v string",
+    )
+    write_ignore_conflicts(
+        df.limit(0), target, keys=["dt", "k"], partition_cols=["dt"]
+    )  # bootstrapped empty sink (first batch was in flight)
+    # crash left only the 01-01 partition visible
+    df.filter(F.col("dt") == "2024-01-01").write.mode("append").partitionBy(
+        "dt"
+    ).parquet(target)
+    n = write_ignore_conflicts(df, target, keys=["dt", "k"], partition_cols=["dt"])
+    assert n == 2  # the two 01-02 rows
+    out = spark.read.parquet(target)
+    assert out.count() == 3
+    assert (
+        out.groupBy("dt", "k").count().filter(F.col("count") > 1).count() == 0
+    )
+    # replay of the replay is a no-op
+    assert write_ignore_conflicts(df, target, keys=["dt", "k"], partition_cols=["dt"]) == 0
+
+
+def test_orphan_temporary_files_do_not_poison_replay(spark, tmp_path):
+    """A job killed BEFORE commit leaves real parquet part files under
+    _temporary/ that no reader will ever see. The replay must treat the
+    sink as data-free (regression: _has_data_files counted hidden files,
+    sending the replay down the read path of a partitioned sink whose
+    only visible content is the footerless bootstrap -> schema-inference
+    crash)."""
+    import os
+
+    path = str(tmp_path / "sink")
+    df = spark.createDataFrame(
+        [("2024-01-01", 1, "a"), ("2024-01-02", 2, "b")], "dt string, k int, v string"
+    )
+    write_ignore_conflicts(df.limit(0), path, keys=["dt", "k"], partition_cols=["dt"])
+    # fabricate the killed job's leftovers: a REAL parquet file, hidden
+    tmp_task_dir = f"{path}/_temporary/0/task_0/dt=2024-01-01"
+    scratch = str(tmp_path / "scratch")
+    df.filter(F.col("k") == 1).drop("dt").coalesce(1).write.parquet(scratch)
+    os.makedirs(tmp_task_dir)
+    part = next(f for f in os.listdir(scratch) if f.endswith(".parquet"))
+    os.rename(f"{scratch}/{part}", f"{tmp_task_dir}/{part}")
+    n = write_ignore_conflicts(df, path, keys=["dt", "k"], partition_cols=["dt"])
+    assert n == 2  # full batch inserted; orphan temp content ignored
+    out = spark.read.parquet(path)
+    assert {r.k for r in out.collect()} == {1, 2}
