@@ -21,6 +21,54 @@ from pyspark.sql import functions as F
 from ._registry import plan_cache
 
 
+def _skewed_fact_dim(spark: SparkSession, sf: str, replicate: int):
+    """Hot-key join fixture from the shared tables: lineitem
+    replicated ``replicate``x with 1/3 of rows funneled onto key 0
+    (the null/default-key pathology) against a 5k-row dim whose
+    broadcast is disabled via a SHUFFLE_HASH hint — modeling the
+    big-dim case where broadcasting is not an option. Round 3's
+    skew experiment, previously uncommitted, now lives here so
+    bench.py (replicate=1) and scale_experiment.py --skew
+    (replicate=10, the original 6M-row setup) share one plan."""
+    from ..sources import load_table
+
+    fact = (
+        load_table(spark, sf, "lineitem")
+        .select("l_orderkey", "l_quantity")
+        .withColumn("__r", F.explode(F.sequence(F.lit(0), F.lit(replicate - 1))))
+        .select(
+            F.when(F.col("l_orderkey") % 3 == 0, F.lit(0))
+            .otherwise(F.pmod(F.col("l_orderkey") + F.col("__r"), F.lit(5000)))
+            .alias("k"),
+            "l_quantity",
+        )
+    )
+    dim = spark.range(5000).select(
+        F.col("id").alias("k"), (F.col("id") % 97).alias("weight")
+    )
+    return fact, dim.hint("shuffle_hash")
+
+
+def join_skewed_plain(spark: SparkSession, sf: str, replicate: int = 1) -> DataFrame:
+    """The AQE-assisted baseline: plain shuffled equi-join on the hot
+    key (AQE skew-split applies at runtime where it can)."""
+    fact, dim = _skewed_fact_dim(spark, sf, replicate)
+    return fact.join(dim, "k").groupBy("k").agg(
+        F.sum(F.col("l_quantity") + F.col("weight")).alias("s")
+    )
+
+
+def join_skewed_salted(spark: SparkSession, sf: str, replicate: int = 1) -> DataFrame:
+    """Same join through operators.skew.salted_join (fact side salted,
+    dim side exploded across the salt range)."""
+    from ..operators.skew import salted_join
+
+    fact, dim = _skewed_fact_dim(spark, sf, replicate)
+    return salted_join(fact, dim, ["k"], salt=32).groupBy("k").agg(
+        F.sum(F.col("l_quantity") + F.col("weight")).alias("s")
+    )
+
+
 def add_bench_composites(
     queries: dict[str, Callable[[SparkSession, str], DataFrame]],
 ) -> None:
@@ -78,51 +126,10 @@ def add_bench_composites(
         docs = load_table(spark, sf, "documents")
         return D.simhash_near_dup_pairs(D.dedup_exact(docs), portable=False)
 
-    def _skewed_fact_dim(spark, sf, replicate: int):
-        """Hot-key join fixture from the shared tables: lineitem
-        replicated ``replicate``x with 1/3 of rows funneled onto key 0
-        (the null/default-key pathology) against a 5k-row dim whose
-        broadcast is disabled via a SHUFFLE_HASH hint — modeling the
-        big-dim case where broadcasting is not an option. Round 3's
-        skew experiment, previously uncommitted, now lives here so
-        bench.py (replicate=1) and scale_experiment.py --skew
-        (replicate=10, the original 6M-row setup) share one plan."""
-        from ..sources import load_table
-
-        fact = (
-            load_table(spark, sf, "lineitem")
-            .select("l_orderkey", "l_quantity")
-            .withColumn("__r", F.explode(F.sequence(F.lit(0), F.lit(replicate - 1))))
-            .select(
-                F.when(F.col("l_orderkey") % 3 == 0, F.lit(0))
-                .otherwise(F.pmod(F.col("l_orderkey") + F.col("__r"), F.lit(5000)))
-                .alias("k"),
-                "l_quantity",
-            )
-        )
-        dim = spark.range(5000).select(
-            F.col("id").alias("k"), (F.col("id") % 97).alias("weight")
-        )
-        return fact, dim.hint("shuffle_hash")
-
-    def _join_skewed_plain(spark, sf, replicate: int = 1):
-        fact, dim = _skewed_fact_dim(spark, sf, replicate)
-        return fact.join(dim, "k").groupBy("k").agg(
-            F.sum(F.col("l_quantity") + F.col("weight")).alias("s")
-        )
-
-    def _join_skewed_salted(spark, sf, replicate: int = 1):
-        from ..operators.skew import salted_join
-
-        fact, dim = _skewed_fact_dim(spark, sf, replicate)
-        return salted_join(fact, dim, ["k"], salt=32).groupBy("k").agg(
-            F.sum(F.col("l_quantity") + F.col("weight")).alias("s")
-        )
-
     queries["curation"] = plan_cache(_curation)
     queries["seq_packing"] = plan_cache(_seq_packing)
-    queries["join_skewed_plain"] = plan_cache(_join_skewed_plain)
-    queries["join_skewed_salted"] = plan_cache(_join_skewed_salted)
+    queries["join_skewed_plain"] = plan_cache(join_skewed_plain)
+    queries["join_skewed_salted"] = plan_cache(join_skewed_salted)
     queries["embedding_quantized_topk"] = plan_cache(_quantized_topk)
     queries["embedding_ann_lsh"] = plan_cache(_lsh_ann)
     queries["dedup_minhash_fast"] = plan_cache(_minhash_fast)

@@ -394,6 +394,36 @@ def mixed_experiment(spark, sf_dir: str, factor: int, scratch: str, cap: int) ->
     return {"rows": rows, "pair_counts": found}
 
 
+def skew_experiment(spark, sf_dir: str, replicate: int) -> dict:
+    """Hot-key join: plain (AQE-assisted) vs salted, on the SAME plan
+    bench.py times at replicate=1 (plans/composites.py) — the round-3
+    experiment refreshed from the shared fixture so the headline
+    number and the at-scale contrast can never measure different
+    queries. Median of 3 after a warm-up, like bench."""
+    from ferramenta_etl_spark.plans.composites import (
+        join_skewed_plain,
+        join_skewed_salted,
+    )
+
+    out: dict[str, float] = {}
+    for name, fn in (("plain", join_skewed_plain), ("salted", join_skewed_salted)):
+        df = fn(spark, sf_dir, replicate)
+        df.write.format("noop").mode("overwrite").save()
+        runs = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            df.write.format("noop").mode("overwrite").save()
+            runs.append(time.perf_counter() - t0)
+        out[name] = round(sorted(runs)[1], 2)
+        print(f"  join_skewed_{name} x{replicate}: {out[name]}s", file=sys.stderr)
+    return {
+        "replicate": replicate,
+        "plain_s": out["plain"],
+        "salted_s": out["salted"],
+        "speedup": round(out["plain"] / out["salted"], 2) if out["salted"] else None,
+    }
+
+
 def quantile_auto_experiment(spark, n_rows: int) -> dict:
     """The histogram quantile's all-distinct worst case at scale
     (VERDICT r05 #3): on an all-distinct double column the value
@@ -478,6 +508,11 @@ def main() -> None:
         "--quantile-auto", type=int, metavar="N_ROWS", default=0,
         help="run the all-distinct quantile fallback experiment at N_ROWS",
     )
+    p.add_argument(
+        "--skew", type=int, metavar="REPLICATE", default=0,
+        help="run the hot-key join experiment (plain vs salted) with the "
+             "fact replicated REPLICATE x (10 = the original 6M-row setup)",
+    )
     args = p.parse_args()
 
     from ferramenta_etl_spark.session import get_session
@@ -507,6 +542,12 @@ def main() -> None:
     if args.quantile_auto:
         result = quantile_auto_experiment(spark, args.quantile_auto)
         print(json.dumps({"experiment": "quantile_auto", **result}))
+        spark.stop()
+        return
+
+    if args.skew:
+        result = skew_experiment(spark, args.sf, args.skew)
+        print(json.dumps({"experiment": "join_skew", **result}))
         spark.stop()
         return
 
