@@ -98,6 +98,27 @@ def _foreign_jvm_pids() -> list[int]:
     session exists (no children yet) and again after the timed runs
     (anything new that is not our own child JVM arrived mid-run)."""
     me = os.getpid()
+
+    def _ppid(pid: int) -> int:
+        with open(f"/proc/{pid}/stat") as fh:
+            return int(fh.read().rsplit(")", 1)[1].split()[1])
+
+    def _descends_from_me(pid: int) -> bool:
+        # Walk the ancestor chain to init: a JVM launched through a
+        # non-exec'ing wrapper (distro java shims) is our grandchild,
+        # not our child — requiring direct parentage would count our
+        # own driver JVM as foreign and permanently flag env.noisy.
+        seen = set()
+        while pid > 1 and pid not in seen:
+            seen.add(pid)
+            if pid == me:
+                return True
+            try:
+                pid = _ppid(pid)
+            except (OSError, IndexError, ValueError):
+                return False  # ancestor exited mid-walk; can't claim it
+        return pid == me
+
     pids = []
     for entry in os.listdir("/proc"):
         if not entry.isdigit() or int(entry) == me:
@@ -105,11 +126,11 @@ def _foreign_jvm_pids() -> list[int]:
         try:
             with open(f"/proc/{entry}/cmdline", "rb") as fh:
                 argv0 = fh.read().split(b"\0", 1)[0]
-            with open(f"/proc/{entry}/stat") as fh:
-                ppid = int(fh.read().rsplit(")", 1)[1].split()[1])
-        except (OSError, IndexError, ValueError):
+        except OSError:
             continue  # process exited mid-scan
-        if os.path.basename(argv0).startswith(b"java") and ppid != me:
+        if os.path.basename(argv0).startswith(b"java") and not _descends_from_me(
+            int(entry)
+        ):
             pids.append(int(entry))
     return pids
 

@@ -317,9 +317,16 @@ def _tokenset_jaccard_prefix(
     freq = tok_rows.groupBy("__tok").agg(F.count(F.lit(1)).alias("__freq"))
     # per-doc prefix of the frequency-ascending token order; ties break
     # on the token itself so the order is total and deterministic
+    # The ceiling of threshold*|T| must be computed as if the product
+    # were exact: double rounding can land it JUST ABOVE the true
+    # integer (e.g. 0.14*50, 0.28*25), ceil then overshoots by 1 and the
+    # prefix comes out one token too short — silently dropping pairs
+    # whose Jaccard sits exactly at the threshold. Subtracting an
+    # epsilon before ceil can only LENGTHEN the prefix (always safe for
+    # the candidate-superset guarantee, never admits misses).
     pref_len = (
         F.size("__sorted")
-        - F.ceil(F.lit(float(threshold)) * F.size("__sorted"))
+        - F.ceil(F.lit(float(threshold)) * F.size("__sorted") - F.lit(1e-9))
         + 1
     ).cast("int")
     prefixes = (

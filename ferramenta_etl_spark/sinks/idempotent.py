@@ -82,7 +82,13 @@ def _has_data_files(spark: SparkSession, path: str) -> bool:
     fs = p.getFileSystem(conf)
     if not fs.exists(p):
         return False
-    root = p.toUri().getPath()
+    # Qualify the root the same way listFiles qualifies its results:
+    # a relative or non-normalized caller path would otherwise make the
+    # prefix slice below cut at the wrong offset and misclassify
+    # visible files as hidden (or vice versa).
+    root = fs.makeQualified(p).toUri().getPath()
+    if not root.endswith("/"):
+        root += "/"
     it = fs.listFiles(p, True)  # recursive
     while it.hasNext():
         f = it.next().getPath()

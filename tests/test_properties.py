@@ -491,3 +491,44 @@ def test_tokenset_prefix_filter_matches_blocked(spark, docs, t100, langs):
         for r in tokenset_jaccard_pairs(df, prefix_filter=True, **kw).collect()
     }
     assert prefixed == blocked
+
+
+import pytest
+
+
+@pytest.mark.parametrize(
+    "t, n",
+    [(0.14, 50), (0.28, 25), (0.28, 50), (0.56, 25), (0.56, 50)],
+)
+def test_tokenset_prefix_threshold_boundary_pairs(spark, t, n):
+    """Double-rounding regression (ADVICE r5): at these (threshold, size)
+    points float(t)*n lands JUST ABOVE the true integer product (e.g.
+    0.14*50 = 7.000000000000001), a bare ceil overshoots by one, the
+    prefix comes out one token too short, and a pair whose Jaccard sits
+    EXACTLY at the threshold is emitted by the blocked path but dropped
+    by prefix_filter=True. The tight adversarial pair: B ⊂ A with
+    |B| = t·n shared tokens that sort LAST in global frequency order
+    (freq 2 vs freq 1 for A-unique tokens), so the shared tokens occupy
+    exactly A's suffix plus its final prefix slot — the one the
+    overshoot cuts. hypothesis's <=10-token docs never reach this."""
+    from ferramenta_etl_spark.operators.dedup import tokenset_jaccard_pairs
+
+    s = round(t * n)  # the TRUE integer product t*n
+    shared = [f"s{i:03d}" for i in range(s)]
+    unique = [f"u{i:03d}" for i in range(n - s)]
+    rows = [
+        (1, " ".join(unique + shared), "en"),
+        (2, " ".join(shared), "en"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    kw = dict(threshold=t, length_col=None)
+    blocked = {
+        (r.doc_id_a, r.doc_id_b, r.jaccard)
+        for r in tokenset_jaccard_pairs(df, **kw).collect()
+    }
+    assert blocked == {(1, 2, round(t, 4))}  # J = s/n = t exactly
+    prefixed = {
+        (r.doc_id_a, r.doc_id_b, r.jaccard)
+        for r in tokenset_jaccard_pairs(df, prefix_filter=True, **kw).collect()
+    }
+    assert prefixed == blocked
