@@ -213,6 +213,25 @@ def shingle_hashes(text: Column, k: int = 3, portable: bool = False) -> Column:
 # ---------------------------------------------------------------------------
 
 
+def _threshold_rational(threshold: float) -> tuple[int, int]:
+    """The acceptance threshold as an exact rational ``num/den``.
+
+    The ``J >= t`` acceptance must be EXACT integer arithmetic
+    (``inter * den >= num * union``): comparing the 4-dp-ROUNDED jaccard
+    against the float threshold admits pairs whose true J is just below
+    t once unions reach ~10^4 tokens (round(39999/50000, 4) == 0.8), and
+    comparing the unrounded double still mis-rounds near ulp boundaries
+    on huge unions. ``limit_denominator(10**6)`` recovers the user's
+    intended decimal exactly for any threshold written with <= 6
+    decimal digits (0.8 -> 4/5, not the float 0.8000000000000000444...);
+    products stay far inside int64 for any realistic token-set size
+    (den <= 1e6, |union| < 2^31 -> < 2^51)."""
+    from fractions import Fraction
+
+    frac = Fraction(threshold).limit_denominator(10**6)
+    return frac.numerator, frac.denominator
+
+
 def tokenset_jaccard_pairs(
     df: DataFrame,
     threshold: float = 0.8,
@@ -280,15 +299,28 @@ def tokenset_jaccard_pairs(
     cond.append(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
     inter = F.size(F.array_intersect(F.col("a.toks"), F.col("b.toks")))
     union = F.size(F.array_union(F.col("a.toks"), F.col("b.toks")))
+    num, den = _threshold_rational(threshold)
     return (
         a.join(b, cond)
         .select(
             F.col(f"a.{id_col}").alias("doc_id_a"),
             F.col(f"b.{id_col}").alias("doc_id_b"),
-            F.round(inter.cast("double") / union.cast("double"), 4).alias("jaccard"),
+            inter.cast("long").alias("__i"),
+            union.cast("long").alias("__u"),
         )
         .dropDuplicates(["doc_id_a", "doc_id_b"])
-        .filter(F.col("jaccard") >= threshold)
+        # EXACT acceptance (see _threshold_rational); __u > 0 keeps the
+        # pre-exact behavior of dropping empty-token pairs (their
+        # jaccard is undefined — the old NULL >= t filter dropped them)
+        .filter(
+            (F.col("__u") > 0)
+            & (F.col("__i") * F.lit(den) >= F.lit(num) * F.col("__u"))
+        )
+        .select(
+            "doc_id_a",
+            "doc_id_b",
+            F.round(F.col("__i") / F.col("__u"), 4).alias("jaccard"),
+        )
     )
 
 
@@ -317,18 +349,22 @@ def _tokenset_jaccard_prefix(
     freq = tok_rows.groupBy("__tok").agg(F.count(F.lit(1)).alias("__freq"))
     # per-doc prefix of the frequency-ascending token order; ties break
     # on the token itself so the order is total and deterministic
-    # The ceiling of threshold*|T| must be computed as if the product
-    # were exact: double rounding can land it JUST ABOVE the true
-    # integer (e.g. 0.14*50, 0.28*25), ceil then overshoots by 1 and the
-    # prefix comes out one token too short — silently dropping pairs
-    # whose Jaccard sits exactly at the threshold. Subtracting an
-    # epsilon before ceil can only LENGTHEN the prefix (always safe for
-    # the candidate-superset guarantee, never admits misses).
-    pref_len = (
-        F.size("__sorted")
-        - F.ceil(F.lit(float(threshold)) * F.size("__sorted") - F.lit(1e-9))
-        + 1
-    ).cast("int")
+    # The ceiling of threshold*|T| must be computed EXACTLY: double
+    # rounding can land the float product JUST ABOVE the true integer
+    # (e.g. 0.14*50, 0.28*25), ceil then overshoots by 1 and the prefix
+    # comes out one token too short — silently dropping pairs whose
+    # Jaccard sits exactly at the threshold. With the threshold as the
+    # exact rational num/den (_threshold_rational — the SAME rational
+    # the verify filter accepts against, so ceil and acceptance can
+    # never disagree), ceil(t*n) = (num*n + den - 1) div den in pure
+    # int64 arithmetic — no epsilon, valid at ANY token-set size (the
+    # round-6 epsilon guard stopped covering the product's absolute
+    # rounding error past ~1e7 tokens, ADVICE r06).
+    num, den = _threshold_rational(threshold)
+    pref_len = F.expr(
+        f"cast(size(__sorted) - (({num}L * size(__sorted) + {den - 1}L) "
+        f"div {den}L) + 1 as int)"
+    )
     prefixes = (
         tok_rows.join(freq, "__tok")
         .groupBy(*base_cols)
@@ -380,9 +416,21 @@ def _tokenset_jaccard_prefix(
         .select(
             "doc_id_a",
             "doc_id_b",
-            F.round(inter.cast("double") / union.cast("double"), 4).alias("jaccard"),
+            inter.cast("long").alias("__i"),
+            union.cast("long").alias("__u"),
         )
-        .filter(F.col("jaccard") >= threshold)
+        # same EXACT rational acceptance as the blocked path — the two
+        # variants' output-identical contract must not hinge on where a
+        # double product rounds at huge unions
+        .filter(
+            (F.col("__u") > 0)
+            & (F.col("__i") * F.lit(den) >= F.lit(num) * F.col("__u"))
+        )
+        .select(
+            "doc_id_a",
+            "doc_id_b",
+            F.round(F.col("__i") / F.col("__u"), 4).alias("jaccard"),
+        )
     )
 
 

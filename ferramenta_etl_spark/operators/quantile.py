@@ -270,9 +270,12 @@ def grouped_quantiles_auto(
     still appear, with nulls — same as the exact multi-spec contract).
 
     NOTE this function runs ONE small Spark job at call time (the
-    probe), unlike the pure plan-builders in this module — don't use it
-    inside a registered plan constructor (those are asserted
-    driver-job-free); call it from job code where execution is expected.
+    probe), unlike the pure plan-builders in this module. Registered
+    plan constructors are asserted driver-job-free, with exactly two
+    documented exemptions — the IVF centroid build and THIS probe (the
+    ``grouped_quantiles_auto`` gate query; see tests/test_plans.py) —
+    because the probe is a plan-time statistics job (the ANALYZE
+    analog), amortized by the plan cache per (session, dataset).
     """
     if not specs:
         raise ValueError("specs must be non-empty")

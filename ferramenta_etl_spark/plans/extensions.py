@@ -126,13 +126,19 @@ def dedup_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM toks
     ), pairs AS (
         SELECT DISTINCT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
-               ROUND(CAST(len(list_intersect(a.t, b.t)) AS DOUBLE)
-                     / len(list_distinct(list_concat(a.t, b.t))), 4) AS jaccard
+               len(list_intersect(a.t, b.t)) AS li,
+               len(list_distinct(list_concat(a.t, b.t))) AS lu
         FROM keyed a
         JOIN keyed b ON a.lang = b.lang AND a.bk = b.bk
                    AND a.doc_id < b.doc_id
     )
-    SELECT doc_id_a, doc_id_b, jaccard FROM pairs WHERE jaccard >= 0.8
+    -- EXACT acceptance in integer arithmetic (threshold 0.8 = 4/5),
+    -- mirroring operators/dedup._threshold_rational: filtering on the
+    -- 4-dp-rounded value admits true-J-just-below-t pairs at unions
+    -- >= ~10^4 tokens
+    SELECT doc_id_a, doc_id_b,
+           ROUND(CAST(li AS DOUBLE) / lu, 4) AS jaccard
+    FROM pairs WHERE lu > 0 AND li * 5 >= 4 * lu
     """,
 )
 def dedup_tokenset_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -32,21 +32,58 @@ QUERIES, ORACLES, _q = make_registry()
 
 
 @_q(
-    "explode_tokens",
+    "grouped_quantiles_auto",
     """
-    SELECT doc_id,
-           unnest(range(1, len(string_split(lower(text), ' ')) + 1)) AS pos,
-           unnest(string_split(lower(text), ' ')) AS tok
-    FROM documents
+    SELECT l_returnflag, l_linestatus,
+           (ROUND(quantile_cont(l_quantity, 0.5) * 1000000) / 1000000 + 0.0)
+                                                          AS p50_qty,
+           (ROUND(quantile_cont(l_discount, 0.9) * 1000000) / 1000000 + 0.0)
+                                                          AS p90_disc,
+           (ROUND(quantile_cont(l_tax, 0.25) * 1000000) / 1000000 + 0.0)
+                                                          AS p25_tax
+    FROM lineitem GROUP BY l_returnflag, l_linestatus
     """,
 )
-def explode_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Lateral explode with position (posexplode == UNNEST WITH ORDINALITY).
-    Generator runs inside codegen; output fans out ~50x but never collects."""
-    docs = load_table(spark, sf_dir, "documents")
-    return docs.select(
-        "doc_id", F.posexplode(F.split(F.lower("text"), " ")).alias("pos", "tok")
-    ).select("doc_id", (F.col("pos") + 1).cast("bigint").alias("pos"), "tok")
+def grouped_quantiles_auto_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The AUTO-ROUTED grouped quantiles (VERDICT r05 #3 / r06 #5): the
+    cardinality probe (operators/quantile.probe_distinct_ratios — one
+    narrow hash-sampled aggregate at plan-build time, exempted in
+    tests/test_plans.py's job-free sweep the same way the IVF centroid
+    build is) measures each spec column's distinct/total ratio and
+    routes low-cardinality columns to the exact histogram path and
+    ~all-distinct columns to percentile_approx. All three spec columns
+    here (l_quantity ~50 distinct, l_discount/l_tax ~10) route EXACT at
+    every fixture scale, so the oracle is plain quantile_cont — the
+    routing decision itself plus the exact branch are what this entry
+    hash-checks; the approx branch and the actual fallback flip are
+    pytest- and SCALING.md-covered (an all-distinct double column like
+    l_extendedprice probes at ratio ~1.0 and must NOT be quantile_cont-
+    checkable, which is exactly why it cannot sit in this oracle).
+
+    (Replaced ``explode_tokens`` in the 50-entry gate window: posexplode
+    ordinality stays oracle-covered through text_chunking's chunk_idx
+    and the IVF centroid derivation — this slot buys coverage of an
+    operator the gate did not reach.)"""
+    from ..functions.tsql import round6_stable
+    from ..operators.quantile import grouped_quantiles_auto
+
+    li = load_table(spark, sf_dir, "lineitem")
+    qs = grouped_quantiles_auto(
+        li,
+        ["l_returnflag", "l_linestatus"],
+        [
+            ("l_quantity", 0.5, "__q1"),
+            ("l_discount", 0.9, "__q2"),
+            ("l_tax", 0.25, "__q3"),
+        ],
+    )
+    return qs.select(
+        "l_returnflag",
+        "l_linestatus",
+        round6_stable(F.col("__q1")).alias("p50_qty"),
+        round6_stable(F.col("__q2")).alias("p90_disc"),
+        round6_stable(F.col("__q3")).alias("p25_tax"),
+    )
 
 
 @_q(

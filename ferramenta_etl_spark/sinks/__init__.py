@@ -1,4 +1,5 @@
 from .idempotent import (  # noqa: F401
+    SinkLockTimeout,
     ensure_table,
     merge_insert_condition,
     write_ignore_conflicts,

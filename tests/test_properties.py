@@ -9,6 +9,7 @@ value here is input diversity, not volume.
 
 from __future__ import annotations
 
+import pytest
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 from pyspark.sql import functions as F
@@ -493,9 +494,6 @@ def test_tokenset_prefix_filter_matches_blocked(spark, docs, t100, langs):
     assert prefixed == blocked
 
 
-import pytest
-
-
 @pytest.mark.parametrize(
     "t, n",
     [(0.14, 50), (0.28, 25), (0.28, 50), (0.56, 25), (0.56, 50)],
@@ -532,3 +530,38 @@ def test_tokenset_prefix_threshold_boundary_pairs(spark, t, n):
         for r in tokenset_jaccard_pairs(df, prefix_filter=True, **kw).collect()
     }
     assert prefixed == blocked
+
+
+def test_tokenset_huge_union_exact_threshold_acceptance(spark):
+    """Verify-filter rounding residual (VERDICT r06 #4): at unions of
+    ~10^4+ tokens the 4-dp-ROUNDED jaccard stops distinguishing
+    just-below-threshold from at-threshold — round(39999/50000, 4) is
+    exactly 0.8 — so a ``round(J,4) >= t`` acceptance admitted pairs
+    whose TRUE Jaccard is below t (outside the prefix candidate
+    guarantee: the blocked-vs-prefix output-identical contract could
+    break on huge docs). Acceptance is now exact integer arithmetic
+    (``inter*den >= num*union``) in BOTH paths. Fixture: doc 1 holds
+    50 000 tokens, doc 3 its first 40 000 (J = 0.8 exactly -> kept),
+    doc 2 its first 39 999 (J(1,2) = 0.79998 < 0.8, though it ROUNDS to
+    0.8000 -> must be dropped; J(2,3) = 39999/40000 -> kept)."""
+    from ferramenta_etl_spark.operators.dedup import tokenset_jaccard_pairs
+
+    toks = [f"t{i:05d}" for i in range(50_000)]
+    rows = [
+        (1, " ".join(toks), "en"),
+        (2, " ".join(toks[:39_999]), "en"),
+        (3, " ".join(toks[:40_000]), "en"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    kw = dict(threshold=0.8, length_col=None)
+    expected = {(1, 3, 0.8), (2, 3, round(39_999 / 40_000, 4))}
+    blocked = {
+        (r.doc_id_a, r.doc_id_b, r.jaccard)
+        for r in tokenset_jaccard_pairs(df, **kw).collect()
+    }
+    assert blocked == expected
+    prefixed = {
+        (r.doc_id_a, r.doc_id_b, r.jaccard)
+        for r in tokenset_jaccard_pairs(df, prefix_filter=True, **kw).collect()
+    }
+    assert prefixed == expected

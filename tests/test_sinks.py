@@ -203,3 +203,70 @@ def test_orphan_temporary_files_do_not_poison_replay(spark, tmp_path):
     assert n == 2  # full batch inserted; orphan temp content ignored
     out = spark.read.parquet(path)
     assert {r.k for r in out.collect()} == {1, 2}
+
+
+def test_concurrent_appends_with_overlapping_keys(spark, target):
+    """The parquet race VERDICT r05 #5 asked to pin or close, closed:
+    without the sink lock, two writers could both pass the anti-join
+    before either appends and the same key lands twice. Eight threads
+    submit overlapping key ranges concurrently (Spark job submission is
+    thread-safe); the atomic-create lock serializes the whole anti-join
+    + append sequences, so the final sink holds every key EXACTLY once
+    and the per-writer appended counts partition the distinct key set."""
+    import threading
+
+    results: list[int | None] = [None] * 8
+    errors: list[Exception] = []
+
+    def writer(i: int) -> None:
+        try:
+            rows = [(k, f"w{i}") for k in range(i * 5, i * 5 + 15)]
+            df = spark.createDataFrame(rows, "k int, v string")
+            results[i] = write_ignore_conflicts(df, target, keys=["k"])
+        except Exception as exc:  # noqa: BLE001 — surfaced to the assert
+            errors.append(exc)
+
+    threads = [threading.Thread(target=writer, args=(i,)) for i in range(8)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errors, errors
+    distinct_keys = set(range(7 * 5 + 15))  # union of all writers' ranges
+    out = spark.read.parquet(target)
+    assert out.count() == len(distinct_keys)
+    assert (
+        out.groupBy("k").count().filter(F.col("count") > 1).count() == 0
+    )
+    assert sum(results) == len(distinct_keys)  # type: ignore[arg-type]
+
+
+def test_stale_sink_lock_taken_over(spark, target, tmp_path):
+    """A writer that crashed while holding the lock must not wedge the
+    sink forever: a lock file older than lock_stale_s is taken over."""
+    import os
+    import time
+
+    lockfile = target + ".__lock__"
+    open(lockfile, "w").close()
+    old = time.time() - 10_000
+    os.utime(lockfile, (old, old))
+    df = spark.createDataFrame([(1, "a"), (2, "b")], "k int, v string")
+    n = write_ignore_conflicts(df, target, keys=["k"], lock_stale_s=600.0)
+    assert n == 2
+    assert not os.path.exists(lockfile)  # released after the write
+
+
+def test_held_sink_lock_times_out(spark, target):
+    """A FRESH foreign lock (live writer) blocks until lock_timeout_s,
+    then raises the documented error instead of racing the anti-join."""
+    import os
+
+    from ferramenta_etl_spark.sinks import SinkLockTimeout
+
+    lockfile = target + ".__lock__"
+    open(lockfile, "w").close()
+    df = spark.createDataFrame([(1, "a")], "k int, v string")
+    with pytest.raises(SinkLockTimeout):
+        write_ignore_conflicts(df, target, keys=["k"], lock_timeout_s=0.5)
+    os.remove(lockfile)
