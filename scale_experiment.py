@@ -481,6 +481,74 @@ def quantile_auto_experiment(spark, n_rows: int) -> dict:
     }
 
 
+def lsh_cap_experiment(
+    spark, n_small: int, n_large: int, cap: int
+) -> dict:
+    """The ``max_block_size`` guard's ceiling probe (VERDICT r05 #6):
+    a boilerplate corpus — every doc shares one 40-token template plus a
+    unique trailing token, so exact dedup CANNOT collapse it but nearly
+    every (band, bhash) bucket holds the whole corpus — is the shape
+    whose intra-bucket pair fan-out is quadratic by construction.
+    Uncapped is measured only at ``n_small`` (the point is the blowup's
+    slope, not a multi-hour run); the capped variant must stay ~flat
+    per row through ``n_large`` with the oversized blocks dropped and
+    logged, pairs degrading gracefully (boilerplate pairs are exactly
+    what the cap is licensed to shed — run exact dedup first on real
+    corpora)."""
+    from pyspark.sql import functions as F
+
+    from ferramenta_etl_spark.operators.dedup import (
+        banded_signatures,
+        minhash_lsh_pairs,
+    )
+
+    template = " ".join(f"w{i}" for i in range(40))
+
+    def corpus(n: int):
+        return spark.range(n).select(
+            F.col("id").alias("doc_id"),
+            F.concat(
+                F.lit(template + " u"), F.col("id").cast("string")
+            ).alias("text"),
+        ).localCheckpoint(eager=True)
+
+    def timed_count(df) -> tuple[float, int]:
+        df.write.format("noop").mode("overwrite").save()  # warm-up
+        t0 = time.perf_counter()
+        df.write.format("noop").mode("overwrite").save()
+        t = time.perf_counter() - t0
+        return round(t, 2), df.count()
+
+    small, large = corpus(n_small), corpus(n_large)
+    unc_t, unc_pairs = timed_count(minhash_lsh_pairs(small, threshold=0.7))
+    cap_s_t, cap_s_pairs = timed_count(
+        minhash_lsh_pairs(small, threshold=0.7, max_block_size=cap)
+    )
+    cap_l_t, cap_l_pairs = timed_count(
+        minhash_lsh_pairs(large, threshold=0.7, max_block_size=cap)
+    )
+    # audit the drop the way _cap_blocks' docstring prescribes
+    banded = banded_signatures(large)
+    dropped_blocks = (
+        banded.groupBy("band", "bhash")
+        .count()
+        .filter(F.col("count") > cap)
+        .count()
+    )
+    return {
+        "cap": cap,
+        "n_small": n_small,
+        "n_large": n_large,
+        "uncapped_small_s": unc_t,
+        "uncapped_small_pairs": unc_pairs,
+        "capped_small_s": cap_s_t,
+        "capped_small_pairs": cap_s_pairs,
+        "capped_large_s": cap_l_t,
+        "capped_large_pairs": cap_l_pairs,
+        "oversized_blocks_dropped_at_large": dropped_blocks,
+    }
+
+
 def main() -> None:
     p = argparse.ArgumentParser()
     p.add_argument("--factor", type=int, default=100)
@@ -507,6 +575,11 @@ def main() -> None:
     p.add_argument(
         "--quantile-auto", type=int, metavar="N_ROWS", default=0,
         help="run the all-distinct quantile fallback experiment at N_ROWS",
+    )
+    p.add_argument(
+        "--lsh-cap", action="store_true",
+        help="run the max_block_size ceiling probe on a boilerplate "
+             "corpus (uncapped quadratic vs capped flat)",
     )
     p.add_argument(
         "--skew", type=int, metavar="REPLICATE", default=0,
@@ -542,6 +615,14 @@ def main() -> None:
     if args.quantile_auto:
         result = quantile_auto_experiment(spark, args.quantile_auto)
         print(json.dumps({"experiment": "quantile_auto", **result}))
+        spark.stop()
+        return
+
+    if args.lsh_cap:
+        result = lsh_cap_experiment(
+            spark, n_small=3000, n_large=300_000, cap=64
+        )
+        print(json.dumps({"experiment": "lsh_cap", **result}))
         spark.stop()
         return
 
