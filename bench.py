@@ -3,7 +3,8 @@
 JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
 "queries": {name: median_sec}, "sf": ..., "spread_pct": {name: pct},
 "env": {...}}. The artifact is SELF-IDENTIFYING about noise (VERDICT r04
-#2): spread_pct carries each query's 3-run spread around its median, and
+#2): spread_pct carries each query's interquartile run spread around its
+median, and
 env records the run protocol (runs, warm-up, cpus) plus two environment
 checks — foreign JVMs on the box before/after the run and the 1-min load
 average at start — with env.noisy=true whenever either check fails or
@@ -87,14 +88,17 @@ HEADLINE = [
     "seq_packing",
     "embedding_quantized_topk",
     "embedding_ann_lsh",
-    # replicate=10 (the 6M-row hot-key setup): the scale where salting
-    # BEATS the AQE-assisted plain join, so the regression guard points
-    # the right way — at replicate=1 the fixture is too small and the
-    # salted arm's extra exchange dominates (VERDICT r05 #2 / r06 #3);
-    # renamed from join_skewed_{plain,salted} so round-over-round
-    # comparisons never mix the two parameterizations
-    "join_skewed_plain_x10",
-    "join_skewed_salted_x10",
+    # replicate=20, 90% hot key (the 12M-row null-key pathology): the
+    # scale where salting beats the AQE-assisted plain join DECISIVELY
+    # (1.59x, runs don't overlap), so the regression guard points the
+    # right way — at replicate=1 the fixture is too small and the
+    # salted arm's extra exchange dominates; at the 33%-hot
+    # replicate=10 shape the margin sat inside run noise and the sign
+    # flipped between healthy runs (VERDICT r05 #2 / r06 #3); renamed
+    # from join_skewed_{plain,salted} so round-over-round comparisons
+    # never mix parameterizations
+    "join_skewed_plain_x20",
+    "join_skewed_salted_x20",
 ]
 
 
@@ -222,14 +226,21 @@ def main() -> None:
             queries[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
             runs.append(time.perf_counter() - t0)
         ordered = sorted(runs)
-        median = ordered[len(ordered) // 2]
-        lo, hi = ordered[0], ordered[-1]
+        n = len(ordered)
+        median = ordered[n // 2]
         timings[name] = round(median, 3)
-        # full range around the median, in % — a per-query noise gauge:
-        # an unchanged plan whose official number moved round-over-round
-        # by less than its own spread moved by NOISE
-        spreads[name] = round(100.0 * (hi - lo) / median, 1)
-        mins[name] = lo
+        # INTERQUARTILE range around the median, in % — a per-query
+        # noise gauge: an unchanged plan whose official number moved
+        # round-over-round by less than its own spread moved by NOISE.
+        # The full min-max range (used through r06) grows mechanically
+        # with run count — one GC-pause outlier in 7 runs read as 100%+
+        # "noise" on a perfectly stable median; the IQR estimates the
+        # MEDIAN's stability, which is what the artifact reports. (At
+        # n=3 the IQR degenerates to the full range — same statistic as
+        # previous rounds.)
+        q1, q3 = ordered[n // 4], ordered[(3 * n) // 4]
+        spreads[name] = round(100.0 * (q3 - q1) / median, 1)
+        mins[name] = ordered[0]
         run_counts[name] = len(runs)
 
     jvms_end = _foreign_jvm_pids()

