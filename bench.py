@@ -9,7 +9,8 @@ env records the run protocol (runs, warm-up, cpus) plus two environment
 checks — foreign JVMs on the box before/after the run and the 1-min load
 average at start — with env.noisy=true whenever either check fails or
 any query's reported median sits more than 25% of itself AND 0.3 s above
-its best run (a single slow outlier never moves a median, and sub-second
+its first-quartile run (a single outlier in either direction cannot trip
+it, and sub-second
 queries always jitter ~0.1 s). A ±30% round-over-round swing on an unchanged
 plan can then be read off the artifact itself (its own spread / a dirty
 env) instead of needing forensics against SCALING.md.
@@ -240,16 +241,19 @@ def main() -> None:
         # previous rounds.)
         q1, q3 = ordered[n // 4], ordered[(3 * n) // 4]
         spreads[name] = round(100.0 * (q3 - q1) / median, 1)
-        mins[name] = ordered[0]
+        # the noisy-query gauge compares the median against q1, not the
+        # absolute minimum: with 5-7 runs a single fast outlier would
+        # otherwise widen (median - min) and flag a stable median noisy
+        mins[name] = q1
         run_counts[name] = len(runs)
 
     jvms_end = _foreign_jvm_pids()
     # A query is flagged noisy only when the REPORTED number is suspect:
-    # the median sits far above the best run (one slow outlier max never
-    # moves a median, so the range alone over-flags), past both a
-    # relative and an absolute bar — GC/scheduling jitter is ~0.1 s
-    # regardless of query size, so a 60 ms query with an 80 ms range
-    # (130%!) says nothing about the box.
+    # the median sits far above the first-quartile run (one slow outlier
+    # never moves a median and one fast outlier must not trip the flag),
+    # past both a relative and an absolute bar — GC/scheduling jitter is
+    # ~0.1 s regardless of query size, so a 60 ms query with an 80 ms
+    # range (130%!) says nothing about the box.
     noisy_queries = [
         n for n in timings
         if (timings[n] - mins[n]) > 0.25 * timings[n]
@@ -267,7 +271,7 @@ def main() -> None:
         "concurrent_jvms_end": len(jvms_end),
         "loadavg_start": loadavg_start,
         # queries whose reported median sits >25% AND >0.3 s above their
-        # best run (sub-second queries always jitter ~0.1 s)
+        # first-quartile run (sub-second queries always jitter ~0.1 s)
         "noisy_queries": noisy_queries,
         # self-diagnosis: numbers in this artifact are NOT comparable
         # round-over-round when true — read SCALING.md's clean-protocol

@@ -76,46 +76,85 @@ def _sink_lock(
     Two concurrent ``write_ignore_conflicts`` calls can both pass the
     anti-join before either appends and both land the same key — the
     documented race of the parquet backend. This closes it for every
-    filesystem with ATOMIC exclusive create (local, HDFS): the lock is a
-    sibling file ``<path>.__lock__`` created with ``fs.create(p, false)``
-    — exactly one contender wins; losers poll until the holder deletes
-    it. A lock whose mtime is older than ``stale_s`` is presumed
-    orphaned by a crashed writer and taken over (delete + re-race the
-    atomic create, so concurrent takeover attempts still elect a single
-    winner). On object stores WITHOUT atomic exclusive create (plain
-    S3), this degrades to best-effort — the single-writer assertion
-    stands there; use the ``delta`` backend for true ACID upsert.
+    filesystem with ATOMIC exclusive create: the lock is a sibling file
+    ``<path>.__lock__``, created via ``java.io.File.createNewFile`` on
+    local paths (the documented atomic O_CREAT|O_EXCL primitive —
+    Hadoop's local ``create(path, overwrite=false)`` is check-then-act
+    and two contenders can both pass the exists check) and via
+    ``fs.create(p, false)`` elsewhere (atomic on HDFS: a NameNode
+    namespace op). Exactly one contender wins; losers poll until the
+    holder deletes it. A lock whose mtime is older than ``stale_s`` is
+    presumed orphaned by a crashed writer and taken over by atomic
+    RENAME to a unique name (a delete-based takeover could remove a
+    competing waiter's FRESH lock and let two writers hold at once);
+    the rename winner clears the orphan and re-races the create. On
+    object stores WITHOUT atomic exclusive create (plain S3), this
+    degrades to best-effort — the single-writer assertion stands there;
+    use the ``delta`` backend for true ACID upsert.
     """
+    import uuid
+
     jvm = spark._jvm
     conf = spark._jsc.hadoopConfiguration()
     lock_path = path.rstrip("/") + ".__lock__"
     p = jvm.org.apache.hadoop.fs.Path(lock_path)
     fs = p.getFileSystem(conf)
-    deadline = time.monotonic() + timeout_s
-    while True:
+    qualified = fs.makeQualified(p)
+    # Hadoop's LOCAL create(path, overwrite=false) is CHECK-THEN-ACT
+    # (exists() then FileOutputStream — two contenders can both pass the
+    # check); java.io.File.createNewFile is the documented atomic
+    # O_CREAT|O_EXCL primitive, so local paths use it. HDFS create IS
+    # atomic (namespace op in the NameNode), so other schemes keep the
+    # FS API.
+    local_file = (
+        jvm.java.io.File(qualified.toUri().getPath())
+        if qualified.toUri().getScheme() == "file"
+        else None
+    )
+
+    def _try_create() -> bool:
+        if local_file is not None:
+            return bool(local_file.createNewFile())
         try:
             fs.create(p, False).close()
-            break
-        except Exception as exc:  # noqa: BLE001 — py4j wraps the FS error
-            stale = False
+            return True
+        except Exception:  # noqa: BLE001 — py4j wraps FileAlreadyExists
+            return False
+
+    deadline = time.monotonic() + timeout_s
+    while not _try_create():
+        stale = False
+        with contextlib.suppress(Exception):
+            st = fs.getFileStatus(p)
+            stale = st.getModificationTime() / 1000.0 < time.time() - stale_s
+        if stale:
+            # Takeover by RENAME, not delete: with delete, a second
+            # waiter still acting on its stale observation could remove
+            # the first waiter's FRESH lock and both would hold. Rename
+            # to a unique name is atomic and succeeds for exactly one
+            # contender; the winner clears the orphan and re-races the
+            # create, losers loop and find a fresh lock.
+            orphan = jvm.org.apache.hadoop.fs.Path(
+                f"{lock_path}.stale-{uuid.uuid4().hex}"
+            )
+            won = False
             with contextlib.suppress(Exception):
-                st = fs.getFileStatus(p)
-                stale = st.getModificationTime() / 1000.0 < time.time() - stale_s
-            if stale:
+                won = bool(fs.rename(p, orphan))
+            if won:
                 log.warning(
-                    "taking over stale sink lock %s (older than %.0fs)",
+                    "took over stale sink lock %s (older than %.0fs)",
                     lock_path, stale_s,
                 )
                 with contextlib.suppress(Exception):
-                    fs.delete(p, False)  # then re-race the atomic create
-            elif time.monotonic() >= deadline:
-                raise SinkLockTimeout(
-                    f"sink lock {lock_path} still held after {timeout_s}s; "
-                    f"a crashed holder is taken over after {stale_s}s, or "
-                    "delete the lock file to clear it manually"
-                ) from exc
-            else:
-                time.sleep(poll_s)
+                    fs.delete(orphan, False)
+        elif time.monotonic() >= deadline:
+            raise SinkLockTimeout(
+                f"sink lock {lock_path} still held after {timeout_s}s; "
+                f"a crashed holder is taken over after {stale_s}s, or "
+                "delete the lock file to clear it manually"
+            )
+        else:
+            time.sleep(poll_s)
     try:
         yield
     finally:
