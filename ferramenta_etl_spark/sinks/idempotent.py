@@ -111,6 +111,12 @@ def _sink_lock(
         if qualified.toUri().getScheme() == "file"
         else None
     )
+    # createNewFile does NOT create parents (unlike fs.create), so a
+    # brand-new sink like <dir>/<table> with <dir> absent would throw
+    # "No such file or directory" instead of locking. mkdirs is
+    # idempotent and the sink write creates the same dirs anyway.
+    with contextlib.suppress(Exception):
+        fs.mkdirs(qualified.getParent())
 
     def _try_create() -> bool:
         if local_file is not None:

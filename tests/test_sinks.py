@@ -27,6 +27,18 @@ def test_rerun_is_noop(spark, sf_dir, target):
     )
 
 
+def test_fresh_sink_with_absent_parent_dir(spark, tmp_path):
+    # Regression: java.io.File.createNewFile does not create parent
+    # dirs, so locking a brand-new sink under a not-yet-existing
+    # directory (the CLI's <sink-dir>/<table> layout on first run)
+    # raised "No such file or directory" instead of acquiring.
+    path = str(tmp_path / "not" / "yet" / "created" / "sink")
+    df = spark.createDataFrame([(1, "a"), (2, "b")], "k INT, v STRING")
+    n1 = write_ignore_conflicts(df, path, keys=["k"])
+    n2 = write_ignore_conflicts(df, path, keys=["k"])
+    assert n1 == 2 and n2 == 0
+
+
 def test_first_writer_wins(spark, target):
     df1 = spark.createDataFrame([(1, "a"), (2, "b")], "k int, v string")
     df2 = spark.createDataFrame([(2, "CHANGED"), (3, "c")], "k int, v string")
