@@ -532,6 +532,48 @@ def test_tokenset_prefix_threshold_boundary_pairs(spark, t, n):
     assert prefixed == blocked
 
 
+@given(
+    num0=st.integers(1, 10**6 - 1),
+    scale=st.integers(0, 6),
+    inter=st.integers(0, 10**9),
+    extra=st.integers(0, 10**9),
+)
+@settings(max_examples=300, deadline=None)
+def test_threshold_rational_arithmetic_is_exact(num0, scale, inter, extra):
+    """Pure-arithmetic pins for the exact Jaccard acceptance (no Spark).
+
+    For ANY threshold written with <= 6 decimal digits and ANY
+    (inter, union) pair up to 2e9 tokens:
+      1. _threshold_rational recovers the intended decimal EXACTLY from
+         the float (0.8 -> 4/5, never the float's 0.80000000000000004...);
+      2. the shipped acceptance ``inter*den >= num*union`` agrees with
+         true rational comparison Fraction(inter, union) >= t;
+      3. the prefix-cut ceil ``(num*n + den - 1) div den`` equals the
+         true ceil(t*n), so the acceptance and the prefix length can
+         never disagree (the r5/r6 double-rounding class is impossible
+         by construction, at any token-set size)."""
+    from fractions import Fraction
+
+    from ferramenta_etl_spark.operators.dedup import _threshold_rational
+
+    den0 = 10**scale
+    if num0 > den0:  # thresholds stay in (0, 1]
+        num0 %= den0
+        if num0 == 0:
+            num0 = den0
+    t = Fraction(num0, den0)
+    num, den = _threshold_rational(num0 / den0)
+    assert Fraction(num, den) == t  # (1) exact decimal recovery
+    union = inter + extra
+    if union > 0:
+        assert (inter * den >= num * union) == (Fraction(inter, union) >= t)  # (2)
+    n = union
+    ceil_impl = (num * n + den - 1) // den
+    assert ceil_impl == -((-num * n) // den)  # (3) true ceil(t*n)
+    # products stay far inside int64 (den <= 1e6, n <= 2e9 -> <= ~2e15)
+    assert num * n + den - 1 < 2**62
+
+
 def test_tokenset_huge_union_exact_threshold_acceptance(spark):
     """Verify-filter rounding residual (VERDICT r06 #4): at unions of
     ~10^4+ tokens the 4-dp-ROUNDED jaccard stops distinguishing
