@@ -19,9 +19,15 @@ from .quantile import (  # noqa: F401
     probe_distinct_ratios,
 )
 from .quantize import (  # noqa: F401
+    build_pq_index,
     dequantize,
+    pq_encode,
+    pq_topk,
+    pq_topk_on_index,
+    pq_topk_rerank,
     quantize_embeddings,
     quantized_cosine_topk,
+    train_pq_codebooks,
 )
 from .similarity import dedup_semantic, lsh_ann_topk  # noqa: F401
 from .sampling import (  # noqa: F401

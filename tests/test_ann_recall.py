@@ -108,3 +108,51 @@ def test_srp_lsh_recall_on_clustered_corpus(clustered, spark):
     # narrower bands collide more -> recall must not decrease
     assert recalls[8] <= recalls[4] + 1e-9 and recalls[4] <= recalls[2] + 1e-9
     assert recalls[4] >= 0.9, f"SRP-LSH width sweep (width->recall): {recalls}"
+
+
+def test_pq_adc_recall_on_clustered_corpus(clustered, spark, tmp_path):
+    """PQ/ADC (operators/quantize) on the fixture whose HARD part is
+    ranking WITHIN a tight cluster (members at cosine ~0.96): ADC alone
+    needs fine codebooks there, and the compression<->recall dial must
+    be monotone. Numpy-reference-verified recalls on this fixture:
+    m=8/codes=64 -> 0.37, m=16/codes=256 -> 0.82, so the documented
+    ADC-only config is m=16/codes=256 (16 B vs 256 B raw, 16x). The
+    SERVING composition (pq_topk_rerank: ADC shortlist of 4k, exact
+    cosine on just those rows) repairs the within-cluster noise to
+    ~1.0 even while scoring a vanishing fraction of the corpus exactly.
+    Also round-trips the persisted index: build writes codes + codebook
+    sidecar, serve reads ONLY codes/norms."""
+    from ferramenta_etl_spark.operators.quantize import (
+        build_pq_index,
+        pq_encode,
+        pq_topk,
+        pq_topk_on_index,
+        pq_topk_rerank,
+        train_pq_codebooks,
+    )
+
+    cdf, qdf, truth = clustered
+    cbs16 = train_pq_codebooks(cdf, m=16, codes=256, sample_rows=N_CORPUS, iters=8)
+    codes16 = pq_encode(cdf, cbs16)
+    r_fine = _recall(pq_topk(codes16, qdf, cbs16, k=K), truth)
+    assert r_fine >= 0.8, f"PQ ADC recall (m=16, codes=256): {r_fine}"
+
+    # coarser codebooks trade recall for compression, monotonically
+    cbs8 = train_pq_codebooks(cdf, m=8, codes=64, sample_rows=N_CORPUS, iters=8)
+    codes8 = pq_encode(cdf, cbs8)
+    r_coarse = _recall(pq_topk(codes8, qdf, cbs8, k=K), truth)
+    assert 0.2 <= r_coarse <= r_fine + 1e-9, f"coarse PQ recall: {r_coarse}"
+
+    # serving path: ADC shortlist + exact rerank clears the family bar
+    # even on the COARSE codebooks (shortlist 8k) and the fine ones (4k)
+    r_serve = _recall(pq_topk_rerank(codes16, cdf, qdf, cbs16, k=K), truth)
+    assert r_serve >= 0.95, f"PQ rerank recall (m=16): {r_serve}"
+    r_serve8 = _recall(
+        pq_topk_rerank(codes8, cdf, qdf, cbs8, k=K, shortlist=8 * K), truth
+    )
+    assert r_serve8 >= 0.9, f"PQ rerank recall (m=8, shortlist 8k): {r_serve8}"
+
+    path = str(tmp_path / "pq_index")
+    build_pq_index(cdf, path, m=16, codes=256, sample_rows=N_CORPUS, train_iters=8)
+    served = pq_topk_on_index(spark, path, qdf, k=K)
+    assert _recall(served, truth) == r_fine  # same codebooks -> same answer
