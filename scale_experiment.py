@@ -549,6 +549,84 @@ def lsh_cap_experiment(
     }
 
 
+def pq_experiment(spark, n_small: int, n_large: int) -> dict:
+    """Scale probe for the PQ/ADC family (operators/quantize): encode
+    and ADC scan must grow ~linearly with corpus size — both are narrow
+    Arrow-batched maps whose only per-row work is a fixed number of
+    numpy ops, and the scan's shuffle is bounded at Q*k rows per batch
+    regardless of corpus size. Training time is a driver-side constant
+    (bounded sample) and is reported separately. Corpus is a
+    deterministic hash-derived 64-dim cloud (the probe measures
+    throughput, not recall — recall is pinned on the clustered fixture
+    in tests/test_ann_recall.py)."""
+    from pyspark.sql import functions as F
+
+    from ferramenta_etl_spark.operators.quantize import (
+        pq_encode,
+        pq_topk,
+        pq_topk_rerank,
+        train_pq_codebooks,
+    )
+
+    dim, m, codes = 64, 16, 256
+    vec = F.expr(
+        f"transform(sequence(0, {dim - 1}), "
+        "d -> cast(pmod(hash(id, d), 1000) as double) / 1000.0 - 0.5)"
+    )
+
+    def corpus(n: int):
+        return (
+            spark.range(n)
+            .select(F.col("id").alias("vec_id"), vec.alias("embedding"))
+            .localCheckpoint(eager=True)
+        )
+
+    def timed(df) -> float:
+        df.write.format("noop").mode("overwrite").save()  # warm-up
+        t0 = time.perf_counter()
+        df.write.format("noop").mode("overwrite").save()
+        return round(time.perf_counter() - t0, 2)
+
+    small, large = corpus(n_small), corpus(n_large)
+    queries = (
+        spark.range(10)
+        .select(F.col("id").alias("query_id"), vec.alias("query_vec"))
+        .localCheckpoint(eager=True)
+    )
+    t0 = time.perf_counter()
+    cbs = train_pq_codebooks(small, m=m, codes=codes, iters=4)
+    train_s = round(time.perf_counter() - t0, 2)
+
+    enc_small_s = timed(pq_encode(small, cbs))
+    enc_large_s = timed(pq_encode(large, cbs))
+    codes_small = pq_encode(small, cbs).localCheckpoint(eager=True)
+    codes_large = pq_encode(large, cbs).localCheckpoint(eager=True)
+    adc_small_s = timed(pq_topk(codes_small, queries, cbs, k=10))
+    adc_large_s = timed(pq_topk(codes_large, queries, cbs, k=10))
+    rerank_large_s = timed(
+        pq_topk_rerank(codes_large, large, queries, cbs, k=10)
+    )
+    factor = n_large / n_small
+    return {
+        "n_small": n_small,
+        "n_large": n_large,
+        "dim": dim,
+        "m": m,
+        "codes": codes,
+        "train_s": train_s,
+        "encode_small_s": enc_small_s,
+        "encode_large_s": enc_large_s,
+        "encode_ratio": round(enc_large_s / max(enc_small_s, 1e-9), 1),
+        "adc_small_s": adc_small_s,
+        "adc_large_s": adc_large_s,
+        "adc_ratio": round(adc_large_s / max(adc_small_s, 1e-9), 1),
+        "rerank_large_s": rerank_large_s,
+        "size_factor": factor,
+        "bytes_per_vector_raw": dim * 8,
+        "bytes_per_vector_pq": m + 8,
+    }
+
+
 def main() -> None:
     p = argparse.ArgumentParser()
     p.add_argument("--factor", type=int, default=100)
@@ -580,6 +658,11 @@ def main() -> None:
         "--lsh-cap", action="store_true",
         help="run the max_block_size ceiling probe on a boilerplate "
              "corpus (uncapped quadratic vs capped flat)",
+    )
+    p.add_argument(
+        "--pq", action="store_true",
+        help="run the PQ encode/ADC-scan linearity probe (20k vs 2M "
+             "vectors, 100x)",
     )
     p.add_argument(
         "--skew", type=int, metavar="REPLICATE", default=0,
@@ -623,6 +706,12 @@ def main() -> None:
             spark, n_small=3000, n_large=300_000, cap=64
         )
         print(json.dumps({"experiment": "lsh_cap", **result}))
+        spark.stop()
+        return
+
+    if args.pq:
+        result = pq_experiment(spark, n_small=20_000, n_large=2_000_000)
+        print(json.dumps({"experiment": "pq_scan", **result}))
         spark.stop()
         return
 
