@@ -19,8 +19,10 @@ from .quantile import (  # noqa: F401
     probe_distinct_ratios,
 )
 from .quantize import (  # noqa: F401
+    build_ivfpq_index,
     build_pq_index,
     dequantize,
+    ivfpq_topk,
     pq_encode,
     pq_topk,
     pq_topk_on_index,

@@ -172,6 +172,14 @@ def train_pq_codebooks(
         .collect()
     )
     x = np.array([list(r[1]) for r in rows], dtype=np.float64)
+    return _subspace_kmeans(x, m, codes, iters, seed)
+
+
+def _subspace_kmeans(x, m: int, codes: int, iters: int, seed: int):
+    """Per-subspace Lloyd k-means on a driver-side numpy sample —
+    shared by raw-vector PQ and residual (IVF-PQ) training."""
+    import numpy as np
+
     n, dim = x.shape
     if dim % m:
         raise ValueError(f"dim {dim} not divisible by m={m}")
@@ -379,9 +387,6 @@ def pq_topk_rerank(
     a 100 TB corpus while repairing ADC's within-cluster ranking noise
     (recall-tested: coarse codebooks that rank at ~0.8 alone serve at
     ~1.0 with a 4k shortlist)."""
-    from .similarity import _dot_sql, _norm_sql
-    from .topk import grouped_topk
-
     sl = shortlist if shortlist is not None else 4 * k
     cand = pq_topk(
         codes_df,
@@ -394,6 +399,27 @@ def pq_topk_rerank(
         query_id_col=query_id_col,
         query_vec_col=query_vec_col,
     ).select(query_id_col, id_col)
+    return _exact_rerank(
+        cand, corpus, queries, k, id_col, vec_col, query_id_col, query_vec_col
+    )
+
+
+def _exact_rerank(
+    cand: DataFrame,
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int,
+    id_col: str,
+    vec_col: str,
+    query_id_col: str,
+    query_vec_col: str,
+) -> DataFrame:
+    """Exact-cosine rerank of a (query_id, vec_id) candidate set: the
+    candidate ids broadcast into the raw-vector scan, so only Q *
+    shortlist rows are ever scored exactly."""
+    from .similarity import _dot_sql, _norm_sql
+    from .topk import grouped_topk
+
     sim = F.expr(
         f"round({_dot_sql(vec_col, query_vec_col)} / "
         f"({_norm_sql(vec_col)} * {_norm_sql(query_vec_col)}), 6)"
@@ -472,4 +498,253 @@ def pq_topk_on_index(
         id_col=id_col,
         query_id_col=query_id_col,
         query_vec_col=query_vec_col,
+    )
+
+
+# ---------------------------------------------------------------------------
+# IVF-PQ (IVFADC): coarse quantizer + PQ on residuals
+# ---------------------------------------------------------------------------
+
+
+def build_ivfpq_index(
+    corpus: DataFrame,
+    path: str,
+    n_centroids: int = 16,
+    m: int = 8,
+    codes: int = 256,
+    train_iters: int = 1,
+    pq_iters: int = 10,
+    sample_rows: int = 16384,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 7,
+) -> dict:
+    """Build an IVF-PQ index — the canonical billion-scale ANN layout
+    (FAISS's IVFADC; Jegou/Douze/Schmid TPAMI 2011 §V): vectors bucket
+    under their nearest coarse centroid (similarity.assign_ivf_buckets,
+    reusing the IVF trainer) and PQ encodes each vector's RESIDUAL
+    ``x - centroid``. Residuals span only the within-bucket spread, so
+    the same code budget quantizes far finer than raw-vector PQ
+    (recall-tested: 0.625 vs 0.37 at m=8/codes=64 on the clustered
+    fixture). Storage: hive-partitioned by ``centroid_id`` (serving
+    prunes to the probed partitions at the DIRECTORY level) with one
+    byte per subvector plus the reconstruction norm; metadata (coarse
+    centroids + codebooks) is a JSON sidecar."""
+    import json
+    import os
+
+    import numpy as np
+
+    from .similarity import assign_ivf_buckets, derive_centroids, lloyd_refine
+
+    cents = derive_centroids(corpus, n_centroids, id_col, vec_col)
+    if train_iters:
+        cents = lloyd_refine(corpus, cents, train_iters, id_col, vec_col)
+    bucketed = assign_ivf_buckets(corpus, cents, id_col, vec_col)
+
+    cid2vec = {int(c): np.array(v, dtype=np.float64) for c, v in cents}
+    sample = (
+        bucketed.select(id_col, vec_col, "centroid_id")
+        .orderBy(F.col(id_col).asc())
+        .limit(sample_rows)
+        .collect()
+    )
+    resid = np.array(
+        [
+            np.asarray(list(r[1]), dtype=np.float64) - cid2vec[int(r[2])]
+            for r in sample
+        ]
+    )
+    cbs = _subspace_kmeans(resid, m, codes, pq_iters, seed)
+
+    cb, cbn2 = _pq_arrays(cbs)
+    dsub = cb.shape[2]
+    from pyspark.sql import types as T
+
+    in_fields = {f.name: f for f in corpus.schema.fields}
+    schema = T.StructType(
+        [
+            in_fields[id_col],
+            T.StructField("pq_code", T.ArrayType(T.ByteType())),
+            T.StructField("pq_norm", T.DoubleType()),
+            T.StructField("centroid_id", T.LongType()),
+        ]
+    )
+
+    def batches(it):
+        import pandas as pd
+
+        for pdf in it:
+            if len(pdf) == 0:
+                continue
+            x = np.stack([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
+            cids = pdf["centroid_id"].values
+            cmat = np.stack([cid2vec[int(c)] for c in cids])
+            r = x - cmat
+            ok = np.isfinite(x).all(axis=1)
+            r = np.where(ok[:, None], r, 0.0)
+            idx = np.empty((len(x), m), dtype=np.int64)
+            for j in range(m):
+                rj = r[:, j * dsub : (j + 1) * dsub]
+                idx[:, j] = (cbn2[j][None, :] - 2.0 * (rj @ cb[j].T)).argmin(
+                    axis=1
+                )
+            idx[~ok] = 0
+            # |x_hat| is the norm of centroid + reconstructed residual —
+            # the quantity the ADC cosine divides by at serve time
+            recon = cmat + np.concatenate(
+                [cb[j][idx[:, j]] for j in range(m)], axis=1
+            )
+            norm = np.where(ok, np.sqrt((recon * recon).sum(axis=1)), 0.0)
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col].values,
+                    "pq_code": list((idx - 128).astype(np.int8)),
+                    "pq_norm": norm,
+                    "centroid_id": cids,
+                }
+            )
+
+    encoded = bucketed.select(id_col, vec_col, "centroid_id").mapInPandas(
+        batches, schema
+    )
+    encoded.write.mode("overwrite").partitionBy("centroid_id").parquet(path)
+    meta = {
+        "centroids": [[int(c), [float(x) for x in v]] for c, v in cents],
+        "codebooks": cbs,
+    }
+    with open(os.path.join(path, "_ivfpq_meta.json"), "w") as f:
+        json.dump(meta, f)
+    return meta
+
+
+def load_ivfpq_meta(path: str) -> dict:
+    import json
+    import os
+
+    with open(os.path.join(path, "_ivfpq_meta.json")) as f:
+        return json.load(f)
+
+
+def ivfpq_topk(
+    spark,
+    path: str,
+    queries: DataFrame,
+    nprobe: int = 2,
+    k: int = 5,
+    corpus: DataFrame | None = None,
+    shortlist: int | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+) -> DataFrame:
+    """Serve approximate cosine top-k from a persisted IVF-PQ index.
+
+    Per query batch (the bounded side, collected once): coarse probes
+    are the ``nprobe`` nearest centroids (driver-side numpy — the
+    centroid matrix IS index metadata), the scan reads ONLY the probed
+    ``centroid_id=`` partitions, and scoring is ADC with the IVFADC
+    decomposition ``q . x_hat = q . c + q . r_hat``: one (m x codes)
+    residual lookup table per query plus one scalar ``q . c`` per
+    (query, probed centroid). Each Arrow batch emits its local top-k
+    per query, so at most Q*k rows per batch reach the final exchange.
+    Passing ``corpus`` upgrades to the serving composition: ADC
+    shortlists ``shortlist`` (default 4k) candidates, then exact cosine
+    re-ranks just those rows (_exact_rerank)."""
+    import numpy as np
+
+    from pyspark.sql import types as T
+
+    from .topk import grouped_topk
+
+    meta = load_ivfpq_meta(path)
+    cents = meta["centroids"]
+    cbs = [
+        [[float(x) for x in c] for c in book] for book in meta["codebooks"]
+    ]
+    cb, _ = _pq_arrays(cbs)
+    m, dsub = cb.shape[0], cb.shape[2]
+    cids = np.array([int(c) for c, _ in cents], dtype=np.int64)
+    cmat = np.array([list(map(float, v)) for _, v in cents], dtype=np.float64)
+    cnorms = np.sqrt((cmat * cmat).sum(axis=1))
+
+    qrows = queries.select(query_id_col, query_vec_col).collect()
+    qmat = np.array([list(r[1]) for r in qrows], dtype=np.float64)
+    qids = np.array([r[0] for r in qrows])
+    usable = np.isfinite(qmat).all(axis=1) & ((qmat * qmat).sum(axis=1) > 0)
+    qmat, qids = qmat[usable], qids[usable]
+    qn = np.sqrt((qmat * qmat).sum(axis=1))
+    # probes: same (cosine desc, centroid_id asc) total order as IVF
+    csim = (qmat @ cmat.T) / (qn[:, None] * cnorms[None, :])
+    take = min(nprobe, len(cids))
+    order_ = np.argsort(-csim, axis=1, kind="stable")[:, :take]
+    probe_sets = [np.sort(cids[row]) for row in order_]
+    qdotc = qmat @ cmat.T  # (Q, C) — the q.c term of the decomposition
+    cid2pos = {int(c): i for i, c in enumerate(cids)}
+    lut = np.stack(
+        [qmat[:, j * dsub : (j + 1) * dsub] @ cb[j].T for j in range(m)],
+        axis=1,
+    )
+
+    probed_union = sorted({int(c) for s in probe_sets for c in s})
+    index = spark.read.parquet(path).filter(
+        F.col("centroid_id").isin(probed_union)
+    )
+    qid_field = {f.name: f for f in queries.schema.fields}[query_id_col]
+    in_fields = {f.name: f for f in index.schema.fields}
+    schema = T.StructType(
+        [
+            T.StructField(query_id_col, qid_field.dataType),
+            in_fields[id_col],
+            T.StructField("sim", T.DoubleType()),
+        ]
+    )
+    sl = (shortlist if shortlist is not None else 4 * k) if corpus is not None else k
+
+    def batches(it):
+        import pandas as pd
+
+        for pdf in it:
+            if len(pdf) == 0 or len(qids) == 0:
+                continue
+            idx = (
+                np.stack([np.asarray(c, dtype=np.int64) for c in pdf["pq_code"]])
+                + 128
+            )
+            row_cids = pdf["centroid_id"].values.astype(np.int64)
+            row_cpos = np.array([cid2pos[int(c)] for c in row_cids])
+            norms = pdf["pq_norm"].values
+            ids = pdf[id_col].values
+            q_out, i_out, s_out = [], [], []
+            for qi in range(len(qids)):
+                mask = np.isin(row_cids, probe_sets[qi]) & (norms > 0)
+                sel = np.nonzero(mask)[0]
+                if len(sel) == 0:
+                    continue
+                acc = qdotc[qi][row_cpos[sel]]
+                for j in range(m):
+                    acc = acc + lut[qi, j, idx[sel, j]]
+                sims = np.round(acc / (qn[qi] * norms[sel]), 6)
+                best = np.lexsort((ids[sel], -sims))[: min(sl, len(sel))]
+                q_out.extend([qids[qi]] * len(best))
+                i_out.extend(ids[sel[best]])
+                s_out.extend(sims[best])
+            yield pd.DataFrame(
+                {query_id_col: q_out, id_col: i_out, "sim": s_out}
+            )
+
+    scored = index.select(id_col, "pq_code", "pq_norm", "centroid_id").mapInPandas(
+        batches, schema
+    )
+    order = [F.col("sim").desc(), F.col(id_col).asc()]
+    if corpus is None:
+        return grouped_topk(scored, [query_id_col], order, k).select(
+            query_id_col, id_col, "sim", "rnk"
+        )
+    cand = grouped_topk(scored, [query_id_col], order, sl).select(
+        query_id_col, id_col
+    )
+    return _exact_rerank(
+        cand, corpus, queries, k, id_col, vec_col, query_id_col, query_vec_col
     )

@@ -156,3 +156,43 @@ def test_pq_adc_recall_on_clustered_corpus(clustered, spark, tmp_path):
     build_pq_index(cdf, path, m=16, codes=256, sample_rows=N_CORPUS, train_iters=8)
     served = pq_topk_on_index(spark, path, qdf, k=K)
     assert _recall(served, truth) == r_fine  # same codebooks -> same answer
+
+
+def test_ivfpq_recall_on_clustered_corpus(clustered, spark, tmp_path):
+    """IVF-PQ (IVFADC): PQ on RESIDUALS must beat raw-vector PQ at the
+    same code budget (residuals span only the within-bucket spread —
+    numpy reference: 0.625 vs 0.37 at m=8/codes=64 with true centers),
+    recall must be monotone in nprobe, and the serving composition
+    (probed-partition scan -> ADC shortlist -> exact rerank) clears the
+    family bar."""
+    from ferramenta_etl_spark.operators.quantize import (
+        build_ivfpq_index,
+        ivfpq_topk,
+        pq_encode,
+        pq_topk,
+        train_pq_codebooks,
+    )
+
+    cdf, qdf, truth = clustered
+    path = str(tmp_path / "ivfpq")
+    build_ivfpq_index(
+        cdf, path, n_centroids=N_CLUSTERS, m=8, codes=64,
+        train_iters=2, pq_iters=8, sample_rows=N_CORPUS,
+    )
+    recalls = {
+        nprobe: _recall(ivfpq_topk(spark, path, qdf, nprobe=nprobe, k=K), truth)
+        for nprobe in (1, 2, 4)
+    }
+    assert recalls[1] <= recalls[2] + 1e-9 and recalls[2] <= recalls[4] + 1e-9
+
+    # residual coding beats raw-vector coding at the same budget
+    cbs_raw = train_pq_codebooks(cdf, m=8, codes=64, sample_rows=N_CORPUS, iters=8)
+    r_raw = _recall(pq_topk(pq_encode(cdf, cbs_raw), qdf, cbs_raw, k=K), truth)
+    assert recalls[4] > r_raw + 0.1, f"ivfpq {recalls} vs raw pq {r_raw}"
+
+    # serving composition: ADC shortlist + exact rerank on probed buckets
+    r_serve = _recall(
+        ivfpq_topk(spark, path, qdf, nprobe=2, k=K, corpus=cdf, shortlist=8 * K),
+        truth,
+    )
+    assert r_serve >= 0.9, f"IVF-PQ rerank recall: {r_serve}"
