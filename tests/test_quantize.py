@@ -79,3 +79,27 @@ def test_quantize_non_finite_vectors_get_zero_code(spark):
     assert rows[1].q_scale == 0.0 and list(rows[1].q_embedding) == [0, 0]
     assert rows[2].q_scale == 0.0 and list(rows[2].q_embedding) == [0, 0]
     assert rows[3].q_scale > 0
+
+
+def test_pq_non_finite_vectors_drop_from_ranking(spark):
+    """PQ mirrors the family's zero-norm policy: non-finite vectors
+    encode to norm 0 and never appear in an ADC ranking; finite
+    vectors rank normally alongside them."""
+    df = spark.createDataFrame(
+        [
+            (1, [1.0, float("nan"), 0.5, 0.5]),
+            (2, [0.9, 0.1, 0.45, 0.55]),
+            (3, [float("inf"), 0.1, 0.2, 0.3]),
+            (4, [1.0, 0.0, 0.5, 0.5]),
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    cbs = Q.train_pq_codebooks(df, m=2, codes=2, iters=4)
+    codes = {r.vec_id: r for r in Q.pq_encode(df, cbs).collect()}
+    assert codes[1].pq_norm == 0.0 and codes[3].pq_norm == 0.0
+    assert codes[2].pq_norm > 0 and codes[4].pq_norm > 0
+    qdf = spark.createDataFrame(
+        [(10, [1.0, 0.0, 0.5, 0.5])], "query_id long, query_vec array<double>"
+    )
+    got = {r.vec_id for r in Q.pq_topk(Q.pq_encode(df, cbs), qdf, cbs, k=4).collect()}
+    assert got == {2, 4}  # the corrupt vectors never rank
