@@ -51,8 +51,29 @@ def main(argv: list[str] | None = None, _stop_session: bool = True) -> int:
         choices=[
             "list", "run", "run-all", "curate", "optimize", "plan-audit",
             "stream", "curate-stream", "rollup", "stats", "ingest",
-            "neardup-admit", "make-dataset",
+            "neardup-admit", "make-dataset", "ann-index", "ann-query",
         ],
+    )
+    p.add_argument(
+        "--index-kind",
+        choices=["ivf", "pq", "ivfpq"],
+        default="ivfpq",
+        help="ann-index: which index layout to build",
+    )
+    p.add_argument("--n-centroids", type=int, default=16,
+                   help="ann-index ivf/ivfpq: coarse centroid count")
+    p.add_argument("--pq-m", type=int, default=16,
+                   help="ann-index pq/ivfpq: subvector count")
+    p.add_argument("--pq-codes", type=int, default=256,
+                   help="ann-index pq/ivfpq: codewords per subspace")
+    p.add_argument("--nprobe", type=int, default=2,
+                   help="ann-query ivf/ivfpq: probed buckets per query")
+    p.add_argument("--k", type=int, default=5, help="ann-query: top-k")
+    p.add_argument(
+        "--queries-path",
+        default=None,
+        help="ann-query: parquet of (query_id, query_vec); defaults to "
+        "the first 10 embeddings",
     )
     p.add_argument("job", nargs="?", help="job name (for 'run') / parquet dir (for 'optimize')")
     p.add_argument("--min-quality", type=float, default=0.5, help="curate: quality floor")
@@ -347,6 +368,72 @@ def main(argv: list[str] | None = None, _stop_session: bool = True) -> int:
                 f"✅ ingest {args.table}: {n} rows loaded, "
                 f"{n_bad} corrupt lines quarantined under {qdir}"
             )
+            return 0
+        if args.command == "ann-index":
+            # Materialize an ANN index over the embeddings table:
+            # 'ivf' (partitioned raw vectors + centroid sidecar),
+            # 'pq' (one-byte-per-subvector codes + codebook sidecar),
+            # or 'ivfpq' (both: residual codes partitioned by coarse
+            # centroid — the billion-scale layout).
+            from .operators.quantize import build_ivfpq_index, build_pq_index
+            from .operators.similarity import build_ivf_index
+            from .sources import load_table
+
+            path = args.job or f"{args.sink_dir}/ann_index"
+            emb = load_table(spark, args.sf_dir, "embeddings")
+            if args.index_kind == "ivf":
+                build_ivf_index(emb, path, n_centroids=args.n_centroids)
+            elif args.index_kind == "pq":
+                build_pq_index(emb, path, m=args.pq_m, codes=args.pq_codes)
+            else:
+                build_ivfpq_index(
+                    emb, path, n_centroids=args.n_centroids,
+                    m=args.pq_m, codes=args.pq_codes,
+                )
+            print(f"✅ ann-index: {args.index_kind} index at {path}")
+            return 0
+        if args.command == "ann-query":
+            # Serve top-k from a persisted index dir; the index kind is
+            # self-describing via its metadata sidecar. Queries default
+            # to the first 10 embeddings (smoke/demo); pass --queries
+            # for a parquet of (query_id, query_vec).
+            import os
+
+            from pyspark.sql import functions as _F
+
+            from .operators.quantize import ivfpq_topk, pq_topk_on_index
+            from .operators.similarity import ivf_topk_on_index
+            from .sources import load_table
+
+            if not args.job:
+                p.error("ann-query requires the index path")
+            if args.queries_path:
+                queries = spark.read.parquet(args.queries_path)
+            else:
+                queries = (
+                    load_table(spark, args.sf_dir, "embeddings")
+                    .filter(_F.col("vec_id") < 10)
+                    .select(
+                        _F.col("vec_id").alias("query_id"),
+                        _F.col("embedding").alias("query_vec"),
+                    )
+                )
+            if os.path.exists(os.path.join(args.job, "_ivfpq_meta.json")):
+                out = ivfpq_topk(
+                    spark, args.job, queries, nprobe=args.nprobe, k=args.k
+                )
+            elif os.path.exists(os.path.join(args.job, "_pq_codebooks.json")):
+                out = pq_topk_on_index(spark, args.job, queries, k=args.k)
+            elif os.path.exists(os.path.join(args.job, "_centroids.json")):
+                out = ivf_topk_on_index(
+                    spark, args.job, queries, nprobe=args.nprobe, k=args.k
+                )
+            else:
+                p.error(f"no index metadata sidecar under {args.job}")
+            rows = out.collect()
+            for r in rows:
+                print(f"{r[0]}\t{r[1]}\t{r[2]:.6f}\t{r[3]}")
+            print(f"✅ ann-query: {len(rows)} result rows")
             return 0
         if args.command == "stats":
             from .operators.text import corpus_stats
