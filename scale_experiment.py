@@ -606,6 +606,28 @@ def pq_experiment(spark, n_small: int, n_large: int) -> dict:
     rerank_large_s = timed(
         pq_topk_rerank(codes_large, large, queries, cbs, k=10)
     )
+    # IVF-PQ at the large size: serving should beat flat PQ because the
+    # scan prunes to the probed centroid partitions at directory level
+    import shutil
+    import tempfile
+
+    from ferramenta_etl_spark.operators.quantize import (
+        build_ivfpq_index,
+        ivfpq_topk,
+    )
+
+    ivfpq_dir = tempfile.mkdtemp(prefix="ivfpq_scale_")
+    try:
+        t0 = time.perf_counter()
+        build_ivfpq_index(
+            large, ivfpq_dir, n_centroids=16, m=m, codes=codes, train_iters=1
+        )
+        ivfpq_build_s = round(time.perf_counter() - t0, 2)
+        ivfpq_serve_s = timed(
+            ivfpq_topk(spark, ivfpq_dir, queries, nprobe=2, k=10)
+        )
+    finally:
+        shutil.rmtree(ivfpq_dir, ignore_errors=True)
     factor = n_large / n_small
     return {
         "n_small": n_small,
@@ -621,6 +643,8 @@ def pq_experiment(spark, n_small: int, n_large: int) -> dict:
         "adc_large_s": adc_large_s,
         "adc_ratio": round(adc_large_s / max(adc_small_s, 1e-9), 1),
         "rerank_large_s": rerank_large_s,
+        "ivfpq_build_large_s": ivfpq_build_s,
+        "ivfpq_serve_large_s": ivfpq_serve_s,
         "size_factor": factor,
         "bytes_per_vector_raw": dim * 8,
         "bytes_per_vector_pq": m + 8,
