@@ -351,9 +351,10 @@ def pq_topk(
                 q_out.extend([qids[qi]] * len(best))
                 i_out.extend(ids[best])
                 s_out.extend(sims[qi][best])
-            yield pd.DataFrame(
-                {query_id_col: q_out, id_col: i_out, "sim": s_out}
-            )
+            if q_out:
+                yield pd.DataFrame(
+                    {query_id_col: q_out, id_col: i_out, "sim": s_out}
+                )
 
     scored = codes_df.select(id_col, code_col, norm_col).mapInPandas(
         batches, schema
@@ -730,9 +731,10 @@ def ivfpq_topk(
                 q_out.extend([qids[qi]] * len(best))
                 i_out.extend(ids[sel[best]])
                 s_out.extend(sims[best])
-            yield pd.DataFrame(
-                {query_id_col: q_out, id_col: i_out, "sim": s_out}
-            )
+            if q_out:
+                yield pd.DataFrame(
+                    {query_id_col: q_out, id_col: i_out, "sim": s_out}
+                )
 
     scored = index.select(id_col, "pq_code", "pq_norm", "centroid_id").mapInPandas(
         batches, schema
