@@ -549,6 +549,41 @@ def lsh_cap_experiment(
     }
 
 
+def oracle_sweep(spark, sf_dirs: list[str]) -> dict:
+    """Run the FULL 50-query registry against the DuckDB oracle at every
+    given fixture size — the scale-dependent-wrong-answer check the
+    driver's single-SF gate leaves open (a cardinality probe routing
+    differently, a blocking scheme degrading, a sampler interacting with
+    volume). Committed results: SCALING.md round-7 'oracle gate swept'."""
+    import __spark_entry__ as entry_mod
+
+    from ferramenta_etl_spark.testing import compare_to_oracle
+
+    qs, osql = entry_mod.queries(), entry_mod.oracle_sql()
+    names = list(qs)[:50]
+    out = {}
+    for sf in sf_dirs:
+        mismatches = []
+        for name in names:
+            if name not in osql:
+                continue
+            try:
+                ok, msg = compare_to_oracle(
+                    spark, qs[name](spark, sf), osql[name], sf
+                )
+            except Exception as e:  # noqa: BLE001 — record, keep sweeping
+                ok, msg = False, f"EXC {e}"
+            if not ok:
+                mismatches.append({"query": name, "detail": str(msg)[:300]})
+        out[sf] = {
+            "checked": len([n for n in names if n in osql]),
+            "mismatches": mismatches,
+        }
+        print(f"=== {sf}: {out[sf]['checked']} checked, "
+              f"{len(mismatches)} mismatches", file=sys.stderr)
+    return out
+
+
 def pq_experiment(spark, n_small: int, n_large: int) -> dict:
     """Scale probe for the PQ/ADC family (operators/quantize): encode
     and ADC scan must grow ~linearly with corpus size — both are narrow
@@ -684,6 +719,11 @@ def main() -> None:
              "corpus (uncapped quadratic vs capped flat)",
     )
     p.add_argument(
+        "--oracle-sweep", action="store_true",
+        help="run all 50 oracle-checked queries at sf0.001/0.01/0.1 "
+             "(the scale-dependent-wrong-answer check)",
+    )
+    p.add_argument(
         "--pq", action="store_true",
         help="run the PQ encode/ADC-scan linearity probe (20k vs 2M "
              "vectors, 100x)",
@@ -730,6 +770,15 @@ def main() -> None:
             spark, n_small=3000, n_large=300_000, cap=64
         )
         print(json.dumps({"experiment": "lsh_cap", **result}))
+        spark.stop()
+        return
+
+    if args.oracle_sweep:
+        base = os.path.dirname(args.sf.rstrip("/"))
+        result = oracle_sweep(
+            spark, [os.path.join(base, f"sf{s}") for s in ("0.001", "0.01", "0.1")]
+        )
+        print(json.dumps({"experiment": "oracle_sweep", "results": result}))
         spark.stop()
         return
 
