@@ -282,6 +282,7 @@ def pq_topk(
     norm_col: str = "pq_norm",
     query_id_col: str = "query_id",
     query_vec_col: str = "query_vec",
+    max_queries: int = 4096,
 ) -> DataFrame:
     """Approximate cosine top-k over PQ codes by ADC.
 
@@ -304,6 +305,15 @@ def pq_topk(
     cb, _ = _pq_arrays(codebooks)
     m = cb.shape[0]
     qrows = queries.select(query_id_col, query_vec_col).collect()
+    if len(qrows) > max_queries:
+        # each query costs an (m x codes) float LUT on the driver AND in
+        # every task closure — 10^5 queries at m=16/codes=256 is ~3 GB.
+        # Loud guard, same philosophy as minhash's max_block_size.
+        raise ValueError(
+            f"{len(qrows)} queries > max_queries={max_queries}: batch the "
+            "query side (the LUT closure grows linearly with it), or "
+            "raise max_queries deliberately"
+        )
     qmat = np.array([list(r[1]) for r in qrows], dtype=np.float64)
     qids = np.array([r[0] for r in qrows])
     usable = np.isfinite(qmat).all(axis=1) & ((qmat * qmat).sum(axis=1) > 0)
@@ -639,6 +649,7 @@ def ivfpq_topk(
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
     query_vec_col: str = "query_vec",
+    max_queries: int = 4096,
 ) -> DataFrame:
     """Serve approximate cosine top-k from a persisted IVF-PQ index.
 
@@ -671,6 +682,12 @@ def ivfpq_topk(
     cnorms = np.sqrt((cmat * cmat).sum(axis=1))
 
     qrows = queries.select(query_id_col, query_vec_col).collect()
+    if len(qrows) > max_queries:
+        raise ValueError(
+            f"{len(qrows)} queries > max_queries={max_queries}: batch the "
+            "query side (the LUT closure grows linearly with it), or "
+            "raise max_queries deliberately"
+        )
     qmat = np.array([list(r[1]) for r in qrows], dtype=np.float64)
     qids = np.array([r[0] for r in qrows])
     usable = np.isfinite(qmat).all(axis=1) & ((qmat * qmat).sum(axis=1) > 0)

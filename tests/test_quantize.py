@@ -103,3 +103,23 @@ def test_pq_non_finite_vectors_drop_from_ranking(spark):
     )
     got = {r.vec_id for r in Q.pq_topk(Q.pq_encode(df, cbs), qdf, cbs, k=4).collect()}
     assert got == {2, 4}  # the corrupt vectors never rank
+
+
+def test_pq_topk_query_batch_guard(spark):
+    """The ADC paths build one (m x codes) LUT per query in every task
+    closure; an unbounded query side would OOM the driver silently.
+    The guard fails loud with batching guidance."""
+    import pytest
+
+    df = spark.createDataFrame(
+        [(i, [float(i), 0.5, 0.25, 1.0]) for i in range(8)],
+        "vec_id long, embedding array<double>",
+    )
+    cbs = Q.train_pq_codebooks(df, m=2, codes=2, iters=2)
+    qdf = spark.createDataFrame(
+        [(i, [1.0, 0.0, 0.5, 0.5]) for i in range(5)],
+        "query_id long, query_vec array<double>",
+    )
+    with pytest.raises(ValueError, match="max_queries"):
+        Q.pq_topk(Q.pq_encode(df, cbs), qdf, cbs, k=2, max_queries=4)
+    assert Q.pq_topk(Q.pq_encode(df, cbs), qdf, cbs, k=2, max_queries=5).count() > 0
