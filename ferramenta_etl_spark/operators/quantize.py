@@ -180,6 +180,11 @@ def _subspace_kmeans(x, m: int, codes: int, iters: int, seed: int):
     shared by raw-vector PQ and residual (IVF-PQ) training."""
     import numpy as np
 
+    if x.ndim != 2 or len(x) == 0:
+        raise ValueError(
+            "no usable training vectors (empty corpus, or every vector "
+            "non-finite) — PQ codebooks need a non-empty finite sample"
+        )
     n, dim = x.shape
     if dim % m:
         raise ValueError(f"dim {dim} not divisible by m={m}")
@@ -209,6 +214,48 @@ def _pq_arrays(codebooks):
 
     cb = np.array(codebooks, dtype=np.float64)
     return cb, (cb * cb).sum(axis=2)
+
+
+def _collect_query_matrix(
+    queries: DataFrame,
+    query_id_col: str,
+    query_vec_col: str,
+    max_queries: int,
+):
+    """(qids, qmat, qn) for the ADC scorers: the bounded query side
+    collected once, size-guarded, filtered to finite nonzero vectors.
+    Shared by pq_topk and ivfpq_topk so guard text and usability rules
+    cannot drift."""
+    import numpy as np
+
+    qrows = queries.select(query_id_col, query_vec_col).collect()
+    if len(qrows) > max_queries:
+        # each query costs an (m x codes) float LUT on the driver AND in
+        # every task closure — 10^5 queries at m=16/codes=256 is ~3 GB.
+        # Loud guard, same philosophy as minhash's max_block_size.
+        raise ValueError(
+            f"{len(qrows)} queries > max_queries={max_queries}: batch the "
+            "query side (the LUT closure grows linearly with it), or "
+            "raise max_queries deliberately"
+        )
+    if not qrows:
+        return np.array([]), np.empty((0, 0)), np.array([])
+    qmat = np.array([list(r[1]) for r in qrows], dtype=np.float64)
+    qids = np.array([r[0] for r in qrows])
+    usable = np.isfinite(qmat).all(axis=1) & ((qmat * qmat).sum(axis=1) > 0)
+    qmat, qids = qmat[usable], qids[usable]
+    return qids, qmat, np.sqrt((qmat * qmat).sum(axis=1))
+
+
+def _empty_topk(spark, scored_schema, query_id_col: str, id_col: str):
+    """Schema-correct empty result for a top-k serve with no usable
+    queries — (query_id, vec_id, sim, rnk), zero rows."""
+    from pyspark.sql import types as T
+
+    fields = list(scored_schema.fields) + [T.StructField("rnk", T.IntegerType())]
+    return spark.createDataFrame([], T.StructType(fields)).select(
+        query_id_col, id_col, "sim", "rnk"
+    )
 
 
 def pq_encode(
@@ -304,26 +351,8 @@ def pq_topk(
 
     cb, _ = _pq_arrays(codebooks)
     m = cb.shape[0]
-    qrows = queries.select(query_id_col, query_vec_col).collect()
-    if len(qrows) > max_queries:
-        # each query costs an (m x codes) float LUT on the driver AND in
-        # every task closure — 10^5 queries at m=16/codes=256 is ~3 GB.
-        # Loud guard, same philosophy as minhash's max_block_size.
-        raise ValueError(
-            f"{len(qrows)} queries > max_queries={max_queries}: batch the "
-            "query side (the LUT closure grows linearly with it), or "
-            "raise max_queries deliberately"
-        )
-    qmat = np.array([list(r[1]) for r in qrows], dtype=np.float64)
-    qids = np.array([r[0] for r in qrows])
-    usable = np.isfinite(qmat).all(axis=1) & ((qmat * qmat).sum(axis=1) > 0)
-    qmat, qids = qmat[usable], qids[usable]
-    qn = np.sqrt((qmat * qmat).sum(axis=1))
-    # LUT: (Q, m, codes) partial dots of each query subvector with every
-    # codeword of that subspace
-    dsub = cb.shape[2]
-    lut = np.stack(
-        [qmat[:, j * dsub : (j + 1) * dsub] @ cb[j].T for j in range(m)], axis=1
+    qids, qmat, qn = _collect_query_matrix(
+        queries, query_id_col, query_vec_col, max_queries
     )
     in_fields = {f.name: f for f in codes_df.schema.fields}
     qid_field = {f.name: f for f in queries.schema.fields}[query_id_col]
@@ -333,6 +362,15 @@ def pq_topk(
             in_fields[id_col],
             T.StructField("sim", T.DoubleType()),
         ]
+    )
+    if len(qids) == 0:
+        # no usable queries -> empty result, not a numpy crash
+        return _empty_topk(queries.sparkSession, schema, query_id_col, id_col)
+    # LUT: (Q, m, codes) partial dots of each query subvector with every
+    # codeword of that subspace
+    dsub = cb.shape[2]
+    lut = np.stack(
+        [qmat[:, j * dsub : (j + 1) * dsub] @ cb[j].T for j in range(m)], axis=1
     )
 
     def batches(it):
@@ -435,8 +473,15 @@ def _exact_rerank(
         f"round({_dot_sql(vec_col, query_vec_col)} / "
         f"({_norm_sql(vec_col)} * {_norm_sql(query_vec_col)}), 6)"
     )
+    # usable-vector filter like every other exact-cosine path: a finite
+    # all-zero corpus vector can reach the shortlist (its pq_norm is the
+    # nearest CODEWORDS' norm, not its own), and 0/0 -> NaN sorts ABOVE
+    # every real sim in Spark's DESC order — rank-1 garbage
+    from .similarity import _usable_vec_sql
+
     scored = (
         corpus.select(id_col, vec_col)
+        .filter(F.expr(_usable_vec_sql(vec_col)))
         .join(F.broadcast(cand), id_col)
         .join(
             F.broadcast(queries.select(query_id_col, query_vec_col)),
@@ -548,6 +593,11 @@ def build_ivfpq_index(
 
     from .similarity import assign_ivf_buckets, derive_centroids, lloyd_refine
 
+    if codes > 256:
+        # same loud guard as train_pq_codebooks: codewords past 255
+        # would WRAP in the one-byte (idx - 128) tinyint encoding and
+        # serve silently wrong neighbors
+        raise ValueError("codes must be <= 256 (one byte per subvector)")
     cents = derive_centroids(corpus, n_centroids, id_col, vec_col)
     if train_iters:
         cents = lloyd_refine(corpus, cents, train_iters, id_col, vec_col)
@@ -570,6 +620,12 @@ def build_ivfpq_index(
 
     cb, cbn2 = _pq_arrays(cbs)
     dsub = cb.shape[2]
+    # dense centroid matrix + sorted-id position map so the Arrow
+    # batches fetch centroids with one vectorized gather instead of a
+    # per-row Python dict lookup (2M interpreter round-trips at the
+    # scale probe's corpus size)
+    cid_keys = np.array(sorted(cid2vec), dtype=np.int64)
+    cmat_all = np.stack([cid2vec[int(c)] for c in cid_keys])
     from pyspark.sql import types as T
 
     in_fields = {f.name: f for f in corpus.schema.fields}
@@ -590,7 +646,9 @@ def build_ivfpq_index(
                 continue
             x = np.stack([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
             cids = pdf["centroid_id"].values
-            cmat = np.stack([cid2vec[int(c)] for c in cids])
+            cmat = cmat_all[
+                np.searchsorted(cid_keys, cids.astype(np.int64))
+            ]
             r = x - cmat
             ok = np.isfinite(x).all(axis=1)
             r = np.where(ok[:, None], r, 0.0)
@@ -681,25 +739,32 @@ def ivfpq_topk(
     cmat = np.array([list(map(float, v)) for _, v in cents], dtype=np.float64)
     cnorms = np.sqrt((cmat * cmat).sum(axis=1))
 
-    qrows = queries.select(query_id_col, query_vec_col).collect()
-    if len(qrows) > max_queries:
-        raise ValueError(
-            f"{len(qrows)} queries > max_queries={max_queries}: batch the "
-            "query side (the LUT closure grows linearly with it), or "
-            "raise max_queries deliberately"
-        )
-    qmat = np.array([list(r[1]) for r in qrows], dtype=np.float64)
-    qids = np.array([r[0] for r in qrows])
-    usable = np.isfinite(qmat).all(axis=1) & ((qmat * qmat).sum(axis=1) > 0)
-    qmat, qids = qmat[usable], qids[usable]
-    qn = np.sqrt((qmat * qmat).sum(axis=1))
+    qids, qmat, qn = _collect_query_matrix(
+        queries, query_id_col, query_vec_col, max_queries
+    )
+    qid_field = {f.name: f for f in queries.schema.fields}[query_id_col]
+    id_field_src = spark.read.parquet(path).schema
+    in_fields = {f.name: f for f in id_field_src.fields}
+    schema = T.StructType(
+        [
+            T.StructField(query_id_col, qid_field.dataType),
+            in_fields[id_col],
+            T.StructField("sim", T.DoubleType()),
+        ]
+    )
+    if len(qids) == 0:
+        return _empty_topk(spark, schema, query_id_col, id_col)
     # probes: same (cosine desc, centroid_id asc) total order as IVF
     csim = (qmat @ cmat.T) / (qn[:, None] * cnorms[None, :])
     take = min(nprobe, len(cids))
     order_ = np.argsort(-csim, axis=1, kind="stable")[:, :take]
     probe_sets = [np.sort(cids[row]) for row in order_]
     qdotc = qmat @ cmat.T  # (Q, C) — the q.c term of the decomposition
-    cid2pos = {int(c): i for i, c in enumerate(cids)}
+    # vectorized centroid_id -> row position in cmat (no per-row Python
+    # dict lookups inside the Arrow batches): searchsorted over the
+    # sorted ids, remapped to original positions
+    cid_sort = np.argsort(cids)
+    cids_sorted = cids[cid_sort]
     lut = np.stack(
         [qmat[:, j * dsub : (j + 1) * dsub] @ cb[j].T for j in range(m)],
         axis=1,
@@ -708,15 +773,6 @@ def ivfpq_topk(
     probed_union = sorted({int(c) for s in probe_sets for c in s})
     index = spark.read.parquet(path).filter(
         F.col("centroid_id").isin(probed_union)
-    )
-    qid_field = {f.name: f for f in queries.schema.fields}[query_id_col]
-    in_fields = {f.name: f for f in index.schema.fields}
-    schema = T.StructType(
-        [
-            T.StructField(query_id_col, qid_field.dataType),
-            in_fields[id_col],
-            T.StructField("sim", T.DoubleType()),
-        ]
     )
     sl = (shortlist if shortlist is not None else 4 * k) if corpus is not None else k
 
@@ -731,7 +787,7 @@ def ivfpq_topk(
                 + 128
             )
             row_cids = pdf["centroid_id"].values.astype(np.int64)
-            row_cpos = np.array([cid2pos[int(c)] for c in row_cids])
+            row_cpos = cid_sort[np.searchsorted(cids_sorted, row_cids)]
             norms = pdf["pq_norm"].values
             ids = pdf[id_col].values
             q_out, i_out, s_out = [], [], []

@@ -123,3 +123,60 @@ def test_pq_topk_query_batch_guard(spark):
     with pytest.raises(ValueError, match="max_queries"):
         Q.pq_topk(Q.pq_encode(df, cbs), qdf, cbs, k=2, max_queries=4)
     assert Q.pq_topk(Q.pq_encode(df, cbs), qdf, cbs, k=2, max_queries=5).count() > 0
+
+
+def test_pq_review_guards(spark, tmp_path):
+    """Round-7 code-review regressions: (a) empty/unusable training
+    sample fails loud, not an opaque unpack error; (b) an empty or
+    all-unusable query side returns a schema-correct empty result, not
+    a numpy AxisError; (c) a finite ZERO corpus vector can reach the
+    ADC shortlist (its pq_norm is the nearest codewords' norm, not its
+    own) but must NOT rank in the exact rerank — 0/0 = NaN sorts above
+    every real sim in Spark's DESC order; (d) build_ivfpq_index rejects
+    codes > 256 instead of silently wrapping the one-byte encoding."""
+    import pytest
+
+    # (a) all vectors non-finite -> loud ValueError
+    bad = spark.createDataFrame(
+        [(1, [float("nan"), 1.0]), (2, [float("inf"), 0.0])],
+        "vec_id long, embedding array<double>",
+    )
+    with pytest.raises(ValueError, match="no usable training vectors"):
+        Q.train_pq_codebooks(bad, m=1, codes=2, iters=1)
+
+    df = spark.createDataFrame(
+        [
+            (1, [0.0, 0.0, 0.0, 0.0]),  # finite zero vector
+            (2, [1.0, 0.1, 0.5, 0.5]),
+            (3, [0.9, 0.2, 0.45, 0.55]),
+            (4, [1.0, 0.0, 0.5, 0.5]),
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    cbs = Q.train_pq_codebooks(df, m=2, codes=2, iters=4)
+    codes = Q.pq_encode(df, cbs)
+
+    # (b) empty query side -> empty result with the serve schema
+    qempty = spark.createDataFrame(
+        [], "query_id long, query_vec array<double>"
+    )
+    out = Q.pq_topk(codes, qempty, cbs, k=2)
+    assert out.columns == ["query_id", "vec_id", "sim", "rnk"]
+    assert out.count() == 0
+    qzero = spark.createDataFrame(
+        [(9, [0.0, 0.0, 0.0, 0.0])], "query_id long, query_vec array<double>"
+    )
+    assert Q.pq_topk(codes, qzero, cbs, k=2).count() == 0
+
+    # (c) the zero corpus vector must never appear in the rerank output
+    qdf = spark.createDataFrame(
+        [(10, [1.0, 0.0, 0.5, 0.5])], "query_id long, query_vec array<double>"
+    )
+    got = Q.pq_topk_rerank(codes, df, qdf, cbs, k=4, shortlist=4)
+    rows = got.collect()
+    assert {r.vec_id for r in rows} == {2, 3, 4}
+    assert all(r.sim == r.sim for r in rows)  # no NaN sims survive
+
+    # (d) ivfpq build rejects the wrap-prone codes count up front
+    with pytest.raises(ValueError, match="256"):
+        Q.build_ivfpq_index(df, str(tmp_path / "x"), n_centroids=2, m=2, codes=512)
