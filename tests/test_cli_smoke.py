@@ -149,8 +149,14 @@ def test_cli_ingest_null_key_rows_quarantined_idempotent(cli_tmp, capsys):
     q = os.path.join(sink, "_quarantine", "documents_invalid")
     assert os.path.isdir(q)
 
-def test_cli_ann_index_and_query(cli_tmp):
+def test_cli_ann_index_and_query(cli_tmp, spark):
     for kind in ("ivfpq", "pq", "ivf"):
         idx = str(cli_tmp / f"idx_{kind}")
         assert _run("ann-index", idx, "--index-kind", kind) == 0
         assert _run("ann-query", idx, "--k", "3") == 0
+    # explicit query parquet instead of the first-10-embeddings default
+    qp = str(cli_tmp / "queries.parquet")
+    spark.read.parquet(f"{SF}/embeddings.parquet").limit(3).selectExpr(
+        "vec_id as query_id", "embedding as query_vec"
+    ).write.parquet(qp)
+    assert _run("ann-query", str(cli_tmp / "idx_pq"), "--queries-path", qp) == 0
