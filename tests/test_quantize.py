@@ -180,3 +180,44 @@ def test_pq_review_guards(spark, tmp_path):
     # (d) ivfpq build rejects the wrap-prone codes count up front
     with pytest.raises(ValueError, match="256"):
         Q.build_ivfpq_index(df, str(tmp_path / "x"), n_centroids=2, m=2, codes=512)
+
+
+def test_pq_adc_scores_match_numpy_oracle(spark):
+    """Differential pin of the ADC plumbing (offset-128 codes, LUT
+    indexing, reconstruction-norm math): pq_topk's sims must equal an
+    INDEPENDENT numpy recomputation (decode codes -> reconstruct ->
+    cosine) to the emitted 6-dp rounding, across several corpus shapes
+    and codebook geometries."""
+    import numpy as np
+
+    rng = np.random.RandomState(42)
+    for m, codes, n, dim in [(1, 2, 5, 4), (2, 4, 8, 4), (4, 4, 7, 8)]:
+        corpus = rng.randn(n, dim)
+        queries = rng.randn(2, dim)
+        df = spark.createDataFrame(
+            [(i, [float(x) for x in v]) for i, v in enumerate(corpus)],
+            "vec_id long, embedding array<double>",
+        )
+        qdf = spark.createDataFrame(
+            [(i, [float(x) for x in v]) for i, v in enumerate(queries)],
+            "query_id long, query_vec array<double>",
+        )
+        cbs = Q.train_pq_codebooks(df, m=m, codes=codes, iters=4)
+        got = {
+            (r.query_id, r.vec_id): r.sim
+            for r in Q.pq_topk(Q.pq_encode(df, cbs), qdf, cbs, k=n).collect()
+        }
+        # independent oracle: decode -> reconstruct -> cosine, no LUTs
+        cb = np.array(cbs)
+        dsub = dim // m
+        recon = np.zeros_like(corpus)
+        for j in range(m):
+            sub = corpus[:, j * dsub : (j + 1) * dsub]
+            d2 = (cb[j] ** 2).sum(1)[None, :] - 2 * (sub @ cb[j].T)
+            recon[:, j * dsub : (j + 1) * dsub] = cb[j][d2.argmin(1)]
+        rn = np.linalg.norm(recon, axis=1)
+        qn = np.linalg.norm(queries, axis=1)
+        for qi in range(len(queries)):
+            for vi in range(n):
+                want = round((queries[qi] @ recon[vi]) / (qn[qi] * rn[vi]), 6)
+                assert abs(got[(qi, vi)] - want) <= 1e-6, (m, codes, qi, vi)
