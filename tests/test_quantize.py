@@ -221,3 +221,60 @@ def test_pq_adc_scores_match_numpy_oracle(spark):
             for vi in range(n):
                 want = round((queries[qi] @ recon[vi]) / (qn[qi] * rn[vi]), 6)
                 assert abs(got[(qi, vi)] - want) <= 1e-6, (m, codes, qi, vi)
+
+
+def test_ivfpq_adc_scores_match_numpy_oracle(spark, tmp_path):
+    """Differential pin of the IVFADC decomposition (q.x_hat = q.c +
+    q.r_hat, searchsorted centroid positions, probe masking): with
+    nprobe = n_centroids (no pruning), every served sim must equal the
+    independent centroid-plus-decoded-residual reconstruction cosine."""
+    import json
+    import os
+
+    import numpy as np
+
+    rng = np.random.RandomState(7)
+    n, dim, m = 12, 8, 2
+    corpus = rng.randn(n, dim)
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(corpus)],
+        "vec_id long, embedding array<double>",
+    )
+    queries = rng.randn(2, dim)
+    qdf = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(queries)],
+        "query_id long, query_vec array<double>",
+    )
+    path = str(tmp_path / "ivfpq")
+    Q.build_ivfpq_index(df, path, n_centroids=3, m=m, codes=4, pq_iters=4)
+    got = {
+        (r.query_id, r.vec_id): r.sim
+        for r in Q.ivfpq_topk(spark, path, qdf, nprobe=3, k=n).collect()
+    }
+    assert len(got) == 2 * n  # nothing pruned at nprobe = n_centroids
+
+    with open(os.path.join(path, "_ivfpq_meta.json")) as f:
+        meta = json.load(f)
+    cid2vec = {int(c): np.array(v) for c, v in meta["centroids"]}
+    cb = np.array(meta["codebooks"])
+    dsub = dim // m
+    # independent oracle: nearest centroid by cosine (id-asc tiebreak
+    # implicit — ids are distinct), residual -> nearest codeword ->
+    # reconstruct, cosine against the query
+    qn = np.linalg.norm(queries, axis=1)
+    for vi in range(n):
+        sims_c = {
+            c: (corpus[vi] @ v) / (np.linalg.norm(corpus[vi]) * np.linalg.norm(v))
+            for c, v in cid2vec.items()
+        }
+        cbest = max(sorted(sims_c), key=lambda c: sims_c[c])
+        resid = corpus[vi] - cid2vec[cbest]
+        recon = cid2vec[cbest].copy()
+        for j in range(m):
+            sub = resid[j * dsub : (j + 1) * dsub]
+            d2 = ((cb[j] - sub) ** 2).sum(1)
+            recon[j * dsub : (j + 1) * dsub] += cb[j][d2.argmin()]
+        rn = np.linalg.norm(recon)
+        for qi in range(len(queries)):
+            want = round((queries[qi] @ recon) / (qn[qi] * rn), 6)
+            assert abs(got[(qi, vi)] - want) <= 1e-6, (qi, vi)
