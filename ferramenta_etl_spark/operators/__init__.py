@@ -19,6 +19,8 @@ from .quantile import (  # noqa: F401
     probe_distinct_ratios,
 )
 from .quantize import (  # noqa: F401
+    append_to_ivfpq_index,
+    append_to_pq_index,
     build_ivfpq_index,
     build_pq_index,
     dequantize,

@@ -618,17 +618,39 @@ def build_ivfpq_index(
     )
     cbs = _subspace_kmeans(resid, m, codes, pq_iters, seed)
 
-    cb, cbn2 = _pq_arrays(cbs)
-    dsub = cb.shape[2]
-    # dense centroid matrix + sorted-id position map so the Arrow
-    # batches fetch centroids with one vectorized gather instead of a
-    # per-row Python dict lookup (2M interpreter round-trips at the
-    # scale probe's corpus size)
-    cid_keys = np.array(sorted(cid2vec), dtype=np.int64)
-    cmat_all = np.stack([cid2vec[int(c)] for c in cid_keys])
+    encoded = _ivfpq_encode(bucketed, cents, cbs, id_col, vec_col)
+    encoded.write.mode("overwrite").partitionBy("centroid_id").parquet(path)
+    meta = {
+        "centroids": [[int(c), [float(x) for x in v]] for c, v in cents],
+        "codebooks": cbs,
+    }
+    with open(os.path.join(path, "_ivfpq_meta.json"), "w") as f:
+        json.dump(meta, f)
+    return meta
+
+
+def _ivfpq_encode(
+    bucketed: DataFrame,
+    cents,
+    cbs: list[list[list[float]]],
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """Residual-PQ encode of a bucketed (id, vec, centroid_id) frame
+    with FROZEN centroids and codebooks — shared by the index build and
+    incremental append. Narrow Arrow-batched map; centroid fetches are
+    one vectorized gather per batch (sorted-id searchsorted), not a
+    per-row Python dict lookup."""
+    import numpy as np
+
     from pyspark.sql import types as T
 
-    in_fields = {f.name: f for f in corpus.schema.fields}
+    cid2vec = {int(c): np.array(v, dtype=np.float64) for c, v in cents}
+    cb, cbn2 = _pq_arrays(cbs)
+    m, dsub = cb.shape[0], cb.shape[2]
+    cid_keys = np.array(sorted(cid2vec), dtype=np.int64)
+    cmat_all = np.stack([cid2vec[int(c)] for c in cid_keys])
+    in_fields = {f.name: f for f in bucketed.schema.fields}
     schema = T.StructType(
         [
             in_fields[id_col],
@@ -646,9 +668,7 @@ def build_ivfpq_index(
                 continue
             x = np.stack([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
             cids = pdf["centroid_id"].values
-            cmat = cmat_all[
-                np.searchsorted(cid_keys, cids.astype(np.int64))
-            ]
+            cmat = cmat_all[np.searchsorted(cid_keys, cids.astype(np.int64))]
             r = x - cmat
             ok = np.isfinite(x).all(axis=1)
             r = np.where(ok[:, None], r, 0.0)
@@ -674,17 +694,65 @@ def build_ivfpq_index(
                 }
             )
 
-    encoded = bucketed.select(id_col, vec_col, "centroid_id").mapInPandas(
+    return bucketed.select(id_col, vec_col, "centroid_id").mapInPandas(
         batches, schema
     )
-    encoded.write.mode("overwrite").partitionBy("centroid_id").parquet(path)
-    meta = {
-        "centroids": [[int(c), [float(x) for x in v]] for c, v in cents],
-        "codebooks": cbs,
-    }
-    with open(os.path.join(path, "_ivfpq_meta.json"), "w") as f:
-        json.dump(meta, f)
-    return meta
+
+
+def append_to_pq_index(
+    spark,
+    path: str,
+    new_vectors: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> int:
+    """Incrementally grow a persisted PQ index: encode the new batch
+    with the index's FROZEN codebooks (codebooks are immutable index
+    metadata — retraining would silently re-meaning every stored code)
+    and land it through the idempotent sink, so appends are
+    exactly-once per vector id: reruns and overlapping batches add
+    zero duplicates, first writer wins. Returns rows appended."""
+    from ..sinks import write_ignore_conflicts
+
+    cbs = load_pq_codebooks(path)
+    encoded = pq_encode(new_vectors, cbs, id_col, vec_col)
+    return write_ignore_conflicts(encoded, path, keys=[id_col])
+
+
+def append_to_ivfpq_index(
+    spark,
+    path: str,
+    new_vectors: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> int:
+    """Incrementally grow a persisted IVF-PQ index: bucket the new
+    batch under the index's frozen coarse centroids, residual-encode
+    with its frozen codebooks, and append through the idempotent sink.
+
+    First-writer-wins is by ``vec_id`` ALONE — but the partitioned sink
+    keys on (centroid_id, vec_id), and a conflicting id arriving with
+    DIFFERENT content can bucket under a different centroid, where the
+    composite key would not collide (caught by the incremental-append
+    test). So conflicting ids are dropped by an explicit id-level
+    anti-join against the index BEFORE encoding (one id-column scan);
+    the composite-key sink then guards the rerun/concurrent-writer
+    window for the surviving rows, whose buckets ARE stable."""
+    from ..sinks import write_ignore_conflicts
+    from .similarity import assign_ivf_buckets
+
+    meta = load_ivfpq_meta(path)
+    cents = [(int(c), [float(x) for x in v]) for c, v in meta["centroids"]]
+    cbs = [[[float(x) for x in c] for c in book] for book in meta["codebooks"]]
+    existing = spark.read.parquet(path).select(id_col)
+    fresh = new_vectors.join(existing, id_col, "left_anti").dropDuplicates(
+        [id_col]
+    )
+    bucketed = assign_ivf_buckets(fresh, cents, id_col, vec_col)
+    encoded = _ivfpq_encode(bucketed, cents, cbs, id_col, vec_col)
+    return write_ignore_conflicts(
+        encoded, path, keys=["centroid_id", id_col], partition_cols=["centroid_id"]
+    )
 
 
 def load_ivfpq_meta(path: str) -> dict:

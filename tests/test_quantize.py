@@ -278,3 +278,50 @@ def test_ivfpq_adc_scores_match_numpy_oracle(spark, tmp_path):
         for qi in range(len(queries)):
             want = round((queries[qi] @ recon) / (qn[qi] * rn), 6)
             assert abs(got[(qi, vi)] - want) <= 1e-6, (qi, vi)
+
+
+def test_pq_index_incremental_append(spark, tmp_path):
+    """Index maintenance composes with the idempotent sink: appends
+    encode with the FROZEN codebooks and land exactly-once per vector
+    id — overlapping batches and reruns add zero duplicates, and the
+    served top-k sees the new vectors."""
+    import numpy as np
+
+    rng = np.random.RandomState(3)
+
+    def frame(ids, vecs):
+        return spark.createDataFrame(
+            [(int(i), [float(x) for x in v]) for i, v in zip(ids, vecs)],
+            "vec_id long, embedding array<double>",
+        )
+
+    base = frame(range(30), rng.randn(30, 8))
+    newv = rng.randn(10, 8)
+    batch = frame(range(25, 40), np.vstack([rng.randn(5, 8), newv]))  # 25-29 overlap
+
+    # flat PQ
+    p1 = str(tmp_path / "pq")
+    Q.build_pq_index(base, p1, m=2, codes=8, train_iters=4)
+    assert Q.append_to_pq_index(spark, p1, batch) == 10  # only 30-39 new
+    assert Q.append_to_pq_index(spark, p1, batch) == 0  # rerun: zero
+    idx = spark.read.parquet(p1)
+    assert idx.count() == 40
+    assert idx.select("vec_id").distinct().count() == 40
+    q = frame([99], [newv[-1]]).selectExpr(
+        "vec_id as query_id", "embedding as query_vec"
+    )
+    # with coarse frozen codebooks several vectors can share vec 39's
+    # reconstruction (ties resolve id-asc), so assert top-k MEMBERSHIP
+    top = {r.vec_id for r in Q.pq_topk_on_index(spark, p1, q, k=10).collect()}
+    assert 39 in top  # the appended vector is served
+
+    # IVF-PQ (partitioned; conflict scan prunes to touched centroids)
+    p2 = str(tmp_path / "ivfpq")
+    Q.build_ivfpq_index(base, p2, n_centroids=4, m=2, codes=8, pq_iters=4)
+    assert Q.append_to_ivfpq_index(spark, p2, batch) == 10
+    assert Q.append_to_ivfpq_index(spark, p2, batch) == 0
+    idx2 = spark.read.parquet(p2)
+    assert idx2.count() == 40
+    assert idx2.select("vec_id").distinct().count() == 40
+    top2 = {r.vec_id for r in Q.ivfpq_topk(spark, p2, q, nprobe=4, k=10).collect()}
+    assert 39 in top2
