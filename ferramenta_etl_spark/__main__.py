@@ -56,7 +56,7 @@ def main(argv: list[str] | None = None, _stop_session: bool = True) -> int:
     )
     p.add_argument(
         "--index-kind",
-        choices=["ivf", "pq", "ivfpq"],
+        choices=["ivf", "pq", "opq", "ivfpq"],
         default="ivfpq",
         help="ann-index: which index layout to build",
     )
@@ -375,7 +375,11 @@ def main(argv: list[str] | None = None, _stop_session: bool = True) -> int:
             # 'pq' (one-byte-per-subvector codes + codebook sidecar),
             # or 'ivfpq' (both: residual codes partitioned by coarse
             # centroid — the billion-scale layout).
-            from .operators.quantize import build_ivfpq_index, build_pq_index
+            from .operators.quantize import (
+                build_ivfpq_index,
+                build_opq_index,
+                build_pq_index,
+            )
             from .operators.similarity import build_ivf_index
             from .sources import load_table
 
@@ -385,6 +389,8 @@ def main(argv: list[str] | None = None, _stop_session: bool = True) -> int:
                 build_ivf_index(emb, path, n_centroids=args.n_centroids)
             elif args.index_kind == "pq":
                 build_pq_index(emb, path, m=args.pq_m, codes=args.pq_codes)
+            elif args.index_kind == "opq":
+                build_opq_index(emb, path, m=args.pq_m, codes=args.pq_codes)
             else:
                 build_ivfpq_index(
                     emb, path, n_centroids=args.n_centroids,

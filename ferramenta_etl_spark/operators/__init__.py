@@ -22,6 +22,7 @@ from .quantize import (  # noqa: F401
     append_to_ivfpq_index,
     append_to_pq_index,
     build_ivfpq_index,
+    build_opq_index,
     build_pq_index,
     dequantize,
     ivfpq_topk,
@@ -31,6 +32,7 @@ from .quantize import (  # noqa: F401
     pq_topk_rerank,
     quantize_embeddings,
     quantized_cosine_topk,
+    train_opq_codebooks,
     train_pq_codebooks,
 )
 from .similarity import dedup_semantic, lsh_ann_topk  # noqa: F401

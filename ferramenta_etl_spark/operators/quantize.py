@@ -216,6 +216,73 @@ def _pq_arrays(codebooks):
     return cb, (cb * cb).sum(axis=2)
 
 
+def train_opq_codebooks(
+    corpus: DataFrame,
+    m: int = 8,
+    codes: int = 256,
+    sample_rows: int = 16384,
+    iters: int = 10,
+    opq_iters: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 7,
+) -> tuple[list[list[float]], list[list[list[float]]]]:
+    """OPQ: learn an orthonormal rotation R alongside the PQ codebooks
+    (Ge/He/Ke/Sun, "Optimized Product Quantization", CVPR 2013 — the
+    non-parametric alternation): k-means the ROTATED sample, then solve
+    the orthogonal procrustes problem R = argmin |XR - recon|_F (SVD of
+    X^T recon), repeat. Axis-aligned subspace splits are the weak spot
+    of plain PQ on anisotropic data — on a decaying-spectrum fixture
+    the rotation cuts quantization distortion ~2.9x at the same code
+    budget (pinned in tests). Rotation preserves inner products and
+    norms, so every downstream cosine is unchanged in meaning: encode
+    rotates corpus vectors, serve rotates queries, rerank uses raw
+    vectors. Returns (rotation, codebooks) — both JSON-serializable
+    index metadata."""
+    import numpy as np
+
+    if codes > 256:
+        raise ValueError("codes must be <= 256 (one byte per subvector)")
+    rows = (
+        corpus.select(id_col, vec_col)
+        .filter(
+            F.expr(
+                f"aggregate({vec_col}, true, (a, x) -> a AND NOT isnan(x)"
+                f" AND abs(x) != double('inf'))"
+            )
+        )
+        .orderBy(F.col(id_col).asc())
+        .limit(sample_rows)
+        .collect()
+    )
+    x = np.array([list(r[1]) for r in rows], dtype=np.float64)
+    if x.ndim != 2 or len(x) == 0:
+        raise ValueError(
+            "no usable training vectors (empty corpus, or every vector "
+            "non-finite) — OPQ needs a non-empty finite sample"
+        )
+    dim = x.shape[1]
+    rot = np.eye(dim)
+
+    def _encode_sample(xr, cbs_):
+        cb, cbn2 = _pq_arrays(cbs_)
+        dsub = cb.shape[2]
+        recon = np.empty_like(xr)
+        for j in range(cb.shape[0]):
+            sub = xr[:, j * dsub : (j + 1) * dsub]
+            d2 = cbn2[j][None, :] - 2.0 * (sub @ cb[j].T)
+            recon[:, j * dsub : (j + 1) * dsub] = cb[j][d2.argmin(axis=1)]
+        return recon
+
+    cbs = _subspace_kmeans(x, m, codes, iters, seed)
+    for _ in range(opq_iters):
+        recon = _encode_sample(x @ rot, cbs)
+        u, _, vt = np.linalg.svd(x.T @ recon)
+        rot = u @ vt
+        cbs = _subspace_kmeans(x @ rot, m, codes, iters, seed)
+    return rot.tolist(), cbs
+
+
 def _collect_query_matrix(
     queries: DataFrame,
     query_id_col: str,
@@ -265,6 +332,7 @@ def pq_encode(
     vec_col: str = "embedding",
     code_col: str = "pq_code",
     norm_col: str = "pq_norm",
+    rotation: list[list[float]] | None = None,
 ) -> DataFrame:
     """Encode each vector as ``m`` one-byte codes (array<tinyint>,
     stored as argmin - 128) plus the reconstruction norm
@@ -273,12 +341,17 @@ def pq_encode(
     map — no shuffle, output partitioning == input partitioning; the
     codebook matrix is a task-broadcast closure. Non-finite vectors
     and vectors whose reconstruction is the origin get norm 0 — the
-    family's zero-norm policy (they drop from every ranking)."""
+    family's zero-norm policy (they drop from every ranking).
+    ``rotation`` (from train_opq_codebooks) applies the OPQ rotation in
+    the same Arrow pass — one extra batch matmul, no extra scan."""
+    import numpy as np
+
     from pyspark.sql import types as T
 
     cb, cbn2 = _pq_arrays(codebooks)
     m = cb.shape[0]
     dsub = cb.shape[2]
+    rot = None if rotation is None else np.array(rotation, dtype=np.float64)
     in_fields = {f.name: f for f in corpus.schema.fields}
     schema = T.StructType(
         [
@@ -298,6 +371,8 @@ def pq_encode(
             x = np.stack([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
             ok = np.isfinite(x).all(axis=1)
             x = np.where(ok[:, None], x, 0.0)
+            if rot is not None:
+                x = x @ rot
             idx = np.empty((len(x), m), dtype=np.int64)
             n2 = np.zeros(len(x))
             for j in range(m):
@@ -330,6 +405,7 @@ def pq_topk(
     query_id_col: str = "query_id",
     query_vec_col: str = "query_vec",
     max_queries: int = 4096,
+    rotation: list[list[float]] | None = None,
 ) -> DataFrame:
     """Approximate cosine top-k over PQ codes by ADC.
 
@@ -354,6 +430,10 @@ def pq_topk(
     qids, qmat, qn = _collect_query_matrix(
         queries, query_id_col, query_vec_col, max_queries
     )
+    if rotation is not None and len(qids):
+        # rotate queries into the OPQ-encoded space; the rotation is
+        # orthonormal so norms and cosines are unchanged in meaning
+        qmat = qmat @ np.array(rotation, dtype=np.float64)
     in_fields = {f.name: f for f in codes_df.schema.fields}
     qid_field = {f.name: f for f in queries.schema.fields}[query_id_col]
     schema = T.StructType(
@@ -426,6 +506,7 @@ def pq_topk_rerank(
     norm_col: str = "pq_norm",
     query_id_col: str = "query_id",
     query_vec_col: str = "query_vec",
+    rotation: list[list[float]] | None = None,
 ) -> DataFrame:
     """The standard PQ serving composition: ADC shortlists
     ``shortlist`` (default 4k) candidates per query from codes alone,
@@ -447,7 +528,10 @@ def pq_topk_rerank(
         norm_col=norm_col,
         query_id_col=query_id_col,
         query_vec_col=query_vec_col,
+        rotation=rotation,
     ).select(query_id_col, id_col)
+    # the exact phase uses RAW vectors and UNrotated queries: the
+    # rotation is orthonormal, so true cosines are identical either way
     return _exact_rerank(
         cand, corpus, queries, k, id_col, vec_col, query_id_col, query_vec_col
     )
@@ -522,6 +606,38 @@ def build_pq_index(
     return cbs
 
 
+def build_opq_index(
+    corpus: DataFrame,
+    path: str,
+    m: int = 8,
+    codes: int = 256,
+    train_iters: int = 10,
+    opq_iters: int = 8,
+    sample_rows: int = 16384,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> tuple[list[list[float]], list[list[list[float]]]]:
+    """Materialize an OPQ index: same layout as build_pq_index plus the
+    learned rotation as a second sidecar. pq_topk_on_index and
+    append_to_pq_index detect the rotation sidecar and apply it, so
+    OPQ indexes serve and grow through the exact same surface (and the
+    ann-query CLI's kind auto-detection keeps working unchanged)."""
+    import json
+    import os
+
+    rot, cbs = train_opq_codebooks(
+        corpus, m, codes, sample_rows, train_iters, opq_iters, id_col, vec_col
+    )
+    pq_encode(corpus, cbs, id_col, vec_col, rotation=rot).write.mode(
+        "overwrite"
+    ).parquet(path)
+    with open(os.path.join(path, "_pq_codebooks.json"), "w") as f:
+        json.dump(cbs, f)
+    with open(os.path.join(path, "_opq_rotation.json"), "w") as f:
+        json.dump(rot, f)
+    return rot, cbs
+
+
 def load_pq_codebooks(path: str) -> list[list[list[float]]]:
     import json
     import os
@@ -530,6 +646,17 @@ def load_pq_codebooks(path: str) -> list[list[list[float]]]:
         return [
             [[float(x) for x in c] for c in book] for book in json.load(f)
         ]
+
+
+def _load_pq_rotation(path: str) -> list[list[float]] | None:
+    import json
+    import os
+
+    p = os.path.join(path, "_opq_rotation.json")
+    if not os.path.exists(p):
+        return None
+    with open(p) as f:
+        return [[float(x) for x in row] for row in json.load(f)]
 
 
 def pq_topk_on_index(
@@ -543,7 +670,8 @@ def pq_topk_on_index(
 ) -> DataFrame:
     """Serve approximate top-k from a persisted PQ index: the scan reads
     one byte per subvector per corpus row (plus the norm) — at m=8 over
-    768-dim float64 that is ~0.2% of the raw-vector bytes."""
+    768-dim float64 that is ~0.2% of the raw-vector bytes. An OPQ
+    index's rotation sidecar is detected and applied transparently."""
     cbs = load_pq_codebooks(path)
     codes_df = spark.read.parquet(path)
     return pq_topk(
@@ -554,6 +682,7 @@ def pq_topk_on_index(
         id_col=id_col,
         query_id_col=query_id_col,
         query_vec_col=query_vec_col,
+        rotation=_load_pq_rotation(path),
     )
 
 
@@ -715,7 +844,9 @@ def append_to_pq_index(
     from ..sinks import write_ignore_conflicts
 
     cbs = load_pq_codebooks(path)
-    encoded = pq_encode(new_vectors, cbs, id_col, vec_col)
+    encoded = pq_encode(
+        new_vectors, cbs, id_col, vec_col, rotation=_load_pq_rotation(path)
+    )
     return write_ignore_conflicts(encoded, path, keys=[id_col])
 
 

@@ -150,7 +150,7 @@ def test_cli_ingest_null_key_rows_quarantined_idempotent(cli_tmp, capsys):
     assert os.path.isdir(q)
 
 def test_cli_ann_index_and_query(cli_tmp, spark):
-    for kind in ("ivfpq", "pq", "ivf"):
+    for kind in ("ivfpq", "pq", "opq", "ivf"):
         idx = str(cli_tmp / f"idx_{kind}")
         assert _run("ann-index", idx, "--index-kind", kind) == 0
         assert _run("ann-query", idx, "--k", "3") == 0
