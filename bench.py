@@ -1,19 +1,23 @@
 """Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
 (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
-JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
-"queries": {name: median_sec}, "sf": ..., "spread_pct": {name: pct},
-"env": {...}}. The artifact is SELF-IDENTIFYING about noise (VERDICT r04
-#2): spread_pct carries each query's interquartile run spread around its
-median, and
-env records the run protocol (runs, warm-up, cpus) plus two environment
-checks — foreign JVMs on the box before/after the run and the 1-min load
-average at start — with env.noisy=true whenever either check fails or
-any query's reported median sits more than 25% of itself AND 0.3 s above
-its first-quartile run (a single outlier in either direction cannot trip
-it, and sub-second
-queries always jitter ~0.1 s). A ±30% round-over-round swing on an unchanged
-plan can then be read off the artifact itself (its own spread / a dirty
-env) instead of needing forensics against SCALING.md.
+COMPACT JSON line to stdout: {"metric": ..., "value": total_sec,
+"unit": "sec", "queries": {name: median_sec}, "sf": ..., "noisy": bool}.
+
+Everything else — per-query interquartile spread, adaptive run counts,
+and the environment block (foreign-JVM scans, load average, per-query
+noisy flags) — goes to BENCH_DETAIL.json next to this file (VERDICT r07
+#1: the r07 stdout line outgrew the driver's tail capture and BENCH_r07
+recorded parsed:null, silently dropping the headline total). stdout stays
+small enough to survive any tail capture; the detail file is committed so
+the self-identifying-noise contract from rounds 4-7 is unchanged, just
+relocated. The one noise bit that must ride on stdout is `noisy`: true
+whenever a foreign JVM was present before/after the run or any query's
+reported median sits more than 25% of itself AND 0.3 s above its
+first-quartile run (a single outlier in either direction cannot trip it,
+and sub-second queries always jitter ~0.1 s). A ±30% round-over-round
+swing on an unchanged plan can then be read off BENCH_DETAIL.json (its
+own spread / a dirty env) instead of needing forensics against
+SCALING.md.
 
 Timing = full pipeline per query: plan lookup + execution to a
 count-style sink (foreach-noop via ``df.write.format('noop')``), which
@@ -279,6 +283,10 @@ def main() -> None:
         "noisy": bool(jvms_start or jvms_end or noisy_queries),
     }
     total = round(sum(timings.values()), 3)
+    sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
+    # stdout: the compact driver-facing line ONLY (VERDICT r07 #1 — the
+    # full artifact outgrew the driver's tail capture; parsed:null).
+    # Compact separators shave ~15% more off the line length.
     print(
         json.dumps(
             {
@@ -286,12 +294,32 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-                "spread_pct": spreads,
-                "env": env,
-            }
+                "sf": sf_val,
+                "noisy": env["noisy"],
+            },
+            separators=(",", ":"),
         )
     )
+    # Full self-identifying artifact -> BENCH_DETAIL.json (committed per
+    # round): spreads, run counts, env checks, plus the same headline
+    # numbers so the file stands alone.
+    detail_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               "BENCH_DETAIL.json")
+    with open(detail_path, "w") as fh:
+        json.dump(
+            {
+                "metric": "headline_queries_total_time",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf_val,
+                "spread_pct": spreads,
+                "env": env,
+            },
+            fh,
+            indent=1,
+        )
+        fh.write("\n")
     spark.stop()
 
 

@@ -38,6 +38,7 @@ from __future__ import annotations
 
 import contextlib
 import logging
+import os
 import time
 from collections.abc import Sequence
 
@@ -91,7 +92,17 @@ def _sink_lock(
     object stores WITHOUT atomic exclusive create (plain S3), this
     degrades to best-effort — the single-writer assertion stands there;
     use the ``delta`` backend for true ACID upsert.
+
+    OWNERSHIP + HEARTBEAT (ADVICE r07): the winner stamps a unique token
+    into the lock file and a daemon thread refreshes the lock mtime every
+    ``stale_s/4`` while the critical section runs, so a healthy holder
+    whose anti-join+append outlives ``stale_s`` is never presumed
+    orphaned. The finally-release verifies the token before deleting —
+    if the lock was legitimately taken over (holder truly wedged past
+    ``stale_s`` with the heartbeat dead too), the slow writer must NOT
+    delete the new holder's fresh lock and let a third writer in.
     """
+    import threading
     import uuid
 
     jvm = spark._jvm
@@ -118,17 +129,58 @@ def _sink_lock(
     with contextlib.suppress(Exception):
         fs.mkdirs(qualified.getParent())
 
+    token = uuid.uuid4().hex
+    local_os_path = (
+        qualified.toUri().getPath()
+        if qualified.toUri().getScheme() == "file"
+        else None
+    )
+
     def _try_create() -> bool:
         if local_file is not None:
-            return bool(local_file.createNewFile())
+            if not bool(local_file.createNewFile()):
+                return False
+            # Exclusive owner at this instant — stamp the ownership token
+            # (plain Python I/O; the path is local by construction).
+            with contextlib.suppress(OSError):
+                with open(local_os_path, "w") as fh:
+                    fh.write(token)
+            return True
         try:
-            fs.create(p, False).close()
+            out = fs.create(p, False)
+            try:
+                out.writeBytes(token)
+            finally:
+                out.close()
             return True
         except Exception:  # noqa: BLE001 — py4j wraps FileAlreadyExists
             return False
 
+    def _read_token() -> str | None:
+        try:
+            if local_os_path is not None:
+                with open(local_os_path) as fh:
+                    return fh.read().strip()
+            stream = fs.open(p)
+            try:
+                return bytes(stream.readAllBytes()).decode("utf-8").strip()
+            finally:
+                stream.close()
+        except Exception:  # noqa: BLE001 — lock gone / unreadable
+            return None
+
     deadline = time.monotonic() + timeout_s
     while not _try_create():
+        # Deadline is checked on EVERY iteration (ADVICE r07): a lock
+        # that stays stale while the takeover rename persistently fails
+        # (e.g. a permission error swallowed below) must still raise
+        # SinkLockTimeout instead of spinning forever.
+        if time.monotonic() >= deadline:
+            raise SinkLockTimeout(
+                f"sink lock {lock_path} still held after {timeout_s}s; "
+                f"a crashed holder is taken over after {stale_s}s, or "
+                "delete the lock file to clear it manually"
+            )
         stale = False
         with contextlib.suppress(Exception):
             st = fs.getFileStatus(p)
@@ -153,19 +205,49 @@ def _sink_lock(
                 )
                 with contextlib.suppress(Exception):
                     fs.delete(orphan, False)
-        elif time.monotonic() >= deadline:
-            raise SinkLockTimeout(
-                f"sink lock {lock_path} still held after {timeout_s}s; "
-                f"a crashed holder is taken over after {stale_s}s, or "
-                "delete the lock file to clear it manually"
-            )
         else:
             time.sleep(poll_s)
+
+    # HEARTBEAT: refresh the lock mtime while the critical section runs
+    # so a healthy-but-slow holder (anti-join+append > stale_s — plausible
+    # at the 100 TB posture) is never mistaken for a crashed one. The
+    # token is re-read before each touch so a lock that WAS legitimately
+    # taken over (we wedged long enough for the heartbeat to also stall)
+    # is never refreshed by the deposed holder.
+    stop_hb = threading.Event()
+
+    def _heartbeat() -> None:
+        interval = max(stale_s / 4.0, 1.0)
+        while not stop_hb.wait(interval):
+            with contextlib.suppress(Exception):
+                if _read_token() != token:
+                    return  # deposed — stop touching someone else's lock
+                if local_os_path is not None:
+                    os.utime(local_os_path, None)
+                else:
+                    fs.setTimes(p, int(time.time() * 1000), -1)
+
+    hb = threading.Thread(target=_heartbeat, daemon=True,
+                          name="sink-lock-heartbeat")
+    hb.start()
     try:
         yield
     finally:
+        stop_hb.set()
+        hb.join(timeout=5.0)
+        # Ownership-checked release (ADVICE r07): delete only OUR lock.
+        # If the token no longer matches, the lock was taken over while
+        # we ran — deleting it would evict the CURRENT holder and reopen
+        # the double-append race for a third writer.
         with contextlib.suppress(Exception):
-            fs.delete(p, False)
+            if _read_token() == token:
+                fs.delete(p, False)
+            else:
+                log.warning(
+                    "sink lock %s no longer ours at release (taken over "
+                    "as stale?); leaving it for the current holder",
+                    lock_path,
+                )
 
 
 def _exists(spark: SparkSession, path: str) -> bool:

@@ -282,3 +282,48 @@ def test_held_sink_lock_times_out(spark, target):
     with pytest.raises(SinkLockTimeout):
         write_ignore_conflicts(df, target, keys=["k"], lock_timeout_s=0.5)
     os.remove(lockfile)
+
+
+def test_deposed_holder_does_not_delete_new_lock(spark, target):
+    """ADVICE r07 (medium): release is ownership-checked. If the lock was
+    taken over while we held it (simulated by rewriting the token), the
+    deposed holder must leave the new holder's lock in place."""
+    import os
+
+    from ferramenta_etl_spark.sinks.idempotent import _sink_lock
+
+    lockfile = target + ".__lock__"
+    with _sink_lock(spark, target, timeout_s=5.0, stale_s=600.0):
+        with open(lockfile) as fh:
+            ours = fh.read().strip()
+        assert len(ours) == 32  # uuid4 hex token stamped on acquire
+        with open(lockfile, "w") as fh:
+            fh.write("someone-elses-token")
+    # exit did NOT delete the foreign lock
+    assert os.path.exists(lockfile)
+    os.remove(lockfile)
+
+
+def test_heartbeat_keeps_slow_holder_alive(spark, target):
+    """ADVICE r07 (medium): a healthy holder whose critical section
+    outlives stale_s is never presumed orphaned — the heartbeat refreshes
+    the lock mtime, so a waiter sees a FRESH lock and times out instead
+    of taking over and double-holding."""
+    import os
+    import time
+
+    from ferramenta_etl_spark.sinks import SinkLockTimeout
+    from ferramenta_etl_spark.sinks.idempotent import _sink_lock
+
+    lockfile = target + ".__lock__"
+    with _sink_lock(spark, target, timeout_s=5.0, stale_s=2.0):
+        time.sleep(3.5)  # > stale_s: heartbeat (stale_s/4 cadence) must
+        # have touched the file, so its mtime is recent
+        age = time.time() - os.path.getmtime(lockfile)
+        assert age < 2.0, f"heartbeat did not refresh lock (age {age:.1f}s)"
+        # a contender observing the refreshed lock must TIME OUT, not
+        # take over
+        with pytest.raises(SinkLockTimeout):
+            with _sink_lock(spark, target, timeout_s=1.0, stale_s=2.0):
+                pass
+    assert not os.path.exists(lockfile)  # released by the rightful owner
