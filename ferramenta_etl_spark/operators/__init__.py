@@ -44,10 +44,12 @@ from .sampling import (  # noqa: F401
 )
 from .multimodal import (  # noqa: F401
     attach_fake_media,
+    attach_fake_raw_images,
     extract_media_features,
     frame_sample_schedule,
     frame_sample_stub,
     letterbox_dims,
+    resize_images,
     resize_stub,
 )
 from .similarity import (  # noqa: F401

@@ -944,3 +944,98 @@ def test_cosine_near_dup_srp_arrow_wide_bands(spark):
     assert len(planted) >= 45
     recall = len(planted & set(srp)) / len(planted)
     assert recall >= 0.95, f"wide-band SRP recall {recall:.3f}"
+
+
+def _ref_bilinear(img, ow, oh):
+    """Per-pixel float reference for the vectorized kernel (half-pixel
+    centers, clamped edges, round-half-even) — the numpy oracle VERDICT
+    r07 #3 asked for, written loop-wise so it shares no code path."""
+    import math
+
+    import numpy as np
+
+    ih, iw = img.shape[:2]
+    out = np.zeros((oh, ow, 3), np.uint8)
+    for j in range(oh):
+        for i in range(ow):
+            x = (i + 0.5) * (iw / ow) - 0.5
+            y = (j + 0.5) * (ih / oh) - 0.5
+            x0f, y0f = math.floor(x), math.floor(y)
+            wx, wy = x - x0f, y - y0f
+            x0 = min(max(x0f, 0), iw - 1)
+            x1 = min(max(x0f + 1, 0), iw - 1)
+            y0 = min(max(y0f, 0), ih - 1)
+            y1 = min(max(y0f + 1, 0), ih - 1)
+            for c in range(3):
+                top = float(img[y0, x0, c]) * (1 - wx) + float(img[y0, x1, c]) * wx
+                bot = float(img[y1, x0, c]) * (1 - wx) + float(img[y1, x1, c]) * wx
+                v = top * (1 - wy) + bot * wy
+                out[j, i, c] = int(min(max(round(v), 0), 255))
+    return out
+
+
+def test_resize_images_matches_pixel_oracle(spark):
+    """resize_images end-to-end on synthesized raw-RGB fixtures: every
+    output byte equals the per-pixel reference, letterbox geometry equals
+    the JVM letterbox_dims expression, and a same-dims letterbox=False
+    pass is the identity."""
+    import numpy as np
+
+    from ferramenta_etl_spark.operators.multimodal import (
+        attach_fake_raw_images,
+        letterbox_dims,
+        resize_images,
+    )
+
+    docs = spark.createDataFrame([(i,) for i in range(12)], "doc_id long")
+    raw = attach_fake_raw_images(docs)
+    originals = {
+        r.doc_id: np.frombuffer(bytes(r.media), np.uint8).reshape(
+            r.height, r.width, 3
+        )
+        for r in raw.collect()
+    }
+    resized = {r.doc_id: r for r in resize_images(raw, 16, 12).collect()}
+    geom = {
+        r.doc_id: (r.d.out_w, r.d.out_h)
+        for r in raw.select(
+            "doc_id", letterbox_dims("width", "height", 16, 12).alias("d")
+        ).collect()
+    }
+    assert set(resized) == set(originals)
+    for did, img in originals.items():
+        r = resized[did]
+        assert (r.width, r.height) == geom[did]  # numpy == JVM geometry
+        got = np.frombuffer(bytes(r.media), np.uint8).reshape(r.height, r.width, 3)
+        want = _ref_bilinear(img, r.width, r.height)
+        assert np.array_equal(got, want), f"doc {did}: pixel mismatch"
+
+    # identity: resizing to the source dims reproduces the input bytes
+    one = raw.filter("doc_id = 3")
+    src = one.first()
+    same = resize_images(one, src.width, src.height, letterbox=False).first()
+    assert bytes(same.media) == bytes(src.media)
+
+
+def test_resize_images_malformed_rows_null_out(spark):
+    """A truncated payload or null media yields all-null output without
+    poisoning the Arrow batch; healthy rows in the same batch survive."""
+    import numpy as np
+
+    from ferramenta_etl_spark.operators.multimodal import resize_images
+
+    good = np.arange(4 * 6 * 3, dtype=np.uint8).reshape(6, 4, 3)
+    rows = [
+        (1, bytes(good.tobytes()), 4, 6),
+        (2, b"\x00\x01\x02", 4, 6),       # byte_len != w*h*3
+        (3, None, 4, 6),                   # null payload
+        (4, bytes(good.tobytes()), 0, 6),  # non-positive dim
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, media binary, width long, height long"
+    )
+    out = {r.doc_id: r for r in resize_images(df, 2, 3, letterbox=False).collect()}
+    assert out[1].media is not None and (out[1].width, out[1].height) == (2, 3)
+    for bad in (2, 3, 4):
+        assert out[bad].media is None
+        assert out[bad].width is None and out[bad].height is None
