@@ -4,6 +4,11 @@ from .idempotent import (  # noqa: F401
     merge_insert_condition,
     write_ignore_conflicts,
 )
+from .jdbc_conflict import (  # noqa: F401
+    conflict_insert_sql,
+    jdbc_dialect,
+    write_jdbc_ignore_conflicts,
+)
 from .layout import (  # noqa: F401
     compact_small_files,
     file_clustering_report,

@@ -1,0 +1,145 @@
+"""The JDBC conflict-insert sink (VERDICT r07 #4): exact generated SQL
+for the PostgreSQL dialect (the reference's literal ON CONFLICT DO
+NOTHING load, S:214-218 — no PG server in the container), plus the full
+stage->insert->drop round-trip on embedded Derby through the portable
+NOT EXISTS dialect."""
+
+import pytest
+
+from ferramenta_etl_spark.sinks.jdbc_conflict import (
+    conflict_insert_sql,
+    jdbc_dialect,
+    write_jdbc_ignore_conflicts,
+)
+from ferramenta_etl_spark.sources.jdbc import JdbcConfig
+
+
+def test_dialect_dispatch():
+    assert jdbc_dialect("jdbc:postgresql://host:5432/db") == "postgresql"
+    assert jdbc_dialect("jdbc:PostgreSQL://host/db") == "postgresql"
+    assert jdbc_dialect("jdbc:derby:/tmp/db;create=true") == "generic"
+    assert jdbc_dialect("jdbc:sqlserver://host;databaseName=db") == "generic"
+
+
+def test_postgres_statement_is_the_references_literal_clause():
+    sql = conflict_insert_sql(
+        "manifesto_parcelas",
+        "manifesto_parcelas__stage",
+        ["id_manifesto", "cd_parcela", "vl_parcela"],
+        ["id_manifesto", "cd_parcela"],
+        dialect="postgresql",
+    )
+    # column identifiers quoted case-exact (Spark's JDBC writer creates
+    # them quoted); the clause structure is the reference's literal
+    # ON CONFLICT (keys) DO NOTHING (S:214-218)
+    assert sql == (
+        'INSERT INTO manifesto_parcelas '
+        '("id_manifesto", "cd_parcela", "vl_parcela") '
+        'SELECT "id_manifesto", "cd_parcela", "vl_parcela" '
+        'FROM manifesto_parcelas__stage '
+        'ON CONFLICT ("id_manifesto", "cd_parcela") DO NOTHING'
+    )
+
+
+def test_generic_statement_is_anti_join_insert():
+    sql = conflict_insert_sql(
+        "t", "stg", ["k", "v"], ["k"], dialect="generic"
+    )
+    assert sql == (
+        'INSERT INTO t ("k", "v") SELECT "k", "v" FROM stg '
+        'WHERE NOT EXISTS (SELECT 1 FROM t WHERE t."k" = stg."k")'
+    )
+
+
+def test_statement_validation():
+    with pytest.raises(ValueError, match="invalid SQL identifier"):
+        conflict_insert_sql("t; DROP TABLE x", "s", ["k"], ["k"])
+    with pytest.raises(ValueError, match="not in columns"):
+        conflict_insert_sql("t", "s", ["v"], ["k"])
+    with pytest.raises(ValueError, match="unknown dialect"):
+        conflict_insert_sql("t", "s", ["k"], ["k"], dialect="mysql")
+
+
+def test_pg_url_routes_on_conflict_without_server(spark):
+    """Dispatch test: a postgresql URL emits stage + ON CONFLICT insert
+    + drop through run_statement — captured, never executed (no server).
+    The staging write is intercepted by pointing the URL at an
+    unreachable host and asserting the statement list BEFORE any
+    execution by stubbing run_statement to record."""
+    cfg = JdbcConfig(url="jdbc:postgresql://db.example:5432/etl", user="u",
+                     password="p")
+    df = spark.createDataFrame([(1, "a")], "id_manifesto int, vl string")
+    seen = []
+
+    def record(sql):
+        seen.append(sql)
+        return 1
+
+    # the staging write itself needs a live server; monkey-stub it
+    class _W:
+        def format(self, *_):
+            return self
+
+        def mode(self, *_):
+            return self
+
+        def options(self, **_):
+            return self
+
+        def save(self):
+            seen.append("__staged__")
+
+    deduped_cls = type(df)
+    orig = deduped_cls.write
+    try:
+        deduped_cls.write = property(lambda self: _W())
+        n = write_jdbc_ignore_conflicts(
+            df, cfg, "manifesto", keys=["id_manifesto"], run_statement=record
+        )
+    finally:
+        deduped_cls.write = orig
+    assert n == 1
+    assert seen[0] == "__staged__"
+    assert seen[1] == (
+        "CREATE TABLE IF NOT EXISTS manifesto "
+        "(LIKE manifesto__stage INCLUDING ALL)"
+    )
+    assert 'ON CONFLICT ("id_manifesto") DO NOTHING' in seen[2]
+    assert seen[3] == "DROP TABLE manifesto__stage"
+
+
+@pytest.fixture(scope="module")
+def derby_cfg(tmp_path_factory):
+    db = tmp_path_factory.mktemp("derby_conflict") / "sink_db"
+    return JdbcConfig(
+        url=f"jdbc:derby:{db};create=true",
+        user="app",
+        password="app",
+        driver="org.apache.derby.jdbc.EmbeddedDriver",
+        fetchsize=1000,
+        batchsize=1000,
+    )
+
+
+def test_derby_roundtrip_rerun_is_noop(spark, derby_cfg):
+    """Full stage->NOT EXISTS insert->drop on a real (embedded) JDBC
+    engine: first write inserts all, re-run inserts zero, overlapping
+    batch inserts only the new keys, in-batch dupes collapse."""
+    df = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (2, "b2")], "k int, v string"
+    )
+    n1 = write_jdbc_ignore_conflicts(df, derby_cfg, "conflict_t", keys=["k"])
+    assert n1 == 2  # in-batch dupe on k=2 collapsed before staging
+    n2 = write_jdbc_ignore_conflicts(df, derby_cfg, "conflict_t", keys=["k"])
+    assert n2 == 0  # rerun: ON CONFLICT semantics, nothing lands
+    df2 = spark.createDataFrame([(2, "dup"), (3, "c")], "k int, v string")
+    n3 = write_jdbc_ignore_conflicts(df2, derby_cfg, "conflict_t", keys=["k"])
+    assert n3 == 1  # only the genuinely new key
+    back = (
+        spark.read.format("jdbc")
+        .options(**derby_cfg.base_options(), dbtable="conflict_t")
+        .load()
+    )
+    assert sorted(r.k for r in back.collect()) == [1, 2, 3]
+    # first-writer-wins: k=2 kept its original value
+    assert {r.k: r.v for r in back.collect()}[2] in ("b", "b2")
