@@ -453,6 +453,15 @@ def pq_topk(
         [qmat[:, j * dsub : (j + 1) * dsub] @ cb[j].T for j in range(m)], axis=1
     )
 
+    # ADVICE r07: the ADC accumulator is (Q_chunk x batch) float64 —
+    # chunking the QUERY axis bounds task-side memory at ~256 x 10k x 8 B
+    # ≈ 20 MB per concurrent task regardless of max_queries (at the old
+    # full-Q width, 4096 queries x a 10k-row Arrow batch was ~330 MB per
+    # task — an executor hazard the driver-side max_queries guard never
+    # reasoned about). Results are identical: each chunk emits its own
+    # per-query batch top-k and grouped_topk merges across batches.
+    q_chunk = 256
+
     def batches(it):
         import pandas as pd
 
@@ -464,21 +473,25 @@ def pq_topk(
                 + 128
             )
             norms = pdf[norm_col].values
-            acc = np.zeros((len(qids), len(pdf)))
-            for j in range(m):
-                acc += lut[:, j, idx[:, j]]
-            with np.errstate(divide="ignore", invalid="ignore"):
-                sims = np.round(acc / (qn[:, None] * norms[None, :]), 6)
-            sims[:, norms <= 0] = -np.inf
             ids = pdf[id_col].values
             take = min(k, len(pdf))
             q_out, i_out, s_out = [], [], []
-            for qi in range(len(qids)):
-                best = np.lexsort((ids, -sims[qi]))[:take]
-                best = best[np.isfinite(sims[qi][best])]
-                q_out.extend([qids[qi]] * len(best))
-                i_out.extend(ids[best])
-                s_out.extend(sims[qi][best])
+            for q0 in range(0, len(qids), q_chunk):
+                q1 = min(q0 + q_chunk, len(qids))
+                acc = np.zeros((q1 - q0, len(pdf)))
+                for j in range(m):
+                    acc += lut[q0:q1, j, idx[:, j]]
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    sims = np.round(
+                        acc / (qn[q0:q1, None] * norms[None, :]), 6
+                    )
+                sims[:, norms <= 0] = -np.inf
+                for qi in range(q1 - q0):
+                    best = np.lexsort((ids, -sims[qi]))[:take]
+                    best = best[np.isfinite(sims[qi][best])]
+                    q_out.extend([qids[q0 + qi]] * len(best))
+                    i_out.extend(ids[best])
+                    s_out.extend(sims[qi][best])
             if q_out:
                 yield pd.DataFrame(
                     {query_id_col: q_out, id_col: i_out, "sim": s_out}
@@ -866,24 +879,40 @@ def append_to_ivfpq_index(
     DIFFERENT content can bucket under a different centroid, where the
     composite key would not collide (caught by the incremental-append
     test). So conflicting ids are dropped by an explicit id-level
-    anti-join against the index BEFORE encoding (one id-column scan);
-    the composite-key sink then guards the rerun/concurrent-writer
-    window for the surviving rows, whose buckets ARE stable."""
-    from ..sinks import write_ignore_conflicts
+    anti-join against the index BEFORE encoding (one id-column scan).
+
+    The WHOLE anti-join -> encode -> append sequence runs under the
+    sink's writer lock (ADVICE r07: with the anti-join outside it, two
+    concurrent appends of the same new id with DIFFERENT content could
+    both pass, bucket under different centroids, and the composite sink
+    key would not collide — a duplicate vec_id in the index). The
+    append therefore calls the locked parquet body directly instead of
+    write_ignore_conflicts (whose own lock acquisition would deadlock
+    on the non-reentrant lock)."""
+    from ..sinks.idempotent import _sink_lock, _write_parquet_locked
     from .similarity import assign_ivf_buckets
 
     meta = load_ivfpq_meta(path)
     cents = [(int(c), [float(x) for x in v]) for c, v in meta["centroids"]]
     cbs = [[[float(x) for x in c] for c in book] for book in meta["codebooks"]]
-    existing = spark.read.parquet(path).select(id_col)
-    fresh = new_vectors.join(existing, id_col, "left_anti").dropDuplicates(
-        [id_col]
-    )
-    bucketed = assign_ivf_buckets(fresh, cents, id_col, vec_col)
-    encoded = _ivfpq_encode(bucketed, cents, cbs, id_col, vec_col)
-    return write_ignore_conflicts(
-        encoded, path, keys=["centroid_id", id_col], partition_cols=["centroid_id"]
-    )
+    with _sink_lock(spark, path):
+        existing = spark.read.parquet(path).select(id_col)
+        fresh = new_vectors.join(existing, id_col, "left_anti").dropDuplicates(
+            [id_col]
+        )
+        bucketed = assign_ivf_buckets(fresh, cents, id_col, vec_col)
+        encoded = _ivfpq_encode(bucketed, cents, cbs, id_col, vec_col)
+        # encoded is id-deduped, which implies composite-key-deduped —
+        # the deterministic in-batch dedup write_ignore_conflicts would
+        # re-derive is already satisfied
+        return _write_parquet_locked(
+            spark,
+            encoded,
+            encoded,
+            path,
+            keys=["centroid_id", id_col],
+            partition_cols=["centroid_id"],
+        )
 
 
 def load_ivfpq_meta(path: str) -> dict:
