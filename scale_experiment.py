@@ -686,6 +686,124 @@ def pq_experiment(spark, n_small: int, n_large: int) -> dict:
     }
 
 
+def ivfpq_tradeoff_experiment(
+    spark, n: int = 2_000_000, nprobes=(1, 2, 4, 8)
+) -> dict:
+    """The IVF-PQ SERVING tradeoff (VERDICT r07 #5): recall@10 vs
+    nprobe vs wall-time at the 2 M-vector probe scale, on a CLUSTERED
+    corpus (64 planted clusters, the realistic embedding shape — on a
+    uniform cloud coarse quantization has nothing to exploit and every
+    nprobe looks equally bad, which measures the fixture, not the
+    index). Ground truth is the exact brute-force cosine top-10 from
+    operators.similarity.cosine_topk; recall@10 is the mean per-query
+    overlap. The rerank row serves the same probes through the
+    shortlist+exact-rerank composition at the smallest nprobe whose
+    ADC-only recall clears 0.9 (or the largest probed, if none)."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from ferramenta_etl_spark.operators.quantize import (
+        build_ivfpq_index,
+        ivfpq_topk,
+    )
+    from ferramenta_etl_spark.operators.similarity import cosine_topk
+
+    dim, n_clusters = 64, 64
+    # Two-level geometry: 64 coarse clusters (what IVF exploits) each
+    # holding n/640 micro-clusters of 10 points (what top-10 recall
+    # measures). A single-level fixture makes top-10 a lottery among
+    # ~31k near-identical cluster-mates — ADC noise scrambles an
+    # ordering that carries no signal and "recall" measures the
+    # fixture, not the index. Scales: coarse centers U[-0.5,0.5),
+    # micro offsets x0.3, point noise x0.04 — within-micro distance
+    # ~0.13 vs between-micro ~1.0, so each point's true top-10 is
+    # decisively its own micro-cluster. All hash-derived/deterministic.
+    vec = F.expr(
+        f"transform(sequence(0, {dim - 1}), d -> "
+        "cast(pmod(hash(pmod(cast(id / 10 as bigint), 64), d, 42), 1000) "
+        "  as double) / 1000.0 - 0.5 "
+        "+ (cast(pmod(hash(cast(id / 10 as bigint), d, 11), 1000) "
+        "  as double) / 1000.0 - 0.5) * 0.3 "
+        "+ (cast(pmod(hash(id, d, 7), 1000) as double) / 1000.0 - 0.5) "
+        "  * 0.04)"
+    )
+    corpus = (
+        spark.range(n)
+        .select(F.col("id").alias("vec_id"), vec.alias("embedding"))
+        .localCheckpoint(eager=True)
+    )
+    queries = (
+        spark.range(32)
+        .select((F.col("id") * 62497).alias("id"))  # spread across micros
+        .select(F.col("id").alias("query_id"), vec.alias("query_vec"))
+        .localCheckpoint(eager=True)
+    )
+
+    def truth_sets(df, qcol="query_id", icol="vec_id"):
+        out = {}
+        for r in df.collect():
+            out.setdefault(r[qcol], set()).add(r[icol])
+        return out
+
+    t0 = time.perf_counter()
+    truth = truth_sets(cosine_topk(corpus, queries, k=10))
+    brute_s = round(time.perf_counter() - t0, 2)
+
+    idx = tempfile.mkdtemp(prefix="ivfpq_tradeoff_")
+    rows = []
+    try:
+        t0 = time.perf_counter()
+        build_ivfpq_index(
+            corpus, idx, n_centroids=n_clusters, m=16, codes=256, train_iters=1
+        )
+        build_s = round(time.perf_counter() - t0, 2)
+
+        def timed_recall(nprobe: int, rerank: bool):
+            df = ivfpq_topk(
+                spark, idx, queries, nprobe=nprobe, k=10,
+                corpus=corpus if rerank else None,
+            )
+            df.write.format("noop").mode("overwrite").save()  # warm
+            t0 = time.perf_counter()
+            df.write.format("noop").mode("overwrite").save()
+            wall = round(time.perf_counter() - t0, 2)
+            got = truth_sets(df)
+            rec = sum(
+                len(got.get(q, set()) & t) / len(t) for q, t in truth.items()
+            ) / len(truth)
+            return wall, round(rec, 3)
+
+        for nprobe in nprobes:
+            wall, rec = timed_recall(nprobe, rerank=False)
+            rows.append(
+                {"nprobe": nprobe, "mode": "adc", "serve_s": wall,
+                 "recall_at_10": rec}
+            )
+            print(f"  nprobe={nprobe} adc: {wall}s recall {rec}",
+                  file=sys.stderr)
+        good = [r for r in rows if r["recall_at_10"] >= 0.9]
+        pick = (good[0] if good else rows[-1])["nprobe"]
+        wall, rec = timed_recall(pick, rerank=True)
+        rows.append(
+            {"nprobe": pick, "mode": "rerank", "serve_s": wall,
+             "recall_at_10": rec}
+        )
+        print(f"  nprobe={pick} rerank: {wall}s recall {rec}", file=sys.stderr)
+    finally:
+        shutil.rmtree(idx, ignore_errors=True)
+    return {
+        "n": n,
+        "dim": dim,
+        "n_clusters": n_clusters,
+        "n_centroids": n_clusters,
+        "brute_force_s": brute_s,
+        "index_build_s": build_s,
+        "rows": rows,
+    }
+
+
 def main() -> None:
     p = argparse.ArgumentParser()
     p.add_argument("--factor", type=int, default=100)
@@ -727,6 +845,11 @@ def main() -> None:
         "--pq", action="store_true",
         help="run the PQ encode/ADC-scan linearity probe (20k vs 2M "
              "vectors, 100x)",
+    )
+    p.add_argument(
+        "--ivfpq-tradeoff", action="store_true",
+        help="run the IVF-PQ serving tradeoff (recall@10 vs nprobe vs "
+             "wall-time, 2M clustered vectors)",
     )
     p.add_argument(
         "--skew", type=int, metavar="REPLICATE", default=0,
@@ -785,6 +908,12 @@ def main() -> None:
     if args.pq:
         result = pq_experiment(spark, n_small=20_000, n_large=2_000_000)
         print(json.dumps({"experiment": "pq_scan", **result}))
+        spark.stop()
+        return
+
+    if args.ivfpq_tradeoff:
+        result = ivfpq_tradeoff_experiment(spark)
+        print(json.dumps({"experiment": "ivfpq_tradeoff", **result}))
         spark.stop()
         return
 
