@@ -42,15 +42,23 @@ from .sampling import (  # noqa: F401
     split_train_eval,
     stratified_sample,
 )
+from .audio import (  # noqa: F401
+    attach_fake_raw_audio,
+    audio_features,
+    resample_audio,
+    trim_silence,
+)
 from .multimodal import (  # noqa: F401
     attach_fake_media,
     attach_fake_raw_images,
+    attach_fake_raw_video,
     extract_media_features,
     frame_sample_schedule,
     frame_sample_stub,
     letterbox_dims,
     resize_images,
     resize_stub,
+    sample_video_frames,
 )
 from .similarity import (  # noqa: F401
     build_ivf_index,

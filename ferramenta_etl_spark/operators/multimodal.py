@@ -304,20 +304,127 @@ def resize_stub(media_df: DataFrame, width: int, height: int) -> DataFrame:
     return resize_images(media_df, width, height)
 
 
-def frame_sample_stub(media_df: DataFrame, every_n: int = 30) -> DataFrame:
-    """Video frame sampling — STUB (no pyav in container); contract only."""
+RAW_VIDEO_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("media", T.BinaryType()),
+        T.StructField("width", T.LongType()),
+        T.StructField("height", T.LongType()),
+        T.StructField("n_frames", T.LongType()),
+    ]
+)
+
+FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("frame_idx", T.IntegerType()),
+        T.StructField("frame", T.BinaryType()),
+    ]
+)
+
+
+def attach_fake_raw_video(
+    documents: DataFrame, max_w: int = 24, max_h: int = 16, max_frames: int = 90
+) -> DataFrame:
+    """Deterministic raw-video fixtures: the container is n_frames
+    CONCATENATED raw-RGB frames (the interchange layout every demuxer
+    decodes into), dims and per-frame content hash-derived from doc_id
+    so frame k is distinguishable from frame k+1 byte-wise."""
 
     def batches(it: Iterator) -> Iterator:
-        raise NotImplementedError(
-            "frame sampling requires pyav/ffmpeg, not present in this "
-            "environment; plug the demuxer into this mapInPandas body"
-        )
+        import numpy as np
+        import pandas as pd
 
-    schema = T.StructType(
-        [
-            T.StructField("doc_id", T.LongType()),
-            T.StructField("frame_idx", T.IntegerType()),
-            T.StructField("frame", T.BinaryType()),
-        ]
-    )
-    return media_df.mapInPandas(batches, schema)
+        for pdf in it:
+            ids, blobs, ws, hs, nfs = [], [], [], [], []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                w = 4 + (did * 5) % (max_w - 3)
+                h = 4 + (did * 11) % (max_h - 3)
+                nf = 1 + (did * 17) % max_frames
+                ff, yy, xx = np.mgrid[0:nf, 0:h, 0:w]
+                video = np.stack(
+                    [
+                        (xx * 3 + ff * 31 + did) % 256,
+                        (yy * 5 + ff * 7 + did // 3) % 256,
+                        (xx + yy + ff + did) % 256,
+                    ],
+                    axis=-1,
+                ).astype(np.uint8)
+                ids.append(did)
+                blobs.append(video.tobytes())
+                ws.append(w)
+                hs.append(h)
+                nfs.append(nf)
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "media": blobs,
+                    "width": ws,
+                    "height": hs,
+                    "n_frames": nfs,
+                }
+            )
+
+    return documents.select("doc_id").mapInPandas(batches, RAW_VIDEO_SCHEMA)
+
+
+def sample_video_frames(media_df: DataFrame, every_n: int = 30) -> DataFrame:
+    """Real video frame sampling over raw-RGB containers (the former
+    ``frame_sample_stub``'s contract fulfilled): extract every
+    ``every_n``-th frame — the SAME schedule arithmetic as
+    ``frame_sample_schedule``, always including frame 0 — as one
+    (doc_id, frame_idx, frame) row per sampled frame. The "decode" is a
+    numpy view + slice of the concatenated-raw-frame container; a
+    pyav/ffmpeg demux for compressed containers would replace exactly
+    that reshape and nothing else. Malformed rows (null payload, byte
+    length != n_frames*h*w*3, non-positive dims) emit ONE all-null-frame
+    marker row so bad docs stay visible downstream instead of silently
+    vanishing. Narrow op: no shuffle; output partitioning == input."""
+    if every_n < 1:
+        raise ValueError(f"every_n must be >= 1, got {every_n}")
+
+    def batches(it: Iterator) -> Iterator:
+        import numpy as np
+        import pandas as pd
+
+        for pdf in it:
+            ids, idxs, frames = [], [], []
+            for did, raw, w, h, nf in zip(
+                pdf["doc_id"], pdf["media"], pdf["width"], pdf["height"],
+                pdf["n_frames"],
+            ):
+                did = None if pd.isna(did) else int(did)
+                ok = (
+                    raw is not None
+                    and not pd.isna(w) and not pd.isna(h) and not pd.isna(nf)
+                    and int(w) > 0 and int(h) > 0 and int(nf) > 0
+                    and len(raw) == int(nf) * int(h) * int(w) * 3
+                )
+                if not ok:
+                    ids.append(did)
+                    idxs.append(None)
+                    frames.append(None)
+                    continue
+                w, h, nf = int(w), int(h), int(nf)
+                video = np.frombuffer(bytes(raw), dtype=np.uint8).reshape(
+                    nf, h, w, 3
+                )
+                for k in range(0, nf, every_n):
+                    ids.append(did)
+                    idxs.append(k)
+                    frames.append(video[k].tobytes())
+            yield pd.DataFrame(
+                {"doc_id": ids, "frame_idx": idxs, "frame": frames}
+            )
+
+    return media_df.select(
+        "doc_id", "media", "width", "height", "n_frames"
+    ).mapInPandas(batches, FRAME_SCHEMA)
+
+
+def frame_sample_stub(media_df: DataFrame, every_n: int = 30) -> DataFrame:
+    """Back-compat alias: frame sampling over RAW containers is real now
+    (``sample_video_frames``); only compressed-container demux still
+    needs pyav/ffmpeg."""
+    return sample_video_frames(media_df, every_n)

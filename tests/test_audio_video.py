@@ -1,0 +1,169 @@
+"""Raw-container video frame sampling and raw-PCM audio operators:
+per-sample/per-byte numpy oracles, schedule agreement with the JVM
+plan, and the malformed-row keep-going policy."""
+
+import numpy as np
+import pytest
+
+from ferramenta_etl_spark.operators.audio import (
+    attach_fake_raw_audio,
+    audio_features,
+    resample_audio,
+    trim_silence,
+)
+from ferramenta_etl_spark.operators.multimodal import (
+    attach_fake_raw_video,
+    frame_sample_schedule,
+    sample_video_frames,
+)
+
+
+# ---------------------------------------------------------------- video
+
+
+def test_sample_video_frames_matches_container_slices(spark):
+    """Every sampled frame is byte-identical to the numpy slice of the
+    raw container, and the (doc_id, frame_idx) set equals the JVM-side
+    frame_sample_schedule for the same metadata."""
+    docs = spark.createDataFrame([(i,) for i in range(10)], "doc_id long")
+    vid = attach_fake_raw_video(docs)
+    containers = {
+        r.doc_id: np.frombuffer(bytes(r.media), np.uint8).reshape(
+            r.n_frames, r.height, r.width, 3
+        )
+        for r in vid.collect()
+    }
+    got = sample_video_frames(vid, every_n=7).collect()
+    sched = {
+        (r.doc_id, r.frame_idx)
+        for r in frame_sample_schedule(vid, every_n=7).collect()
+    }
+    assert {(r.doc_id, r.frame_idx) for r in got} == sched
+    for r in got:
+        want = containers[r.doc_id][r.frame_idx]
+        assert bytes(r.frame) == want.tobytes(), (
+            f"doc {r.doc_id} frame {r.frame_idx}: byte mismatch"
+        )
+
+
+def test_sample_video_frames_malformed_marker_rows(spark):
+    good = np.arange(2 * 3 * 4 * 3, dtype=np.uint8)  # 2 frames of 4x3
+    rows = [
+        (1, bytes(good.tobytes()), 4, 3, 2),
+        (2, b"\x00\x01", 4, 3, 2),   # truncated container
+        (3, None, 4, 3, 2),          # null payload
+        (4, bytes(good.tobytes()), 4, 3, 0),  # zero frames
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, media binary, width long, height long, n_frames long"
+    )
+    out = sample_video_frames(df, every_n=1).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    assert len(by_doc[1]) == 2 and all(r.frame is not None for r in by_doc[1])
+    for bad in (2, 3, 4):
+        assert len(by_doc[bad]) == 1
+        assert by_doc[bad][0].frame_idx is None
+        assert by_doc[bad][0].frame is None
+
+
+def test_sample_video_frames_rejects_bad_every_n(spark):
+    df = spark.createDataFrame(
+        [], "doc_id long, media binary, width long, height long, n_frames long"
+    )
+    with pytest.raises(ValueError, match="every_n"):
+        sample_video_frames(df, every_n=0)
+
+
+# ---------------------------------------------------------------- audio
+
+
+def _clips(spark, n=8):
+    docs = spark.createDataFrame([(i,) for i in range(n)], "doc_id long")
+    return attach_fake_raw_audio(docs)
+
+
+def test_resample_matches_interp_oracle(spark):
+    """Downsample 8000 -> 3000 Hz: every output sample equals the
+    loop-wise linear-interpolation reference (no shared code path), and
+    output length is floor(n * target / in)."""
+    clips = _clips(spark)
+    src = {r.doc_id: np.frombuffer(bytes(r.media), "<i2") for r in clips.collect()}
+    out = {r.doc_id: r for r in resample_audio(clips, 3000).collect()}
+    for did, pcm in src.items():
+        r = out[did]
+        assert r.sample_rate == 3000
+        got = np.frombuffer(bytes(r.media), "<i2")
+        n, out_n = len(pcm), len(got)
+        assert out_n == max(1, (n * 3000) // 8000)
+        x = pcm.astype(np.float64)
+        for j in range(out_n):
+            pos = j * (8000 / 3000)
+            i0 = int(pos)
+            if i0 >= n - 1:
+                want = x[n - 1]
+            else:
+                frac = pos - i0
+                want = x[i0] * (1 - frac) + x[i0 + 1] * frac
+            want = int(min(max(round(want), -32768), 32767))
+            assert got[j] == want, f"doc {did} sample {j}"
+
+
+def test_resample_identity_and_malformed(spark):
+    clips = _clips(spark, n=3)
+    same = {r.doc_id: r for r in resample_audio(clips, 8000).collect()}
+    src = {r.doc_id: bytes(r.media) for r in clips.collect()}
+    for did, raw in src.items():
+        assert bytes(same[did].media) == raw  # same-rate passthrough
+    bad = spark.createDataFrame(
+        [(1, b"\x00", 8000), (2, None, 8000), (3, b"\x00\x01", 0)],
+        "doc_id long, media binary, sample_rate long",
+    )
+    out = {r.doc_id: r for r in resample_audio(bad, 4000).collect()}
+    for did in (1, 2, 3):  # odd length / null / bad rate -> null row
+        assert out[did].media is None and out[did].sample_rate is None
+
+
+def test_audio_features_match_numpy(spark):
+    clips = _clips(spark)
+    src = {r.doc_id: np.frombuffer(bytes(r.media), "<i2") for r in clips.collect()}
+    feats = {r.doc_id: r for r in audio_features(clips).collect()}
+    for did, pcm in src.items():
+        f = feats[did]
+        x = pcm.astype(np.float64)
+        assert f.n_samples == len(x)
+        assert f.duration_s == pytest.approx(len(x) / 8000, abs=1e-6)
+        assert f.rms == pytest.approx(float(np.sqrt(np.mean(x * x))), rel=1e-5)
+        assert f.peak == int(np.max(np.abs(x)))
+        s = np.sign(x)
+        assert f.zero_crossing_rate == pytest.approx(
+            float(np.mean(s[1:] * s[:-1] < 0)), abs=1e-6
+        )
+
+
+def test_trim_silence_strips_taper(spark):
+    """The fixture tapers its first/last eighth to near-silence; a
+    threshold above the taper amplitude trims those samples, matching
+    the numpy argwhere oracle exactly, and never cuts interior dips."""
+    clips = _clips(spark)
+    src = {r.doc_id: np.frombuffer(bytes(r.media), "<i2") for r in clips.collect()}
+    out = {r.doc_id: r for r in trim_silence(clips, threshold=512).collect()}
+    for did, pcm in src.items():
+        loud = np.nonzero(np.abs(pcm.astype(np.int64)) >= 512)[0]
+        want = pcm[loud[0] : loud[-1] + 1].tobytes() if len(loud) else b""
+        assert bytes(out[did].media) == want
+        if len(loud):
+            assert len(want) < len(pcm.tobytes())  # something was trimmed
+
+
+def test_trim_silence_all_silent_is_empty_not_null(spark):
+    quiet = (np.ones(64, dtype=np.int16) * 3).tobytes()
+    df = spark.createDataFrame(
+        [(1, quiet, 8000), (2, None, 8000)],
+        "doc_id long, media binary, sample_rate long",
+    )
+    out = {r.doc_id: r for r in trim_silence(df, threshold=512).collect()}
+    assert out[1].media == bytearray(b"") or bytes(out[1].media) == b""
+    assert out[1].sample_rate == 8000  # decoded fine, just silent
+    assert out[2].media is None  # undecodable stays null
