@@ -167,3 +167,40 @@ def test_trim_silence_all_silent_is_empty_not_null(spark):
     assert out[1].media == bytearray(b"") or bytes(out[1].media) == b""
     assert out[1].sample_rate == 8000  # decoded fine, just silent
     assert out[2].media is None  # undecodable stays null
+
+
+# ------------------------------------------------------- resize edges
+
+
+def test_bilinear_edge_geometries(spark):
+    """Upscale, 1x1 source, and extreme-aspect targets all stay within
+    the per-pixel oracle (the clamp path is exactly where vectorized
+    kernels usually drift)."""
+    from tests.test_operators import _ref_bilinear
+
+    from ferramenta_etl_spark.operators.multimodal import resize_images
+
+    rng = np.random.default_rng(7)
+    cases = [
+        (1, rng.integers(0, 256, (1, 1, 3), dtype=np.uint8), 5, 4),   # 1x1 up
+        (2, rng.integers(0, 256, (3, 5, 3), dtype=np.uint8), 40, 2),  # wide
+        (3, rng.integers(0, 256, (8, 2, 3), dtype=np.uint8), 2, 64),  # tall
+        (4, rng.integers(0, 256, (6, 6, 3), dtype=np.uint8), 13, 13), # up odd
+    ]
+    rows = [
+        (did, img.tobytes(), img.shape[1], img.shape[0])
+        for did, img, _, _ in cases
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, media binary, width long, height long"
+    )
+    for did, img, tw, th in cases:
+        out = resize_images(
+            df.filter(f"doc_id = {did}"), tw, th, letterbox=False
+        ).first()
+        got = np.frombuffer(bytes(out.media), np.uint8).reshape(th, tw, 3)
+        assert np.array_equal(got, _ref_bilinear(img, tw, th)), f"case {did}"
+    # a 1x1 source upscales to a constant image
+    out = resize_images(df.filter("doc_id = 1"), 5, 4, letterbox=False).first()
+    got = np.frombuffer(bytes(out.media), np.uint8).reshape(4, 5, 3)
+    assert (got == got[0, 0]).all()
