@@ -52,8 +52,17 @@ def main(argv: list[str] | None = None, _stop_session: bool = True) -> int:
             "list", "run", "run-all", "curate", "optimize", "plan-audit",
             "stream", "curate-stream", "rollup", "stats", "ingest",
             "neardup-admit", "make-dataset", "ann-index", "ann-query",
+            "media-curate",
         ],
     )
+    p.add_argument("--img-size", default="224x224",
+                   help="media-curate: letterbox target WxH for images")
+    p.add_argument("--audio-rate", type=int, default=16000,
+                   help="media-curate: resample PCM audio to this rate")
+    p.add_argument("--min-rms", type=float, default=1.0,
+                   help="media-curate: drop clips whose trimmed RMS is below")
+    p.add_argument("--every-n", type=int, default=30,
+                   help="media-curate: sample every n-th video frame")
     p.add_argument(
         "--index-kind",
         choices=["ivf", "pq", "opq", "ivfpq"],
@@ -312,6 +321,72 @@ def main(argv: list[str] | None = None, _stop_session: bool = True) -> int:
                 order_by=["seq_id", "doc_id", "chunk_idx"],
             )
             print(f"✅ make-dataset: {n_shards} JSONL shard(s) written")
+            return 0
+        if args.command == "media-curate":
+            # The multimodal counterpart of `curate`: three narrow-map
+            # branches (image letterbox-resize, audio trim->resample->
+            # feature-gate, video frame-sample) into idempotent keyed
+            # sinks — reruns append zero; malformed rows become marker/
+            # null rows upstream and are counted, not silently dropped.
+            # Payloads here come from the deterministic raw-media
+            # fixtures (no codec libs in this container); a decoder
+            # front-end swaps in ahead of each branch unchanged.
+            from pyspark.sql import functions as F
+
+            from .operators.audio import (
+                attach_fake_raw_audio,
+                audio_features,
+                resample_audio,
+                trim_silence,
+            )
+            from .operators.multimodal import (
+                attach_fake_raw_images,
+                attach_fake_raw_video,
+                resize_images,
+                sample_video_frames,
+            )
+            from .sinks import write_ignore_conflicts
+            from .sources import load_table
+
+            try:
+                img_w, img_h = (int(x) for x in args.img_size.split("x"))
+            except ValueError:
+                p.error(f"--img-size must be WxH, got {args.img_size!r}")
+            docs = load_table(spark, args.sf_dir, "documents").select("doc_id")
+
+            resized = resize_images(
+                attach_fake_raw_images(docs), img_w, img_h
+            ).filter(F.col("media").isNotNull())
+            n_img = write_ignore_conflicts(
+                resized, f"{args.sink_dir}/media_images", keys=["doc_id"]
+            )
+
+            trimmed = resample_audio(
+                trim_silence(attach_fake_raw_audio(docs)), args.audio_rate
+            )
+            feats = audio_features(trimmed)
+            keep = feats.filter(
+                F.col("rms").isNotNull() & (F.col("rms") >= args.min_rms)
+            ).select("doc_id")
+            gated = trimmed.join(F.broadcast(keep), "doc_id")
+            n_aud = write_ignore_conflicts(
+                gated, f"{args.sink_dir}/media_audio", keys=["doc_id"]
+            )
+
+            frames = sample_video_frames(
+                attach_fake_raw_video(docs), every_n=args.every_n
+            )
+            bad = frames.filter(F.col("frame_idx").isNull()).count()
+            n_vid = write_ignore_conflicts(
+                frames.filter(F.col("frame_idx").isNotNull()),
+                f"{args.sink_dir}/media_frames",
+                keys=["doc_id", "frame_idx"],
+            )
+            print(
+                f"✅ media-curate: {n_img} images, {n_aud} audio clips, "
+                f"{n_vid} video frames loaded ({bad} malformed videos "
+                "skipped)"
+            )
             return 0
         if args.command == "neardup-admit":
             # The periodic batch companion to curate-stream: admit this

@@ -160,3 +160,25 @@ def test_cli_ann_index_and_query(cli_tmp, spark):
         "vec_id as query_id", "embedding as query_vec"
     ).write.parquet(qp)
     assert _run("ann-query", str(cli_tmp / "idx_pq"), "--queries-path", qp) == 0
+
+
+def test_cli_media_curate_idempotent(cli_tmp, capsys, spark):
+    """The multimodal pipeline end-to-end: first run loads all three
+    branches, rerun appends zero to every sink (idempotent), and the
+    frame sink's composite key holds one row per scheduled frame."""
+    sink = str(cli_tmp / "media")
+    assert _run("media-curate", "--sink-dir", sink, "--min-rms", "1.0") == 0
+    out1 = capsys.readouterr().out
+    assert "media-curate:" in out1
+    imgs = spark.read.parquet(f"{sink}/media_images")
+    auds = spark.read.parquet(f"{sink}/media_audio")
+    frames = spark.read.parquet(f"{sink}/media_frames")
+    n_img, n_aud, n_frames = imgs.count(), auds.count(), frames.count()
+    assert n_img > 0 and n_aud > 0 and n_frames > 0
+    assert imgs.filter("media is null").count() == 0
+    assert auds.filter("sample_rate != 16000").count() == 0
+    # rerun: every sink appends zero
+    assert _run("media-curate", "--sink-dir", sink, "--min-rms", "1.0") == 0
+    assert "0 images, 0 audio clips, 0 video frames" in capsys.readouterr().out
+    assert spark.read.parquet(f"{sink}/media_images").count() == n_img
+    assert spark.read.parquet(f"{sink}/media_frames").count() == n_frames
