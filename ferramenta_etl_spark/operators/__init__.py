@@ -68,6 +68,7 @@ from .similarity import (  # noqa: F401
     ivf_topk,
     ivf_topk_on_index,
     lloyd_refine,
+    truncated_prefilter_topk,
     load_ivf_centroids,
     srp_params_for,
 )

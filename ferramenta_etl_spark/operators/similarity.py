@@ -708,6 +708,97 @@ def cosine_near_dup_pairs(
     )
 
 
+def truncated_prefilter_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    prefilter_dim: int = 16,
+    shortlist: int | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+) -> DataFrame:
+    """Matryoshka-style two-stage cosine top-k: a cheap scan on the
+    FIRST ``prefilter_dim`` dimensions shortlists candidates, then only
+    those rows re-score with the full-dimension exact cosine.
+
+    Stage 1 pays ``prefilter_dim / dim`` of the flops of the brute scan
+    (and, when the truncated prefix is stored as its own column, the
+    same fraction of scanned bytes — the serving win this exists for at
+    100 TB); stage 2 touches ``Q x shortlist`` rows via an id-equi-join
+    with the shortlist broadcast into the corpus scan. Ranking quality
+    rests on the embedding being truncation-faithful (Matryoshka-
+    trained, or PCA-rotated so leading dims carry the variance); with
+    ``shortlist >= |corpus|`` the composition degenerates to the exact
+    ``cosine_topk`` answer, which the tests pin. Vectors whose
+    truncated prefix is all-zero cannot rank in stage 1 and are
+    excluded there (same zero-norm policy as every cosine path).
+
+    Same output contract as ``cosine_topk``: (query_id, vec_id, sim,
+    rnk) with round-6 + id tiebreak total ordering, ``sim`` exact."""
+    from .topk import grouped_topk
+
+    if prefilter_dim < 1:
+        raise ValueError(f"prefilter_dim must be >= 1, got {prefilter_dim}")
+    sl = shortlist if shortlist is not None else max(4 * k, 100)
+
+    corpus_t = (
+        corpus.filter(F.expr(_usable_vec_sql(vec_col)))
+        .select(
+            F.col(id_col),
+            F.col(vec_col),
+            F.expr(f"slice({vec_col}, 1, {prefilter_dim})").alias("__tv"),
+        )
+        .filter(F.expr(_usable_vec_sql("__tv")))
+        .withColumn("__tnv", F.expr(_norm_sql("__tv")))
+    )
+    queries_t = (
+        queries.filter(F.expr(_usable_vec_sql(query_vec_col)))
+        .select(
+            F.col(query_id_col),
+            F.col(query_vec_col),
+            F.expr(f"slice({query_vec_col}, 1, {prefilter_dim})").alias("__tq"),
+        )
+        .filter(F.expr(_usable_vec_sql("__tq")))
+        .withColumn("__tqn", F.expr(_norm_sql("__tq")))
+    )
+    sim_t = F.expr(f"round({_dot_sql('__tq', '__tv')} / (__tqn * __tnv), 6)")
+    scored_t = corpus_t.crossJoin(
+        F.broadcast(queries_t.select(query_id_col, "__tq", "__tqn"))
+    ).select(F.col(query_id_col), F.col(id_col), sim_t.alias("__tsim"))
+    short = grouped_topk(
+        scored_t,
+        [query_id_col],
+        [F.col("__tsim").desc(), F.col(id_col).asc()],
+        sl,
+    ).select(query_id_col, id_col)
+
+    # stage 2: exact full-dim cosine on the Q x shortlist survivors —
+    # shortlist ids broadcast into the corpus lookup, queries broadcast
+    # into the scored join; the full corpus is never exactly scored
+    full = corpus.filter(F.expr(_usable_vec_sql(vec_col))).select(
+        F.col(id_col), F.col(vec_col), F.expr(_norm_sql(vec_col)).alias("__nv")
+    )
+    qfull = queries_t.select(
+        F.col(query_id_col),
+        F.col(query_vec_col),
+        F.expr(_norm_sql(query_vec_col)).alias("__qn"),
+    )
+    cand = full.join(F.broadcast(short), id_col).join(
+        F.broadcast(qfull), query_id_col
+    )
+    sim = F.expr(
+        f"round({_dot_sql(query_vec_col, vec_col)} / (__qn * __nv), 6)"
+    )
+    rescored = cand.select(
+        F.col(query_id_col), F.col(id_col), sim.alias("sim")
+    )
+    return grouped_topk(
+        rescored, [query_id_col], [F.col("sim").desc(), F.col(id_col).asc()], k
+    ).select(query_id_col, id_col, "sim", "rnk")
+
+
 def dedup_semantic(
     items: DataFrame,
     embeddings: DataFrame,

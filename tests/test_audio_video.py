@@ -204,3 +204,104 @@ def test_bilinear_edge_geometries(spark):
     out = resize_images(df.filter("doc_id = 1"), 5, 4, letterbox=False).first()
     got = np.frombuffer(bytes(out.media), np.uint8).reshape(4, 5, 3)
     assert (got == got[0, 0]).all()
+
+
+# -------------------------------------------- truncated-prefix serve
+
+
+def test_truncated_prefilter_degenerates_to_exact(spark, sf_dir):
+    """With shortlist >= |corpus| the two-stage serve must return the
+    EXACT cosine_topk answer — same rows, same sims, same ranks."""
+    from ferramenta_etl_spark.operators.similarity import (
+        cosine_topk,
+        truncated_prefilter_topk,
+    )
+    from ferramenta_etl_spark.sources import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter("vec_id < 5").selectExpr(
+        "vec_id as query_id", "embedding as query_vec"
+    )
+    corpus = emb.filter("vec_id >= 5")
+    n = corpus.count()
+    exact = sorted(
+        tuple(r) for r in cosine_topk(corpus, queries, k=5).collect()
+    )
+    got = sorted(
+        tuple(r)
+        for r in truncated_prefilter_topk(
+            corpus, queries, k=5, prefilter_dim=8, shortlist=n
+        ).collect()
+    )
+    assert got == exact
+
+
+def test_truncated_prefilter_recall_when_prefix_informative(spark):
+    """Leading dims carry the cluster signal; a shortlist spanning one
+    cluster (~250 members, shortlist=400 of 2000) at prefilter_dim=8
+    recovers the exact top-5 — the prefix reliably finds the right
+    cluster, and the exact rerank settles the within-cluster order."""
+    import numpy as np
+
+    from ferramenta_etl_spark.operators.similarity import (
+        cosine_topk,
+        truncated_prefilter_topk,
+    )
+
+    rng = np.random.default_rng(3)
+    rows = []
+    for i in range(2000):
+        c = i % 8
+        head = np.zeros(8)
+        head[c] = 1.0
+        head += rng.normal(0, 0.05, 8)
+        # low-energy noise tail: the Matryoshka premise is leading dims
+        # carrying most of the norm, which is what makes the truncated
+        # ordering predictive of the full one
+        tail = rng.normal(0, 0.1, 24)
+        rows.append((i, [float(x) for x in np.concatenate([head, tail])]))
+    corpus = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    queries = corpus.filter("vec_id < 8").selectExpr(
+        "vec_id as query_id", "embedding as query_vec"
+    )
+    body = corpus.filter("vec_id >= 8")
+    exact = {}
+    for r in cosine_topk(body, queries, k=5).collect():
+        exact.setdefault(r.query_id, set()).add(r.vec_id)
+    got = {}
+    for r in truncated_prefilter_topk(
+        body, queries, k=5, prefilter_dim=8, shortlist=400
+    ).collect():
+        got.setdefault(r.query_id, set()).add(r.vec_id)
+    recall = sum(
+        len(got.get(q, set()) & t) / len(t) for q, t in exact.items()
+    ) / len(exact)
+    assert recall >= 0.95, f"recall {recall}"
+
+
+def test_truncated_prefilter_zero_prefix_and_validation(spark):
+    """A vector whose truncated prefix is all-zero can't rank in stage 1
+    but must not crash the pipeline; prefilter_dim is validated."""
+    import pytest as _pytest
+
+    from ferramenta_etl_spark.operators.similarity import (
+        truncated_prefilter_topk,
+    )
+
+    corpus = spark.createDataFrame(
+        [
+            (1, [0.0, 0.0, 1.0, 1.0]),  # zero prefix at dim=2
+            (2, [1.0, 0.5, 0.1, 0.0]),
+            (3, [0.5, 1.0, 0.0, 0.2]),
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    queries = spark.createDataFrame(
+        [(0, [1.0, 0.4, 0.1, 0.1])], "query_id long, query_vec array<double>"
+    )
+    got = truncated_prefilter_topk(
+        corpus, queries, k=3, prefilter_dim=2, shortlist=10
+    ).collect()
+    assert {r.vec_id for r in got} == {2, 3}  # zero-prefix row excluded
+    with _pytest.raises(ValueError, match="prefilter_dim"):
+        truncated_prefilter_topk(corpus, queries, prefilter_dim=0)
