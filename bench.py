@@ -106,6 +106,7 @@ HEADLINE = [
     "seq_packing",
     "embedding_quantized_topk",
     "embedding_ann_lsh",
+    "embedding_truncated_topk",  # new round 8: Matryoshka-style serve
     # replicate=20, 90% hot key (the 12M-row null-key pathology): the
     # scale where salting beats the AQE-assisted plain join DECISIVELY
     # (1.59x, runs don't overlap), so the regression guard points the

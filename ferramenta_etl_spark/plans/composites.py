@@ -111,6 +111,18 @@ def add_bench_composites(
         )
         return quantized_cosine_topk(qc, qq, k=5)
 
+    def _truncated_topk(spark, sf):
+        from ..operators.similarity import truncated_prefilter_topk
+
+        emb = load_table(spark, sf, "embeddings")
+        queries_df = emb.filter(F.col("vec_id") < 10).select(
+            F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+        )
+        corpus = emb.filter(F.col("vec_id") >= 10).select("vec_id", "embedding")
+        return truncated_prefilter_topk(
+            corpus, queries_df, k=5, prefilter_dim=16, shortlist=200
+        )
+
     def _lsh_ann(spark, sf):
         emb = load_table(spark, sf, "embeddings")
         queries_df = emb.filter(F.col("vec_id") < 10).select(
@@ -158,6 +170,7 @@ def add_bench_composites(
     queries["join_skewed_salted_x20"] = plan_cache(_skew_salted_x20)
     queries["embedding_quantized_topk"] = plan_cache(_quantized_topk)
     queries["embedding_ann_lsh"] = plan_cache(_lsh_ann)
+    queries["embedding_truncated_topk"] = plan_cache(_truncated_topk)
     queries["dedup_minhash_fast"] = plan_cache(_minhash_fast)
     queries["dedup_simhash_fast"] = plan_cache(_simhash_fast)
     # mirrors are written at plan-build time (amortized, like the index
