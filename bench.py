@@ -97,6 +97,7 @@ HEADLINE = [
     # of wall (0.77 vs 0.48 s) and the pair resolves cleanly.
     "dedup_simhash",
     "embedding_cosine_topk",
+    "embedding_cosine_arrow",  # new round 8: BLAS twin of the SQL fold
     "embedding_ann_ivf",
     "text_quality_score",
     "text_decontaminate",

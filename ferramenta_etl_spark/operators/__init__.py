@@ -64,6 +64,7 @@ from .similarity import (  # noqa: F401
     build_ivf_index,
     cosine_near_dup_pairs,
     cosine_topk,
+    cosine_topk_arrow,
     derive_centroids,
     ivf_topk,
     ivf_topk_on_index,

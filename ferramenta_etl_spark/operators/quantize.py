@@ -283,35 +283,9 @@ def train_opq_codebooks(
     return rot.tolist(), cbs
 
 
-def _collect_query_matrix(
-    queries: DataFrame,
-    query_id_col: str,
-    query_vec_col: str,
-    max_queries: int,
-):
-    """(qids, qmat, qn) for the ADC scorers: the bounded query side
-    collected once, size-guarded, filtered to finite nonzero vectors.
-    Shared by pq_topk and ivfpq_topk so guard text and usability rules
-    cannot drift."""
-    import numpy as np
-
-    qrows = queries.select(query_id_col, query_vec_col).collect()
-    if len(qrows) > max_queries:
-        # each query costs an (m x codes) float LUT on the driver AND in
-        # every task closure — 10^5 queries at m=16/codes=256 is ~3 GB.
-        # Loud guard, same philosophy as minhash's max_block_size.
-        raise ValueError(
-            f"{len(qrows)} queries > max_queries={max_queries}: batch the "
-            "query side (the LUT closure grows linearly with it), or "
-            "raise max_queries deliberately"
-        )
-    if not qrows:
-        return np.array([]), np.empty((0, 0)), np.array([])
-    qmat = np.array([list(r[1]) for r in qrows], dtype=np.float64)
-    qids = np.array([r[0] for r in qrows])
-    usable = np.isfinite(qmat).all(axis=1) & ((qmat * qmat).sum(axis=1) > 0)
-    qmat, qids = qmat[usable], qids[usable]
-    return qids, qmat, np.sqrt((qmat * qmat).sum(axis=1))
+# moved to operators/_qmatrix.py so the Arrow cosine scorer shares the
+# same guard text and vector-usability rules as the ADC paths
+from ._qmatrix import collect_query_matrix as _collect_query_matrix  # noqa: E402
 
 
 def _empty_topk(spark, scored_schema, query_id_col: str, id_col: str):

@@ -111,6 +111,16 @@ def add_bench_composites(
         )
         return quantized_cosine_topk(qc, qq, k=5)
 
+    def _cosine_arrow(spark, sf):
+        from ..operators.similarity import cosine_topk_arrow
+
+        emb = load_table(spark, sf, "embeddings")
+        queries_df = emb.filter(F.col("vec_id") < 10).select(
+            F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+        )
+        corpus = emb.filter(F.col("vec_id") >= 10).select("vec_id", "embedding")
+        return cosine_topk_arrow(corpus, queries_df, k=5)
+
     def _truncated_topk(spark, sf):
         from ..operators.similarity import truncated_prefilter_topk
 
@@ -171,6 +181,10 @@ def add_bench_composites(
     queries["embedding_quantized_topk"] = plan_cache(_quantized_topk)
     queries["embedding_ann_lsh"] = plan_cache(_lsh_ann)
     queries["embedding_truncated_topk"] = plan_cache(_truncated_topk)
+    # the BLAS twin of the oracle-gated SQL-fold embedding_cosine_topk —
+    # same variant-pair philosophy as dedup_minhash_fast: the gate
+    # variant must not mask the production engine's trend
+    queries["embedding_cosine_arrow"] = plan_cache(_cosine_arrow)
     queries["dedup_minhash_fast"] = plan_cache(_minhash_fast)
     queries["dedup_simhash_fast"] = plan_cache(_simhash_fast)
     # mirrors are written at plan-build time (amortized, like the index

@@ -305,3 +305,50 @@ def test_truncated_prefilter_zero_prefix_and_validation(spark):
     assert {r.vec_id for r in got} == {2, 3}  # zero-prefix row excluded
     with _pytest.raises(ValueError, match="prefilter_dim"):
         truncated_prefilter_topk(corpus, queries, prefilter_dim=0)
+
+
+# --------------------------------------------- arrow brute-force serve
+
+
+def test_cosine_topk_arrow_matches_sql_fold(spark, sf_dir):
+    """The BLAS scorer returns the same rows/sims/ranks as the
+    oracle-pinned SQL-fold cosine_topk on the embeddings fixture,
+    including the zero-norm screen."""
+    from ferramenta_etl_spark.operators.similarity import (
+        cosine_topk,
+        cosine_topk_arrow,
+    )
+    from ferramenta_etl_spark.sources import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter("vec_id < 8").selectExpr(
+        "vec_id as query_id", "embedding as query_vec"
+    )
+    corpus = emb.filter("vec_id >= 8")
+    want = sorted(tuple(r) for r in cosine_topk(corpus, queries, k=7).collect())
+    got = sorted(
+        tuple(r) for r in cosine_topk_arrow(corpus, queries, k=7).collect()
+    )
+    assert got == want
+
+
+def test_cosine_topk_arrow_guards_and_empty(spark):
+    import pytest as _pytest
+
+    from ferramenta_etl_spark.operators.similarity import cosine_topk_arrow
+
+    corpus = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.0, 0.0])],  # zero-norm row never ranks
+        "vec_id long, embedding array<double>",
+    )
+    queries = spark.createDataFrame(
+        [(0, [1.0, 1.0]), (1, [0.5, 0.2]), (2, [0.0, 0.0])],
+        "query_id long, query_vec array<double>",
+    )
+    got = cosine_topk_arrow(corpus, queries, k=5).collect()
+    assert {r.vec_id for r in got} == {1}
+    assert {r.query_id for r in got} == {0, 1}  # zero-norm query: no rows
+    with _pytest.raises(ValueError, match="max_queries"):
+        cosine_topk_arrow(corpus, queries, k=1, max_queries=1)
+    empty_q = queries.filter("query_id < 0")
+    assert cosine_topk_arrow(corpus, empty_q, k=1).count() == 0
