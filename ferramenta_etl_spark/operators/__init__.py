@@ -70,6 +70,7 @@ from .similarity import (  # noqa: F401
     ivf_topk_on_index,
     lloyd_refine,
     truncated_prefilter_topk,
+    with_prefix_column,
     load_ivf_centroids,
     srp_params_for,
 )

