@@ -237,11 +237,16 @@ def main() -> None:
         # 3-run median can't tell a 30% regression from noise exactly
         # where 30% is smallest in absolute terms — and the 1-2.5 s band
         # (flagship) is where r06/r07's unexplained ±30-50% swings
-        # lived. <0.3 s -> 9 runs, <2.5 s -> 7 runs; only the few
+        # lived. <1.0 s -> 9 runs, <2.5 s -> 7 runs; only the few
         # multi-second queries stay at 3, so the extra wall cost stays
-        # bounded by the queries being cheap.
+        # bounded by the queries being cheap. (The 9-run band widened
+        # from 0.3 to 1.0 s after the r08 driver run read 25-28% IQR on
+        # the 0.5-0.7 s dedup queries — above the documented 20% bar
+        # exactly where the bar starts to mean something; at n=9 the
+        # IQR spans the middle 5 runs, a steadier estimate for the same
+        # ~0.1 s jitter, and the extra wall cost is ~2 s total.)
         med3 = sorted(runs)[1]
-        target = 9 if med3 < 0.3 else (7 if med3 < 2.5 else 3)
+        target = 9 if med3 < 1.0 else (7 if med3 < 2.5 else 3)
         while len(runs) < target:
             t0 = time.perf_counter()
             queries[name](spark, sf_dir).write.format("noop").mode("overwrite").save()

@@ -69,6 +69,7 @@ from .similarity import (  # noqa: F401
     ivf_topk,
     ivf_topk_on_index,
     lloyd_refine,
+    mine_hard_negatives,
     truncated_prefilter_topk,
     with_prefix_column,
     load_ivf_centroids,
@@ -82,6 +83,7 @@ from .text import (  # noqa: F401
     lang_id,
     quality_score,
     redact_pii,
+    token_vocab,
     winnowing_fingerprints,
     word_ngrams,
 )

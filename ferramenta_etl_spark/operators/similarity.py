@@ -238,6 +238,85 @@ def cosine_topk_arrow(
     ).select(query_id_col, id_col, "sim", "rnk")
 
 
+def mine_hard_negatives(
+    corpus: DataFrame,
+    anchors: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    anchor_id_col: str = "query_id",
+    anchor_vec_col: str = "query_vec",
+    anchor_label_col: str = "query_label",
+    max_sim: float | None = None,
+    min_sim: float | None = None,
+) -> DataFrame:
+    """Per-anchor top-k most-similar DIFFERENT-label corpus vectors —
+    hard-negative mining for contrastive / embedding-model training.
+
+    For every anchor, rank corpus vectors whose ``label_col`` differs
+    from the anchor's ``anchor_label_col`` by cosine similarity
+    descending and keep the top ``k``: the negatives that sit closest to
+    the anchor in embedding space are exactly the ones a contrastive
+    loss learns most from. Two standard screens are built in:
+
+    - ``max_sim``: drop candidates ABOVE this similarity — the
+      false-negative guard (a "negative" at sim 0.99 is usually an
+      unlabeled positive or a near-duplicate; mining it in poisons the
+      loss). Strict ``<`` so the cap itself is excluded.
+    - ``min_sim``: drop candidates BELOW this floor — easy negatives a
+      random sampler would find anyway; keeping the band tight makes
+      every mined row informative. Inclusive ``>=`` (a floor admits its
+      boundary; the common configuration is margin-shaped, e.g.
+      ``min_sim=0.3, max_sim=0.95``).
+
+    Plan shape is ``cosine_topk``'s (the anchors broadcast, the corpus
+    streams, the only exchange carries (anchor_id, vec_id, label, sim)
+    candidate tuples capped by the two-phase top-k) with the label
+    inequality and the sim band applied BEFORE ranking, so screened-out
+    rows never occupy a top-k slot. Same zero-norm policy and 6-dp
+    round + id tiebreak as cosine_topk — the ranking is a total order
+    and the numpy differential oracle (tests/test_mining.py) matches it
+    exactly.
+
+    Self-mining (anchors drawn from the corpus) needs no special case:
+    the anchor's own row shares its label, so the inequality removes it
+    along with every other same-label row. NULL labels satisfy neither
+    side of ``!=`` (SQL three-valued logic): corpus rows with a NULL
+    label are never returned as negatives (can't prove they differ) and
+    NULL-labeled anchors return no rows — mirror of the zero-norm
+    policy, documented rather than guessed."""
+    corpus_n = corpus.filter(F.expr(_usable_vec_sql(vec_col))).select(
+        F.col(id_col), F.col(vec_col), F.col(label_col),
+        F.expr(_norm_sql(vec_col)).alias("__nv"),
+    )
+    anchors_n = anchors.filter(F.expr(_usable_vec_sql(anchor_vec_col))).select(
+        F.col(anchor_id_col), F.col(anchor_vec_col), F.col(anchor_label_col),
+        F.expr(_norm_sql(anchor_vec_col)).alias("__qn"),
+    )
+    sim = F.expr(
+        f"round({_dot_sql(anchor_vec_col, vec_col)} / (__qn * __nv), 6)"
+    )
+    scored = (
+        corpus_n.crossJoin(F.broadcast(anchors_n))
+        .filter(F.col(label_col) != F.col(anchor_label_col))
+        .select(
+            F.col(anchor_id_col),
+            F.col(id_col),
+            F.col(label_col),
+            sim.alias("sim"),
+        )
+    )
+    if max_sim is not None:
+        scored = scored.filter(F.col("sim") < F.lit(float(max_sim)))
+    if min_sim is not None:
+        scored = scored.filter(F.col("sim") >= F.lit(float(min_sim)))
+    order = [F.col("sim").desc(), F.col(id_col).asc()]
+    return grouped_topk(scored, [anchor_id_col], order, k).select(
+        anchor_id_col, id_col, label_col, "sim", "rnk"
+    )
+
+
 def derive_centroids(
     corpus: DataFrame,
     n_centroids: int,

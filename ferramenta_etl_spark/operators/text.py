@@ -456,6 +456,57 @@ def winnowing_fingerprints(text: Column, k: int = 3, window: int = 4) -> Column:
     )
 
 
+def token_vocab(
+    docs,
+    text_col: str = "text",
+    doc_id_col: str = "doc_id",
+    tokenizer: str = "ws",
+    min_count: int = 2,
+    top_n: int | None = None,
+):
+    """Corpus vocabulary: one row per distinct token with its corpus
+    term frequency (``tf``) and approximate document frequency
+    (``df_approx``) — the counting pass that precedes BPE/vocab
+    training and feeds IDF weighting.
+
+    ``tokenizer``: ``"ws"`` = the lowercased whitespace tokens every
+    other text operator counts with; ``"bpe_ish"`` = the subword-proxy
+    regex (letter runs | single digits | single marks, BPE_ISH_RE).
+
+    Scale shape: explode → one hash aggregation keyed by token. The
+    explode never materializes the corpus token stream through a
+    shuffle — partial aggregation means each task emits only its LOCAL
+    distinct (token, tf, HLL-sketch) tuples, so the exchange carries
+    ~vocab-sized data per partition regardless of corpus token count.
+    Document frequency is an HLL sketch (``approx_count_distinct``,
+    default ~2% rsd) merged in the SAME pass — the exact alternative is
+    a second (token, doc_id)-distinct shuffle of corpus-scale width,
+    the wrong trade for an IDF denominator. ``top_n`` compiles to
+    TakeOrderedAndProject (per-partition top-N, driver merge of N×P
+    rows), never a global sort of the vocabulary."""
+    if tokenizer == "ws":
+        toks = ws_tokens(F.col(text_col))
+    elif tokenizer == "bpe_ish":
+        toks = F.regexp_extract_all(
+            F.lower(F.col(text_col)), F.lit(BPE_ISH_RE), 0
+        )
+    else:
+        raise ValueError(f"unknown tokenizer {tokenizer!r} (ws | bpe_ish)")
+    exploded = docs.select(
+        F.col(doc_id_col), F.explode(toks).alias("token")
+    ).filter(F.col("token") != "")
+    vocab = (
+        exploded.groupBy("token")
+        .agg(
+            F.count(F.lit(1)).alias("tf"),
+            F.approx_count_distinct(doc_id_col).alias("df_approx"),
+        )
+        .filter(F.col("tf") >= int(min_count))
+    )
+    ordered = vocab.orderBy(F.col("tf").desc(), F.col("token").asc())
+    return ordered.limit(int(top_n)) if top_n is not None else ordered
+
+
 def corpus_stats(
     docs,
     strata: Sequence[str] = ("lang", "source"),

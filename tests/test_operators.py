@@ -1039,3 +1039,57 @@ def test_resize_images_malformed_rows_null_out(spark):
     for bad in (2, 3, 4):
         assert out[bad].media is None
         assert out[bad].width is None and out[bad].height is None
+
+
+def test_token_vocab_counts_and_ordering(spark):
+    """token_vocab vs a pure-Python Counter oracle on a hand fixture:
+    exact tf, (tf desc, token asc) ordering, min_count floor, top_n cap,
+    and the bpe_ish tokenizer splitting marks off words. df_approx is an
+    HLL sketch, but at fixture cardinality (<=3 docs/token) HLL++ runs
+    in sparse mode and is exact — asserted exactly on purpose so a
+    sketch-config regression shows up here."""
+    from collections import Counter
+
+    from ferramenta_etl_spark.operators.text import token_vocab
+
+    corpus = [
+        (1, "the cat sat on the mat"),
+        (2, "the dog"),
+        (3, "cat! cat! said the dog"),
+    ]
+    docs = spark.createDataFrame(corpus, "doc_id: long, text: string")
+
+    tf = Counter()
+    df_exact = Counter()
+    for _, text in corpus:
+        toks = text.lower().split(" ")
+        tf.update(toks)
+        df_exact.update(set(toks))
+    want = sorted(
+        ((t, n, df_exact[t]) for t, n in tf.items() if n >= 2),
+        key=lambda r: (-r[1], r[0]),
+    )
+
+    got = [
+        (r.token, r.tf, r.df_approx)
+        for r in token_vocab(docs, min_count=2).collect()
+    ]
+    assert got == want
+
+    top2 = [
+        (r.token, r.tf)
+        for r in token_vocab(docs, min_count=1, top_n=2).collect()
+    ]
+    assert top2 == [(w[0], w[1]) for w in want[:2]]
+
+    # bpe_ish splits the "!" marks off: "cat!" x2 -> cat x2 + ! x2
+    bpe = {
+        r.token: r.tf
+        for r in token_vocab(docs, tokenizer="bpe_ish", min_count=1).collect()
+    }
+    assert bpe["cat"] == 3 and bpe["!"] == 2 and "cat!" not in bpe
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        token_vocab(docs, tokenizer="nope")
