@@ -70,6 +70,7 @@ from .similarity import (  # noqa: F401
     ivf_topk_on_index,
     lloyd_refine,
     mine_hard_negatives,
+    mine_hard_negatives_arrow,
     truncated_prefilter_topk,
     with_prefix_column,
     load_ivf_centroids,

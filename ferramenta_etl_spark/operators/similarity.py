@@ -317,6 +317,136 @@ def mine_hard_negatives(
     )
 
 
+def mine_hard_negatives_arrow(
+    corpus: DataFrame,
+    anchors: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    anchor_id_col: str = "query_id",
+    anchor_vec_col: str = "query_vec",
+    anchor_label_col: str = "query_label",
+    max_sim: float | None = None,
+    min_sim: float | None = None,
+    max_anchors: int = 4096,
+) -> DataFrame:
+    """``mine_hard_negatives`` on the Arrow/BLAS execution path — same
+    contract (label inequality, NULL-label and zero-norm policy, sim
+    band applied BEFORE ranking, 6-dp round + id-asc tiebreak; the
+    differential test pins row-for-row equality with the SQL fold),
+    scored as one ``(batch x dim) @ (dim x A)`` matmul per corpus batch
+    like ``cosine_topk_arrow``. The 100×-corpus probe measured the SQL
+    fold at ~55 s for 200 k x 32 pairs; BLAS amortizes the per-pair
+    fold overhead the same way it did for the truncated serve
+    (SCALING.md round-8). Each batch emits only its local per-anchor
+    top-k AFTER the label mask and the band, so at most A*k rows per
+    batch reach the final merge and screened-out rows never occupy a
+    top-k slot. Anchors are collected once into the task closure behind
+    the shared loud guard (``max_anchors``)."""
+    import numpy as np
+
+    from pyspark.sql import types as T
+
+    rows = anchors.select(
+        anchor_id_col, anchor_vec_col, anchor_label_col
+    ).collect()
+    if len(rows) > max_anchors:
+        raise ValueError(
+            f"{len(rows)} anchors > max_anchors={max_anchors}: batch the "
+            "anchor side (the closure grows linearly with it), or raise "
+            "max_anchors deliberately"
+        )
+    usable_rows = [
+        r
+        for r in rows
+        if r[2] is not None
+        and r[1] is not None
+        and len(r[1]) > 0
+        and np.isfinite(np.asarray(r[1], dtype=np.float64)).all()
+        and float(np.dot(r[1], r[1])) > 0.0
+    ]
+
+    in_fields = {f.name: f for f in corpus.schema.fields}
+    aid_field = {f.name: f for f in anchors.schema.fields}[anchor_id_col]
+    schema = T.StructType(
+        [
+            T.StructField(anchor_id_col, aid_field.dataType),
+            in_fields[id_col],
+            in_fields[label_col],
+            T.StructField("sim", T.DoubleType()),
+        ]
+    )
+    spark = anchors.sparkSession
+    if not usable_rows:
+        fields = list(schema.fields) + [T.StructField("rnk", T.IntegerType())]
+        return spark.createDataFrame([], T.StructType(fields)).select(
+            anchor_id_col, id_col, label_col, "sim", "rnk"
+        )
+    aids = [r[0] for r in usable_rows]
+    alabels = np.array([r[2] for r in usable_rows])
+    amat = np.array([list(r[1]) for r in usable_rows], dtype=np.float64)
+    an = np.sqrt((amat * amat).sum(axis=1))
+    at = amat.T  # (dim, A)
+
+    def batches(it):
+        import pandas as pd
+
+        for pdf in it:
+            if len(pdf) == 0:
+                continue
+            mat = np.stack(
+                [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
+            )
+            norms = np.sqrt((mat * mat).sum(axis=1))
+            sims = np.round(mat @ at / (norms[:, None] * an[None, :]), 6)
+            ids = pdf[id_col].values
+            labels = pdf[label_col].values
+            q_out, i_out, l_out, s_out = [], [], [], []
+            for ai in range(len(aids)):
+                col = sims[:, ai]
+                mask = labels != alabels[ai]
+                if max_sim is not None:
+                    mask &= col < max_sim
+                if min_sim is not None:
+                    mask &= col >= min_sim
+                idx = np.flatnonzero(mask)
+                if len(idx) == 0:
+                    continue
+                best = idx[np.lexsort((ids[idx], -col[idx]))[:k]]
+                q_out.extend([aids[ai]] * len(best))
+                i_out.extend(ids[best])
+                l_out.extend(labels[best])
+                s_out.extend(col[best])
+            yield pd.DataFrame(
+                {
+                    anchor_id_col: q_out,
+                    id_col: i_out,
+                    label_col: l_out,
+                    "sim": s_out,
+                }
+            )
+
+    # JVM-side screens BEFORE bytes cross to Python: zero-norm vectors
+    # never rank (same as cosine_topk_arrow) and NULL-label rows are
+    # never negatives — dropping them here also keeps the pandas label
+    # dtype un-promoted (a nullable int column would arrive as float64
+    # + NaN, and NaN != x is TRUE in numpy, silently re-admitting the
+    # rows the policy excludes).
+    scored = (
+        corpus.filter(F.expr(_usable_vec_sql(vec_col)))
+        .filter(F.col(label_col).isNotNull())
+        .select(id_col, vec_col, label_col)
+        .mapInPandas(batches, schema)
+    )
+    return grouped_topk(
+        scored,
+        [anchor_id_col],
+        [F.col("sim").desc(), F.col(id_col).asc()],
+        k,
+    ).select(anchor_id_col, id_col, label_col, "sim", "rnk")
+
+
 def derive_centroids(
     corpus: DataFrame,
     n_centroids: int,

@@ -124,3 +124,55 @@ def test_band_is_respected(spark):
     ).collect()
     assert rows
     assert all(0.2 <= r.sim < 0.7 for r in rows)
+
+
+@pytest.mark.parametrize(
+    "band", [dict(), dict(min_sim=0.1, max_sim=0.8)]
+)
+def test_arrow_engine_matches_sql_fold(spark, band):
+    """mine_hard_negatives_arrow row-for-row against the oracle-pinned
+    SQL fold on the fixture INCLUDING the policy rows (zero-norm /
+    NULL-label on both sides) — the two paths may differ only on a
+    half-ulp-of-1e-6 pairwise-vs-sequential summation tie, which the
+    1e-6 sim tolerance absorbs."""
+    from ferramenta_etl_spark.operators.similarity import (
+        mine_hard_negatives_arrow,
+    )
+
+    vecs, labels = _fixture()
+    anchor_ids = [0, 7, 33, 64, 119]
+    corpus = _corpus_df(spark, vecs, labels)
+    anchors = _anchor_df(spark, vecs, labels, anchor_ids)
+    want = sorted(
+        tuple(r)
+        for r in mine_hard_negatives(corpus, anchors, k=7, **band).collect()
+    )
+    got = sorted(
+        tuple(r)
+        for r in mine_hard_negatives_arrow(
+            corpus, anchors, k=7, **band
+        ).collect()
+    )
+    assert len(got) == len(want)
+    for g, w in zip(got, want):
+        assert g[:3] == w[:3] and g[4] == w[4], (g, w)
+        assert abs(g[3] - w[3]) <= 1e-6, (g, w)
+
+
+def test_arrow_engine_guard_and_empty(spark):
+    from ferramenta_etl_spark.operators.similarity import (
+        mine_hard_negatives_arrow,
+    )
+
+    vecs, labels = _fixture()
+    corpus = _corpus_df(spark, vecs, labels)
+    with pytest.raises(ValueError, match="max_anchors"):
+        mine_hard_negatives_arrow(
+            corpus, _anchor_df(spark, vecs, labels, [0, 1, 2]), max_anchors=2
+        )
+    # only policy anchors (NULL label + zero vec) -> empty, right schema
+    out = mine_hard_negatives_arrow(
+        corpus, _anchor_df(spark, vecs, labels, [])
+    )
+    assert out.columns == ["query_id", "vec_id", "label", "sim", "rnk"]
+    assert out.count() == 0
