@@ -52,9 +52,19 @@ def main(argv: list[str] | None = None, _stop_session: bool = True) -> int:
             "list", "run", "run-all", "curate", "optimize", "plan-audit",
             "stream", "curate-stream", "rollup", "stats", "ingest",
             "neardup-admit", "make-dataset", "ann-index", "ann-query",
-            "media-curate",
+            "media-curate", "vocab", "mine-negatives",
         ],
     )
+    p.add_argument("--tokenizer", choices=["ws", "bpe_ish"], default="ws",
+                   help="vocab: token definition")
+    p.add_argument("--min-count", type=int, default=2,
+                   help="vocab: drop tokens below this corpus frequency")
+    p.add_argument("--top-n", type=int, default=None,
+                   help="vocab: keep only the n most frequent tokens")
+    p.add_argument("--max-sim", type=float, default=None,
+                   help="mine-negatives: false-negative cap (exclusive)")
+    p.add_argument("--min-sim", type=float, default=None,
+                   help="mine-negatives: easy-negative floor (inclusive)")
     p.add_argument("--img-size", default="224x224",
                    help="media-curate: letterbox target WxH for images")
     p.add_argument("--audio-rate", type=int, default=16000,
@@ -515,6 +525,64 @@ def main(argv: list[str] | None = None, _stop_session: bool = True) -> int:
             for r in rows:
                 print(f"{r[0]}\t{r[1]}\t{r[2]:.6f}\t{r[3]}")
             print(f"✅ ann-query: {len(rows)} result rows")
+            return 0
+        if args.command == "vocab":
+            # Corpus vocabulary snapshot: one pass over documents ->
+            # (token, tf, df_approx) parquet under the sink dir. A
+            # derived aggregate, not an event log — each run REPLACES
+            # the snapshot (overwrite), unlike the keyed append sinks.
+            from .operators.text import token_vocab
+            from .sources import load_table
+
+            vocab = token_vocab(
+                load_table(spark, args.sf_dir, "documents"),
+                tokenizer=args.tokenizer,
+                min_count=args.min_count,
+                top_n=args.top_n,
+            )
+            out_dir = f"{args.sink_dir}/vocab"
+            vocab.write.mode("overwrite").parquet(out_dir)
+            snap = spark.read.parquet(out_dir)
+            n = snap.count()
+            print(f"{'token':20} {'tf':>8} {'df~':>6}")
+            for r in snap.orderBy(
+                snap.tf.desc(), snap.token.asc()
+            ).limit(10).collect():
+                print(f"{r.token:20} {r.tf:>8} {r.df_approx:>6}")
+            print(f"✅ vocab: {n} tokens written to {out_dir}")
+            return 0
+        if args.command == "mine-negatives":
+            # Contrastive hard negatives over the embeddings table via
+            # the Arrow/BLAS scorer; anchors default to the first 10
+            # embeddings (with their labels) or come from a parquet of
+            # (query_id, query_vec, query_label). Output is keyed
+            # (query_id, vec_id) through the idempotent sink — a rerun
+            # with the same inputs appends zero.
+            from pyspark.sql import functions as _F
+
+            from .operators.similarity import mine_hard_negatives_arrow
+            from .sinks import write_ignore_conflicts
+            from .sources import load_table
+
+            corpus = load_table(spark, args.sf_dir, "embeddings")
+            if args.queries_path:
+                anchors = spark.read.parquet(args.queries_path)
+            else:
+                anchors = corpus.filter(_F.col("vec_id") < 10).select(
+                    _F.col("vec_id").alias("query_id"),
+                    _F.col("embedding").alias("query_vec"),
+                    _F.col("label").alias("query_label"),
+                )
+            mined = mine_hard_negatives_arrow(
+                corpus, anchors, k=args.k,
+                max_sim=args.max_sim, min_sim=args.min_sim,
+            )
+            n = write_ignore_conflicts(
+                mined,
+                f"{args.sink_dir}/hard_negatives",
+                keys=["query_id", "vec_id"],
+            )
+            print(f"✅ mine-negatives: {n} (anchor, negative) rows appended")
             return 0
         if args.command == "stats":
             from .operators.text import corpus_stats

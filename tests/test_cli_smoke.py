@@ -182,3 +182,42 @@ def test_cli_media_curate_idempotent(cli_tmp, capsys, spark):
     assert "0 images, 0 audio clips, 0 video frames" in capsys.readouterr().out
     assert spark.read.parquet(f"{sink}/media_images").count() == n_img
     assert spark.read.parquet(f"{sink}/media_frames").count() == n_frames
+
+
+def test_cli_vocab_snapshot(cli_tmp, capsys, spark):
+    s = str(cli_tmp / "s")
+    assert _run("vocab", "--sink-dir", s, "--min-count", "2") == 0
+    assert "✅ vocab:" in capsys.readouterr().out
+    snap = spark.read.parquet(f"{s}/vocab")
+    assert snap.columns == ["token", "tf", "df_approx"]
+    assert snap.count() > 0
+    # rerun REPLACES the snapshot (derived aggregate, not a log)
+    n1 = snap.count()
+    assert _run("vocab", "--sink-dir", s, "--min-count", "2") == 0
+    assert spark.read.parquet(f"{s}/vocab").count() == n1
+    # top-n + bpe tokenizer plumb through
+    assert _run("vocab", "--sink-dir", s, "--tokenizer", "bpe_ish",
+                "--min-count", "1", "--top-n", "5") == 0
+    assert spark.read.parquet(f"{s}/vocab").count() == 5
+
+
+def test_cli_mine_negatives_idempotent(cli_tmp, capsys, spark):
+    s = str(cli_tmp / "s")
+    assert _run("mine-negatives", "--sink-dir", s, "--k", "3",
+                "--max-sim", "0.99") == 0
+    out1 = capsys.readouterr().out
+    assert "✅ mine-negatives:" in out1
+    sink = spark.read.parquet(f"{s}/hard_negatives")
+    n1 = sink.count()
+    assert n1 > 0
+    # every mined row is a different-label pair with sim under the cap
+    anchors = {r.vec_id: r.label for r in
+               spark.read.parquet(SF + "/embeddings.parquet")
+               .filter("vec_id < 10").collect()}
+    for r in sink.collect():
+        assert r.label != anchors[r.query_id]
+        assert r.sim < 0.99
+    # rerun appends ZERO through the keyed idempotent sink
+    assert _run("mine-negatives", "--sink-dir", s, "--k", "3",
+                "--max-sim", "0.99") == 0
+    assert spark.read.parquet(f"{s}/hard_negatives").count() == n1
