@@ -68,7 +68,9 @@ from .similarity import (  # noqa: F401
     derive_centroids,
     ivf_topk,
     ivf_topk_on_index,
+    l2_normalize,
     lloyd_refine,
+    mean_pool_embeddings,
     mine_hard_negatives,
     mine_hard_negatives_arrow,
     truncated_prefilter_topk,

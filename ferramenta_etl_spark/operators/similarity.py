@@ -47,6 +47,65 @@ def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / (norm(a) * norm(b))
 
 
+def l2_normalize(a: Column) -> Column:
+    """Unit-norm copy of ``a`` (double elements); NULL for zero-norm /
+    non-finite inputs — the same "no defined direction" policy every
+    scorer in this module applies, surfaced as NULL instead of silently
+    ranking garbage. Pure column expression, map-only."""
+    n = norm(a)
+    return F.when(
+        n.isNotNull() & (n > 0.0) & (n == n) & (n != float("inf")),
+        F.transform(a, lambda x: x.cast("double") / n),
+    )
+
+
+def mean_pool_embeddings(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    vec_col: str = "embedding",
+    out_col: str = "embedding",
+    normalize: bool = False,
+) -> DataFrame:
+    """Element-wise mean of ``vec_col`` per group — the chunk→document
+    pooling step: encode chunks (bounded-length model inputs), mean-pool
+    back to one vector per document, feed the ANN/dedup family.
+
+    Spark has no element-wise array SUM aggregate, so the pool is two
+    hash aggregations, both partial-aggregated (no UDF, no collect):
+    posexplode to (group, pos, val) → sum/count per (group, pos) →
+    regroup to ordered arrays via array_sort over collect_list(struct).
+    Exchange 1 carries one PARTIAL SUM per (group, pos) per input
+    partition — dim-proportional, never row-proportional; exchange 2
+    carries dim rows per group. Both linear in groups×dim at 100×.
+
+    Rows with NULL/empty vectors are dropped before pooling (a missing
+    chunk embedding must not zero-bias the mean). Ragged dims within a
+    group are the caller's bug; the count is taken per (group, pos), so
+    a ragged group yields a positionally-correct mean rather than a
+    silently wrong one. ``normalize=True`` unit-norms the pooled vector
+    (cosine-ready, NULL if the mean is zero-norm)."""
+    gcols = [F.col(c) for c in group_cols]
+    exploded = df.filter(
+        F.col(vec_col).isNotNull() & (F.size(vec_col) > 0)
+    ).select(*gcols, F.posexplode(vec_col).alias("__pos", "__val"))
+    per_pos = exploded.groupBy(*gcols, F.col("__pos")).agg(
+        (F.sum(F.col("__val").cast("double")) / F.count(F.lit(1))).alias(
+            "__mean"
+        )
+    )
+    pooled = per_pos.groupBy(*gcols).agg(
+        F.transform(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("__pos"), F.col("__mean")))
+            ),
+            lambda s: s.getField("__mean"),
+        ).alias(out_col)
+    )
+    if normalize:
+        pooled = pooled.withColumn(out_col, l2_normalize(F.col(out_col)))
+    return pooled
+
+
 # --------------------------------------------------------------------------
 # SQL-string builders for the hot-path expressions. The Column-API forms
 # above are the readable reference; these exist because PySpark higher-

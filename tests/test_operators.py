@@ -1093,3 +1093,50 @@ def test_token_vocab_counts_and_ordering(spark):
 
     with _pytest.raises(ValueError):
         token_vocab(docs, tokenizer="nope")
+
+
+def test_mean_pool_embeddings_numpy_oracle(spark):
+    """Chunk→doc mean pooling vs numpy: exact grouping, positional
+    means to 1e-9 (summation order differs), NULL/empty chunks dropped,
+    zero-mean group goes NULL under normalize=True, and l2_normalize
+    produces unit vectors."""
+    import numpy as np
+
+    from ferramenta_etl_spark.operators.similarity import (
+        l2_normalize,
+        mean_pool_embeddings,
+    )
+    from pyspark.sql import functions as F
+
+    rng = np.random.default_rng(99)
+    chunks, want = [], {}
+    for doc in range(4):
+        vecs = rng.normal(size=(doc + 1, 6))
+        want[doc] = vecs.mean(axis=0)
+        chunks += [(doc, [float(x) for x in v]) for v in vecs]
+    chunks.append((0, None))  # dropped, must not bias doc 0's mean
+    chunks.append((1, []))    # likewise
+    # doc 9: chunks cancel to the zero vector -> normalize yields NULL
+    chunks += [(9, [1.0, 0.0, 0.0, 0.0, 0.0, 0.0]),
+               (9, [-1.0, 0.0, 0.0, 0.0, 0.0, 0.0])]
+    df = spark.createDataFrame(chunks, "doc_id: long, embedding: array<double>")
+
+    pooled = {r.doc_id: np.array(r.embedding)
+              for r in mean_pool_embeddings(df, ["doc_id"]).collect()}
+    assert set(pooled) == {0, 1, 2, 3, 9}
+    for doc, w in want.items():
+        assert np.abs(pooled[doc] - w).max() < 1e-9, doc
+    assert np.abs(pooled[9]).max() == 0.0
+
+    normed = {r.doc_id: r.embedding
+              for r in mean_pool_embeddings(
+                  df, ["doc_id"], normalize=True).collect()}
+    assert normed[9] is None
+    for doc in want:
+        assert abs(np.linalg.norm(np.array(normed[doc])) - 1.0) < 1e-9
+
+    row = df.limit(0).sparkSession.createDataFrame(
+        [([3.0, 4.0],), ([0.0, 0.0],), (None,)], "v: array<double>"
+    ).select(l2_normalize(F.col("v")).alias("u")).collect()
+    assert row[0].u == [0.6, 0.8]
+    assert row[1].u is None and row[2].u is None
