@@ -330,7 +330,27 @@ def main(argv: list[str] | None = None, _stop_session: bool = True) -> int:
                 cluster_by=["seq_id"],
                 order_by=["seq_id", "doc_id", "chunk_idx"],
             )
-            print(f"✅ make-dataset: {n_shards} JSONL shard(s) written")
+            from .sinks.layout import write_dataset_manifest
+
+            manifest = write_dataset_manifest(
+                spark,
+                f"{args.sink_dir}/dataset_jsonl",
+                config={
+                    "min_quality": args.min_quality,
+                    "redact_pii": args.redact_pii,
+                    "sample_rate": args.sample_rate,
+                    "lang_quota": args.lang_quota,
+                    "clean_lines": args.clean_lines,
+                    "benchmark": bool(args.benchmark),
+                    "chunk_tokens": 512, "overlap": 64,
+                    "budget_tokens": 2048,
+                },
+            )
+            print(
+                f"✅ make-dataset: {n_shards} JSONL shard(s), "
+                f"{manifest['n_rows']} rows, fingerprint "
+                f"{manifest['dataset_fingerprint']}"
+            )
             return 0
         if args.command == "media-curate":
             # The multimodal counterpart of `curate`: three narrow-map

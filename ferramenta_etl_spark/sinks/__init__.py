@@ -12,6 +12,8 @@ from .jdbc_conflict import (  # noqa: F401
 from .layout import (  # noqa: F401
     compact_small_files,
     file_clustering_report,
+    verify_dataset_manifest,
+    write_dataset_manifest,
     write_zordered,
     zorder_value,
 )

@@ -215,3 +215,97 @@ def export_jsonl(
         if persisted:
             df.unpersist()
     return n_shards
+
+
+def _shard_stats(spark: SparkSession, path: str) -> list[dict]:
+    """Per-shard (file basename, rows, order-insensitive content hash)
+    for a JSONL export, computed in ONE distributed pass over
+    ``part-*`` (the manifest and _SUCCESS markers are excluded by the
+    glob). The content hash is sum(xxhash64(line)) mod 2^64 — summed as
+    decimal(38,0) so a petabyte shard cannot overflow bigint under ANSI
+    mode, order-insensitive so recompression or a rewritten-but-
+    equal-content shard verifies clean, and duplicate-line-sensitive
+    (unlike xor, two identical lines don't cancel)."""
+    rows = (
+        spark.read.text(f"{path}/part-*")
+        .select(F.input_file_name().alias("file"), F.col("value"))
+        .groupBy("file")
+        .agg(
+            F.count(F.lit(1)).alias("rows"),
+            F.sum(F.xxhash64("value").cast("decimal(38,0)")).alias("hsum"),
+        )
+        .collect()
+    )
+    out = []
+    for r in rows:
+        base = r.file.rsplit("/", 1)[-1]
+        out.append(
+            {
+                "file": base,
+                "rows": r.rows,
+                "content_hash": str(int(r.hsum) % (1 << 64)),
+            }
+        )
+    return sorted(out, key=lambda d: d["file"])
+
+
+def write_dataset_manifest(
+    spark: SparkSession, path: str, config: dict | None = None
+) -> dict:
+    """Write ``_manifest.json`` next to a JSONL export: per-shard row
+    counts + content hashes, the producing config, and a DATASET
+    fingerprint = (sum of all line hashes mod 2^64, total rows). The
+    fingerprint is layout-independent by construction — recluster the
+    same lines into a different shard count and it is unchanged, while
+    any added/dropped/edited line moves it. A training run records the
+    fingerprint; ``verify_dataset_manifest`` re-derives everything
+    before the loader trusts the files. Returns the manifest dict."""
+    import json
+
+    shards = _shard_stats(spark, path)
+    total_rows = sum(s["rows"] for s in shards)
+    fingerprint = sum(int(s["content_hash"]) for s in shards) % (1 << 64)
+    manifest = {
+        "format": "jsonl",
+        "n_shards": len(shards),
+        "n_rows": total_rows,
+        "dataset_fingerprint": f"{fingerprint}:{total_rows}",
+        "shards": shards,
+        "config": config or {},
+    }
+    tmp = os.path.join(path, "_manifest.json.tmp")
+    with open(tmp, "w") as f:
+        json.dump(manifest, f, indent=1, sort_keys=True)
+    os.replace(tmp, os.path.join(path, "_manifest.json"))
+    return manifest
+
+
+def verify_dataset_manifest(
+    spark: SparkSession, path: str
+) -> tuple[bool, list[str]]:
+    """Re-derive the shard stats and compare against ``_manifest.json``.
+    Returns (ok, problems); problems name the shard and the mismatch
+    (missing/extra/rows/content) — the integrity gate a loader runs
+    before training on the export."""
+    import json
+
+    with open(os.path.join(path, "_manifest.json")) as f:
+        manifest = json.load(f)
+    want = {s["file"]: s for s in manifest["shards"]}
+    got = {s["file"]: s for s in _shard_stats(spark, path)}
+    problems = []
+    for name in sorted(set(want) - set(got)):
+        problems.append(f"missing shard {name}")
+    for name in sorted(set(got) - set(want)):
+        problems.append(f"unexpected shard {name}")
+    for name in sorted(set(want) & set(got)):
+        w, g = want[name], got[name]
+        if g["rows"] != w["rows"]:
+            problems.append(f"{name}: rows {g['rows']} != {w['rows']}")
+        elif g["content_hash"] != w["content_hash"]:
+            problems.append(f"{name}: content hash mismatch")
+    total = sum(s["rows"] for s in got.values())
+    fp = sum(int(s["content_hash"]) for s in got.values()) % (1 << 64)
+    if f"{fp}:{total}" != manifest["dataset_fingerprint"]:
+        problems.append("dataset fingerprint mismatch")
+    return (not problems, problems)

@@ -123,6 +123,11 @@ def test_cli_make_dataset(cli_tmp, capsys):
         total = sum(c["n_chunk_tokens"] for c in chunks)
         assert total == chunks[0]["seq_tokens"]
         assert total <= 2048 or len(chunks) == 1
+    # the manifest records exactly what landed on disk
+    manifest = json.load(open(os.path.join(out_dir, "_manifest.json")))
+    assert manifest["n_rows"] == len(rows)
+    assert manifest["n_shards"] == len(files)
+    assert manifest["config"]["budget_tokens"] == 2048
 
 
 def test_cli_curate_clean_lines(cli_tmp):
