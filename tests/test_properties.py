@@ -607,3 +607,74 @@ def test_tokenset_huge_union_exact_threshold_acceptance(spark):
         for r in tokenset_jaccard_pairs(df, prefix_filter=True, **kw).collect()
     }
     assert prefixed == expected
+
+
+@given(docs=st.lists(_doc, min_size=1, max_size=6), mc=st.integers(1, 3))
+@settings(**SETTINGS)
+def test_token_vocab_matches_counter(spark, docs, mc):
+    """token_vocab (ws) vs collections.Counter on randomized corpora:
+    exact tf, exact df (HLL is exact at these cardinalities), min_count
+    floor, and the (tf desc, token asc) total order."""
+    from collections import Counter
+
+    from ferramenta_etl_spark.operators.text import token_vocab
+
+    df = spark.createDataFrame(
+        [(i, d) for i, d in enumerate(docs)], "doc_id long, text string"
+    )
+    tf, dfreq = Counter(), Counter()
+    for d in docs:
+        toks = [t for t in d.lower().split(" ") if t != ""]
+        tf.update(toks)
+        dfreq.update(set(toks))
+    want = sorted(
+        ((t, n, dfreq[t]) for t, n in tf.items() if n >= mc),
+        key=lambda r: (-r[1], r[0]),
+    )
+    got = [
+        (r.token, r.tf, r.df_approx)
+        for r in token_vocab(df, min_count=mc).collect()
+    ]
+    assert got == want
+
+
+@given(
+    groups=st.lists(
+        st.lists(
+            st.lists(
+                st.floats(-8, 8, allow_nan=False, width=32),
+                min_size=3,
+                max_size=3,
+            ),
+            min_size=1,
+            max_size=4,
+        ),
+        min_size=1,
+        max_size=4,
+    )
+)
+@settings(**SETTINGS)
+def test_mean_pool_matches_numpy(spark, groups):
+    """mean_pool_embeddings vs numpy per-group means on randomized
+    ragged-free fixtures (dims fixed at 3; ragged groups are documented
+    caller error)."""
+    import numpy as np
+
+    from ferramenta_etl_spark.operators.similarity import (
+        mean_pool_embeddings,
+    )
+
+    rows = [
+        (g, [float(x) for x in vec])
+        for g, vecs in enumerate(groups)
+        for vec in vecs
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, embedding array<double>")
+    got = {
+        r.doc_id: np.array(r.embedding)
+        for r in mean_pool_embeddings(df, ["doc_id"]).collect()
+    }
+    assert set(got) == set(range(len(groups)))
+    for g, vecs in enumerate(groups):
+        want = np.array(vecs, dtype=np.float64).mean(axis=0)
+        assert np.abs(got[g] - want).max() < 1e-9
