@@ -2,6 +2,7 @@ from .dedup import (  # noqa: F401
     connected_components,
     dedup_exact,
     dedup_keep_canonical,
+    edit_distance_pairs,
     exact_dup_groups,
     latest_per_key,
     minhash_lsh_pairs,

@@ -994,3 +994,73 @@ def substring_dup_pairs(
         .agg(F.count(F.lit(1)).alias("n_shared"))
         .filter(F.col("n_shared") >= min_shared)
     )
+
+
+def edit_distance_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_dist: int = 2,
+    max_block_size: int | None = 10_000,
+) -> DataFrame:
+    """Character-level near-dup pairs: (doc_id_a, doc_id_b, dist) for
+    every pair within Levenshtein distance ``max_dist`` — the
+    short-field member of the dedup family (titles, names, URLs,
+    OCR/typo variants), complementing the token-set / MinHash / SimHash
+    operators that work at word granularity.
+
+    Never an all-pairs cross join: a pair within edit distance d
+    differs in length by at most d, so docs are blocked into length
+    buckets of width d+1 and each doc joins only its own and the
+    adjacent bucket (the right side emits copies at bucket b and b-1;
+    a qualifying pair lands in EXACTLY one directed candidate unless
+    same-bucket, and the canonical least/greatest projection + distinct
+    collapses that case). Candidates then pass an exact |len_a -
+    len_b| <= d prune before the expensive verify, and the verify
+    itself uses levenshtein's threshold form — O(len x d) with early
+    exit, not the O(len^2) full matrix. ``max_block_size`` is the same
+    quadratic-blow-up guard as the LSH/SimHash cap (_cap_blocks);
+    length blocking is WEAK on length-homogeneous corpora (every doc
+    in one bucket) — for those, run exact/fingerprint dedup first or
+    use the winnowing operator; this one targets short fields where
+    length varies. Exact duplicates surface with dist = 0."""
+    width = int(max_dist) + 1
+    base = df.select(
+        F.col(id_col),
+        F.col(text_col),
+        F.length(text_col).alias("__len"),
+        F.floor(F.length(text_col) / width).alias("__blk"),
+    )
+    if max_block_size is not None:
+        base = _cap_blocks(base, ["__blk"], max_block_size)
+    left = base.select(
+        F.col(id_col).alias("__ida"),
+        F.col(text_col).alias("__ta"),
+        F.col("__len").alias("__la"),
+        F.col("__blk").alias("__k"),
+    )
+    right = base.select(
+        F.col(id_col).alias("__idb"),
+        F.col(text_col).alias("__tb"),
+        F.col("__len").alias("__lb"),
+        F.explode(
+            F.array(F.col("__blk"), F.col("__blk") - 1)
+        ).alias("__k"),
+    )
+    cand = (
+        left.join(right, "__k")
+        .filter(F.col("__ida") != F.col("__idb"))
+        .filter(F.abs(F.col("__la") - F.col("__lb")) <= max_dist)
+    )
+    return (
+        cand.withColumn(
+            "dist", F.levenshtein(F.col("__ta"), F.col("__tb"), max_dist)
+        )
+        .filter(F.col("dist") >= 0)
+        .select(
+            F.least("__ida", "__idb").alias("doc_id_a"),
+            F.greatest("__ida", "__idb").alias("doc_id_b"),
+            "dist",
+        )
+        .distinct()
+    )

@@ -1140,3 +1140,50 @@ def test_mean_pool_embeddings_numpy_oracle(spark):
     ).select(l2_normalize(F.col("v")).alias("u")).collect()
     assert row[0].u == [0.6, 0.8]
     assert row[1].u is None and row[2].u is None
+
+
+def _py_levenshtein(a: str, b: str) -> int:
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(min(prev[j] + 1, cur[-1] + 1,
+                           prev[j - 1] + (ca != cb)))
+        prev = cur
+    return prev[-1]
+
+
+def test_edit_distance_pairs_matches_all_pairs_oracle(spark):
+    """edit_distance_pairs vs a python DP all-pairs oracle: every pair
+    within max_dist recovered with the exact distance (including a
+    cross-length-bucket pair and a dist-0 exact dup), nothing beyond
+    the threshold, and no self/duplicate pairs."""
+    from ferramenta_etl_spark.operators.dedup import edit_distance_pairs
+
+    texts = {
+        1: "the quick brown fox",
+        2: "the quick brown fox!",    # dist 1 from 1, crosses buckets
+        3: "the quick brown fix",     # dist 1 from 1, dist 2 from 2
+        4: "a completely different sentence",
+        5: "the quick brown fox",     # exact dup of 1 -> dist 0
+        6: "xx",
+        7: "xy",                      # dist 1 from 6
+        8: "the quick brwn fx",       # dist 2 from 1
+    }
+    df = spark.createDataFrame(
+        list(texts.items()), "doc_id: long, text: string"
+    )
+    for d in (1, 2):
+        want = sorted(
+            (a, b, _py_levenshtein(texts[a], texts[b]))
+            for a in texts for b in texts
+            if a < b and _py_levenshtein(texts[a], texts[b]) <= d
+        )
+        got = sorted(
+            (r.doc_id_a, r.doc_id_b, r.dist)
+            for r in edit_distance_pairs(df, max_dist=d).collect()
+        )
+        assert got == want, f"max_dist={d}"
+    # block cap bounds the blow-up; capped blocks drop, job still runs
+    capped = edit_distance_pairs(df, max_dist=1, max_block_size=1)
+    assert capped.count() <= len(texts) ** 2

@@ -678,3 +678,40 @@ def test_mean_pool_matches_numpy(spark, groups):
     for g, vecs in enumerate(groups):
         want = np.array(vecs, dtype=np.float64).mean(axis=0)
         assert np.abs(got[g] - want).max() < 1e-9
+
+
+def _py_lev(a: str, b: str) -> int:
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(min(prev[j] + 1, cur[-1] + 1, prev[j - 1] + (ca != cb)))
+        prev = cur
+    return prev[-1]
+
+
+@given(
+    texts=st.lists(st.text(alphabet="abc", max_size=6), min_size=1, max_size=8),
+    d=st.integers(1, 2),
+)
+@settings(**SETTINGS)
+def test_edit_distance_pairs_matches_all_pairs(spark, texts, d):
+    """Randomized short strings (narrow alphabet so near-misses and
+    exact dups are common): the blocked operator returns EXACTLY the
+    all-pairs python-DP answer — block boundaries lose nothing."""
+    from ferramenta_etl_spark.operators.dedup import edit_distance_pairs
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    want = sorted(
+        (a, b, _py_lev(texts[a], texts[b]))
+        for a in range(len(texts))
+        for b in range(a + 1, len(texts))
+        if _py_lev(texts[a], texts[b]) <= d
+    )
+    got = sorted(
+        (r.doc_id_a, r.doc_id_b, r.dist)
+        for r in edit_distance_pairs(df, max_dist=d).collect()
+    )
+    assert got == want
