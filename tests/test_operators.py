@@ -1187,3 +1187,59 @@ def test_edit_distance_pairs_matches_all_pairs_oracle(spark):
     # block cap bounds the blow-up; capped blocks drop, job still runs
     capped = edit_distance_pairs(df, max_dist=1, max_block_size=1)
     assert capped.count() <= len(texts) ** 2
+
+
+def test_range_join_matches_all_pairs_oracle(spark):
+    """range_join vs a python all-pairs oracle: closed bounds, negative
+    domains, a long interval routed through the broadcast tail (span >>
+    max_bins_per_interval), inverted and NULL intervals matching
+    nothing, NULL points matching nothing — and the fast arm's plan is
+    an equi-join (the bare range predicate alone would be a pure
+    BroadcastNestedLoopJoin over everything)."""
+    from ferramenta_etl_spark.operators.range_join import range_join
+
+    pts = [(i, p) for i, p in enumerate(
+        [-25, -3, 0, 1, 7, 12, 40, 99, 100, 101, 5000])]
+    ivs = [
+        (0, -30, -20), (1, -5, 5), (2, 0, 0), (3, 10, 14),
+        (4, 90, 110),
+        (5, -1000, 10_000),   # span 11k >> 4 bins x bin_size 8 -> tail
+        (6, 50, 40),          # inverted: matches nothing
+        (7, None, 10),        # NULL start: matches nothing
+    ]
+    pdf = spark.createDataFrame(pts, "pid: long, p: long")
+    idf = spark.createDataFrame(ivs, "iid: long, s: long, e: long")
+    got = sorted(
+        (r.pid, r.iid)
+        for r in range_join(
+            pdf, idf, "p", "s", "e", bin_size=8.0, max_bins_per_interval=4
+        ).collect()
+    )
+    want = sorted(
+        (pid, iid)
+        for pid, p in pts
+        for iid, s, e in ivs
+        if s is not None and e is not None and s <= p <= e
+    )
+    assert got == want
+    # the long interval must actually be in the result (tail arm live)
+    assert (0, 5) in got and (10, 5) in got
+
+    with pytest.raises(ValueError, match="collision"):
+        range_join(pdf, pdf, "p", "p", "p", bin_size=1.0)
+    with pytest.raises(ValueError, match="positive"):
+        range_join(pdf, idf, "p", "s", "e", bin_size=0)
+
+    # NULL point never matches
+    pdf_n = spark.createDataFrame([(99, None)], "pid: long, p: long")
+    assert range_join(pdf_n, idf, "p", "s", "e", bin_size=8.0).count() == 0
+
+    # plan shape: with no long tail, matches flow through an EQUI join
+    # on the bin (hash-partitioned exchange), not a nested loop over
+    # the full interval set
+    short_only = idf.filter("iid < 5")
+    plan = (
+        range_join(pdf, short_only, "p", "s", "e", bin_size=8.0)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange hashpartitioning(__bin" in plan

@@ -715,3 +715,43 @@ def test_edit_distance_pairs_matches_all_pairs(spark, texts, d):
         for r in edit_distance_pairs(df, max_dist=d).collect()
     )
     assert got == want
+
+
+@given(
+    pts=st.lists(st.integers(-50, 50), min_size=1, max_size=10),
+    ivs=st.lists(
+        st.tuples(st.integers(-50, 50), st.integers(0, 120)),
+        min_size=1,
+        max_size=8,
+    ),
+    bin_size=st.sampled_from([1.0, 3.0, 7.5]),
+    cap=st.sampled_from([2, 4, 256]),
+)
+@settings(**SETTINGS)
+def test_range_join_matches_all_pairs(spark, pts, ivs, bin_size, cap):
+    """Randomized points/intervals across bin sizes and tail caps: the
+    binned+tail union returns EXACTLY the all-pairs answer, each match
+    once."""
+    from ferramenta_etl_spark.operators.range_join import range_join
+
+    pdf = spark.createDataFrame(
+        [(i, p) for i, p in enumerate(pts)], "pid long, p long"
+    )
+    idf = spark.createDataFrame(
+        [(i, s, s + w) for i, (s, w) in enumerate(ivs)],
+        "iid long, s long, e long",
+    )
+    got = sorted(
+        (r.pid, r.iid)
+        for r in range_join(
+            pdf, idf, "p", "s", "e",
+            bin_size=bin_size, max_bins_per_interval=cap,
+        ).collect()
+    )
+    want = sorted(
+        (pid, iid)
+        for pid, p in enumerate(pts)
+        for iid, (s, w) in enumerate(ivs)
+        if s <= p <= s + w
+    )
+    assert got == want
