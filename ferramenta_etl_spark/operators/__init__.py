@@ -42,6 +42,8 @@ from .sampling import (  # noqa: F401
     proportional_allocation,
     split_train_eval,
     stratified_sample,
+    temperature_allocation,
+    weighted_sample,
 )
 from .audio import (  # noqa: F401
     attach_fake_raw_audio,

@@ -102,11 +102,25 @@ def proportional_allocation(
     n_total = sum(r["__n"] for r in size_rows)
     if n_total == 0:
         return df
-    spark = df.sparkSession
     quota_rows = [
         tuple(r[c] for c in strata) + (-(-total * r["__n"] // n_total),)
         for r in size_rows
     ]
+    return _quota_sample(df, strata, quota_rows, id_col, seed)
+
+
+def _quota_sample(
+    df: DataFrame,
+    strata: Sequence[str],
+    quota_rows: list[tuple],
+    id_col: str,
+    seed: int,
+) -> DataFrame:
+    """Apply driver-computed per-stratum quotas (last tuple element)
+    with the deterministic lowest-bucket pick — the shared tail of the
+    allocation strategies, so the NULL-stratum and tiebreak rules
+    cannot drift between them."""
+    spark = df.sparkSession
     schema_cols = ", ".join(
         f"`{c}` {df.schema[c].dataType.simpleString()}" for c in strata
     )
@@ -131,6 +145,69 @@ def proportional_allocation(
         .withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") <= F.col("__quota"))
         .drop("__rn", "__quota")
+    )
+
+
+def temperature_allocation(
+    df: DataFrame,
+    strata: Sequence[str],
+    total: int,
+    alpha: float = 0.5,
+    id_col: str = "doc_id",
+    seed: int = 0,
+) -> DataFrame:
+    """Temperature-based mixture sampling: allocate ~``total`` rows
+    across strata proportionally to ``|stratum|^alpha`` — the standard
+    multilingual/multi-source rebalancing (mT5/XLM-R style). ``alpha=1``
+    reduces to proportional allocation; ``alpha=0`` is uniform across
+    strata; the useful band (0.2-0.7) upsamples small strata so a
+    dominant source cannot swamp the mix while still respecting size.
+
+    Each stratum's quota caps at its actual size (sampling is without
+    replacement), so when a small stratum exhausts, the realized total
+    lands below ``total`` rather than silently re-inflating a dominant
+    stratum — the honest behavior for a mixing op (re-run with a higher
+    alpha or total if the target matters more than the mix). Same
+    one-aggregate driver-side allocation and deterministic lowest-
+    bucket pick as proportional_allocation."""
+    if alpha < 0:
+        raise ValueError(f"alpha must be >= 0, got {alpha}")
+    size_rows = (
+        df.groupBy(*strata).agg(F.count(F.lit(1)).alias("__n")).collect()
+    )
+    weights = [float(r["__n"]) ** alpha for r in size_rows]
+    z = sum(weights)
+    if z == 0:
+        return df
+    import math
+
+    quota_rows = [
+        # ceil share with the >=1-row floor proportional allocation
+        # gives every non-empty stratum, capped at the stratum size
+        tuple(r[c] for c in strata)
+        + (min(r["__n"], max(1, math.ceil(total * w / z))),)
+        for r, w in zip(size_rows, weights)
+    ]
+    return _quota_sample(df, strata, quota_rows, id_col, seed)
+
+
+def weighted_sample(
+    df: DataFrame,
+    weight_col: str,
+    id_col: str = "doc_id",
+    seed: int = 0,
+) -> DataFrame:
+    """Per-row Bernoulli keep with probability = ``weight_col`` —
+    importance sampling by a quality/score column (keep probability 1.0
+    keeps always, 0.0 never; values outside [0, 1] clamp). The decision
+    reuses the deterministic (seed, id) bucket, so it composes with
+    every other sampler here: reruns keep the identical rows, and
+    changing the seed draws an independent sample. Probabilities
+    quantize to 1/10_000 like hash_sample's rate. Pure narrow filter —
+    no shuffle, pushes to the scan."""
+    w = F.least(F.greatest(F.col(weight_col), F.lit(0.0)), F.lit(1.0))
+    return df.filter(
+        _bucket(F.col(id_col), seed) < F.round(w * _BUCKETS).cast("long")
     )
 
 

@@ -139,3 +139,72 @@ def test_corpus_stats_accounts_every_doc(spark, sf_dir):
     for r in rows:
         p10, p50, p90 = r.quality_p10_p50_p90
         assert p10 <= p50 <= p90
+
+
+def test_temperature_allocation_rebalances_small_strata(spark):
+    """alpha<1 upsamples small strata relative to proportional: exact
+    quotas re-derived in python (n^alpha shares, ceil, >=1 floor, cap
+    at stratum size), alpha=1 matches proportional_allocation row-for-
+    row, alpha=0 is uniform-ish, and the pick is deterministic."""
+    import math
+
+    rows = (
+        [(i, "big") for i in range(900)]
+        + [(i + 1000, "mid") for i in range(90)]
+        + [(i + 2000, "tiny") for i in range(10)]
+    )
+    df = spark.createDataFrame(rows, "doc_id: long, source: string")
+    sizes = {"big": 900, "mid": 90, "tiny": 10}
+
+    for alpha, total in [(0.5, 100), (0.0, 30), (1.0, 100), (0.3, 2000)]:
+        z = sum(n ** alpha for n in sizes.values())
+        want = {
+            s: min(n, max(1, math.ceil(total * (n ** alpha) / z)))
+            for s, n in sizes.items()
+        }
+        got = {
+            r.source: r.n
+            for r in SMP.temperature_allocation(
+                df, ["source"], total=total, alpha=alpha
+            ).groupBy("source").agg(F.count("*").alias("n")).collect()
+        }
+        assert got == want, (alpha, total)
+    # alpha=0.5 at total=100: tiny gets ~9x its proportional share
+    z = sum(n ** 0.5 for n in sizes.values())
+    assert math.ceil(100 * (10 ** 0.5) / z) >= 7
+    # determinism: the same call picks the same ROWS
+    a = {r.doc_id for r in SMP.temperature_allocation(
+        df, ["source"], 100, alpha=0.5).collect()}
+    b = {r.doc_id for r in SMP.temperature_allocation(
+        df, ["source"], 100, alpha=0.5).collect()}
+    assert a == b
+    with pytest.raises(ValueError):
+        SMP.temperature_allocation(df, ["source"], 100, alpha=-1)
+
+
+def test_weighted_sample_tracks_probabilities(spark):
+    """Keep rates track per-row probabilities (binomial 4-sigma bands),
+    weight 1.0 keeps all, 0.0 keeps none, out-of-range clamps, rerun
+    identical, and the decision is independent across seeds."""
+    df = spark.range(20_000).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") % 4 == 0, 1.0)
+        .when(F.col("id") % 4 == 1, 0.25)
+        .when(F.col("id") % 4 == 2, 0.0)
+        .otherwise(7.0)  # clamps to 1.0
+        .alias("w"),
+    )
+    kept = SMP.weighted_sample(df, "w").groupBy("w").agg(
+        F.count("*").alias("n")
+    ).collect()
+    by_w = {r.w: r.n for r in kept}
+    assert by_w[1.0] == 5_000
+    assert by_w[7.0] == 5_000
+    assert 0.0 not in by_w
+    # p=0.25 over 5000 rows: sigma = sqrt(5000*.25*.75) ~= 30.6
+    assert abs(by_w[0.25] - 1250) < 4 * 31
+    a = {r.doc_id for r in SMP.weighted_sample(df, "w").collect()}
+    b = {r.doc_id for r in SMP.weighted_sample(df, "w").collect()}
+    assert a == b
+    c = {r.doc_id for r in SMP.weighted_sample(df, "w", seed=3).collect()}
+    assert c != a
