@@ -121,6 +121,20 @@ def main(argv: list[str] | None = None, _stop_session: bool = True) -> int:
         "stratified pick, applied after dedup/decontamination)",
     )
     p.add_argument(
+        "--mix-total",
+        type=int,
+        default=None,
+        help="curate: temperature-mix ~this many survivors across "
+        "(lang, source) strata with |stratum|^alpha shares",
+    )
+    p.add_argument(
+        "--mix-alpha",
+        type=float,
+        default=0.5,
+        help="curate --mix-total: temperature exponent (1=proportional, "
+        "0=uniform; 0.2-0.7 upsamples small strata)",
+    )
+    p.add_argument(
         "--clean-lines",
         action="store_true",
         help="curate/make-dataset: C4-style line cleaning before "
@@ -669,6 +683,8 @@ def main(argv: list[str] | None = None, _stop_session: bool = True) -> int:
                 sample_rate=args.sample_rate,
                 lang_quota=args.lang_quota,
                 clean_lines=args.clean_lines,
+                mix_total=args.mix_total,
+                mix_alpha=args.mix_alpha,
             )
             print(f"✅ curated_documents: {n} rows appended")
             return 0

@@ -23,7 +23,11 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..operators.dedup import dedup_exact, dedup_keep_canonical, minhash_lsh_pairs
-from ..operators.sampling import hash_sample, stratified_sample
+from ..operators.sampling import (
+    hash_sample,
+    stratified_sample,
+    temperature_allocation,
+)
 from ..operators.text import (
     clean_document_lines,
     contamination_hits,
@@ -48,6 +52,8 @@ def curate_documents(
     sample_rate: float | None = None,
     lang_quota: int | None = None,
     clean_lines: bool = False,
+    mix_total: int | None = None,
+    mix_alpha: float = 0.5,
 ) -> int:
     """Run the curation pipeline; returns rows appended to the sink.
 
@@ -59,6 +65,7 @@ def curate_documents(
     curated = curated_frame(
         spark, sf_dir, min_quality, min_tokens, benchmark, decontaminate_n,
         redact, sample_rate, lang_quota, clean_lines,
+        mix_total=mix_total, mix_alpha=mix_alpha,
     )
     try:
         return write_ignore_conflicts(
@@ -83,6 +90,8 @@ def curated_frame(
     sample_rate: float | None = None,
     lang_quota: int | None = None,
     clean_lines: bool = False,
+    mix_total: int | None = None,
+    mix_alpha: float = 0.5,
 ) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     if sample_rate is not None:
@@ -133,6 +142,14 @@ def curated_frame(
         # count surviving docs, and the lowest-hash-bucket pick keeps
         # the selection deterministic across reruns
         survivors = stratified_sample(survivors, ["lang"], lang_quota)
+    if mix_total is not None:
+        # temperature mixing, same placement rationale: allocate
+        # ~mix_total survivors across (lang, source) with |stratum|^alpha
+        # shares so a dominant source cannot swamp the mix; deterministic
+        # pick, so the sink still appends zero on replay
+        survivors = temperature_allocation(
+            survivors, ["lang", "source"], mix_total, alpha=mix_alpha
+        )
     text_out = (
         # redact AFTER dedup/decontamination: hashing and n-gram overlap
         # must see the original bytes, or a redacted copy and its

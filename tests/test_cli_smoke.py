@@ -226,3 +226,16 @@ def test_cli_mine_negatives_idempotent(cli_tmp, capsys, spark):
     assert _run("mine-negatives", "--sink-dir", s, "--k", "3",
                 "--max-sim", "0.99") == 0
     assert spark.read.parquet(f"{s}/hard_negatives").count() == n1
+
+
+def test_cli_curate_temperature_mix_idempotent(cli_tmp, spark):
+    s = str(cli_tmp / "s")
+    assert _run("curate", "--sink-dir", s, "--mix-total", "40",
+                "--mix-alpha", "0.3") == 0
+    out = spark.read.parquet(f"{s}/curated_documents")
+    n1 = out.count()
+    assert 0 < n1 <= 40 + out.select("lang", "source").distinct().count()
+    # deterministic pick -> replay appends zero
+    assert _run("curate", "--sink-dir", s, "--mix-total", "40",
+                "--mix-alpha", "0.3") == 0
+    assert spark.read.parquet(f"{s}/curated_documents").count() == n1
