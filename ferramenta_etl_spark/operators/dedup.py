@@ -1002,6 +1002,8 @@ def edit_distance_pairs(
     id_col: str = "doc_id",
     max_dist: int = 2,
     max_block_size: int | None = 10_000,
+    blocking: str = "qgram",
+    q: int = 3,
 ) -> DataFrame:
     """Character-level near-dup pairs: (doc_id_a, doc_id_b, dist) for
     every pair within Levenshtein distance ``max_dist`` — the
@@ -1009,21 +1011,72 @@ def edit_distance_pairs(
     OCR/typo variants), complementing the token-set / MinHash / SimHash
     operators that work at word granularity.
 
-    Never an all-pairs cross join: a pair within edit distance d
-    differs in length by at most d, so docs are blocked into length
-    buckets of width d+1 and each doc joins only its own and the
-    adjacent bucket (the right side emits copies at bucket b and b-1;
-    a qualifying pair lands in EXACTLY one directed candidate unless
-    same-bucket, and the canonical least/greatest projection + distinct
-    collapses that case). Candidates then pass an exact |len_a -
-    len_b| <= d prune before the expensive verify, and the verify
-    itself uses levenshtein's threshold form — O(len x d) with early
-    exit, not the O(len^2) full matrix. ``max_block_size`` is the same
-    quadratic-blow-up guard as the LSH/SimHash cap (_cap_blocks);
-    length blocking is WEAK on length-homogeneous corpora (every doc
-    in one bucket) — for those, run exact/fingerprint dedup first or
-    use the winnowing operator; this one targets short fields where
-    length varies. Exact duplicates surface with dist = 0."""
+    Never an all-pairs cross join. Two blocking strategies, both EXACT
+    (they only bound which pairs are *compared*; candidates always pass
+    the real levenshtein verify, threshold form — O(len x d) early
+    exit, not the O(len^2) full matrix):
+
+    - ``blocking="qgram"`` (default): Ed-Join-style prefix filtering
+      (Xiao/Wang/Lin 2008). An edit destroys at most ``q`` q-grams, so
+      strings within distance d share a gram among their q*d+1 FIRST
+      distinct grams under any global total order (here: xxhash64 of
+      the gram). Each string indexes only that prefix; candidates come
+      from an equi-join on the indexed gram plus the |len diff| <= d
+      prune. Strings too short to carry grams (len <= q-1+d) pair
+      through a parallel length-bucket block, and pairs where both
+      sides land in both paths collapse via the final distinct. This is
+      the default because it keys on CONTENT: a million same-length
+      titles spread across ~|alphabet|^q gram blocks instead of one
+      length bucket.
+    - ``blocking="length"``: length buckets of width d+1 with
+      adjacent-bucket join. Cheaper per row (no gram explode) and fine
+      when lengths are diverse, but on length-homogeneous corpora every
+      doc lands in a handful of buckets and ``max_block_size`` starts
+      dropping real pairs (measured: a 110 k short-title corpus lost
+      planted pairs; the qgram default recovers them — SCALING.md
+      round-8).
+
+    ``max_block_size`` is the same quadratic-blow-up guard as the
+    LSH/SimHash cap (_cap_blocks) — under qgram blocking an oversized
+    block is a gram shared by >cap strings (boilerplate), the right
+    thing to drop. Exact duplicates surface with dist = 0."""
+    if blocking == "length":
+        cand = _length_blocked_candidates(
+            df, text_col, id_col, max_dist, max_block_size
+        )
+    elif blocking == "qgram":
+        cand = _qgram_blocked_candidates(
+            df, text_col, id_col, max_dist, max_block_size, q
+        )
+    else:
+        raise ValueError(f"unknown blocking {blocking!r} (qgram | length)")
+    return (
+        cand.withColumn(
+            "dist", F.levenshtein(F.col("__ta"), F.col("__tb"), max_dist)
+        )
+        .filter(F.col("dist") >= 0)
+        .select(
+            F.least("__ida", "__idb").alias("doc_id_a"),
+            F.greatest("__ida", "__idb").alias("doc_id_b"),
+            "dist",
+        )
+        .distinct()
+    )
+
+
+def _length_blocked_candidates(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    max_dist: int,
+    max_block_size: int | None,
+) -> DataFrame:
+    """(__ida, __ta, __idb, __tb) candidates via length buckets of
+    width d+1 + adjacent-bucket join: a qualifying pair differs in
+    length by <= d, so it lands in the same or adjacent bucket (the
+    right side emits copies at bucket b and b-1; same-bucket pairs
+    appear in both directions and collapse in the caller's canonical
+    distinct)."""
     width = int(max_dist) + 1
     base = df.select(
         F.col(id_col),
@@ -1043,24 +1096,95 @@ def edit_distance_pairs(
         F.col(id_col).alias("__idb"),
         F.col(text_col).alias("__tb"),
         F.col("__len").alias("__lb"),
-        F.explode(
-            F.array(F.col("__blk"), F.col("__blk") - 1)
-        ).alias("__k"),
+        F.explode(F.array(F.col("__blk"), F.col("__blk") - 1)).alias("__k"),
     )
-    cand = (
+    return (
         left.join(right, "__k")
         .filter(F.col("__ida") != F.col("__idb"))
         .filter(F.abs(F.col("__la") - F.col("__lb")) <= max_dist)
+        .select("__ida", "__ta", "__idb", "__tb")
     )
-    return (
-        cand.withColumn(
-            "dist", F.levenshtein(F.col("__ta"), F.col("__tb"), max_dist)
-        )
-        .filter(F.col("dist") >= 0)
-        .select(
-            F.least("__ida", "__idb").alias("doc_id_a"),
-            F.greatest("__ida", "__idb").alias("doc_id_b"),
-            "dist",
-        )
-        .distinct()
+
+
+def _qgram_blocked_candidates(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    max_dist: int,
+    max_block_size: int | None,
+    q: int,
+) -> DataFrame:
+    """Ed-Join prefix-filter candidates: index each string's q*d+1
+    hash-smallest distinct q-grams; a pair within edit distance d
+    shares an indexed gram PROVIDED at least one side has more than
+    q*d distinct grams. Derivation: one edit touches at most q gram
+    positions, so the distinct-gram sets differ by at most q*d per
+    side, giving overlap >= max(|sa|, |sb|) - q*d = t; the prefix-
+    filter theorem then needs prefixes of size |s| - t + 1 <= q*d + 1.
+    When BOTH sides have <= q*d distinct grams t collapses to zero and
+    NO shared gram is guaranteed (hypothesis found the witness: "aaa"
+    vs "aaba" at d=1, q=3 share zero grams) — so low-gram strings
+    (short ones AND long repetitive ones, e.g. "aaaa...", which length
+    alone would misroute) additionally pair through a length-bucket
+    block over that subset; low-x-high pairs still satisfy t >= 1 and
+    stay on the gram path."""
+    prefix_n = int(q) * int(max_dist) + 1
+    low_gram_bound = int(q) * int(max_dist)
+    raw_grams = F.transform(
+        F.sequence(F.lit(1), F.length(text_col) - q + 1),
+        lambda i: F.col(text_col).substr(i, F.lit(q)),
     )
+    # sequence(1, n) with n < 1 runs DESCENDING (junk negative-index
+    # grams) — gate the whole expression on carrying at least one gram
+    grams = F.when(
+        F.length(text_col) >= q, F.array_distinct(raw_grams)
+    ).otherwise(F.array().cast("array<string>"))
+    # hash-order the distinct grams and keep the prefix; the comparator
+    # must be deterministic and total — xxhash64 ties broken by the
+    # gram bytes themselves
+    ordered = F.array_sort(
+        grams,
+        lambda a, b: F.when(F.xxhash64(a) < F.xxhash64(b), -1)
+        .when(F.xxhash64(a) > F.xxhash64(b), 1)
+        .otherwise(F.when(a < b, -1).when(a > b, 1).otherwise(0)),
+    )
+    base = df.select(
+        F.col(id_col),
+        F.col(text_col),
+        F.length(text_col).alias("__len"),
+        F.slice(ordered, 1, prefix_n).alias("__pref"),
+        F.size(grams).alias("__ng"),
+    )
+    indexed = base.filter(F.col("__ng") >= 1).select(
+        F.col(id_col),
+        F.col(text_col),
+        F.col("__len"),
+        F.explode(F.col("__pref")).alias("__g"),
+    )
+    if max_block_size is not None:
+        indexed = _cap_blocks(indexed, ["__g"], max_block_size)
+    a = indexed.select(
+        F.col(id_col).alias("__ida"),
+        F.col(text_col).alias("__ta"),
+        F.col("__len").alias("__la"),
+        "__g",
+    )
+    b = indexed.select(
+        F.col(id_col).alias("__idb"),
+        F.col(text_col).alias("__tb"),
+        F.col("__len").alias("__lb"),
+        "__g",
+    )
+    gram_cand = (
+        a.join(b, "__g")
+        .filter(F.col("__ida") < F.col("__idb"))
+        .filter(F.abs(F.col("__la") - F.col("__lb")) <= max_dist)
+        .select("__ida", "__ta", "__idb", "__tb")
+    )
+    low_gram = base.filter(F.col("__ng") <= low_gram_bound).select(
+        F.col(id_col), F.col(text_col)
+    )
+    low_cand = _length_blocked_candidates(
+        low_gram, text_col, id_col, max_dist, max_block_size
+    )
+    return gram_cand.unionByName(low_cand)

@@ -1153,11 +1153,13 @@ def _py_levenshtein(a: str, b: str) -> int:
     return prev[-1]
 
 
-def test_edit_distance_pairs_matches_all_pairs_oracle(spark):
-    """edit_distance_pairs vs a python DP all-pairs oracle: every pair
-    within max_dist recovered with the exact distance (including a
-    cross-length-bucket pair and a dist-0 exact dup), nothing beyond
-    the threshold, and no self/duplicate pairs."""
+@pytest.mark.parametrize("blocking", ["qgram", "length"])
+def test_edit_distance_pairs_matches_all_pairs_oracle(spark, blocking):
+    """edit_distance_pairs vs a python DP all-pairs oracle under BOTH
+    blocking strategies: every pair within max_dist recovered with the
+    exact distance (including a cross-length-bucket pair, a dist-0
+    exact dup, and gramless short strings through the qgram fallback),
+    nothing beyond the threshold, and no self/duplicate pairs."""
     from ferramenta_etl_spark.operators.dedup import edit_distance_pairs
 
     texts = {
@@ -1181,12 +1183,18 @@ def test_edit_distance_pairs_matches_all_pairs_oracle(spark):
         )
         got = sorted(
             (r.doc_id_a, r.doc_id_b, r.dist)
-            for r in edit_distance_pairs(df, max_dist=d).collect()
+            for r in edit_distance_pairs(
+                df, max_dist=d, blocking=blocking
+            ).collect()
         )
-        assert got == want, f"max_dist={d}"
+        assert got == want, f"max_dist={d} blocking={blocking}"
     # block cap bounds the blow-up; capped blocks drop, job still runs
-    capped = edit_distance_pairs(df, max_dist=1, max_block_size=1)
+    capped = edit_distance_pairs(
+        df, max_dist=1, max_block_size=1, blocking=blocking
+    )
     assert capped.count() <= len(texts) ** 2
+    with pytest.raises(ValueError, match="blocking"):
+        edit_distance_pairs(df, blocking="nope")
 
 
 def test_range_join_matches_all_pairs_oracle(spark):

@@ -693,9 +693,10 @@ def _py_lev(a: str, b: str) -> int:
 @given(
     texts=st.lists(st.text(alphabet="abc", max_size=6), min_size=1, max_size=8),
     d=st.integers(1, 2),
+    blocking=st.sampled_from(["qgram", "length"]),
 )
 @settings(**SETTINGS)
-def test_edit_distance_pairs_matches_all_pairs(spark, texts, d):
+def test_edit_distance_pairs_matches_all_pairs(spark, texts, d, blocking):
     """Randomized short strings (narrow alphabet so near-misses and
     exact dups are common): the blocked operator returns EXACTLY the
     all-pairs python-DP answer — block boundaries lose nothing."""
@@ -712,7 +713,9 @@ def test_edit_distance_pairs_matches_all_pairs(spark, texts, d):
     )
     got = sorted(
         (r.doc_id_a, r.doc_id_b, r.dist)
-        for r in edit_distance_pairs(df, max_dist=d).collect()
+        for r in edit_distance_pairs(
+            df, max_dist=d, blocking=blocking
+        ).collect()
     )
     assert got == want
 
