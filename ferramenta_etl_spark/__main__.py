@@ -52,7 +52,7 @@ def main(argv: list[str] | None = None, _stop_session: bool = True) -> int:
             "list", "run", "run-all", "curate", "optimize", "plan-audit",
             "stream", "curate-stream", "rollup", "stats", "ingest",
             "neardup-admit", "make-dataset", "ann-index", "ann-query",
-            "media-curate", "vocab", "mine-negatives",
+            "media-curate", "vocab", "mine-negatives", "verify-dataset",
         ],
     )
     p.add_argument("--tokenizer", choices=["ws", "bpe_ish"], default="ws",
@@ -560,6 +560,23 @@ def main(argv: list[str] | None = None, _stop_session: bool = True) -> int:
                 print(f"{r[0]}\t{r[1]}\t{r[2]:.6f}\t{r[3]}")
             print(f"✅ ann-query: {len(rows)} result rows")
             return 0
+        if args.command == "verify-dataset":
+            # The loader-side integrity gate: re-derive per-shard row
+            # counts + content hashes and compare against _manifest.json
+            # (written by make-dataset). Exit 1 with the mismatches
+            # named — run this before pointing a training job at the
+            # export.
+            from .sinks.layout import verify_dataset_manifest
+
+            if not args.job:
+                p.error("verify-dataset requires the dataset directory")
+            ok, problems = verify_dataset_manifest(spark, args.job)
+            if ok:
+                print(f"✅ verify-dataset: {args.job} matches its manifest")
+                return 0
+            for q in problems:
+                print(f"❌ {q}")
+            return 1
         if args.command == "vocab":
             # Corpus vocabulary snapshot: one pass over documents ->
             # (token, tf, df_approx) parquet under the sink dir. A

@@ -239,3 +239,30 @@ def test_cli_curate_temperature_mix_idempotent(cli_tmp, spark):
     assert _run("curate", "--sink-dir", s, "--mix-total", "40",
                 "--mix-alpha", "0.3") == 0
     assert spark.read.parquet(f"{s}/curated_documents").count() == n1
+
+
+def test_cli_verify_dataset(cli_tmp, capsys):
+    import gzip
+    import os as _os
+
+    s = str(cli_tmp / "s")
+    assert _run("make-dataset", "--sink-dir", s) == 0
+    capsys.readouterr()
+    ds = f"{s}/dataset_jsonl"
+    assert _run("verify-dataset", ds) == 0
+    assert "matches its manifest" in capsys.readouterr().out
+    # tamper one shard (and drop the local-FS .crc sidecar, as on an
+    # object store) -> exit 1 with the shard named
+    shard = sorted(
+        f for f in _os.listdir(ds) if f.startswith("part-")
+    )[0]
+    sp = _os.path.join(ds, shard)
+    with gzip.open(sp, "rt") as f:
+        content = f.read()
+    with gzip.open(sp, "wt") as f:
+        f.write(content + '{"seq_id": 0, "text": "evil"}\n')
+    crc = _os.path.join(ds, f".{shard}.crc")
+    if _os.path.exists(crc):
+        _os.remove(crc)
+    assert _run("verify-dataset", ds) == 1
+    assert shard in capsys.readouterr().out
