@@ -87,6 +87,7 @@ from .text import (  # noqa: F401
     chunk_documents,
     contamination_hits,
     content_fingerprint,
+    dedup_paragraphs,
     lang_id,
     quality_score,
     redact_pii,

@@ -530,3 +530,76 @@ def corpus_stats(
         )
         .orderBy(F.col("n_tokens").desc())
     )
+
+
+def dedup_paragraphs(
+    df,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    sep: str = "\n\n",
+    min_chars: int = 1,
+):
+    """CCNet-style cross-document paragraph dedup: split every doc on
+    ``sep``, keep each distinct paragraph's FIRST occurrence corpus-wide
+    (first = lowest (doc_id, position) — a total order, so reruns keep
+    identical survivors), and reassemble docs with their surviving
+    paragraphs in original order. Web corpora repeat boilerplate
+    paragraphs (licenses, nav text, disclaimers) across millions of
+    pages that document-level dedup can never touch; this removes them
+    while leaving each paragraph's one canonical home intact. Docs
+    whose every paragraph already appeared elsewhere come back EMPTY
+    (text "") rather than disappearing — dropping them is the caller's
+    policy decision, and row identity must survive for keyed sinks.
+
+    Shape: posexplode → one md5-keyed window (rank occurrences within
+    their hash group by (doc_id, pos); an occurrence survives iff it
+    ranks first) → regroup by doc with sort_array(struct(pos, para)).
+    Two exchanges —
+    one on the paragraph hash, one on doc_id — both linear; paragraph
+    BODIES ride the shuffles, so this costs corpus-bytes x2 in exchange
+    traffic (the price of reassembly; run it once, early, before the
+    doc-level family). ``min_chars`` exempts short paragraphs (headers,
+    separators) from dedup — they pass through untouched rather than
+    collapsing to one corpus-wide survivor."""
+    from pyspark.sql import Window
+
+    paras = df.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), sep)).alias("__pos", "__para"),
+    )
+    eligible = F.length(F.trim(F.col("__para"))) >= min_chars
+    # ineligible paragraphs must NOT enter the window: they would all
+    # share one NULL hash partition — a single-task corpus-wide sort.
+    # They bypass dedup entirely and rejoin before reassembly.
+    w = Window.partitionBy("__h").orderBy(
+        F.col(id_col).asc(), F.col("__pos").asc()
+    )
+    deduped = (
+        paras.filter(eligible)
+        .withColumn("__h", F.md5(F.col("__para")))
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select(id_col, "__pos", "__para")
+    )
+    kept = deduped.unionByName(
+        paras.filter(~eligible).select(id_col, "__pos", "__para")
+    )
+    survivors = kept.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct(F.col("__pos"), F.col("__para")))
+                ),
+                lambda s: s.getField("__para"),
+            ),
+            sep,
+        ).alias(text_col)
+    )
+    # left join back so fully-deduped docs return with empty text, and
+    # every non-text column of the input survives untouched
+    others = [c for c in df.columns if c != text_col]
+    return (
+        df.select(*others)
+        .join(survivors, id_col, "left")
+        .withColumn(text_col, F.coalesce(F.col(text_col), F.lit("")))
+    )

@@ -1251,3 +1251,44 @@ def test_range_join_matches_all_pairs_oracle(spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "Exchange hashpartitioning(__bin" in plan
+
+
+def test_dedup_paragraphs_ccnet_style(spark):
+    """Cross-document paragraph dedup vs a python oracle: first
+    occurrence (lowest doc_id, pos) survives corpus-wide, later copies
+    drop, order within a doc is preserved, short paragraphs are exempt,
+    fully-deduped docs come back with empty text (row identity
+    survives), and non-text columns pass through."""
+    from ferramenta_etl_spark.operators.text import dedup_paragraphs
+
+    docs = {
+        1: "intro one\n\nSHARED LICENSE TEXT\n\nbody of doc one",
+        2: "SHARED LICENSE TEXT\n\nbody of doc two\n\n-",
+        3: "SHARED LICENSE TEXT",          # fully deduped -> ""
+        4: "-\n\nbody of doc four\n\n-",   # "-" short: exempt, kept twice
+        5: "body of doc two",              # already seen in doc 2 -> ""
+    }
+    df = spark.createDataFrame(
+        [(i, t, f"src{i}") for i, t in docs.items()],
+        "doc_id: long, text: string, source: string",
+    )
+    out = {r.doc_id: (r.text, r.source)
+           for r in dedup_paragraphs(df, min_chars=2).collect()}
+
+    # python oracle: same first-occurrence rule
+    seen = set()
+    want = {}
+    for i in sorted(docs):
+        kept = []
+        for p in docs[i].split("\n\n"):
+            if len(p.strip()) < 2:
+                kept.append(p)
+            elif p not in seen:
+                seen.add(p)
+                kept.append(p)
+        want[i] = "\n\n".join(kept)
+    assert {k: v[0] for k, v in out.items()} == want
+    assert want[3] == "" and want[5] == ""         # oracle sanity
+    assert out[4][0] == "-\n\nbody of doc four\n\n-"
+    assert all(out[i][1] == f"src{i}" for i in docs)
+    assert set(out) == set(docs)
