@@ -88,8 +88,10 @@ from .text import (  # noqa: F401
     contamination_hits,
     content_fingerprint,
     dedup_paragraphs,
+    extract_domain,
     lang_id,
     quality_score,
+    normalize_url,
     redact_pii,
     token_vocab,
     winnowing_fingerprints,

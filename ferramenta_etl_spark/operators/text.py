@@ -603,3 +603,47 @@ def dedup_paragraphs(
         .join(survivors, id_col, "left")
         .withColumn(text_col, F.coalesce(F.col(text_col), F.lit("")))
     )
+
+
+# ---------------------------------------------------------------------------
+# URL hygiene: the dedup keys of web-scraped corpora. Pure regexps —
+# codegen-resident, no Python.
+# ---------------------------------------------------------------------------
+
+
+def normalize_url(url: Column) -> Column:
+    """Canonical URL for dedup keying: lowercase scheme+host, default
+    ports and fragments stripped, query preserved (two pages differing
+    only in #anchor or :443 are the same document; differing in ?q= are
+    not), trailing slash trimmed from bare paths. NULL stays NULL —
+    a missing URL must not collapse with other missing URLs into one
+    'canonical' key."""
+    u = F.trim(url)
+    # lowercase ONLY scheme://host[:port] — paths are case-sensitive
+    head = F.regexp_extract(u, r"^([a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*)", 1)
+    rest = u.substr(F.length(head) + 1, F.length(u))
+    u = F.concat(F.lower(head), rest)
+    u = F.regexp_replace(u, r"#.*$", "")             # fragment
+    # host class excludes ':' so the greedy match cannot swallow the
+    # port and defeat the strip
+    u = F.regexp_replace(u, r"^(https://[^/:?#]*):443(?=[/?]|$)", r"$1")
+    u = F.regexp_replace(u, r"^(http://[^/:?#]*):80(?=[/?]|$)", r"$1")
+    u = F.regexp_replace(u, r"(?<=[^/])/$", "")      # trailing slash
+    return F.when(url.isNotNull(), u)
+
+
+def extract_domain(url: Column, registered: bool = False) -> Column:
+    """Hostname of a URL (port stripped, lowercased); with
+    ``registered=True`` the last two labels only — a cheap eTLD-1
+    approximation (correct for .com/.org-style TLDs, knowingly wrong
+    for ccTLD registries like .co.uk; a real public-suffix list is a
+    data dependency this container doesn't carry). NULL for NULL or
+    scheme-less input."""
+    host = F.lower(
+        F.regexp_extract(F.trim(url), r"^[a-zA-Z][a-zA-Z0-9+.-]*://([^/:?#]+)", 1)
+    )
+    host = F.nullif(host, F.lit(""))
+    if registered:
+        host = F.regexp_extract(host, r"([^.]+\.[^.]+)$", 1)
+        host = F.nullif(host, F.lit(""))
+    return host

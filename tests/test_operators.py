@@ -1292,3 +1292,47 @@ def test_dedup_paragraphs_ccnet_style(spark):
     assert out[4][0] == "-\n\nbody of doc four\n\n-"
     assert all(out[i][1] == f"src{i}" for i in docs)
     assert set(out) == set(docs)
+
+
+def test_url_normalize_and_domain(spark):
+    """normalize_url / extract_domain vs hand-derived expectations:
+    case, fragments, default ports, trailing slashes, query
+    preservation, NULL propagation, and the eTLD-1 approximation."""
+    from ferramenta_etl_spark.operators.text import (
+        extract_domain,
+        normalize_url,
+    )
+
+    cases = [
+        ("HTTPS://Example.COM:443/Path/#frag", "https://example.com/Path"),
+        ("http://EXAMPLE.com:80", "http://example.com"),
+        ("http://example.com:8080/x", "http://example.com:8080/x"),
+        ("https://example.com/a?q=UP#x", "https://example.com/a?q=UP"),
+        ("https://example.com/", "https://example.com"),
+        ("https://sub.news.co.uk/Page", "https://sub.news.co.uk/Page"),
+        (None, None),
+    ]
+    df = spark.createDataFrame(
+        [(i, u) for i, (u, _) in enumerate(cases)], "i: long, url: string"
+    )
+    got = {
+        r.i: r.n
+        for r in df.select("i", normalize_url(F.col("url")).alias("n")).collect()
+    }
+    for i, (_, want) in enumerate(cases):
+        assert got[i] == want, (cases[i][0], got[i])
+
+    doms = df.select(
+        "i",
+        extract_domain(F.col("url")).alias("d"),
+        extract_domain(F.col("url"), registered=True).alias("r"),
+    ).collect()
+    by_i = {r.i: (r.d, r.r) for r in doms}
+    assert by_i[0] == ("example.com", "example.com")
+    assert by_i[5] == ("sub.news.co.uk", "co.uk")  # documented ccTLD limit
+    assert by_i[6] == (None, None)
+    # scheme-less input -> NULL domain
+    sl = spark.createDataFrame([("example.com/x",)], "url: string").select(
+        extract_domain(F.col("url")).alias("d")
+    ).first()
+    assert sl.d is None
