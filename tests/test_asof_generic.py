@@ -1,0 +1,101 @@
+"""Generalized as-of join vs pandas.merge_asof — the reference
+implementation of the semantics — on randomized per-key event/state
+streams, both directions, with and without tolerance."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from ferramenta_etl_spark.operators.asof import asof_join
+
+
+def _fixture(seed=7, n_left=60, n_right=40, n_keys=4):
+    rng = np.random.default_rng(seed)
+    left = pd.DataFrame(
+        {
+            "k": rng.integers(0, n_keys, n_left),
+            "t": rng.integers(0, 500, n_left).astype("int64"),
+            "ev": np.arange(n_left, dtype="int64"),
+        }
+    )
+    right = pd.DataFrame(
+        {
+            "k": rng.integers(0, n_keys, n_right),
+            "t": rng.integers(0, 500, n_right).astype("int64"),
+            "price": np.round(rng.normal(100, 5, n_right), 3),
+            "st": np.arange(n_right, dtype="int64"),
+        }
+    )
+    # merge_asof needs unique (k, t) on the right for a deterministic
+    # oracle (Spark's window picks the LAST right row at equal (k, t),
+    # merge_asof the last by input order — sidestep the ambiguity)
+    right = right.drop_duplicates(["k", "t"]).reset_index(drop=True)
+    return left, right
+
+
+def _oracle(left, right, direction, tolerance=None):
+    kw = dict(tolerance=tolerance) if tolerance is not None else {}
+    m = pd.merge_asof(
+        left.sort_values(["t", "ev"]).reset_index(drop=True),
+        right.sort_values("t").reset_index(drop=True),
+        on="t",
+        by="k",
+        direction=direction,
+        **kw,
+    )
+    return {
+        int(r.ev): (
+            None if pd.isna(r.price) else float(r.price),
+            None if pd.isna(r.st) else int(r.st),
+        )
+        for r in m.itertuples()
+    }
+
+
+@pytest.mark.parametrize(
+    "direction,tolerance",
+    [("backward", None), ("backward", 25), ("forward", None), ("forward", 25)],
+)
+def test_matches_pandas_merge_asof(spark, direction, tolerance):
+    left, right = _fixture()
+    ldf = spark.createDataFrame(left)
+    rdf = spark.createDataFrame(right)
+    got = {
+        int(r.ev): (
+            None if r.price is None else round(float(r.price), 3),
+            None if r.st is None else int(r.st),
+        )
+        for r in asof_join(
+            ldf, rdf, on="t", by=["k"],
+            direction=direction, tolerance=tolerance,
+        ).collect()
+    }
+    want = _oracle(left, right, direction, tolerance)
+    assert set(got) == set(want)
+    mismatches = {e: (got[e], want[e]) for e in want if got[e] != want[e]}
+    assert not mismatches, mismatches
+    # matched rows exist in both directions on this fixture
+    assert any(v[0] is not None for v in got.values())
+    assert any(v[0] is None for v in got.values()) or tolerance is None
+
+
+def test_asof_join_guards_and_staleness(spark):
+    left, right = _fixture()
+    ldf = spark.createDataFrame(left)
+    rdf = spark.createDataFrame(right)
+    with pytest.raises(ValueError, match="direction"):
+        asof_join(ldf, rdf, on="t", by=["k"], direction="nearest")
+    with pytest.raises(ValueError, match="collide"):
+        asof_join(ldf, ldf.withColumnRenamed("t", "t2"), on="t2", by=["k"])
+    out = asof_join(ldf, rdf, on="t", by=["k"]).collect()
+    # matched_on carries the matched state's time: never in the future
+    for r in out:
+        if r.matched_on is not None:
+            assert r.matched_on <= r.t
+    # NULL on-values: neither crash nor match
+    ln = spark.createDataFrame(
+        pd.DataFrame({"k": [0], "t": [pd.NA], "ev": [999]}).astype(
+            {"t": "Int64"}
+        )
+    )
+    assert asof_join(ln, rdf, on="t", by=["k"]).count() == 0
