@@ -40,7 +40,15 @@ def asof_join(
     ``matched_on`` = the matched right row's on-value (NULL when
     unmatched; handy for lag/staleness features). NULL on-values never
     match and never produce matches — same policy as a SQL range
-    predicate."""
+    predicate.
+
+    Determinism caveat: if the right side carries DUPLICATE (by, on)
+    rows with different payloads, which one wins is partition-order-
+    dependent (pandas merge_asof has the same hole — it picks by input
+    order). Deduplicate the right side first (latest_per_key) when that
+    matters; a payload-struct tiebreak can't be pushed into the window
+    order here because payloads may contain unorderable types
+    (arrays)."""
     if direction not in ("backward", "forward"):
         raise ValueError(
             f"direction must be backward|forward, got {direction!r}"

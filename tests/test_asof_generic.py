@@ -99,3 +99,55 @@ def test_asof_join_guards_and_staleness(spark):
         )
     )
     assert asof_join(ln, rdf, on="t", by=["k"]).count() == 0
+
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+
+@given(
+    lt=st.lists(st.tuples(st.integers(0, 2), st.integers(0, 30)),
+                min_size=1, max_size=12),
+    rt=st.lists(st.tuples(st.integers(0, 2), st.integers(0, 30)),
+                min_size=1, max_size=10),
+    direction=st.sampled_from(["backward", "forward"]),
+    tol=st.sampled_from([None, 5]),
+)
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_asof_matches_merge_asof_randomized(spark, lt, rt, direction, tol):
+    """Randomized (key, time) streams vs pandas merge_asof — shape
+    diversity beyond the seeded fixture (duplicate times across keys,
+    single-row sides, all-misses under tolerance)."""
+    left = pd.DataFrame(
+        [(k, t, i) for i, (k, t) in enumerate(lt)],
+        columns=["k", "t", "ev"],
+    ).astype("int64")
+    right = (
+        pd.DataFrame(
+            [(k, t, i) for i, (k, t) in enumerate(rt)],
+            columns=["k", "t", "st"],
+        )
+        .astype("int64")
+        .drop_duplicates(["k", "t"], keep="last")
+        .reset_index(drop=True)
+    )
+    got = {
+        int(r.ev): (None if r.st is None else int(r.st))
+        for r in asof_join(
+            spark.createDataFrame(left),
+            spark.createDataFrame(right),
+            on="t", by=["k"], direction=direction, tolerance=tol,
+        ).collect()
+    }
+    kw = dict(tolerance=tol) if tol is not None else {}
+    m = pd.merge_asof(
+        left.sort_values(["t", "ev"]).reset_index(drop=True),
+        right.sort_values("t").reset_index(drop=True),
+        on="t", by="k", direction=direction, **kw,
+    )
+    want = {
+        int(r.ev): (None if pd.isna(r.st) else int(r.st))
+        for r in m.itertuples()
+    }
+    assert got == want
