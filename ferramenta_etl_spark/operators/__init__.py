@@ -83,6 +83,7 @@ from .similarity import (  # noqa: F401
 )
 from .asof import asof_join as asof_join_generic  # noqa: F401
 from .range_join import range_join  # noqa: F401
+from .sessionize import sessionize  # noqa: F401
 from .skew import salted_join, top_key_counts  # noqa: F401
 from .text import (  # noqa: F401
     chunk_documents,

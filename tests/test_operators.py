@@ -1336,3 +1336,46 @@ def test_url_normalize_and_domain(spark):
         extract_domain(F.col("url")).alias("d")
     ).first()
     assert sl.d is None
+
+
+def test_sessionize_matches_session_window(spark, sf_dir):
+    """Per-row sessionize vs the session_window aggregate on the real
+    events table: grouping rows by (user, session_idx) and aggregating
+    must reproduce session_window's (count, min, max) multiset exactly
+    — same strict-gap semantics — and a hand fixture pins the boundary
+    (exactly-gap extends, gap+1 splits, NULL ts unlabeled)."""
+    from ferramenta_etl_spark.operators.sessionize import sessionize
+
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts", "event_id")
+    gap_s = 1800  # 30 minutes
+    labeled = sessionize(ev, "ts", ["user_id"], gap_s, tiebreak=["event_id"])
+    mine = sorted(
+        (r.user_id, r.n, r.lo, r.hi)
+        for r in labeled.groupBy("user_id", "session_idx")
+        .agg(F.count("*").alias("n"),
+             F.min("ts").alias("lo"), F.max("ts").alias("hi"))
+        .collect()
+    )
+    ref = sorted(
+        (r.user_id, r.n, r.lo, r.hi)
+        for r in ev.groupBy(
+            F.session_window("ts", "30 minutes").alias("w"), "user_id"
+        )
+        .agg(F.count("*").alias("n"),
+             F.min("ts").alias("lo"), F.max("ts").alias("hi"))
+        .collect()
+    )
+    assert mine == ref and len(mine) > 0
+
+    rows = [
+        (1, 0.0), (1, 10.0), (1, 10.0),   # dup ts: same session
+        (1, 20.0),                         # exactly gap=10 after: extends
+        (1, 31.0),                         # 11 > gap: new session
+        (2, 5.0), (2, None),               # NULL ts: no label
+    ]
+    df = spark.createDataFrame(rows, "k: long, t: double")
+    out = sessionize(df, "t", ["k"], gap=10.0)
+    got = {(r.k, r.t): r.session_idx for r in out.collect()}
+    assert got[(1, 0.0)] == got[(1, 10.0)] == got[(1, 20.0)] == 1
+    assert got[(1, 31.0)] == 2
+    assert got[(2, 5.0)] == 1 and got[(2, None)] is None
