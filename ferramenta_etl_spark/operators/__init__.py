@@ -40,6 +40,7 @@ from .similarity import dedup_semantic, lsh_ann_topk  # noqa: F401
 from .sampling import (  # noqa: F401
     hash_sample,
     proportional_allocation,
+    sample_exact_n,
     split_train_eval,
     stratified_sample,
     temperature_allocation,

@@ -223,3 +223,28 @@ def split_train_eval(
     cutoff = int(round(eval_rate * _BUCKETS))
     b = _bucket(F.col(id_col), seed)
     return df.filter(b >= cutoff), df.filter(b < cutoff)
+
+
+def sample_exact_n(
+    df: DataFrame,
+    n: int,
+    id_col: str = "doc_id",
+    seed: int = 0,
+) -> DataFrame:
+    """Exactly ``n`` rows (or all, if fewer), chosen as the lowest
+    (bucket, id) — eval sets and fixed-size probes need EXACT sizes
+    where hash_sample's rate gives binomial jitter. Same determinism
+    contract as every sampler here: a function of the data and seed,
+    identical across reruns, engines, and repartitioning, and nested —
+    sample_exact_n(m) for m < n is a strict subset of
+    sample_exact_n(n) at the same seed, so a probe set can grow
+    without resampling.
+
+    Plan shape: TakeOrderedAndProject — each partition keeps its local
+    n smallest, the driver merges P*n rows; no global sort ever
+    materializes. That bounds driver memory by n*P, so this is for
+    probe/eval-sized n, not corpus-sized splits (use hash_sample or
+    the allocators for those)."""
+    return df.orderBy(
+        _bucket(F.col(id_col), seed).asc(), F.col(id_col).asc()
+    ).limit(int(n))

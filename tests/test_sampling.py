@@ -208,3 +208,19 @@ def test_weighted_sample_tracks_probabilities(spark):
     assert a == b
     c = {r.doc_id for r in SMP.weighted_sample(df, "w", seed=3).collect()}
     assert c != a
+
+
+def test_sample_exact_n_exact_deterministic_nested(spark):
+    df = spark.range(5000).select(F.col("id").alias("doc_id"))
+    a = {r.doc_id for r in SMP.sample_exact_n(df, 100).collect()}
+    b = {r.doc_id for r in SMP.sample_exact_n(df.repartition(13), 100).collect()}
+    assert len(a) == 100 and a == b
+    small = {r.doc_id for r in SMP.sample_exact_n(df, 30).collect()}
+    assert small < a  # strict subset: grows without resampling
+    other = {r.doc_id for r in SMP.sample_exact_n(df, 100, seed=5).collect()}
+    assert other != a
+    assert SMP.sample_exact_n(df, 10**6).count() == 5000  # n > |df|: all
+    # plan: per-partition top-n + driver merge, never a global sort
+    plan = (SMP.sample_exact_n(df, 100)._jdf.queryExecution()
+            .executedPlan().toString())
+    assert "TakeOrderedAndProject" in plan
