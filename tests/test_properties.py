@@ -758,3 +758,47 @@ def test_range_join_matches_all_pairs(spark, pts, ivs, bin_size, cap):
         if s <= p <= s + w
     )
     assert got == want
+
+
+@given(
+    pts=st.lists(
+        st.floats(-50, 50, allow_nan=False, allow_infinity=False),
+        min_size=1, max_size=8,
+    ),
+    ivs=st.lists(
+        st.tuples(
+            st.floats(-50, 50, allow_nan=False, allow_infinity=False),
+            st.floats(0, 30, allow_nan=False, allow_infinity=False),
+        ),
+        min_size=1, max_size=6,
+    ),
+    bin_size=st.sampled_from([0.5, 2.25, 7.0]),
+)
+@settings(**SETTINGS)
+def test_range_join_float_domain(spark, pts, ivs, bin_size):
+    """Float points/bounds (fractional bins, negative floors): binned
+    result equals the all-pairs answer — the floor-division bin math
+    holds off the integer lattice too."""
+    from ferramenta_etl_spark.operators.range_join import range_join
+
+    pdf = spark.createDataFrame(
+        [(i, float(p)) for i, p in enumerate(pts)], "pid long, p double"
+    )
+    idf = spark.createDataFrame(
+        [(i, float(s), float(s + w)) for i, (s, w) in enumerate(ivs)],
+        "iid long, s double, e double",
+    )
+    got = sorted(
+        (r.pid, r.iid)
+        for r in range_join(
+            pdf, idf, "p", "s", "e", bin_size=bin_size,
+            max_bins_per_interval=8,
+        ).collect()
+    )
+    want = sorted(
+        (pid, iid)
+        for pid, p in enumerate(pts)
+        for iid, (s, w) in enumerate(ivs)
+        if s <= p <= s + w
+    )
+    assert got == want
