@@ -19,7 +19,14 @@ def collect_query_matrix(
     (finite, nonzero-norm) query vectors."""
     import numpy as np
 
-    qrows = queries.select(query_id_col, query_vec_col).collect()
+    # fetch is capped at max_queries+1 rows so the guard fires BEFORE an
+    # oversized "small by contract" side can materialize on the driver —
+    # the sentinel row is the only excess ever transferred
+    qrows = (
+        queries.select(query_id_col, query_vec_col)
+        .limit(max_queries + 1)
+        .collect()
+    )
     if len(qrows) > max_queries:
         # each query costs driver + closure memory linear in Q (ADC: an
         # (m x codes) float LUT per query — 10^5 queries at m=16/

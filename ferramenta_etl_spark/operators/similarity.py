@@ -407,9 +407,13 @@ def mine_hard_negatives_arrow(
 
     from pyspark.sql import types as T
 
-    rows = anchors.select(
-        anchor_id_col, anchor_vec_col, anchor_label_col
-    ).collect()
+    # capped fetch: the guard fires before an over-limit anchor side can
+    # materialize on the driver (only the one sentinel row is extra)
+    rows = (
+        anchors.select(anchor_id_col, anchor_vec_col, anchor_label_col)
+        .limit(max_anchors + 1)
+        .collect()
+    )
     if len(rows) > max_anchors:
         raise ValueError(
             f"{len(rows)} anchors > max_anchors={max_anchors}: batch the "

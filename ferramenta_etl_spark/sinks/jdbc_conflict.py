@@ -31,6 +31,7 @@ from __future__ import annotations
 
 import logging
 import re
+import uuid
 from collections.abc import Callable, Sequence
 
 from pyspark.sql import DataFrame
@@ -114,6 +115,63 @@ def conflict_insert_sql(
     raise ValueError(f"unknown dialect: {dialect!r}")
 
 
+def conflict_upsert_sql(
+    target: str,
+    staging: str,
+    columns: Sequence[str],
+    keys: Sequence[str],
+    dialect: str = "postgresql",
+) -> str:
+    """Set-based UPSERT — the natural next clause after DO NOTHING, for
+    changed-row reloads where the newest batch should win.
+
+    postgresql -> the dialect-native conflict-update clause:
+        INSERT INTO t (c1, c2) SELECT c1, c2 FROM stg
+        ON CONFLICT (k1) DO UPDATE SET c2 = EXCLUDED.c2
+    generic    -> ANSI MERGE (Derby >= 10.11, SQL Server, Oracle):
+        MERGE INTO t USING stg ON (t.k1 = stg.k1)
+        WHEN MATCHED THEN UPDATE SET t.c2 = stg.c2
+        WHEN NOT MATCHED THEN INSERT (c1, c2) VALUES (stg.c1, stg.c2)
+
+    When every column is a key there is nothing to update — both
+    dialects degrade to the insert-only statement (PG: DO NOTHING;
+    generic: MERGE without the WHEN MATCHED arm), keeping upsert a
+    strict superset of ignore-conflicts."""
+    if not columns:
+        raise ValueError("columns must be non-empty")
+    missing = [k for k in keys if k not in columns]
+    if missing:
+        raise ValueError(f"keys {missing} not in columns {list(columns)}")
+    t = _ident(target)
+    s = _ident(staging)
+    cols = ", ".join(_qcol(c) for c in columns)
+    nonkey = [c for c in columns if c not in keys]
+    if dialect == "postgresql":
+        ks = ", ".join(_qcol(k) for k in keys)
+        if not nonkey:
+            return conflict_insert_sql(target, staging, columns, keys, dialect)
+        sets = ", ".join(f"{_qcol(c)} = EXCLUDED.{_qcol(c)}" for c in nonkey)
+        return (
+            f"INSERT INTO {t} ({cols}) SELECT {cols} FROM {s} "
+            f"ON CONFLICT ({ks}) DO UPDATE SET {sets}"
+        )
+    if dialect == "generic":
+        on = " AND ".join(f"{t}.{_qcol(k)} = {s}.{_qcol(k)}" for k in keys)
+        matched = ""
+        if nonkey:
+            sets = ", ".join(
+                f"{t}.{_qcol(c)} = {s}.{_qcol(c)}" for c in nonkey
+            )
+            matched = f"WHEN MATCHED THEN UPDATE SET {sets} "
+        vals = ", ".join(f"{s}.{_qcol(c)}" for c in columns)
+        return (
+            f"MERGE INTO {t} USING {s} ON ({on}) "
+            f"{matched}"
+            f"WHEN NOT MATCHED THEN INSERT ({cols}) VALUES ({vals})"
+        )
+    raise ValueError(f"unknown dialect: {dialect!r}")
+
+
 def _run_statement_jvm(df: DataFrame, cfg: JdbcConfig, sql: str) -> int:
     """Execute one driver-side statement through the session's JVM via
     java.sql.DriverManager (the same classpath the JDBC datasource
@@ -134,6 +192,17 @@ def _run_statement_jvm(df: DataFrame, cfg: JdbcConfig, sql: str) -> int:
         conn.close()
 
 
+def _default_staging(table: str) -> str:
+    """Per-run-unique staging name: two concurrent loads of the same
+    target must not share a staging table (writer B's overwrite would
+    drop writer A's staged rows mid-flight, and either finally-DROP
+    would delete the table the other is INSERT...SELECTing from). A
+    12-hex uuid token keeps ``table + 7 + 12`` chars well under the
+    tightest common identifier limit (PostgreSQL's 63) for any
+    reasonably named target."""
+    return f"{table}__stg_{uuid.uuid4().hex[:12]}"
+
+
 def write_jdbc_ignore_conflicts(
     df: DataFrame,
     cfg: JdbcConfig,
@@ -142,11 +211,18 @@ def write_jdbc_ignore_conflicts(
     staging_table: str | None = None,
     run_statement: Callable[[str], int] | None = None,
     ensure_target: bool = True,
+    upsert: bool = False,
 ) -> int:
-    """Stage-then-conflict-insert into a JDBC target; returns the number
-    of rows the server actually inserted. ``run_statement`` overrides
-    the driver-side executor (unit tests capture the generated SQL with
-    it; a deployment could route it through a pooled connection).
+    """Stage-then-conflict-insert into a JDBC target; returns the
+    server-reported affected-row count (inserted rows; for ``upsert``,
+    inserted + updated — PG's and MERGE's native update count).
+    ``run_statement`` overrides the driver-side executor (unit tests
+    capture the generated SQL with it; a deployment could route it
+    through a pooled connection).
+
+    ``upsert=False`` (default): the reference's first-writer-wins
+    ON CONFLICT DO NOTHING (S:214-218). ``upsert=True``: last-writer
+    -wins DO UPDATE / ANSI MERGE for changed-row reloads.
 
     In-batch duplicates are collapsed BEFORE staging (ON CONFLICT also
     collapses them server-side, but the NOT EXISTS dialect would insert
@@ -159,9 +235,10 @@ def write_jdbc_ignore_conflicts(
     if missing:
         raise ValueError(f"keys {missing} not in dataframe columns {df.columns}")
     target = _ident(table)
-    staging = _ident(staging_table or f"{table}__stage")
+    staging = _ident(staging_table or _default_staging(table))
     dialect = jdbc_dialect(cfg.url)
-    sql = conflict_insert_sql(target, staging, df.columns, keys, dialect)
+    build = conflict_upsert_sql if upsert else conflict_insert_sql
+    sql = build(target, staging, df.columns, keys, dialect)
     run = run_statement or (lambda s: _run_statement_jvm(df, cfg, s))
 
     deduped = df.dropDuplicates(list(keys))
@@ -194,8 +271,16 @@ def write_jdbc_ignore_conflicts(
                 except Exception:  # noqa: BLE001 — already exists
                     pass
         inserted = run(sql)
+        # ≙ the reference's per-batch read-count log lines (S:230, S:242):
+        # the server's update count is the sink's ground-truth row count,
+        # surfaced in the job log for load auditing
         log.info(
-            "jdbc conflict-insert (%s): %d rows into %s", dialect, inserted, target
+            "jdbc %s (%s): %d rows affected in %s (staged via %s)",
+            "upsert" if upsert else "conflict-insert",
+            dialect,
+            inserted,
+            target,
+            staging,
         )
         return inserted
     finally:

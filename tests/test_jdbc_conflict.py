@@ -4,10 +4,15 @@ NOTHING load, S:214-218 — no PG server in the container), plus the full
 stage->insert->drop round-trip on embedded Derby through the portable
 NOT EXISTS dialect."""
 
+import logging
+import re
+
 import pytest
 
 from ferramenta_etl_spark.sinks.jdbc_conflict import (
+    _default_staging,
     conflict_insert_sql,
+    conflict_upsert_sql,
     jdbc_dialect,
     write_jdbc_ignore_conflicts,
 )
@@ -58,6 +63,58 @@ def test_statement_validation():
         conflict_insert_sql("t", "s", ["v"], ["k"])
     with pytest.raises(ValueError, match="unknown dialect"):
         conflict_insert_sql("t", "s", ["k"], ["k"], dialect="mysql")
+    with pytest.raises(ValueError, match="not in columns"):
+        conflict_upsert_sql("t", "s", ["v"], ["k"])
+    with pytest.raises(ValueError, match="unknown dialect"):
+        conflict_upsert_sql("t", "s", ["k"], ["k"], dialect="mysql")
+
+
+def test_postgres_upsert_statement_do_update():
+    """VERDICT r08 #7: the natural next dialect clause — last-writer-wins
+    DO UPDATE SET for changed-row reloads, pinned exactly."""
+    sql = conflict_upsert_sql(
+        "manifesto_parcelas",
+        "stg_x",
+        ["id_manifesto", "cd_parcela", "vl_parcela", "dt_venc"],
+        ["id_manifesto", "cd_parcela"],
+        dialect="postgresql",
+    )
+    assert sql == (
+        'INSERT INTO manifesto_parcelas '
+        '("id_manifesto", "cd_parcela", "vl_parcela", "dt_venc") '
+        'SELECT "id_manifesto", "cd_parcela", "vl_parcela", "dt_venc" '
+        'FROM stg_x '
+        'ON CONFLICT ("id_manifesto", "cd_parcela") DO UPDATE SET '
+        '"vl_parcela" = EXCLUDED."vl_parcela", '
+        '"dt_venc" = EXCLUDED."dt_venc"'
+    )
+
+
+def test_generic_upsert_statement_is_ansi_merge():
+    sql = conflict_upsert_sql("t", "stg", ["k", "v"], ["k"], dialect="generic")
+    assert sql == (
+        'MERGE INTO t USING stg ON (t."k" = stg."k") '
+        'WHEN MATCHED THEN UPDATE SET t."v" = stg."v" '
+        'WHEN NOT MATCHED THEN INSERT ("k", "v") VALUES (stg."k", stg."v")'
+    )
+
+
+def test_upsert_all_key_columns_degrades_to_insert_only():
+    """Nothing to update when every column is a key: PG falls back to
+    DO NOTHING, MERGE drops the WHEN MATCHED arm."""
+    pg = conflict_upsert_sql("t", "s", ["k"], ["k"], dialect="postgresql")
+    assert pg.endswith("DO NOTHING")
+    gen = conflict_upsert_sql("t", "s", ["k"], ["k"], dialect="generic")
+    assert "WHEN MATCHED" not in gen
+    assert 'WHEN NOT MATCHED THEN INSERT ("k") VALUES (s."k")' in gen
+
+
+def test_default_staging_is_per_run_unique():
+    """ADVICE r08 (medium): concurrent loads of the same target must not
+    share a staging table — the default carries a per-run uuid token."""
+    a, b = _default_staging("conflict_t"), _default_staging("conflict_t")
+    assert a != b
+    assert re.fullmatch(r"conflict_t__stg_[0-9a-f]{12}", a)
 
 
 def test_pg_url_routes_on_conflict_without_server(spark):
@@ -100,12 +157,15 @@ def test_pg_url_routes_on_conflict_without_server(spark):
         deduped_cls.write = orig
     assert n == 1
     assert seen[0] == "__staged__"
-    assert seen[1] == (
-        "CREATE TABLE IF NOT EXISTS manifesto "
-        "(LIKE manifesto__stage INCLUDING ALL)"
+    stg = re.fullmatch(
+        r"CREATE TABLE IF NOT EXISTS manifesto "
+        r"\(LIKE (manifesto__stg_[0-9a-f]{12}) INCLUDING ALL\)",
+        seen[1],
     )
+    assert stg, seen[1]
     assert 'ON CONFLICT ("id_manifesto") DO NOTHING' in seen[2]
-    assert seen[3] == "DROP TABLE manifesto__stage"
+    assert stg.group(1) in seen[2]
+    assert seen[3] == f"DROP TABLE {stg.group(1)}"
 
 
 @pytest.fixture(scope="module")
@@ -143,3 +203,31 @@ def test_derby_roundtrip_rerun_is_noop(spark, derby_cfg):
     assert sorted(r.k for r in back.collect()) == [1, 2, 3]
     # first-writer-wins: k=2 kept its original value
     assert {r.k: r.v for r in back.collect()}[2] in ("b", "b2")
+
+
+def test_derby_upsert_roundtrip_last_writer_wins(spark, derby_cfg, caplog):
+    """VERDICT r08 #7: upsert on a real JDBC engine via ANSI MERGE —
+    new keys insert, existing keys take the new values, and the
+    server-reported affected count lands in the job log."""
+    df = spark.createDataFrame([(1, "a"), (2, "b")], "k int, v string")
+    with caplog.at_level(logging.INFO, logger="ferramenta_etl_spark"):
+        n1 = write_jdbc_ignore_conflicts(
+            df, derby_cfg, "upsert_t", keys=["k"], upsert=True
+        )
+    assert n1 == 2
+    # insert-count parity log (≙ the reference's per-batch count lines)
+    assert any(
+        "2 rows affected in upsert_t" in r.message for r in caplog.records
+    )
+    df2 = spark.createDataFrame([(2, "B2"), (3, "c")], "k int, v string")
+    n2 = write_jdbc_ignore_conflicts(
+        df2, derby_cfg, "upsert_t", keys=["k"], upsert=True
+    )
+    assert n2 == 2  # one update + one insert, both counted by MERGE
+    back = (
+        spark.read.format("jdbc")
+        .options(**derby_cfg.base_options(), dbtable="upsert_t")
+        .load()
+    )
+    got = {r.k: r.v for r in back.collect()}
+    assert got == {1: "a", 2: "B2", 3: "c"}  # last writer won on k=2
