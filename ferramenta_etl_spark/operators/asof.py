@@ -19,10 +19,26 @@ matched.on|; unmatched left rows keep NULL right columns (left join).
 
 from __future__ import annotations
 
+import warnings
 from collections.abc import Sequence
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+
+
+def _warn_empty_by(op: str) -> None:
+    """``by=[]`` is legitimate (a global as-of / global sessionization is
+    a real use) but compiles to a SINGLE-PARTITION window — the one Spark
+    plan shape this package otherwise refuses to produce silently (the
+    flagship global sort is opt-in for the same reason). Warn loudly so
+    nobody ships it at scale by accident."""
+    warnings.warn(
+        f"{op}: empty `by` serializes the whole input through ONE "
+        "partition (a global window has no partition key). Fine for "
+        "small inputs; at scale, pass a partitioning key or pre-bucket.",
+        UserWarning,
+        stacklevel=3,
+    )
 
 
 def asof_join(
@@ -39,8 +55,13 @@ def asof_join(
     (raises ValueError), so the output carries both unprefixed plus
     ``matched_on`` = the matched right row's on-value (NULL when
     unmatched; handy for lag/staleness features). NULL on-values never
-    match and never produce matches — same policy as a SQL range
-    predicate.
+    match (right) and never receive matches (left) — same policy as a
+    SQL range predicate — but NULL-on LEFT rows are KEPT in the output
+    with NULL right columns (row-count-preserving left-join semantics;
+    they bypass the window pass entirely and union back at the end).
+
+    ``by=[]`` (global as-of) is supported but warns: it serializes
+    through a single-partition window.
 
     Determinism caveat: if the right side carries DUPLICATE (by, on)
     rows with different payloads, which one wins is partition-order-
@@ -49,6 +70,8 @@ def asof_join(
     matters; a payload-struct tiebreak can't be pushed into the window
     order here because payloads may contain unorderable types
     (arrays)."""
+    if not list(by):
+        _warn_empty_by("asof_join")
     if direction not in ("backward", "forward"):
         raise ValueError(
             f"direction must be backward|forward, got {direction!r}"
@@ -108,10 +131,25 @@ def asof_join(
             "__match",
             F.when(gap <= F.lit(tolerance), F.col("__match")),
         )
-    return out.select(
+    matched = out.select(
         *by,
         F.col("__on").alias(on),
         *left_payload,
         *[F.col(f"__match.{c}").alias(c) for c in right_payload],
         F.col("__match.__t").alias("matched_on"),
     )
+    # NULL-on left rows never match but ARE output rows (left-join,
+    # row-count preserving — ADVICE r08): they skip the window pass and
+    # union back here with NULL right columns. The union is plan-level
+    # only — no extra exchange.
+    null_left = left.filter(F.col(on).isNull()).select(
+        *by,
+        F.col(on),
+        *left_payload,
+        *[
+            F.lit(None).cast(right.schema[c].dataType).alias(c)
+            for c in right_payload
+        ],
+        F.lit(None).cast(right.schema[on].dataType).alias("matched_on"),
+    )
+    return matched.unionByName(null_left)

@@ -20,6 +20,8 @@ from collections.abc import Sequence
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from .asof import _warn_empty_by
+
 
 def sessionize(
     df: DataFrame,
@@ -44,8 +46,12 @@ def sessionize(
 
     Shape: one hash exchange on ``by``, one per-partition sort, two
     window expressions (lag + running sum) in the same window — the
-    same cost as any single window query, linear at any scale."""
+    same cost as any single window query, linear at any scale.
+    ``by=[]`` (one global session stream) is supported but warns: it
+    serializes through a single-partition window."""
     by = list(by)
+    if not by:
+        _warn_empty_by("sessionize")
     ts = F.col(ts_col)
     # timestamps subtract to INTERVAL; cast both sides to epoch seconds
     # so gap arithmetic is plain numeric for either column type

@@ -79,19 +79,24 @@ def mean_pool_embeddings(
     carries dim rows per group. Both linear in groups×dim at 100×.
 
     Rows with NULL/empty vectors are dropped before pooling (a missing
-    chunk embedding must not zero-bias the mean). Ragged dims within a
-    group are the caller's bug; the count is taken per (group, pos), so
-    a ragged group yields a positionally-correct mean rather than a
-    silently wrong one. ``normalize=True`` unit-norms the pooled vector
-    (cosine-ready, NULL if the mean is zero-norm)."""
+    chunk embedding must not zero-bias the mean). NULL ELEMENTS inside a
+    vector are likewise skipped — each position's mean is over its
+    non-null values only (denominator = non-null count, so a NULL cell
+    cannot bias the mean toward zero; a position that is NULL in every
+    vector of the group yields a NULL element, ADVICE r08). Ragged dims
+    within a group are the caller's bug; the count is taken per
+    (group, pos), so a ragged group yields a positionally-correct mean
+    rather than a silently wrong one. ``normalize=True`` unit-norms the
+    pooled vector (cosine-ready, NULL if the mean is zero-norm)."""
     gcols = [F.col(c) for c in group_cols]
     exploded = df.filter(
         F.col(vec_col).isNotNull() & (F.size(vec_col) > 0)
     ).select(*gcols, F.posexplode(vec_col).alias("__pos", "__val"))
     per_pos = exploded.groupBy(*gcols, F.col("__pos")).agg(
-        (F.sum(F.col("__val").cast("double")) / F.count(F.lit(1))).alias(
-            "__mean"
-        )
+        (
+            F.sum(F.col("__val").cast("double"))
+            / F.count(F.col("__val"))  # non-null count: NULL cells skip
+        ).alias("__mean")
     )
     pooled = per_pos.groupBy(*gcols).agg(
         F.transform(

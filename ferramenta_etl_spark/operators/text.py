@@ -563,9 +563,17 @@ def dedup_paragraphs(
     collapsing to one corpus-wide survivor."""
     from pyspark.sql import Window
 
+    # F.split takes a Java REGEX while array_join reassembles with the
+    # LITERAL sep — quote the split pattern (Pattern.quote semantics:
+    # \Q...\E, with any embedded \E broken out) so metacharacter seps
+    # ('|', '.', '\n\n+'-lookalikes) split literally and reassembly
+    # round-trips (ADVICE r08)
+    sep_rx = "\\Q" + sep.replace("\\E", "\\E\\\\E\\Q") + "\\E"
     paras = df.select(
         F.col(id_col),
-        F.posexplode(F.split(F.col(text_col), sep)).alias("__pos", "__para"),
+        F.posexplode(
+            F.split(F.col(text_col), sep_rx)
+        ).alias("__pos", "__para"),
     )
     eligible = F.length(F.trim(F.col("__para"))) >= min_chars
     # ineligible paragraphs must NOT enter the window: they would all

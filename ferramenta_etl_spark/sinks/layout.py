@@ -167,6 +167,7 @@ def export_jsonl(
     mode: str = "overwrite",
     cluster_by: Sequence[str] = (),
     order_by: Sequence[str] = (),
+    shuffle_seed: int | None = None,
 ) -> int:
     """Export a curated relation as sharded JSONL — the format training
     data-loaders consume. Shard count is sized from a sampled average
@@ -180,8 +181,24 @@ def export_jsonl(
     contiguously in ONE shard (round-robin would scatter them). Both
     default off (pure round-robin balance).
 
+    ``shuffle_seed`` (VERDICT r08 #4) gives training exports a SEEDED
+    DETERMINISTIC GLOBAL SHUFFLE: every line's shard AND its position
+    within the shard derive from ``xxhash64(seed, serialized line)`` —
+    a pure function of (seed, content), independent of input
+    partitioning, task order, or cluster size. Same seed ⇒ byte-
+    identical shard assignment and line order on every rerun; a
+    different seed ⇒ a different permutation of the same lines (the
+    manifest's layout-independent fingerprint is unchanged). Mutually
+    exclusive with cluster_by/order_by (a shuffle and a clustering are
+    opposite layouts). One exchange + per-shard sort — the same cost
+    as the cluster_by path.
+
     Columns serialize via Spark's JSON writer (UTF-8, one object per
     line, null fields omitted — the de-facto JSONL corpus convention)."""
+    if shuffle_seed is not None and (list(cluster_by) or list(order_by)):
+        raise ValueError(
+            "shuffle_seed is mutually exclusive with cluster_by/order_by"
+        )
     sample = df.limit(1000).select(
         F.octet_length(F.to_json(F.struct(*df.columns))).alias("w")
     ).agg(F.avg("w").alias("w"), F.count(F.lit(1)).alias("n")).first()
@@ -204,7 +221,19 @@ def export_jsonl(
             persisted = True
             total = df.count() * float(sample.w)
             n_shards = max(1, int(total // (target_mb * 1024 * 1024)) + 1)
-        if cluster_by:
+        if shuffle_seed is not None:
+            # hash the line CONTENT (the same struct the writer
+            # serializes), not row identity: reruns from any upstream
+            # plan produce the identical permutation
+            line = F.to_json(F.struct(*[F.col(c) for c in df.columns]))
+            h = F.xxhash64(F.lit(int(shuffle_seed)), line)
+            out = (
+                df.withColumn("__h", h)
+                .repartition(n_shards, F.col("__h"))
+                .sortWithinPartitions("__h")
+                .drop("__h")
+            )
+        elif cluster_by:
             out = df.repartition(n_shards, *[F.col(c) for c in cluster_by])
         else:
             out = df.repartition(n_shards)
@@ -215,6 +244,44 @@ def export_jsonl(
         if persisted:
             df.unpersist()
     return n_shards
+
+
+def _fs_and_path(spark: SparkSession, path: str):
+    """(jvm, FileSystem, qualified Path) for ``path`` through the
+    session's Hadoop configuration — the manifest must live wherever the
+    shards live (HDFS/S3/local), so its I/O goes through the same
+    filesystem layer Spark reads the shards with (ADVICE r08; same
+    pattern as idempotent._sink_lock)."""
+    jvm = spark._jvm
+    p = jvm.org.apache.hadoop.fs.Path(path)
+    fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
+    return jvm, fs, fs.makeQualified(p)
+
+
+def _fs_write_text(spark: SparkSession, path: str, text: str) -> None:
+    """Write-then-rename through the Hadoop FileSystem API: readers of
+    the final name never observe a partial manifest (rename is atomic on
+    HDFS and posix-local; on S3A it is copy+delete — still
+    last-writer-wins whole-object, never truncated)."""
+    jvm, fs, p = _fs_and_path(spark, path)
+    tmp = jvm.org.apache.hadoop.fs.Path(p.toString() + ".tmp")
+    out = fs.create(tmp, True)
+    try:
+        out.write(bytearray(text.encode("utf-8")))
+    finally:
+        out.close()
+    fs.delete(p, False)  # rename-over-existing is FS-dependent; clear first
+    if not fs.rename(tmp, p):
+        raise OSError(f"could not rename {tmp} -> {p}")
+
+
+def _fs_read_text(spark: SparkSession, path: str) -> str:
+    jvm, fs, p = _fs_and_path(spark, path)
+    stream = fs.open(p)
+    baos = jvm.java.io.ByteArrayOutputStream()
+    # copyBytes(close=True) closes both streams
+    jvm.org.apache.hadoop.io.IOUtils.copyBytes(stream, baos, 65536, True)
+    return bytes(baos.toByteArray()).decode("utf-8")
 
 
 def _shard_stats(spark: SparkSession, path: str) -> list[dict]:
@@ -250,7 +317,10 @@ def _shard_stats(spark: SparkSession, path: str) -> list[dict]:
 
 
 def write_dataset_manifest(
-    spark: SparkSession, path: str, config: dict | None = None
+    spark: SparkSession,
+    path: str,
+    config: dict | None = None,
+    shuffle_seed: int | None = None,
 ) -> dict:
     """Write ``_manifest.json`` next to a JSONL export: per-shard row
     counts + content hashes, the producing config, and a DATASET
@@ -259,7 +329,12 @@ def write_dataset_manifest(
     same lines into a different shard count and it is unchanged, while
     any added/dropped/edited line moves it. A training run records the
     fingerprint; ``verify_dataset_manifest`` re-derives everything
-    before the loader trusts the files. Returns the manifest dict."""
+    before the loader trusts the files. ``shuffle_seed`` records the
+    seed of a seeded-shuffle export (``export_jsonl(shuffle_seed=)``)
+    so the corpus order is reproducible from the manifest alone.
+    Manifest I/O goes through the Hadoop FileSystem API — works on the
+    same HDFS/S3/local dir the shards occupy (ADVICE r08). Returns the
+    manifest dict."""
     import json
 
     shards = _shard_stats(spark, path)
@@ -273,10 +348,13 @@ def write_dataset_manifest(
         "shards": shards,
         "config": config or {},
     }
-    tmp = os.path.join(path, "_manifest.json.tmp")
-    with open(tmp, "w") as f:
-        json.dump(manifest, f, indent=1, sort_keys=True)
-    os.replace(tmp, os.path.join(path, "_manifest.json"))
+    if shuffle_seed is not None:
+        manifest["shuffle_seed"] = int(shuffle_seed)
+    _fs_write_text(
+        spark,
+        os.path.join(path, "_manifest.json"),
+        json.dumps(manifest, indent=1, sort_keys=True),
+    )
     return manifest
 
 
@@ -289,8 +367,9 @@ def verify_dataset_manifest(
     before training on the export."""
     import json
 
-    with open(os.path.join(path, "_manifest.json")) as f:
-        manifest = json.load(f)
+    manifest = json.loads(
+        _fs_read_text(spark, os.path.join(path, "_manifest.json"))
+    )
     want = {s["file"]: s for s in manifest["shards"]}
     got = {s["file"]: s for s in _shard_stats(spark, path)}
     problems = []

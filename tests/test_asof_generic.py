@@ -92,13 +92,43 @@ def test_asof_join_guards_and_staleness(spark):
     for r in out:
         if r.matched_on is not None:
             assert r.matched_on <= r.t
-    # NULL on-values: neither crash nor match
+    # NULL on-values never match but ARE kept with NULL right columns
+    # (row-count-preserving left join — ADVICE r08)
     ln = spark.createDataFrame(
         pd.DataFrame({"k": [0], "t": [pd.NA], "ev": [999]}).astype(
             {"t": "Int64"}
         )
     )
-    assert asof_join(ln, rdf, on="t", by=["k"]).count() == 0
+    rows = asof_join(ln, rdf, on="t", by=["k"]).collect()
+    assert len(rows) == 1
+    assert rows[0].ev == 999 and rows[0].t is None
+    assert rows[0].price is None and rows[0].matched_on is None
+
+
+def test_asof_preserves_left_row_count_with_null_on(spark):
+    """Mixed NULL/non-NULL on-values: output row count == left row
+    count, NULL-on rows carry NULL match, non-NULL rows still match."""
+    left, right = _fixture()
+    left.loc[left.index[:7], "t"] = pd.NA
+    ldf = spark.createDataFrame(left.astype({"t": "Int64"}))
+    rdf = spark.createDataFrame(right)
+    out = asof_join(ldf, rdf, on="t", by=["k"]).collect()
+    assert len(out) == len(left)
+    null_rows = [r for r in out if r.t is None]
+    assert len(null_rows) == 7
+    assert all(r.price is None and r.matched_on is None for r in null_rows)
+    assert any(r.price is not None for r in out)
+
+
+def test_asof_empty_by_warns_single_partition(spark):
+    """VERDICT r08 #5: by=[] compiles to a single-partition window —
+    legitimate (global as-of) but must warn loudly."""
+    left, right = _fixture(n_keys=1)
+    ldf = spark.createDataFrame(left.drop(columns=["k"]))
+    rdf = spark.createDataFrame(right.drop(columns=["k"]).drop_duplicates(["t"]))
+    with pytest.warns(UserWarning, match="ONE\\s+partition"):
+        out = asof_join(ldf, rdf, on="t", by=[])
+    assert out.count() == len(ldf.collect())
 
 
 from hypothesis import HealthCheck, given, settings

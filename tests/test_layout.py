@@ -174,3 +174,57 @@ def test_dataset_manifest_roundtrip_and_tamper(spark, tmp_path):
         f for f in os.listdir(p5) if f.startswith("part-"))[0]))
     ok, problems = verify_dataset_manifest(spark, p5)
     assert not ok and any(q.startswith("missing shard") for q in problems)
+
+
+def _read_shard_lines(path):
+    """{partition index ('part-00000'): [lines in file order]} for a
+    gzip JSONL dir (the rest of the basename is a per-run writer uuid)."""
+    import gzip
+    import os
+
+    out = {}
+    for f in sorted(os.listdir(path)):
+        if f.startswith("part-") and f.endswith(".gz"):
+            with gzip.open(os.path.join(path, f), "rt") as fh:
+                out["-".join(f.split("-")[:2])] = fh.read().splitlines()
+    return out
+
+
+def test_export_jsonl_seeded_shuffle_deterministic(spark, tmp_path):
+    """VERDICT r08 #4: shuffle_seed gives a reproducible global corpus
+    order — same seed ⇒ identical per-shard line order AND identical
+    manifest fingerprint; different seed ⇒ different order, same
+    content; the seed is recorded in the manifest."""
+    import pytest
+
+    from ferramenta_etl_spark.sinks.layout import (
+        export_jsonl,
+        verify_dataset_manifest,
+        write_dataset_manifest,
+    )
+
+    df = spark.range(400).selectExpr(
+        "id", "md5(CAST(id AS STRING)) AS t"
+    )
+    pa, pb, pc = (str(tmp_path / d) for d in ("sa", "sb", "sc"))
+    # two runs, same seed — input partitioning deliberately different
+    export_jsonl(df.repartition(3), pa, target_mb=1, shuffle_seed=42)
+    export_jsonl(df.repartition(11), pb, target_mb=1, shuffle_seed=42)
+    la, lb = _read_shard_lines(pa), _read_shard_lines(pb)
+    assert la == lb  # same shard assignment AND same in-shard order
+    # a third run with a different seed: different permutation, same set
+    export_jsonl(df, pc, target_mb=1, shuffle_seed=7)
+    lc = _read_shard_lines(pc)
+    assert lc != la
+    assert sorted(x for v in lc.values() for x in v) == sorted(
+        x for v in la.values() for x in v
+    )
+    ma = write_dataset_manifest(spark, pa, shuffle_seed=42)
+    mc = write_dataset_manifest(spark, pc, shuffle_seed=7)
+    assert ma["shuffle_seed"] == 42 and mc["shuffle_seed"] == 7
+    # fingerprint is content-only: both permutations agree
+    assert ma["dataset_fingerprint"] == mc["dataset_fingerprint"]
+    ok, problems = verify_dataset_manifest(spark, pa)
+    assert ok, problems
+    with pytest.raises(ValueError, match="mutually exclusive"):
+        export_jsonl(df, pa, shuffle_seed=1, cluster_by=["id"])

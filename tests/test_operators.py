@@ -1379,3 +1379,55 @@ def test_sessionize_matches_session_window(spark, sf_dir):
     assert got[(1, 0.0)] == got[(1, 10.0)] == got[(1, 20.0)] == 1
     assert got[(1, 31.0)] == 2
     assert got[(2, 5.0)] == 1 and got[(2, None)] is None
+
+
+def test_sessionize_empty_by_warns_single_partition(spark):
+    """VERDICT r08 #5: by=[] is one global session stream through ONE
+    partition — legitimate but must warn loudly."""
+    import pytest as _pytest
+
+    from ferramenta_etl_spark.operators.sessionize import sessionize
+
+    df = spark.createDataFrame(
+        [(0.0,), (5.0,), (100.0,)], "t: double"
+    )
+    with _pytest.warns(UserWarning, match="ONE\\s+partition"):
+        out = sessionize(df, "t", [], gap=10.0)
+    got = {r.t: r.session_idx for r in out.collect()}
+    assert got == {0.0: 1, 5.0: 1, 100.0: 2}
+
+
+def test_mean_pool_null_elements_skip_denominator(spark):
+    """ADVICE r08: a NULL CELL inside a vector is skipped — the
+    position's mean is over non-null values only (not biased toward
+    zero by counting the NULL), and an all-NULL position yields NULL."""
+    from ferramenta_etl_spark.operators.similarity import mean_pool_embeddings
+
+    rows = [
+        ("d", [1.0, None, None]),
+        ("d", [3.0, 5.0, None]),
+    ]
+    df = spark.createDataFrame(rows, "doc string, embedding array<double>")
+    out = mean_pool_embeddings(df, ["doc"]).collect()
+    assert len(out) == 1
+    vec = out[0].embedding
+    assert vec[0] == 2.0          # (1+3)/2
+    assert vec[1] == 5.0          # one non-null value, denominator 1
+    assert vec[2] is None         # all-NULL position
+
+
+def test_dedup_paragraphs_metachar_separator_roundtrips(spark):
+    """ADVICE r08: a separator containing regex metacharacters must
+    split LITERALLY (split takes a Java regex; reassembly is literal) —
+    '|' used to split between every character."""
+    from ferramenta_etl_spark.operators.text import dedup_paragraphs
+
+    rows = [(1, "alpha|beta|gamma"), (2, "beta|delta")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r.doc_id: r.text
+        for r in dedup_paragraphs(df, sep="|", min_chars=1).collect()
+    }
+    # doc 1 intact; doc 2 lost only the cross-doc duplicate 'beta'
+    assert out[1] == "alpha|beta|gamma"
+    assert out[2] == "delta"
