@@ -74,6 +74,14 @@ def main(argv: list[str] | None = None, _stop_session: bool = True) -> int:
     p.add_argument("--every-n", type=int, default=30,
                    help="media-curate: sample every n-th video frame")
     p.add_argument(
+        "--media-format",
+        choices=["raw", "containers"],
+        default="raw",
+        help="media-curate: 'raw' feeds raw-RGB/PCM fixtures directly; "
+        "'containers' wraps them in real PNG/WAV containers and runs "
+        "the stdlib codec front-end (decode_images/decode_audio) first",
+    )
+    p.add_argument(
         "--index-kind",
         choices=["ivf", "pq", "opq", "ivfpq"],
         default="ivfpq",
@@ -372,9 +380,11 @@ def main(argv: list[str] | None = None, _stop_session: bool = True) -> int:
             # feature-gate, video frame-sample) into idempotent keyed
             # sinks — reruns append zero; malformed rows become marker/
             # null rows upstream and are counted, not silently dropped.
-            # Payloads here come from the deterministic raw-media
-            # fixtures (no codec libs in this container); a decoder
-            # front-end swaps in ahead of each branch unchanged.
+            # Image/audio payloads come either as raw RGB/PCM fixtures
+            # (--media-format raw) or as REAL PNG/WAV containers pushed
+            # through the stdlib codec front-end (--media-format
+            # containers; decode_images / decode_audio). Video stays
+            # raw — no stdlib demuxer exists for compressed video.
             from pyspark.sql import functions as F
 
             from .operators.audio import (
@@ -382,6 +392,12 @@ def main(argv: list[str] | None = None, _stop_session: bool = True) -> int:
                 audio_features,
                 resample_audio,
                 trim_silence,
+            )
+            from .operators.containers import (
+                attach_png_media,
+                attach_wav_media,
+                decode_audio,
+                decode_images,
             )
             from .operators.multimodal import (
                 attach_fake_raw_images,
@@ -398,16 +414,21 @@ def main(argv: list[str] | None = None, _stop_session: bool = True) -> int:
                 p.error(f"--img-size must be WxH, got {args.img_size!r}")
             docs = load_table(spark, args.sf_dir, "documents").select("doc_id")
 
-            resized = resize_images(
-                attach_fake_raw_images(docs), img_w, img_h
-            ).filter(F.col("media").isNotNull())
+            if args.media_format == "containers":
+                images = decode_images(attach_png_media(docs))
+                audio = decode_audio(attach_wav_media(docs))
+            else:
+                images = attach_fake_raw_images(docs)
+                audio = attach_fake_raw_audio(docs)
+
+            resized = resize_images(images, img_w, img_h).filter(
+                F.col("media").isNotNull()
+            )
             n_img = write_ignore_conflicts(
                 resized, f"{args.sink_dir}/media_images", keys=["doc_id"]
             )
 
-            trimmed = resample_audio(
-                trim_silence(attach_fake_raw_audio(docs)), args.audio_rate
-            )
+            trimmed = resample_audio(trim_silence(audio), args.audio_rate)
             feats = audio_features(trimmed)
             keep = feats.filter(
                 F.col("rms").isNotNull() & (F.col("rms") >= args.min_rms)

@@ -189,6 +189,25 @@ def test_cli_media_curate_idempotent(cli_tmp, capsys, spark):
     assert spark.read.parquet(f"{sink}/media_frames").count() == n_frames
 
 
+def test_cli_media_curate_containers_matches_raw(cli_tmp, capsys, spark):
+    """--media-format containers pushes REAL PNG/WAV bytes through the
+    stdlib codec front-end end-to-end (VERDICT r08 #1); the curated
+    image/audio sinks are row-identical with the raw-fixture run."""
+    raw_sink = str(cli_tmp / "mraw")
+    con_sink = str(cli_tmp / "mcon")
+    assert _run("media-curate", "--sink-dir", raw_sink) == 0
+    assert _run(
+        "media-curate", "--sink-dir", con_sink,
+        "--media-format", "containers",
+    ) == 0
+    capsys.readouterr()
+    for table in ("media_images", "media_audio"):
+        a = spark.read.parquet(f"{raw_sink}/{table}")
+        b = spark.read.parquet(f"{con_sink}/{table}")
+        assert a.count() == b.count() > 0
+        assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+
+
 def test_cli_vocab_snapshot(cli_tmp, capsys, spark):
     s = str(cli_tmp / "s")
     assert _run("vocab", "--sink-dir", s, "--min-count", "2") == 0
