@@ -872,70 +872,128 @@ def range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("l_orderkey", "l_linenumber", "bucket_name")
 
 
+_ASOF_TOL_US = 7 * 24 * 3600 * 1_000_000  # 7 days in epoch-micros
+
+
+def _us_to_ms(c: F.Column | str) -> F.Column:
+    """Exact floor(micros/1000) — same integer-exact discipline as
+    ``epoch_ms`` (see functions/tsql.py), applied to an already-numeric
+    epoch-micros column."""
+    c = F.col(c) if isinstance(c, str) else c
+    return ((c - F.pmod(c, F.lit(1000))).cast("decimal(20,0)") / F.lit(1000)).cast(
+        "long"
+    )
+
+
 @_q(
     "asof_join",
-    """
-    WITH tagged AS (
-        SELECT user_id, ts, event_id,
-               CASE WHEN event_type = 'signup' THEN ts END AS signup_ts,
-               CASE WHEN event_type = 'signup' THEN event_id END AS signup_id,
-               event_type
-        FROM events WHERE event_type IN ('purchase', 'signup')
+    f"""
+    WITH base AS (
+        SELECT user_id, epoch_us(ts) AS t, event_id, event_type
+        FROM events WHERE event_type IN ('purchase', 'signup', 'click')
     ),
-    filled AS (
-        SELECT user_id, ts, event_id, event_type,
-               last_value(signup_ts IGNORE NULLS) OVER (
-                   PARTITION BY user_id ORDER BY ts ASC NULLS FIRST, event_id ASC
-                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_signup_ts,
-               last_value(signup_id IGNORE NULLS) OVER (
-                   PARTITION BY user_id ORDER BY ts ASC NULLS FIRST, event_id ASC
-                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_signup_id
-        FROM tagged
+    u1 AS (
+        SELECT user_id, t, 0 AS side, event_id AS signup_id, t AS sig_t,
+               CAST(NULL AS BIGINT) AS purchase_id
+        FROM base WHERE event_type = 'signup'
+        UNION ALL
+        SELECT user_id, t, 1, NULL, NULL, event_id
+        FROM base WHERE event_type = 'purchase'
+    ),
+    f1 AS (
+        SELECT user_id, t, side, purchase_id,
+               last_value(signup_id IGNORE NULLS) OVER w AS signup_id,
+               last_value(sig_t IGNORE NULLS) OVER w AS sig_t
+        FROM u1
+        WINDOW w AS (PARTITION BY user_id ORDER BY t ASC, side ASC
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    ),
+    p1 AS (
+        SELECT user_id, t, purchase_id,
+               CASE WHEN t - sig_t <= {_ASOF_TOL_US} THEN signup_id END
+                   AS signup_id,
+               CASE WHEN t - sig_t <= {_ASOF_TOL_US} THEN sig_t END
+                   AS signup_t
+        FROM f1 WHERE side = 1
+    ),
+    u2 AS (
+        SELECT user_id, t, 0 AS side, event_id AS next_click_id, t AS click_t,
+               CAST(NULL AS BIGINT) AS purchase_id,
+               CAST(NULL AS BIGINT) AS signup_id,
+               CAST(NULL AS BIGINT) AS signup_t
+        FROM base WHERE event_type = 'click'
+        UNION ALL
+        SELECT user_id, t, 1, NULL, NULL, purchase_id, signup_id, signup_t
+        FROM p1
+    ),
+    f2 AS (
+        SELECT user_id, t, side, purchase_id, signup_id, signup_t,
+               last_value(next_click_id IGNORE NULLS) OVER w AS next_click_id,
+               last_value(click_t IGNORE NULLS) OVER w AS click_t
+        FROM u2
+        WINDOW w AS (PARTITION BY user_id ORDER BY t DESC, side ASC
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
     )
-    SELECT user_id, event_id AS purchase_id,
-           CAST((epoch_us(ts) - ((epoch_us(ts) % 1000) + 1000) % 1000) // 1000
-                AS BIGINT) AS purchase_ts_ms,
-           last_signup_id AS signup_id,
-           CAST((epoch_us(last_signup_ts)
-                 - ((epoch_us(last_signup_ts) % 1000) + 1000) % 1000) // 1000
-                AS BIGINT) AS signup_ts_ms
-    FROM filled WHERE event_type = 'purchase'
+    SELECT user_id, purchase_id,
+           CAST((t - ((t % 1000) + 1000) % 1000) // 1000 AS BIGINT)
+               AS purchase_ts_ms,
+           signup_id,
+           CAST((signup_t - ((signup_t % 1000) + 1000) % 1000) // 1000
+                AS BIGINT) AS signup_ts_ms,
+           next_click_id,
+           CAST((click_t - ((click_t % 1000) + 1000) % 1000) // 1000
+                AS BIGINT) AS click_ts_ms
+    FROM f2 WHERE side = 1
     """,
 )
 def asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """As-of join (latest signup at-or-before each purchase, per user),
-    via the union+last_value idiom: ONE shuffle on user_id, no range
-    explosion, no per-key loop — this is the 100 TB-safe as-of plan
-    (vs. DuckDB's native ASOF JOIN in spirit; oracle uses the same
-    ANSI construction)."""
+    """As-of join through the GENERALIZED operator (operators/asof.py,
+    VERDICT r08 #6): two chained passes over events per user —
+    (1) BACKWARD with a 7-day TOLERANCE: latest signup at-or-before
+    each purchase, match dropped when older than the tolerance;
+    (2) FORWARD: earliest click at-or-after the purchase.
+    Each pass is the union+last_value idiom: ONE shuffle on user_id, no
+    range explosion, no per-key loop — the 100 TB-safe as-of plan. The
+    DuckDB oracle re-derives both passes ASOF-JOIN-free with the same
+    union construction (side 0 sorts before side 1 at equal t, so
+    at-the-same-instant ties are included in both directions), so the
+    generic operator's tolerance and direction semantics are
+    hash-checked, not just pandas-pinned."""
+    from ..operators.asof import asof_join as asof_generic
+
     ev = load_table(spark, sf_dir, "events")
-    tagged = ev.filter(F.col("event_type").isin("purchase", "signup")).select(
-        "user_id",
-        "ts",
-        "event_id",
-        "event_type",
-        F.when(F.col("event_type") == "signup", F.col("ts")).alias("signup_ts"),
-        F.when(F.col("event_type") == "signup", F.col("event_id")).alias("signup_id"),
+    t = F.unix_micros(
+        F.col("ts").cast("timestamp_ntz").cast("timestamp")
+    ).alias("t")
+    base = ev.filter(
+        F.col("event_type").isin("purchase", "signup", "click")
+    ).select("user_id", t, "event_id", "event_type")
+    purchases = base.filter(F.col("event_type") == "purchase").select(
+        "user_id", "t", F.col("event_id").alias("purchase_id")
     )
-    w = (
-        Window.partitionBy("user_id")
-        .orderBy(F.col("ts").asc(), F.col("event_id").asc())
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    signups = base.filter(F.col("event_type") == "signup").select(
+        "user_id", "t", F.col("event_id").alias("signup_id")
     )
-    filled = tagged.select(
-        "user_id",
-        "ts",
-        "event_id",
-        "event_type",
-        F.last("signup_ts", ignorenulls=True).over(w).alias("last_signup_ts"),
-        F.last("signup_id", ignorenulls=True).over(w).alias("last_signup_id"),
+    clicks = base.filter(F.col("event_type") == "click").select(
+        "user_id", "t", F.col("event_id").alias("next_click_id")
     )
-    return filled.filter(F.col("event_type") == "purchase").select(
+    step1 = asof_generic(
+        purchases,
+        signups,
+        on="t",
+        by=["user_id"],
+        direction="backward",
+        tolerance=_ASOF_TOL_US,
+    ).withColumnRenamed("matched_on", "signup_t")
+    step2 = asof_generic(step1, clicks, on="t", by=["user_id"], direction="forward")
+    return step2.select(
         "user_id",
-        F.col("event_id").alias("purchase_id"),
-        epoch_ms("ts").alias("purchase_ts_ms"),
-        F.col("last_signup_id").alias("signup_id"),
-        epoch_ms(F.col("last_signup_ts")).alias("signup_ts_ms"),
+        "purchase_id",
+        _us_to_ms("t").alias("purchase_ts_ms"),
+        "signup_id",
+        _us_to_ms("signup_t").alias("signup_ts_ms"),
+        "next_click_id",
+        _us_to_ms("matched_on").alias("click_ts_ms"),
     )
 
 
