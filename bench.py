@@ -35,12 +35,24 @@ multi-second queries, 7 under 2.5 s, 9 under 0.3 s (the cheaper the
 query, the more its ~0.1 s absolute jitter dominates a 3-run median;
 per-query counts land in env.runs_per_query) — and the MEDIAN is
 reported. Per-query noise is reported BOTH relative (spread_pct) and
-absolute (spread_abs_s): the ~0.1 s jitter floor makes spread_pct
-mechanically large for sub-0.3 s queries, so the documented bar is
-spread_pct < 20% for medians >= 0.5 s and spread_abs_s ~< 0.1 s below
-that. Warm single-run variance on local[32] is ~±15% (GC pauses,
-task-scheduling jitter); the median keeps round-over-round comparisons
-about the plans, not the noise.
+absolute (spread_abs_s). Warm single-run variance on local[32] is
+~±15% (GC pauses, task-scheduling jitter); the median keeps
+round-over-round comparisons about the plans, not the noise.
+
+STABILITY ADJUDICATION POLICY (VERDICT r08 #3 — the committed rule,
+emitted per query in the detail file's `stability` map): a headline
+query PASSES stability iff
+
+    spread_pct < 20  OR  spread_abs_s <= 0.15
+
+Either bar suffices. Rationale: the ~0.1 s GC/task-scheduling jitter
+floor measured on local[32] (SCALING.md "jitter floor" note) makes
+spread_pct mechanically large for sub-second queries — a 0.4 s query
+with a 0.1 s IQR reads 25% while being exactly as stable as the box
+allows — so the relative bar adjudicates multi-second queries and the
+absolute bar (0.15 s, the measured floor plus margin) adjudicates the
+sub-second ones. A query failing BOTH bars is genuinely unstable:
+its round-over-round delta cannot be attributed to a plan change.
 
 MEASUREMENT PROTOCOL (for comparable round-over-round numbers): run with
 NO concurrent JVMs on the box (a parallel pytest session steals cores
@@ -120,6 +132,31 @@ HEADLINE = [
     "join_skewed_plain_x20",
     "join_skewed_salted_x20",
 ]
+
+
+# Committed stability policy (module docstring): pass iff EITHER bar.
+STABILITY_SPREAD_PCT = 20.0
+STABILITY_SPREAD_ABS_S = 0.15
+
+
+def _round_number(repo_dir: str) -> int:
+    """Current build round, for the per-round detail artifact
+    (BENCH_DETAIL_r0N.json — VERDICT r08 #3: one mutable file the
+    driver overwrites loses the ability to diff detail across rounds).
+    $SPARK_GRAFT_ROUND overrides; otherwise 1 + the highest committed
+    BENCH_r{N}.json (the driver writes that file AFTER this runs, so
+    during round N the highest on disk is N-1)."""
+    env = os.environ.get("SPARK_GRAFT_ROUND")
+    if env:
+        return int(env)
+    import re
+
+    ns = [
+        int(m.group(1))
+        for f in os.listdir(repo_dir)
+        if (m := re.fullmatch(r"BENCH_r(\d+)\.json", f))
+    ]
+    return (max(ns) + 1) if ns else 1
 
 
 def _foreign_jvm_pids() -> list[int]:
@@ -329,27 +366,44 @@ def main() -> None:
             separators=(",", ":"),
         )
     )
-    # Full self-identifying artifact -> BENCH_DETAIL.json (committed per
-    # round): spreads, run counts, env checks, plus the same headline
-    # numbers so the file stands alone.
-    detail_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                               "BENCH_DETAIL.json")
-    with open(detail_path, "w") as fh:
-        json.dump(
-            {
-                "metric": "headline_queries_total_time",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf_val,
-                "spread_pct": spreads,
-                "spread_abs_s": spreads_abs,
-                "env": env,
-            },
-            fh,
-            indent=1,
+    # Per-query stability verdict under the COMMITTED policy (module
+    # docstring): pass iff spread_pct < 20 OR spread_abs_s <= 0.15.
+    stability = {
+        n: (
+            "pass"
+            if spreads[n] < STABILITY_SPREAD_PCT
+            or spreads_abs[n] <= STABILITY_SPREAD_ABS_S
+            else "FAIL"
         )
-        fh.write("\n")
+        for n in timings
+    }
+    # Full self-identifying artifact: spreads, run counts, env checks,
+    # per-query stability verdicts, plus the same headline numbers so
+    # the file stands alone. Written BOTH as the per-round
+    # BENCH_DETAIL_r0N.json (diffable across rounds — the driver never
+    # touches it) and as BENCH_DETAIL.json (stable path for tooling).
+    repo_dir = os.path.dirname(os.path.abspath(__file__))
+    detail = {
+        "metric": "headline_queries_total_time",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf_val,
+        "spread_pct": spreads,
+        "spread_abs_s": spreads_abs,
+        "stability_policy": (
+            f"pass iff spread_pct < {STABILITY_SPREAD_PCT:g} OR "
+            f"spread_abs_s <= {STABILITY_SPREAD_ABS_S:g} "
+            "(the measured local-mode jitter floor; see module docstring)"
+        ),
+        "stability": stability,
+        "env": env,
+    }
+    rnd = _round_number(repo_dir)
+    for fname in (f"BENCH_DETAIL_r{rnd:02d}.json", "BENCH_DETAIL.json"):
+        with open(os.path.join(repo_dir, fname), "w") as fh:
+            json.dump(detail, fh, indent=1)
+            fh.write("\n")
     spark.stop()
 
 
