@@ -53,8 +53,24 @@ def main(argv: list[str] | None = None, _stop_session: bool = True) -> int:
             "stream", "curate-stream", "rollup", "stats", "ingest",
             "neardup-admit", "make-dataset", "ann-index", "ann-query",
             "media-curate", "vocab", "mine-negatives", "verify-dataset",
+            "split-dataset", "ppl-score",
         ],
     )
+    p.add_argument(
+        "--split-weights", default="train=0.9,val=0.05,test=0.05",
+        help="split-dataset: name=weight pairs, comma-separated",
+    )
+    p.add_argument("--split-seed", type=int, default=0,
+                   help="split-dataset: assignment seed")
+    p.add_argument(
+        "--jaccard", type=float, default=0.8,
+        help="split-dataset: MinHash-LSH near-dup threshold for the "
+        "leakage pair graph",
+    )
+    p.add_argument("--lm-k", type=float, default=0.5,
+                   help="ppl-score: add-k smoothing constant")
+    p.add_argument("--lm-min-count", type=int, default=2,
+                   help="ppl-score: prune bigrams rarer than this")
     p.add_argument("--tokenizer", choices=["ws", "bpe_ish"], default="ws",
                    help="vocab: token definition")
     p.add_argument("--min-count", type=int, default=2,
@@ -622,6 +638,69 @@ def main(argv: list[str] | None = None, _stop_session: bool = True) -> int:
             ).limit(10).collect():
                 print(f"{r.token:20} {r.tf:>8} {r.df_approx:>6}")
             print(f"✅ vocab: {n} tokens written to {out_dir}")
+            return 0
+        if args.command == "split-dataset":
+            # Leakage-safe train/val/test assignment: near-dup pairs
+            # from MinHash-LSH feed connected components; every cluster
+            # lands atomically in ONE split. Snapshot semantics like
+            # vocab (derived, overwrite) — the assignment is a pure
+            # function of (corpus, pairs, seed).
+            from .operators.dedup import minhash_lsh_pairs
+            from .operators.split import leakage_safe_split, split_report
+            from .sources import load_table
+
+            try:
+                weights = {
+                    kv.split("=")[0]: float(kv.split("=")[1])
+                    for kv in args.split_weights.split(",")
+                }
+            except (IndexError, ValueError):
+                p.error(
+                    f"--split-weights must be name=w,...: {args.split_weights!r}"
+                )
+            docs = load_table(spark, args.sf_dir, "documents")
+            pairs = minhash_lsh_pairs(docs, threshold=args.jaccard)
+            assigned = leakage_safe_split(
+                docs.select("doc_id"), pairs, weights, seed=args.split_seed
+            )
+            out_dir = f"{args.sink_dir}/doc_splits"
+            assigned.write.mode("overwrite").parquet(out_dir)
+            back = spark.read.parquet(out_dir)
+            for r in split_report(back).orderBy("split").collect():
+                print(f"{r.split:8} {r.n_docs:>8} ({r.frac:.2%})")
+            print(f"✅ split-dataset: {back.count()} docs assigned "
+                  f"(seed={args.split_seed}) -> {out_dir}")
+            return 0
+        if args.command == "ppl-score":
+            # Bigram-LM cross-entropy per document (the CCNet-style
+            # quality signal), trained on the corpus itself; snapshot
+            # parquet of (doc_id, n_tokens, cross_entropy_bits,
+            # perplexity) for downstream filtering.
+            from pyspark.sql import functions as F
+
+            from .operators.lm import score_cross_entropy, train_bigram_lm
+            from .sources import load_table
+
+            docs = load_table(spark, args.sf_dir, "documents")
+            lm = train_bigram_lm(
+                docs, k=args.lm_k, min_count=args.lm_min_count
+            )
+            scores = score_cross_entropy(docs, lm)
+            out_dir = f"{args.sink_dir}/doc_ppl"
+            scores.write.mode("overwrite").parquet(out_dir)
+            back = spark.read.parquet(out_dir)
+            stats = back.agg(
+                F.count(F.lit(1)).alias("n"),
+                F.round(F.avg("cross_entropy_bits"), 3).alias("avg_bits"),
+                F.round(F.expr(
+                    "percentile_approx(cross_entropy_bits, 0.9)"), 3
+                ).alias("p90_bits"),
+            ).collect()[0]
+            print(
+                f"✅ ppl-score: {stats.n} docs scored (V={lm.v}, "
+                f"avg {stats.avg_bits} bits, p90 {stats.p90_bits}) "
+                f"-> {out_dir}"
+            )
             return 0
         if args.command == "mine-negatives":
             # Contrastive hard negatives over the embeddings table via

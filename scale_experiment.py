@@ -804,6 +804,149 @@ def ivfpq_tradeoff_experiment(
     }
 
 
+def round9_experiment(spark, sf_dir: str, scratch: str) -> dict:
+    """Linearity probes for the round-9 operator layer:
+
+    - PNG container decode (stdlib inflate+unfilter) on 1× vs 10× the
+      document count — a narrow map, so the ratio should track the row
+      ratio (or better, while spare cores absorb the growth);
+    - WAV decode, same shape;
+    - bigram-LM train + corpus scoring at 1× vs 10× — two count
+      aggregations + one hash join, all token-stream-linear;
+    - leakage-safe split at 1× vs 100× ids over a fixed pair set — the
+      corpus side is one labels join + hash projection;
+    - seeded-shuffle JSONL export vs plain round-robin at the same
+      shard count — the shuffle costs one exchange + in-shard sort.
+
+    Fixture generation (Python-loop PNG/WAV encoding) is deliberately
+    OUTSIDE the timings: fixtures are staged to parquet and read back,
+    so the clock sees only the operator under test.
+    """
+    import shutil
+    import time as _t
+
+    from pyspark.sql import functions as F
+
+    from ferramenta_etl_spark.operators.containers import (
+        attach_png_media,
+        attach_wav_media,
+        decode_audio,
+        decode_images,
+    )
+    from ferramenta_etl_spark.operators.lm import (
+        score_cross_entropy,
+        train_bigram_lm,
+    )
+    from ferramenta_etl_spark.operators.split import leakage_safe_split
+    from ferramenta_etl_spark.sinks.layout import export_jsonl
+    from ferramenta_etl_spark.sources import load_table
+
+    os.makedirs(scratch, exist_ok=True)
+    out: dict = {}
+
+    def _noop(df) -> float:
+        t0 = _t.perf_counter()
+        df.write.format("noop").mode("overwrite").save()
+        return round(_t.perf_counter() - t0, 3)
+
+    docs = load_table(spark, sf_dir, "documents")
+    n_docs = docs.count()
+
+    # --- container decode: stage PNG/WAV fixtures at 1x and 10x -------
+    ids1 = docs.select("doc_id")
+    ids10 = (
+        docs.select("doc_id")
+        .crossJoin(spark.range(10).selectExpr("id AS __rep"))
+        .selectExpr(f"doc_id + __rep * {n_docs} AS doc_id")
+    )
+    for name, attach, decode in (
+        ("png_decode", attach_png_media, decode_images),
+        ("wav_decode", attach_wav_media, decode_audio),
+    ):
+        paths = {}
+        for tag, ids in (("1x", ids1), ("10x", ids10)):
+            pth = os.path.join(scratch, f"{name}_{tag}")
+            attach(ids).write.mode("overwrite").parquet(pth)
+            paths[tag] = pth
+        staged1 = spark.read.parquet(paths["1x"])
+        staged10 = spark.read.parquet(paths["10x"])
+        _noop(decode(staged1))  # warm
+        t1 = _noop(decode(staged1))
+        t10 = _noop(decode(staged10))
+        out[name] = {
+            "rows_1x": n_docs,
+            "s_1x": t1,
+            "s_10x": t10,
+            "ratio": round(t10 / t1, 1),
+        }
+
+    # --- bigram LM: train + score, 1x vs 10x --------------------------
+    docs10 = docs.crossJoin(spark.range(10).selectExpr("id AS __rep")).selectExpr(
+        f"doc_id + __rep * {n_docs} AS doc_id", "text"
+    )
+    d10_path = os.path.join(scratch, "docs10")
+    docs10.write.mode("overwrite").parquet(d10_path)
+    docs10 = spark.read.parquet(d10_path)
+    lm_times = {}
+    for tag, d in (("1x", docs), ("10x", docs10)):
+        t0 = _t.perf_counter()
+        lm = train_bigram_lm(d, min_count=2)
+        # the LM relations are lazy; scoring forces train + score
+        _noop(score_cross_entropy(d, lm))
+        lm_times[tag] = round(_t.perf_counter() - t0, 3)
+    out["lm_train_score"] = {
+        "rows_1x": n_docs,
+        "s_1x": lm_times["1x"],
+        "s_10x": lm_times["10x"],
+        "ratio": round(lm_times["10x"] / lm_times["1x"], 1),
+    }
+
+    # --- leakage-safe split: 1x vs 100x ids, fixed pair set -----------
+    pairs = spark.range(10_000).selectExpr(
+        "id * 3 AS doc_id_a", "id * 3 + 1 AS doc_id_b"
+    )
+    split_times = {}
+    w9 = {"train": 0.9, "val": 0.05, "test": 0.05}
+    # warm the plan shape (CC + labels join) so the 1x number is not
+    # charged the session's first-touch costs
+    leakage_safe_split(
+        spark.range(1000).selectExpr("id AS doc_id"), pairs, w9
+    ).write.format("noop").mode("overwrite").save()
+    for tag, n in (("1x", 50_000), ("100x", 5_000_000)):
+        ids = spark.range(n).selectExpr("id AS doc_id")
+        t0 = _t.perf_counter()
+        leakage_safe_split(ids, pairs, w9).write.format("noop").mode(
+            "overwrite"
+        ).save()
+        split_times[tag] = round(_t.perf_counter() - t0, 3)
+    out["leakage_split"] = {
+        "rows_1x": 50_000,
+        "s_1x": split_times["1x"],
+        "s_100x": split_times["100x"],
+        "ratio": round(split_times["100x"] / split_times["1x"], 1),
+    }
+
+    # --- seeded shuffle export vs round-robin -------------------------
+    exp = docs.select("doc_id", "text")
+    p_plain = os.path.join(scratch, "exp_plain")
+    p_shuf = os.path.join(scratch, "exp_shuf")
+    export_jsonl(exp, p_plain, target_mb=4)  # warm the export shape
+    t0 = _t.perf_counter()
+    export_jsonl(exp, p_plain, target_mb=4)
+    t_plain = round(_t.perf_counter() - t0, 3)
+    t0 = _t.perf_counter()
+    export_jsonl(exp, p_shuf, target_mb=4, shuffle_seed=17)
+    t_shuf = round(_t.perf_counter() - t0, 3)
+    out["export_shuffle"] = {
+        "rows": n_docs,
+        "plain_s": t_plain,
+        "seeded_s": t_shuf,
+        "overhead_pct": round(100.0 * (t_shuf - t_plain) / t_plain, 1),
+    }
+    shutil.rmtree(scratch, ignore_errors=True)
+    return out
+
+
 def main() -> None:
     p = argparse.ArgumentParser()
     p.add_argument("--factor", type=int, default=100)
@@ -850,6 +993,11 @@ def main() -> None:
         "--ivfpq-tradeoff", action="store_true",
         help="run the IVF-PQ serving tradeoff (recall@10 vs nprobe vs "
              "wall-time, 2M clustered vectors)",
+    )
+    p.add_argument(
+        "--round9", action="store_true",
+        help="run the round-9 operator linearity probes (container "
+             "decode, bigram LM, leakage-safe split, seeded export)",
     )
     p.add_argument(
         "--skew", type=int, metavar="REPLICATE", default=0,
@@ -914,6 +1062,12 @@ def main() -> None:
     if args.ivfpq_tradeoff:
         result = ivfpq_tradeoff_experiment(spark)
         print(json.dumps({"experiment": "ivfpq_tradeoff", **result}))
+        spark.stop()
+        return
+
+    if args.round9:
+        result = round9_experiment(spark, args.sf, args.out)
+        print(json.dumps({"experiment": "round9_ops", **result}))
         spark.stop()
         return
 

