@@ -33,9 +33,10 @@ def collect_query_matrix(
         # codes=256 is ~3 GB). Loud guard, same philosophy as minhash's
         # max_block_size.
         raise ValueError(
-            f"{len(qrows)} queries > max_queries={max_queries}: batch the "
-            "query side (the closure grows linearly with it), or "
-            "raise max_queries deliberately"
+            f"query side exceeds max_queries={max_queries} (fetch capped "
+            f"at {max_queries + 1} rows — the actual count may be far "
+            "larger): batch the query side (the closure grows linearly "
+            "with it), or raise max_queries deliberately"
         )
     if not qrows:
         return np.array([]), np.empty((0, 0)), np.array([])

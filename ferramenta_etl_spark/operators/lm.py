@@ -107,8 +107,10 @@ def score_cross_entropy(
 ) -> DataFrame:
     """(doc_id, n_tokens, cross_entropy_bits, perplexity) per document:
     mean -log2 p(tok | prev) over the doc's token stream under ``lm``.
-    Documents with no tokens score NULL (no evidence is not good
-    evidence). Join shape: bigram stream ⋈ lm.bigrams on (prev, tok)
+    Documents with NO tokens (empty/NULL text) emit NO row — they are
+    ABSENT from the output, not NULL-scored (pinned in tests); callers
+    needing row preservation left-join the scores back onto the corpus.
+    Join shape: bigram stream ⋈ lm.bigrams on (prev, tok)
     [left] ⋈ lm.contexts on prev [left]; both LM relations broadcast
     when filter-grade small, and the per-doc mean is one
     partial-aggregated groupBy."""

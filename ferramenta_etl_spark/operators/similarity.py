@@ -421,9 +421,10 @@ def mine_hard_negatives_arrow(
     )
     if len(rows) > max_anchors:
         raise ValueError(
-            f"{len(rows)} anchors > max_anchors={max_anchors}: batch the "
-            "anchor side (the closure grows linearly with it), or raise "
-            "max_anchors deliberately"
+            f"anchor side exceeds max_anchors={max_anchors} (fetch capped "
+            f"at {max_anchors + 1} rows — the actual count may be far "
+            "larger): batch the anchor side (the closure grows linearly "
+            "with it), or raise max_anchors deliberately"
         )
     usable_rows = [
         r

@@ -890,12 +890,15 @@ def _us_to_ms(c: F.Column | str) -> F.Column:
     f"""
     WITH base AS (
         SELECT user_id, epoch_us(ts) AS t, event_id, event_type
-        FROM events WHERE event_type IN ('purchase', 'signup', 'click')
+        FROM events
+        WHERE event_type IN ('purchase', 'signup', 'click')
+          AND ts IS NOT NULL AND user_id IS NOT NULL
     ),
     u1 AS (
-        SELECT user_id, t, 0 AS side, event_id AS signup_id, t AS sig_t,
+        SELECT user_id, t, 0 AS side,
+               MIN(event_id) AS signup_id, t AS sig_t,
                CAST(NULL AS BIGINT) AS purchase_id
-        FROM base WHERE event_type = 'signup'
+        FROM base WHERE event_type = 'signup' GROUP BY user_id, t
         UNION ALL
         SELECT user_id, t, 1, NULL, NULL, event_id
         FROM base WHERE event_type = 'purchase'
@@ -917,11 +920,12 @@ def _us_to_ms(c: F.Column | str) -> F.Column:
         FROM f1 WHERE side = 1
     ),
     u2 AS (
-        SELECT user_id, t, 0 AS side, event_id AS next_click_id, t AS click_t,
+        SELECT user_id, t, 0 AS side,
+               MIN(event_id) AS next_click_id, t AS click_t,
                CAST(NULL AS BIGINT) AS purchase_id,
                CAST(NULL AS BIGINT) AS signup_id,
                CAST(NULL AS BIGINT) AS signup_t
-        FROM base WHERE event_type = 'click'
+        FROM base WHERE event_type = 'click' GROUP BY user_id, t
         UNION ALL
         SELECT user_id, t, 1, NULL, NULL, purchase_id, signup_id, signup_t
         FROM p1
@@ -958,24 +962,38 @@ def asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     union construction (side 0 sorts before side 1 at equal t, so
     at-the-same-instant ties are included in both directions), so the
     generic operator's tolerance and direction semantics are
-    hash-checked, not just pandas-pinned."""
+    hash-checked, not just pandas-pinned.
+
+    Determinism discipline: NULL-ts / NULL-user events are excluded on
+    BOTH sides (DuckDB's window null ordering differs from the
+    operator's NULL-row bypass), and each right side is collapsed to
+    MIN(event_id) per (user_id, t) BEFORE the join — the generic
+    operator documents that duplicate (by, on) right rows are
+    partition-order-dependent, so a hash-checked query must
+    deduplicate, exactly as its docstring instructs."""
     from ..operators.asof import asof_join as asof_generic
 
     ev = load_table(spark, sf_dir, "events")
     t = F.unix_micros(
         F.col("ts").cast("timestamp_ntz").cast("timestamp")
     ).alias("t")
-    base = ev.filter(
-        F.col("event_type").isin("purchase", "signup", "click")
-    ).select("user_id", t, "event_id", "event_type")
+    base = (
+        ev.filter(F.col("event_type").isin("purchase", "signup", "click"))
+        .filter(F.col("ts").isNotNull() & F.col("user_id").isNotNull())
+        .select("user_id", t, "event_id", "event_type")
+    )
     purchases = base.filter(F.col("event_type") == "purchase").select(
         "user_id", "t", F.col("event_id").alias("purchase_id")
     )
-    signups = base.filter(F.col("event_type") == "signup").select(
-        "user_id", "t", F.col("event_id").alias("signup_id")
+    signups = (
+        base.filter(F.col("event_type") == "signup")
+        .groupBy("user_id", "t")
+        .agg(F.min("event_id").alias("signup_id"))
     )
-    clicks = base.filter(F.col("event_type") == "click").select(
-        "user_id", "t", F.col("event_id").alias("next_click_id")
+    clicks = (
+        base.filter(F.col("event_type") == "click")
+        .groupBy("user_id", "t")
+        .agg(F.min("event_id").alias("next_click_id"))
     )
     step1 = asof_generic(
         purchases,

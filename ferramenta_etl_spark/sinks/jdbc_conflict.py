@@ -192,6 +192,9 @@ def _run_statement_jvm(df: DataFrame, cfg: JdbcConfig, sql: str) -> int:
         conn.close()
 
 
+_STG_RE_TMPL = r"{table}__stg_[0-9a-f]{{12}}"
+
+
 def _default_staging(table: str) -> str:
     """Per-run-unique staging name: two concurrent loads of the same
     target must not share a staging table (writer B's overwrite would
@@ -199,8 +202,63 @@ def _default_staging(table: str) -> str:
     would delete the table the other is INSERT...SELECTing from). A
     12-hex uuid token keeps ``table + 7 + 12`` chars well under the
     tightest common identifier limit (PostgreSQL's 63) for any
-    reasonably named target."""
+    reasonably named target.
+
+    Tradeoff (accepted): a run killed between staging and the
+    finally-DROP leaves its uniquely-named staging table orphaned on
+    the server — the fixed-name design self-healed via the next run's
+    overwrite but raced concurrent writers. ``cleanup_staging_tables``
+    is the maintenance sweep for the orphans (run it when no loader is
+    active against the target)."""
     return f"{table}__stg_{uuid.uuid4().hex[:12]}"
+
+
+def cleanup_staging_tables(spark, cfg: JdbcConfig, table: str) -> list[str]:
+    """Drop orphaned ``<table>__stg_<12 hex>`` staging tables left by
+    runs that died before their finally-DROP. Discovery goes through
+    JDBC DatabaseMetaData (portable across Derby/PG/SQL Server —
+    identifier case-folding handled via the driver's stores*Case flags);
+    only names matching the exact uuid-staging shape are touched.
+    MUST run while no loader is active against ``table`` — a live
+    run's staging table is indistinguishable from an orphan. Returns
+    the dropped names."""
+    target = _ident(table)
+    jvm = spark._jvm
+    if cfg.driver:
+        jvm.java.lang.Class.forName(cfg.driver)
+    conn = jvm.java.sql.DriverManager.getConnection(
+        cfg.url, cfg.user, cfg.password
+    )
+    dropped: list[str] = []
+    try:
+        md = conn.getMetaData()
+        pattern = f"{target}__stg_%"
+        if md.storesUpperCaseIdentifiers():
+            pattern = pattern.upper()
+        elif md.storesLowerCaseIdentifiers():
+            pattern = pattern.lower()
+        rs = md.getTables(None, None, pattern, None)
+        names = []
+        while rs.next():
+            names.append(rs.getString("TABLE_NAME"))
+        rs.close()
+        shape = re.compile(
+            _STG_RE_TMPL.format(table=re.escape(target)), re.IGNORECASE
+        )
+        for name in names:
+            if not shape.fullmatch(name):
+                continue
+            stmt = conn.createStatement()
+            try:
+                stmt.executeUpdate(f"DROP TABLE {_ident(name)}")
+                dropped.append(name)
+            finally:
+                stmt.close()
+    finally:
+        conn.close()
+    if dropped:
+        log.info("dropped %d orphaned staging tables: %s", len(dropped), dropped)
+    return dropped
 
 
 def write_jdbc_ignore_conflicts(
@@ -242,8 +300,11 @@ def write_jdbc_ignore_conflicts(
     run = run_statement or (lambda s: _run_statement_jvm(df, cfg, s))
 
     deduped = df.dropDuplicates(list(keys))
-    # Stage with the parallel batched writer; overwrite drops/creates the
-    # side table so a crashed previous run can never leak rows in.
+    # Stage with the parallel batched writer. The staging name is
+    # per-run unique, so overwrite never collides with a concurrent
+    # writer; a CRASHED run's staging table is orphaned (not reclaimed
+    # by the next run's overwrite, as the old fixed-name design did) —
+    # cleanup_staging_tables is the sweep for those.
     (
         deduped.write.format("jdbc")
         .mode("overwrite")

@@ -191,7 +191,10 @@ def export_jsonl(
     manifest's layout-independent fingerprint is unchanged). Mutually
     exclusive with cluster_by/order_by (a shuffle and a clustering are
     opposite layouts). One exchange + per-shard sort — the same cost
-    as the cluster_by path.
+    as the cluster_by path — plus one EXACT width agg for sizing:
+    seeded exports must not size from the partitioning-dependent
+    limit() sample, or the same seed could land on a different
+    n_shards between reruns and break the byte-identity guarantee.
 
     Columns serialize via Spark's JSON writer (UTF-8, one object per
     line, null fields omitted — the de-facto JSONL corpus convention)."""
@@ -199,11 +202,41 @@ def export_jsonl(
         raise ValueError(
             "shuffle_seed is mutually exclusive with cluster_by/order_by"
         )
-    sample = df.limit(1000).select(
-        F.octet_length(F.to_json(F.struct(*df.columns))).alias("w")
-    ).agg(F.avg("w").alias("w"), F.count(F.lit(1)).alias("n")).first()
     persisted = False
     try:
+        if shuffle_seed is not None:
+            # The byte-identical-rerun guarantee cannot ride on a
+            # partitioning-dependent limit() sample: a different sample
+            # -> different n_shards -> different shard assignment for
+            # the SAME seed. Seeded exports size from one EXACT
+            # width+count agg (deterministic by construction); persist
+            # so sizing and the write run the upstream pipeline once.
+            df = df.persist()
+            persisted = True
+            tot = df.agg(
+                F.sum(
+                    F.octet_length(F.to_json(F.struct(*df.columns)))
+                ).alias("b"),
+                F.count(F.lit(1)).alias("n"),
+            ).first()
+            n_shards = (
+                max(1, int(int(tot.b) // (target_mb * 1024 * 1024)) + 1)
+                if tot.n
+                else 1
+            )
+            line = F.to_json(F.struct(*[F.col(c) for c in df.columns]))
+            h = F.xxhash64(F.lit(int(shuffle_seed)), line)
+            out = (
+                df.withColumn("__h", h)
+                .repartition(n_shards, F.col("__h"))
+                .sortWithinPartitions("__h")
+                .drop("__h")
+            )
+            out.write.mode(mode).option("compression", compression).json(path)
+            return n_shards
+        sample = df.limit(1000).select(
+            F.octet_length(F.to_json(F.struct(*df.columns))).alias("w")
+        ).agg(F.avg("w").alias("w"), F.count(F.lit(1)).alias("n")).first()
         if not sample.n:
             n_shards = 1
         elif sample.n < 1000:
@@ -221,19 +254,7 @@ def export_jsonl(
             persisted = True
             total = df.count() * float(sample.w)
             n_shards = max(1, int(total // (target_mb * 1024 * 1024)) + 1)
-        if shuffle_seed is not None:
-            # hash the line CONTENT (the same struct the writer
-            # serializes), not row identity: reruns from any upstream
-            # plan produce the identical permutation
-            line = F.to_json(F.struct(*[F.col(c) for c in df.columns]))
-            h = F.xxhash64(F.lit(int(shuffle_seed)), line)
-            out = (
-                df.withColumn("__h", h)
-                .repartition(n_shards, F.col("__h"))
-                .sortWithinPartitions("__h")
-                .drop("__h")
-            )
-        elif cluster_by:
+        if cluster_by:
             out = df.repartition(n_shards, *[F.col(c) for c in cluster_by])
         else:
             out = df.repartition(n_shards)
@@ -259,10 +280,14 @@ def _fs_and_path(spark: SparkSession, path: str):
 
 
 def _fs_write_text(spark: SparkSession, path: str, text: str) -> None:
-    """Write-then-rename through the Hadoop FileSystem API: readers of
-    the final name never observe a partial manifest (rename is atomic on
-    HDFS and posix-local; on S3A it is copy+delete — still
-    last-writer-wins whole-object, never truncated)."""
+    """Write-then-ATOMIC-overwrite-rename through the Hadoop FileContext
+    API: readers of the final name either see the old manifest or the
+    new one, never a gap or a partial file. FileSystem.rename refuses an
+    existing destination on some schemes, and delete-then-rename opens a
+    window where NO manifest exists (and loses the old one if the
+    process dies mid-swap) — FileContext.rename(OVERWRITE) is the
+    documented atomic-replace primitive (atomic on HDFS and posix-local;
+    on S3A whole-object last-writer-wins, never truncated)."""
     jvm, fs, p = _fs_and_path(spark, path)
     tmp = jvm.org.apache.hadoop.fs.Path(p.toString() + ".tmp")
     out = fs.create(tmp, True)
@@ -270,9 +295,14 @@ def _fs_write_text(spark: SparkSession, path: str, text: str) -> None:
         out.write(bytearray(text.encode("utf-8")))
     finally:
         out.close()
-    fs.delete(p, False)  # rename-over-existing is FS-dependent; clear first
-    if not fs.rename(tmp, p):
-        raise OSError(f"could not rename {tmp} -> {p}")
+    gw = spark.sparkContext._gateway
+    fc = jvm.org.apache.hadoop.fs.FileContext.getFileContext(
+        p.toUri(), spark._jsc.hadoopConfiguration()
+    )
+    rename_cls = jvm.org.apache.hadoop.fs.Options.Rename
+    opts = gw.new_array(rename_cls, 1)
+    opts[0] = rename_cls.OVERWRITE
+    fc.rename(tmp, p, opts)  # throws on failure (no boolean false-path)
 
 
 def _fs_read_text(spark: SparkSession, path: str) -> str:

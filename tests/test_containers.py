@@ -294,3 +294,39 @@ def test_extract_media_features_routes_by_magic(spark):
     assert (got[4].byte_len, got[4].width, got[4].height) == (
         n, n % 640, (n * 7) % 480,
     )
+
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+
+@given(
+    h=st.integers(1, 9),
+    w=st.integers(1, 9),
+    filter_type=st.integers(0, 4),
+    seed=st.integers(0, 2**31),
+)
+@settings(max_examples=40, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_png_roundtrip_randomized_shapes(h, w, filter_type, seed):
+    """Randomized dims including the 1x1 / 1xN / Nx1 edges where the
+    Sub/Paeth left-neighbor and Up upper-neighbor terms vanish."""
+    img = _rand_img(seed, h, w)
+    got = decode_png_bytes(encode_png_bytes(img, filter_type=filter_type))
+    assert np.array_equal(got, img)
+
+
+@given(
+    n=st.integers(1, 64),
+    rate=st.sampled_from([8000, 16000, 44100]),
+    channels=st.sampled_from([1, 2]),
+    seed=st.integers(0, 2**31),
+)
+@settings(max_examples=30, deadline=None)
+def test_wav_roundtrip_randomized(n, rate, channels, seed):
+    pcm = np.random.default_rng(seed).integers(
+        -32768, 32768, size=n, dtype=np.int16
+    )
+    got, got_rate = decode_wav_bytes(encode_wav_bytes(pcm, rate, channels))
+    assert got_rate == rate
+    assert np.array_equal(got, pcm)

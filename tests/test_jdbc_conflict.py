@@ -231,3 +231,44 @@ def test_derby_upsert_roundtrip_last_writer_wins(spark, derby_cfg, caplog):
     )
     got = {r.k: r.v for r in back.collect()}
     assert got == {1: "a", 2: "B2", 3: "c"}  # last writer won on k=2
+
+
+def test_cleanup_staging_tables_sweeps_orphans(spark, derby_cfg):
+    """A run killed before its finally-DROP orphans the uuid-named
+    staging table; the metadata sweep finds and drops exactly the
+    uuid-shaped names, leaving the target and unrelated tables alone."""
+    from ferramenta_etl_spark.sinks.jdbc_conflict import (
+        cleanup_staging_tables,
+    )
+
+    df = spark.createDataFrame([(1, "a")], "k int, v string")
+    # simulate the crash: stage directly, never insert/drop
+    orphan = _default_staging("sweep_t")
+    (
+        df.write.format("jdbc").mode("overwrite")
+        .options(**derby_cfg.base_options(), dbtable=orphan)
+        .save()
+    )
+    # an unrelated similarly-prefixed table that must NOT be swept
+    (
+        df.write.format("jdbc").mode("overwrite")
+        .options(**derby_cfg.base_options(), dbtable="sweep_t__stg_keepme")
+        .save()
+    )
+    write_jdbc_ignore_conflicts(df, derby_cfg, "sweep_t", keys=["k"])
+    dropped = cleanup_staging_tables(spark, derby_cfg, "sweep_t")
+    assert [d.lower() for d in dropped] == [orphan.lower()]
+    # target intact, non-uuid-shaped neighbor intact, orphan gone
+    back = (
+        spark.read.format("jdbc")
+        .options(**derby_cfg.base_options(), dbtable="sweep_t")
+        .load()
+    )
+    assert back.count() == 1
+    keep = (
+        spark.read.format("jdbc")
+        .options(**derby_cfg.base_options(), dbtable="sweep_t__stg_keepme")
+        .load()
+    )
+    assert keep.count() == 1
+    assert cleanup_staging_tables(spark, derby_cfg, "sweep_t") == []

@@ -203,8 +203,12 @@ def test_export_jsonl_seeded_shuffle_deterministic(spark, tmp_path):
         write_dataset_manifest,
     )
 
-    df = spark.range(400).selectExpr(
-        "id", "md5(CAST(id AS STRING)) AS t"
+    # >1000 rows with NON-UNIFORM line widths: sizing must not come from
+    # the partitioning-dependent limit(1000) sample (review finding — a
+    # different sample => different n_shards => same seed, different
+    # layout); seeded exports size from an exact agg instead
+    df = spark.range(2500).selectExpr(
+        "id", "repeat(md5(CAST(id AS STRING)), CAST(id % 37 AS INT)) AS t"
     )
     pa, pb, pc = (str(tmp_path / d) for d in ("sa", "sb", "sc"))
     # two runs, same seed — input partitioning deliberately different
