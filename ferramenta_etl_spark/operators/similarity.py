@@ -1503,3 +1503,112 @@ def lsh_ann_topk(
     return grouped_topk(cand, [query_id_col], order, k).select(
         query_id_col, id_col, "sim", "rnk"
     )
+
+
+def benchmark_max_sim(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    bench_vec_col: str = "embedding",
+    max_benchmark: int = 100_000,
+) -> DataFrame:
+    """(id, bench_max_sim): each corpus vector's maximum cosine against
+    ANY benchmark vector — the semantic-decontamination score (the
+    embedding-space complement of the n-gram ``text.decontaminate``:
+    n-grams catch verbatim leakage, this catches paraphrased eval
+    leakage the way SemDeDup-style sweeps do).
+
+    Plan shape: the benchmark side is eval-set-sized by contract —
+    collected once behind the shared loud guard (``_qmatrix``,
+    fetch-capped at ``max_benchmark``+1) and shipped in the task
+    closure; the corpus is scored as one ``(batch x dim) @ (dim x B)``
+    matmul + rowwise max per Arrow batch. ZERO shuffle, corpus never
+    moves; output is the narrow (id, score) relation, so the caller's
+    join-back (``decontaminate_semantic``) shuffles keys+doubles, not
+    vectors.
+
+    Unusable corpus vectors (NULL / empty / non-finite / zero-norm)
+    score NULL — "cannot judge" stays distinguishable from "not
+    contaminated"."""
+    import numpy as np
+
+    from pyspark.sql import types as T
+
+    from ._qmatrix import collect_query_matrix
+
+    bench = benchmark.select(
+        F.lit(0).alias("__qid"), F.col(bench_vec_col)
+    )
+    _, qmat, qn = collect_query_matrix(bench, "__qid", bench_vec_col, max_benchmark)
+
+    in_fields = {f.name: f for f in corpus.schema.fields}
+    schema = T.StructType(
+        [in_fields[id_col], T.StructField("bench_max_sim", T.DoubleType())]
+    )
+    spark = corpus.sparkSession
+    if qmat.size == 0:
+        # empty/unusable benchmark: nothing can be contaminated — NULL
+        # scores for every row (not 0.0: "no benchmark" is not "checked
+        # and clean"), emitted without touching vectors
+        return corpus.select(F.col(id_col), F.lit(None).cast("double").alias("bench_max_sim"))
+    qt = (qmat / qn[:, None]).T  # (dim, B), benchmark pre-normalized
+
+    def batches(it):
+        import pandas as pd
+
+        for pdf in it:
+            ids = pdf[id_col]
+            vecs = pdf[vec_col]
+            n = len(pdf)
+            out = np.full(n, np.nan)
+            rows, mats = [], []
+            for i in range(n):
+                v = vecs.iloc[i]
+                if v is None or len(v) == 0:
+                    continue
+                a = np.asarray(v, dtype=np.float64)
+                if a.shape[0] != qt.shape[0] or not np.isfinite(a).all():
+                    continue
+                nn = float(np.dot(a, a))
+                if nn <= 0.0:
+                    continue
+                rows.append(i)
+                mats.append(a / np.sqrt(nn))
+            if rows:
+                sims = np.asarray(mats) @ qt  # (usable, B)
+                out[np.asarray(rows)] = sims.max(axis=1)
+            yield pd.DataFrame(
+                {
+                    id_col: ids,
+                    "bench_max_sim": [
+                        None if np.isnan(x) else round(float(x), 6)
+                        for x in out
+                    ],
+                }
+            )
+
+    return corpus.select(id_col, vec_col).mapInPandas(batches, schema)
+
+
+def decontaminate_semantic(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    bench_vec_col: str = "embedding",
+    max_benchmark: int = 100_000,
+) -> DataFrame:
+    """Drop corpus rows whose embedding scores ``>= threshold`` max
+    cosine against any benchmark vector. Rows whose similarity cannot
+    be computed (NULL score) are KEPT — same keep-when-unjudgeable
+    policy as the n-gram decontaminate. One anti-join of the narrow
+    contaminated-ids relation back onto the corpus."""
+    scores = benchmark_max_sim(
+        corpus, benchmark, id_col, vec_col, bench_vec_col, max_benchmark
+    )
+    contaminated = scores.filter(
+        F.col("bench_max_sim") >= F.lit(float(threshold))
+    ).select(id_col)
+    return corpus.join(contaminated, id_col, "left_anti")

@@ -176,3 +176,68 @@ def test_arrow_engine_guard_and_empty(spark):
     )
     assert out.columns == ["query_id", "vec_id", "label", "sim", "rnk"]
     assert out.count() == 0
+
+
+def test_benchmark_max_sim_matches_numpy(spark):
+    """Semantic decontamination score vs a flat numpy max-cosine: every
+    usable corpus vector to 1e-6 (the 6-dp round), unusable rows NULL."""
+    import numpy as np
+
+    from ferramenta_etl_spark.operators.similarity import benchmark_max_sim
+
+    rng = np.random.default_rng(5)
+    bench = rng.normal(size=(7, 8))
+    corp = rng.normal(size=(30, 8))
+    corp[3] = bench[2] * 2.5          # exact direction match: sim 1.0
+    corpus_rows = [(i, [float(x) for x in corp[i]]) for i in range(30)]
+    corpus_rows += [(100, None), (101, []), (102, [0.0] * 8),
+                    (103, [float("nan")] + [1.0] * 7)]
+    corpus = spark.createDataFrame(
+        corpus_rows, "vec_id long, embedding array<double>"
+    )
+    bdf = spark.createDataFrame(
+        [(i, [float(x) for x in bench[i]]) for i in range(7)],
+        "vec_id long, embedding array<double>",
+    )
+    got = {r.vec_id: r.bench_max_sim
+           for r in benchmark_max_sim(corpus, bdf).collect()}
+    bn = bench / np.linalg.norm(bench, axis=1, keepdims=True)
+    for i in range(30):
+        want = float(
+            (corp[i] / np.linalg.norm(corp[i]) @ bn.T).max()
+        )
+        assert got[i] == pytest.approx(want, abs=1e-6), i
+    assert got[3] == pytest.approx(1.0, abs=1e-6)
+    for bad in (100, 101, 102, 103):
+        assert got[bad] is None
+
+
+def test_decontaminate_semantic_drops_planted_leaks(spark):
+    """Corpus seeded with scaled copies of benchmark vectors: exactly
+    the planted rows are dropped at a high threshold; NULL-scoring rows
+    are kept (cannot-judge != contaminated); empty benchmark drops
+    nothing; oversized benchmark trips the loud guard."""
+    import numpy as np
+
+    from ferramenta_etl_spark.operators.similarity import decontaminate_semantic
+
+    rng = np.random.default_rng(9)
+    bench = rng.normal(size=(5, 6))
+    clean = rng.normal(size=(40, 6))
+    rows = [(i, [float(x) for x in clean[i]]) for i in range(40)]
+    rows += [(1000 + j, [float(x * 3.0) for x in bench[j]]) for j in range(5)]
+    rows += [(2000, None)]
+    corpus = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    bdf = spark.createDataFrame(
+        [(j, [float(x) for x in bench[j]]) for j in range(5)],
+        "vec_id long, embedding array<double>",
+    )
+    kept = {r.vec_id for r in
+            decontaminate_semantic(corpus, bdf, threshold=0.999).collect()}
+    assert all(1000 + j not in kept for j in range(5))  # leaks gone
+    assert 2000 in kept                                  # NULL kept
+    assert len(kept) >= 35                               # random pairs survive
+    empty = bdf.filter("vec_id < 0")
+    assert decontaminate_semantic(corpus, empty).count() == corpus.count()
+    with pytest.raises(ValueError, match="max_queries"):
+        decontaminate_semantic(corpus, bdf, max_benchmark=3)
