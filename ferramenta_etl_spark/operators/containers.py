@@ -124,9 +124,16 @@ def decode_png_bytes(raw: bytes):
         cur = lines[y, 1:].astype(np.int32)
         if ftype == 0:
             pass
-        elif ftype == 1:  # Sub: sequential within the line
-            for i in range(ch, stride):
-                cur[i] = (cur[i] + cur[i - ch]) & 0xFF
+        elif ftype == 1:
+            # Sub looks sequential (out[i] = cur[i] + out[i-ch]) but is
+            # a per-channel PREFIX SUM mod 256 — vectorized as cumsum
+            # over an int64 view (a 2^31-px row can't overflow it)
+            cur = (
+                np.cumsum(
+                    cur.reshape(-1, ch).astype(np.int64), axis=0
+                ).reshape(stride)
+                & 0xFF
+            ).astype(np.int32)
         elif ftype == 2:  # Up: vectorized
             cur = (cur + prev) & 0xFF
         elif ftype == 3:  # Average
