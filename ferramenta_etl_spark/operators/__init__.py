@@ -65,10 +65,12 @@ from .multimodal import (  # noqa: F401
     sample_video_frames,
 )
 from .similarity import (  # noqa: F401
+    benchmark_max_sim,
     build_ivf_index,
     cosine_near_dup_pairs,
     cosine_topk,
     cosine_topk_arrow,
+    decontaminate_semantic,
     derive_centroids,
     ivf_topk,
     ivf_topk_on_index,

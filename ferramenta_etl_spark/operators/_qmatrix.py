@@ -14,6 +14,7 @@ def collect_query_matrix(
     query_id_col: str,
     query_vec_col: str,
     max_queries: int,
+    param_name: str = "max_queries",
 ):
     """(qids, qmat, qn): ids, float64 matrix, and norms of the usable
     (finite, nonzero-norm) query vectors."""
@@ -33,10 +34,10 @@ def collect_query_matrix(
         # codes=256 is ~3 GB). Loud guard, same philosophy as minhash's
         # max_block_size.
         raise ValueError(
-            f"query side exceeds max_queries={max_queries} (fetch capped "
+            f"query side exceeds {param_name}={max_queries} (fetch capped "
             f"at {max_queries + 1} rows — the actual count may be far "
             "larger): batch the query side (the closure grows linearly "
-            "with it), or raise max_queries deliberately"
+            f"with it), or raise {param_name} deliberately"
         )
     if not qrows:
         return np.array([]), np.empty((0, 0)), np.array([])

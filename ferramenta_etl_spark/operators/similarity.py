@@ -1515,43 +1515,53 @@ def benchmark_max_sim(
 ) -> DataFrame:
     """(id, bench_max_sim): each corpus vector's maximum cosine against
     ANY benchmark vector — the semantic-decontamination score (the
-    embedding-space complement of the n-gram ``text.decontaminate``:
-    n-grams catch verbatim leakage, this catches paraphrased eval
-    leakage the way SemDeDup-style sweeps do).
+    embedding-space complement of the n-gram path in ``operators/
+    text.py`` (``contamination_hits`` / the registered
+    ``text_decontaminate`` query): n-grams catch verbatim leakage, this
+    catches paraphrased eval leakage the way SemDeDup-style sweeps do).
 
     Plan shape: the benchmark side is eval-set-sized by contract —
-    collected once behind the shared loud guard (``_qmatrix``,
-    fetch-capped at ``max_benchmark``+1) and shipped in the task
-    closure; the corpus is scored as one ``(batch x dim) @ (dim x B)``
-    matmul + rowwise max per Arrow batch. ZERO shuffle, corpus never
-    moves; output is the narrow (id, score) relation, so the caller's
-    join-back (``decontaminate_semantic``) shuffles keys+doubles, not
-    vectors.
+    screened to usable vectors (non-null, finite, positive norm, modal
+    dimension) then collected once behind the shared loud guard
+    (``_qmatrix``, fetch-capped at ``max_benchmark``+1) and shipped in
+    the task closure; the corpus is scored as one ``(batch x dim) @
+    (dim x B)`` matmul + rowwise max per Arrow batch, with usability
+    masks computed VECTORIZED over the batch (no per-row Python on the
+    hot path). ZERO shuffle, corpus never moves; output is the narrow
+    (id, UNROUNDED score) relation, so the caller's join-back
+    (``decontaminate_semantic``) shuffles keys+doubles, not vectors,
+    and threshold comparisons never misclassify inside a rounding
+    quantum.
 
-    Unusable corpus vectors (NULL / empty / non-finite / zero-norm)
-    score NULL — "cannot judge" stays distinguishable from "not
-    contaminated"."""
+    Unusable corpus vectors (NULL / empty / wrong dim / non-finite /
+    zero-norm) score NULL — "cannot judge" stays distinguishable from
+    "not contaminated"."""
     import numpy as np
 
     from pyspark.sql import types as T
 
     from ._qmatrix import collect_query_matrix
 
-    bench = benchmark.select(
-        F.lit(0).alias("__qid"), F.col(bench_vec_col)
-    )
-    _, qmat, qn = collect_query_matrix(bench, "__qid", bench_vec_col, max_benchmark)
-
+    usable = benchmark.filter(F.expr(_usable_vec_sql(bench_vec_col)))
+    first = usable.select(F.size(bench_vec_col).alias("d")).limit(1).collect()
     in_fields = {f.name: f for f in corpus.schema.fields}
     schema = T.StructType(
         [in_fields[id_col], T.StructField("bench_max_sim", T.DoubleType())]
     )
-    spark = corpus.sparkSession
-    if qmat.size == 0:
+    if not first:
         # empty/unusable benchmark: nothing can be contaminated — NULL
         # scores for every row (not 0.0: "no benchmark" is not "checked
         # and clean"), emitted without touching vectors
-        return corpus.select(F.col(id_col), F.lit(None).cast("double").alias("bench_max_sim"))
+        return corpus.select(
+            F.col(id_col), F.lit(None).cast("double").alias("bench_max_sim")
+        )
+    dim = int(first[0].d)
+    bench = usable.filter(F.size(bench_vec_col) == dim).select(
+        F.lit(0).alias("__qid"), F.col(bench_vec_col)
+    )
+    _, qmat, qn = collect_query_matrix(
+        bench, "__qid", bench_vec_col, max_benchmark, param_name="max_benchmark"
+    )
     qt = (qmat / qn[:, None]).T  # (dim, B), benchmark pre-normalized
 
     def batches(it):
@@ -1562,28 +1572,27 @@ def benchmark_max_sim(
             vecs = pdf[vec_col]
             n = len(pdf)
             out = np.full(n, np.nan)
-            rows, mats = [], []
-            for i in range(n):
-                v = vecs.iloc[i]
-                if v is None or len(v) == 0:
-                    continue
-                a = np.asarray(v, dtype=np.float64)
-                if a.shape[0] != qt.shape[0] or not np.isfinite(a).all():
-                    continue
-                nn = float(np.dot(a, a))
-                if nn <= 0.0:
-                    continue
-                rows.append(i)
-                mats.append(a / np.sqrt(nn))
-            if rows:
-                sims = np.asarray(mats) @ qt  # (usable, B)
-                out[np.asarray(rows)] = sims.max(axis=1)
+            lens = np.fromiter(
+                (-1 if v is None else len(v) for v in vecs),
+                dtype=np.int64,
+                count=n,
+            )
+            cand = np.nonzero(lens == qt.shape[0])[0]
+            if cand.size:
+                mat = np.array(
+                    [np.asarray(vecs.iloc[i], dtype=np.float64) for i in cand]
+                )
+                norms2 = (mat * mat).sum(axis=1)
+                ok = np.isfinite(mat).all(axis=1) & (norms2 > 0.0)
+                rows = cand[ok]
+                if rows.size:
+                    normed = mat[ok] / np.sqrt(norms2[ok])[:, None]
+                    out[rows] = (normed @ qt).max(axis=1)
             yield pd.DataFrame(
                 {
                     id_col: ids,
                     "bench_max_sim": [
-                        None if np.isnan(x) else round(float(x), 6)
-                        for x in out
+                        None if np.isnan(x) else float(x) for x in out
                     ],
                 }
             )

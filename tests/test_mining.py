@@ -239,5 +239,13 @@ def test_decontaminate_semantic_drops_planted_leaks(spark):
     assert len(kept) >= 35                               # random pairs survive
     empty = bdf.filter("vec_id < 0")
     assert decontaminate_semantic(corpus, empty).count() == corpus.count()
-    with pytest.raises(ValueError, match="max_queries"):
+    with pytest.raises(ValueError, match="max_benchmark"):
         decontaminate_semantic(corpus, bdf, max_benchmark=3)
+    # NULL/ragged benchmark rows are screened, not crashed on
+    ragged = bdf.unionByName(spark.createDataFrame(
+        [(90, None), (91, [1.0, 2.0])],
+        "vec_id long, embedding array<double>",
+    ))
+    kept2 = {r.vec_id for r in
+             decontaminate_semantic(corpus, ragged, threshold=0.999).collect()}
+    assert all(1000 + j not in kept2 for j in range(5))
