@@ -71,6 +71,11 @@ def main(argv: list[str] | None = None, _stop_session: bool = True) -> int:
                    help="ppl-score: add-k smoothing constant")
     p.add_argument("--lm-min-count", type=int, default=2,
                    help="ppl-score: prune bigrams rarer than this")
+    p.add_argument(
+        "--ppl-max", type=float, default=None,
+        help="curate: drop docs whose self-trained bigram-LM "
+        "cross-entropy exceeds this many bits (CCNet-style tail cut)",
+    )
     p.add_argument("--tokenizer", choices=["ws", "bpe_ish"], default="ws",
                    help="vocab: token definition")
     p.add_argument("--min-count", type=int, default=2,
@@ -802,6 +807,7 @@ def main(argv: list[str] | None = None, _stop_session: bool = True) -> int:
                 clean_lines=args.clean_lines,
                 mix_total=args.mix_total,
                 mix_alpha=args.mix_alpha,
+                ppl_max=args.ppl_max,
             )
             print(f"✅ curated_documents: {n} rows appended")
             return 0

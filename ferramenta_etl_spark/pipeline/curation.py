@@ -54,8 +54,17 @@ def curate_documents(
     clean_lines: bool = False,
     mix_total: int | None = None,
     mix_alpha: float = 0.5,
+    ppl_max: float | None = None,
 ) -> int:
     """Run the curation pipeline; returns rows appended to the sink.
+
+    ``ppl_max`` (bits) adds the bigram-LM perplexity gate as the LAST
+    stage: an LM is trained on the already-curated corpus and documents
+    whose cross-entropy exceeds the cap are dropped — the
+    self-referential variant of the CCNet gate (it removes the corpus's
+    own incoherent tail; train ``operators.lm`` on a reference corpus
+    and call ``perplexity_filter`` directly for CCNet-proper scoring
+    against an external standard).
 
     The intermediate persist curated_frame creates (exact_unique, which
     feeds both the pair generation and the survivor anti-join) is
@@ -67,9 +76,16 @@ def curate_documents(
         redact, sample_rate, lang_quota, clean_lines,
         mix_total=mix_total, mix_alpha=mix_alpha,
     )
+    out = curated
+    if ppl_max is not None:
+        from ..operators.lm import perplexity_filter, train_bigram_lm
+
+        out = perplexity_filter(
+            curated, train_bigram_lm(curated, min_count=2), ppl_max
+        )
     try:
         return write_ignore_conflicts(
-            curated,
+            out,
             f"{sink_dir}/curated_documents",
             keys=["lang", "doc_id"],
             partition_cols=["lang"],

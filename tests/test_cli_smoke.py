@@ -326,3 +326,22 @@ def test_cli_ppl_score(cli_tmp, capsys, spark):
         "doc_id", "n_tokens", "cross_entropy_bits", "perplexity"
     }
     assert back.filter("cross_entropy_bits <= 0").count() == 0
+
+
+def test_cli_curate_ppl_gate(cli_tmp, capsys, spark):
+    """--ppl-max adds the bigram-LM tail cut as the last curation
+    stage: a cap at the corpus's own median cross-entropy appends
+    strictly fewer rows than no cap (data-driven — the fixture corpus
+    is too uniform for any fixed-bit cap to be meaningful)."""
+    from pyspark.sql import functions as F
+
+    s0, s1, s2 = (str(cli_tmp / d) for d in ("p", "c1", "c2"))
+    assert _run("ppl-score", "--sink-dir", s0) == 0
+    cut = spark.read.parquet(f"{s0}/doc_ppl").agg(
+        F.expr("percentile_approx(cross_entropy_bits, 0.5)")
+    ).collect()[0][0]
+    assert _run("curate", "--sink-dir", s1) == 0
+    n_all = spark.read.parquet(f"{s1}/curated_documents").count()
+    assert _run("curate", "--sink-dir", s2, "--ppl-max", str(cut)) == 0
+    n_gated = spark.read.parquet(f"{s2}/curated_documents").count()
+    assert 0 < n_gated < n_all

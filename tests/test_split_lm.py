@@ -183,3 +183,47 @@ def test_bigram_lm_min_count_prunes_but_context_totals_stay(spark):
     assert a == pytest.approx(b, abs=1e-12)
     with pytest.raises(ValueError, match="k > 0"):
         train_bigram_lm(df, k=0.0)
+
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+
+@given(
+    edges=st.lists(
+        st.tuples(st.integers(0, 60), st.integers(0, 60)),
+        min_size=0, max_size=40,
+    ),
+    seed=st.integers(0, 1000),
+)
+@settings(max_examples=12, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_split_cluster_atomic_randomized(spark, edges, seed):
+    """Random edge lists (self-loops, duplicates, chains) vs a Python
+    union-find: every union-find component lands in exactly one split,
+    and every doc is assigned."""
+    docs = _docs(spark, 61)
+    pairs = _pairs(spark, [(int(a), int(b)) for a, b in edges]) if edges \
+        else None
+    got = {r.doc_id: r.split
+           for r in leakage_safe_split(docs, pairs, WEIGHTS, seed=seed)
+           .collect()}
+    assert len(got) == 61 and set(got.values()) <= set(WEIGHTS)
+    # python union-find oracle
+    parent = {i: i for i in range(61)}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[ra] = rb
+    comps = {}
+    for i in range(61):
+        comps.setdefault(find(i), []).append(i)
+    for members in comps.values():
+        assert len({got[m] for m in members}) == 1, members
