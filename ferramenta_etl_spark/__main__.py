@@ -76,6 +76,12 @@ def main(argv: list[str] | None = None, _stop_session: bool = True) -> int:
         help="curate: drop docs whose self-trained bigram-LM "
         "cross-entropy exceeds this many bits (CCNet-style tail cut)",
     )
+    p.add_argument(
+        "--lm-dir", default=None,
+        help="ppl-score: persisted-LM directory — loaded when it holds "
+        "a saved artifact (train once, score many), written after "
+        "training otherwise",
+    )
     p.add_argument("--tokenizer", choices=["ws", "bpe_ish"], default="ws",
                    help="vocab: token definition")
     p.add_argument("--min-count", type=int, default=2,
@@ -683,13 +689,29 @@ def main(argv: list[str] | None = None, _stop_session: bool = True) -> int:
             # perplexity) for downstream filtering.
             from pyspark.sql import functions as F
 
-            from .operators.lm import score_cross_entropy, train_bigram_lm
+            from .operators.lm import (
+                load_lm,
+                save_lm,
+                score_cross_entropy,
+                train_bigram_lm,
+            )
             from .sources import load_table
 
             docs = load_table(spark, args.sf_dir, "documents")
-            lm = train_bigram_lm(
-                docs, k=args.lm_k, min_count=args.lm_min_count
-            )
+            lm = None
+            if args.lm_dir:
+                try:
+                    lm = load_lm(spark, args.lm_dir)
+                    print(f"   loaded LM from {args.lm_dir} (V={lm.v})")
+                except Exception:  # noqa: BLE001 — no artifact yet: train
+                    lm = None
+            if lm is None:
+                lm = train_bigram_lm(
+                    docs, k=args.lm_k, min_count=args.lm_min_count
+                )
+                if args.lm_dir:
+                    save_lm(lm, args.lm_dir)
+                    lm = load_lm(spark, args.lm_dir)  # score the artifact
             scores = score_cross_entropy(docs, lm)
             out_dir = f"{args.sink_dir}/doc_ppl"
             scores.write.mode("overwrite").parquet(out_dir)

@@ -153,3 +153,44 @@ def perplexity_filter(
         F.col("cross_entropy_bits") <= F.lit(float(max_bits))
     ).select(F.col("doc_id").alias(doc_id_col))
     return docs.join(keep, doc_id_col, "left_semi")
+
+
+def save_lm(lm: BigramLM, path: str) -> None:
+    """Persist the LM under ``path``: ``bigrams/`` and ``contexts/``
+    parquet plus ``_lm_meta.json`` (v, k) — train once on the reference
+    corpus, score many crawls, the same artifact discipline as the
+    persisted ANN indexes. Counts materialize here (the relations are
+    lazy until written). Meta I/O goes through the Hadoop FS layer so
+    HDFS/S3 paths work."""
+    import json
+    import os
+
+    from ..sinks.layout import _fs_write_text
+
+    spark = lm.bigrams.sparkSession
+    lm.bigrams.write.mode("overwrite").parquet(os.path.join(path, "bigrams"))
+    lm.contexts.write.mode("overwrite").parquet(os.path.join(path, "contexts"))
+    _fs_write_text(
+        spark,
+        os.path.join(path, "_lm_meta.json"),
+        json.dumps({"format": "bigram_lm", "v": lm.v, "k": lm.k}),
+    )
+
+
+def load_lm(spark, path: str) -> BigramLM:
+    """Load a ``save_lm`` artifact; scoring against it is identical to
+    scoring against the freshly trained relations (pinned in tests)."""
+    import json
+    import os
+
+    from ..sinks.layout import _fs_read_text
+
+    meta = json.loads(_fs_read_text(spark, os.path.join(path, "_lm_meta.json")))
+    if meta.get("format") != "bigram_lm":
+        raise ValueError(f"not a bigram_lm artifact: {path}")
+    return BigramLM(
+        bigrams=spark.read.parquet(os.path.join(path, "bigrams")),
+        contexts=spark.read.parquet(os.path.join(path, "contexts")),
+        v=int(meta["v"]),
+        k=float(meta["k"]),
+    )

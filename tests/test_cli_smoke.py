@@ -345,3 +345,19 @@ def test_cli_curate_ppl_gate(cli_tmp, capsys, spark):
     assert _run("curate", "--sink-dir", s2, "--ppl-max", str(cut)) == 0
     n_gated = spark.read.parquet(f"{s2}/curated_documents").count()
     assert 0 < n_gated < n_all
+
+
+def test_cli_ppl_score_lm_dir_reuse(cli_tmp, capsys, spark):
+    """--lm-dir: first run trains + persists, second run loads the
+    artifact (announced) and produces the identical score snapshot."""
+    s1, s2 = str(cli_tmp / "pa"), str(cli_tmp / "pb")
+    lm_dir = str(cli_tmp / "lm")
+    assert _run("ppl-score", "--sink-dir", s1, "--lm-dir", lm_dir) == 0
+    capsys.readouterr()
+    assert _run("ppl-score", "--sink-dir", s2, "--lm-dir", lm_dir) == 0
+    assert "loaded LM from" in capsys.readouterr().out
+    a = {r.doc_id: r.cross_entropy_bits
+         for r in spark.read.parquet(f"{s1}/doc_ppl").collect()}
+    b = {r.doc_id: r.cross_entropy_bits
+         for r in spark.read.parquet(f"{s2}/doc_ppl").collect()}
+    assert a == b

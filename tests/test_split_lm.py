@@ -227,3 +227,23 @@ def test_split_cluster_atomic_randomized(spark, edges, seed):
         comps.setdefault(find(i), []).append(i)
     for members in comps.values():
         assert len({got[m] for m in members}) == 1, members
+
+
+def test_lm_save_load_roundtrip(spark, tmp_path):
+    """Persisted-LM artifact: loading reproduces every doc's score
+    exactly, and a corrupt/absent meta fails loudly."""
+    from ferramenta_etl_spark.operators.lm import load_lm, save_lm
+
+    df = spark.createDataFrame(CORPUS, "doc_id long, text string")
+    lm = train_bigram_lm(df, k=0.5, min_count=1)
+    path = str(tmp_path / "lm")
+    save_lm(lm, path)
+    back = load_lm(spark, path)
+    assert (back.v, back.k) == (lm.v, lm.k)
+    a = {r.doc_id: r.cross_entropy_bits
+         for r in score_cross_entropy(df, lm).collect()}
+    b = {r.doc_id: r.cross_entropy_bits
+         for r in score_cross_entropy(df, back).collect()}
+    assert a == b
+    with pytest.raises(Exception):
+        load_lm(spark, str(tmp_path / "nope"))
