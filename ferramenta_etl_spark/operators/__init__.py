@@ -103,3 +103,9 @@ from .text import (  # noqa: F401
     word_ngrams,
 )
 from .topk import grouped_topk  # noqa: F401
+from .dsir import (  # noqa: F401
+    dsir_log_weights,
+    dsir_resample,
+    fit_dsir,
+    hashed_ngram_buckets,
+)

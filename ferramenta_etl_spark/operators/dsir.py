@@ -1,0 +1,253 @@
+"""DSIR-style data selection via hashed n-gram importance resampling
+(Xie et al., "Data Selection for Language Models via Importance
+Resampling", NeurIPS 2023 — public method description only).
+
+The idea: you have a small TARGET corpus that looks like what you want
+to train on (curated wiki/books) and a huge RAW corpus (web crawl).
+Model both as bags of hashed word n-grams over ``n_buckets`` buckets,
+fit a smoothed categorical distribution to each, and give every raw
+document an importance log-weight
+
+    log w(doc) = sum_over_features  c_doc[b] * (log p_target[b] - log p_raw[b])
+
+then sample the training subset with probability proportional to w
+(Gumbel top-k = exactly one ordered pass, no rejection loop).
+
+Spark-first shapes — everything is a projection, an explode, or a
+partial-aggregated groupBy over BUCKET IDS (ints), never text:
+
+- feature extraction: ws_tokens + the shared shifted-slice gram fold
+  (text._gram_zip) + one hash — pure column expressions, no UDFs;
+- fitting: one groupBy(bucket).count() per corpus (map-side combined:
+  at most ``n_buckets`` rows per partition reach the exchange) and a
+  full-outer join of two <=n_buckets-row relations;
+- scoring: the log-ratio relation is at most ``n_buckets`` rows — far
+  under the broadcast threshold for every sane configuration — so the
+  per-document feature stream joins against it WITHOUT shuffling the
+  corpus, then one groupBy(doc_id).sum();
+- resampling: deterministic Gumbel keys from a seeded hash and a
+  TakeOrderedAndProject top-n (see sampling.sample_exact_n for why
+  that never materializes a global sort).
+
+At 100 TB the only corpus-sized exchanges are the doc-id-keyed count
+aggregations; the model itself stays O(n_buckets) regardless of scale.
+
+Hash families mirror the dedup module's convention: ``xxhash64`` is the
+library default; ``md5`` (dedup.portable_hash) is bit-for-bit
+reproducible outside the JVM, which is what lets the pytest oracle
+re-derive every weight in pure Python (tests/test_dsir.py).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import NamedTuple, Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .dedup import portable_hash
+from .text import _gram_zip, ws_tokens
+
+_HASH_FAMILIES = ("xxhash64", "md5")
+
+
+class DSIRModel(NamedTuple):
+    """A fitted importance model. ``log_ratio``: (bucket, log_ratio)
+    for every bucket observed in EITHER fit corpus; ``default_log_ratio``
+    is the smoothing-floor ratio a bucket unseen in both receives (a
+    constant — both smoothed probabilities collapse to alpha/norm).
+    ``ns``/``n_buckets``/``hash_family`` pin the featurizer so scoring
+    cannot silently diverge from fitting."""
+
+    log_ratio: DataFrame
+    default_log_ratio: float
+    n_buckets: int
+    ns: tuple[int, ...]
+    hash_family: str
+
+
+def _check_family(hash_family: str) -> None:
+    if hash_family not in _HASH_FAMILIES:
+        raise ValueError(
+            f"hash_family must be one of {_HASH_FAMILIES}, got {hash_family!r}"
+        )
+
+
+def _gram_stream(text_col: str, ns: Sequence[int]):
+    """Array column of all word n-grams (with multiplicity) for every
+    n in ``ns``. Empty/whitespace-only docs yield an empty array —
+    they carry no evidence and score the neutral 0.0."""
+    toks = F.filter(ws_tokens(F.col(text_col)), lambda t: t != "")
+    grams = None
+    for n in ns:
+        if n < 1:
+            raise ValueError(f"n-gram orders must be >= 1, got {n}")
+        if n == 1:
+            g = toks
+        else:
+            m = F.greatest(F.size(toks) - F.lit(n - 1), F.lit(0))
+            g = _gram_zip(toks, n, m)
+        grams = g if grams is None else F.concat(grams, g)
+    return grams
+
+
+def _bucket(gram, n_buckets: int, hash_family: str):
+    h = F.xxhash64(gram) if hash_family == "xxhash64" else portable_hash(gram, 15)
+    return F.pmod(h, F.lit(n_buckets)).cast("int")
+
+
+def hashed_ngram_buckets(
+    docs: DataFrame,
+    text_col: str = "text",
+    doc_id_col: str = "doc_id",
+    n_buckets: int = 10_000,
+    ns: Sequence[int] = (1, 2),
+    hash_family: str = "xxhash64",
+) -> DataFrame:
+    """(doc_id, bucket, cnt) — the bag-of-hashed-ngram feature rows of
+    every document. Projection + explode + one map-side-combined
+    groupBy; the exchange carries (id, int, long) triples, never text."""
+    _check_family(hash_family)
+    grams = _gram_stream(text_col, ns)
+    return (
+        docs.select(F.col(doc_id_col).alias("doc_id"), F.explode(grams).alias("__g"))
+        .select("doc_id", _bucket(F.col("__g"), n_buckets, hash_family).alias("bucket"))
+        .groupBy("doc_id", "bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def _corpus_bucket_counts(
+    docs: DataFrame, text_col: str, n_buckets: int, ns: Sequence[int], hash_family: str
+) -> DataFrame:
+    grams = _gram_stream(text_col, ns)
+    return (
+        docs.select(F.explode(grams).alias("__g"))
+        .select(_bucket(F.col("__g"), n_buckets, hash_family).alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+
+
+def fit_dsir(
+    target: DataFrame,
+    raw: DataFrame,
+    text_col: str = "text",
+    n_buckets: int = 10_000,
+    ns: Sequence[int] = (1, 2),
+    alpha: float = 1.0,
+    hash_family: str = "xxhash64",
+) -> DSIRModel:
+    """Fit the hashed-ngram importance model: smoothed bucket
+    distributions for ``target`` and ``raw`` and their per-bucket
+    log-ratio. Smoothing is add-alpha over ALL ``n_buckets`` buckets,
+    so every bucket — including ones unseen in both corpora — has a
+    finite ratio and no document can score -inf.
+
+    Cost: one count-aggregation pass per corpus (the raw pass is the
+    big one: map-side combine caps the exchange at n_buckets rows per
+    input partition) + a full-outer join of two tiny relations."""
+    _check_family(hash_family)
+    if alpha <= 0:
+        raise ValueError(f"alpha must be > 0 (smoothing floor), got {alpha}")
+    ns = tuple(ns)
+    t_counts = _corpus_bucket_counts(target, text_col, n_buckets, ns, hash_family)
+    r_counts = _corpus_bucket_counts(raw, text_col, n_buckets, ns, hash_family)
+
+    # totals: one scalar per corpus. Re-aggregating the bucket-count
+    # relation (<= n_buckets rows) instead of the corpus keeps this a
+    # cheap second job on an already-small input.
+    t_total = t_counts.agg(F.coalesce(F.sum("c"), F.lit(0))).collect()[0][0]
+    r_total = r_counts.agg(F.coalesce(F.sum("c"), F.lit(0))).collect()[0][0]
+    t_norm = math.log(t_total + alpha * n_buckets)
+    r_norm = math.log(r_total + alpha * n_buckets)
+
+    joined = t_counts.withColumnRenamed("c", "ct").join(
+        r_counts.withColumnRenamed("c", "cr"), "bucket", "full_outer"
+    )
+    log_ratio = joined.select(
+        "bucket",
+        (
+            F.log(F.coalesce(F.col("ct"), F.lit(0)) + F.lit(float(alpha)))
+            - F.log(F.coalesce(F.col("cr"), F.lit(0)) + F.lit(float(alpha)))
+            - F.lit(t_norm - r_norm)
+        ).alias("log_ratio"),
+    )
+    default = math.log(alpha) - math.log(alpha) - (t_norm - r_norm)
+    return DSIRModel(log_ratio, default, n_buckets, ns, hash_family)
+
+
+def dsir_log_weights(
+    model: DSIRModel,
+    docs: DataFrame,
+    text_col: str = "text",
+    doc_id_col: str = "doc_id",
+) -> DataFrame:
+    """Row-count-preserving (doc_id, log_w): the importance log-weight
+    of every document under ``model``. Featureless documents (empty
+    text) score 0.0 — no evidence either way.
+
+    Plan: feature stream -> broadcast join against the <=n_buckets-row
+    log-ratio relation -> groupBy(doc_id).sum -> left join back onto
+    the id spine so no input row is ever dropped."""
+    feats = hashed_ngram_buckets(
+        docs, text_col, doc_id_col, model.n_buckets, model.ns, model.hash_family
+    )
+    scored = (
+        feats.join(F.broadcast(model.log_ratio), "bucket", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.sum(
+                F.col("cnt")
+                * F.coalesce(F.col("log_ratio"), F.lit(model.default_log_ratio))
+            ).alias("log_w")
+        )
+    )
+    spine = docs.select(F.col(doc_id_col).alias("doc_id"))
+    return spine.join(scored, "doc_id", "left").select(
+        "doc_id", F.coalesce(F.col("log_w"), F.lit(0.0)).alias("log_w")
+    )
+
+
+def gumbel_key(log_w, id_col, seed: int, hash_family: str = "xxhash64"):
+    """log_w + Gumbel(0,1) noise derived deterministically from
+    (id, seed): u = (hash mod 2^60 + 0.5) / 2^60 in (0,1),
+    g = -log(-log(u)). Sampling top-n by this key draws WITHOUT
+    replacement with probability proportional to exp(log_w) — the
+    Gumbel-max trick — while staying a pure function of (data, seed):
+    identical across reruns, partitionings, and (with md5) engines."""
+    _check_family(hash_family)
+    tagged = F.concat_ws(":", F.col(id_col).cast("string"), F.lit(str(seed)))
+    if hash_family == "md5":
+        h = portable_hash(tagged, 15)  # uniform on [0, 2^60)
+        span = float(1 << 60)
+    else:
+        h = F.pmod(F.xxhash64(tagged), F.lit(1 << 60))
+        span = float(1 << 60)
+    u = (h.cast("double") + F.lit(0.5)) / F.lit(span)
+    return log_w + -F.log(-F.log(u))
+
+
+def dsir_resample(
+    weights: DataFrame,
+    n: int,
+    id_col: str = "doc_id",
+    weight_col: str = "log_w",
+    seed: int = 0,
+    hash_family: str = "xxhash64",
+) -> DataFrame:
+    """Exactly ``n`` ids (or all, if fewer) drawn without replacement
+    with probability proportional to exp(log_w), via deterministic
+    Gumbel top-k. Compiles to TakeOrderedAndProject: each partition
+    keeps its local n best keys, the driver merges P*n rows — no global
+    sort, so n is bounded by driver memory exactly like
+    sampling.sample_exact_n (corpus-sized selections should threshold
+    on log_w instead and let the sink write the stream through)."""
+    key = gumbel_key(F.col(weight_col), id_col, seed, hash_family)
+    return (
+        weights.withColumn("__gk", key)
+        .orderBy(F.col("__gk").desc(), F.col(id_col).asc())
+        .limit(int(n))
+        .drop("__gk")
+    )
