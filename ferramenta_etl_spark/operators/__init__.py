@@ -103,6 +103,13 @@ from .text import (  # noqa: F401
     word_ngrams,
 )
 from .topk import grouped_topk  # noqa: F401
+from .retrieval import (  # noqa: F401
+    bm25_topk,
+    bm25_topk_on_index,
+    build_bm25_index,
+    load_bm25_index,
+    save_bm25_index,
+)
 from .dsir import (  # noqa: F401
     dsir_log_weights,
     dsir_resample,

@@ -1,0 +1,236 @@
+"""BM25 keyword retrieval over the document corpus — the lexical
+counterpart to the embedding ANN stack (similarity/quantize): build an
+inverted postings relation once, then answer batched keyword queries
+with Okapi BM25 scoring and grouped top-k.
+
+A training-data pipeline needs this for targeted corpus probes
+("find the documents about X"), lexical decontamination sweeps, and
+as the sparse half of hybrid (BM25 + dense) retrieval.
+
+Spark-first shapes, no UDFs anywhere:
+
+- INDEX BUILD is two partial-aggregated groupBys over the exploded
+  token stream: (term, doc) term frequencies and per-term document
+  frequencies. IDF and document length are denormalized INTO the
+  postings relation at build time, so serving is a single join — the
+  classic space/time trade every search engine makes.
+- SERVING joins the postings against the (small, by contract) query
+  term relation with a broadcast hint: the corpus-sized postings never
+  shuffle, each posting row meets every query term it matches
+  map-side, and one groupBy(query, doc) sums the score. Top-k per
+  query reuses grouped_topk's WindowGroupLimit rewrite.
+- A PERSISTED index partitions postings by a term-hash bucket;
+  serving a loaded index prunes to the query terms' buckets before
+  the scan (partition pruning — at 100 TB the scan reads
+  |query-term buckets| / n_buckets of the postings, not all of them).
+
+Scoring (classic Okapi BM25, the Robertson/Sparck-Jones idf in its
+non-negative Lucene form):
+
+    idf(t)  = ln(1 + (N - df + 0.5) / (df + 0.5))
+    s(q, d) = sum_t qtf(t) * idf(t) * tf * (k1+1)
+                    / (tf + k1 * (1 - b + b * dl / avgdl))
+
+Query term frequency (qtf) multiplies — repeating a term in the query
+weights it, matching the per-occurrence sum of reference
+implementations. Tokenization is ws_tokens (lowercase, single-space
+split), identical to the text-quality and LM operators, so one
+normalization policy governs the whole text stack.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import NamedTuple
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .text import ws_tokens
+from .topk import grouped_topk
+
+
+class BM25Index(NamedTuple):
+    """postings: (term, doc_id, tf, dl, idf) — tf/idf/dl denormalized
+    so serving is one join; n_docs/avgdl are the corpus scalars the
+    length normalization needs."""
+
+    postings: DataFrame
+    n_docs: int
+    avgdl: float
+
+
+def _doc_terms(docs: DataFrame, text_col: str, doc_id_col: str) -> DataFrame:
+    toks = F.filter(ws_tokens(F.col(text_col)), lambda t: t != "")
+    return docs.select(
+        F.col(doc_id_col).alias("doc_id"), F.explode(toks).alias("term")
+    )
+
+
+def build_bm25_index(
+    docs: DataFrame,
+    text_col: str = "text",
+    doc_id_col: str = "doc_id",
+) -> BM25Index:
+    """Inverted BM25 postings from ``docs``. Two linear aggregation
+    passes (term frequencies; document frequencies) + one join to
+    attach idf and dl. Empty documents index no terms but still count
+    toward N and avgdl (dl=0), matching the reference scorer."""
+    n_docs = docs.count()
+    if n_docs == 0:
+        raise ValueError("cannot build a BM25 index over an empty corpus")
+    terms = _doc_terms(docs, text_col, doc_id_col)
+    tf = terms.groupBy("term", "doc_id").agg(F.count(F.lit(1)).alias("tf"))
+    # dl falls out of tf (sum of a doc's term frequencies): no second
+    # pass over text
+    dl = tf.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
+    # total tokens re-aggregates the (term, doc) relation, NOT the raw
+    # token stream — one pass over text total (docs absent from dl are
+    # empty and add 0)
+    total_tokens = dl.agg(F.coalesce(F.sum("dl"), F.lit(0))).collect()[0][0]
+    avgdl = total_tokens / n_docs
+    idf = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    idf = idf.select(
+        "term",
+        F.log(
+            F.lit(1.0)
+            + (F.lit(float(n_docs)) - F.col("df") + F.lit(0.5))
+            / (F.col("df") + F.lit(0.5))
+        ).alias("idf"),
+    )
+    postings = tf.join(dl, "doc_id").join(idf, "term").select(
+        "term", "doc_id", "tf", "dl", "idf"
+    )
+    return BM25Index(postings, n_docs, float(avgdl))
+
+
+def _query_terms(queries: DataFrame, query_id_col: str, query_col: str) -> DataFrame:
+    toks = F.filter(ws_tokens(F.col(query_col)), lambda t: t != "")
+    return (
+        queries.select(
+            F.col(query_id_col).alias("query_id"), F.explode(toks).alias("term")
+        )
+        .groupBy("query_id", "term")
+        .agg(F.count(F.lit(1)).alias("qtf"))
+    )
+
+
+def bm25_topk(
+    index: BM25Index,
+    queries: DataFrame,
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    query_id_col: str = "query_id",
+    query_col: str = "query",
+) -> DataFrame:
+    """(query_id, doc_id, score, rank) — the BM25 top-k documents per
+    query. The query side is broadcast (small by contract: probes and
+    decontamination term sets, not a second corpus); the postings side
+    streams through one map-side join + one (query, doc) aggregation.
+    Ties break on doc_id ascending so results are deterministic."""
+    qt = _query_terms(queries, query_id_col, query_col)
+    contrib = index.postings.join(F.broadcast(qt), "term").select(
+        "query_id",
+        "doc_id",
+        (
+            F.col("qtf")
+            * F.col("idf")
+            * (F.col("tf") * F.lit(k1 + 1.0))
+            / (
+                F.col("tf")
+                + F.lit(k1)
+                * (
+                    F.lit(1.0 - b)
+                    + F.lit(b) * F.col("dl") / F.lit(index.avgdl)
+                )
+            )
+        ).alias("__s"),
+    )
+    scored = contrib.groupBy("query_id", "doc_id").agg(F.sum("__s").alias("score"))
+    return grouped_topk(
+        scored,
+        ["query_id"],
+        [F.col("score").desc(), F.col("doc_id").asc()],
+        k,
+        rank_col="rank",
+    )
+
+
+# --------------------------------------------------------------- persistence
+
+_META_SCHEMA = "n_docs bigint, avgdl double, n_buckets int"
+
+
+def save_bm25_index(
+    index: BM25Index, path: str, n_buckets: int = 64
+) -> None:
+    """Persist the index: postings parquet partitioned by a term-hash
+    bucket (pmod(xxhash64(term), n_buckets)) + a one-row meta relation.
+    The bucket partitioning is what buys serve-time partition PRUNING:
+    a loaded query touches only its terms' buckets, so the scan cost
+    scales with the query's vocabulary, not the corpus's. All I/O goes
+    through Spark writers — works on any Hadoop-visible filesystem."""
+    spark = index.postings.sparkSession
+    (
+        index.postings.withColumn(
+            "term_bucket", F.pmod(F.xxhash64("term"), F.lit(n_buckets)).cast("int")
+        )
+        .repartition("term_bucket")
+        .write.mode("overwrite")
+        .partitionBy("term_bucket")
+        .parquet(path.rstrip("/") + "/postings")
+    )
+    meta = spark.createDataFrame(
+        [(index.n_docs, index.avgdl, n_buckets)], _META_SCHEMA
+    )
+    meta.write.mode("overwrite").parquet(path.rstrip("/") + "/meta")
+
+
+class BM25DiskIndex(NamedTuple):
+    postings: DataFrame  # includes term_bucket
+    n_docs: int
+    avgdl: float
+    n_buckets: int
+
+
+def load_bm25_index(spark: SparkSession, path: str) -> BM25DiskIndex:
+    meta = spark.read.parquet(path.rstrip("/") + "/meta").collect()[0]
+    postings = spark.read.parquet(path.rstrip("/") + "/postings")
+    return BM25DiskIndex(postings, meta.n_docs, meta.avgdl, meta.n_buckets)
+
+
+def bm25_topk_on_index(
+    disk: BM25DiskIndex,
+    queries: DataFrame,
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    query_id_col: str = "query_id",
+    query_col: str = "query",
+) -> DataFrame:
+    """Serve from a persisted index with partition pruning: the query
+    terms' buckets are computed ON the (small) query relation and
+    pushed as a literal IN-filter on the partition column, so the
+    postings scan skips every other bucket's files before any join."""
+    qt = _query_terms(queries, query_id_col, query_col)
+    buckets = [
+        r.b
+        for r in qt.select(
+            F.pmod(F.xxhash64("term"), F.lit(disk.n_buckets)).cast("int").alias("b")
+        )
+        .distinct()
+        .collect()
+    ]
+    pruned = disk.postings.filter(F.col("term_bucket").isin(buckets)).drop(
+        "term_bucket"
+    )
+    return bm25_topk(
+        BM25Index(pruned, disk.n_docs, disk.avgdl),
+        queries,
+        k=k,
+        k1=k1,
+        b=b,
+        query_id_col=query_id_col,
+        query_col=query_col,
+    )

@@ -1,0 +1,153 @@
+"""BM25 retrieval — differential oracle: a from-scratch pure-Python
+Okapi BM25 (Counter + math) over the same tokenization; Spark scores
+must match to 1e-9 and top-k id-for-id."""
+
+import math
+import random
+from collections import Counter
+
+import pytest
+from pyspark.sql import functions as F
+
+from ferramenta_etl_spark.operators.retrieval import (
+    bm25_topk,
+    bm25_topk_on_index,
+    build_bm25_index,
+    load_bm25_index,
+    save_bm25_index,
+)
+
+# ---------------------------------------------------------------- reference
+
+
+def py_toks(text):
+    return [t for t in text.lower().split(" ") if t != ""]
+
+
+def py_bm25_scores(docs, query, k1=1.2, b=0.75):
+    """{doc_id: score} for every doc with a positive-match term."""
+    n = len(docs)
+    tfs = {i: Counter(py_toks(t)) for i, t in docs.items()}
+    dls = {i: sum(c.values()) for i, c in tfs.items()}
+    avgdl = sum(dls.values()) / n
+    df = Counter()
+    for c in tfs.values():
+        df.update(set(c))
+    scores = {}
+    for term in py_toks(query):
+        idf = math.log(1.0 + (n - df[term] + 0.5) / (df[term] + 0.5))
+        for i, c in tfs.items():
+            tf = c[term]
+            if tf == 0:
+                continue
+            s = idf * tf * (k1 + 1) / (tf + k1 * (1 - b + b * dls[i] / avgdl))
+            scores[i] = scores.get(i, 0.0) + s
+    return scores
+
+
+def py_topk(docs, query, k, k1=1.2, b=0.75):
+    scores = py_bm25_scores(docs, query, k1, b)
+    ranked = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))
+    return ranked[:k]
+
+
+WORDS = [
+    "spark", "query", "data", "join", "shuffle", "parquet", "index",
+    "token", "model", "corpus", "filter", "the", "a", "fast",
+]
+
+
+@pytest.fixture(scope="module")
+def corpus():
+    rng = random.Random(11)
+    docs = {
+        i: " ".join(rng.choice(WORDS) for _ in range(rng.randint(4, 30)))
+        for i in range(60)
+    }
+    docs[60] = ""  # empty doc: counts toward N/avgdl, never matches
+    return docs
+
+
+@pytest.fixture(scope="module")
+def index(spark, corpus):
+    df = spark.createDataFrame(list(corpus.items()), "doc_id int, text string")
+    return build_bm25_index(df)
+
+
+def test_corpus_scalars_match_reference(corpus, index):
+    dls = [len(py_toks(t)) for t in corpus.values()]
+    assert index.n_docs == len(corpus)
+    assert index.avgdl == pytest.approx(sum(dls) / len(corpus))
+
+
+QUERIES = [
+    (0, "spark shuffle"),
+    (1, "parquet index corpus"),
+    (2, "the the data"),  # repeated term: qtf weighting
+    (3, "zzz_nomatch"),  # matches nothing -> zero rows for this query
+    (4, "join"),
+]
+
+
+def test_topk_matches_python_bm25(spark, corpus, index):
+    qdf = spark.createDataFrame(QUERIES, "query_id int, query string")
+    got = bm25_topk(index, qdf, k=7).collect()
+    by_q = {}
+    for r in got:
+        by_q.setdefault(r.query_id, []).append(r)
+    assert 3 not in by_q
+    for qid, qtext in QUERIES:
+        if qid == 3:
+            continue
+        want = py_topk(corpus, qtext, 7)
+        rows = sorted(by_q[qid], key=lambda r: r.rank)
+        assert [r.doc_id for r in rows] == [d for d, _ in want]
+        for r, (_, s) in zip(rows, want):
+            assert r.score == pytest.approx(s, abs=1e-9)
+        assert [r.rank for r in rows] == list(range(1, len(rows) + 1))
+
+
+def test_k1_b_parameters_flow_through(spark, corpus, index):
+    qdf = spark.createDataFrame([(0, "spark data join")], "query_id int, query string")
+    got = bm25_topk(index, qdf, k=5, k1=0.4, b=0.2).collect()
+    want = py_topk(corpus, "spark data join", 5, k1=0.4, b=0.2)
+    assert [r.doc_id for r in sorted(got, key=lambda r: r.rank)] == [
+        d for d, _ in want
+    ]
+    for r, (_, s) in zip(sorted(got, key=lambda r: r.rank), want):
+        assert r.score == pytest.approx(s, abs=1e-9)
+
+
+def test_persisted_index_serves_identically(spark, corpus, index, tmp_path):
+    path = str(tmp_path / "bm25")
+    save_bm25_index(index, path, n_buckets=8)
+    disk = load_bm25_index(spark, path)
+    assert (disk.n_docs, disk.n_buckets) == (index.n_docs, 8)
+    assert disk.avgdl == pytest.approx(index.avgdl)
+    qdf = spark.createDataFrame(QUERIES, "query_id int, query string")
+    live = sorted(
+        (r.query_id, r.doc_id, round(r.score, 9), r.rank)
+        for r in bm25_topk(index, qdf, k=5).collect()
+    )
+    served = sorted(
+        (r.query_id, r.doc_id, round(r.score, 9), r.rank)
+        for r in bm25_topk_on_index(disk, qdf, k=5).collect()
+    )
+    assert served == live
+
+
+def test_pruned_serve_reads_only_query_buckets(spark, corpus, index, tmp_path):
+    """The partition filter must land in the scan: the pruned plan
+    reads strictly fewer files than the full postings directory."""
+    path = str(tmp_path / "bm25p")
+    save_bm25_index(index, path, n_buckets=16)
+    disk = load_bm25_index(spark, path)
+    qdf = spark.createDataFrame([(0, "join")], "query_id int, query string")
+    plan = bm25_topk_on_index(disk, qdf, k=3)._jdf.queryExecution().executedPlan().toString()
+    assert "term_bucket" in plan  # the partition filter survived to the scan
+
+
+def test_empty_corpus_rejected(spark):
+    df = spark.createDataFrame([], "doc_id int, text string")
+    with pytest.raises(ValueError, match="empty"):
+        build_bm25_index(df)
