@@ -231,7 +231,10 @@ def test_split_cluster_atomic_randomized(spark, edges, seed):
 
 def test_lm_save_load_roundtrip(spark, tmp_path):
     """Persisted-LM artifact: loading reproduces every doc's score
-    exactly, and a corrupt/absent meta fails loudly."""
+    (to float-sum ulp: the per-doc mean accumulates in whatever order
+    the loaded relation's plan delivers the bigrams, so the last bit
+    can differ even though every stored logp round-trips exactly),
+    and a corrupt/absent meta fails loudly."""
     from ferramenta_etl_spark.operators.lm import load_lm, save_lm
 
     df = spark.createDataFrame(CORPUS, "doc_id long, text string")
@@ -244,6 +247,8 @@ def test_lm_save_load_roundtrip(spark, tmp_path):
          for r in score_cross_entropy(df, lm).collect()}
     b = {r.doc_id: r.cross_entropy_bits
          for r in score_cross_entropy(df, back).collect()}
-    assert a == b
+    assert set(a) == set(b)
+    for d in a:
+        assert b[d] == pytest.approx(a[d], rel=1e-12)
     with pytest.raises(Exception):
         load_lm(spark, str(tmp_path / "nope"))
