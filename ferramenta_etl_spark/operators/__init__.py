@@ -103,6 +103,13 @@ from .text import (  # noqa: F401
     word_ngrams,
 )
 from .topk import grouped_topk  # noqa: F401
+from .bpe import (  # noqa: F401
+    bpe_tokenize,
+    bpe_vocab,
+    train_bpe,
+    train_bpe_from_docs,
+    word_freq,
+)
 from .retrieval import (  # noqa: F401
     bm25_topk,
     bm25_topk_on_index,
