@@ -53,8 +53,24 @@ def main(argv: list[str] | None = None, _stop_session: bool = True) -> int:
             "stream", "curate-stream", "rollup", "stats", "ingest",
             "neardup-admit", "make-dataset", "ann-index", "ann-query",
             "media-curate", "vocab", "mine-negatives", "verify-dataset",
-            "split-dataset", "ppl-score",
+            "split-dataset", "ppl-score", "bpe-train", "bpe-encode",
+            "bm25-index", "bm25-query", "dsir-select",
         ],
+    )
+    p.add_argument("--merges", type=int, default=50,
+                   help="bpe-train: number of merges to learn")
+    p.add_argument("--min-pair-count", type=int, default=2,
+                   help="bpe-train: stop when the best pair is rarer")
+    p.add_argument("--query", default=None,
+                   help="bm25-query: a single keyword query string")
+    p.add_argument("--n-select", type=int, default=100,
+                   help="dsir-select: sample size")
+    p.add_argument("--seed", type=int, default=0,
+                   help="dsir-select: Gumbel sampling seed")
+    p.add_argument(
+        "--target-path", default=None,
+        help="dsir-select: parquet of target-domain documents (text "
+        "column); defaults to the corpus's own --min-quality slice",
     )
     p.add_argument(
         "--split-weights", default="train=0.9,val=0.05,test=0.05",
@@ -727,6 +743,118 @@ def main(argv: list[str] | None = None, _stop_session: bool = True) -> int:
                 f"✅ ppl-score: {stats.n} docs scored (V={lm.v}, "
                 f"avg {stats.avg_bits} bits, p90 {stats.p90_bits}) "
                 f"-> {out_dir}"
+            )
+            return 0
+        if args.command == "bpe-train":
+            # Learn a BPE merge list from the documents table; the
+            # merge list is the tokenizer artifact (train once, encode
+            # many — same contract as ppl-score's --lm-dir). Snapshot
+            # semantics: each run replaces the artifact.
+            from .operators.bpe import train_bpe_from_docs
+            from .sources import load_table
+
+            docs = load_table(spark, args.sf_dir, "documents")
+            merges = train_bpe_from_docs(
+                docs, args.merges, min_pair_count=args.min_pair_count
+            )
+            out_dir = f"{args.sink_dir}/bpe_merges"
+            spark.createDataFrame(
+                [(i, a, b) for i, (a, b) in enumerate(merges)],
+                "rank int, a string, b string",
+            ).coalesce(1).write.mode("overwrite").parquet(out_dir)
+            for i, (a, b) in enumerate(merges[:8]):
+                print(f"  {i:3} {a!r} + {b!r} -> {a + b!r}")
+            print(f"✅ bpe-train: {len(merges)} merges -> {out_dir}")
+            return 0
+        if args.command == "bpe-encode":
+            # Tokenize the corpus with a previously trained merge list
+            # (sink_dir/bpe_merges). Snapshot parquet of
+            # (doc_id, bpe_tokens).
+            from pyspark.sql import functions as _F
+
+            from .operators.bpe import bpe_tokenize
+            from .sources import load_table
+
+            merges_df = spark.read.parquet(f"{args.sink_dir}/bpe_merges")
+            merges = [
+                (r.a, r.b) for r in merges_df.orderBy("rank").collect()
+            ]
+            docs = load_table(spark, args.sf_dir, "documents")
+            toks = bpe_tokenize(docs, merges).select("doc_id", "bpe_tokens")
+            out_dir = f"{args.sink_dir}/doc_bpe"
+            toks.write.mode("overwrite").parquet(out_dir)
+            back = spark.read.parquet(out_dir)
+            stats = back.agg(
+                _F.count(_F.lit(1)).alias("n"),
+                _F.round(_F.avg(_F.size("bpe_tokens")), 1).alias("avg_toks"),
+            ).collect()[0]
+            print(
+                f"✅ bpe-encode: {stats.n} docs, avg {stats.avg_toks} "
+                f"tokens/doc ({len(merges)} merges) -> {out_dir}"
+            )
+            return 0
+        if args.command == "bm25-index":
+            # Build + persist the BM25 inverted index over documents
+            # (sink_dir/bm25): postings partitioned by term-hash bucket
+            # so bm25-query can prune the scan to its terms' buckets.
+            from .operators.retrieval import build_bm25_index, save_bm25_index
+            from .sources import load_table
+
+            docs = load_table(spark, args.sf_dir, "documents")
+            idx = build_bm25_index(docs)
+            out_dir = f"{args.sink_dir}/bm25"
+            save_bm25_index(idx, out_dir)
+            print(
+                f"✅ bm25-index: {idx.n_docs} docs, avgdl "
+                f"{idx.avgdl:.1f} -> {out_dir}"
+            )
+            return 0
+        if args.command == "bm25-query":
+            # Serve keyword queries from the persisted index: --query
+            # for one ad-hoc string, --queries-path for a parquet batch
+            # of (query_id, query).
+            from .operators.retrieval import bm25_topk_on_index, load_bm25_index
+
+            if not args.query and not args.queries_path:
+                p.error("bm25-query needs --query or --queries-path")
+            disk = load_bm25_index(spark, f"{args.sink_dir}/bm25")
+            if args.queries_path:
+                queries = spark.read.parquet(args.queries_path)
+            else:
+                queries = spark.createDataFrame(
+                    [(0, args.query)], "query_id int, query string"
+                )
+            rows = bm25_topk_on_index(disk, queries, k=args.k).collect()
+            for r in sorted(rows, key=lambda r: (r.query_id, r.rank)):
+                print(f"{r.query_id}\t{r.rank}\t{r.doc_id}\t{r.score:.4f}")
+            print(f"✅ bm25-query: {len(rows)} result rows")
+            return 0
+        if args.command == "dsir-select":
+            # DSIR importance selection: fit hashed-ngram distributions
+            # for a target domain (default: the corpus's own
+            # --min-quality slice) vs the whole corpus, then Gumbel
+            # top-n sample ∝ importance weight. Snapshot parquet of
+            # (doc_id, log_w).
+            from .operators.dsir import dsir_log_weights, dsir_resample, fit_dsir
+            from .operators.text import quality_score
+            from .sources import load_table
+
+            docs = load_table(spark, args.sf_dir, "documents")
+            if args.target_path:
+                target = spark.read.parquet(args.target_path)
+            else:
+                target = docs.filter(
+                    quality_score(docs.text) >= args.min_quality
+                )
+            model = fit_dsir(target, docs)
+            weights = dsir_log_weights(model, docs)
+            picked = dsir_resample(weights, args.n_select, seed=args.seed)
+            out_dir = f"{args.sink_dir}/dsir_selected"
+            picked.write.mode("overwrite").parquet(out_dir)
+            n = spark.read.parquet(out_dir).count()
+            print(
+                f"✅ dsir-select: {n} docs selected (n={args.n_select}, "
+                f"seed={args.seed}) -> {out_dir}"
             )
             return 0
         if args.command == "mine-negatives":

@@ -361,3 +361,51 @@ def test_cli_ppl_score_lm_dir_reuse(cli_tmp, capsys, spark):
     b = {r.doc_id: r.cross_entropy_bits
          for r in spark.read.parquet(f"{s2}/doc_ppl").collect()}
     assert a == b
+
+
+def test_cli_bpe_train_and_encode(cli_tmp, capsys, spark):
+    s = str(cli_tmp / "bp")
+    assert _run("bpe-train", "--sink-dir", s, "--merges", "12") == 0
+    assert "✅ bpe-train:" in capsys.readouterr().out
+    merges = spark.read.parquet(f"{s}/bpe_merges")
+    assert 0 < merges.count() <= 12
+    assert set(merges.columns) == {"rank", "a", "b"}
+    assert _run("bpe-encode", "--sink-dir", s) == 0
+    assert "✅ bpe-encode:" in capsys.readouterr().out
+    back = spark.read.parquet(f"{s}/doc_bpe")
+    assert back.count() > 0
+    assert back.filter("size(bpe_tokens) = 0").count() == 0
+
+
+def test_cli_bm25_index_and_query(cli_tmp, capsys, spark):
+    s = str(cli_tmp / "bm")
+    assert _run("bm25-index", "--sink-dir", s) == 0
+    assert "✅ bm25-index:" in capsys.readouterr().out
+    # query with a term that actually occurs in the fixture corpus
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    term = (
+        docs.selectExpr("explode(split(lower(text), ' ')) t")
+        .filter("t != ''").groupBy("t").count()
+        .orderBy("count", ascending=False).first().t
+    )
+    assert _run("bm25-query", "--sink-dir", s, "--query", term, "--k", "3") == 0
+    out = capsys.readouterr().out
+    assert "✅ bm25-query:" in out
+    assert "\t1\t" in out  # at least one rank-1 hit
+
+
+def test_cli_dsir_select(cli_tmp, capsys, spark):
+    s = str(cli_tmp / "ds")
+    assert _run("dsir-select", "--sink-dir", s, "--n-select", "20",
+                "--seed", "3") == 0
+    assert "✅ dsir-select: 20 docs" in capsys.readouterr().out
+    back = spark.read.parquet(f"{s}/dsir_selected")
+    assert back.count() == 20
+    assert set(back.columns) == {"doc_id", "log_w"}
+    # deterministic: rerun with the same seed picks the same ids
+    s2 = str(cli_tmp / "ds2")
+    assert _run("dsir-select", "--sink-dir", s2, "--n-select", "20",
+                "--seed", "3") == 0
+    a = {r.doc_id for r in back.collect()}
+    b = {r.doc_id for r in spark.read.parquet(f"{s2}/dsir_selected").collect()}
+    assert a == b
