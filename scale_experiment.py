@@ -947,6 +947,239 @@ def round9_experiment(spark, sf_dir: str, scratch: str) -> dict:
     return out
 
 
+def round9b_experiment(spark, sf_dir: str, scratch: str) -> dict:
+    """Scaling probes for the DSIR / BM25 / BPE layer:
+
+    - DSIR fit+score at 1× vs 10× docs — both passes are hashed-bucket
+      aggregations + one broadcast join, so the ratio should track rows;
+    - BM25 index build at 1× vs 10× (two linear aggs), and at 10× the
+      serve cost WITH vs WITHOUT the term-bucket partition pruning on
+      the persisted index — pruning is the 100 TB story: scan cost
+      follows the query's vocabulary, not the corpus;
+    - BPE training at 1× vs 10× REPLICATED corpus — the merge rounds
+      run on the distinct-word table, which replication leaves
+      unchanged, so training should be nearly FLAT (only the initial
+      word_freq pass sees 10× rows); tokenize (narrow Arrow map) should
+      be ~linear or better while spare cores absorb it.
+    """
+    import shutil
+    import time as _t
+
+    from pyspark.sql import functions as F
+
+    from ferramenta_etl_spark.operators.bpe import (
+        bpe_tokenize,
+        train_bpe_from_docs,
+    )
+    from ferramenta_etl_spark.operators.dsir import (
+        dsir_log_weights,
+        fit_dsir,
+    )
+    from ferramenta_etl_spark.operators.retrieval import (
+        bm25_topk,
+        bm25_topk_on_index,
+        build_bm25_index,
+        load_bm25_index,
+        save_bm25_index,
+        BM25Index,
+    )
+    from ferramenta_etl_spark.operators.text import quality_score
+    from ferramenta_etl_spark.sources import load_table
+
+    os.makedirs(scratch, exist_ok=True)
+    out: dict = {}
+
+    def _noop(df) -> float:
+        t0 = _t.perf_counter()
+        df.write.format("noop").mode("overwrite").save()
+        return round(_t.perf_counter() - t0, 3)
+
+    docs = load_table(spark, sf_dir, "documents")
+    n_docs = docs.count()
+    docs10 = docs.crossJoin(spark.range(10).selectExpr("id AS __rep")).selectExpr(
+        f"doc_id + __rep * {n_docs} AS doc_id", "text"
+    )
+    d10_path = os.path.join(scratch, "docs10b")
+    docs10.write.mode("overwrite").parquet(d10_path)
+    docs10 = spark.read.parquet(d10_path)
+
+    # --- DSIR: fit (target = quality slice) + full-corpus score -------
+    dsir_times = {}
+    for tag, d in (("1x", docs), ("10x", docs10)):
+        target = d.filter(quality_score(F.col("text")) >= 0.5)
+        t0 = _t.perf_counter()
+        model = fit_dsir(target, d)
+        _noop(dsir_log_weights(model, d))
+        dsir_times[tag] = round(_t.perf_counter() - t0, 3)
+        if tag == "1x":  # warm, then re-measure the 1x point
+            t0 = _t.perf_counter()
+            model = fit_dsir(target, d)
+            _noop(dsir_log_weights(model, d))
+            dsir_times[tag] = round(_t.perf_counter() - t0, 3)
+    out["dsir_fit_score"] = {
+        "rows_1x": n_docs,
+        "s_1x": dsir_times["1x"],
+        "s_10x": dsir_times["10x"],
+        "ratio": round(dsir_times["10x"] / dsir_times["1x"], 1),
+    }
+
+    # --- BM25: build 1x vs 10x; pruned vs unpruned serve at 10x -------
+    bm_times = {}
+    for tag, d in (("1x", docs), ("10x", docs10)):
+        t0 = _t.perf_counter()
+        idx = build_bm25_index(d)
+        _noop(idx.postings)
+        bm_times[tag] = round(_t.perf_counter() - t0, 3)
+        if tag == "1x":
+            t0 = _t.perf_counter()
+            idx = build_bm25_index(d)
+            _noop(idx.postings)
+            bm_times[tag] = round(_t.perf_counter() - t0, 3)
+    out["bm25_build"] = {
+        "rows_1x": n_docs,
+        "s_1x": bm_times["1x"],
+        "s_10x": bm_times["10x"],
+        "ratio": round(bm_times["10x"] / bm_times["1x"], 1),
+    }
+    idx10 = build_bm25_index(docs10)
+    idx_path = os.path.join(scratch, "bm25_idx")
+    save_bm25_index(idx10, idx_path, n_buckets=64)
+    disk = load_bm25_index(spark, idx_path)
+    # Two query profiles: HEAD terms (fat postings — a scoring-bound
+    # worst case for pruning) and TAIL terms (selective — the
+    # probe/decontamination shape pruning exists for). The structural
+    # win is BYTES SKIPPED, which scales with the corpus while the
+    # extra bucket-collect job stays O(query terms); wall at 50k docs
+    # is planner-bound and does not represent the 100 TB ratio.
+    by_freq = (
+        idx10.postings.groupBy("term")
+        .count()
+        .filter("count >= 2")
+        .orderBy(F.col("count").desc(), F.col("term").asc())
+        .collect()
+    )
+    term_sets = {
+        "head_terms": [r.term for r in by_freq[:8]],
+        "tail_terms": [r.term for r in by_freq[-8:]],
+    }
+    post_dir = os.path.join(idx_path, "postings")
+    for profile, terms in term_sets.items():
+        queries = spark.createDataFrame(
+            list(enumerate(terms)), "query_id int, query string"
+        )
+        _noop(bm25_topk_on_index(disk, queries, k=10))  # warm
+        t0 = _t.perf_counter()
+        _noop(bm25_topk_on_index(disk, queries, k=10))
+        t_pruned = round(_t.perf_counter() - t0, 3)
+        full = BM25Index(
+            disk.postings.drop("term_bucket"), disk.n_docs, disk.avgdl
+        )
+        _noop(bm25_topk(full, queries, k=10))  # warm
+        t0 = _t.perf_counter()
+        _noop(bm25_topk(full, queries, k=10))
+        t_full = round(_t.perf_counter() - t0, 3)
+        q_buckets = {
+            r.b
+            for r in queries.select(
+                F.explode(F.split(F.lower("query"), " ")).alias("t")
+            )
+            .filter("t != ''")
+            .select(F.pmod(F.xxhash64("t"), F.lit(64)).cast("int").alias("b"))
+            .distinct()
+            .collect()
+        }
+        total_b = pruned_b = 0
+        for root, _dirs, files in os.walk(post_dir):
+            part = os.path.basename(root)
+            sz = sum(
+                os.path.getsize(os.path.join(root, f))
+                for f in files
+                if f.endswith(".parquet")
+            )
+            total_b += sz
+            if (
+                part.startswith("term_bucket=")
+                and int(part.split("=")[1]) in q_buckets
+            ):
+                pruned_b += sz
+        out[f"bm25_serve_10x_{profile}"] = {
+            "queries": len(terms),
+            "pruned_s": t_pruned,
+            "full_scan_s": t_full,
+            "wall_speedup": round(t_full / t_pruned, 2),
+            "buckets_read": len(q_buckets),
+            "buckets_total": 64,
+            "bytes_read_fraction": round(pruned_b / total_b, 3)
+            if total_b
+            else None,
+        }
+
+    # same tail-term query set at n_buckets=512: the bytes fraction is
+    # governed by how much OTHER-term mass co-resides in the touched
+    # buckets, which shrinks as buckets multiply (head-term postings a
+    # query actually scores are irreducible either way)
+    idx_path2 = os.path.join(scratch, "bm25_idx512")
+    save_bm25_index(idx10, idx_path2, n_buckets=512)
+    tail_q = spark.createDataFrame(
+        list(enumerate(term_sets["tail_terms"])), "query_id int, query string"
+    )
+    q_buckets = {
+        r.b
+        for r in tail_q.select(
+            F.pmod(F.xxhash64("query"), F.lit(512)).cast("int").alias("b")
+        )
+        .distinct()
+        .collect()
+    }
+    total_b = pruned_b = 0
+    for root, _dirs, files in os.walk(os.path.join(idx_path2, "postings")):
+        part = os.path.basename(root)
+        sz = sum(
+            os.path.getsize(os.path.join(root, f))
+            for f in files
+            if f.endswith(".parquet")
+        )
+        total_b += sz
+        if part.startswith("term_bucket=") and int(part.split("=")[1]) in q_buckets:
+            pruned_b += sz
+    out["bm25_tail_fraction_512_buckets"] = {
+        "buckets_read": len(q_buckets),
+        "buckets_total": 512,
+        "bytes_read_fraction": round(pruned_b / total_b, 3) if total_b else None,
+    }
+
+    # --- BPE: train on replicated corpus (distinct words unchanged) ---
+    bpe_train = {}
+    for tag, d in (("1x", docs), ("10x", docs10)):
+        t0 = _t.perf_counter()
+        merges = train_bpe_from_docs(d, 15)
+        bpe_train[tag] = round(_t.perf_counter() - t0, 3)
+        if tag == "1x":
+            t0 = _t.perf_counter()
+            merges = train_bpe_from_docs(d, 15)
+            bpe_train[tag] = round(_t.perf_counter() - t0, 3)
+    out["bpe_train_15_merges"] = {
+        "rows_1x": n_docs,
+        "s_1x": bpe_train["1x"],
+        "s_10x": bpe_train["10x"],
+        "ratio": round(bpe_train["10x"] / bpe_train["1x"], 1),
+    }
+    bpe_tok = {}
+    for tag, d in (("1x", docs), ("10x", docs10)):
+        _noop(bpe_tokenize(d, merges).select("doc_id", "bpe_tokens"))  # warm
+        t0 = _t.perf_counter()
+        _noop(bpe_tokenize(d, merges).select("doc_id", "bpe_tokens"))
+        bpe_tok[tag] = round(_t.perf_counter() - t0, 3)
+    out["bpe_tokenize"] = {
+        "rows_1x": n_docs,
+        "s_1x": bpe_tok["1x"],
+        "s_10x": bpe_tok["10x"],
+        "ratio": round(bpe_tok["10x"] / bpe_tok["1x"], 1),
+    }
+    shutil.rmtree(scratch, ignore_errors=True)
+    return out
+
+
 def main() -> None:
     p = argparse.ArgumentParser()
     p.add_argument("--factor", type=int, default=100)
@@ -998,6 +1231,12 @@ def main() -> None:
         "--round9", action="store_true",
         help="run the round-9 operator linearity probes (container "
              "decode, bigram LM, leakage-safe split, seeded export)",
+    )
+    p.add_argument(
+        "--round9b", action="store_true",
+        help="run the round-9 DSIR/BM25/BPE scaling probes (fit+score "
+             "linearity, pruned vs full serve, flat-on-replication "
+             "training)",
     )
     p.add_argument(
         "--skew", type=int, metavar="REPLICATE", default=0,
@@ -1068,6 +1307,12 @@ def main() -> None:
     if args.round9:
         result = round9_experiment(spark, args.sf, args.out)
         print(json.dumps({"experiment": "round9_ops", **result}))
+        spark.stop()
+        return
+
+    if args.round9b:
+        result = round9b_experiment(spark, args.sf, args.out)
+        print(json.dumps({"experiment": "round9b_ops", **result}))
         spark.stop()
         return
 
