@@ -120,6 +120,15 @@ HEADLINE = [
     "embedding_quantized_topk",
     "embedding_ann_lsh",
     "embedding_truncated_topk",  # new round 8: Matryoshka-style serve
+    # new round 9: the lexical/selection layer. All three follow the
+    # train-once-artifact convention: index build / model fit / merge
+    # learning happen at plan-build time (amortized, like the IVF
+    # centroids and bucketed mirrors); timed runs measure the RECURRING
+    # cost — BM25 serving, full-corpus DSIR scoring, corpus
+    # tokenization.
+    "bm25_topk",
+    "dsir_score",
+    "bpe_tokenize",
     # replicate=20, 90% hot key (the 12M-row null-key pathology): the
     # scale where salting beats the AQE-assisted plain join DECISIVELY
     # (1.59x, runs don't overlap), so the regression guard points the
