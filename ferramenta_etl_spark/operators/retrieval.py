@@ -21,8 +21,13 @@ Spark-first shapes, no UDFs anywhere:
   query reuses grouped_topk's WindowGroupLimit rewrite.
 - A PERSISTED index partitions postings by a term-hash bucket;
   serving a loaded index prunes to the query terms' buckets before
-  the scan (partition pruning — at 100 TB the scan reads
-  |query-term buckets| / n_buckets of the postings, not all of them).
+  the scan (partition pruning). Sizing note (measured,
+  SCALING.md round-9): the pruned BYTES fraction is governed by how
+  much co-resident term mass shares the touched buckets, and Zipfian
+  head terms make some buckets fat — size ``n_buckets`` so head-term
+  postings dominate their own buckets (the probe shows 64→512 buckets
+  cutting a tail-term query's read fraction 43.6%→23.2%; the postings
+  a query actually scores are the irreducible floor).
 
 Scoring (classic Okapi BM25, the Robertson/Sparck-Jones idf in its
 non-negative Lucene form):
