@@ -212,3 +212,54 @@ def test_dir_mtime_sees_part_file_rewritten_in_place(tmp_path):
     os.utime(table, (before, before))
     os.utime(sf_dir, (before, before))
     assert _dir_mtime(str(sf_dir)) >= future
+
+
+def test_dsir_scoring_broadcasts_the_ratio_table(spark):
+    """DSIR scoring must join the corpus feature stream against the
+    <=n_buckets-row log-ratio relation WITHOUT shuffling the corpus:
+    broadcast hash join, no row-wise Python anywhere."""
+    from ferramenta_etl_spark.operators.dsir import dsir_log_weights, fit_dsir
+
+    docs = spark.createDataFrame(
+        [(i, f"w{i % 7} common w{i % 3}") for i in range(100)],
+        "doc_id int, text string",
+    )
+    model = fit_dsir(docs.limit(20), docs, n_buckets=64)
+    plan = physical(dsir_log_weights(model, docs))
+    assert "BroadcastHashJoin" in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_bm25_serve_broadcasts_queries_and_group_limits_topk(spark):
+    """BM25 serving: the (small) query-term relation broadcasts so the
+    postings never shuffle for the join, and top-k compiles to the
+    WindowGroupLimit rewrite, not a full per-group sort."""
+    from ferramenta_etl_spark.operators.retrieval import (
+        bm25_topk,
+        build_bm25_index,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"w{i % 7} common w{i % 3}") for i in range(100)],
+        "doc_id int, text string",
+    )
+    idx = build_bm25_index(docs)
+    q = spark.createDataFrame([(0, "common w1")], "query_id int, query string")
+    plan = physical(bm25_topk(idx, q, k=5))
+    assert "BroadcastHashJoin" in plan
+    assert "WindowGroupLimit" in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_bpe_tokenize_is_arrow_batched_narrow_map(spark):
+    """Corpus tokenization must be ArrowEvalPython (vectorized batches),
+    never the row-at-a-time BatchEvalPython, and shuffle-free."""
+    from ferramenta_etl_spark.operators.bpe import bpe_tokenize
+
+    docs = spark.createDataFrame(
+        [(i, "lower newer") for i in range(20)], "doc_id int, text string"
+    )
+    plan = physical(bpe_tokenize(docs, [("l", "o"), ("e", "r")]))
+    assert "ArrowEvalPython" in plan
+    assert "BatchEvalPython" not in plan
+    assert "Exchange" not in plan
