@@ -73,6 +73,12 @@ def main(argv: list[str] | None = None, _stop_session: bool = True) -> int:
         "column); defaults to the corpus's own --min-quality slice",
     )
     p.add_argument(
+        "--dsir-dir", default=None,
+        help="dsir-select: persisted-model directory — loaded when it "
+        "holds a saved artifact (fit once, select many), written after "
+        "fitting otherwise",
+    )
+    p.add_argument(
         "--split-weights", default="train=0.9,val=0.05,test=0.05",
         help="split-dataset: name=weight pairs, comma-separated",
     )
@@ -835,18 +841,35 @@ def main(argv: list[str] | None = None, _stop_session: bool = True) -> int:
             # --min-quality slice) vs the whole corpus, then Gumbel
             # top-n sample ∝ importance weight. Snapshot parquet of
             # (doc_id, log_w).
-            from .operators.dsir import dsir_log_weights, dsir_resample, fit_dsir
+            from .operators.dsir import (
+                dsir_log_weights,
+                dsir_resample,
+                fit_dsir,
+                load_dsir,
+                save_dsir,
+            )
             from .operators.text import quality_score
             from .sources import load_table
 
             docs = load_table(spark, args.sf_dir, "documents")
-            if args.target_path:
-                target = spark.read.parquet(args.target_path)
-            else:
-                target = docs.filter(
-                    quality_score(docs.text) >= args.min_quality
-                )
-            model = fit_dsir(target, docs)
+            model = None
+            if args.dsir_dir:
+                try:
+                    model = load_dsir(spark, args.dsir_dir)
+                    print(f"   loaded DSIR model from {args.dsir_dir}")
+                except Exception:  # noqa: BLE001 — no artifact yet: fit
+                    model = None
+            if model is None:
+                if args.target_path:
+                    target = spark.read.parquet(args.target_path)
+                else:
+                    target = docs.filter(
+                        quality_score(docs.text) >= args.min_quality
+                    )
+                model = fit_dsir(target, docs)
+                if args.dsir_dir:
+                    save_dsir(model, args.dsir_dir)
+                    model = load_dsir(spark, args.dsir_dir)  # use the artifact
             weights = dsir_log_weights(model, docs)
             picked = dsir_resample(weights, args.n_select, seed=args.seed)
             out_dir = f"{args.sink_dir}/dsir_selected"

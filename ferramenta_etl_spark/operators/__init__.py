@@ -122,4 +122,6 @@ from .dsir import (  # noqa: F401
     dsir_resample,
     fit_dsir,
     hashed_ngram_buckets,
+    load_dsir,
+    save_dsir,
 )

@@ -210,6 +210,58 @@ def dsir_log_weights(
     )
 
 
+def save_dsir(model: DSIRModel, path: str) -> None:
+    """Persist the fitted model under ``path``: ``log_ratio/`` parquet
+    plus ``_dsir_meta.json`` — fit once against the target domain,
+    score many crawls, the same artifact discipline as the persisted
+    LM and ANN indexes. Meta I/O goes through the Hadoop FS layer so
+    HDFS/S3 paths work."""
+    import json
+    import os
+
+    from ..sinks.layout import _fs_write_text
+
+    spark = model.log_ratio.sparkSession
+    model.log_ratio.write.mode("overwrite").parquet(
+        os.path.join(path, "log_ratio")
+    )
+    _fs_write_text(
+        spark,
+        os.path.join(path, "_dsir_meta.json"),
+        json.dumps(
+            {
+                "format": "dsir_hashed_ngram",
+                "default_log_ratio": model.default_log_ratio,
+                "n_buckets": model.n_buckets,
+                "ns": list(model.ns),
+                "hash_family": model.hash_family,
+            }
+        ),
+    )
+
+
+def load_dsir(spark, path: str) -> DSIRModel:
+    """Load a ``save_dsir`` artifact; scoring against it is identical
+    to scoring against the freshly fitted model (pinned in tests)."""
+    import json
+    import os
+
+    from ..sinks.layout import _fs_read_text
+
+    meta = json.loads(
+        _fs_read_text(spark, os.path.join(path, "_dsir_meta.json"))
+    )
+    if meta.get("format") != "dsir_hashed_ngram":
+        raise ValueError(f"not a dsir_hashed_ngram artifact: {path}")
+    return DSIRModel(
+        log_ratio=spark.read.parquet(os.path.join(path, "log_ratio")),
+        default_log_ratio=float(meta["default_log_ratio"]),
+        n_buckets=int(meta["n_buckets"]),
+        ns=tuple(int(n) for n in meta["ns"]),
+        hash_family=str(meta["hash_family"]),
+    )
+
+
 def gumbel_key(log_w, id_col, seed: int, hash_family: str = "xxhash64"):
     """log_w + Gumbel(0,1) noise derived deterministically from
     (id, seed): u = (hash mod 2^60 + 0.5) / 2^60 in (0,1),

@@ -409,3 +409,19 @@ def test_cli_dsir_select(cli_tmp, capsys, spark):
     a = {r.doc_id for r in back.collect()}
     b = {r.doc_id for r in spark.read.parquet(f"{s2}/dsir_selected").collect()}
     assert a == b
+
+
+def test_cli_dsir_select_model_dir_reuse(cli_tmp, capsys, spark):
+    """--dsir-dir: first run fits + persists, second run loads the
+    artifact (announced) and selects the identical id set."""
+    s1, s2 = str(cli_tmp / "da"), str(cli_tmp / "db")
+    d = str(cli_tmp / "dsir_model")
+    assert _run("dsir-select", "--sink-dir", s1, "--dsir-dir", d,
+                "--n-select", "15", "--seed", "7") == 0
+    capsys.readouterr()
+    assert _run("dsir-select", "--sink-dir", s2, "--dsir-dir", d,
+                "--n-select", "15", "--seed", "7") == 0
+    assert "loaded DSIR model from" in capsys.readouterr().out
+    a = {r.doc_id for r in spark.read.parquet(f"{s1}/dsir_selected").collect()}
+    b = {r.doc_id for r in spark.read.parquet(f"{s2}/dsir_selected").collect()}
+    assert a == b

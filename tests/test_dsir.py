@@ -206,3 +206,30 @@ def test_default_ratio_covers_unseen_buckets(spark, corpora, model):
     lo = min(lrs + [model.default_log_ratio]) * 5
     hi = max(lrs + [model.default_log_ratio]) * 5
     assert lo <= got <= hi
+
+
+def test_model_save_load_roundtrip(spark, corpora, model, tmp_path):
+    """Persisted-model artifact: loading reproduces every weight (the
+    per-doc sum accumulates the same broadcast-joined terms; compare at
+    1e-12 for float-sum order), and a wrong/absent artifact fails
+    loudly."""
+    from ferramenta_etl_spark.operators.dsir import load_dsir, save_dsir
+
+    _, _, pool = corpora
+    path = str(tmp_path / "dsir")
+    save_dsir(model, path)
+    back = load_dsir(spark, path)
+    assert (back.n_buckets, back.ns, back.hash_family) == (
+        model.n_buckets, model.ns, model.hash_family
+    )
+    assert back.default_log_ratio == pytest.approx(
+        model.default_log_ratio, rel=1e-15
+    )
+    df = spark.createDataFrame(list(enumerate(pool)), "doc_id int, text string")
+    a = {r.doc_id: r.log_w for r in dsir_log_weights(model, df).collect()}
+    b = {r.doc_id: r.log_w for r in dsir_log_weights(back, df).collect()}
+    assert set(a) == set(b)
+    for d in a:
+        assert b[d] == pytest.approx(a[d], rel=1e-12)
+    with pytest.raises(Exception):
+        load_dsir(spark, str(tmp_path / "nope"))
