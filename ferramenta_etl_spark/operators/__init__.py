@@ -114,7 +114,9 @@ from .retrieval import (  # noqa: F401
     bm25_topk,
     bm25_topk_on_index,
     build_bm25_index,
+    hybrid_topk,
     load_bm25_index,
+    rrf_fuse,
     save_bm25_index,
 )
 from .dsir import (  # noqa: F401

@@ -162,6 +162,96 @@ def bm25_topk(
     )
 
 
+# ------------------------------------------------------------ hybrid fusion
+
+
+def rrf_fuse(
+    rankings: "list[DataFrame]",
+    k: int = 10,
+    rrf_k: int = 60,
+    query_id_col: str = "query_id",
+    id_col: str = "doc_id",
+    rank_col: str = "rank",
+) -> DataFrame:
+    """Reciprocal rank fusion (Cormack/Clarke/Büttcher 2009) of N
+    per-query rankings: fused(q, d) = sum over lists containing d of
+    1 / (rrf_k + rank). The standard way to combine BM25's lexical
+    ranking with a dense ANN ranking without score calibration —
+    only RANKS cross the boundary, so the two scorers' incomparable
+    score scales never meet.
+
+    Plan: unionByName of the (already top-k-sized) rankings → one
+    (query, doc) aggregation → grouped top-k. Inputs are k×queries
+    rows each, so everything after the input rankings is tiny."""
+    if not rankings:
+        raise ValueError("rrf_fuse needs at least one ranking")
+    if rrf_k < 1:
+        raise ValueError(f"rrf_k must be >= 1, got {rrf_k}")
+    parts = [
+        r.select(
+            F.col(query_id_col),
+            F.col(id_col),
+            (F.lit(1.0) / (F.lit(float(rrf_k)) + F.col(rank_col))).alias("__c"),
+        )
+        for r in rankings
+    ]
+    allr = parts[0]
+    for pr in parts[1:]:
+        allr = allr.unionByName(pr)
+    fused = allr.groupBy(query_id_col, id_col).agg(
+        F.sum("__c").alias("rrf_score")
+    )
+    return grouped_topk(
+        fused,
+        [query_id_col],
+        [F.col("rrf_score").desc(), F.col(id_col).asc()],
+        k,
+        rank_col="rank",
+    )
+
+
+def hybrid_topk(
+    index: BM25Index,
+    corpus_embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    candidates_per_arm: int | None = None,
+    rrf_k: int = 60,
+    query_id_col: str = "query_id",
+    query_col: str = "query",
+    query_vec_col: str = "query_vec",
+    id_col: str = "doc_id",
+    vec_col: str = "embedding",
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """Hybrid lexical+dense retrieval: BM25 over ``index`` and exact
+    cosine over ``corpus_embeddings`` (keyed by the same doc ids), each
+    producing ``candidates_per_arm`` (default 2k) candidates, fused
+    with reciprocal rank fusion. ``queries`` carries BOTH
+    representations: (query_id, query text, query_vec). Swap the dense
+    arm for ivf_topk/pq_topk at scale — any (query_id, id, rank)
+    relation fuses."""
+    from .similarity import cosine_topk
+
+    n = candidates_per_arm or 2 * k
+    lex = bm25_topk(
+        index, queries, k=n, k1=k1, b=b,
+        query_id_col=query_id_col, query_col=query_col,
+    ).select(query_id_col, id_col, "rank")
+    den = cosine_topk(
+        corpus_embeddings, queries, k=n,
+        id_col=id_col, vec_col=vec_col,
+        query_id_col=query_id_col, query_vec_col=query_vec_col,
+    ).select(
+        F.col(query_id_col), F.col(id_col), F.col("rnk").alias("rank")
+    )
+    return rrf_fuse(
+        [lex, den], k=k, rrf_k=rrf_k,
+        query_id_col=query_id_col, id_col=id_col,
+    )
+
+
 # --------------------------------------------------------------- persistence
 
 _META_SCHEMA = "n_docs bigint, avgdl double, n_buckets int"

@@ -151,3 +151,115 @@ def test_empty_corpus_rejected(spark):
     df = spark.createDataFrame([], "doc_id int, text string")
     with pytest.raises(ValueError, match="empty"):
         build_bm25_index(df)
+
+
+# ------------------------------------------------------------ hybrid fusion
+
+
+def py_rrf(rankings, k, rrf_k=60):
+    """{query: [(doc, score)...k]} from lists of {(query, doc): rank}."""
+    scores = {}
+    for ranking in rankings:
+        for (q, d), r in ranking.items():
+            scores[(q, d)] = scores.get((q, d), 0.0) + 1.0 / (rrf_k + r)
+    by_q = {}
+    for (q, d), s in scores.items():
+        by_q.setdefault(q, []).append((d, s))
+    return {
+        q: sorted(ds, key=lambda x: (-x[1], x[0]))[:k] for q, ds in by_q.items()
+    }
+
+
+def test_rrf_fuse_matches_python(spark):
+    import random
+
+    rng = random.Random(5)
+    a, b = {}, {}
+    for q in range(3):
+        docs = rng.sample(range(50), 10)
+        for r, d in enumerate(docs, start=1):
+            a[(q, d)] = r
+        docs = rng.sample(range(50), 10)
+        for r, d in enumerate(docs, start=1):
+            b[(q, d)] = r
+    from ferramenta_etl_spark.operators.retrieval import rrf_fuse
+
+    dfa = spark.createDataFrame(
+        [(q, d, r) for (q, d), r in a.items()], "query_id int, doc_id int, rank int"
+    )
+    dfb = spark.createDataFrame(
+        [(q, d, r) for (q, d), r in b.items()], "query_id int, doc_id int, rank int"
+    )
+    got = rrf_fuse([dfa, dfb], k=5).collect()
+    want = py_rrf([a, b], k=5)
+    by_q = {}
+    for r in got:
+        by_q.setdefault(r.query_id, []).append(r)
+    for q in range(3):
+        rows = sorted(by_q[q], key=lambda r: r.rank)
+        assert [r.doc_id for r in rows] == [d for d, _ in want[q]]
+        for r, (_, s) in zip(rows, want[q]):
+            assert r.rrf_score == pytest.approx(s, abs=1e-12)
+
+
+def test_rrf_doc_in_both_lists_outranks_single_list(spark):
+    """A doc ranked mid-list by BOTH arms must beat a doc that only one
+    arm ranked (the point of fusion)."""
+    from ferramenta_etl_spark.operators.retrieval import rrf_fuse
+
+    dfa = spark.createDataFrame(
+        [(0, 100, 1), (0, 7, 3)], "query_id int, doc_id int, rank int"
+    )
+    dfb = spark.createDataFrame(
+        [(0, 200, 1), (0, 7, 3)], "query_id int, doc_id int, rank int"
+    )
+    rows = {r.doc_id: r.rank for r in rrf_fuse([dfa, dfb], k=3).collect()}
+    assert rows[7] == 1  # 2/(60+3) > 1/(60+1)
+
+
+def test_hybrid_topk_fuses_lexical_and_dense(spark, corpus, index):
+    """End-to-end hybrid: ids present in both arms' top lists surface;
+    result equals rrf_fuse of the two arms computed separately."""
+    import random
+
+    from ferramenta_etl_spark.operators.retrieval import (
+        bm25_topk,
+        hybrid_topk,
+        rrf_fuse,
+    )
+    from ferramenta_etl_spark.operators.similarity import cosine_topk
+
+    rng = random.Random(3)
+    emb = spark.createDataFrame(
+        [(i, [rng.gauss(0, 1) for _ in range(8)]) for i in corpus],
+        "doc_id int, embedding array<double>",
+    )
+    queries = spark.createDataFrame(
+        [(0, "spark shuffle", [rng.gauss(0, 1) for _ in range(8)]),
+         (1, "parquet index", [rng.gauss(0, 1) for _ in range(8)])],
+        "query_id int, query string, query_vec array<double>",
+    )
+    got = sorted(
+        (r.query_id, r.doc_id, round(r.rrf_score, 12), r.rank)
+        for r in hybrid_topk(index, emb, queries, k=5).collect()
+    )
+    lex = bm25_topk(index, queries, k=10).select("query_id", "doc_id", "rank")
+    den = cosine_topk(emb, queries, k=10, id_col="doc_id").select(
+        "query_id", "doc_id", F.col("rnk").alias("rank")
+    )
+    want = sorted(
+        (r.query_id, r.doc_id, round(r.rrf_score, 12), r.rank)
+        for r in rrf_fuse([lex, den], k=5).collect()
+    )
+    assert got == want
+    assert len({q for q, *_ in got}) == 2
+
+
+def test_rrf_param_validation(spark):
+    from ferramenta_etl_spark.operators.retrieval import rrf_fuse
+
+    with pytest.raises(ValueError, match="at least one"):
+        rrf_fuse([], k=5)
+    df = spark.createDataFrame([(0, 1, 1)], "query_id int, doc_id int, rank int")
+    with pytest.raises(ValueError, match="rrf_k"):
+        rrf_fuse([df], rrf_k=0)
