@@ -38,6 +38,7 @@ from .quantize import (  # noqa: F401
 )
 from .similarity import dedup_semantic, lsh_ann_topk  # noqa: F401
 from .sampling import (  # noqa: F401
+    cluster_balanced_sample,
     hash_sample,
     proportional_allocation,
     sample_exact_n,

@@ -248,3 +248,60 @@ def sample_exact_n(
     return df.orderBy(
         _bucket(F.col(id_col), seed).asc(), F.col(id_col).asc()
     ).limit(int(n))
+
+
+def cluster_balanced_sample(
+    items: DataFrame,
+    embeddings: DataFrame,
+    total: int,
+    n_clusters: int = 16,
+    alpha: float = 0.0,
+    lloyd_iters: int = 1,
+    id_col: str = "doc_id",
+    vec_id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 0,
+) -> DataFrame:
+    """Diversity sampling: ~``total`` rows allocated across k-means
+    clusters of the EMBEDDING space by |cluster|^alpha — alpha=0 takes
+    (near-)equal counts per cluster, so a corpus that is 90% one topic
+    cannot fill the sample with it; alpha=1 degrades to proportional
+    (plain stratified) sampling. The SemDeDup-era recipe for seeding
+    eval sets and curriculum mixes with embedding-space coverage
+    instead of frequency-weighted coverage.
+
+    Pure composition of existing scale pieces: deterministic seed
+    centroids + Lloyd refinement (similarity.derive_centroids /
+    lloyd_refine — index-build-class driver jobs over k*d metadata),
+    zero-shuffle cluster assignment (assign_ivf_buckets' literal
+    projection), one join of ``items`` against the (id, cluster)
+    relation, then temperature_allocation's quota sampler. Every stage
+    is deterministic in (data, seed), so reruns pick identical rows.
+
+    ``items`` rows with no embedding are DROPPED (they cannot be placed
+    in a cluster) — same contract as dedup_semantic's vector-keyed
+    join; left-join your sample back onto the corpus if you need the
+    remainder.
+
+    Seeding caveat (inherited from derive_centroids): seed centroids
+    are the first ``n_clusters`` vectors BY ID. If id adjacency
+    correlates with content (one crawl segment = one id range), the
+    seeds can all land in one region and Lloyd refinement may need
+    more iterations — remap ids (xxhash64) or raise ``n_clusters``
+    well above the expected topic count, the standard over-clustering
+    hedge."""
+    from .similarity import assign_ivf_buckets, derive_centroids, lloyd_refine
+
+    cents = derive_centroids(embeddings, n_clusters, vec_id_col, vec_col)
+    if not cents:
+        raise ValueError("embeddings relation has no usable (non-zero) vectors")
+    cents = lloyd_refine(
+        embeddings, cents, iters=lloyd_iters, id_col=vec_id_col, vec_col=vec_col
+    )
+    assigned = assign_ivf_buckets(embeddings, cents, vec_id_col, vec_col).select(
+        F.col(vec_id_col).alias(id_col), F.col("centroid_id").alias("__cluster")
+    )
+    tagged = items.join(assigned, id_col, "inner")
+    return temperature_allocation(
+        tagged, ["__cluster"], total, alpha=alpha, id_col=id_col, seed=seed
+    ).drop("__cluster")

@@ -224,3 +224,79 @@ def test_sample_exact_n_exact_deterministic_nested(spark):
     plan = (SMP.sample_exact_n(df, 100)._jdf.queryExecution()
             .executedPlan().toString())
     assert "TakeOrderedAndProject" in plan
+
+
+def test_cluster_balanced_sample_covers_minority_clusters(spark):
+    """Three planted gaussian clusters at 500/50/10 docs: alpha=0 must
+    take near-equal counts per cluster (the 90% topic cannot swamp the
+    sample), be deterministic across reruns/partitionings, and drop
+    nothing it shouldn't."""
+    import random
+
+    from ferramenta_etl_spark.operators.sampling import cluster_balanced_sample
+
+    rng = random.Random(31)
+    centers = {0: [5.0, 0.0, 0.0], 1: [0.0, 5.0, 0.0], 2: [0.0, 0.0, 5.0]}
+    sizes = {0: 500, 1: 50, 2: 10}
+    # ids INTERLEAVED across clusters: derive_centroids seeds from the
+    # first n ids by contract (documented adjacency caveat), so the
+    # fixture must not hand every seed to the dominant cluster — this
+    # test pins the allocation math, not k-means initialization luck
+    pools = {
+        c: [
+            [m + rng.gauss(0, 0.3) for m in centers[c]]
+            for _ in range(n)
+        ]
+        for c, n in sizes.items()
+    }
+    rows, truth, i = [], {}, 0
+    while any(pools.values()):
+        for c in sizes:
+            if pools[c]:
+                rows.append((i, pools[c].pop()))
+                truth[i] = c
+                i += 1
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    items = spark.createDataFrame(
+        [(j, f"doc {j}") for j in range(i)], "doc_id long, text string"
+    )
+    got = cluster_balanced_sample(
+        items, emb, total=30, n_clusters=3, alpha=0.0, lloyd_iters=2, seed=5
+    )
+    ids = sorted(r.doc_id for r in got.collect())
+    per_planted = {c: 0 for c in sizes}
+    for d in ids:
+        per_planted[truth[d]] += 1
+    # every planted cluster represented, and the tiny one (10 docs) is
+    # strongly over-represented vs its 1.8% corpus share
+    assert all(v > 0 for v in per_planted.values()), per_planted
+    assert per_planted[2] >= 5, per_planted
+    # deterministic across repartitioning
+    again = sorted(
+        r.doc_id
+        for r in cluster_balanced_sample(
+            items.repartition(7), emb.repartition(5), total=30,
+            n_clusters=3, alpha=0.0, lloyd_iters=2, seed=5,
+        ).collect()
+    )
+    assert again == ids
+    # alpha=1 degrades toward proportional: the dominant cluster takes
+    # a strict majority
+    prop = cluster_balanced_sample(
+        items, emb, total=30, n_clusters=3, alpha=1.0, lloyd_iters=2, seed=5
+    )
+    per = {c: 0 for c in sizes}
+    for r in prop.collect():
+        per[truth[r.doc_id]] += 1
+    assert per[0] > sum(per.values()) / 2, per
+
+
+def test_cluster_balanced_sample_rejects_empty_embeddings(spark):
+    from ferramenta_etl_spark.operators.sampling import cluster_balanced_sample
+
+    items = spark.createDataFrame([(0, "x")], "doc_id long, text string")
+    emb = spark.createDataFrame([], "vec_id long, embedding array<double>")
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="no usable"):
+        cluster_balanced_sample(items, emb, total=5)
