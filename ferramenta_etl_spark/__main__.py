@@ -719,14 +719,15 @@ def main(argv: list[str] | None = None, _stop_session: bool = True) -> int:
             )
             from .sources import load_table
 
+            from .sinks.layout import _fs_exists
+
             docs = load_table(spark, args.sf_dir, "documents")
             lm = None
-            if args.lm_dir:
-                try:
-                    lm = load_lm(spark, args.lm_dir)
-                    print(f"   loaded LM from {args.lm_dir} (V={lm.v})")
-                except Exception:  # noqa: BLE001 — no artifact yet: train
-                    lm = None
+            # existence-probe, don't except-swallow (same contract as
+            # dsir-select): a present-but-broken artifact fails loudly
+            if args.lm_dir and _fs_exists(spark, f"{args.lm_dir}/_lm_meta.json"):
+                lm = load_lm(spark, args.lm_dir)
+                print(f"   loaded LM from {args.lm_dir} (V={lm.v})")
             if lm is None:
                 lm = train_bigram_lm(
                     docs, k=args.lm_k, min_count=args.lm_min_count
@@ -851,14 +852,19 @@ def main(argv: list[str] | None = None, _stop_session: bool = True) -> int:
             from .operators.text import quality_score
             from .sources import load_table
 
+            from .sinks.layout import _fs_exists
+
             docs = load_table(spark, args.sf_dir, "documents")
             model = None
-            if args.dsir_dir:
-                try:
-                    model = load_dsir(spark, args.dsir_dir)
-                    print(f"   loaded DSIR model from {args.dsir_dir}")
-                except Exception:  # noqa: BLE001 — no artifact yet: fit
-                    model = None
+            # existence-probe, don't except-swallow: a PRESENT but
+            # corrupt/foreign/unreadable artifact must fail loudly
+            # instead of being silently refit (possibly from different
+            # --target-path/--min-quality) and overwritten
+            if args.dsir_dir and _fs_exists(
+                spark, f"{args.dsir_dir}/_dsir_meta.json"
+            ):
+                model = load_dsir(spark, args.dsir_dir)
+                print(f"   loaded DSIR model from {args.dsir_dir}")
             if model is None:
                 if args.target_path:
                     target = spark.read.parquet(args.target_path)

@@ -115,37 +115,38 @@ def train_bpe(
         F.col(count_col).cast("long").alias("cnt"),
     ).localCheckpoint(eager=True)
     merges: list[tuple[str, str]] = []
-    try:
-        for _ in range(num_merges):
-            m = F.size(F.col("syms")) - F.lit(1)
-            pairs = cur.select(
-                F.explode(
-                    F.zip_with(
-                        F.slice(F.col("syms"), 1, m),
-                        F.slice(F.col("syms"), 2, m),
-                        lambda x, y: F.struct(x.alias("a"), y.alias("b")),
-                    )
-                ).alias("p"),
-                "cnt",
-            )
-            best = (
-                pairs.groupBy("p.a", "p.b")
-                .agg(F.sum("cnt").alias("c"))
-                .orderBy(F.col("c").desc(), F.col("a").asc(), F.col("b").asc())
-                .limit(1)
-                .collect()
-            )
-            if not best or best[0].c < min_pair_count:
-                break
-            a, b = best[0].a, best[0].b
-            merges.append((a, b))
-            nxt = cur.select(
-                _merge_fold(F.col("syms"), a, b).alias("syms"), "cnt"
-            ).localCheckpoint(eager=True)
-            cur.unpersist()
-            cur = nxt
-    finally:
-        cur.unpersist()
+    # superseded checkpoints are released by the ContextCleaner once the
+    # old DataFrame is garbage-collected (DataFrame.unpersist would be a
+    # no-op here — it only drops cacheManager entries, and localCheckpoint
+    # blocks are RDD storage; same GC reliance as dedup.py's iterative
+    # connected-components loop). `cur = nxt` drops the only reference
+    # each round, so at most a couple of snapshots coexist.
+    for _ in range(num_merges):
+        m = F.size(F.col("syms")) - F.lit(1)
+        pairs = cur.select(
+            F.explode(
+                F.zip_with(
+                    F.slice(F.col("syms"), 1, m),
+                    F.slice(F.col("syms"), 2, m),
+                    lambda x, y: F.struct(x.alias("a"), y.alias("b")),
+                )
+            ).alias("p"),
+            "cnt",
+        )
+        best = (
+            pairs.groupBy("p.a", "p.b")
+            .agg(F.sum("cnt").alias("c"))
+            .orderBy(F.col("c").desc(), F.col("a").asc(), F.col("b").asc())
+            .limit(1)
+            .collect()
+        )
+        if not best or best[0].c < min_pair_count:
+            break
+        a, b = best[0].a, best[0].b
+        merges.append((a, b))
+        cur = cur.select(
+            _merge_fold(F.col("syms"), a, b).alias("syms"), "cnt"
+        ).localCheckpoint(eager=True)
     return merges
 
 
@@ -198,11 +199,14 @@ def bpe_tokenize(
     cache absorbs almost every lookup; the merge list ships once per
     executor via closure capture."""
     merges_local = [tuple(m) for m in merges]
+    # the cache lives in the UDF's closure, NOT inside enc: Spark calls
+    # enc once per Arrow batch, so a per-call dict would re-encode the
+    # Zipfian head ('the', 'a', ...) every ~10k rows; here it survives
+    # for the deserialized UDF's lifetime on each executor
+    cache: dict[str, list[str]] = {}
 
     @F.pandas_udf(ArrayType(StringType()))
     def enc(texts: pd.Series) -> pd.Series:
-        cache: dict[str, list[str]] = {}
-
         def enc_text(t):
             if t is None:
                 return None

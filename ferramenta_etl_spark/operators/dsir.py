@@ -152,12 +152,17 @@ def fit_dsir(
     if alpha <= 0:
         raise ValueError(f"alpha must be > 0 (smoothing floor), got {alpha}")
     ns = tuple(ns)
-    t_counts = _corpus_bucket_counts(target, text_col, n_buckets, ns, hash_family)
-    r_counts = _corpus_bucket_counts(raw, text_col, n_buckets, ns, hash_family)
+    # each corpus is scanned EXACTLY ONCE: the <= n_buckets-row count
+    # relations are checkpointed eagerly, so the totals collects below
+    # and every later action on log_ratio (each dsir_log_weights call,
+    # save_dsir) re-read the tiny checkpoint, never the corpora
+    t_counts = _corpus_bucket_counts(
+        target, text_col, n_buckets, ns, hash_family
+    ).localCheckpoint(eager=True)
+    r_counts = _corpus_bucket_counts(
+        raw, text_col, n_buckets, ns, hash_family
+    ).localCheckpoint(eager=True)
 
-    # totals: one scalar per corpus. Re-aggregating the bucket-count
-    # relation (<= n_buckets rows) instead of the corpus keeps this a
-    # cheap second job on an already-small input.
     t_total = t_counts.agg(F.coalesce(F.sum("c"), F.lit(0))).collect()[0][0]
     r_total = r_counts.agg(F.coalesce(F.sum("c"), F.lit(0))).collect()[0][0]
     t_norm = math.log(t_total + alpha * n_buckets)

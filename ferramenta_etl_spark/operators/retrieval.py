@@ -235,10 +235,17 @@ def hybrid_topk(
     from .similarity import cosine_topk
 
     n = candidates_per_arm or 2 * k
+    # bm25_topk emits canonical (query_id, doc_id, ...) names regardless
+    # of its input column params — alias back to the caller's names so
+    # the fuse keys line up with the dense arm's
     lex = bm25_topk(
         index, queries, k=n, k1=k1, b=b,
         query_id_col=query_id_col, query_col=query_col,
-    ).select(query_id_col, id_col, "rank")
+    ).select(
+        F.col("query_id").alias(query_id_col),
+        F.col("doc_id").alias(id_col),
+        "rank",
+    )
     den = cosine_topk(
         corpus_embeddings, queries, k=n,
         id_col=id_col, vec_col=vec_col,
@@ -254,18 +261,23 @@ def hybrid_topk(
 
 # --------------------------------------------------------------- persistence
 
-_META_SCHEMA = "n_docs bigint, avgdl double, n_buckets int"
-
 
 def save_bm25_index(
     index: BM25Index, path: str, n_buckets: int = 64
 ) -> None:
     """Persist the index: postings parquet partitioned by a term-hash
-    bucket (pmod(xxhash64(term), n_buckets)) + a one-row meta relation.
-    The bucket partitioning is what buys serve-time partition PRUNING:
-    a loaded query touches only its terms' buckets, so the scan cost
-    scales with the query's vocabulary, not the corpus's. All I/O goes
-    through Spark writers — works on any Hadoop-visible filesystem."""
+    bucket (pmod(xxhash64(term), n_buckets)) + a ``_bm25_meta.json``
+    sidecar written LAST (a crash mid-save leaves no meta, so a
+    half-written index can never load). The bucket partitioning is what
+    buys serve-time partition PRUNING: a loaded query touches only its
+    terms' buckets, so the scan cost scales with the query's
+    vocabulary, not the corpus's. I/O goes through Spark writers / the
+    Hadoop FS layer — works on any Hadoop-visible filesystem."""
+    import json
+    import os
+
+    from ..sinks.layout import _fs_write_text
+
     spark = index.postings.sparkSession
     (
         index.postings.withColumn(
@@ -274,12 +286,20 @@ def save_bm25_index(
         .repartition("term_bucket")
         .write.mode("overwrite")
         .partitionBy("term_bucket")
-        .parquet(path.rstrip("/") + "/postings")
+        .parquet(os.path.join(path, "postings"))
     )
-    meta = spark.createDataFrame(
-        [(index.n_docs, index.avgdl, n_buckets)], _META_SCHEMA
+    _fs_write_text(
+        spark,
+        os.path.join(path, "_bm25_meta.json"),
+        json.dumps(
+            {
+                "format": "bm25_index",
+                "n_docs": index.n_docs,
+                "avgdl": index.avgdl,
+                "n_buckets": n_buckets,
+            }
+        ),
     )
-    meta.write.mode("overwrite").parquet(path.rstrip("/") + "/meta")
 
 
 class BM25DiskIndex(NamedTuple):
@@ -290,9 +310,25 @@ class BM25DiskIndex(NamedTuple):
 
 
 def load_bm25_index(spark: SparkSession, path: str) -> BM25DiskIndex:
-    meta = spark.read.parquet(path.rstrip("/") + "/meta").collect()[0]
-    postings = spark.read.parquet(path.rstrip("/") + "/postings")
-    return BM25DiskIndex(postings, meta.n_docs, meta.avgdl, meta.n_buckets)
+    """Load a ``save_bm25_index`` artifact; fails loudly on a foreign
+    or half-written directory (same contract as load_lm/load_dsir)."""
+    import json
+    import os
+
+    from ..sinks.layout import _fs_read_text
+
+    meta = json.loads(
+        _fs_read_text(spark, os.path.join(path, "_bm25_meta.json"))
+    )
+    if meta.get("format") != "bm25_index":
+        raise ValueError(f"not a bm25_index artifact: {path}")
+    postings = spark.read.parquet(os.path.join(path, "postings"))
+    return BM25DiskIndex(
+        postings,
+        int(meta["n_docs"]),
+        float(meta["avgdl"]),
+        int(meta["n_buckets"]),
+    )
 
 
 def bm25_topk_on_index(

@@ -279,6 +279,16 @@ def _fs_and_path(spark: SparkSession, path: str):
     return jvm, fs, fs.makeQualified(p)
 
 
+def _fs_exists(spark: SparkSession, path: str) -> bool:
+    """True iff ``path`` exists on whatever filesystem owns it — the
+    probe the artifact loaders' callers use to distinguish 'not fitted
+    yet' (fall through to fitting) from 'artifact present but
+    unreadable/foreign' (which must stay a loud error, not a silent
+    refit that overwrites the pinned model)."""
+    _jvm, fs, p = _fs_and_path(spark, path)
+    return bool(fs.exists(p))
+
+
 def _fs_write_text(spark: SparkSession, path: str, text: str) -> None:
     """Write-then-ATOMIC-overwrite-rename through the Hadoop FileContext
     API: readers of the final name either see the old manifest or the

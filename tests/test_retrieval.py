@@ -137,14 +137,34 @@ def test_persisted_index_serves_identically(spark, corpus, index, tmp_path):
 
 
 def test_pruned_serve_reads_only_query_buckets(spark, corpus, index, tmp_path):
-    """The partition filter must land in the scan: the pruned plan
-    reads strictly fewer files than the full postings directory."""
+    """The bucket filter must land as a PARTITION filter on the scan
+    (a post-scan Filter row would still 'work' while reading every
+    bucket's files), and the scan must touch strictly fewer files than
+    the full postings directory holds."""
+    import re
+
     path = str(tmp_path / "bm25p")
     save_bm25_index(index, path, n_buckets=16)
     disk = load_bm25_index(spark, path)
     qdf = spark.createDataFrame([(0, "join")], "query_id int, query string")
-    plan = bm25_topk_on_index(disk, qdf, k=3)._jdf.queryExecution().executedPlan().toString()
-    assert "term_bucket" in plan  # the partition filter survived to the scan
+    plan = (
+        bm25_topk_on_index(disk, qdf, k=3)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m and "term_bucket" in m.group(1), plan
+    # one single-term query = exactly one bucket of 16: the pruned scan
+    # declares fewer partitions than exist on disk
+    n_dirs = len(
+        [d for d in __import__("os").listdir(f"{path}/postings")
+         if d.startswith("term_bucket=")]
+    )
+    assert n_dirs > 1  # the fixture really is spread over buckets
+    sel = re.search(r"(\d+) parts selected", plan)
+    if sel:  # plan-string detail varies by Spark version; filter is pinned above
+        assert int(sel.group(1)) < n_dirs
 
 
 def test_empty_corpus_rejected(spark):
@@ -263,3 +283,16 @@ def test_rrf_param_validation(spark):
     df = spark.createDataFrame([(0, 1, 1)], "query_id int, doc_id int, rank int")
     with pytest.raises(ValueError, match="rrf_k"):
         rrf_fuse([df], rrf_k=0)
+
+
+def test_load_bm25_index_fails_loudly_on_foreign_dir(spark, tmp_path):
+    from ferramenta_etl_spark.operators.retrieval import load_bm25_index
+
+    with pytest.raises(Exception):  # absent artifact
+        load_bm25_index(spark, str(tmp_path / "nope"))
+    # present-but-foreign meta: the format marker rejects it
+    bad = tmp_path / "bad"
+    bad.mkdir()
+    (bad / "_bm25_meta.json").write_text('{"format": "something_else"}')
+    with pytest.raises(ValueError, match="bm25_index"):
+        load_bm25_index(spark, str(bad))
