@@ -54,9 +54,20 @@ def main(argv: list[str] | None = None, _stop_session: bool = True) -> int:
             "neardup-admit", "make-dataset", "ann-index", "ann-query",
             "media-curate", "vocab", "mine-negatives", "verify-dataset",
             "split-dataset", "ppl-score", "bpe-train", "bpe-encode",
-            "bm25-index", "bm25-query", "dsir-select",
+            "bm25-index", "bm25-query", "dsir-select", "quality-classify",
         ],
     )
+    p.add_argument(
+        "--clf-dir", default=None,
+        help="quality-classify: persisted-classifier directory — loaded "
+        "when it holds a saved artifact (train once, score many), "
+        "written after training otherwise",
+    )
+    p.add_argument("--clf-iters", type=int, default=30,
+                   help="quality-classify: full-batch GD iterations")
+    p.add_argument("--clf-lr", type=float, default=10.0,
+                   help="quality-classify: learning rate (normalized "
+                   "features want a large step)")
     p.add_argument("--merges", type=int, default=50,
                    help="bpe-train: number of merges to learn")
     p.add_argument("--min-pair-count", type=int, default=2,
@@ -884,6 +895,61 @@ def main(argv: list[str] | None = None, _stop_session: bool = True) -> int:
             print(
                 f"✅ dsir-select: {n} docs selected (n={args.n_select}, "
                 f"seed={args.seed}) -> {out_dir}"
+            )
+            return 0
+        if args.command == "quality-classify":
+            # fastText/C4-style learned quality gate: train logistic
+            # regression on positives (--target-path, or the corpus's
+            # own --min-quality heuristic slice) vs the complement,
+            # then score every document's P(quality). Snapshot parquet
+            # of (doc_id, quality_p); --clf-dir persists the model for
+            # train-once/score-many (same probe-don't-swallow contract
+            # as dsir-select).
+            from pyspark.sql import functions as _F
+
+            from .operators.classifier import (
+                classify_documents,
+                load_classifier,
+                save_classifier,
+                train_text_classifier,
+            )
+            from .operators.text import quality_score
+            from .sinks.layout import _fs_exists
+            from .sources import load_table
+
+            docs = load_table(spark, args.sf_dir, "documents")
+            model = None
+            if args.clf_dir and _fs_exists(
+                spark, f"{args.clf_dir}/_clf_meta.json"
+            ):
+                model = load_classifier(spark, args.clf_dir)
+                print(f"   loaded classifier from {args.clf_dir}")
+            if model is None:
+                if args.target_path:
+                    pos = spark.read.parquet(args.target_path)
+                    neg = docs
+                else:
+                    q = quality_score(docs.text)
+                    pos = docs.filter(q >= args.min_quality)
+                    neg = docs.filter(q < args.min_quality)
+                model = train_text_classifier(
+                    pos, neg, iters=args.clf_iters, lr=args.clf_lr
+                )
+                if args.clf_dir:
+                    save_classifier(model, args.clf_dir, spark)
+                    model = load_classifier(spark, args.clf_dir)
+            scores = classify_documents(model, docs)
+            out_dir = f"{args.sink_dir}/doc_quality"
+            scores.write.mode("overwrite").parquet(out_dir)
+            back = spark.read.parquet(out_dir)
+            stats = back.agg(
+                _F.count(_F.lit(1)).alias("n"),
+                _F.round(_F.avg("quality_p"), 3).alias("avg_p"),
+                _F.sum((_F.col("quality_p") >= 0.5).cast("int")).alias("kept"),
+            ).collect()[0]
+            print(
+                f"✅ quality-classify: {stats.n} docs scored "
+                f"(avg P {stats.avg_p}, {stats.kept} above 0.5) -> {out_dir}"
             )
             return 0
         if args.command == "mine-negatives":

@@ -104,6 +104,12 @@ from .text import (  # noqa: F401
     word_ngrams,
 )
 from .topk import grouped_topk  # noqa: F401
+from .classifier import (  # noqa: F401
+    classify_documents,
+    load_classifier,
+    save_classifier,
+    train_text_classifier,
+)
 from .bpe import (  # noqa: F401
     bpe_tokenize,
     bpe_vocab,

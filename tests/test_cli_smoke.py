@@ -425,3 +425,22 @@ def test_cli_dsir_select_model_dir_reuse(cli_tmp, capsys, spark):
     a = {r.doc_id for r in spark.read.parquet(f"{s1}/dsir_selected").collect()}
     b = {r.doc_id for r in spark.read.parquet(f"{s2}/dsir_selected").collect()}
     assert a == b
+
+
+def test_cli_quality_classify_and_model_reuse(cli_tmp, capsys, spark):
+    s1, s2 = str(cli_tmp / "qa"), str(cli_tmp / "qb")
+    d = str(cli_tmp / "clf_model")
+    assert _run("quality-classify", "--sink-dir", s1, "--clf-dir", d,
+                "--clf-iters", "6") == 0
+    assert "✅ quality-classify:" in capsys.readouterr().out
+    back = spark.read.parquet(f"{s1}/doc_quality")
+    n_docs = spark.read.parquet(f"{SF}/documents.parquet").count()
+    assert back.count() == n_docs  # row-count preserving
+    assert back.filter("quality_p < 0 or quality_p > 1").count() == 0
+    assert _run("quality-classify", "--sink-dir", s2, "--clf-dir", d) == 0
+    assert "loaded classifier from" in capsys.readouterr().out
+    a = {r.doc_id: round(r.quality_p, 9)
+         for r in back.collect()}
+    b = {r.doc_id: round(r.quality_p, 9)
+         for r in spark.read.parquet(f"{s2}/doc_quality").collect()}
+    assert a == b
