@@ -1176,6 +1176,35 @@ def round9b_experiment(spark, sf_dir: str, scratch: str) -> dict:
         "s_10x": bpe_tok["10x"],
         "ratio": round(bpe_tok["10x"] / bpe_tok["1x"], 1),
     }
+
+    # --- quality classifier: train (6 GD iters) + score, 1x vs 10x ----
+    from ferramenta_etl_spark.operators.classifier import (
+        classify_documents,
+        train_text_classifier,
+    )
+
+    clf_times = {}
+    for tag, d in (("1x", docs), ("10x", docs10)):
+        q = quality_score(F.col("text"))
+        t0 = _t.perf_counter()
+        m = train_text_classifier(
+            d.filter(q >= 0.5), d.filter(q < 0.5), iters=6
+        )
+        _noop(classify_documents(m, d))
+        clf_times[tag] = round(_t.perf_counter() - t0, 3)
+        if tag == "1x":
+            t0 = _t.perf_counter()
+            m = train_text_classifier(
+                d.filter(q >= 0.5), d.filter(q < 0.5), iters=6
+            )
+            _noop(classify_documents(m, d))
+            clf_times[tag] = round(_t.perf_counter() - t0, 3)
+    out["classifier_train6_score"] = {
+        "rows_1x": n_docs,
+        "s_1x": clf_times["1x"],
+        "s_10x": clf_times["10x"],
+        "ratio": round(clf_times["10x"] / clf_times["1x"], 1),
+    }
     shutil.rmtree(scratch, ignore_errors=True)
     return out
 

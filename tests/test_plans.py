@@ -263,3 +263,20 @@ def test_bpe_tokenize_is_arrow_batched_narrow_map(spark):
     assert "ArrowEvalPython" in plan
     assert "BatchEvalPython" not in plan
     assert "Exchange" not in plan
+
+
+def test_classifier_scoring_broadcasts_weights(spark):
+    """Classifier scoring: the n_buckets-row weight relation broadcasts
+    (corpus never shuffles for the model), no row-wise Python."""
+    from ferramenta_etl_spark.operators.classifier import (
+        LinearTextClassifier,
+        classify_documents,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"w{i % 5} common") for i in range(50)], "doc_id int, text string"
+    )
+    model = LinearTextClassifier([0.1] * 64, 0.0, 64, (1, 2), "xxhash64")
+    plan = physical(classify_documents(model, docs))
+    assert "BroadcastHashJoin" in plan
+    assert "BatchEvalPython" not in plan
