@@ -63,6 +63,12 @@ def main(argv: list[str] | None = None, _stop_session: bool = True) -> int:
         "when it holds a saved artifact (train once, score many), "
         "written after training otherwise",
     )
+    p.add_argument(
+        "--clf-min", type=float, default=None,
+        help="curate: drop docs whose learned-classifier P(quality) is "
+        "below this floor (C4-style gate; uses --clf-dir's artifact "
+        "when present, else bootstraps from the heuristic split)",
+    )
     p.add_argument("--clf-iters", type=int, default=30,
                    help="quality-classify: full-batch GD iterations")
     p.add_argument("--clf-lr", type=float, default=10.0,
@@ -1053,6 +1059,8 @@ def main(argv: list[str] | None = None, _stop_session: bool = True) -> int:
                 mix_total=args.mix_total,
                 mix_alpha=args.mix_alpha,
                 ppl_max=args.ppl_max,
+                clf_min=args.clf_min,
+                clf_dir=args.clf_dir,
             )
             print(f"✅ curated_documents: {n} rows appended")
             return 0

@@ -55,6 +55,8 @@ def curate_documents(
     mix_total: int | None = None,
     mix_alpha: float = 0.5,
     ppl_max: float | None = None,
+    clf_min: float | None = None,
+    clf_dir: str | None = None,
 ) -> int:
     """Run the curation pipeline; returns rows appended to the sink.
 
@@ -65,6 +67,15 @@ def curate_documents(
     own incoherent tail; train ``operators.lm`` on a reference corpus
     and call ``perplexity_filter`` directly for CCNet-proper scoring
     against an external standard).
+
+    ``clf_min`` adds the LEARNED quality gate: documents whose
+    classifier P(quality) falls below the floor are dropped. With
+    ``clf_dir`` pointing at a save_classifier artifact the gate scores
+    against that pinned model (the C4-proper deployment); otherwise a
+    model is bootstrapped on the fly from the corpus's own heuristic
+    split (quality_score >= min_quality as positives vs the rejected
+    complement) — the self-referential variant, which prunes kept
+    documents that barely resemble the kept distribution.
 
     The intermediate persist curated_frame creates (exact_unique, which
     feeds both the pair generation and the survivor anti-join) is
@@ -83,6 +94,27 @@ def curate_documents(
         out = perplexity_filter(
             curated, train_bigram_lm(curated, min_count=2), ppl_max
         )
+    if clf_min is not None:
+        from ..operators.classifier import (
+            classify_documents,
+            load_classifier,
+            train_text_classifier,
+        )
+        from ..sinks.layout import _fs_exists
+
+        if clf_dir and _fs_exists(spark, f"{clf_dir}/_clf_meta.json"):
+            model = load_classifier(spark, clf_dir)
+        else:
+            raw = load_table(spark, sf_dir, "documents")
+            q = quality_score(raw.text)
+            model = train_text_classifier(
+                raw.filter(q >= min_quality), raw.filter(q < min_quality),
+                iters=10,
+            )
+        keep = classify_documents(model, out).filter(
+            F.col("quality_p") >= clf_min
+        )
+        out = out.join(keep.select("doc_id"), "doc_id", "semi")
     try:
         return write_ignore_conflicts(
             out,

@@ -444,3 +444,28 @@ def test_cli_quality_classify_and_model_reuse(cli_tmp, capsys, spark):
     b = {r.doc_id: round(r.quality_p, 9)
          for r in spark.read.parquet(f"{s2}/doc_quality").collect()}
     assert a == b
+
+
+def test_cli_curate_classifier_gate(cli_tmp, capsys, spark):
+    """--clf-min adds the learned quality gate as the last curation
+    stage: a floor at the median classifier score appends strictly
+    fewer rows than no gate, and the gated set is a subset."""
+    s1, s2 = str(cli_tmp / "ca"), str(cli_tmp / "cb")
+    assert _run("curate", "--sink-dir", s1) == 0
+    all_rows = spark.read.parquet(f"{s1}/curated_documents")
+    n_all = all_rows.count()
+    # train + score once through the CLI to find a data-driven cut
+    d = str(cli_tmp / "clfm")
+    assert _run("quality-classify", "--sink-dir", s2, "--clf-dir", d,
+                "--clf-iters", "6") == 0
+    med = spark.read.parquet(f"{s2}/doc_quality").approxQuantile(
+        "quality_p", [0.5], 0.0
+    )[0]
+    assert _run("curate", "--sink-dir", s2, "--clf-min", str(med),
+                "--clf-dir", d) == 0
+    gated = spark.read.parquet(f"{s2}/curated_documents")
+    n_gated = gated.count()
+    assert 0 < n_gated < n_all
+    kept_ids = {(r.lang, r.doc_id) for r in gated.select("lang", "doc_id").collect()}
+    all_ids = {(r.lang, r.doc_id) for r in all_rows.select("lang", "doc_id").collect()}
+    assert kept_ids <= all_ids
