@@ -118,6 +118,7 @@ from .bpe import (  # noqa: F401
     word_freq,
 )
 from .retrieval import (  # noqa: F401
+    append_to_bm25_index,
     bm25_topk,
     bm25_topk_on_index,
     build_bm25_index,

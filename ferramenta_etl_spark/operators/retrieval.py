@@ -56,13 +56,43 @@ from .topk import grouped_topk
 
 
 class BM25Index(NamedTuple):
-    """postings: (term, doc_id, tf, dl, idf) — tf/idf/dl denormalized
-    so serving is one join; n_docs/avgdl are the corpus scalars the
-    length normalization needs."""
+    """Live index. postings: (term, doc_id, tf, dl, idf) — tf/idf/dl
+    denormalized so serving is one join; n_docs/avgdl are the corpus
+    scalars the length normalization needs. ``df`` (term, df) /
+    ``doc_lens`` (doc_id, dl) / ``total_tokens`` carry the raw
+    statistics the PERSISTED layout stores instead of idf (idf bakes N
+    and df in, which appends invalidate — see save_bm25_index)."""
 
     postings: DataFrame
     n_docs: int
     avgdl: float
+    df: DataFrame | None = None
+    doc_lens: DataFrame | None = None
+    total_tokens: int = 0
+
+
+def _idf_expr(n_docs: int):
+    """Non-negative Robertson idf from a ``df`` column — the one place
+    the formula lives, shared by the live build and the disk serve."""
+    return F.log(
+        F.lit(1.0)
+        + (F.lit(float(n_docs)) - F.col("df") + F.lit(0.5))
+        / (F.col("df") + F.lit(0.5))
+    )
+
+
+def _bm25_score_expr(k1: float, b: float, avgdl: float):
+    """Per-posting BM25 contribution from qtf/idf/tf/dl columns."""
+    return (
+        F.col("qtf")
+        * F.col("idf")
+        * (F.col("tf") * F.lit(k1 + 1.0))
+        / (
+            F.col("tf")
+            + F.lit(k1)
+            * (F.lit(1.0 - b) + F.lit(b) * F.col("dl") / F.lit(avgdl))
+        )
+    )
 
 
 def _doc_terms(docs: DataFrame, text_col: str, doc_id_col: str) -> DataFrame:
@@ -94,19 +124,23 @@ def build_bm25_index(
     # empty and add 0)
     total_tokens = dl.agg(F.coalesce(F.sum("dl"), F.lit(0))).collect()[0][0]
     avgdl = total_tokens / n_docs
-    idf = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
-    idf = idf.select(
-        "term",
-        F.log(
-            F.lit(1.0)
-            + (F.lit(float(n_docs)) - F.col("df") + F.lit(0.5))
-            / (F.col("df") + F.lit(0.5))
-        ).alias("idf"),
-    )
+    df_rel = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    idf = df_rel.select("term", _idf_expr(n_docs).alias("idf"))
     postings = tf.join(dl, "doc_id").join(idf, "term").select(
         "term", "doc_id", "tf", "dl", "idf"
     )
-    return BM25Index(postings, n_docs, float(avgdl))
+    # doc_lens is the COMPLETE doc spine (empty docs carry dl=0): the
+    # persisted layout uses it as the already-indexed registry, so an
+    # empty doc must be representable or every append would re-detect
+    # it as fresh and inflate N
+    doc_lens = (
+        docs.select(F.col(doc_id_col).alias("doc_id"))
+        .join(dl, "doc_id", "left")
+        .select("doc_id", F.coalesce(F.col("dl"), F.lit(0)).alias("dl"))
+    )
+    return BM25Index(
+        postings, n_docs, float(avgdl), df_rel, doc_lens, int(total_tokens)
+    )
 
 
 def _query_terms(queries: DataFrame, query_id_col: str, query_col: str) -> DataFrame:
@@ -138,19 +172,7 @@ def bm25_topk(
     contrib = index.postings.join(F.broadcast(qt), "term").select(
         "query_id",
         "doc_id",
-        (
-            F.col("qtf")
-            * F.col("idf")
-            * (F.col("tf") * F.lit(k1 + 1.0))
-            / (
-                F.col("tf")
-                + F.lit(k1)
-                * (
-                    F.lit(1.0 - b)
-                    + F.lit(b) * F.col("dl") / F.lit(index.avgdl)
-                )
-            )
-        ).alias("__s"),
+        _bm25_score_expr(k1, b, index.avgdl).alias("__s"),
     )
     scored = contrib.groupBy("query_id", "doc_id").agg(F.sum("__s").alias("score"))
     return grouped_topk(
@@ -261,52 +283,104 @@ def hybrid_topk(
 
 # --------------------------------------------------------------- persistence
 
+_BUCKET = lambda n: F.pmod(F.xxhash64("term"), F.lit(n)).cast("int")  # noqa: E731
+
+# On-disk layout (version-flipped, append-friendly):
+#
+#   postings/                 (term, doc_id, tf, dl) partitioned by
+#                             term_bucket — APPEND-ONLY, rows keyed
+#                             (term, doc_id) through the idempotent sink
+#   df/v{K}/                  (term, df) partitioned by term_bucket
+#   doc_stats/v{K}/           (doc_id, dl)
+#   _bm25_meta.json           {format, n_docs, total_tokens, n_buckets,
+#                              version: K} — written LAST by atomic
+#                              rename: the COMMIT POINT
+#
+# idf is deliberately NOT stored: it bakes in N and per-term df, which
+# every append changes — the disk serve derives idf for the QUERY's
+# terms only, from the committed df relation and meta's N. Crash
+# anywhere mid-append leaves meta pointing at the old df/doc_stats
+# versions, so the next append re-detects the same fresh docs, the
+# keyed postings append replays as a no-op, and the v{K+1} relations
+# are rebuilt deterministically before meta finally flips. Single
+# appender per index dir (the postings sink's advisory lock enforces
+# the postings leg; the version flip assumes one writer, like the
+# PQ/IVFPQ appenders).
+
 
 def save_bm25_index(
     index: BM25Index, path: str, n_buckets: int = 64
 ) -> None:
-    """Persist the index: postings parquet partitioned by a term-hash
-    bucket (pmod(xxhash64(term), n_buckets)) + a ``_bm25_meta.json``
-    sidecar written LAST (a crash mid-save leaves no meta, so a
-    half-written index can never load). The bucket partitioning is what
-    buys serve-time partition PRUNING: a loaded query touches only its
-    terms' buckets, so the scan cost scales with the query's
-    vocabulary, not the corpus's. I/O goes through Spark writers / the
-    Hadoop FS layer — works on any Hadoop-visible filesystem."""
-    import json
+    """Persist the index in the appendable layout above. The bucket
+    partitioning buys serve-time partition PRUNING (scan cost follows
+    the query's vocabulary; see the module docstring for the measured
+    co-resident-mass sizing guidance) and append-time locality. I/O
+    goes through Spark writers / the Hadoop FS layer — any
+    Hadoop-visible filesystem works."""
     import os
 
-    from ..sinks.layout import _fs_write_text
-
+    if index.df is None or index.doc_lens is None:
+        raise ValueError(
+            "save_bm25_index needs a build_bm25_index-produced index "
+            "(df/doc_lens statistics present)"
+        )
     spark = index.postings.sparkSession
     (
-        index.postings.withColumn(
-            "term_bucket", F.pmod(F.xxhash64("term"), F.lit(n_buckets)).cast("int")
-        )
+        index.postings.select("term", "doc_id", "tf", "dl")
+        .withColumn("term_bucket", _BUCKET(n_buckets))
         .repartition("term_bucket")
         .write.mode("overwrite")
         .partitionBy("term_bucket")
         .parquet(os.path.join(path, "postings"))
     )
+    (
+        index.df.withColumn("term_bucket", _BUCKET(n_buckets))
+        .repartition("term_bucket")
+        .write.mode("overwrite")
+        .partitionBy("term_bucket")
+        .parquet(os.path.join(path, "df/v0"))
+    )
+    index.doc_lens.write.mode("overwrite").parquet(
+        os.path.join(path, "doc_stats/v0")
+    )
+    _write_bm25_meta(
+        spark, path, index.n_docs, index.total_tokens, n_buckets, 0
+    )
+
+
+def _write_bm25_meta(
+    spark, path: str, n_docs: int, total_tokens: int, n_buckets: int, version: int
+) -> None:
+    import json
+    import os
+
+    from ..sinks.layout import _fs_write_text
+
     _fs_write_text(
         spark,
         os.path.join(path, "_bm25_meta.json"),
         json.dumps(
             {
                 "format": "bm25_index",
-                "n_docs": index.n_docs,
-                "avgdl": index.avgdl,
+                "layout": 2,
+                "n_docs": n_docs,
+                "total_tokens": total_tokens,
                 "n_buckets": n_buckets,
+                "version": version,
             }
         ),
     )
 
 
 class BM25DiskIndex(NamedTuple):
-    postings: DataFrame  # includes term_bucket
+    postings: DataFrame  # (term, doc_id, tf, dl, term_bucket)
+    df: DataFrame  # (term, df, term_bucket) — the committed version
     n_docs: int
     avgdl: float
+    total_tokens: int
     n_buckets: int
+    version: int
+    path: str
 
 
 def load_bm25_index(spark: SparkSession, path: str) -> BM25DiskIndex:
@@ -322,12 +396,18 @@ def load_bm25_index(spark: SparkSession, path: str) -> BM25DiskIndex:
     )
     if meta.get("format") != "bm25_index":
         raise ValueError(f"not a bm25_index artifact: {path}")
-    postings = spark.read.parquet(os.path.join(path, "postings"))
+    v = int(meta["version"])
+    n_docs = int(meta["n_docs"])
+    total_tokens = int(meta["total_tokens"])
     return BM25DiskIndex(
-        postings,
-        int(meta["n_docs"]),
-        float(meta["avgdl"]),
+        spark.read.parquet(os.path.join(path, "postings")),
+        spark.read.parquet(os.path.join(path, f"df/v{v}")),
+        n_docs,
+        total_tokens / n_docs if n_docs else 0.0,
+        total_tokens,
         int(meta["n_buckets"]),
+        v,
+        path,
     )
 
 
@@ -339,29 +419,135 @@ def bm25_topk_on_index(
     b: float = 0.75,
     query_id_col: str = "query_id",
     query_col: str = "query",
+    prune: bool = True,
 ) -> DataFrame:
-    """Serve from a persisted index with partition pruning: the query
-    terms' buckets are computed ON the (small) query relation and
-    pushed as a literal IN-filter on the partition column, so the
-    postings scan skips every other bucket's files before any join."""
+    """Serve from a persisted index: derive idf for the QUERY's terms
+    from the committed df relation (both sides bucket-pruned), then one
+    broadcast join against the (pruned) postings. ``prune=False`` is
+    the measurement arm scale_experiment uses — identical results over
+    a full postings scan."""
     qt = _query_terms(queries, query_id_col, query_col)
-    buckets = [
-        r.b
-        for r in qt.select(
-            F.pmod(F.xxhash64("term"), F.lit(disk.n_buckets)).cast("int").alias("b")
-        )
-        .distinct()
-        .collect()
-    ]
-    pruned = disk.postings.filter(F.col("term_bucket").isin(buckets)).drop(
-        "term_bucket"
+    postings, df_rel = disk.postings, disk.df
+    if prune:
+        buckets = [
+            r.b
+            for r in qt.select(
+                _BUCKET(disk.n_buckets).alias("b")
+            )
+            .distinct()
+            .collect()
+        ]
+        postings = postings.filter(F.col("term_bucket").isin(buckets))
+        df_rel = df_rel.filter(F.col("term_bucket").isin(buckets))
+    # qt is small by contract -> broadcast against df to pull idf for
+    # exactly the query terms; the result stays query-sized and
+    # broadcasts again against the postings
+    qt_idf = df_rel.join(F.broadcast(qt), "term").select(
+        "term", "query_id", "qtf", _idf_expr(disk.n_docs).alias("idf")
     )
-    return bm25_topk(
-        BM25Index(pruned, disk.n_docs, disk.avgdl),
-        queries,
-        k=k,
-        k1=k1,
-        b=b,
-        query_id_col=query_id_col,
-        query_col=query_col,
+    contrib = postings.join(F.broadcast(qt_idf), "term").select(
+        "query_id",
+        "doc_id",
+        _bm25_score_expr(k1, b, disk.avgdl).alias("__s"),
     )
+    scored = contrib.groupBy("query_id", "doc_id").agg(
+        F.sum("__s").alias("score")
+    )
+    return grouped_topk(
+        scored,
+        ["query_id"],
+        [F.col("score").desc(), F.col("doc_id").asc()],
+        k,
+        rank_col="rank",
+    )
+
+
+def append_to_bm25_index(
+    spark: SparkSession,
+    path: str,
+    new_docs: DataFrame,
+    text_col: str = "text",
+    doc_id_col: str = "doc_id",
+) -> int:
+    """Incrementally index a new document batch into a persisted BM25
+    index — the lexical sibling of append_to_pq_index. Returns the
+    number of genuinely-new documents indexed; reruns with the same
+    batch append zero (first-writer-wins by doc id, crash-safe via the
+    version flip described in the layout note).
+
+    Cost model: fresh-batch featurization is batch-linear; the keyed
+    postings append's anti-join reads two pruned columns of the
+    existing postings; df/doc_stats rewrites are vocab- and
+    doc-count-sized (far below postings); meta is O(1). The expensive
+    relation — postings — is never rewritten."""
+    import os
+
+    from ..sinks import write_ignore_conflicts
+
+    disk = load_bm25_index(spark, path)
+    old_stats = spark.read.parquet(
+        os.path.join(path, f"doc_stats/v{disk.version}")
+    )
+    batch = new_docs.select(
+        F.col(doc_id_col).alias("doc_id"), F.col(text_col).alias("text")
+    ).dropDuplicates(["doc_id"])
+    fresh = batch.join(old_stats.select("doc_id"), "doc_id", "anti")
+    # freeze: three consumers below (postings, df, doc_stats) must see
+    # the same fresh set even across shuffles
+    fresh = fresh.localCheckpoint(eager=True)
+    n_fresh = fresh.count()
+    if n_fresh == 0:
+        return 0
+    terms = _doc_terms(fresh, "text", "doc_id")
+    tf = terms.groupBy("term", "doc_id").agg(F.count(F.lit(1)).alias("tf"))
+    dl = tf.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
+    # complete spine (empty docs dl=0) — they must enter the registry
+    # or the next append re-detects them as fresh (see build_bm25_index)
+    dl_full = (
+        fresh.select("doc_id")
+        .join(dl, "doc_id", "left")
+        .select("doc_id", F.coalesce(F.col("dl"), F.lit(0)).alias("dl"))
+    )
+    new_postings = (
+        tf.join(dl, "doc_id")
+        .select("term", "doc_id", "tf", "dl")
+        .withColumn("term_bucket", _BUCKET(disk.n_buckets))
+    )
+    # term_bucket joins the key set only to satisfy the sink's
+    # partition-pruned-anti-join contract (partition_cols ⊆ keys); it is
+    # a pure function of term, so the effective key stays (term, doc_id)
+    write_ignore_conflicts(
+        new_postings,
+        os.path.join(path, "postings"),
+        keys=["term", "doc_id", "term_bucket"],
+        partition_cols=["term_bucket"],
+    )
+    df_inc = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    df_new = (
+        disk.df.drop("term_bucket")
+        .unionByName(df_inc)
+        .groupBy("term")
+        .agg(F.sum("df").alias("df"))
+        .withColumn("term_bucket", _BUCKET(disk.n_buckets))
+    )
+    nxt = disk.version + 1
+    (
+        df_new.repartition("term_bucket")
+        .write.mode("overwrite")
+        .partitionBy("term_bucket")
+        .parquet(os.path.join(path, f"df/v{nxt}"))
+    )
+    old_stats.unionByName(dl_full).write.mode("overwrite").parquet(
+        os.path.join(path, f"doc_stats/v{nxt}")
+    )
+    # new totals derive from the COMMITTED meta + the fresh batch —
+    # exact (empty fresh docs count toward N with 0 tokens, matching
+    # the live build) and replay-safe: a crashed run's rerun re-derives
+    # the same fresh set from the still-committed old version, so the
+    # same numbers recompute
+    fresh_tokens = dl.agg(F.coalesce(F.sum("dl"), F.lit(0))).collect()[0][0]
+    _write_bm25_meta(
+        spark, path, disk.n_docs + n_fresh,
+        disk.total_tokens + int(fresh_tokens), disk.n_buckets, nxt,
+    )
+    return n_fresh

@@ -976,12 +976,10 @@ def round9b_experiment(spark, sf_dir: str, scratch: str) -> dict:
         fit_dsir,
     )
     from ferramenta_etl_spark.operators.retrieval import (
-        bm25_topk,
         bm25_topk_on_index,
         build_bm25_index,
         load_bm25_index,
         save_bm25_index,
-        BM25Index,
     )
     from ferramenta_etl_spark.operators.text import quality_score
     from ferramenta_etl_spark.sources import load_table
@@ -1071,12 +1069,10 @@ def round9b_experiment(spark, sf_dir: str, scratch: str) -> dict:
         t0 = _t.perf_counter()
         _noop(bm25_topk_on_index(disk, queries, k=10))
         t_pruned = round(_t.perf_counter() - t0, 3)
-        full = BM25Index(
-            disk.postings.drop("term_bucket"), disk.n_docs, disk.avgdl
-        )
-        _noop(bm25_topk(full, queries, k=10))  # warm
+        # full-scan arm: identical serve path with pruning disabled
+        _noop(bm25_topk_on_index(disk, queries, k=10, prune=False))  # warm
         t0 = _t.perf_counter()
-        _noop(bm25_topk(full, queries, k=10))
+        _noop(bm25_topk_on_index(disk, queries, k=10, prune=False))
         t_full = round(_t.perf_counter() - t0, 3)
         q_buckets = {
             r.b

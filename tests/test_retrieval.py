@@ -296,3 +296,133 @@ def test_load_bm25_index_fails_loudly_on_foreign_dir(spark, tmp_path):
     (bad / "_bm25_meta.json").write_text('{"format": "something_else"}')
     with pytest.raises(ValueError, match="bm25_index"):
         load_bm25_index(spark, str(bad))
+
+
+# ------------------------------------------------------- incremental append
+
+
+def _serve_sorted(spark, path, qdf, k=7):
+    from ferramenta_etl_spark.operators.retrieval import (
+        bm25_topk_on_index,
+        load_bm25_index,
+    )
+
+    disk = load_bm25_index(spark, path)
+    return sorted(
+        (r.query_id, r.doc_id, round(r.score, 9), r.rank)
+        for r in bm25_topk_on_index(disk, qdf, k=k).collect()
+    )
+
+
+def test_append_equals_rebuild(spark, corpus, tmp_path):
+    """Index half the corpus, append the other half: serving must be
+    IDENTICAL to an index built over everything at once (N, avgdl, df,
+    idf all refreshed), and a rerun of the same append adds zero."""
+    from ferramenta_etl_spark.operators.retrieval import (
+        append_to_bm25_index,
+        build_bm25_index,
+        load_bm25_index,
+        save_bm25_index,
+    )
+
+    items = sorted(corpus.items())
+    first = spark.createDataFrame(items[:30], "doc_id int, text string")
+    rest = spark.createDataFrame(items[30:], "doc_id int, text string")
+    everything = spark.createDataFrame(items, "doc_id int, text string")
+
+    inc_path, full_path = str(tmp_path / "inc"), str(tmp_path / "full")
+    save_bm25_index(build_bm25_index(first), inc_path, n_buckets=8)
+    assert append_to_bm25_index(spark, inc_path, rest) == len(items) - 30
+    save_bm25_index(build_bm25_index(everything), full_path, n_buckets=8)
+
+    d_inc, d_full = (
+        load_bm25_index(spark, inc_path),
+        load_bm25_index(spark, full_path),
+    )
+    assert d_inc.n_docs == d_full.n_docs == len(items)
+    assert d_inc.avgdl == pytest.approx(d_full.avgdl)
+    assert d_inc.version == 1
+
+    qdf = spark.createDataFrame(QUERIES, "query_id int, query string")
+    assert _serve_sorted(spark, inc_path, qdf) == _serve_sorted(
+        spark, full_path, qdf
+    )
+    # rerun: first-writer-wins by doc id, nothing changes
+    assert append_to_bm25_index(spark, inc_path, rest) == 0
+    assert load_bm25_index(spark, inc_path).n_docs == len(items)
+    assert _serve_sorted(spark, inc_path, qdf) == _serve_sorted(
+        spark, full_path, qdf
+    )
+
+
+def test_append_crash_replay_heals(spark, corpus, tmp_path):
+    """A crash AFTER the postings append but BEFORE the meta flip must
+    be healed by replaying the same append: the keyed postings append
+    no-ops, the versioned relations rebuild, meta finally flips."""
+    import json
+    import os
+
+    from ferramenta_etl_spark.operators.retrieval import (
+        append_to_bm25_index,
+        build_bm25_index,
+        save_bm25_index,
+    )
+    from ferramenta_etl_spark.sinks import write_ignore_conflicts
+    from ferramenta_etl_spark.operators.retrieval import _BUCKET, _doc_terms
+
+    items = sorted(corpus.items())
+    first = spark.createDataFrame(items[:30], "doc_id int, text string")
+    rest = spark.createDataFrame(items[30:], "doc_id int, text string")
+    path = str(tmp_path / "crash")
+    save_bm25_index(build_bm25_index(first), path, n_buckets=8)
+
+    # simulate the crashed half-append: postings rows landed, but
+    # neither df/v1, doc_stats/v1, nor the meta flip happened
+    terms = _doc_terms(rest, "text", "doc_id")
+    tf = terms.groupBy("term", "doc_id").agg(F.count(F.lit(1)).alias("tf"))
+    dl = tf.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
+    partial = (
+        tf.join(dl, "doc_id")
+        .select("term", "doc_id", "tf", "dl")
+        .withColumn("term_bucket", _BUCKET(8))
+    )
+    write_ignore_conflicts(
+        partial, f"{path}/postings", keys=["term", "doc_id", "term_bucket"],
+        partition_cols=["term_bucket"],
+    )
+    meta = json.loads(open(os.path.join(path, "_bm25_meta.json")).read())
+    assert meta["version"] == 0  # the crash: meta never flipped
+
+    # replay the append: must heal to the exact full-rebuild state
+    assert append_to_bm25_index(spark, path, rest) == len(items) - 30
+    full_path = str(tmp_path / "full2")
+    save_bm25_index(
+        build_bm25_index(
+            spark.createDataFrame(items, "doc_id int, text string")
+        ),
+        full_path,
+        n_buckets=8,
+    )
+    qdf = spark.createDataFrame(QUERIES, "query_id int, query string")
+    assert _serve_sorted(spark, path, qdf) == _serve_sorted(
+        spark, full_path, qdf
+    )
+
+
+def test_append_counts_empty_docs(spark, tmp_path):
+    from ferramenta_etl_spark.operators.retrieval import (
+        append_to_bm25_index,
+        build_bm25_index,
+        load_bm25_index,
+        save_bm25_index,
+    )
+
+    base = spark.createDataFrame([(0, "a b"), (1, "b c")], "doc_id int, text string")
+    path = str(tmp_path / "emp")
+    save_bm25_index(build_bm25_index(base), path, n_buckets=4)
+    batch = spark.createDataFrame([(2, ""), (3, "c d")], "doc_id int, text string")
+    assert append_to_bm25_index(spark, path, batch) == 2
+    disk = load_bm25_index(spark, path)
+    assert disk.n_docs == 4  # the empty doc counts toward N
+    assert disk.total_tokens == 6
+    assert disk.avgdl == pytest.approx(6 / 4)
