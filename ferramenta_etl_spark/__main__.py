@@ -54,7 +54,8 @@ def main(argv: list[str] | None = None, _stop_session: bool = True) -> int:
             "neardup-admit", "make-dataset", "ann-index", "ann-query",
             "media-curate", "vocab", "mine-negatives", "verify-dataset",
             "split-dataset", "ppl-score", "bpe-train", "bpe-encode",
-            "bm25-index", "bm25-query", "dsir-select", "quality-classify",
+            "bm25-index", "bm25-query", "bm25-append", "dsir-select",
+            "quality-classify",
         ],
     )
     p.add_argument(
@@ -852,6 +853,21 @@ def main(argv: list[str] | None = None, _stop_session: bool = True) -> int:
             for r in sorted(rows, key=lambda r: (r.query_id, r.rank)):
                 print(f"{r.query_id}\t{r.rank}\t{r.doc_id}\t{r.score:.4f}")
             print(f"✅ bm25-query: {len(rows)} result rows")
+            return 0
+        if args.command == "bm25-append":
+            # Incrementally index a new batch (--target-path parquet of
+            # documents; defaults to the documents table for smoke use)
+            # into the persisted index. Idempotent: re-running the same
+            # batch appends zero.
+            from .operators.retrieval import append_to_bm25_index
+            from .sources import load_table
+
+            if args.target_path:
+                batch = spark.read.parquet(args.target_path)
+            else:
+                batch = load_table(spark, args.sf_dir, "documents")
+            n = append_to_bm25_index(spark, f"{args.sink_dir}/bm25", batch)
+            print(f"✅ bm25-append: {n} new docs indexed")
             return 0
         if args.command == "dsir-select":
             # DSIR importance selection: fit hashed-ngram distributions

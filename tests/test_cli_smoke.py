@@ -469,3 +469,25 @@ def test_cli_curate_classifier_gate(cli_tmp, capsys, spark):
     kept_ids = {(r.lang, r.doc_id) for r in gated.select("lang", "doc_id").collect()}
     all_ids = {(r.lang, r.doc_id) for r in all_rows.select("lang", "doc_id").collect()}
     assert kept_ids <= all_ids
+
+
+def test_cli_bm25_append_idempotent(cli_tmp, capsys, spark):
+    s = str(cli_tmp / "bma")
+    assert _run("bm25-index", "--sink-dir", s) == 0
+    capsys.readouterr()
+    # appending the same corpus the index was built over adds nothing
+    assert _run("bm25-append", "--sink-dir", s) == 0
+    assert "✅ bm25-append: 0 new docs" in capsys.readouterr().out
+    # a genuinely new batch lands once, then re-runs add zero
+    batch = str(cli_tmp / "batch.parquet")
+    spark.createDataFrame(
+        [(9_000_001, "zzz qqq zzz"), (9_000_002, "qqq www")],
+        "doc_id long, text string",
+    ).write.parquet(batch)
+    assert _run("bm25-append", "--sink-dir", s, "--target-path", batch) == 0
+    assert "✅ bm25-append: 2 new docs" in capsys.readouterr().out
+    assert _run("bm25-append", "--sink-dir", s, "--target-path", batch) == 0
+    assert "✅ bm25-append: 0 new docs" in capsys.readouterr().out
+    assert _run("bm25-query", "--sink-dir", s, "--query", "zzz", "--k", "2") == 0
+    out = capsys.readouterr().out
+    assert "9000001" in out
