@@ -949,7 +949,16 @@ def main(argv: list[str] | None = None, _stop_session: bool = True) -> int:
             if model is None:
                 if args.target_path:
                     pos = spark.read.parquet(args.target_path)
-                    neg = docs
+                    # corpus docs that ARE the target must not train as
+                    # negatives (label noise); anti-join them out when
+                    # the target carries ids, else use the whole corpus
+                    # and accept the DSIR-style raw-side convention
+                    if "doc_id" in pos.columns:
+                        neg = docs.join(
+                            pos.select("doc_id"), "doc_id", "anti"
+                        )
+                    else:
+                        neg = docs
                 else:
                     q = quality_score(docs.text)
                     pos = docs.filter(q >= args.min_quality)
@@ -1077,6 +1086,8 @@ def main(argv: list[str] | None = None, _stop_session: bool = True) -> int:
                 ppl_max=args.ppl_max,
                 clf_min=args.clf_min,
                 clf_dir=args.clf_dir,
+                clf_iters=args.clf_iters,
+                clf_lr=args.clf_lr,
             )
             print(f"✅ curated_documents: {n} rows appended")
             return 0

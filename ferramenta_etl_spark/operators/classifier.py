@@ -151,7 +151,11 @@ def train_text_classifier(
             .agg(F.sum(F.col("x") * F.col("r")).alias("g"))
             .collect()
         )
-        gb = resid.agg(F.sum("r")).collect()[0][0] / n_docs
+        # bias gradient NEEDS NO SECOND JOB: per-doc features sum to 1
+        # (the fastText normalization), so sum_b sum_docs x_b*r ==
+        # sum_docs r — derive it from the bucket gradients already on
+        # the driver instead of re-running the margins pipeline
+        gb = sum(row.g for row in grad_rows) / n_docs
         grad = [0.0] * n_buckets
         for row in grad_rows:
             grad[row.bucket] = row.g / n_docs

@@ -324,7 +324,16 @@ def save_bm25_index(
             "save_bm25_index needs a build_bm25_index-produced index "
             "(df/doc_lens statistics present)"
         )
+    from ..sinks.layout import _fs_and_path
+
     spark = index.postings.sparkSession
+    # a rebuild over a previously-appended dir must clear stale v1+
+    # version dirs, or the fresh meta (version: 0) would coexist with
+    # unreachable-but-confusing leftovers
+    for rel in ("df", "doc_stats"):
+        _jvm, fs, p = _fs_and_path(spark, os.path.join(path, rel))
+        if fs.exists(p):
+            fs.delete(p, True)
     (
         index.postings.select("term", "doc_id", "tf", "dl")
         .withColumn("term_bucket", _BUCKET(n_buckets))
@@ -396,6 +405,12 @@ def load_bm25_index(spark: SparkSession, path: str) -> BM25DiskIndex:
     )
     if meta.get("format") != "bm25_index":
         raise ValueError(f"not a bm25_index artifact: {path}")
+    if meta.get("layout") != 2:
+        raise ValueError(
+            f"bm25_index at {path} uses layout {meta.get('layout')!r}; "
+            "this release reads layout 2 (raw-statistics, appendable) — "
+            "rebuild the index with save_bm25_index"
+        )
     v = int(meta["version"])
     n_docs = int(meta["n_docs"])
     total_tokens = int(meta["total_tokens"])
@@ -472,14 +487,25 @@ def append_to_bm25_index(
     """Incrementally index a new document batch into a persisted BM25
     index — the lexical sibling of append_to_pq_index. Returns the
     number of genuinely-new documents indexed; reruns with the same
-    batch append zero (first-writer-wins by doc id, crash-safe via the
-    version flip described in the layout note).
+    batch append zero (first-writer-wins by doc id).
+
+    Crash posture: after the postings append, the accounting pass
+    derives df/doc_stats/N from ALL postings docs missing from the
+    committed registry — so it absorbs not only this batch but any
+    ORPHANED postings a previously crashed append left behind (ghost
+    docs that were serveable-but-unaccounted). The read-uncommitted
+    window is therefore bounded by the single in-flight append: the
+    next successful append of ANY batch commits stragglers too.
+    (Queries served inside that window can see the in-flight batch
+    scored against the old df/N — the documented trade for never
+    rewriting postings.)
 
     Cost model: fresh-batch featurization is batch-linear; the keyed
-    postings append's anti-join reads two pruned columns of the
-    existing postings; df/doc_stats rewrites are vocab- and
-    doc-count-sized (far below postings); meta is O(1). The expensive
-    relation — postings — is never rewritten."""
+    postings append's anti-join and the orphan sweep each read two
+    pruned columns of the existing postings; df/doc_stats rewrites are
+    vocab- and doc-count-sized (far below postings); meta is O(1). The
+    expensive relation — postings — is never rewritten, and superseded
+    df/doc_stats versions are deleted after the flip."""
     import os
 
     from ..sinks import write_ignore_conflicts
@@ -492,37 +518,54 @@ def append_to_bm25_index(
         F.col(doc_id_col).alias("doc_id"), F.col(text_col).alias("text")
     ).dropDuplicates(["doc_id"])
     fresh = batch.join(old_stats.select("doc_id"), "doc_id", "anti")
-    # freeze: three consumers below (postings, df, doc_stats) must see
-    # the same fresh set even across shuffles
+    # freeze: the consumers below must see the same fresh set even
+    # across shuffles
     fresh = fresh.localCheckpoint(eager=True)
     n_fresh = fresh.count()
-    if n_fresh == 0:
-        return 0
-    terms = _doc_terms(fresh, "text", "doc_id")
-    tf = terms.groupBy("term", "doc_id").agg(F.count(F.lit(1)).alias("tf"))
-    dl = tf.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
-    # complete spine (empty docs dl=0) — they must enter the registry
-    # or the next append re-detects them as fresh (see build_bm25_index)
-    dl_full = (
+    if n_fresh > 0:
+        terms = _doc_terms(fresh, "text", "doc_id")
+        tf = terms.groupBy("term", "doc_id").agg(F.count(F.lit(1)).alias("tf"))
+        dl = tf.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
+        new_postings = (
+            tf.join(dl, "doc_id")
+            .select("term", "doc_id", "tf", "dl")
+            .withColumn("term_bucket", _BUCKET(disk.n_buckets))
+        )
+        # term_bucket joins the key set only to satisfy the sink's
+        # partition-pruned-anti-join contract (partition_cols ⊆ keys); it
+        # is a pure function of term, so the effective key stays
+        # (term, doc_id)
+        write_ignore_conflicts(
+            new_postings,
+            os.path.join(path, "postings"),
+            keys=["term", "doc_id", "term_bucket"],
+            partition_cols=["term_bucket"],
+        )
+
+    # ---- accounting pass: commit EVERY postings doc the registry is
+    # missing (this batch + any prior crashed batch's orphans), plus
+    # this batch's empty docs (dl=0 — they leave no postings but must
+    # enter the registry or they'd be re-detected as fresh forever)
+    postings_now = spark.read.parquet(os.path.join(path, "postings"))
+    unacc = postings_now.join(old_stats.select("doc_id"), "doc_id", "anti")
+    unacc_dl = unacc.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
+    empty_fresh = (
         fresh.select("doc_id")
-        .join(dl, "doc_id", "left")
-        .select("doc_id", F.coalesce(F.col("dl"), F.lit(0)).alias("dl"))
+        .join(postings_now.select("doc_id").distinct(), "doc_id", "anti")
+        .select("doc_id", F.lit(0).cast("long").alias("dl"))
     )
-    new_postings = (
-        tf.join(dl, "doc_id")
-        .select("term", "doc_id", "tf", "dl")
-        .withColumn("term_bucket", _BUCKET(disk.n_buckets))
+    add_stats = unacc_dl.unionByName(empty_fresh).localCheckpoint(eager=True)
+    added = add_stats.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.coalesce(F.sum("dl"), F.lit(0)).alias("tok"),
+    ).collect()[0]
+    if added.n == 0:
+        return 0
+    df_inc = (
+        unacc.select("term", "doc_id")
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("df"))
     )
-    # term_bucket joins the key set only to satisfy the sink's
-    # partition-pruned-anti-join contract (partition_cols ⊆ keys); it is
-    # a pure function of term, so the effective key stays (term, doc_id)
-    write_ignore_conflicts(
-        new_postings,
-        os.path.join(path, "postings"),
-        keys=["term", "doc_id", "term_bucket"],
-        partition_cols=["term_bucket"],
-    )
-    df_inc = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     df_new = (
         disk.df.drop("term_bucket")
         .unionByName(df_inc)
@@ -537,17 +580,30 @@ def append_to_bm25_index(
         .partitionBy("term_bucket")
         .parquet(os.path.join(path, f"df/v{nxt}"))
     )
-    old_stats.unionByName(dl_full).write.mode("overwrite").parquet(
+    old_stats.unionByName(add_stats).write.mode("overwrite").parquet(
         os.path.join(path, f"doc_stats/v{nxt}")
     )
-    # new totals derive from the COMMITTED meta + the fresh batch —
-    # exact (empty fresh docs count toward N with 0 tokens, matching
-    # the live build) and replay-safe: a crashed run's rerun re-derives
-    # the same fresh set from the still-committed old version, so the
-    # same numbers recompute
-    fresh_tokens = dl.agg(F.coalesce(F.sum("dl"), F.lit(0))).collect()[0][0]
     _write_bm25_meta(
-        spark, path, disk.n_docs + n_fresh,
-        disk.total_tokens + int(fresh_tokens), disk.n_buckets, nxt,
+        spark, path, disk.n_docs + int(added.n),
+        disk.total_tokens + int(added.tok), disk.n_buckets, nxt,
     )
+    _prune_bm25_versions(spark, path, keep=nxt)
     return n_fresh
+
+
+def _prune_bm25_versions(spark: SparkSession, path: str, keep: int) -> None:
+    """Delete superseded df/v{K}/doc_stats/v{K} (K < keep): once meta
+    flips they are unreachable by any reader, and without pruning every
+    append leaves behind a full doc-registry copy."""
+    import os
+
+    from ..sinks.layout import _fs_and_path
+
+    for rel in ("df", "doc_stats"):
+        _jvm, fs, p = _fs_and_path(spark, os.path.join(path, rel))
+        if not fs.exists(p):
+            continue
+        for status in fs.listStatus(p):
+            name = status.getPath().getName()
+            if name.startswith("v") and name[1:].isdigit() and int(name[1:]) < keep:
+                fs.delete(status.getPath(), True)

@@ -57,6 +57,8 @@ def curate_documents(
     ppl_max: float | None = None,
     clf_min: float | None = None,
     clf_dir: str | None = None,
+    clf_iters: int = 30,
+    clf_lr: float = 10.0,
 ) -> int:
     """Run the curation pipeline; returns rows appended to the sink.
 
@@ -109,7 +111,7 @@ def curate_documents(
             q = quality_score(raw.text)
             model = train_text_classifier(
                 raw.filter(q >= min_quality), raw.filter(q < min_quality),
-                iters=10,
+                iters=clf_iters, lr=clf_lr,
             )
         keep = classify_documents(model, out).filter(
             F.col("quality_p") >= clf_min

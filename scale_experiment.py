@@ -1005,11 +1005,7 @@ def round9b_experiment(spark, sf_dir: str, scratch: str) -> dict:
     dsir_times = {}
     for tag, d in (("1x", docs), ("10x", docs10)):
         target = d.filter(quality_score(F.col("text")) >= 0.5)
-        t0 = _t.perf_counter()
-        model = fit_dsir(target, d)
-        _noop(dsir_log_weights(model, d))
-        dsir_times[tag] = round(_t.perf_counter() - t0, 3)
-        if tag == "1x":  # warm, then re-measure the 1x point
+        for _attempt in range(2 if tag == "1x" else 1):  # 1x: warm+timed
             t0 = _t.perf_counter()
             model = fit_dsir(target, d)
             _noop(dsir_log_weights(model, d))
@@ -1024,11 +1020,7 @@ def round9b_experiment(spark, sf_dir: str, scratch: str) -> dict:
     # --- BM25: build 1x vs 10x; pruned vs unpruned serve at 10x -------
     bm_times = {}
     for tag, d in (("1x", docs), ("10x", docs10)):
-        t0 = _t.perf_counter()
-        idx = build_bm25_index(d)
-        _noop(idx.postings)
-        bm_times[tag] = round(_t.perf_counter() - t0, 3)
-        if tag == "1x":
+        for _attempt in range(2 if tag == "1x" else 1):  # 1x: warm+timed
             t0 = _t.perf_counter()
             idx = build_bm25_index(d)
             _noop(idx.postings)
@@ -1147,10 +1139,7 @@ def round9b_experiment(spark, sf_dir: str, scratch: str) -> dict:
     # --- BPE: train on replicated corpus (distinct words unchanged) ---
     bpe_train = {}
     for tag, d in (("1x", docs), ("10x", docs10)):
-        t0 = _t.perf_counter()
-        merges = train_bpe_from_docs(d, 15)
-        bpe_train[tag] = round(_t.perf_counter() - t0, 3)
-        if tag == "1x":
+        for _attempt in range(2 if tag == "1x" else 1):  # 1x: warm+timed
             t0 = _t.perf_counter()
             merges = train_bpe_from_docs(d, 15)
             bpe_train[tag] = round(_t.perf_counter() - t0, 3)
@@ -1182,13 +1171,9 @@ def round9b_experiment(spark, sf_dir: str, scratch: str) -> dict:
     clf_times = {}
     for tag, d in (("1x", docs), ("10x", docs10)):
         q = quality_score(F.col("text"))
-        t0 = _t.perf_counter()
-        m = train_text_classifier(
-            d.filter(q >= 0.5), d.filter(q < 0.5), iters=6
-        )
-        _noop(classify_documents(m, d))
-        clf_times[tag] = round(_t.perf_counter() - t0, 3)
-        if tag == "1x":
+        # two passes for the 1x arm: the first warms the code path, the
+        # second is the kept timing (one body, not a copy-paste twin)
+        for _attempt in range(2 if tag == "1x" else 1):
             t0 = _t.perf_counter()
             m = train_text_classifier(
                 d.filter(q >= 0.5), d.filter(q < 0.5), iters=6

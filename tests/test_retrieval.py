@@ -426,3 +426,105 @@ def test_append_counts_empty_docs(spark, tmp_path):
     assert disk.n_docs == 4  # the empty doc counts toward N
     assert disk.total_tokens == 6
     assert disk.avgdl == pytest.approx(6 / 4)
+
+
+def test_load_rejects_stale_layout(spark, tmp_path):
+    from ferramenta_etl_spark.operators.retrieval import load_bm25_index
+
+    old = tmp_path / "v1idx"
+    old.mkdir()
+    (old / "_bm25_meta.json").write_text(
+        '{"format": "bm25_index", "n_docs": 3, "avgdl": 2.0, "n_buckets": 8}'
+    )
+    with pytest.raises(ValueError, match="layout"):
+        load_bm25_index(spark, str(old))
+
+
+def test_append_commits_orphans_from_a_different_crashed_batch(
+    spark, corpus, tmp_path
+):
+    """Crash batch A mid-append, then append a DIFFERENT batch B: the
+    accounting pass must sweep A's orphaned postings into the registry
+    too, ending exactly at the full-rebuild state (no permanently
+    serveable-but-unaccounted ghosts)."""
+    import json
+    import os
+
+    from ferramenta_etl_spark.operators.retrieval import (
+        _BUCKET,
+        _doc_terms,
+        append_to_bm25_index,
+        build_bm25_index,
+        load_bm25_index,
+        save_bm25_index,
+    )
+    from ferramenta_etl_spark.sinks import write_ignore_conflicts
+
+    items = sorted(corpus.items())
+    first = spark.createDataFrame(items[:30], "doc_id int, text string")
+    batch_a = spark.createDataFrame(items[30:45], "doc_id int, text string")
+    batch_b = spark.createDataFrame(items[45:], "doc_id int, text string")
+    path = str(tmp_path / "orph")
+    save_bm25_index(build_bm25_index(first), path, n_buckets=8)
+
+    # crash batch A: postings land, accounting never runs
+    terms = _doc_terms(batch_a, "text", "doc_id")
+    tf = terms.groupBy("term", "doc_id").agg(F.count(F.lit(1)).alias("tf"))
+    dl = tf.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
+    partial = (
+        tf.join(dl, "doc_id")
+        .select("term", "doc_id", "tf", "dl")
+        .withColumn("term_bucket", _BUCKET(8))
+    )
+    write_ignore_conflicts(
+        partial, f"{path}/postings",
+        keys=["term", "doc_id", "term_bucket"],
+        partition_cols=["term_bucket"],
+    )
+    assert json.loads(
+        open(os.path.join(path, "_bm25_meta.json")).read()
+    )["version"] == 0
+
+    # append batch B: sweeps A's orphans alongside
+    assert append_to_bm25_index(spark, path, batch_b) == len(items) - 45
+    disk = load_bm25_index(spark, path)
+    assert disk.n_docs == len(items)
+
+    full_path = str(tmp_path / "orph_full")
+    save_bm25_index(
+        build_bm25_index(
+            spark.createDataFrame(items, "doc_id int, text string")
+        ),
+        full_path,
+        n_buckets=8,
+    )
+    qdf = spark.createDataFrame(QUERIES, "query_id int, query string")
+    assert _serve_sorted(spark, path, qdf) == _serve_sorted(
+        spark, full_path, qdf
+    )
+
+
+def test_append_prunes_superseded_versions(spark, corpus, tmp_path):
+    import os
+
+    from ferramenta_etl_spark.operators.retrieval import (
+        append_to_bm25_index,
+        build_bm25_index,
+        save_bm25_index,
+    )
+
+    items = sorted(corpus.items())
+    path = str(tmp_path / "prune")
+    save_bm25_index(
+        build_bm25_index(
+            spark.createDataFrame(items[:30], "doc_id int, text string")
+        ),
+        path,
+        n_buckets=8,
+    )
+    append_to_bm25_index(
+        spark, path,
+        spark.createDataFrame(items[30:], "doc_id int, text string"),
+    )
+    assert sorted(os.listdir(f"{path}/df")) == ["v1"]
+    assert sorted(os.listdir(f"{path}/doc_stats")) == ["v1"]
