@@ -775,7 +775,7 @@ def main(argv: list[str] | None = None, _stop_session: bool = True) -> int:
             # merge list is the tokenizer artifact (train once, encode
             # many — same contract as ppl-score's --lm-dir). Snapshot
             # semantics: each run replaces the artifact.
-            from .operators.bpe import train_bpe_from_docs
+            from .operators.bpe import save_bpe_merges, train_bpe_from_docs
             from .sources import load_table
 
             docs = load_table(spark, args.sf_dir, "documents")
@@ -783,10 +783,7 @@ def main(argv: list[str] | None = None, _stop_session: bool = True) -> int:
                 docs, args.merges, min_pair_count=args.min_pair_count
             )
             out_dir = f"{args.sink_dir}/bpe_merges"
-            spark.createDataFrame(
-                [(i, a, b) for i, (a, b) in enumerate(merges)],
-                "rank int, a string, b string",
-            ).coalesce(1).write.mode("overwrite").parquet(out_dir)
+            save_bpe_merges(spark, merges, out_dir)
             for i, (a, b) in enumerate(merges[:8]):
                 print(f"  {i:3} {a!r} + {b!r} -> {a + b!r}")
             print(f"✅ bpe-train: {len(merges)} merges -> {out_dir}")
@@ -797,13 +794,10 @@ def main(argv: list[str] | None = None, _stop_session: bool = True) -> int:
             # (doc_id, bpe_tokens).
             from pyspark.sql import functions as _F
 
-            from .operators.bpe import bpe_tokenize
+            from .operators.bpe import bpe_tokenize, load_bpe_merges
             from .sources import load_table
 
-            merges_df = spark.read.parquet(f"{args.sink_dir}/bpe_merges")
-            merges = [
-                (r.a, r.b) for r in merges_df.orderBy("rank").collect()
-            ]
+            merges = load_bpe_merges(spark, f"{args.sink_dir}/bpe_merges")
             docs = load_table(spark, args.sf_dir, "documents")
             toks = bpe_tokenize(docs, merges).select("doc_id", "bpe_tokens")
             out_dir = f"{args.sink_dir}/doc_bpe"

@@ -113,6 +113,8 @@ from .classifier import (  # noqa: F401
 from .bpe import (  # noqa: F401
     bpe_tokenize,
     bpe_vocab,
+    load_bpe_merges,
+    save_bpe_merges,
     train_bpe,
     train_bpe_from_docs,
     word_freq,

@@ -225,6 +225,49 @@ def bpe_tokenize(
     return docs.withColumn(out_col, enc(F.col(text_col)))
 
 
+def save_bpe_merges(spark, merges: Sequence[tuple[str, str]], path: str) -> None:
+    """Persist a merge list: rank-ordered (rank, a, b) parquet + a
+    format-marker meta sidecar — the tokenizer artifact, same
+    discipline as the LM/DSIR/BM25/classifier loaders."""
+    import json
+    import os
+
+    from ..sinks.layout import _fs_write_text
+
+    spark.createDataFrame(
+        [(i, a, b) for i, (a, b) in enumerate(merges)],
+        "rank int, a string, b string",
+    ).coalesce(1).write.mode("overwrite").parquet(os.path.join(path, "merges"))
+    _fs_write_text(
+        spark,
+        os.path.join(path, "_bpe_meta.json"),
+        json.dumps({"format": "bpe_merges", "n_merges": len(merges)}),
+    )
+
+
+def load_bpe_merges(spark, path: str) -> list[tuple[str, str]]:
+    """Load a save_bpe_merges artifact; fails loudly on foreign dirs
+    and on a truncated merge table (rank gap or count mismatch)."""
+    import json
+    import os
+
+    from ..sinks.layout import _fs_read_text
+
+    meta = json.loads(_fs_read_text(spark, os.path.join(path, "_bpe_meta.json")))
+    if meta.get("format") != "bpe_merges":
+        raise ValueError(f"not a bpe_merges artifact: {path}")
+    rows = (
+        spark.read.parquet(os.path.join(path, "merges"))
+        .orderBy("rank")
+        .collect()
+    )
+    if [r.rank for r in rows] != list(range(len(rows))) or len(rows) != int(
+        meta["n_merges"]
+    ):
+        raise ValueError(f"corrupt bpe_merges artifact (rank gaps): {path}")
+    return [(r.a, r.b) for r in rows]
+
+
 def bpe_vocab(
     merges: Iterable[tuple[str, str]], alphabet: Iterable[str] = ()
 ) -> list[str]:

@@ -160,3 +160,24 @@ def test_trainer_deterministic_across_partitionings(spark, corpus):
     m1 = train_bpe(wf.repartition(13), 10)
     m2 = train_bpe(wf.coalesce(1), 10)
     assert m1 == m2
+
+
+def test_merges_save_load_roundtrip(spark, corpus, tmp_path):
+    from ferramenta_etl_spark.operators.bpe import (
+        load_bpe_merges,
+        save_bpe_merges,
+        train_bpe_from_docs,
+    )
+
+    df = spark.createDataFrame([(t,) for t in corpus], "text string")
+    merges = train_bpe_from_docs(df, 10)
+    path = str(tmp_path / "bpe")
+    save_bpe_merges(spark, merges, path)
+    assert load_bpe_merges(spark, path) == merges  # ORDER preserved
+    with pytest.raises(Exception):
+        load_bpe_merges(spark, str(tmp_path / "nope"))
+    bad = tmp_path / "bad"
+    bad.mkdir()
+    (bad / "_bpe_meta.json").write_text('{"format": "x"}')
+    with pytest.raises(ValueError, match="bpe_merges"):
+        load_bpe_merges(spark, str(bad))

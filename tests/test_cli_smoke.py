@@ -367,7 +367,7 @@ def test_cli_bpe_train_and_encode(cli_tmp, capsys, spark):
     s = str(cli_tmp / "bp")
     assert _run("bpe-train", "--sink-dir", s, "--merges", "12") == 0
     assert "✅ bpe-train:" in capsys.readouterr().out
-    merges = spark.read.parquet(f"{s}/bpe_merges")
+    merges = spark.read.parquet(f"{s}/bpe_merges/merges")
     assert 0 < merges.count() <= 12
     assert set(merges.columns) == {"rank", "a", "b"}
     assert _run("bpe-encode", "--sink-dir", s) == 0
