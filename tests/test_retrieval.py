@@ -528,3 +528,91 @@ def test_append_prunes_superseded_versions(spark, corpus, tmp_path):
     )
     assert sorted(os.listdir(f"{path}/df")) == ["v1"]
     assert sorted(os.listdir(f"{path}/doc_stats")) == ["v1"]
+
+
+def test_hybrid_recall_beats_both_single_arms(spark):
+    """Planted-relevance fixture where each arm has a blind spot:
+    lexical-only relevants share the query's words but have noisy
+    embeddings; dense-only relevants use synonyms (no term overlap)
+    but sit near the query vector. BM25 misses the dense-only set,
+    cosine misses the lexical-only set; RRF fusion must recall more
+    of the full relevant set than either arm alone."""
+    import random
+
+    from ferramenta_etl_spark.operators.retrieval import (
+        bm25_topk,
+        build_bm25_index,
+        hybrid_topk,
+    )
+    from ferramenta_etl_spark.operators.similarity import cosine_topk
+
+    rng = random.Random(13)
+    dim, k = 16, 12
+
+    def noise_vec():
+        return [rng.gauss(0, 1) for _ in range(dim)]
+
+    def near(center, s=0.15):
+        return [c + rng.gauss(0, s) for c in center]
+
+    topics = {
+        t: {
+            "words": [f"kw{t}a", f"kw{t}b", f"kw{t}c"],
+            "syns": [f"syn{t}a", f"syn{t}b", f"syn{t}c"],
+            "center": noise_vec(),
+        }
+        for t in range(4)
+    }
+    docs, vecs, relevant = [], [], {t: set() for t in topics}
+    i = 0
+    for t, spec in topics.items():
+        for _ in range(4):  # lexical-only: right words, noise vector
+            docs.append((i, " ".join(spec["words"] * 2)))
+            vecs.append((i, noise_vec()))
+            relevant[t].add(i)
+            i += 1
+        for _ in range(4):  # dense-only: synonyms, near vector
+            docs.append((i, " ".join(spec["syns"] * 2)))
+            vecs.append((i, near(spec["center"])))
+            relevant[t].add(i)
+            i += 1
+        for _ in range(4):  # both
+            docs.append((i, " ".join(spec["words"])))
+            vecs.append((i, near(spec["center"])))
+            relevant[t].add(i)
+            i += 1
+    for _ in range(60):  # distractors
+        docs.append((i, " ".join(rng.choice("the a of filler noise".split())
+                                 for _ in range(6))))
+        vecs.append((i, noise_vec()))
+        i += 1
+
+    ddf = spark.createDataFrame(docs, "doc_id int, text string")
+    edf = spark.createDataFrame(vecs, "doc_id int, embedding array<double>")
+    idx = build_bm25_index(ddf)
+    queries = spark.createDataFrame(
+        [
+            (t, " ".join(spec["words"]), spec["center"])
+            for t, spec in topics.items()
+        ],
+        "query_id int, query string, query_vec array<double>",
+    )
+
+    def recall(rows):
+        got = {}
+        for r in rows:
+            got.setdefault(r.query_id, set()).add(r.doc_id)
+        return sum(
+            len(got.get(t, set()) & relevant[t]) / len(relevant[t])
+            for t in topics
+        ) / len(topics)
+
+    r_lex = recall(bm25_topk(idx, queries, k=k).collect())
+    r_den = recall(
+        cosine_topk(edf, queries, k=k, id_col="doc_id").collect()
+    )
+    r_hyb = recall(hybrid_topk(idx, edf, queries, k=k).collect())
+    # each single arm is structurally blind to a third of the relevants
+    assert r_lex <= 0.75 and r_den <= 0.75, (r_lex, r_den)
+    assert r_hyb > max(r_lex, r_den), (r_hyb, r_lex, r_den)
+    assert r_hyb >= 0.9, r_hyb
