@@ -285,33 +285,36 @@ def hybrid_topk(
 
 _BUCKET = lambda n: F.pmod(F.xxhash64("term"), F.lit(n)).cast("int")  # noqa: E731
 
-# On-disk layout (version-flipped, append-friendly):
+# On-disk layout (layout 3 — delta-log postings, version-flipped stats):
 #
-#   postings/                 (term, doc_id, tf, dl) partitioned by
-#                             term_bucket — APPEND-ONLY, rows keyed
-#                             (term, doc_id) through the idempotent sink
+#   postings/d{K}/            (term, doc_id, tf, dl) partitioned by
+#                             term_bucket — ONE immutable delta dir per
+#                             committed batch; d0 is the initial build
 #   df/v{K}/                  (term, df) partitioned by term_bucket
-#   doc_stats/v{K}/           (doc_id, dl)
-#   _bm25_meta.json           {format, n_docs, total_tokens, n_buckets,
-#                              version: K} — written LAST by atomic
-#                              rename: the COMMIT POINT
+#   doc_stats/v{K}/           (doc_id, dl) — the complete doc registry
+#   _bm25_meta.json           {format, layout: 3, n_docs, total_tokens,
+#                              n_buckets, version: K} — written LAST by
+#                              atomic rename: the ONLY commit point
 #
-# idf is deliberately NOT stored: it bakes in N and per-term df, which
+# Committed postings = d0..d{version}; a reader unions exactly those
+# delta scans, so an in-flight or crashed append's d{version+1} is
+# INVISIBLE to serving (no read-uncommitted window) and is safely
+# OVERWRITTEN by whatever batch commits next — partial files from a
+# crashed job can never be accounted, served, or block a replay. idf
+# is deliberately NOT stored: it bakes in N and per-term df, which
 # every append changes — the disk serve derives idf for the QUERY's
-# terms only, from the committed df relation and meta's N. Crash
-# anywhere mid-append leaves meta pointing at the old df/doc_stats
-# versions, so the next append re-detects the same fresh docs, the
-# keyed postings append replays as a no-op, and the v{K+1} relations
-# are rebuilt deterministically before meta finally flips. Single
-# appender per index dir (the postings sink's advisory lock enforces
-# the postings leg; the version flip assumes one writer, like the
-# PQ/IVFPQ appenders).
+# terms only, from the committed df relation and meta's N. Superseded
+# df/doc_stats versions are pruned with a one-version grace window
+# (readers should re-load after an append; a handle loaded one append
+# ago still works, older handles must re-load). Single appender per
+# index dir, like the PQ/IVFPQ appenders. Long append histories can be
+# compacted by rebuilding (save_bm25_index over the full corpus).
 
 
 def save_bm25_index(
     index: BM25Index, path: str, n_buckets: int = 64
 ) -> None:
-    """Persist the index in the appendable layout above. The bucket
+    """Persist the index in the delta-log layout above. The bucket
     partitioning buys serve-time partition PRUNING (scan cost follows
     the query's vocabulary; see the module docstring for the measured
     co-resident-mass sizing guidance) and append-time locality. I/O
@@ -319,28 +322,28 @@ def save_bm25_index(
     Hadoop-visible filesystem works."""
     import os
 
+    from ..sinks.layout import _fs_and_path
+
     if index.df is None or index.doc_lens is None:
         raise ValueError(
             "save_bm25_index needs a build_bm25_index-produced index "
             "(df/doc_lens statistics present)"
         )
-    from ..sinks.layout import _fs_and_path
-
     spark = index.postings.sparkSession
-    # a rebuild over a previously-appended dir must clear stale v1+
-    # version dirs, or the fresh meta (version: 0) would coexist with
-    # unreachable-but-confusing leftovers
-    for rel in ("df", "doc_stats"):
-        _jvm, fs, p = _fs_and_path(spark, os.path.join(path, rel))
-        if fs.exists(p):
-            fs.delete(p, True)
+    # a rebuild over a previously-appended dir must clear stale deltas
+    # and version dirs, or the fresh meta (version: 0) would coexist
+    # with unreachable-but-confusing leftovers
+    for rel in ("postings", "df", "doc_stats"):
+        _jvm, fs, pth = _fs_and_path(spark, os.path.join(path, rel))
+        if fs.exists(pth):
+            fs.delete(pth, True)
     (
         index.postings.select("term", "doc_id", "tf", "dl")
         .withColumn("term_bucket", _BUCKET(n_buckets))
         .repartition("term_bucket")
         .write.mode("overwrite")
         .partitionBy("term_bucket")
-        .parquet(os.path.join(path, "postings"))
+        .parquet(os.path.join(path, "postings/d0"))
     )
     (
         index.df.withColumn("term_bucket", _BUCKET(n_buckets))
@@ -371,7 +374,7 @@ def _write_bm25_meta(
         json.dumps(
             {
                 "format": "bm25_index",
-                "layout": 2,
+                "layout": 3,
                 "n_docs": n_docs,
                 "total_tokens": total_tokens,
                 "n_buckets": n_buckets,
@@ -382,7 +385,7 @@ def _write_bm25_meta(
 
 
 class BM25DiskIndex(NamedTuple):
-    postings: DataFrame  # (term, doc_id, tf, dl, term_bucket)
+    postings: DataFrame  # union of the COMMITTED deltas d0..d{version}
     df: DataFrame  # (term, df, term_bucket) — the committed version
     n_docs: int
     avgdl: float
@@ -394,7 +397,9 @@ class BM25DiskIndex(NamedTuple):
 
 def load_bm25_index(spark: SparkSession, path: str) -> BM25DiskIndex:
     """Load a ``save_bm25_index`` artifact; fails loudly on a foreign
-    or half-written directory (same contract as load_lm/load_dsir)."""
+    or half-written directory (same contract as load_lm/load_dsir).
+    The postings relation is the union of exactly the committed delta
+    scans — each keeps its own term_bucket partition pruning."""
     import json
     import os
 
@@ -405,17 +410,22 @@ def load_bm25_index(spark: SparkSession, path: str) -> BM25DiskIndex:
     )
     if meta.get("format") != "bm25_index":
         raise ValueError(f"not a bm25_index artifact: {path}")
-    if meta.get("layout") != 2:
+    if meta.get("layout") != 3:
         raise ValueError(
             f"bm25_index at {path} uses layout {meta.get('layout')!r}; "
-            "this release reads layout 2 (raw-statistics, appendable) — "
-            "rebuild the index with save_bm25_index"
+            "this release reads layout 3 (delta-log postings) — rebuild "
+            "the index with save_bm25_index"
         )
     v = int(meta["version"])
+    postings = spark.read.parquet(os.path.join(path, "postings/d0"))
+    for k in range(1, v + 1):
+        postings = postings.unionByName(
+            spark.read.parquet(os.path.join(path, f"postings/d{k}"))
+        )
     n_docs = int(meta["n_docs"])
     total_tokens = int(meta["total_tokens"])
     return BM25DiskIndex(
-        spark.read.parquet(os.path.join(path, "postings")),
+        postings,
         spark.read.parquet(os.path.join(path, f"df/v{v}")),
         n_docs,
         total_tokens / n_docs if n_docs else 0.0,
@@ -489,26 +499,22 @@ def append_to_bm25_index(
     number of genuinely-new documents indexed; reruns with the same
     batch append zero (first-writer-wins by doc id).
 
-    Crash posture: after the postings append, the accounting pass
-    derives df/doc_stats/N from ALL postings docs missing from the
-    committed registry — so it absorbs not only this batch but any
-    ORPHANED postings a previously crashed append left behind (ghost
-    docs that were serveable-but-unaccounted). The read-uncommitted
-    window is therefore bounded by the single in-flight append: the
-    next successful append of ANY batch commits stragglers too.
-    (Queries served inside that window can see the in-flight batch
-    scored against the old df/N — the documented trade for never
-    rewriting postings.)
+    Crash posture (see the layout note): the batch's postings land in
+    the UNCOMMITTED delta d{version+1} — invisible to serving until
+    the meta flip, overwritten wholesale by whatever batch commits
+    next. A crash anywhere mid-append therefore leaves the committed
+    index byte-identical to before the append, and a replay (of this
+    batch or any other) starts from a clean slate: no ghosts, no
+    partially-accounted documents, no read-uncommitted window.
 
-    Cost model: fresh-batch featurization is batch-linear; the keyed
-    postings append's anti-join and the orphan sweep each read two
-    pruned columns of the existing postings; df/doc_stats rewrites are
-    vocab- and doc-count-sized (far below postings); meta is O(1). The
-    expensive relation — postings — is never rewritten, and superseded
-    df/doc_stats versions are deleted after the flip."""
+    Cost model: everything is batch-sized except the df merge — fresh
+    detection is one anti-join against the doc-count-sized registry,
+    featurization is batch-linear, the delta write touches only the
+    batch's rows, and df/doc_stats rewrites are vocab- and
+    doc-count-sized. Existing postings deltas are never read or
+    rewritten. Long histories (one delta dir per append) compact by
+    rebuilding."""
     import os
-
-    from ..sinks import write_ignore_conflicts
 
     disk = load_bm25_index(spark, path)
     old_stats = spark.read.parquet(
@@ -522,50 +528,30 @@ def append_to_bm25_index(
     # across shuffles
     fresh = fresh.localCheckpoint(eager=True)
     n_fresh = fresh.count()
-    if n_fresh > 0:
-        terms = _doc_terms(fresh, "text", "doc_id")
-        tf = terms.groupBy("term", "doc_id").agg(F.count(F.lit(1)).alias("tf"))
-        dl = tf.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
-        new_postings = (
-            tf.join(dl, "doc_id")
-            .select("term", "doc_id", "tf", "dl")
-            .withColumn("term_bucket", _BUCKET(disk.n_buckets))
-        )
-        # term_bucket joins the key set only to satisfy the sink's
-        # partition-pruned-anti-join contract (partition_cols ⊆ keys); it
-        # is a pure function of term, so the effective key stays
-        # (term, doc_id)
-        write_ignore_conflicts(
-            new_postings,
-            os.path.join(path, "postings"),
-            keys=["term", "doc_id", "term_bucket"],
-            partition_cols=["term_bucket"],
-        )
-
-    # ---- accounting pass: commit EVERY postings doc the registry is
-    # missing (this batch + any prior crashed batch's orphans), plus
-    # this batch's empty docs (dl=0 — they leave no postings but must
-    # enter the registry or they'd be re-detected as fresh forever)
-    postings_now = spark.read.parquet(os.path.join(path, "postings"))
-    unacc = postings_now.join(old_stats.select("doc_id"), "doc_id", "anti")
-    unacc_dl = unacc.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
-    empty_fresh = (
-        fresh.select("doc_id")
-        .join(postings_now.select("doc_id").distinct(), "doc_id", "anti")
-        .select("doc_id", F.lit(0).cast("long").alias("dl"))
-    )
-    add_stats = unacc_dl.unionByName(empty_fresh).localCheckpoint(eager=True)
-    added = add_stats.agg(
-        F.count(F.lit(1)).alias("n"),
-        F.coalesce(F.sum("dl"), F.lit(0)).alias("tok"),
-    ).collect()[0]
-    if added.n == 0:
+    if n_fresh == 0:
         return 0
-    df_inc = (
-        unacc.select("term", "doc_id")
-        .groupBy("term")
-        .agg(F.count(F.lit(1)).alias("df"))
+    terms = _doc_terms(fresh, "text", "doc_id")
+    tf = terms.groupBy("term", "doc_id").agg(F.count(F.lit(1)).alias("tf"))
+    dl = tf.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
+    # complete spine: empty fresh docs carry dl=0 — they must enter the
+    # registry or the next append re-detects them as fresh forever
+    dl_full = (
+        fresh.select("doc_id")
+        .join(dl, "doc_id", "left")
+        .select("doc_id", F.coalesce(F.col("dl"), F.lit(0)).alias("dl"))
+        .localCheckpoint(eager=True)
     )
+    nxt = disk.version + 1
+    (
+        tf.join(dl, "doc_id")
+        .select("term", "doc_id", "tf", "dl")
+        .withColumn("term_bucket", _BUCKET(disk.n_buckets))
+        .repartition("term_bucket")
+        .write.mode("overwrite")
+        .partitionBy("term_bucket")
+        .parquet(os.path.join(path, f"postings/d{nxt}"))
+    )
+    df_inc = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     df_new = (
         disk.df.drop("term_bucket")
         .unionByName(df_inc)
@@ -573,28 +559,33 @@ def append_to_bm25_index(
         .agg(F.sum("df").alias("df"))
         .withColumn("term_bucket", _BUCKET(disk.n_buckets))
     )
-    nxt = disk.version + 1
     (
         df_new.repartition("term_bucket")
         .write.mode("overwrite")
         .partitionBy("term_bucket")
         .parquet(os.path.join(path, f"df/v{nxt}"))
     )
-    old_stats.unionByName(add_stats).write.mode("overwrite").parquet(
+    old_stats.unionByName(dl_full).write.mode("overwrite").parquet(
         os.path.join(path, f"doc_stats/v{nxt}")
     )
+    added_tokens = dl_full.agg(
+        F.coalesce(F.sum("dl"), F.lit(0))
+    ).collect()[0][0]
     _write_bm25_meta(
-        spark, path, disk.n_docs + int(added.n),
-        disk.total_tokens + int(added.tok), disk.n_buckets, nxt,
+        spark, path, disk.n_docs + n_fresh,
+        disk.total_tokens + int(added_tokens), disk.n_buckets, nxt,
     )
-    _prune_bm25_versions(spark, path, keep=nxt)
+    _prune_bm25_versions(spark, path, keep_from=nxt - 1)
     return n_fresh
 
 
-def _prune_bm25_versions(spark: SparkSession, path: str, keep: int) -> None:
-    """Delete superseded df/v{K}/doc_stats/v{K} (K < keep): once meta
-    flips they are unreachable by any reader, and without pruning every
-    append leaves behind a full doc-registry copy."""
+def _prune_bm25_versions(spark: SparkSession, path: str, keep_from: int) -> None:
+    """Delete df/v{K}/doc_stats/v{K} for K < keep_from. keep_from is
+    one BEHIND the new committed version: the grace window that keeps a
+    BM25DiskIndex handle loaded just before this append serveable;
+    handles older than one append must re-load (documented in the
+    layout note). Postings deltas are never pruned — every committed
+    delta stays live."""
     import os
 
     from ..sinks.layout import _fs_and_path
@@ -605,5 +596,9 @@ def _prune_bm25_versions(spark: SparkSession, path: str, keep: int) -> None:
             continue
         for status in fs.listStatus(p):
             name = status.getPath().getName()
-            if name.startswith("v") and name[1:].isdigit() and int(name[1:]) < keep:
+            if (
+                name.startswith("v")
+                and name[1:].isdigit()
+                and int(name[1:]) < keep_from
+            ):
                 fs.delete(status.getPath(), True)

@@ -158,7 +158,7 @@ def test_pruned_serve_reads_only_query_buckets(spark, corpus, index, tmp_path):
     # one single-term query = exactly one bucket of 16: the pruned scan
     # declares fewer partitions than exist on disk
     n_dirs = len(
-        [d for d in __import__("os").listdir(f"{path}/postings")
+        [d for d in __import__("os").listdir(f"{path}/postings/d0")
          if d.startswith("term_bucket=")]
     )
     assert n_dirs > 1  # the fixture really is spread over buckets
@@ -355,45 +355,48 @@ def test_append_equals_rebuild(spark, corpus, tmp_path):
     )
 
 
-def test_append_crash_replay_heals(spark, corpus, tmp_path):
-    """A crash AFTER the postings append but BEFORE the meta flip must
-    be healed by replaying the same append: the keyed postings append
-    no-ops, the versioned relations rebuild, meta finally flips."""
+def test_append_crash_is_invisible_and_replay_heals(spark, corpus, tmp_path):
+    """A crash AFTER the delta write but BEFORE the meta flip leaves
+    the committed index byte-identical (the uncommitted delta is never
+    served), and replaying the append overwrites the dead delta and
+    commits cleanly."""
     import json
     import os
 
     from ferramenta_etl_spark.operators.retrieval import (
+        _BUCKET,
+        _doc_terms,
         append_to_bm25_index,
         build_bm25_index,
         save_bm25_index,
     )
-    from ferramenta_etl_spark.sinks import write_ignore_conflicts
-    from ferramenta_etl_spark.operators.retrieval import _BUCKET, _doc_terms
 
     items = sorted(corpus.items())
     first = spark.createDataFrame(items[:30], "doc_id int, text string")
     rest = spark.createDataFrame(items[30:], "doc_id int, text string")
     path = str(tmp_path / "crash")
     save_bm25_index(build_bm25_index(first), path, n_buckets=8)
+    qdf = spark.createDataFrame(QUERIES, "query_id int, query string")
+    before = _serve_sorted(spark, path, qdf)
 
-    # simulate the crashed half-append: postings rows landed, but
-    # neither df/v1, doc_stats/v1, nor the meta flip happened
+    # simulate the crashed append: the delta dir landed, meta did not
     terms = _doc_terms(rest, "text", "doc_id")
     tf = terms.groupBy("term", "doc_id").agg(F.count(F.lit(1)).alias("tf"))
     dl = tf.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
-    partial = (
+    (
         tf.join(dl, "doc_id")
         .select("term", "doc_id", "tf", "dl")
         .withColumn("term_bucket", _BUCKET(8))
-    )
-    write_ignore_conflicts(
-        partial, f"{path}/postings", keys=["term", "doc_id", "term_bucket"],
-        partition_cols=["term_bucket"],
+        .write.mode("overwrite")
+        .partitionBy("term_bucket")
+        .parquet(f"{path}/postings/d1")
     )
     meta = json.loads(open(os.path.join(path, "_bm25_meta.json")).read())
     assert meta["version"] == 0  # the crash: meta never flipped
+    # the dead delta is INVISIBLE: serving is unchanged
+    assert _serve_sorted(spark, path, qdf) == before
 
-    # replay the append: must heal to the exact full-rebuild state
+    # replay: overwrites the dead delta and commits
     assert append_to_bm25_index(spark, path, rest) == len(items) - 30
     full_path = str(tmp_path / "full2")
     save_bm25_index(
@@ -403,7 +406,75 @@ def test_append_crash_replay_heals(spark, corpus, tmp_path):
         full_path,
         n_buckets=8,
     )
+    assert _serve_sorted(spark, path, qdf) == _serve_sorted(
+        spark, full_path, qdf
+    )
+
+
+def test_crashed_batch_never_pollutes_a_different_next_batch(
+    spark, corpus, tmp_path
+):
+    """Crash batch A mid-append, then append a DIFFERENT batch B: A's
+    dead delta is overwritten by B's — the committed index is exactly
+    first ∪ B (A is fully absent: unserved AND unaccounted), and a
+    later replay of A indexes it completely."""
+    import json
+    import os
+
+    from ferramenta_etl_spark.operators.retrieval import (
+        _BUCKET,
+        _doc_terms,
+        append_to_bm25_index,
+        build_bm25_index,
+        load_bm25_index,
+        save_bm25_index,
+    )
+
+    items = sorted(corpus.items())
+    first = spark.createDataFrame(items[:30], "doc_id int, text string")
+    batch_a = spark.createDataFrame(items[30:45], "doc_id int, text string")
+    batch_b = spark.createDataFrame(items[45:], "doc_id int, text string")
+    path = str(tmp_path / "orph")
+    save_bm25_index(build_bm25_index(first), path, n_buckets=8)
+
+    # crash batch A: the delta lands, accounting never runs
+    terms = _doc_terms(batch_a, "text", "doc_id")
+    tf = terms.groupBy("term", "doc_id").agg(F.count(F.lit(1)).alias("tf"))
+    dl = tf.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
+    (
+        tf.join(dl, "doc_id")
+        .select("term", "doc_id", "tf", "dl")
+        .withColumn("term_bucket", _BUCKET(8))
+        .write.mode("overwrite")
+        .partitionBy("term_bucket")
+        .parquet(f"{path}/postings/d1")
+    )
+    assert json.loads(
+        open(os.path.join(path, "_bm25_meta.json")).read()
+    )["version"] == 0
+
+    # append batch B: overwrites A's dead delta; index == first ∪ B
+    assert append_to_bm25_index(spark, path, batch_b) == len(items) - 45
+    mid_path = str(tmp_path / "orph_mid")
+    save_bm25_index(
+        build_bm25_index(first.unionByName(batch_b)), mid_path, n_buckets=8
+    )
     qdf = spark.createDataFrame(QUERIES, "query_id int, query string")
+    assert load_bm25_index(spark, path).n_docs == 30 + (len(items) - 45)
+    assert _serve_sorted(spark, path, qdf) == _serve_sorted(
+        spark, mid_path, qdf
+    )
+
+    # replaying A later indexes it fully
+    assert append_to_bm25_index(spark, path, batch_a) == 15
+    full_path = str(tmp_path / "orph_full")
+    save_bm25_index(
+        build_bm25_index(
+            spark.createDataFrame(items, "doc_id int, text string")
+        ),
+        full_path,
+        n_buckets=8,
+    )
     assert _serve_sorted(spark, path, qdf) == _serve_sorted(
         spark, full_path, qdf
     )
@@ -426,6 +497,9 @@ def test_append_counts_empty_docs(spark, tmp_path):
     assert disk.n_docs == 4  # the empty doc counts toward N
     assert disk.total_tokens == 6
     assert disk.avgdl == pytest.approx(6 / 4)
+    # re-appending the same batch (incl. the empty doc) adds zero
+    assert append_to_bm25_index(spark, path, batch) == 0
+    assert load_bm25_index(spark, path).n_docs == 4
 
 
 def test_load_rejects_stale_layout(spark, tmp_path):
@@ -440,76 +514,16 @@ def test_load_rejects_stale_layout(spark, tmp_path):
         load_bm25_index(spark, str(old))
 
 
-def test_append_commits_orphans_from_a_different_crashed_batch(
-    spark, corpus, tmp_path
-):
-    """Crash batch A mid-append, then append a DIFFERENT batch B: the
-    accounting pass must sweep A's orphaned postings into the registry
-    too, ending exactly at the full-rebuild state (no permanently
-    serveable-but-unaccounted ghosts)."""
-    import json
+def test_append_prunes_superseded_versions_with_grace(spark, corpus, tmp_path):
+    """One superseded version survives each append (the grace window
+    for a handle loaded just before the flip); older ones are deleted.
+    All postings deltas stay — they are all live."""
     import os
 
     from ferramenta_etl_spark.operators.retrieval import (
-        _BUCKET,
-        _doc_terms,
         append_to_bm25_index,
         build_bm25_index,
         load_bm25_index,
-        save_bm25_index,
-    )
-    from ferramenta_etl_spark.sinks import write_ignore_conflicts
-
-    items = sorted(corpus.items())
-    first = spark.createDataFrame(items[:30], "doc_id int, text string")
-    batch_a = spark.createDataFrame(items[30:45], "doc_id int, text string")
-    batch_b = spark.createDataFrame(items[45:], "doc_id int, text string")
-    path = str(tmp_path / "orph")
-    save_bm25_index(build_bm25_index(first), path, n_buckets=8)
-
-    # crash batch A: postings land, accounting never runs
-    terms = _doc_terms(batch_a, "text", "doc_id")
-    tf = terms.groupBy("term", "doc_id").agg(F.count(F.lit(1)).alias("tf"))
-    dl = tf.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
-    partial = (
-        tf.join(dl, "doc_id")
-        .select("term", "doc_id", "tf", "dl")
-        .withColumn("term_bucket", _BUCKET(8))
-    )
-    write_ignore_conflicts(
-        partial, f"{path}/postings",
-        keys=["term", "doc_id", "term_bucket"],
-        partition_cols=["term_bucket"],
-    )
-    assert json.loads(
-        open(os.path.join(path, "_bm25_meta.json")).read()
-    )["version"] == 0
-
-    # append batch B: sweeps A's orphans alongside
-    assert append_to_bm25_index(spark, path, batch_b) == len(items) - 45
-    disk = load_bm25_index(spark, path)
-    assert disk.n_docs == len(items)
-
-    full_path = str(tmp_path / "orph_full")
-    save_bm25_index(
-        build_bm25_index(
-            spark.createDataFrame(items, "doc_id int, text string")
-        ),
-        full_path,
-        n_buckets=8,
-    )
-    qdf = spark.createDataFrame(QUERIES, "query_id int, query string")
-    assert _serve_sorted(spark, path, qdf) == _serve_sorted(
-        spark, full_path, qdf
-    )
-
-
-def test_append_prunes_superseded_versions(spark, corpus, tmp_path):
-    import os
-
-    from ferramenta_etl_spark.operators.retrieval import (
-        append_to_bm25_index,
-        build_bm25_index,
         save_bm25_index,
     )
 
@@ -522,97 +536,21 @@ def test_append_prunes_superseded_versions(spark, corpus, tmp_path):
         path,
         n_buckets=8,
     )
+    handle_v0 = load_bm25_index(spark, path)
     append_to_bm25_index(
         spark, path,
-        spark.createDataFrame(items[30:], "doc_id int, text string"),
+        spark.createDataFrame(items[30:45], "doc_id int, text string"),
     )
-    assert sorted(os.listdir(f"{path}/df")) == ["v1"]
-    assert sorted(os.listdir(f"{path}/doc_stats")) == ["v1"]
+    assert sorted(os.listdir(f"{path}/df")) == ["v0", "v1"]  # grace
+    # the pre-append handle still serves inside the grace window
+    qdf = spark.createDataFrame(QUERIES, "query_id int, query string")
+    from ferramenta_etl_spark.operators.retrieval import bm25_topk_on_index
 
-
-def test_hybrid_recall_beats_both_single_arms(spark):
-    """Planted-relevance fixture where each arm has a blind spot:
-    lexical-only relevants share the query's words but have noisy
-    embeddings; dense-only relevants use synonyms (no term overlap)
-    but sit near the query vector. BM25 misses the dense-only set,
-    cosine misses the lexical-only set; RRF fusion must recall more
-    of the full relevant set than either arm alone."""
-    import random
-
-    from ferramenta_etl_spark.operators.retrieval import (
-        bm25_topk,
-        build_bm25_index,
-        hybrid_topk,
+    assert bm25_topk_on_index(handle_v0, qdf, k=3).count() >= 0
+    append_to_bm25_index(
+        spark, path,
+        spark.createDataFrame(items[45:], "doc_id int, text string"),
     )
-    from ferramenta_etl_spark.operators.similarity import cosine_topk
-
-    rng = random.Random(13)
-    dim, k = 16, 12
-
-    def noise_vec():
-        return [rng.gauss(0, 1) for _ in range(dim)]
-
-    def near(center, s=0.15):
-        return [c + rng.gauss(0, s) for c in center]
-
-    topics = {
-        t: {
-            "words": [f"kw{t}a", f"kw{t}b", f"kw{t}c"],
-            "syns": [f"syn{t}a", f"syn{t}b", f"syn{t}c"],
-            "center": noise_vec(),
-        }
-        for t in range(4)
-    }
-    docs, vecs, relevant = [], [], {t: set() for t in topics}
-    i = 0
-    for t, spec in topics.items():
-        for _ in range(4):  # lexical-only: right words, noise vector
-            docs.append((i, " ".join(spec["words"] * 2)))
-            vecs.append((i, noise_vec()))
-            relevant[t].add(i)
-            i += 1
-        for _ in range(4):  # dense-only: synonyms, near vector
-            docs.append((i, " ".join(spec["syns"] * 2)))
-            vecs.append((i, near(spec["center"])))
-            relevant[t].add(i)
-            i += 1
-        for _ in range(4):  # both
-            docs.append((i, " ".join(spec["words"])))
-            vecs.append((i, near(spec["center"])))
-            relevant[t].add(i)
-            i += 1
-    for _ in range(60):  # distractors
-        docs.append((i, " ".join(rng.choice("the a of filler noise".split())
-                                 for _ in range(6))))
-        vecs.append((i, noise_vec()))
-        i += 1
-
-    ddf = spark.createDataFrame(docs, "doc_id int, text string")
-    edf = spark.createDataFrame(vecs, "doc_id int, embedding array<double>")
-    idx = build_bm25_index(ddf)
-    queries = spark.createDataFrame(
-        [
-            (t, " ".join(spec["words"]), spec["center"])
-            for t, spec in topics.items()
-        ],
-        "query_id int, query string, query_vec array<double>",
-    )
-
-    def recall(rows):
-        got = {}
-        for r in rows:
-            got.setdefault(r.query_id, set()).add(r.doc_id)
-        return sum(
-            len(got.get(t, set()) & relevant[t]) / len(relevant[t])
-            for t in topics
-        ) / len(topics)
-
-    r_lex = recall(bm25_topk(idx, queries, k=k).collect())
-    r_den = recall(
-        cosine_topk(edf, queries, k=k, id_col="doc_id").collect()
-    )
-    r_hyb = recall(hybrid_topk(idx, edf, queries, k=k).collect())
-    # each single arm is structurally blind to a third of the relevants
-    assert r_lex <= 0.75 and r_den <= 0.75, (r_lex, r_den)
-    assert r_hyb > max(r_lex, r_den), (r_hyb, r_lex, r_den)
-    assert r_hyb >= 0.9, r_hyb
+    assert sorted(os.listdir(f"{path}/df")) == ["v1", "v2"]
+    assert sorted(os.listdir(f"{path}/doc_stats")) == ["v1", "v2"]
+    assert sorted(os.listdir(f"{path}/postings")) == ["d0", "d1", "d2"]
