@@ -251,9 +251,16 @@ def load_bpe_merges(spark, path: str) -> list[tuple[str, str]]:
     import json
     import os
 
-    from ..sinks.layout import _fs_read_text
+    from ..sinks.layout import _fs_exists, _fs_read_text
 
-    meta = json.loads(_fs_read_text(spark, os.path.join(path, "_bpe_meta.json")))
+    meta_path = os.path.join(path, "_bpe_meta.json")
+    if not _fs_exists(spark, meta_path):
+        raise ValueError(
+            f"no _bpe_meta.json under {path} — not a save_bpe_merges "
+            "artifact (directories written before the artifact format "
+            "must be retrained with bpe-train)"
+        )
+    meta = json.loads(_fs_read_text(spark, meta_path))
     if meta.get("format") != "bpe_merges":
         raise ValueError(f"not a bpe_merges artifact: {path}")
     rows = (

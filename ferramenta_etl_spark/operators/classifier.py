@@ -129,6 +129,17 @@ def train_text_classifier(
     n_docs = data.select("doc_id").distinct().count()
     if n_docs == 0:
         raise ValueError("no usable (non-empty) training documents")
+    # one-class degeneracy guard: with a single label present the fit
+    # converges to a constant (every score ~= the base rate) and any
+    # absolute gate threshold becomes meaningless — fail loudly (the
+    # CLI's --target-path anti-join can empty the negatives when the
+    # target covers the whole corpus)
+    labels = {r.y for r in data.select("y").distinct().collect()}
+    if labels != {0.0, 1.0}:
+        raise ValueError(
+            "training needs non-empty documents on BOTH sides "
+            f"(labels present: {sorted(labels)})"
+        )
 
     weights = [0.0] * n_buckets
     bias = 0.0

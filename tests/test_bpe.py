@@ -181,3 +181,12 @@ def test_merges_save_load_roundtrip(spark, corpus, tmp_path):
     (bad / "_bpe_meta.json").write_text('{"format": "x"}')
     with pytest.raises(ValueError, match="bpe_merges"):
         load_bpe_merges(spark, str(bad))
+
+
+def test_load_merges_pre_artifact_dir_gets_clear_error(spark, tmp_path):
+    from ferramenta_etl_spark.operators.bpe import load_bpe_merges
+
+    legacy = tmp_path / "legacy"
+    legacy.mkdir()  # exists, but no meta sidecar
+    with pytest.raises(ValueError, match="retrained"):
+        load_bpe_merges(spark, str(legacy))

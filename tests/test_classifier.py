@@ -176,3 +176,17 @@ def test_param_validation(spark, corpora):
     empty = spark.createDataFrame([("",)], "text string")
     with pytest.raises(ValueError, match="usable"):
         train_text_classifier(empty, empty, n_buckets=8, iters=1)
+
+
+def test_one_class_training_rejected(spark, corpora):
+    """An empty (or all-empty-text) negative side must fail loudly —
+    a one-class fit converges to a constant and silently defeats any
+    absolute gate threshold."""
+    pos, _ = corpora
+    pdf = spark.createDataFrame([(t,) for t in pos], "text string")
+    empty_neg = spark.createDataFrame([], "text string")
+    with pytest.raises(ValueError, match="BOTH sides"):
+        train_text_classifier(pdf, empty_neg, n_buckets=16, iters=1)
+    blank_neg = spark.createDataFrame([("",), ("  ",)], "text string")
+    with pytest.raises(ValueError, match="BOTH sides"):
+        train_text_classifier(pdf, blank_neg, n_buckets=16, iters=1)
