@@ -68,7 +68,7 @@ def main(argv: list[str] | None = None, _stop_session: bool = True) -> int:
         "--clf-min", type=float, default=None,
         help="curate: drop docs whose learned-classifier P(quality) is "
         "below this floor (C4-style gate; uses --clf-dir's artifact "
-        "when present, else bootstraps from the heuristic split)",
+        "when present, else bootstraps from the median-quality split)",
     )
     p.add_argument("--clf-iters", type=int, default=30,
                    help="quality-classify: full-batch GD iterations")
@@ -88,7 +88,7 @@ def main(argv: list[str] | None = None, _stop_session: bool = True) -> int:
     p.add_argument(
         "--target-path", default=None,
         help="dsir-select: parquet of target-domain documents (text "
-        "column); defaults to the corpus's own --min-quality slice",
+        "column); defaults to the corpus's above-median quality half",
     )
     p.add_argument(
         "--dsir-dir", default=None,
@@ -896,9 +896,15 @@ def main(argv: list[str] | None = None, _stop_session: bool = True) -> int:
                 if args.target_path:
                     target = spark.read.parquet(args.target_path)
                 else:
-                    target = docs.filter(
-                        quality_score(docs.text) >= args.min_quality
-                    )
+                    # default target = the ABOVE-MEDIAN quality half:
+                    # an absolute floor that happens to cover the whole
+                    # corpus would make target == raw and the importance
+                    # model a uniform no-op
+                    q = quality_score(docs.text)
+                    cut = docs.select(q.alias("__q")).approxQuantile(
+                        "__q", [0.5], 0.001
+                    )[0]
+                    target = docs.filter(q >= cut)
                 model = fit_dsir(target, docs)
                 if args.dsir_dir:
                     save_dsir(model, args.dsir_dir)
@@ -954,9 +960,16 @@ def main(argv: list[str] | None = None, _stop_session: bool = True) -> int:
                     else:
                         neg = docs
                 else:
+                    # bootstrap split at the corpus's own MEDIAN quality
+                    # — an absolute floor (the curation --min-quality)
+                    # can leave one side empty on a uniformly-good or
+                    # uniformly-bad corpus, which the trainer rejects
                     q = quality_score(docs.text)
-                    pos = docs.filter(q >= args.min_quality)
-                    neg = docs.filter(q < args.min_quality)
+                    cut = docs.select(q.alias("__q")).approxQuantile(
+                        "__q", [0.5], 0.001
+                    )[0]
+                    pos = docs.filter(q >= cut)
+                    neg = docs.filter(q < cut)
                 model = train_text_classifier(
                     pos, neg, iters=args.clf_iters, lr=args.clf_lr
                 )

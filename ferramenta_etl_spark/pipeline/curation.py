@@ -75,9 +75,10 @@ def curate_documents(
     ``clf_dir`` pointing at a save_classifier artifact the gate scores
     against that pinned model (the C4-proper deployment); otherwise a
     model is bootstrapped on the fly from the corpus's own heuristic
-    split (quality_score >= min_quality as positives vs the rejected
-    complement) — the self-referential variant, which prunes kept
-    documents that barely resemble the kept distribution.
+    MEDIAN-quality split (above-median as positives vs below-median —
+    data-driven, so neither side can be empty on a uniformly-good
+    corpus) — the self-referential variant, which prunes kept documents
+    that barely resemble the better half's distribution.
 
     The intermediate persist curated_frame creates (exact_unique, which
     feeds both the pair generation and the survivor anti-join) is
@@ -109,8 +110,14 @@ def curate_documents(
         else:
             raw = load_table(spark, sf_dir, "documents")
             q = quality_score(raw.text)
+            # median split, not the absolute min_quality floor: the
+            # floor can leave one side empty (uniformly-good corpus)
+            # and the trainer rejects one-class fits
+            cut = raw.select(q.alias("__q")).approxQuantile(
+                "__q", [0.5], 0.001
+            )[0]
             model = train_text_classifier(
-                raw.filter(q >= min_quality), raw.filter(q < min_quality),
+                raw.filter(q >= cut), raw.filter(q < cut),
                 iters=clf_iters, lr=clf_lr,
             )
         keep = classify_documents(model, out).filter(
