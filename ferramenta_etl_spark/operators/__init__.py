@@ -122,6 +122,7 @@ from .bpe import (  # noqa: F401
 from .retrieval import (  # noqa: F401
     append_to_bm25_index,
     bm25_topk,
+    compact_bm25_index,
     bm25_topk_on_index,
     build_bm25_index,
     hybrid_topk,

@@ -307,8 +307,9 @@ _BUCKET = lambda n: F.pmod(F.xxhash64("term"), F.lit(n)).cast("int")  # noqa: E7
 # df/doc_stats versions are pruned with a one-version grace window
 # (readers should re-load after an append; a handle loaded one append
 # ago still works, older handles must re-load). Single appender per
-# index dir, like the PQ/IVFPQ appenders. Long append histories can be
-# compacted by rebuilding (save_bm25_index over the full corpus).
+# index dir, like the PQ/IVFPQ appenders. Long append histories
+# compact via compact_bm25_index — a re-layout of the committed
+# postings union, no retokenization.
 
 
 def save_bm25_index(
@@ -512,8 +513,8 @@ def append_to_bm25_index(
     featurization is batch-linear, the delta write touches only the
     batch's rows, and df/doc_stats rewrites are vocab- and
     doc-count-sized. Existing postings deltas are never read or
-    rewritten. Long histories (one delta dir per append) compact by
-    rebuilding."""
+    rewritten. Long histories (one delta dir per append) compact via
+    compact_bm25_index (no retokenization)."""
     import os
 
     disk = load_bm25_index(spark, path)
@@ -577,6 +578,41 @@ def append_to_bm25_index(
     )
     _prune_bm25_versions(spark, path, keep_from=nxt - 1)
     return n_fresh
+
+
+def compact_bm25_index(spark: SparkSession, src: str, dest: str) -> int:
+    """Rewrite a delta-log index as a single-delta index at ``dest`` —
+    the cheap compaction for long append histories: the committed
+    postings union is re-laid-out (one delta, re-bucket-partitioned)
+    and the committed df/doc_stats/meta carry over verbatim; NO text is
+    retokenized and no statistics are recomputed, so the compacted
+    index serves bit-identically (pinned in tests). Returns the number
+    of deltas that were merged. Write to a fresh ``dest`` and swap
+    paths at the caller's pace — compaction never mutates ``src``."""
+    import os
+
+    disk = load_bm25_index(spark, src)
+    if src.rstrip("/") == dest.rstrip("/"):
+        raise ValueError("compact_bm25_index needs a distinct dest path")
+    (
+        disk.postings.repartition("term_bucket")
+        .write.mode("overwrite")
+        .partitionBy("term_bucket")
+        .parquet(os.path.join(dest, "postings/d0"))
+    )
+    (
+        disk.df.repartition("term_bucket")
+        .write.mode("overwrite")
+        .partitionBy("term_bucket")
+        .parquet(os.path.join(dest, "df/v0"))
+    )
+    spark.read.parquet(
+        os.path.join(src, f"doc_stats/v{disk.version}")
+    ).write.mode("overwrite").parquet(os.path.join(dest, "doc_stats/v0"))
+    _write_bm25_meta(
+        spark, dest, disk.n_docs, disk.total_tokens, disk.n_buckets, 0
+    )
+    return disk.version + 1
 
 
 def _prune_bm25_versions(spark: SparkSession, path: str, keep_from: int) -> None:

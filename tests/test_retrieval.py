@@ -554,3 +554,60 @@ def test_append_prunes_superseded_versions_with_grace(spark, corpus, tmp_path):
     assert sorted(os.listdir(f"{path}/df")) == ["v1", "v2"]
     assert sorted(os.listdir(f"{path}/doc_stats")) == ["v1", "v2"]
     assert sorted(os.listdir(f"{path}/postings")) == ["d0", "d1", "d2"]
+
+
+def test_compact_serves_identically_and_appends_continue(
+    spark, corpus, tmp_path
+):
+    """Compacting a two-append history into one delta must serve
+    bit-identically, carry exact statistics, and accept further
+    appends; the source index is untouched."""
+    import os
+
+    from ferramenta_etl_spark.operators.retrieval import (
+        append_to_bm25_index,
+        build_bm25_index,
+        compact_bm25_index,
+        load_bm25_index,
+        save_bm25_index,
+    )
+
+    items = sorted(corpus.items())
+    src = str(tmp_path / "src")
+    save_bm25_index(
+        build_bm25_index(
+            spark.createDataFrame(items[:30], "doc_id int, text string")
+        ),
+        src,
+        n_buckets=8,
+    )
+    append_to_bm25_index(
+        spark, src, spark.createDataFrame(items[30:45], "doc_id int, text string")
+    )
+    append_to_bm25_index(
+        spark, src, spark.createDataFrame(items[45:55], "doc_id int, text string")
+    )
+    dest = str(tmp_path / "dest")
+    assert compact_bm25_index(spark, src, dest) == 3  # d0+d1+d2 merged
+    assert sorted(os.listdir(f"{dest}/postings")) == ["d0"]
+    d_src, d_dest = load_bm25_index(spark, src), load_bm25_index(spark, dest)
+    assert (d_dest.n_docs, d_dest.total_tokens, d_dest.version) == (
+        d_src.n_docs, d_src.total_tokens, 0,
+    )
+    qdf = spark.createDataFrame(QUERIES, "query_id int, query string")
+    assert _serve_sorted(spark, dest, qdf) == _serve_sorted(spark, src, qdf)
+    # the compacted index keeps appending
+    assert append_to_bm25_index(
+        spark, dest, spark.createDataFrame(items[55:], "doc_id int, text string")
+    ) == len(items) - 55
+    full = str(tmp_path / "full")
+    save_bm25_index(
+        build_bm25_index(
+            spark.createDataFrame(items, "doc_id int, text string")
+        ),
+        full,
+        n_buckets=8,
+    )
+    assert _serve_sorted(spark, dest, qdf) == _serve_sorted(spark, full, qdf)
+    with pytest.raises(ValueError, match="distinct dest"):
+        compact_bm25_index(spark, dest, dest)
