@@ -127,6 +127,7 @@ from .retrieval import (  # noqa: F401
     build_bm25_index,
     hybrid_topk,
     load_bm25_index,
+    mmr_rerank,
     rrf_fuse,
     save_bm25_index,
 )

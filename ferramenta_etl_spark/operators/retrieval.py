@@ -281,6 +281,104 @@ def hybrid_topk(
     )
 
 
+def mmr_rerank(
+    candidates: DataFrame,
+    embeddings: DataFrame,
+    k: int = 10,
+    lam: float = 0.7,
+    query_id_col: str = "query_id",
+    id_col: str = "doc_id",
+    score_col: str = "score",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Maximal-marginal-relevance re-ranking (Carbonell & Goldstein
+    1998) of a per-query candidate list: greedily pick the candidate
+    maximizing lam * relevance - (1-lam) * max-cosine-to-already-picked,
+    so the top-k trades relevance against redundancy — the standard
+    diversification step when retrieval feeds eval-set construction or
+    few-shot example selection (near-duplicate hits crowd out coverage).
+
+    Scale shape: the quadratic MMR greedy runs ONLY within each query's
+    candidate list (k_in candidates, typically 10-100 — bounded by the
+    upstream top-k), as one applyInPandas group per query; the corpus
+    never joins pairwise. Relevance scores are min-max normalized per
+    query inside the group so BM25, cosine, or RRF scales all work
+    unchanged. Candidates missing an embedding keep relevance but
+    contribute/suffer no redundancy penalty. Deterministic: ties break
+    on ascending id."""
+    import numpy as np
+    import pandas as pd
+
+    if not 0.0 <= lam <= 1.0:
+        raise ValueError(f"lam must be in [0, 1], got {lam}")
+    cand = candidates.select(
+        F.col(query_id_col).alias("query_id"),
+        F.col(id_col).alias("doc_id"),
+        F.col(score_col).cast("double").alias("rel"),
+    ).join(
+        embeddings.select(
+            F.col(id_col).alias("doc_id"), F.col(vec_col).alias("__vec")
+        ),
+        "doc_id",
+        "left",
+    )
+
+    out_schema = (
+        "query_id "
+        + dict(cand.dtypes)["query_id"]
+        + ", doc_id "
+        + dict(cand.dtypes)["doc_id"]
+        + ", mmr_score double, rank int"
+    )
+
+    def pick(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["rel", "doc_id"], ascending=[False, True])
+        rel = pdf["rel"].to_numpy(dtype=float)
+        span = rel.max() - rel.min()
+        nrel = (rel - rel.min()) / span if span > 0 else np.ones_like(rel)
+        vecs = []
+        for v in pdf["__vec"]:
+            if v is None or len(v) == 0:
+                vecs.append(None)
+            else:
+                a = np.asarray(v, dtype=float)
+                n = np.linalg.norm(a)
+                vecs.append(a / n if n > 0 else None)
+        n_rows = len(pdf)
+        picked: list[int] = []
+        picked_scores: list[float] = []
+        max_sim = np.zeros(n_rows)
+        remaining = list(range(n_rows))
+        while remaining and len(picked) < k:
+            best_i, best_val = None, None
+            for i in remaining:
+                val = lam * nrel[i] - (1.0 - lam) * max_sim[i]
+                # strict > keeps the earliest (highest-rel, lowest-id)
+                # row on ties — the sort above makes that deterministic
+                if best_val is None or val > best_val:
+                    best_i, best_val = i, val
+            picked.append(best_i)
+            picked_scores.append(float(best_val))
+            remaining.remove(best_i)
+            if vecs[best_i] is not None:
+                for i in remaining:
+                    if vecs[i] is not None:
+                        s = float(np.dot(vecs[i], vecs[best_i]))
+                        if s > max_sim[i]:
+                            max_sim[i] = s
+        rows = pdf.iloc[picked]
+        return pd.DataFrame(
+            {
+                "query_id": rows["query_id"].to_numpy(),
+                "doc_id": rows["doc_id"].to_numpy(),
+                "mmr_score": picked_scores,
+                "rank": np.arange(1, len(picked) + 1),
+            }
+        )
+
+    return cand.groupBy("query_id").applyInPandas(pick, out_schema)
+
+
 # --------------------------------------------------------------- persistence
 
 _BUCKET = lambda n: F.pmod(F.xxhash64("term"), F.lit(n)).cast("int")  # noqa: E731

@@ -611,3 +611,91 @@ def test_compact_serves_identically_and_appends_continue(
     assert _serve_sorted(spark, dest, qdf) == _serve_sorted(spark, full, qdf)
     with pytest.raises(ValueError, match="distinct dest"):
         compact_bm25_index(spark, dest, dest)
+
+
+# -------------------------------------------------------------- mmr rerank
+
+
+def py_mmr(rows, vecs, k, lam):
+    """Reference MMR over one query's candidates. rows: [(doc, rel)]
+    sorted any order; vecs: {doc: normalized np vector or None}."""
+    import numpy as np
+
+    rows = sorted(rows, key=lambda x: (-x[1], x[0]))
+    rel = np.array([r for _, r in rows], dtype=float)
+    span = rel.max() - rel.min()
+    nrel = (rel - rel.min()) / span if span > 0 else np.ones_like(rel)
+    ids = [d for d, _ in rows]
+    max_sim = np.zeros(len(rows))
+    remaining = list(range(len(rows)))
+    picked, scores = [], []
+    while remaining and len(picked) < k:
+        best_i, best_v = None, None
+        for i in remaining:
+            v = lam * nrel[i] - (1 - lam) * max_sim[i]
+            if best_v is None or v > best_v:
+                best_i, best_v = i, v
+        picked.append(ids[best_i])
+        scores.append(best_v)
+        remaining.remove(best_i)
+        bv = vecs.get(ids[best_i])
+        if bv is not None:
+            for i in remaining:
+                ov = vecs.get(ids[i])
+                if ov is not None:
+                    s = float(bv @ ov)
+                    if s > max_sim[i]:
+                        max_sim[i] = s
+    return picked, scores
+
+
+def test_mmr_matches_python_and_diversifies(spark):
+    import random
+
+    import numpy as np
+
+    from ferramenta_etl_spark.operators.retrieval import mmr_rerank
+
+    rng = random.Random(9)
+    # 3 clusters of near-identical vectors; relevance slightly favors
+    # cluster 0 — plain top-k would take all of cluster 0, MMR must mix
+    centers = [np.array([1.0, 0, 0]), np.array([0, 1.0, 0]), np.array([0, 0, 1.0])]
+    cand_rows, vec_rows, vecs = [], [], {}
+    i = 0
+    for c in range(3):
+        for j in range(4):
+            rel = 10 - c - 0.1 * j
+            v = centers[c] + np.array([rng.gauss(0, 0.01) for _ in range(3)])
+            v = v / np.linalg.norm(v)
+            cand_rows.append((0, i, rel))
+            vec_rows.append((i, v.tolist()))
+            vecs[i] = v
+            i += 1
+    cand_rows.append((0, 99, 5.0))  # candidate with NO embedding
+    cands = spark.createDataFrame(
+        cand_rows, "query_id int, doc_id int, score double"
+    )
+    emb = spark.createDataFrame(vec_rows, "doc_id int, embedding array<double>")
+
+    got = sorted(
+        mmr_rerank(cands, emb, k=6, lam=0.5).collect(), key=lambda r: r.rank
+    )
+    want_ids, want_scores = py_mmr(
+        [(d, r) for _, d, r in cand_rows], vecs, 6, 0.5
+    )
+    assert [r.doc_id for r in got] == want_ids
+    for r, s in zip(got, want_scores):
+        assert r.mmr_score == pytest.approx(s, abs=1e-9)
+    # diversification: the 6 picks cover all 3 clusters (plain top-6
+    # by relevance would be clusters 0 and 1 only)
+    clusters_hit = {d // 4 for d in want_ids if d < 12}
+    assert clusters_hit == {0, 1, 2}
+    # lam=1 degrades to plain relevance order
+    plain = sorted(
+        mmr_rerank(cands, emb, k=6, lam=1.0).collect(), key=lambda r: r.rank
+    )
+    by_rel = sorted(cand_rows, key=lambda x: (-x[2], x[1]))[:6]
+    assert [r.doc_id for r in plain] == [d for _, d, _ in by_rel]
+    # param validation
+    with pytest.raises(ValueError, match="lam"):
+        mmr_rerank(cands, emb, lam=1.5)
