@@ -55,7 +55,7 @@ def main(argv: list[str] | None = None, _stop_session: bool = True) -> int:
             "media-curate", "vocab", "mine-negatives", "verify-dataset",
             "split-dataset", "ppl-score", "bpe-train", "bpe-encode",
             "bm25-index", "bm25-query", "bm25-append", "dsir-select",
-            "quality-classify",
+            "quality-classify", "dataset-card",
         ],
     )
     p.add_argument(
@@ -847,6 +847,22 @@ def main(argv: list[str] | None = None, _stop_session: bool = True) -> int:
             for r in sorted(rows, key=lambda r: (r.query_id, r.rank)):
                 print(f"{r.query_id}\t{r.rank}\t{r.doc_id}\t{r.score:.4f}")
             print(f"✅ bm25-query: {len(rows)} result rows")
+            return 0
+        if args.command == "dataset-card":
+            # Summary-statistics artifact for a curated export: reads
+            # sink_dir/curated_documents (or --target-path), writes
+            # _card.json next to the data. Re-runs REPLACE the card —
+            # a derived aggregate, like vocab.
+            import json as _json
+
+            from .sinks.layout import write_dataset_card
+
+            src = args.target_path or f"{args.sink_dir}/curated_documents"
+            df = spark.read.parquet(src)
+            lang = "lang" if "lang" in df.columns else None
+            card = write_dataset_card(spark, df, src, lang_col=lang)
+            print(_json.dumps(card, sort_keys=True, indent=1))
+            print(f"✅ dataset-card: {card['n_docs']} docs -> {src}/_card.json")
             return 0
         if args.command == "bm25-append":
             # Incrementally index a new batch (--target-path parquet of

@@ -428,3 +428,83 @@ def verify_dataset_manifest(
     if f"{fp}:{total}" != manifest["dataset_fingerprint"]:
         problems.append("dataset fingerprint mismatch")
     return (not problems, problems)
+
+
+def dataset_card(
+    docs: "DataFrame",
+    text_col: str = "text",
+    lang_col: str | None = None,
+) -> dict:
+    """The summary statistics a training run wants attached to its
+    corpus — counts, token totals (whitespace + the BPE-ish subword
+    proxy), per-language mix, quality-score quantiles, and the exact-
+    duplicate rate — computed in TWO aggregation passes (one global,
+    one groupBy(md5) for the dup rate), every stat a pure column
+    expression over the corpus scan. Returns a plain dict; see
+    write_dataset_card for the persisted artifact."""
+    from pyspark.sql import functions as F
+
+    from ..operators.text import bpe_ish_count, n_tokens, quality_score
+
+    t = F.col(text_col)
+    agg = (
+        docs.select(t.alias(text_col), quality_score(t).alias("__q"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.coalesce(F.sum(n_tokens(t)), F.lit(0)).alias("ws_tokens"),
+            F.coalesce(
+                F.sum(bpe_ish_count(t)), F.lit(0)
+            ).alias("bpe_ish_tokens"),
+            F.expr(
+                "percentile_approx(__q, array(0.1, 0.5, 0.9), 10000)"
+            ).alias("q_quantiles"),
+        )
+        .collect()[0]
+    )
+    dup = (
+        docs.groupBy(F.md5(t).alias("__h"))
+        .agg(F.count(F.lit(1)).alias("c"))
+        .agg(
+            F.coalesce(F.sum(F.col("c") - 1), F.lit(0)).alias("dup_docs"),
+        )
+        .collect()[0]
+    )
+    card = {
+        "n_docs": int(agg.n_docs),
+        "ws_tokens": int(agg.ws_tokens),
+        "bpe_ish_tokens": int(agg.bpe_ish_tokens),
+        "quality_p10_p50_p90": [round(float(x), 4) for x in agg.q_quantiles]
+        if agg.q_quantiles
+        else None,
+        "exact_dup_docs": int(dup.dup_docs),
+        "exact_dup_rate": round(int(dup.dup_docs) / int(agg.n_docs), 6)
+        if agg.n_docs
+        else 0.0,
+    }
+    if lang_col:
+        card["langs"] = {
+            str(r[lang_col]): r.n
+            for r in docs.groupBy(lang_col)
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
+    return card
+
+
+def write_dataset_card(
+    spark: SparkSession,
+    docs: "DataFrame",
+    path: str,
+    text_col: str = "text",
+    lang_col: str | None = None,
+) -> dict:
+    """Compute dataset_card(docs) and persist it as ``_card.json``
+    next to the dataset (same atomic-rename Hadoop-FS path as the
+    manifest, so HDFS/S3 work). Returns the card."""
+    import json
+
+    card = dataset_card(docs, text_col=text_col, lang_col=lang_col)
+    _fs_write_text(
+        spark, os.path.join(path, "_card.json"), json.dumps(card, sort_keys=True)
+    )
+    return card

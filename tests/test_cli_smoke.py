@@ -491,3 +491,21 @@ def test_cli_bm25_append_idempotent(cli_tmp, capsys, spark):
     assert _run("bm25-query", "--sink-dir", s, "--query", "zzz", "--k", "2") == 0
     out = capsys.readouterr().out
     assert "9000001" in out
+
+
+def test_cli_dataset_card(cli_tmp, capsys, spark):
+    s = str(cli_tmp / "dc")
+    assert _run("curate", "--sink-dir", s) == 0
+    capsys.readouterr()
+    assert _run("dataset-card", "--sink-dir", s) == 0
+    out = capsys.readouterr().out
+    assert "✅ dataset-card:" in out
+    import json
+
+    card = json.loads(
+        open(f"{s}/curated_documents/_card.json").read()
+    )
+    n = spark.read.parquet(f"{s}/curated_documents").count()
+    assert card["n_docs"] == n
+    assert card["ws_tokens"] > 0
+    assert "langs" in card

@@ -232,3 +232,34 @@ def test_export_jsonl_seeded_shuffle_deterministic(spark, tmp_path):
     assert ok, problems
     with pytest.raises(ValueError, match="mutually exclusive"):
         export_jsonl(df, pa, shuffle_seed=1, cluster_by=["id"])
+
+
+def test_dataset_card_matches_direct_computation(spark, tmp_path):
+    from ferramenta_etl_spark.sinks.layout import dataset_card, write_dataset_card
+
+    rows = [
+        (0, "en", "the quick brown fox"),
+        (1, "en", "the quick brown fox"),  # exact dup of 0
+        (2, "pt", "uma frase qualquer aqui presente"),
+        (3, "pt", ""),
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, lang string, text string")
+    import pytest
+
+    card = dataset_card(df, lang_col="lang")
+    assert card["n_docs"] == 4
+    # ws token counts: 4 + 4 + 5 + 1 (empty string splits to [""])
+    assert card["ws_tokens"] == 14
+    assert card["exact_dup_docs"] == 1
+    assert card["exact_dup_rate"] == pytest.approx(0.25)
+    assert card["langs"] == {"en": 2, "pt": 2}
+    assert len(card["quality_p10_p50_p90"]) == 3
+    assert card["bpe_ish_tokens"] > 0
+    # persisted artifact round-trips
+    path = str(tmp_path / "ds")
+    df.write.parquet(path)
+    import json
+
+    got = write_dataset_card(spark, df, path, lang_col="lang")
+    back = json.loads(open(f"{path}/_card.json").read())
+    assert back == got == card
