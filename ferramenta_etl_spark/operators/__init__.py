@@ -86,6 +86,12 @@ from .similarity import (  # noqa: F401
     srp_params_for,
 )
 from .asof import asof_join as asof_join_generic  # noqa: F401
+from .asof import (  # noqa: F401
+    AsofRole,
+    AsofSpec,
+    asof_join_multi,
+    asof_self_join,
+)
 from .range_join import range_join  # noqa: F401
 from .sessionize import sessionize  # noqa: F401
 from .skew import salted_join, top_key_counts  # noqa: F401

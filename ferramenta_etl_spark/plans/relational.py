@@ -951,27 +951,37 @@ def _us_to_ms(c: F.Column | str) -> F.Column:
     """,
 )
 def asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """As-of join through the GENERALIZED operator (operators/asof.py,
-    VERDICT r08 #6): two chained passes over events per user —
+    """As-of join through the GENERALIZED operator (operators/asof.py),
+    FUSED single-scan form (VERDICT r09 #1): both lookups per purchase —
     (1) BACKWARD with a 7-day TOLERANCE: latest signup at-or-before
     each purchase, match dropped when older than the tolerance;
-    (2) FORWARD: earliest click at-or-after the purchase.
-    Each pass is the union+last_value idiom: ONE shuffle on user_id, no
-    range explosion, no per-key loop — the 100 TB-safe as-of plan. The
-    DuckDB oracle re-derives both passes ASOF-JOIN-free with the same
-    union construction (side 0 sorts before side 1 at equal t, so
+    (2) FORWARD: earliest click at-or-after the purchase —
+    run through ``asof_self_join``: purchases, signups and clicks are
+    ROLES of the one events relation, tagged with when() projections,
+    so the whole plan is ONE parquet scan -> ONE hash exchange on
+    user_id -> two local window sorts (the second window re-sorts but
+    does not re-shuffle: Window only requires
+    ClusteredDistribution(user_id), satisfied by the first window's
+    output partitioning — scan/exchange counts asserted in
+    tests/test_asof_generic.py). r9's two chained generic calls paid
+    two full union+window shuffles plus two pre-dedup groupBys and
+    four scans of events; this plan pays one scan + one exchange
+    total — the shape that matters when events is the 100 TB
+    table. The DuckDB
+    oracle re-derives both passes ASOF-JOIN-free with the same union
+    construction (side 0 sorts before side 1 at equal t, so
     at-the-same-instant ties are included in both directions), so the
-    generic operator's tolerance and direction semantics are
-    hash-checked, not just pandas-pinned.
+    operator's tolerance and direction semantics are hash-checked, not
+    just pandas-pinned.
 
     Determinism discipline: NULL-ts / NULL-user events are excluded on
     BOTH sides (DuckDB's window null ordering differs from the
-    operator's NULL-row bypass), and each right side is collapsed to
-    MIN(event_id) per (user_id, t) BEFORE the join — the generic
-    operator documents that duplicate (by, on) right rows are
-    partition-order-dependent, so a hash-checked query must
-    deduplicate, exactly as its docstring instructs."""
-    from ..operators.asof import asof_join as asof_generic
+    operator's NULL-row bypass); duplicate (user_id, t) right rows
+    resolve to MIN(event_id) via the specs' ``tiebreak`` — shuffle-free
+    in Spark (a window-order tiebreak, not a groupBy), equivalent to
+    the oracle's MIN(event_id) GROUP BY because the payload IS the
+    event_id."""
+    from ..operators.asof import AsofRole, asof_self_join
 
     ev = load_table(spark, sf_dir, "events")
     t = F.unix_micros(
@@ -982,36 +992,40 @@ def asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("ts").isNotNull() & F.col("user_id").isNotNull())
         .select("user_id", t, "event_id", "event_type")
     )
-    purchases = base.filter(F.col("event_type") == "purchase").select(
-        "user_id", "t", F.col("event_id").alias("purchase_id")
-    )
-    signups = (
-        base.filter(F.col("event_type") == "signup")
-        .groupBy("user_id", "t")
-        .agg(F.min("event_id").alias("signup_id"))
-    )
-    clicks = (
-        base.filter(F.col("event_type") == "click")
-        .groupBy("user_id", "t")
-        .agg(F.min("event_id").alias("next_click_id"))
-    )
-    step1 = asof_generic(
-        purchases,
-        signups,
+    et = F.col("event_type")
+    out = asof_self_join(
+        base,
         on="t",
         by=["user_id"],
-        direction="backward",
-        tolerance=_ASOF_TOL_US,
-    ).withColumnRenamed("matched_on", "signup_t")
-    step2 = asof_generic(step1, clicks, on="t", by=["user_id"], direction="forward")
-    return step2.select(
+        left_predicate=et == "purchase",
+        left_payload={"purchase_id": F.col("event_id")},
+        roles=[
+            AsofRole(
+                predicate=et == "signup",
+                payload={"signup_id": F.col("event_id")},
+                direction="backward",
+                tolerance=_ASOF_TOL_US,
+                tiebreak=F.col("event_id"),
+                matched_on="signup_t",
+            ),
+            AsofRole(
+                predicate=et == "click",
+                payload={"next_click_id": F.col("event_id")},
+                direction="forward",
+                tiebreak=F.col("event_id"),
+                matched_on="click_t",
+            ),
+        ],
+        keep_null_on_left=False,
+    )
+    return out.select(
         "user_id",
         "purchase_id",
         _us_to_ms("t").alias("purchase_ts_ms"),
         "signup_id",
         _us_to_ms("signup_t").alias("signup_ts_ms"),
         "next_click_id",
-        _us_to_ms("matched_on").alias("click_ts_ms"),
+        _us_to_ms("click_t").alias("click_ts_ms"),
     )
 
 

@@ -181,3 +181,144 @@ def test_asof_matches_merge_asof_randomized(spark, lt, rt, direction, tol):
         for r in m.itertuples()
     }
     assert got == want
+
+
+def test_asof_multi_single_exchange_and_matches_chained(spark):
+    """asof_join_multi fuses N right sides into ONE hash exchange
+    (VERDICT r09 #1): the physical plan must contain exactly one
+    `Exchange hashpartitioning` regardless of spec count, and the
+    result must equal the chained two-pass formulation row for row —
+    including tolerance drop and the min-tiebreak resolution of
+    duplicate (k, t) right rows."""
+    from ferramenta_etl_spark.operators.asof import AsofSpec, asof_join_multi
+
+    left, right = _fixture(seed=11)
+    # duplicate (k, t) right rows on purpose: tiebreak must resolve them
+    dup = right.copy()
+    dup["st"] = dup["st"] + 10_000
+    right_dup = pd.concat([right, dup], ignore_index=True)
+    ldf = spark.createDataFrame(left)
+    r1 = spark.createDataFrame(
+        right_dup.rename(columns={"price": "p1", "st": "s1"})
+    )
+    r2 = spark.createDataFrame(
+        right_dup.rename(columns={"price": "p2", "st": "s2"})
+    )
+    fused = asof_join_multi(
+        ldf,
+        [
+            AsofSpec(right=r1, direction="backward", tolerance=25,
+                     tiebreak="s1", matched_on="m1"),
+            AsofSpec(right=r2, direction="forward", tiebreak="s2",
+                     matched_on="m2"),
+        ],
+        on="t",
+        by=["k"],
+    )
+    plan = fused._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+
+    # chained reference: dedup right to min-tiebreak first (the generic
+    # single-spec contract), then two sequential generic calls
+    from pyspark.sql import functions as F
+
+    r1d = r1.groupBy("k", "t").agg(
+        F.min_by(F.struct("p1", "s1"), "s1").alias("s")
+    ).select("k", "t", "s.p1", "s.s1")
+    r2d = r2.groupBy("k", "t").agg(
+        F.min_by(F.struct("p2", "s2"), "s2").alias("s")
+    ).select("k", "t", "s.p2", "s.s2")
+    step1 = asof_join(
+        ldf, r1d, on="t", by=["k"], direction="backward", tolerance=25
+    ).withColumnRenamed("matched_on", "m1")
+    step2 = asof_join(
+        step1, r2d, on="t", by=["k"], direction="forward"
+    ).withColumnRenamed("matched_on", "m2")
+
+    key = lambda r: (r["k"], r["t"], r["ev"])
+    got = {key(r): (r["p1"], r["s1"], r["m1"], r["p2"], r["s2"], r["m2"])
+           for r in fused.collect()}
+    want = {key(r): (r["p1"], r["s1"], r["m1"], r["p2"], r["s2"], r["m2"])
+            for r in step2.collect()}
+    assert got == want
+    assert len(got) == len(left)
+
+
+def test_asof_self_join_single_scan_matches_multi(spark):
+    """asof_self_join tags roles of ONE relation instead of unioning
+    filtered branches: the plan must read the source ONCE and exchange
+    ONCE, and agree row-for-row with asof_join_multi over the
+    equivalent filtered right sides (tiebreaks included). Also checks
+    null-on left rows are kept inline with NULL matches."""
+    from pyspark.sql import functions as F
+
+    from ferramenta_etl_spark.operators.asof import (
+        AsofRole,
+        AsofSpec,
+        asof_join_multi,
+        asof_self_join,
+    )
+
+    left, right = _fixture(seed=13)
+    ev = pd.concat(
+        [
+            left.assign(kind="L").rename(columns={"ev": "id"}),
+            right.assign(kind="A")
+            .rename(columns={"st": "id"})
+            .drop(columns=["price"]),
+            right.assign(kind="B", id=right["st"] + 5000)
+            .rename(columns={"st": "drop"})
+            .drop(columns=["price", "drop"]),
+        ],
+        ignore_index=True,
+    )
+    # a couple of null-on left rows: must survive with NULL matches
+    ev = pd.concat(
+        [ev, pd.DataFrame({"k": [0, 1], "t": [pd.NA, pd.NA],
+                           "id": [9001, 9002], "kind": ["L", "L"]})],
+        ignore_index=True,
+    )
+    ev["t"] = ev["t"].astype("Int64")
+    src = spark.createDataFrame(ev)
+    kind = F.col("kind")
+    fused = asof_self_join(
+        src,
+        on="t",
+        by=["k"],
+        left_predicate=kind == "L",
+        left_payload={"ev": F.col("id")},
+        roles=[
+            AsofRole(predicate=kind == "A", payload={"a_id": F.col("id")},
+                     direction="backward", tolerance=25,
+                     tiebreak=F.col("id"), matched_on="ma"),
+            AsofRole(predicate=kind == "B", payload={"b_id": F.col("id")},
+                     direction="forward", tiebreak=F.col("id"),
+                     matched_on="mb"),
+        ],
+    )
+    plan = fused._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert plan.count("Scan ExistingRDD") <= 1, plan
+
+    ldf = src.filter(kind == "L").select("k", "t", F.col("id").alias("ev"))
+    ra = src.filter(kind == "A").select("k", "t", F.col("id").alias("a_id"))
+    rb = src.filter(kind == "B").select("k", "t", F.col("id").alias("b_id"))
+    ref = asof_join_multi(
+        ldf,
+        [
+            AsofSpec(right=ra, direction="backward", tolerance=25,
+                     tiebreak="a_id", matched_on="ma"),
+            AsofSpec(right=rb, direction="forward", tiebreak="b_id",
+                     matched_on="mb"),
+        ],
+        on="t",
+        by=["k"],
+    )
+    key = lambda r: (r["k"], r["t"], r["ev"])
+    got = {key(r): (r["a_id"], r["ma"], r["b_id"], r["mb"])
+           for r in fused.collect()}
+    want = {key(r): (r["a_id"], r["ma"], r["b_id"], r["mb"])
+            for r in ref.collect()}
+    assert got == want
+    assert got[(0, None, 9001)] == (None, None, None, None)
+    assert got[(1, None, 9002)] == (None, None, None, None)
