@@ -55,8 +55,25 @@ def main(argv: list[str] | None = None, _stop_session: bool = True) -> int:
             "media-curate", "vocab", "mine-negatives", "verify-dataset",
             "split-dataset", "ppl-score", "bpe-train", "bpe-encode",
             "bm25-index", "bm25-query", "bm25-append", "dsir-select",
-            "quality-classify", "dataset-card",
+            "quality-classify", "dataset-card", "jdbc-maintenance",
         ],
+    )
+    p.add_argument(
+        "--jdbc-url", default=None,
+        help="jdbc-maintenance: JDBC URL of the sink database",
+    )
+    p.add_argument("--jdbc-user", default="", help="jdbc-maintenance: user")
+    p.add_argument("--jdbc-password", default="",
+                   help="jdbc-maintenance: password")
+    p.add_argument(
+        "--jdbc-driver", default=None,
+        help="jdbc-maintenance: JDBC driver class (when the URL scheme "
+        "alone can't locate it, e.g. org.apache.derby.jdbc.EmbeddedDriver)",
+    )
+    p.add_argument(
+        "--jdbc-table", default=None,
+        help="jdbc-maintenance: target table whose orphaned "
+        "<table>__stg_<hex> staging tables should be swept",
     )
     p.add_argument(
         "--clf-dir", default=None,
@@ -934,6 +951,38 @@ def main(argv: list[str] | None = None, _stop_session: bool = True) -> int:
                 f"✅ dsir-select: {n} docs selected (n={args.n_select}, "
                 f"seed={args.seed}) -> {out_dir}"
             )
+            return 0
+        if args.command == "jdbc-maintenance":
+            # Orphan-staging sweep (VERDICT r09 #8): runs killed between
+            # staging and their finally-DROP leave uniquely-named
+            # <table>__stg_<12hex> tables behind on the sink server.
+            # PRECONDITION (documented on cleanup_staging_tables): no
+            # loader may be active against --jdbc-table while this
+            # runs — a live run's staging table is indistinguishable
+            # from an orphan.
+            from .sinks.jdbc_conflict import cleanup_staging_tables
+            from .sources.jdbc import JdbcConfig
+
+            if not args.jdbc_url or not args.jdbc_table:
+                p.error("jdbc-maintenance needs --jdbc-url and --jdbc-table")
+            cfg = JdbcConfig(
+                url=args.jdbc_url,
+                user=args.jdbc_user,
+                password=args.jdbc_password,
+                driver=args.jdbc_driver or "",
+            )
+            dropped = cleanup_staging_tables(spark, cfg, args.jdbc_table)
+            if dropped:
+                print(
+                    f"✅ jdbc-maintenance: dropped {len(dropped)} orphaned "
+                    f"staging tables for {args.jdbc_table}: "
+                    + ", ".join(dropped)
+                )
+            else:
+                print(
+                    "✅ jdbc-maintenance: no orphaned staging tables for "
+                    f"{args.jdbc_table}"
+                )
             return 0
         if args.command == "quality-classify":
             # fastText/C4-style learned quality gate: train logistic

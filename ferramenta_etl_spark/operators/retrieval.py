@@ -304,8 +304,13 @@ def mmr_rerank(
     never joins pairwise. Relevance scores are min-max normalized per
     query inside the group so BM25, cosine, or RRF scales all work
     unchanged. Candidates missing an embedding keep relevance but
-    contribute/suffer no redundancy penalty. Deterministic: ties break
-    on ascending id."""
+    contribute/suffer no redundancy penalty. Candidates with a NULL or
+    NaN relevance score are DROPPED before normalization (ADVICE r09:
+    one NaN would otherwise propagate through max()/span and silently
+    collapse the whole query's normalized relevance to all-ones,
+    reducing its ordering to a pure redundancy penalty — an upstream
+    scorer that emits nulls should be fixed, not papered over).
+    Deterministic: ties break on ascending id."""
     import numpy as np
     import pandas as pd
 
@@ -315,6 +320,8 @@ def mmr_rerank(
         F.col(query_id_col).alias("query_id"),
         F.col(id_col).alias("doc_id"),
         F.col(score_col).cast("double").alias("rel"),
+    ).filter(
+        F.col("rel").isNotNull() & ~F.isnan("rel")
     ).join(
         embeddings.select(
             F.col(id_col).alias("doc_id"), F.col(vec_col).alias("__vec")
@@ -408,6 +415,14 @@ _BUCKET = lambda n: F.pmod(F.xxhash64("term"), F.lit(n)).cast("int")  # noqa: E7
 # index dir, like the PQ/IVFPQ appenders. Long append histories
 # compact via compact_bm25_index — a re-layout of the committed
 # postings union, no retokenization.
+#
+# Every writer in this module pins partitionOverwriteMode=static
+# (ADVICE r09): the "overwritten wholesale by the next batch"
+# invariant above is exactly static-mode semantics. Under a session
+# that set the mode to dynamic, a crashed batch A's partitions that
+# batch B does not touch would SURVIVE inside d{nxt} and be committed
+# at B's meta flip — half-accounted postings. The per-write option
+# makes the layout's crash story independent of session config.
 
 
 def save_bm25_index(
@@ -429,6 +444,15 @@ def save_bm25_index(
             "(df/doc_lens statistics present)"
         )
     spark = index.postings.sparkSession
+    # crash posture (ADVICE r09): invalidate the OLD meta before
+    # touching any data dir, so a crash mid-rebuild leaves the dir
+    # explicitly "not an index" (load fails loudly on the missing
+    # meta) instead of a meta pointing at half-deleted deltas. The
+    # fresh meta is the LAST write, so the dir re-becomes an index
+    # only once every replacement dir is fully in place.
+    _jvm, fs, meta_p = _fs_and_path(spark, os.path.join(path, "_bm25_meta.json"))
+    if fs.exists(meta_p):
+        fs.delete(meta_p, False)
     # a rebuild over a previously-appended dir must clear stale deltas
     # and version dirs, or the fresh meta (version: 0) would coexist
     # with unreachable-but-confusing leftovers
@@ -441,6 +465,7 @@ def save_bm25_index(
         .withColumn("term_bucket", _BUCKET(n_buckets))
         .repartition("term_bucket")
         .write.mode("overwrite")
+        .option("partitionOverwriteMode", "static")
         .partitionBy("term_bucket")
         .parquet(os.path.join(path, "postings/d0"))
     )
@@ -448,10 +473,13 @@ def save_bm25_index(
         index.df.withColumn("term_bucket", _BUCKET(n_buckets))
         .repartition("term_bucket")
         .write.mode("overwrite")
+        .option("partitionOverwriteMode", "static")
         .partitionBy("term_bucket")
         .parquet(os.path.join(path, "df/v0"))
     )
-    index.doc_lens.write.mode("overwrite").parquet(
+    index.doc_lens.write.mode("overwrite").option(
+        "partitionOverwriteMode", "static"
+    ).parquet(
         os.path.join(path, "doc_stats/v0")
     )
     _write_bm25_meta(
@@ -647,6 +675,7 @@ def append_to_bm25_index(
         .withColumn("term_bucket", _BUCKET(disk.n_buckets))
         .repartition("term_bucket")
         .write.mode("overwrite")
+        .option("partitionOverwriteMode", "static")
         .partitionBy("term_bucket")
         .parquet(os.path.join(path, f"postings/d{nxt}"))
     )
@@ -661,10 +690,13 @@ def append_to_bm25_index(
     (
         df_new.repartition("term_bucket")
         .write.mode("overwrite")
+        .option("partitionOverwriteMode", "static")
         .partitionBy("term_bucket")
         .parquet(os.path.join(path, f"df/v{nxt}"))
     )
-    old_stats.unionByName(dl_full).write.mode("overwrite").parquet(
+    old_stats.unionByName(dl_full).write.mode("overwrite").option(
+        "partitionOverwriteMode", "static"
+    ).parquet(
         os.path.join(path, f"doc_stats/v{nxt}")
     )
     added_tokens = dl_full.agg(
@@ -695,18 +727,22 @@ def compact_bm25_index(spark: SparkSession, src: str, dest: str) -> int:
     (
         disk.postings.repartition("term_bucket")
         .write.mode("overwrite")
+        .option("partitionOverwriteMode", "static")
         .partitionBy("term_bucket")
         .parquet(os.path.join(dest, "postings/d0"))
     )
     (
         disk.df.repartition("term_bucket")
         .write.mode("overwrite")
+        .option("partitionOverwriteMode", "static")
         .partitionBy("term_bucket")
         .parquet(os.path.join(dest, "df/v0"))
     )
     spark.read.parquet(
         os.path.join(src, f"doc_stats/v{disk.version}")
-    ).write.mode("overwrite").parquet(os.path.join(dest, "doc_stats/v0"))
+    ).write.mode("overwrite").option(
+        "partitionOverwriteMode", "static"
+    ).parquet(os.path.join(dest, "doc_stats/v0"))
     _write_bm25_meta(
         spark, dest, disk.n_docs, disk.total_tokens, disk.n_buckets, 0
     )

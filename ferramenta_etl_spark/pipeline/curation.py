@@ -120,6 +120,16 @@ def curate_documents(
                 raw.filter(q >= cut), raw.filter(q < cut),
                 iters=clf_iters, lr=clf_lr,
             )
+            if clf_dir:
+                # train-once/score-many (ADVICE r09): an empty clf_dir
+                # means "bootstrap HERE" — persist and reload so every
+                # later curate run scores with the same frozen weights
+                # instead of silently retraining as the corpus grows
+                # (matching the quality-classify CLI's contract)
+                from ..operators.classifier import save_classifier
+
+                save_classifier(model, clf_dir, spark)
+                model = load_classifier(spark, clf_dir)
         keep = classify_documents(model, out).filter(
             F.col("quality_p") >= clf_min
         )

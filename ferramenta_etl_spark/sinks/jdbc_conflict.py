@@ -68,11 +68,17 @@ def _qcol(name: str) -> str:
 
 def jdbc_dialect(url: str) -> str:
     """Dialect dispatch from the JDBC URL scheme: ``postgresql`` gets
-    the reference's native ON CONFLICT clause; everything else the
-    portable NOT EXISTS insert (valid ANSI, runs on Derby/SQL Server/
-    Oracle unchanged)."""
+    the reference's native ON CONFLICT clause; ``sqlserver`` (the
+    reference's SOURCE engine, S:162 — completing the round-trip story
+    for shops whose sink is also SQL Server) gets T-SQL
+    ``MERGE ... WITH (HOLDLOCK)``; everything else the portable
+    NOT EXISTS insert (valid ANSI, runs on Derby/Oracle unchanged)."""
     scheme = url.split(":", 2)[1].lower() if url.count(":") >= 2 else ""
-    return "postgresql" if scheme == "postgresql" else "generic"
+    if scheme == "postgresql":
+        return "postgresql"
+    if scheme == "sqlserver":
+        return "sqlserver"
+    return "generic"
 
 
 def conflict_insert_sql(
@@ -91,6 +97,16 @@ def conflict_insert_sql(
         INSERT INTO t (c1, c2) SELECT c1, c2 FROM stg
         WHERE NOT EXISTS (SELECT 1 FROM t
                           WHERE t.k1 = stg.k1 AND t.k2 = stg.k2)
+    sqlserver  -> T-SQL MERGE, serializable on the merge keys:
+        MERGE INTO t WITH (HOLDLOCK) USING stg ON (t.k1 = stg.k1)
+        WHEN NOT MATCHED THEN INSERT (c1, c2) VALUES (stg.c1, stg.c2);
+      WITH (HOLDLOCK) is load-bearing: unlike PG's ON CONFLICT, T-SQL
+      MERGE under the default READ COMMITTED level is NOT atomic
+      against a concurrent writer inserting the same key between the
+      match-check and the insert (primary-key violation race); the
+      hint takes key-range locks, making concurrent loaders serialize
+      exactly like the reference's PK-checked ON CONFLICT. The
+      trailing semicolon is T-SQL's mandatory MERGE terminator.
     """
     if not columns:
         raise ValueError("columns must be non-empty")
@@ -105,6 +121,13 @@ def conflict_insert_sql(
         return (
             f"INSERT INTO {t} ({cols}) SELECT {cols} FROM {s} "
             f"ON CONFLICT ({ks}) DO NOTHING"
+        )
+    if dialect == "sqlserver":
+        on = " AND ".join(f"{t}.{_qcol(k)} = {s}.{_qcol(k)}" for k in keys)
+        vals = ", ".join(f"{s}.{_qcol(c)}" for c in columns)
+        return (
+            f"MERGE INTO {t} WITH (HOLDLOCK) USING {s} ON ({on}) "
+            f"WHEN NOT MATCHED THEN INSERT ({cols}) VALUES ({vals});"
         )
     if dialect == "generic":
         pred = " AND ".join(f"{t}.{_qcol(k)} = {s}.{_qcol(k)}" for k in keys)
@@ -128,10 +151,13 @@ def conflict_upsert_sql(
     postgresql -> the dialect-native conflict-update clause:
         INSERT INTO t (c1, c2) SELECT c1, c2 FROM stg
         ON CONFLICT (k1) DO UPDATE SET c2 = EXCLUDED.c2
-    generic    -> ANSI MERGE (Derby >= 10.11, SQL Server, Oracle):
+    generic    -> ANSI MERGE (Derby >= 10.11, Oracle):
         MERGE INTO t USING stg ON (t.k1 = stg.k1)
         WHEN MATCHED THEN UPDATE SET t.c2 = stg.c2
         WHEN NOT MATCHED THEN INSERT (c1, c2) VALUES (stg.c1, stg.c2)
+    sqlserver  -> the same MERGE with T-SQL's WITH (HOLDLOCK) hint and
+        mandatory trailing semicolon (see conflict_insert_sql for why
+        the hint is required for atomicity under concurrency)
 
     When every column is a key there is nothing to update — both
     dialects degrade to the insert-only statement (PG: DO NOTHING;
@@ -155,7 +181,9 @@ def conflict_upsert_sql(
             f"INSERT INTO {t} ({cols}) SELECT {cols} FROM {s} "
             f"ON CONFLICT ({ks}) DO UPDATE SET {sets}"
         )
-    if dialect == "generic":
+    if dialect in ("generic", "sqlserver"):
+        hold = " WITH (HOLDLOCK)" if dialect == "sqlserver" else ""
+        term = ";" if dialect == "sqlserver" else ""
         on = " AND ".join(f"{t}.{_qcol(k)} = {s}.{_qcol(k)}" for k in keys)
         matched = ""
         if nonkey:
@@ -165,9 +193,9 @@ def conflict_upsert_sql(
             matched = f"WHEN MATCHED THEN UPDATE SET {sets} "
         vals = ", ".join(f"{s}.{_qcol(c)}" for c in columns)
         return (
-            f"MERGE INTO {t} USING {s} ON ({on}) "
+            f"MERGE INTO {t}{hold} USING {s} ON ({on}) "
             f"{matched}"
-            f"WHEN NOT MATCHED THEN INSERT ({cols}) VALUES ({vals})"
+            f"WHEN NOT MATCHED THEN INSERT ({cols}) VALUES ({vals}){term}"
         )
     raise ValueError(f"unknown dialect: {dialect!r}")
 

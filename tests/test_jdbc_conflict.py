@@ -23,7 +23,9 @@ def test_dialect_dispatch():
     assert jdbc_dialect("jdbc:postgresql://host:5432/db") == "postgresql"
     assert jdbc_dialect("jdbc:PostgreSQL://host/db") == "postgresql"
     assert jdbc_dialect("jdbc:derby:/tmp/db;create=true") == "generic"
-    assert jdbc_dialect("jdbc:sqlserver://host;databaseName=db") == "generic"
+    assert jdbc_dialect("jdbc:sqlserver://host;databaseName=db") == "sqlserver"
+    assert jdbc_dialect("jdbc:SQLServer://host;databaseName=db") == "sqlserver"
+    assert jdbc_dialect("jdbc:oracle:thin:@host:1521:sid") == "generic"
 
 
 def test_postgres_statement_is_the_references_literal_clause():
@@ -272,3 +274,94 @@ def test_cleanup_staging_tables_sweeps_orphans(spark, derby_cfg):
     )
     assert keep.count() == 1
     assert cleanup_staging_tables(spark, derby_cfg, "sweep_t") == []
+
+
+def test_sqlserver_statement_is_holdlock_merge():
+    """T-SQL dialect (VERDICT r09 #5): MERGE WITH (HOLDLOCK) — the hint
+    is what makes concurrent same-key loaders serialize instead of
+    racing to a PK violation (T-SQL MERGE alone is not atomic under
+    READ COMMITTED) — and the mandatory statement terminator."""
+    sql = conflict_insert_sql(
+        "manifesto_parcelas",
+        "manifesto_parcelas__stage",
+        ["id_manifesto", "cd_parcela", "vl_parcela"],
+        ["id_manifesto", "cd_parcela"],
+        dialect="sqlserver",
+    )
+    assert sql == (
+        'MERGE INTO manifesto_parcelas WITH (HOLDLOCK) '
+        'USING manifesto_parcelas__stage '
+        'ON (manifesto_parcelas."id_manifesto" = '
+        'manifesto_parcelas__stage."id_manifesto" '
+        'AND manifesto_parcelas."cd_parcela" = '
+        'manifesto_parcelas__stage."cd_parcela") '
+        'WHEN NOT MATCHED THEN INSERT '
+        '("id_manifesto", "cd_parcela", "vl_parcela") '
+        'VALUES (manifesto_parcelas__stage."id_manifesto", '
+        'manifesto_parcelas__stage."cd_parcela", '
+        'manifesto_parcelas__stage."vl_parcela");'
+    )
+
+
+def test_sqlserver_upsert_statement_holdlock_merge_update():
+    sql = conflict_upsert_sql("t", "stg", ["k", "v"], ["k"], dialect="sqlserver")
+    assert sql == (
+        'MERGE INTO t WITH (HOLDLOCK) USING stg ON (t."k" = stg."k") '
+        'WHEN MATCHED THEN UPDATE SET t."v" = stg."v" '
+        'WHEN NOT MATCHED THEN INSERT ("k", "v") VALUES (stg."k", stg."v");'
+    )
+    # all-key degradation: no WHEN MATCHED arm, still HOLDLOCK-merged
+    sql2 = conflict_upsert_sql("t", "stg", ["k"], ["k"], dialect="sqlserver")
+    assert sql2 == (
+        'MERGE INTO t WITH (HOLDLOCK) USING stg ON (t."k" = stg."k") '
+        'WHEN NOT MATCHED THEN INSERT ("k") VALUES (stg."k");'
+    )
+
+
+def test_sqlserver_url_routes_merge_without_server(spark):
+    """URL-scheme dispatch end-to-end: a jdbc:sqlserver cfg must route
+    the load through the HOLDLOCK MERGE — statements captured via
+    run_statement, staging write monkey-stubbed (no server exists)."""
+    cfg = JdbcConfig(url="jdbc:sqlserver://db.example;databaseName=etl",
+                     user="u", password="p")
+    df = spark.createDataFrame([(1, "a")], "k int, v string")
+    seen = []
+
+    def record(sql):
+        seen.append(sql)
+        return 1
+
+    class _W:
+        def format(self, *_):
+            return self
+
+        def mode(self, *_):
+            return self
+
+        def options(self, **_):
+            return self
+
+        def save(self):
+            seen.append("__staged__")
+
+    deduped_cls = type(df)
+    orig = deduped_cls.write
+    try:
+        deduped_cls.write = property(lambda self: _W())
+        n = write_jdbc_ignore_conflicts(
+            df, cfg, "tgt", keys=["k"], run_statement=record,
+            ensure_target=False,
+        )
+    finally:
+        deduped_cls.write = orig
+    assert n == 1
+    assert seen[0] == "__staged__"
+    m = re.fullmatch(
+        r'MERGE INTO tgt WITH \(HOLDLOCK\) USING (tgt__stg_[0-9a-f]{12}) '
+        r'ON \(tgt."k" = \1."k"\) '
+        r'WHEN NOT MATCHED THEN INSERT \("k", "v"\) '
+        r'VALUES \(\1."k", \1."v"\);',
+        seen[1],
+    )
+    assert m, seen[1]
+    assert seen[2] == f"DROP TABLE {m.group(1)}"

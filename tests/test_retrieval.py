@@ -699,3 +699,66 @@ def test_mmr_matches_python_and_diversifies(spark):
     # param validation
     with pytest.raises(ValueError, match="lam"):
         mmr_rerank(cands, emb, lam=1.5)
+
+
+def test_mmr_drops_null_and_nan_scores(spark):
+    """ADVICE r09: a NULL/NaN relevance among candidates must be
+    dropped, not allowed to poison the per-query min-max normalization
+    (NaN span collapses normalized relevance to all-ones). The
+    remaining candidates' ordering must equal the same call without
+    the poisoned rows."""
+    from ferramenta_etl_spark.operators.retrieval import mmr_rerank
+
+    clean_rows = [(0, 1, 9.0), (0, 2, 5.0), (0, 3, 1.0)]
+    poisoned = clean_rows + [(0, 50, None), (0, 51, float("nan"))]
+    emb = spark.createDataFrame(
+        [(i, [1.0 * i, 1.0, 0.0]) for i in (1, 2, 3, 50, 51)],
+        "doc_id int, embedding array<double>",
+    )
+    mk = lambda rows: spark.createDataFrame(
+        rows, "query_id int, doc_id int, score double"
+    )
+    got = sorted(
+        mmr_rerank(mk(poisoned), emb, k=5, lam=0.7).collect(),
+        key=lambda r: r.rank,
+    )
+    want = sorted(
+        mmr_rerank(mk(clean_rows), emb, k=5, lam=0.7).collect(),
+        key=lambda r: r.rank,
+    )
+    assert [r.doc_id for r in got] == [r.doc_id for r in want]
+    assert {r.doc_id for r in got}.isdisjoint({50, 51})
+    for g, w in zip(got, want):
+        assert g.mmr_score == pytest.approx(w.mmr_score, abs=1e-12)
+
+
+def test_save_crash_mid_rebuild_leaves_dir_invalid_not_corrupt(
+    spark, corpus, index, tmp_path
+):
+    """ADVICE r09: save_bm25_index over an existing index deletes the
+    stale meta BEFORE touching data dirs, so a crash mid-rebuild
+    leaves a dir that load_bm25_index rejects LOUDLY (no meta) rather
+    than a meta pointing at missing deltas. Simulated by interrupting
+    after the meta delete + postings delete."""
+    import os
+
+    from ferramenta_etl_spark.sinks.layout import _fs_and_path
+
+    path = str(tmp_path / "bm25_crash")
+    save_bm25_index(index, path)
+    assert load_bm25_index(spark, path).n_docs == index.n_docs
+
+    # simulate the new ordering's crash window: meta gone first, then
+    # a data dir gone — the exact on-disk state after a crash between
+    # the initial deletes and the rewrite
+    for rel, recursive in (("_bm25_meta.json", False), ("postings", True)):
+        _jvm, fs, pth = _fs_and_path(spark, os.path.join(path, rel))
+        assert fs.exists(pth)
+        fs.delete(pth, recursive)
+    with pytest.raises(Exception):  # meta gone -> loud "not an index"
+        load_bm25_index(spark, path)
+
+    # a retried save over the crashed dir fully recovers
+    save_bm25_index(index, path)
+    reloaded = load_bm25_index(spark, path)
+    assert reloaded.n_docs == index.n_docs
