@@ -45,7 +45,14 @@ query PASSES stability iff
 
     spread_pct < 20  OR  spread_abs_s <= 0.15
 
-Either bar suffices. Rationale: the ~0.1 s GC/task-scheduling jitter
+Either bar suffices. A query that FAILS the policy is re-measured from
+scratch up to MAX_ATTEMPTS times (VERDICT r09 #2: the r09 artifact
+self-flagged noisy with four stability-FAIL rows from a co-tenant
+burst, which made the round's regression comparison unadjudicable);
+the first PASSING attempt is reported, attempt counts land in
+env.attempts_per_query, and a query failing every attempt keeps its
+FAIL verdict — the artifact self-identifies, it never launders.
+Rationale for the two bars: the ~0.1 s GC/task-scheduling jitter
 floor measured on local[32] (SCALING.md "jitter floor" note) makes
 spread_pct mechanically large for sub-second queries — a 0.4 s query
 with a 0.1 s IQR reads 25% while being exactly as stable as the box
@@ -146,6 +153,12 @@ HEADLINE = [
 # Committed stability policy (module docstring): pass iff EITHER bar.
 STABILITY_SPREAD_PCT = 20.0
 STABILITY_SPREAD_ABS_S = 0.15
+# Retry-until-stable cap (VERDICT r09 #2): a query failing the policy is
+# re-measured with a fresh run set up to this many times before the FAIL
+# verdict is accepted as real. 3 keeps the worst case bounded (~3x one
+# query's wall) while absorbing the single-burst noise that produced the
+# r09 artifact's four FAIL rows.
+MAX_ATTEMPTS = 3
 
 
 def _round_number(repo_dir: str) -> int:
@@ -267,12 +280,9 @@ def main() -> None:
     for name in names:
         queries[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
 
-    timings: dict[str, float] = {}
-    spreads: dict[str, float] = {}
-    spreads_abs: dict[str, float] = {}
-    mins: dict[str, float] = {}
-    run_counts: dict[str, int] = {}
-    for name in names:
+    def _measure(name: str) -> dict:
+        """One measurement attempt: adaptive-count timed runs + the
+        order statistics the stability policy adjudicates on."""
         runs = []
         for _ in range(3):
             t0 = time.perf_counter()
@@ -300,7 +310,6 @@ def main() -> None:
         ordered = sorted(runs)
         n = len(ordered)
         median = ordered[n // 2]
-        timings[name] = round(median, 3)
         # INTERQUARTILE range around the median, in % — a per-query
         # noise gauge: an unchanged plan whose official number moved
         # round-over-round by less than its own spread moved by NOISE.
@@ -311,20 +320,63 @@ def main() -> None:
         # n=3 the IQR degenerates to the full range — same statistic as
         # previous rounds.)
         q1, q3 = ordered[n // 4], ordered[(3 * n) // 4]
-        spreads[name] = round(100.0 * (q3 - q1) / median, 1)
-        # ABSOLUTE IQR too (VERDICT r07 #6): on local[32] every query
-        # carries an irreducible ~0.1 s of GC/task-scheduling jitter, so
-        # spread_pct has a mechanical FLOOR of ~(0.1 / median) — a
-        # 0.15 s query reading 40% spread is a 60 ms IQR, i.e. a stable
-        # query on a healthy box, not noise. Read spread_abs_s against
-        # the 0.1 s floor for sub-0.5 s queries; spread_pct < 20% is a
-        # meaningful bar only at medians >= ~0.5 s.
-        spreads_abs[name] = round(q3 - q1, 3)
-        # the noisy-query gauge compares the median against q1, not the
-        # absolute minimum: with 5-7 runs a single fast outlier would
-        # otherwise widen (median - min) and flag a stable median noisy
-        mins[name] = q1
-        run_counts[name] = len(runs)
+        return {
+            "median": median,
+            "spread_pct": round(100.0 * (q3 - q1) / median, 1),
+            # ABSOLUTE IQR too (VERDICT r07 #6): on local[32] every query
+            # carries an irreducible ~0.1 s of GC/task-scheduling jitter,
+            # so spread_pct has a mechanical FLOOR of ~(0.1 / median) — a
+            # 0.15 s query reading 40% spread is a 60 ms IQR, i.e. a
+            # stable query on a healthy box, not noise. Read spread_abs_s
+            # against the 0.1 s floor for sub-0.5 s queries; spread_pct
+            # < 20% is a meaningful bar only at medians >= ~0.5 s.
+            "spread_abs_s": round(q3 - q1, 3),
+            # the noisy-query gauge compares the median against q1, not
+            # the absolute minimum: with 5-7 runs a single fast outlier
+            # would otherwise widen (median - min) and flag a stable
+            # median noisy
+            "q1": q1,
+            "n_runs": len(runs),
+        }
+
+    def _stable(m: dict) -> bool:
+        return (
+            m["spread_pct"] < STABILITY_SPREAD_PCT
+            or m["spread_abs_s"] <= STABILITY_SPREAD_ABS_S
+        )
+
+    timings: dict[str, float] = {}
+    spreads: dict[str, float] = {}
+    spreads_abs: dict[str, float] = {}
+    mins: dict[str, float] = {}
+    run_counts: dict[str, int] = {}
+    attempts_per_query: dict[str, int] = {}
+    for name in names:
+        # RETRY-UNTIL-STABLE (VERDICT r09 #2): a query whose first
+        # measurement fails the committed stability policy gets up to
+        # MAX_ATTEMPTS fresh measurement sets — a transient co-tenant
+        # burst (GC storm, scheduler hiccup, foreign process) should
+        # cost one retry, not the round's adjudicability. The FIRST
+        # PASSING attempt is reported (no shopping for the fastest
+        # number: the median still comes from one untampered run set);
+        # if none passes, the attempt with the smallest absolute IQR is
+        # reported and the query keeps its stability FAIL — the artifact
+        # must self-identify, not launder. Attempt counts land in
+        # env.attempts_per_query so the detail file shows exactly how
+        # hard each number was to obtain.
+        attempts = [_measure(name)]
+        while not _stable(attempts[-1]) and len(attempts) < MAX_ATTEMPTS:
+            attempts.append(_measure(name))
+        m = next(
+            (a for a in attempts if _stable(a)),
+            min(attempts, key=lambda a: a["spread_abs_s"]),
+        )
+        timings[name] = round(m["median"], 3)
+        spreads[name] = m["spread_pct"]
+        spreads_abs[name] = m["spread_abs_s"]
+        mins[name] = m["q1"]
+        run_counts[name] = m["n_runs"]
+        attempts_per_query[name] = len(attempts)
 
     jvms_end = _foreign_jvm_pids()
     # A query is flagged noisy only when the REPORTED number is suspect:
@@ -342,6 +394,10 @@ def main() -> None:
         "cpus": cpus,
         # adaptive: 3 base runs, widened to 7 (<2.5 s) or 9 (<0.3 s)
         "runs_per_query": run_counts,
+        # measurement sets needed per query under retry-until-stable
+        # (VERDICT r09 #2); >1 means the first set failed the stability
+        # policy and was re-measured from scratch
+        "attempts_per_query": attempts_per_query,
         "stat": "median",
         "global_warmup": True,
         # foreign java processes on the box before the session started /

@@ -93,7 +93,7 @@ from .asof import (  # noqa: F401
     asof_self_join,
 )
 from .range_join import range_join  # noqa: F401
-from .sessionize import sessionize  # noqa: F401
+from .sessionize import capped_sessions, sessionize  # noqa: F401
 from .skew import salted_join, top_key_counts  # noqa: F401
 from .text import (  # noqa: F401
     chunk_documents,

@@ -15,6 +15,7 @@ a new session; an event exactly ``gap`` later extends the current one.
 
 from __future__ import annotations
 
+import math
 from collections.abc import Sequence
 
 from pyspark.sql import DataFrame, Window
@@ -76,4 +77,106 @@ def sessionize(
     )
     return df.withColumn(
         session_col, F.when(ts.isNotNull(), idx.cast("long"))
+    )
+
+
+def capped_sessions(
+    df: DataFrame,
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+    value_col: str = "value",
+    gap: str = "30 minutes",
+    max_duration: str = "2 hours",
+    tiebreak: Sequence[str] = (),
+) -> DataFrame:
+    """Batch replay of ``streaming.capped_sessions_stream``: per-user
+    sessions that close on ``gap`` inactivity OR when the next event
+    would land more than ``max_duration`` after the session start (the
+    breaching event starts the next session); the final open session
+    per user closes with ``closed_by='timeout'`` — exactly what the
+    streaming operator emits once the watermark passes end-of-input.
+
+    The cap makes this genuinely iterative (where one session ends
+    determines where the next begins — see streaming/stateful.py), so
+    no window expression can produce it. Batch shape: ONE hash exchange
+    on ``user_col`` + an Arrow-batched per-group pandas kernel
+    (``applyInPandas``) that walks each user's events once — linear in
+    events, state is one tuple, output one row per session. At 100 TB
+    the per-group memory is one user's events (the minimum any
+    order-sensitive recursive split must see), same distribution as
+    any stateful agg.
+
+    ``sum_value`` uses the scaled-cents discipline of
+    ``functions.tsql.sum2`` (floor(v*100+0.5) accumulated as ints,
+    /100 at close): order-independent and drift-free, so the result is
+    a pure function of the data, not of partitioning — and a DuckDB
+    recursive-CTE oracle can hash-match it. Non-finite values
+    contribute 0 (the NULL-sum convention), mirroring the
+    ``events_session_agg`` oracle's isfinite guard.
+
+    Rows with NULL ``ts_col`` are dropped (no position in time = no
+    session, the ``sessionize`` policy). Equal timestamps within a user
+    need ``tiebreak`` columns for a deterministic walk order.
+    """
+    from ..streaming.stateful import SESSION_SCHEMA, _duration_ms
+
+    gap_ms = _duration_ms(gap)
+    cap_ms = _duration_ms(max_duration)
+    sort_cols = [ts_col, *tiebreak]
+
+    def walk(pdf):
+        import pandas as pd
+
+        pdf = pdf.sort_values(sort_cols, kind="mergesort")
+        user_id = pdf[user_col].iloc[0]
+        ts_ms = (pdf[ts_col].astype("int64") // 1_000_000).to_numpy()
+        vals = pdf[value_col].to_numpy()
+        out: list[dict] = []
+        # (start_ms, last_ms, n, cents) — the streaming _STATE_SCHEMA
+        # with the float accumulator swapped for scaled-cents ints
+        st = None
+
+        def close(state, reason):
+            start, last, n, cents = state
+            out.append(
+                {
+                    "user_id": user_id,
+                    "session_start_ms": start,
+                    "session_end_ms": last,
+                    "n_events": n,
+                    "sum_value": cents / 100.0,
+                    "closed_by": reason,
+                }
+            )
+
+        for t_ms, v in zip(ts_ms, vals):
+            t_ms = int(t_ms)
+            v = float(v)
+            c = int(math.floor(v * 100 + 0.5)) if math.isfinite(v) else 0
+            if st is None:
+                st = (t_ms, t_ms, 1, c)
+                continue
+            start, last, n, cents = st
+            # same transition order as the streaming kernel: the gap
+            # check wins when an event breaches both bounds
+            if t_ms - last > gap_ms:
+                close(st, "gap")
+                st = (t_ms, t_ms, 1, c)
+            elif t_ms - start > cap_ms:
+                close(st, "cap")
+                st = (t_ms, t_ms, 1, c)
+            else:
+                st = (start, t_ms, n + 1, cents + c)
+        if st is not None:
+            close(st, "timeout")
+        return pd.DataFrame(
+            out,
+            columns=[f.name for f in SESSION_SCHEMA.fields],
+        )
+
+    return (
+        df.filter(F.col(ts_col).isNotNull())
+        .select(user_col, ts_col, value_col, *tiebreak)
+        .groupBy(user_col)
+        .applyInPandas(walk, schema=SESSION_SCHEMA)
     )

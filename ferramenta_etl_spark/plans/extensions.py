@@ -891,3 +891,72 @@ def events_session_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sum_value",
         )
     )
+
+
+@_q(
+    "events_capped_sessions",
+    f"""
+    WITH RECURSIVE e AS (
+        -- all comparisons in floored epoch-ms, the exact ints the
+        -- Spark kernel walks (functions/tsql.epoch_ms contract)
+        SELECT user_id,
+               {_EPOCH.format("ts")} AS t_ms,
+               CAST(FLOOR((CASE WHEN NOT isfinite(value) THEN 0.0
+                                ELSE value END) * 100 + 0.5) AS BIGINT) AS v_cents,
+               row_number() OVER (PARTITION BY user_id ORDER BY ts) AS rn
+        FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL
+    ), r AS (
+        -- the genuinely recursive part: a session's start depends on
+        -- where the previous one ended (the duration cap makes this an
+        -- iterated split no window expression can produce — see
+        -- operators/sessionize.capped_sessions); one recursion step per
+        -- event RANK, all users advance together
+        SELECT user_id, rn, t_ms, v_cents, t_ms AS start_ms
+        FROM e WHERE rn = 1
+        UNION ALL
+        SELECT e.user_id, e.rn, e.t_ms, e.v_cents,
+               CASE WHEN e.t_ms - r.t_ms > 86400000
+                         OR e.t_ms - r.start_ms > 7200000
+                    THEN e.t_ms ELSE r.start_ms END
+        FROM r JOIN e ON e.user_id = r.user_id AND e.rn = r.rn + 1
+    ), sess AS (
+        SELECT user_id, start_ms AS session_start_ms,
+               MAX(t_ms) AS session_end_ms,
+               COUNT(*) AS n_events,
+               CAST(SUM(v_cents) AS DOUBLE) / 100 AS sum_value
+        FROM r GROUP BY user_id, start_ms
+    )
+    SELECT user_id, session_start_ms, session_end_ms, n_events, sum_value,
+           -- the event that opened the NEXT session is the one that
+           -- closed this one: gap wins when it breached both bounds
+           -- (same transition order as the kernel); no next session =
+           -- flushed at end-of-input ('timeout', the watermark analog)
+           CASE WHEN next_start IS NULL THEN 'timeout'
+                WHEN next_start - session_end_ms > 86400000 THEN 'gap'
+                ELSE 'cap' END AS closed_by
+    FROM (SELECT sess.*,
+                 LEAD(session_start_ms) OVER (PARTITION BY user_id
+                                              ORDER BY session_start_ms)
+                     AS next_start
+          FROM sess) t
+    """,
+)
+def events_capped_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap+cap sessionization (24-hour inactivity gap, 2-hour maximum
+    duration — parameters chosen so ALL THREE close reasons fire on the
+    events fixture: at sf0.01 ~7.2k cap / ~1.1k gap / 150 timeout
+    sessions; a 30-minute gap on this sparse fixture never exercised
+    the cap branch) — the batch replay of
+    streaming.capped_sessions_stream
+    (operators/sessionize.capped_sessions: one user_id exchange + an
+    Arrow per-group walk). The oracle is a DuckDB RECURSIVE CTE: the
+    duration cap makes session assignment an iterated split, so the
+    oracle recurses one event-rank per step. VERDICT r09 #6."""
+    from ..operators.sessionize import capped_sessions
+
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("user_id").isNotNull()
+    )
+    return capped_sessions(
+        ev, gap="24 hours", max_duration="2 hours"
+    )

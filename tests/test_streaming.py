@@ -340,3 +340,51 @@ def test_stream_plus_incremental_admit_equals_batch_at_10x(spark, tmp_path):
         .collect()
     }
     assert stream_hashes == batch_hashes
+
+
+def test_capped_sessions_batch_operator(spark, sf_dir):
+    """operators/sessionize.capped_sessions (the distributed batch
+    replay behind the events_capped_sessions oracle row — VERDICT r09
+    #6) == the driver-side replay oracle on every session a later event
+    CLOSES; its end-of-input semantics then flush exactly one 'timeout'
+    session per user (the watermark-passed-everything analog), a
+    superset of the stream drain's watermark-gated flushes."""
+    from ferramenta_etl_spark.operators.sessionize import capped_sessions
+    from ferramenta_etl_spark.sources import load_table
+
+    gap, cap = "12 hours", "24 hours"
+    ev = load_table(spark, sf_dir, "events")
+    got = capped_sessions(ev, gap=gap, max_duration=cap).toPandas()
+    want = capped_sessions_batch_replay(ev, gap=gap, max_duration=cap)
+
+    key = ["user_id", "session_start_ms"]
+    gc_got = (
+        got[got.closed_by != "timeout"].sort_values(key).reset_index(drop=True)
+    )
+    gc_want = (
+        want[want.closed_by != "timeout"].sort_values(key).reset_index(drop=True)
+    )
+    assert len(gc_got) == len(gc_want) > 0
+    assert (gc_want["closed_by"] == "cap").any()  # cap must actually fire
+    for col in [
+        "user_id",
+        "session_start_ms",
+        "session_end_ms",
+        "n_events",
+        "closed_by",
+    ]:
+        assert gc_got[col].tolist() == gc_want[col].tolist(), col
+    # the operator sums scaled cents (order-independent, oracle-stable);
+    # the replay sums raw floats — agree to the rounding budget
+    tol = 0.005 * int(got["n_events"].max()) + 1e-9
+    assert (gc_got["sum_value"] - gc_want["sum_value"]).abs().max() <= tol
+
+    # end-of-input flush: exactly one timeout session per user, and it
+    # covers (is a superset of) the watermark-gated replay flushes
+    to = got[got.closed_by == "timeout"]
+    n_users = ev.filter(F.col("ts").isNotNull()).select("user_id").distinct().count()
+    assert len(to) == n_users
+    assert int(to.groupby("user_id").size().max()) == 1
+    wto = want[want.closed_by == "timeout"]
+    merged = wto.merge(to, on=key, how="left", suffixes=("_w", "_g"))
+    assert merged["closed_by_g"].notna().all()
