@@ -13,11 +13,14 @@ Spark-first shapes:
   (x = cnt / total_cnt), so a long document doesn't out-shout a short
   one by raw count;
 - each TRAINING iteration is two partial-aggregated exchanges over the
-  checkpointed feature stream — margins per doc (join the <=n_buckets
-  weight relation broadcast, groupBy(doc).sum) and gradients per
-  bucket (groupBy(bucket).sum of x*(p-y)) — plus one O(n_buckets)
-  collect; the weight vector itself lives on the driver (n_buckets
-  floats: metadata, not data);
+  checkpointed feature stream — margins per doc (a BROADCAST-VARIABLE
+  weight array + vectorized Arrow lookup, then groupBy(doc).sum; a
+  per-iteration broadcast-join against an n_buckets-row relation cost
+  +0.6 s/iter at 2^18 buckets, VERDICT r09 #7) and gradients per
+  bucket (groupBy(bucket).sum of x*(p-y)) — plus one Arrow toPandas
+  bounded by the corpus' DISTINCT FEATURES, not n_buckets; the weight
+  vector itself lives on the driver (n_buckets floats: metadata, not
+  data);
 - SCORING is one broadcast join + groupBy(doc) — identical plan shape
   to dsir_log_weights, corpus never shuffles for the model.
 
@@ -35,6 +38,8 @@ from __future__ import annotations
 
 import math
 from typing import NamedTuple, Sequence
+
+import pandas as pd
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
@@ -74,10 +79,22 @@ def _normalized_features(
     )
 
 
-def _weights_df(spark, weights: Sequence[float]):
-    return spark.createDataFrame(
-        [(i, float(w)) for i, w in enumerate(weights)], "bucket int, w double"
+def _weights_df(spark, weights):
+    """Arrow-backed (bucket, w) relation. A Python list-of-tuples
+    createDataFrame serializes row-by-row through Py4J — fine at 2^12
+    buckets, dominant at 2^18+ (VERDICT r09 #7) — while a pandas frame
+    ships as Arrow columnar batches; same relation, flat cost in
+    n_buckets (SCALING.md classifier-overhead probe)."""
+    import numpy as np
+    import pandas as pd
+
+    pdf = pd.DataFrame(
+        {
+            "bucket": np.arange(len(weights), dtype="int32"),
+            "w": np.asarray(weights, dtype="float64"),
+        }
     )
+    return spark.createDataFrame(pdf, schema="bucket int, w double")
 
 
 def train_text_classifier(
@@ -141,14 +158,32 @@ def train_text_classifier(
             f"(labels present: {sorted(labels)})"
         )
 
-    weights = [0.0] * n_buckets
+    import numpy as np
+
+    weights = np.zeros(n_buckets, dtype="float64")
     bias = 0.0
     for _ in range(iters):
-        wdf = _weights_df(spark, weights)
+        # weight access is a BROADCAST VARIABLE + vectorized take, not a
+        # per-iteration broadcast-hash-join against an n_buckets-row
+        # relation (VERDICT r09 #7): the relation path ships 2^18 rows
+        # and builds a 2^18-entry hash table EVERY iteration — measured
+        # +0.6 s/iter at 2^18 vs 2^12 — while the broadcast array is one
+        # ~2 MB pickle per python worker and the lookup is a numpy take,
+        # flat in n_buckets (SCALING.md classifier-overhead probe). The
+        # arithmetic is the identical float64 x*w[bucket] product, so
+        # the fit trajectory is unchanged (pytest numpy oracle).
+        bc = spark.sparkContext.broadcast(weights)
+
+        @F.pandas_udf("double")
+        def xw(b: pd.Series, x: pd.Series) -> pd.Series:
+            return pd.Series(
+                bc.value[b.to_numpy()] * x.to_numpy(dtype="float64")
+            )
+
         margins = (
-            data.join(F.broadcast(wdf), "bucket")
+            data.select("doc_id", "y", xw("bucket", "x").alias("xw"))
             .groupBy("doc_id", "y")
-            .agg((F.sum(F.col("x") * F.col("w")) + F.lit(bias)).alias("z"))
+            .agg((F.sum("xw") + F.lit(bias)).alias("z"))
         )
         resid = margins.select(
             "doc_id",
@@ -156,25 +191,31 @@ def train_text_classifier(
                 "r"
             ),
         )
-        grad_rows = (
+        # Arrow transfer + numpy scatter (VERDICT r09 #7): Row-object
+        # collect + a Python accumulation loop scale with n_buckets in
+        # interpreter time; toPandas ships one columnar batch and the
+        # scatter/update are vectorized — per-iteration driver overhead
+        # stays flat through 2^18 buckets (SCALING.md probe)
+        grad_pdf = (
             data.join(resid, "doc_id")
             .groupBy("bucket")
             .agg(F.sum(F.col("x") * F.col("r")).alias("g"))
-            .collect()
+            .toPandas()
         )
         # bias gradient NEEDS NO SECOND JOB: per-doc features sum to 1
         # (the fastText normalization), so sum_b sum_docs x_b*r ==
         # sum_docs r — derive it from the bucket gradients already on
         # the driver instead of re-running the margins pipeline
-        gb = sum(row.g for row in grad_rows) / n_docs
-        grad = [0.0] * n_buckets
-        for row in grad_rows:
-            grad[row.bucket] = row.g / n_docs
-        weights = [
-            w - lr * (g + l2 * w) for w, g in zip(weights, grad)
-        ]
+        gb = float(grad_pdf["g"].sum()) / n_docs
+        grad = np.zeros(n_buckets, dtype="float64")
+        grad[grad_pdf["bucket"].to_numpy()] = grad_pdf["g"].to_numpy()
+        weights = weights - lr * (grad / n_docs + l2 * weights)
         bias -= lr * gb
-    return LinearTextClassifier(weights, bias, n_buckets, ns, hash_family)
+        # superseded this iteration's weight snapshot on the executors
+        bc.unpersist()
+    return LinearTextClassifier(
+        weights.tolist(), bias, n_buckets, ns, hash_family
+    )
 
 
 def classify_documents(
@@ -241,12 +282,15 @@ def load_classifier(spark, path: str) -> LinearTextClassifier:
     meta = json.loads(_fs_read_text(spark, os.path.join(path, "_clf_meta.json")))
     if meta.get("format") != "linear_text_classifier":
         raise ValueError(f"not a linear_text_classifier artifact: {path}")
+    import numpy as np
+
     n_buckets = int(meta["n_buckets"])
-    weights = [0.0] * n_buckets
-    for r in spark.read.parquet(os.path.join(path, "weights")).collect():
-        weights[r.bucket] = r.w
+    # Arrow transfer + scatter, same rationale as the training loop
+    pdf = spark.read.parquet(os.path.join(path, "weights")).toPandas()
+    weights = np.zeros(n_buckets, dtype="float64")
+    weights[pdf["bucket"].to_numpy()] = pdf["w"].to_numpy()
     return LinearTextClassifier(
-        weights,
+        weights.tolist(),
         float(meta["bias"]),
         n_buckets,
         tuple(int(n) for n in meta["ns"]),

@@ -1190,6 +1190,70 @@ def round9b_experiment(spark, sf_dir: str, scratch: str) -> dict:
     return out
 
 
+def clf_overhead_experiment(spark, sf_dir: str) -> dict:
+    """VERDICT r09 #7: per-iteration driver overhead of classifier
+    training must stay flat in n_buckets through 2^18. Two measures:
+
+    - end-to-end: train (4 GD iters) on the sf documents fixture at
+      n_buckets 2^12 vs 2^18 — per-iteration wall should move by the
+      gradient relation's size (bounded by the corpus' distinct
+      features, NOT n_buckets), so roughly flat;
+    - isolated exchange: build + materialize the (bucket, w) weights
+      relation at both sizes via the Arrow path (_weights_df) and via
+      the legacy row-by-row list-of-tuples createDataFrame the r9 code
+      used — the number that motivated the switch.
+    """
+    import time as _t
+
+    from pyspark.sql import functions as F
+
+    from ferramenta_etl_spark.operators.classifier import (
+        _weights_df,
+        train_text_classifier,
+    )
+    from ferramenta_etl_spark.operators.text import quality_score
+    from ferramenta_etl_spark.sources import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    q = quality_score(F.col("text"))
+    # split at the corpus median quality (the curation bootstrap's
+    # policy) so both classes are non-empty at any sf
+    med = docs.select(
+        F.percentile_approx(q, 0.5).alias("m")
+    ).first().m
+    out: dict = {"sf_dir": sf_dir, "iters": 4, "median_q": round(med, 4)}
+
+    for nb in (4096, 262144):
+        # two passes; first warms the code path, second is kept
+        for _attempt in range(2):
+            t0 = _t.perf_counter()
+            train_text_classifier(
+                docs.filter(q >= med), docs.filter(q < med),
+                iters=4, n_buckets=nb,
+            )
+            wall = _t.perf_counter() - t0
+        out[f"train4_s_nb{nb}"] = round(wall, 3)
+        out[f"per_iter_s_nb{nb}"] = round(wall / 4, 3)
+
+        w = [0.0] * nb
+        for _attempt in range(2):
+            t0 = _t.perf_counter()
+            _weights_df(spark, w).count()
+            arrow_s = _t.perf_counter() - t0
+        out[f"weights_arrow_s_nb{nb}"] = round(arrow_s, 3)
+        for _attempt in range(2):
+            t0 = _t.perf_counter()
+            spark.createDataFrame(
+                [(i, float(x)) for i, x in enumerate(w)], "bucket int, w double"
+            ).count()
+            legacy_s = _t.perf_counter() - t0
+        out[f"weights_legacy_rowwise_s_nb{nb}"] = round(legacy_s, 3)
+    out["per_iter_ratio_2e18_vs_2e12"] = round(
+        out["per_iter_s_nb262144"] / out["per_iter_s_nb4096"], 2
+    )
+    return out
+
+
 def main() -> None:
     p = argparse.ArgumentParser()
     p.add_argument("--factor", type=int, default=100)
@@ -1247,6 +1311,12 @@ def main() -> None:
         help="run the round-9 DSIR/BM25/BPE scaling probes (fit+score "
              "linearity, pruned vs full serve, flat-on-replication "
              "training)",
+    )
+    p.add_argument(
+        "--clf-overhead", action="store_true",
+        help="run the classifier per-iteration driver-overhead probe "
+             "(n_buckets 2^12 vs 2^18, Arrow vs legacy row-wise weights "
+             "exchange)",
     )
     p.add_argument(
         "--skew", type=int, metavar="REPLICATE", default=0,
@@ -1323,6 +1393,12 @@ def main() -> None:
     if args.round9b:
         result = round9b_experiment(spark, args.sf, args.out)
         print(json.dumps({"experiment": "round9b_ops", **result}))
+        spark.stop()
+        return
+
+    if args.clf_overhead:
+        result = clf_overhead_experiment(spark, args.sf)
+        print(json.dumps({"experiment": "clf_overhead", **result}))
         spark.stop()
         return
 
