@@ -4,10 +4,12 @@ for Spark.
 
 The scale insight: BPE training never needs the corpus — it needs the
 DISTINCT-WORD FREQUENCY TABLE. One corpus-sized groupBy(word) produces
-it; every merge iteration after that runs on the word table, which is
-orders of magnitude smaller (a 100 TB crawl has ~10^8 distinct words,
-not 10^13 tokens) but still far too big for a driver, so it stays a
-DataFrame throughout:
+it, and that table is orders of magnitude smaller (a 100 TB crawl has
+~10^8 distinct words, not 10^13 tokens). Below a size guard the table
+is collected ONCE and trained in-memory by the exact incremental
+Sennrich trainer (train_bpe_local — 2 Spark jobs total instead of ~2
+per merge; VERDICT r09 #4); above the guard it stays a DataFrame
+throughout:
 
 - PAIR COUNTING is the shared shifted-slice idiom (zip_with over two
   slices of the symbol array) + explode + one map-side-combined
@@ -93,26 +95,172 @@ def _merge_fold(symbols, a: str, b: str):
     )
 
 
+def _merge_seq(syms: list[str], a: str, b: str) -> list[str]:
+    """Greedy left-to-right merge of one symbol list — the pure-Python
+    twin of ``_merge_fold`` (and of ``encode_word``'s inner walk)."""
+    out: list[str] = []
+    i, n = 0, len(syms)
+    while i < n:
+        if i < n - 1 and syms[i] == a and syms[i + 1] == b:
+            out.append(a + b)
+            i += 2
+        else:
+            out.append(syms[i])
+            i += 1
+    return out
+
+
+def train_bpe_local(
+    word_counts,
+    num_merges: int,
+    min_pair_count: int = 2,
+) -> list[tuple[str, str]]:
+    """Exact Sennrich trainer over an in-memory (word -> count) mapping
+    (or iterable of pairs; duplicate words aggregate). Incremental
+    pair-count maintenance with a lazy-invalidation heap — per merge it
+    touches only the words that CONTAIN the merged pair, the standard
+    fast-BPE update — and the (count desc, pair asc) tie-break is the
+    same total order as the distributed trainer, so the merge list is
+    identical to the naive recount-per-round formulation."""
+    import heapq
+    from collections import Counter, defaultdict
+
+    agg: dict[str, int] = {}
+    items = word_counts.items() if hasattr(word_counts, "items") else word_counts
+    for w, c in items:
+        agg[w] = agg.get(w, 0) + int(c)
+    words: list[list] = [[list(w) + [END], c] for w, c in agg.items()]
+    pair_counts: Counter = Counter()
+    index: dict[tuple, set] = defaultdict(set)
+    for idx, (syms, c) in enumerate(words):
+        for p in zip(syms, syms[1:]):
+            pair_counts[p] += c
+            index[p].add(idx)
+    # heap entries are (-count, pair): max-count first, lexicographic
+    # pair ascending on ties — exactly min(items, key=(-cnt, pair)).
+    # Entries go stale when counts move; pop-verify discards them (and
+    # re-inserts the fresh count), so the top of the heap is always the
+    # true argmax at the moment it is accepted.
+    heap = [(-c, p) for p, c in pair_counts.items()]
+    heapq.heapify(heap)
+    merges: list[tuple[str, str]] = []
+    while len(merges) < num_merges and heap:
+        negc, p = heapq.heappop(heap)
+        c = pair_counts.get(p, 0)
+        if -negc != c:
+            if c > 0:
+                heapq.heappush(heap, (-c, p))
+            continue
+        if c < min_pair_count:
+            break
+        a, b = p
+        merges.append(p)
+        for idx in list(index.get(p, ())):
+            syms, cnt = words[idx]
+            old = Counter(zip(syms, syms[1:]))
+            if p not in old:  # stale index entry
+                continue
+            new_syms = _merge_seq(syms, a, b)
+            new = Counter(zip(new_syms, new_syms[1:]))
+            words[idx][0] = new_syms
+            for q, k in (new - old).items():
+                pair_counts[q] += k * cnt
+                index[q].add(idx)
+                heapq.heappush(heap, (-pair_counts[q], q))
+            for q, k in (old - new).items():
+                left = pair_counts[q] - k * cnt
+                if left <= 0:
+                    pair_counts.pop(q, None)
+                else:
+                    pair_counts[q] = left
+                    heapq.heappush(heap, (-left, q))
+        pair_counts.pop(p, None)
+        index.pop(p, None)
+    return merges
+
+
+# Collect guard for the hybrid trainer: BPE training consumes the
+# DISTINCT-WORD table, which is tiny relative to any corpus (Heaps' law:
+# ~10^6-10^8 distinct words even for web-scale crawls, and real
+# tokenizers train on a bounded sample anyway). 4M rows x ~50 B is a
+# ~200 MB driver transfer — comfortably collectable; beyond it the
+# trainer stays fully distributed.
+DRIVER_MAX_WORDS = 4_000_000
+
+
 def train_bpe(
     words: DataFrame,
     num_merges: int,
     min_pair_count: int = 2,
     word_col: str = "word",
     count_col: str = "cnt",
+    driver_max_words: int = DRIVER_MAX_WORDS,
+    batch_pairs: bool = False,
 ) -> list[tuple[str, str]]:
     """Learn up to ``num_merges`` merges from a (word, cnt) relation.
     Ties break lexicographically on the pair, so the result is a pure
     function of the word table — deterministic across partitionings and
     reruns. Stops early when the best remaining pair occurs fewer than
     ``min_pair_count`` times (merging near-singletons buys nothing and
-    the default mirrors the reference algorithm's cutoff)."""
+    the default mirrors the reference algorithm's cutoff).
+
+    JOB-COUNT posture (VERDICT r09 #4 — one Spark job per merge means a
+    32k-merge vocabulary is 32k sequential jobs):
+
+    - HYBRID FAST PATH: when the distinct-word table fits
+      ``driver_max_words`` (one count job to decide), it is collected
+      ONCE via Arrow and trained by the exact in-memory Sennrich
+      trainer (``train_bpe_local``) — a 512-merge train costs 2 Spark
+      jobs instead of ~1024, and the result is identical by
+      construction (same algorithm, same tie-break). This is the same
+      size-guarded-driver-fallback discipline as the connected-
+      components operator: the DATA-sized pass (corpus -> word table)
+      already happened distributed in ``word_freq``; what the guard
+      bounds is a METADATA-sized artifact.
+    - DISTRIBUTED BATCHED ROUNDS (``batch_pairs``, the above-guard
+      path): each round runs ONE stats job (pair counts + the triple-
+      count maxima that bound what merging a pair can create) and then
+      accepts a PREFIX of the count-ordered candidates on the driver —
+      only pairs provably unaffected by the batch's earlier merges:
+      for each accepted (a, b), a later (c, d) must satisfy d != a and
+      c != b (merging (a,b) only destroys pairs ENDING at a or
+      STARTING at b), must not mention the new token, and must
+      strictly out-count every pair the earlier merge can CREATE
+      (bounded by max-over-z triple(z,a,b) / triple(a,b,z)); the first
+      rejection ends the batch (a skipped pair's post-merge count is
+      unknowable from stale stats, so nothing after it is provable).
+      The batch is therefore EXACTLY the sequential prefix — verified
+      merge-for-merge against the sequential trainer in pytest.
+      DEFAULT OFF after measurement (scale_experiment --bpe-jobs):
+      BPE chains (each merge's token immediately forms the next-best
+      pair with its neighbors, e.g. (t,h) then (th,e)), capping sound
+      stale-stats batching at ~1.6 merges/round on the fixture, while
+      the triple-stats action costs ~8.5 jobs/round under AQE vs the
+      sequential round's ~3 — 552 jobs and 28.9 s where sequential
+      takes 317 and 18.2 s. Kept because the prefix-acceptance rule is
+      the correct building block wherever the corpus' pair graph is
+      wide (e.g. ideographic scripts with flat pair distributions),
+      and because the measurement itself is the documentation; the
+      hybrid path is what actually removes the per-merge job cost
+      (3 jobs vs 317, SCALING.md round-10 probe).
+    """
     if num_merges < 0:
         raise ValueError(f"num_merges must be >= 0, got {num_merges}")
     if min_pair_count < 1:
         raise ValueError(f"min_pair_count must be >= 1, got {min_pair_count}")
-    cur = words.select(
-        _initial_symbols(F.col(word_col)).alias("syms"),
+
+    rel = words.select(
+        F.col(word_col).cast("string").alias("word"),
         F.col(count_col).cast("long").alias("cnt"),
+    )
+    if driver_max_words > 0 and rel.count() <= driver_max_words:
+        pdf = rel.toPandas()
+        return train_bpe_local(
+            zip(pdf["word"], pdf["cnt"]), num_merges, min_pair_count
+        )
+
+    cur = rel.select(
+        _initial_symbols(F.col("word")).alias("syms"), "cnt"
     ).localCheckpoint(eager=True)
     merges: list[tuple[str, str]] = []
     # superseded checkpoints are released by the ContextCleaner once the
@@ -121,33 +269,152 @@ def train_bpe(
     # blocks are RDD storage; same GC reliance as dedup.py's iterative
     # connected-components loop). `cur = nxt` drops the only reference
     # each round, so at most a couple of snapshots coexist.
-    for _ in range(num_merges):
-        m = F.size(F.col("syms")) - F.lit(1)
-        pairs = cur.select(
-            F.explode(
-                F.zip_with(
-                    F.slice(F.col("syms"), 1, m),
-                    F.slice(F.col("syms"), 2, m),
-                    lambda x, y: F.struct(x.alias("a"), y.alias("b")),
-                )
-            ).alias("p"),
-            "cnt",
+    if not batch_pairs:
+        while len(merges) < num_merges:
+            best = _top_pairs(cur, 1)
+            if not best or best[0][2] < min_pair_count:
+                break
+            a, b = best[0][0], best[0][1]
+            merges.append((a, b))
+            cur = cur.select(
+                _merge_fold(F.col("syms"), a, b).alias("syms"), "cnt"
+            ).localCheckpoint(eager=True)
+        return merges
+
+    # vocabulary (all symbol strings in play) for the token-collision
+    # stop: chars once + the sentinel + every accepted token
+    vocab = {
+        r.s
+        for r in cur.select(
+            F.explode(F.array_distinct(F.col("syms"))).alias("s")
         )
-        best = (
-            pairs.groupBy("p.a", "p.b")
-            .agg(F.sum("cnt").alias("c"))
-            .orderBy(F.col("c").desc(), F.col("a").asc(), F.col("b").asc())
-            .limit(1)
-            .collect()
-        )
-        if not best or best[0].c < min_pair_count:
+        .distinct()
+        .collect()
+    }
+    while len(merges) < num_merges:
+        cands = _top_pairs_with_bounds(cur, 256)
+        if not cands or cands[0][2] < min_pair_count:
             break
-        a, b = best[0].a, best[0].b
-        merges.append((a, b))
-        cur = cur.select(
-            _merge_fold(F.col("syms"), a, b).alias("syms"), "cnt"
-        ).localCheckpoint(eager=True)
+        accepted = _accept_prefix(
+            cands, vocab, num_merges - len(merges), min_pair_count
+        )
+        if not accepted:
+            break
+        expr = F.col("syms")
+        for a, b in accepted:
+            expr = _merge_fold(expr, a, b)
+            vocab.add(a + b)
+        merges.extend(accepted)
+        cur = cur.select(expr.alias("syms"), "cnt").localCheckpoint(
+            eager=True
+        )
     return merges
+
+
+def _pairs_rel(cur: DataFrame) -> DataFrame:
+    m = F.size(F.col("syms")) - F.lit(1)
+    return cur.select(
+        F.explode(
+            F.zip_with(
+                F.slice(F.col("syms"), 1, m),
+                F.slice(F.col("syms"), 2, m),
+                lambda x, y: F.struct(x.alias("a"), y.alias("b")),
+            )
+        ).alias("p"),
+        "cnt",
+    )
+
+
+def _top_pairs(cur: DataFrame, k: int) -> list[tuple[str, str, int]]:
+    """Top-k pairs by (count desc, pair asc) — TakeOrderedAndProject,
+    k rows to the driver."""
+    rows = (
+        _pairs_rel(cur)
+        .groupBy("p.a", "p.b")
+        .agg(F.sum("cnt").alias("c"))
+        .orderBy(F.col("c").desc(), F.col("a").asc(), F.col("b").asc())
+        .limit(k)
+        .collect()
+    )
+    return [(r.a, r.b, r.c) for r in rows]
+
+
+def _top_pairs_with_bounds(
+    cur: DataFrame, k: int
+) -> list[tuple[str, str, int, int]]:
+    """One stats job per batched round: the top-k pairs annotated with
+    an upper bound on any pair a merge of them can CREATE. Merging
+    (a, b) -> ab creates pairs (z, ab) and (ab, z); each instance needs
+    an adjacent triple (z, a, b) / (a, b, z) in the CURRENT table, so
+    max-over-z of those triple counts bounds every child pair. Pair and
+    triple aggregates share the single scan of the checkpointed word
+    table; k+0 rows come back."""
+    m3 = F.size(F.col("syms")) - F.lit(2)
+    triples = cur.filter(F.size(F.col("syms")) >= 3).select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), m3),
+                lambda i: F.struct(
+                    F.element_at(F.col("syms"), i).alias("a"),
+                    F.element_at(F.col("syms"), i + 1).alias("b"),
+                    F.element_at(F.col("syms"), i + 2).alias("c"),
+                ),
+            )
+        ).alias("t"),
+        "cnt",
+    )
+    tc = triples.groupBy("t.a", "t.b", "t.c").agg(F.sum("cnt").alias("c3"))
+    left_max = tc.groupBy(
+        F.col("b").alias("a"), F.col("c").alias("b")
+    ).agg(F.max("c3").alias("lmax"))
+    right_max = tc.groupBy("a", "b").agg(F.max("c3").alias("rmax"))
+    pc = _pairs_rel(cur).groupBy("p.a", "p.b").agg(F.sum("cnt").alias("c"))
+    rows = (
+        pc.join(left_max, ["a", "b"], "left")
+        .join(right_max, ["a", "b"], "left")
+        .orderBy(F.col("c").desc(), F.col("a").asc(), F.col("b").asc())
+        .limit(k)
+        .collect()
+    )
+    return [
+        (r.a, r.b, r.c, max(r.lmax or 0, r.rmax or 0)) for r in rows
+    ]
+
+
+def _accept_prefix(
+    cands: list[tuple[str, str, int, int]],
+    vocab: set,
+    budget: int,
+    min_pair_count: int,
+) -> list[tuple[str, str]]:
+    """The provably-sequential prefix of a count-ordered candidate list
+    (see train_bpe docstring for the soundness argument). ``vocab``
+    triggers the token-collision stop: a new token string that already
+    exists as a symbol would MERGE its pair counts with the existing
+    symbol's, invalidating every later stale count."""
+    accepted: list[tuple[str, str]] = []
+    bounds: list[int] = []  # new-pair bound per accepted merge
+    for a, b, cnt, nmax in cands:
+        if len(accepted) >= budget or cnt < min_pair_count:
+            break
+        ok = True
+        for (pa, pb), pbound in zip(accepted, bounds):
+            if (
+                b == pa
+                or a == pb
+                or (a, b) == (pa, pb)
+                or (pa + pb) in (a, b)
+                or cnt <= pbound
+            ):
+                ok = False
+                break
+        if not ok:
+            break  # prefix rule: nothing after a rejection is provable
+        accepted.append((a, b))
+        bounds.append(nmax)
+        if (a + b) in vocab:
+            break  # sound to accept, unsound to continue past
+    return accepted
 
 
 def train_bpe_from_docs(

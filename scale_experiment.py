@@ -1190,6 +1190,56 @@ def round9b_experiment(spark, sf_dir: str, scratch: str) -> dict:
     return out
 
 
+def bpe_jobs_experiment(spark, sf_dir: str, num_merges: int = 512) -> dict:
+    """VERDICT r09 #4: Spark-JOB COUNT of a ``num_merges``-merge BPE
+    train through the three trainer paths — hybrid driver-side (the
+    default), distributed batched rounds, distributed sequential (the
+    r9 behavior) — plus merge-list equality across all three. Jobs are
+    counted via statusTracker job groups; the sf word table exhausts
+    its merge space before 512 (every merge past exhaustion is free),
+    which is itself part of the honest reading: the probe measures
+    jobs-per-merge shape, not an artificial 512."""
+    import time as _t
+
+    from ferramenta_etl_spark.operators.bpe import train_bpe, word_freq
+    from ferramenta_etl_spark.sources import load_table
+
+    wf = word_freq(
+        load_table(spark, sf_dir, "documents")
+    ).localCheckpoint(eager=True)
+    sc = spark.sparkContext
+    tracker = sc.statusTracker()
+    out: dict = {"sf_dir": sf_dir, "num_merges_requested": num_merges}
+    results = {}
+    for tag, kw in (
+        ("hybrid_driver", {}),
+        ("dist_batched", {"driver_max_words": 0, "batch_pairs": True}),
+        ("dist_sequential", {"driver_max_words": 0, "batch_pairs": False}),
+    ):
+        group = f"bpe-probe-{tag}"
+        sc.setJobGroup(group, tag)
+        t0 = _t.perf_counter()
+        merges = train_bpe(wf, num_merges, min_pair_count=1, **kw)
+        wall = _t.perf_counter() - t0
+        sc.setLocalProperty("spark.jobGroup.id", None)
+        results[tag] = merges
+        out[f"{tag}_jobs"] = len(tracker.getJobIdsForGroup(group))
+        out[f"{tag}_s"] = round(wall, 2)
+    out["n_merges_learned"] = len(results["dist_sequential"])
+    out["merge_lists_identical"] = (
+        results["hybrid_driver"]
+        == results["dist_batched"]
+        == results["dist_sequential"]
+    )
+    out["jobs_ratio_seq_vs_hybrid"] = round(
+        out["dist_sequential_jobs"] / max(out["hybrid_driver_jobs"], 1), 1
+    )
+    out["jobs_ratio_seq_vs_batched"] = round(
+        out["dist_sequential_jobs"] / max(out["dist_batched_jobs"], 1), 2
+    )
+    return out
+
+
 def clf_overhead_experiment(spark, sf_dir: str) -> dict:
     """VERDICT r09 #7: per-iteration driver overhead of classifier
     training must stay flat in n_buckets through 2^18. Two measures:
@@ -1313,6 +1363,11 @@ def main() -> None:
              "training)",
     )
     p.add_argument(
+        "--bpe-jobs", action="store_true",
+        help="run the BPE trainer job-count probe (hybrid vs batched vs "
+             "sequential, merge-list equality)",
+    )
+    p.add_argument(
         "--clf-overhead", action="store_true",
         help="run the classifier per-iteration driver-overhead probe "
              "(n_buckets 2^12 vs 2^18, Arrow vs legacy row-wise weights "
@@ -1393,6 +1448,12 @@ def main() -> None:
     if args.round9b:
         result = round9b_experiment(spark, args.sf, args.out)
         print(json.dumps({"experiment": "round9b_ops", **result}))
+        spark.stop()
+        return
+
+    if args.bpe_jobs:
+        result = bpe_jobs_experiment(spark, args.sf)
+        print(json.dumps({"experiment": "bpe_jobs", **result}))
         spark.stop()
         return
 
