@@ -162,8 +162,8 @@ def main(argv: list[str] | None = None, _stop_session: bool = True) -> int:
         choices=["raw", "containers"],
         default="raw",
         help="media-curate: 'raw' feeds raw-RGB/PCM fixtures directly; "
-        "'containers' wraps them in real PNG/WAV containers and runs "
-        "the stdlib codec front-end (decode_images/decode_audio) first",
+        "'containers' wraps them in real PNG/JPEG/WAV containers and "
+        "runs the codec front-end (decode_images/decode_audio) first",
     )
     p.add_argument(
         "--index-kind",
@@ -478,6 +478,7 @@ def main(argv: list[str] | None = None, _stop_session: bool = True) -> int:
                 trim_silence,
             )
             from .operators.containers import (
+                attach_jpeg_media,
                 attach_png_media,
                 attach_wav_media,
                 decode_audio,
@@ -499,7 +500,16 @@ def main(argv: list[str] | None = None, _stop_session: bool = True) -> int:
             docs = load_table(spark, args.sf_dir, "documents").select("doc_id")
 
             if args.media_format == "containers":
-                images = decode_images(attach_png_media(docs))
+                # a mixed PNG/JPEG column: even doc_ids arrive as PNG,
+                # odd as baseline JPEG — decode_images routes both by
+                # magic bytes, the real-corpus shape (VERDICT r09 #3)
+                pngs = attach_png_media(
+                    docs.filter(F.pmod(F.col("doc_id"), F.lit(2)) == 0)
+                )
+                jpgs = attach_jpeg_media(
+                    docs.filter(F.pmod(F.col("doc_id"), F.lit(2)) == 1)
+                )
+                images = decode_images(pngs.unionByName(jpgs))
                 audio = decode_audio(attach_wav_media(docs))
             else:
                 images = attach_fake_raw_images(docs)

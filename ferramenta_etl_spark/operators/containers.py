@@ -4,9 +4,11 @@ two formats the Python standard library itself can decode (VERDICT r08
 per-scanline unfiltering. Everything the reference pipeline needs
 downstream of decode was already real (raw-RGB bilinear resize in
 ``multimodal.resize_images``, raw-PCM DSP in ``audio``); this module
-closes the last gap so a user handing the engine actual PNG/WAV bytes
-gets real features. JPEG/MP4 (codec libraries absent from this
-environment) keep the documented deterministic fake in
+plus the baseline-JPEG codec in ``jpeg.py`` (numpy T.81 decoder,
+VERDICT r09 #3) close the image/audio gaps so a user handing the
+engine actual PNG/JPEG/WAV bytes gets real pixels and PCM. Only MP4
+(codec/demux libraries absent from this environment and out of
+stdlib+numpy reach) keeps the documented deterministic fake in
 ``multimodal._fake_decode`` — routing is by magic bytes
 (``sniff_container``), so real and fake payloads can share a column.
 
@@ -294,23 +296,30 @@ def encode_wav_bytes(pcm, rate: int, channels: int = 1) -> bytes:
 
 
 def decode_images(media_df: DataFrame, media_col: str = "media") -> DataFrame:
-    """PNG containers -> ``RAW_IMAGE_SCHEMA`` (doc_id, media = H*W*3
-    uint8 raw-RGB, width, height): the codec front-end that feeds
-    ``multimodal.resize_images`` and friends. Non-PNG payloads (JPEG —
-    no stdlib codec — or unknown bytes) and failed decodes yield null
-    rows, same policy as every media operator. Narrow map, no shuffle."""
+    """PNG and baseline-JPEG containers -> ``RAW_IMAGE_SCHEMA``
+    (doc_id, media = H*W*3 uint8 raw-RGB, width, height): the codec
+    front-end that feeds ``multimodal.resize_images`` and friends.
+    Routing is by magic bytes; unknown payloads and failed decodes
+    (corrupt container, progressive JPEG) yield null rows, same policy
+    as every media operator. Narrow map, no shuffle."""
 
     def batches(it: Iterator) -> Iterator:
         import pandas as pd
+
+        from .jpeg import decode_jpeg_bytes
 
         for pdf in it:
             ids, blobs, ws, hs = [], [], [], []
             for did, raw in zip(pdf["doc_id"], pdf[media_col]):
                 ids.append(None if pd.isna(did) else int(did))
                 try:
-                    if sniff_container(raw) != "png":
-                        raise ValueError("not a PNG container")
-                    rgb = decode_png_bytes(bytes(raw))
+                    kind = sniff_container(raw)
+                    if kind == "png":
+                        rgb = decode_png_bytes(bytes(raw))
+                    elif kind == "jpeg":
+                        rgb = decode_jpeg_bytes(bytes(raw))
+                    else:
+                        raise ValueError("not a PNG/JPEG container")
                 except Exception:  # noqa: BLE001 — any codec error -> null row
                     blobs.append(None)
                     ws.append(None)
@@ -428,6 +437,57 @@ def attach_wav_media(
                 ids.append(did)
                 blobs.append(
                     encode_wav_bytes(pcm, int(rate), channels=1 + did % 2)
+                )
+            yield pd.DataFrame({"doc_id": ids, "media": blobs})
+
+    import pyspark.sql.types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("media", T.BinaryType()),
+        ]
+    )
+    return raw.mapInPandas(batches, schema)
+
+
+def attach_jpeg_media(
+    documents: DataFrame, max_w: int = 48, max_h: int = 32, quality: int = 95
+):
+    """The ``attach_fake_raw_images`` pixel patterns wrapped in REAL
+    baseline JPEG containers (``jpeg.encode_jpeg_bytes``). Subsampling
+    and restart intervals cycle with doc_id — 4:4:4, 4:2:0, and
+    4:4:4+DRI — so decode exercises the chroma-upsample and restart
+    paths; JPEG is lossy, so pixel agreement with the raw patterns is
+    bounded (asserted with a per-pixel tolerance in tests), unlike the
+    exact PNG fixture."""
+    from .jpeg import encode_jpeg_bytes
+    from .multimodal import attach_fake_raw_images
+
+    raw = attach_fake_raw_images(documents, max_w=max_w, max_h=max_h)
+
+    def batches(it: Iterator) -> Iterator:
+        import numpy as np
+        import pandas as pd
+
+        for pdf in it:
+            ids, blobs = [], []
+            for did, blob, w, h in zip(
+                pdf["doc_id"], pdf["media"], pdf["width"], pdf["height"]
+            ):
+                did, w, h = int(did), int(w), int(h)
+                img = np.frombuffer(bytes(blob), dtype=np.uint8).reshape(
+                    h, w, 3
+                )
+                mode = did % 3
+                ids.append(did)
+                blobs.append(
+                    encode_jpeg_bytes(
+                        img,
+                        quality=quality,
+                        subsampling="4:2:0" if mode == 1 else "4:4:4",
+                        restart_interval=2 if mode == 2 else 0,
+                    )
                 )
             yield pd.DataFrame({"doc_id": ids, "media": blobs})
 

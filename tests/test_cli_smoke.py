@@ -190,9 +190,14 @@ def test_cli_media_curate_idempotent(cli_tmp, capsys, spark):
 
 
 def test_cli_media_curate_containers_matches_raw(cli_tmp, capsys, spark):
-    """--media-format containers pushes REAL PNG/WAV bytes through the
-    stdlib codec front-end end-to-end (VERDICT r08 #1); the curated
-    image/audio sinks are row-identical with the raw-fixture run."""
+    """--media-format containers pushes REAL PNG/JPEG/WAV bytes through
+    the codec front-end end-to-end (VERDICT r08 #1 / r09 #3): audio is
+    row-identical with the raw-fixture run (WAV is lossless), images
+    are row-identical on the PNG half (even doc_ids, lossless) and
+    dimension-identical with bounded pixel deviation on the JPEG half
+    (odd doc_ids — q95 baseline JPEG is lossy by design)."""
+    import numpy as np
+
     raw_sink = str(cli_tmp / "mraw")
     con_sink = str(cli_tmp / "mcon")
     assert _run("media-curate", "--sink-dir", raw_sink) == 0
@@ -201,11 +206,30 @@ def test_cli_media_curate_containers_matches_raw(cli_tmp, capsys, spark):
         "--media-format", "containers",
     ) == 0
     capsys.readouterr()
-    for table in ("media_images", "media_audio"):
-        a = spark.read.parquet(f"{raw_sink}/{table}")
-        b = spark.read.parquet(f"{con_sink}/{table}")
-        assert a.count() == b.count() > 0
-        assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+    a = spark.read.parquet(f"{raw_sink}/media_audio")
+    b = spark.read.parquet(f"{con_sink}/media_audio")
+    assert a.count() == b.count() > 0
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+
+    ai = spark.read.parquet(f"{raw_sink}/media_images")
+    bi = spark.read.parquet(f"{con_sink}/media_images")
+    assert ai.count() == bi.count() > 0
+    png_a = ai.filter("doc_id % 2 = 0")
+    png_b = bi.filter("doc_id % 2 = 0")
+    assert png_a.count() == png_b.count() > 0
+    assert png_a.exceptAll(png_b).count() == 0
+    raw_rows = {r.doc_id: r for r in ai.filter("doc_id % 2 = 1").collect()}
+    jpg_rows = {r.doc_id: r for r in bi.filter("doc_id % 2 = 1").collect()}
+    assert len(jpg_rows) == len(raw_rows) > 0
+    for did, want in raw_rows.items():
+        got = jpg_rows[did]
+        assert (got.width, got.height) == (want.width, want.height), did
+        gp = np.frombuffer(bytes(got.media), dtype=np.uint8).astype(int)
+        wp = np.frombuffer(bytes(want.media), dtype=np.uint8).astype(int)
+        # q95 roundtrip + bilinear resize: bounded deviation (the
+        # 4:2:0 third of the fixture halves chroma resolution on
+        # saturated gradients — mean ~9; random bytes would read ~85)
+        assert np.abs(gp - wp).mean() <= 12.0, did
 
 
 def test_cli_vocab_snapshot(cli_tmp, capsys, spark):
