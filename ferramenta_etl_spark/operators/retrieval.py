@@ -184,6 +184,52 @@ def bm25_topk(
     )
 
 
+def bm25_scores(
+    index: BM25Index,
+    queries: DataFrame,
+    k1: float = 1.2,
+    b: float = 0.75,
+    query_id_col: str = "query_id",
+    query_col: str = "query",
+    stable_round: int | None = None,
+) -> DataFrame:
+    """(query_id, doc_id, score) for every document sharing at least
+    one term with the query — ``bm25_topk`` without the top-k cut.
+
+    ``stable_round=N``: ORDER-STABLE scoring for the oracle gate — the
+    per-posting contributions are collected per (query, doc), sorted by
+    term, summed by a SEQUENTIAL fold (``F.aggregate``), and rounded to
+    N digits. A plain ``F.sum`` adds in shuffle order, so the last-ulp
+    float value depends on partitioning; the fold makes the score a
+    pure function of the data, which DuckDB reproduces with
+    ``list_aggregate(list(s ORDER BY term), 'sum')`` — the same
+    discipline as the cosine _dot fold (extensions._dot). Default
+    (None) keeps the partial-aggregated sum: cheaper, and rank-stable
+    for serving."""
+    qt = _query_terms(queries, query_id_col, query_col)
+    contrib = index.postings.join(F.broadcast(qt), "term").select(
+        "query_id",
+        "doc_id",
+        "term",
+        _bm25_score_expr(k1, b, index.avgdl).alias("__s"),
+    )
+    if stable_round is None:
+        return contrib.groupBy("query_id", "doc_id").agg(
+            F.sum("__s").alias("score")
+        )
+    arr = F.sort_array(
+        F.collect_list(F.struct(F.col("term"), F.col("__s").alias("s")))
+    )
+    folded = F.aggregate(
+        F.transform(arr, lambda x: x["s"]),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return contrib.groupBy("query_id", "doc_id").agg(
+        F.round(folded, stable_round).alias("score")
+    )
+
+
 # ------------------------------------------------------------ hybrid fusion
 
 

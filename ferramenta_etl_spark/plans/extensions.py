@@ -489,23 +489,76 @@ _PRED = (
 
 @_q(
     "text_lang_id",
-    f"""
+    rf"""
     WITH scored AS (
         SELECT doc_id, lang,
                {_SCORES_SQL}
         FROM documents
+    ),
+    t AS (
+        SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents
+    ),
+    g AS (
+        SELECT doc_id, toks,
+               list_transform(range(1, greatest(len(toks) - 1, 1) + 1),
+                   i -> array_to_string(list_slice(toks, i, i + 1), ' ')) AS grams
+        FROM t
+    ),
+    runs AS (  -- gaps-and-islands: longest consecutive equal-token run
+        SELECT doc_id, MAX(cnt) AS max_run FROM (
+            SELECT doc_id, COUNT(*) AS cnt FROM (
+                SELECT doc_id, tok, i,
+                       i - ROW_NUMBER() OVER (PARTITION BY doc_id, tok ORDER BY i)
+                         AS grp
+                FROM (SELECT doc_id, unnest(toks) AS tok,
+                             generate_subscripts(toks, 1) AS i FROM t)
+            ) GROUP BY doc_id, tok, grp
+        ) GROUP BY doc_id
     )
-    SELECT doc_id, lang AS true_lang, {_PRED} AS pred_lang FROM scored
+    SELECT d.doc_id, d.lang AS true_lang, {_PRED} AS pred_lang,
+           len(string_split(d.text, ' ')) AS n_ws_tokens,
+           len(regexp_extract_all(lower(d.text), '[a-z]+|[0-9]|[^a-z0-9\s]'))
+             AS n_bpe_ish,
+           ROUND(1.0 - CAST(len(list_distinct(g.grams)) AS DOUBLE) / len(g.grams), 6)
+             AS dup_2gram_frac,
+           ROUND(CAST(list_max(list_transform(list_distinct(g.grams),
+                     x -> len(list_filter(g.grams, y -> y = x)))) AS DOUBLE)
+                 * 2.0 / len(g.toks), 6) AS top_2gram_frac,
+           CAST(runs.max_run AS INT) AS max_token_run,
+           ROUND(CAST(len(list_filter(g.toks, x -> regexp_matches(x, '[a-z]')))
+                      AS DOUBLE) / len(g.toks), 6) AS alpha_word_ratio
+    FROM documents d
+    JOIN scored ON d.doc_id = scored.doc_id
+    JOIN g      ON d.doc_id = g.doc_id
+    JOIN runs   ON d.doc_id = runs.doc_id
     """,
 )
 def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Marker-token language ID (n-gram-heuristic family): argmax of
-    per-language marker counts, alphabetical tiebreak."""
+    """Marker-token language ID (n-gram-heuristic family: argmax of
+    per-language marker counts, alphabetical tiebreak) MERGED with the
+    token-counting / repetition-signal suite (whitespace tokens, BPE-ish
+    regex count, Gopher-style duplicate-bigram fraction, top-bigram
+    coverage, longest token run, alphabetic ratio — operators/text.py)
+    — one per-doc projection, keyed by doc_id. Merged in round 10 to
+    hold the registry at the driver's 50-query gate window while the
+    events_capped_sessions and bm25_score rows joined (the same
+    absorb-related-micro-operators discipline as grouping_sets_sql);
+    every operator keeps its own unit tests. All columns are linear
+    per-doc folds at scan speed; the oracle's quadratic
+    count-per-distinct-gram and gaps-and-islands window forms are the
+    independent cross-checks of the folds."""
     docs = load_table(spark, sf_dir, "documents")
+    t = F.col("text")
     return docs.select(
         "doc_id",
         F.col("lang").alias("true_lang"),
-        X.lang_id(F.col("text")).alias("pred_lang"),
+        X.lang_id(t).alias("pred_lang"),
+        F.size(F.split(t, " ")).alias("n_ws_tokens"),
+        X.bpe_ish_count(t).alias("n_bpe_ish"),
+        F.round(X.dup_ngram_fraction(t, 2), 6).alias("dup_2gram_frac"),
+        F.round(X.top_ngram_fraction(t, 2), 6).alias("top_2gram_frac"),
+        X.max_token_run(t).alias("max_token_run"),
+        F.round(X.alpha_word_ratio(t), 6).alias("alpha_word_ratio"),
     )
 
 
@@ -554,67 +607,6 @@ def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(X.digit_ratio(t), 6).alias("digit_ratio"),
         F.round(X.punct_ratio(t), 6).alias("punct_ratio"),
         F.round(X.quality_score(t), 6).alias("quality"),
-    )
-
-
-@_q(
-    "text_token_count",
-    r"""
-    WITH t AS (
-        SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents
-    ),
-    g AS (
-        SELECT doc_id, toks,
-               list_transform(range(1, greatest(len(toks) - 1, 1) + 1),
-                   i -> array_to_string(list_slice(toks, i, i + 1), ' ')) AS grams
-        FROM t
-    ),
-    runs AS (  -- gaps-and-islands: longest consecutive equal-token run
-        SELECT doc_id, MAX(cnt) AS max_run FROM (
-            SELECT doc_id, COUNT(*) AS cnt FROM (
-                SELECT doc_id, tok, i,
-                       i - ROW_NUMBER() OVER (PARTITION BY doc_id, tok ORDER BY i)
-                         AS grp
-                FROM (SELECT doc_id, unnest(toks) AS tok,
-                             generate_subscripts(toks, 1) AS i FROM t)
-            ) GROUP BY doc_id, tok, grp
-        ) GROUP BY doc_id
-    )
-    SELECT d.doc_id,
-           len(string_split(d.text, ' ')) AS n_ws_tokens,
-           len(regexp_extract_all(lower(d.text), '[a-z]+|[0-9]|[^a-z0-9\s]'))
-             AS n_bpe_ish,
-           ROUND(1.0 - CAST(len(list_distinct(g.grams)) AS DOUBLE) / len(g.grams), 6)
-             AS dup_2gram_frac,
-           ROUND(CAST(list_max(list_transform(list_distinct(g.grams),
-                     x -> len(list_filter(g.grams, y -> y = x)))) AS DOUBLE)
-                 * 2.0 / len(g.toks), 6) AS top_2gram_frac,
-           CAST(runs.max_run AS INT) AS max_token_run,
-           ROUND(CAST(len(list_filter(g.toks, x -> regexp_matches(x, '[a-z]')))
-                      AS DOUBLE) / len(g.toks), 6) AS alpha_word_ratio
-    FROM documents d
-    JOIN g    ON d.doc_id = g.doc_id
-    JOIN runs ON d.doc_id = runs.doc_id
-    """,
-)
-def text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Token counting + repetition signals: whitespace tokens, a BPE-ish
-    regex token count, and the Gopher-style repetition family
-    (operators/text.py) — duplicate-bigram fraction, top-bigram coverage,
-    longest consecutive token run, alphabetic-token ratio. All linear
-    per-doc folds at scan speed; the oracle's quadratic
-    count-per-distinct-gram and gaps-and-islands window forms are the
-    independent cross-checks of the folds."""
-    docs = load_table(spark, sf_dir, "documents")
-    t = F.col("text")
-    return docs.select(
-        "doc_id",
-        F.size(F.split(t, " ")).alias("n_ws_tokens"),
-        X.bpe_ish_count(t).alias("n_bpe_ish"),
-        F.round(X.dup_ngram_fraction(t, 2), 6).alias("dup_2gram_frac"),
-        F.round(X.top_ngram_fraction(t, 2), 6).alias("top_2gram_frac"),
-        X.max_token_run(t).alias("max_token_run"),
-        F.round(X.alpha_word_ratio(t), 6).alias("alpha_word_ratio"),
     )
 
 
@@ -960,3 +952,80 @@ def events_capped_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     return capped_sessions(
         ev, gap="24 hours", max_duration="2 hours"
     )
+
+
+# BM25 oracle constants: the literal probe queries (corpus-vocabulary
+# terms; q2 repeats 'key' so qtf=2 is exercised) and the k1/b floats
+# whose reprs are embedded in BOTH engines' expressions.
+_BM25_QUERIES = [
+    (0, "table scan fast"),
+    (1, "window agg stream batch"),
+    (2, "key value key customer"),
+]
+_BM25_VALUES = ", ".join(f"({i}, '{q}')" for i, q in _BM25_QUERIES)
+
+
+@_q(
+    "bm25_score",
+    f"""
+    WITH tok AS (
+        SELECT doc_id, unnest(list_filter(string_split(lower(text), ' '),
+                                          t -> t <> '')) AS term
+        FROM documents
+    ), tf AS (
+        SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY 1, 2
+    ), dl AS (
+        SELECT doc_id, SUM(tf) AS dl FROM tf GROUP BY 1
+    ), stats AS (
+        SELECT (SELECT COUNT(*) FROM documents) AS n_docs,
+               (SELECT CAST(COALESCE(SUM(tf), 0) AS DOUBLE) FROM tf) AS total
+    ), idf AS (
+        -- Robertson non-negative idf, same association order as
+        -- retrieval._idf_expr: ln(1 + (N - df + 0.5)/(df + 0.5))
+        SELECT term,
+               ln(1.0 + (CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE) + 0.5)
+                        / (CAST(df AS DOUBLE) + 0.5)) AS idf
+        FROM (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1), stats
+    ), q(query_id, query) AS (
+        VALUES {_BM25_VALUES}
+    ), qt AS (
+        SELECT query_id, term, COUNT(*) AS qtf
+        FROM (SELECT query_id, unnest(string_split(query, ' ')) AS term
+              FROM q)
+        GROUP BY 1, 2
+    ), contrib AS (
+        -- the _bm25_score_expr association order, verbatim:
+        -- ((qtf * idf) * (tf * (k1+1))) / (tf + k1*((1-b) + b*dl/avgdl))
+        SELECT query_id, doc_id, term,
+               CAST(qtf AS DOUBLE) * idf * (CAST(tf AS DOUBLE) * 2.2)
+               / (CAST(tf AS DOUBLE)
+                  + 1.2 * (0.25 + 0.75 * CAST(dl AS DOUBLE) / avgdl)) AS s
+        FROM tf
+        JOIN dl USING (doc_id)
+        JOIN idf USING (term)
+        JOIN qt USING (term),
+             (SELECT total / CAST(n_docs AS DOUBLE) AS avgdl FROM stats)
+    )
+    SELECT query_id, doc_id,
+           ROUND(list_aggregate(list(s ORDER BY term), 'sum'), 6) AS score
+    FROM contrib GROUP BY query_id, doc_id
+    """,
+)
+def bm25_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 scoring of the documents corpus against three literal
+    probe queries, through the REAL index build + scorer
+    (operators/retrieval.build_bm25_index / bm25_scores) in the
+    order-stable fold form: per-(query, doc) contributions sum by a
+    term-sorted sequential fold on BOTH engines (the cosine _dot
+    discipline), rounded to 6 dp to absorb any last-ulp ln()
+    difference between the JVM and libm. This moves BM25 from
+    pytest-only to the hash-checked gate; bench `bm25_topk` keeps
+    measuring the cheaper partial-aggregated serving plan."""
+    from ..operators.retrieval import bm25_scores, build_bm25_index
+
+    docs = load_table(spark, sf_dir, "documents")
+    idx = build_bm25_index(docs)
+    qdf = spark.createDataFrame(
+        _BM25_QUERIES, "query_id int, query string"
+    )
+    return bm25_scores(idx, qdf, stable_round=6)

@@ -81,13 +81,33 @@ def projection_rename(spark: SparkSession, sf_dir: str) -> DataFrame:
            ROUND(l_extendedprice * (1 - l_discount) * (1 + l_tax) * 100) / 100 + 0.0
              AS net_price,
            ROUND((l_extendedprice + l_quantity) * 100) / 100 + 0.0 AS gross_plus_qty,
-           ROUND((l_extendedprice - l_quantity) * 100) / 100 + 0.0 AS gross_minus_qty
+           ROUND((l_extendedprice - l_quantity) * 100) / 100 + 0.0 AS gross_minus_qty,
+           ROUND(abs(l_extendedprice - 1000), 2)       AS abs_diff,
+           CAST(ceil(l_quantity) AS BIGINT)            AS qty_ceil,
+           CAST(floor(l_quantity) AS BIGINT)           AS qty_floor,
+           ROUND(CASE WHEN l_extendedprice >= 0
+                      THEN sqrt(l_extendedprice) END, 6) AS price_sqrt,
+           ROUND(CASE WHEN l_extendedprice + 1 > 0
+                      THEN ln(l_extendedprice + 1) END, 6) AS price_ln,
+           ROUND(pow(l_discount, 2), 6)                AS disc_sq,
+           l_orderkey % 7                              AS key_mod,
+           nullif(l_returnflag, 'N') IS NOT DISTINCT FROM nullif(l_linestatus, 'O')
+             AS ns_eq,
+           (nullif(l_returnflag, 'N') = nullif(l_linestatus, 'O')) AS plain_eq
     FROM lineitem
     """,
 )
 def computed_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Computed money columns: + and - as at S:44, S:80."""
+    """Computed money columns (+ and - as at S:44, S:80) MERGED with the
+    scalar math library + null-safe equality (<=> / IS NOT DISTINCT
+    FROM beside plain `=`, which yields NULL on NULL operands; this
+    query earlier absorbed null_safe_eq, and absorbs the former
+    math_functions in round 10 — same lineitem row spine — to hold the
+    registry at the driver's 50-query gate window while
+    events_capped_sessions and bm25_score joined)."""
     li = load_table(spark, sf_dir, "lineitem")
+    ns_a = F.nullif(F.col("l_returnflag"), F.lit("N"))
+    ns_b = F.nullif(F.col("l_linestatus"), F.lit("O"))
     return li.select(
         "l_orderkey",
         "l_linenumber",
@@ -103,6 +123,26 @@ def computed_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
         round2_stable(F.col("l_extendedprice") - F.col("l_quantity")).alias(
             "gross_minus_qty"
         ),
+        F.round(F.abs(F.col("l_extendedprice") - 1000), 2).alias("abs_diff"),
+        F.ceil("l_quantity").cast("bigint").alias("qty_ceil"),
+        F.floor("l_quantity").cast("bigint").alias("qty_floor"),
+        # domain guards (NULL outside): DuckDB ABORTS on sqrt/ln of a
+        # negative where Spark yields NaN/NULL — a single bad price row
+        # must not diverge engines or kill the oracle
+        F.round(
+            F.when(F.col("l_extendedprice") >= 0, F.sqrt("l_extendedprice")), 6
+        ).alias("price_sqrt"),
+        F.round(
+            F.when(
+                F.col("l_extendedprice") + 1 > 0,
+                F.log(F.col("l_extendedprice") + 1),
+            ),
+            6,
+        ).alias("price_ln"),
+        F.round(F.pow("l_discount", F.lit(2)), 6).alias("disc_sq"),
+        (F.col("l_orderkey") % 7).alias("key_mod"),
+        ns_a.eqNullSafe(ns_b).alias("ns_eq"),
+        (ns_a == ns_b).alias("plain_eq"),
     )
 
 
@@ -765,56 +805,9 @@ def string_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@_q(
-    "math_functions",
-    """
-    SELECT l_orderkey, l_linenumber,
-           ROUND(abs(l_extendedprice - 1000), 2)       AS abs_diff,
-           CAST(ceil(l_quantity) AS BIGINT)            AS qty_ceil,
-           CAST(floor(l_quantity) AS BIGINT)           AS qty_floor,
-           ROUND(CASE WHEN l_extendedprice >= 0
-                      THEN sqrt(l_extendedprice) END, 6) AS price_sqrt,
-           ROUND(CASE WHEN l_extendedprice + 1 > 0
-                      THEN ln(l_extendedprice + 1) END, 6) AS price_ln,
-           ROUND(pow(l_discount, 2), 6)                AS disc_sq,
-           l_orderkey % 7                              AS key_mod,
-           nullif(l_returnflag, 'N') IS NOT DISTINCT FROM nullif(l_linestatus, 'O')
-             AS ns_eq,
-           (nullif(l_returnflag, 'N') = nullif(l_linestatus, 'O')) AS plain_eq
-    FROM lineitem
-    """,
-)
-def math_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Scalar math library + null-safe equality (<=> / IS NOT DISTINCT
-    FROM) side-by-side with plain `=` which yields NULL on NULL operands
-    (absorbs the former null_safe_eq query)."""
-    li = load_table(spark, sf_dir, "lineitem")
-    ns_a = F.nullif(F.col("l_returnflag"), F.lit("N"))
-    ns_b = F.nullif(F.col("l_linestatus"), F.lit("O"))
-    return li.select(
-        "l_orderkey",
-        "l_linenumber",
-        F.round(F.abs(F.col("l_extendedprice") - 1000), 2).alias("abs_diff"),
-        F.ceil("l_quantity").cast("bigint").alias("qty_ceil"),
-        F.floor("l_quantity").cast("bigint").alias("qty_floor"),
-        # domain guards (NULL outside): DuckDB ABORTS on sqrt/ln of a
-        # negative where Spark yields NaN/NULL — a single bad price row
-        # must not diverge engines or kill the oracle
-        F.round(
-            F.when(F.col("l_extendedprice") >= 0, F.sqrt("l_extendedprice")), 6
-        ).alias("price_sqrt"),
-        F.round(
-            F.when(
-                F.col("l_extendedprice") + 1 > 0,
-                F.log(F.col("l_extendedprice") + 1),
-            ),
-            6,
-        ).alias("price_ln"),
-        F.round(F.pow("l_discount", F.lit(2)), 6).alias("disc_sq"),
-        (F.col("l_orderkey") % 7).alias("key_mod"),
-        ns_a.eqNullSafe(ns_b).alias("ns_eq"),
-        (ns_a == ns_b).alias("plain_eq"),
-    )
+# math_functions merged into computed_arithmetic (round 10): same
+# lineitem row spine, and the registry holds at the driver's 50-query
+# gate window (plans/__init__.py).
 
 
 @_q(

@@ -30,7 +30,6 @@ DOC_QUERIES = [
     "dedup_simhash",
     "text_lang_id",
     "text_quality_score",
-    "text_token_count",
     "text_decontaminate",
     "text_chunking",
     "multimodal_meta",

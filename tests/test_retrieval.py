@@ -762,3 +762,41 @@ def test_save_crash_mid_rebuild_leaves_dir_invalid_not_corrupt(
     save_bm25_index(index, path)
     reloaded = load_bm25_index(spark, path)
     assert reloaded.n_docs == index.n_docs
+
+
+def test_bm25_scores_stable_fold(spark, corpus, index):
+    """bm25_scores: plain-sum and order-stable-fold variants agree to
+    the rounding budget, the fold matches the Python reference, and
+    the folded score is a pure function of the data — identical across
+    repartitionings (the property the oracle gate needs; a plain sum's
+    last ulp is shuffle-order-dependent)."""
+    from ferramenta_etl_spark.operators.retrieval import bm25_scores
+
+    qdf = spark.createDataFrame(
+        [(0, "spark shuffle fast"), (1, "the the corpus")],
+        "query_id int, query string",
+    )
+    plain = {
+        (r.query_id, r.doc_id): r.score
+        for r in bm25_scores(index, qdf).collect()
+    }
+    folded = {
+        (r.query_id, r.doc_id): r.score
+        for r in bm25_scores(index, qdf, stable_round=6).collect()
+    }
+    assert set(plain) == set(folded) and len(folded) > 0
+    for k, v in plain.items():
+        assert abs(v - folded[k]) <= 5e-7, k
+    for qid, query in [(0, "spark shuffle fast"), (1, "the the corpus")]:
+        want = py_bm25_scores(corpus, query)
+        got = {d: s for (q, d), s in folded.items() if q == qid}
+        assert set(got) == {d for d, s in want.items()}
+        for d, s in want.items():
+            assert abs(got[d] - s) <= 5e-7, (qid, d)
+    # partitioning invariance of the folded value, bit-for-bit
+    re_idx = index._replace(postings=index.postings.repartition(13))
+    refolded = {
+        (r.query_id, r.doc_id): r.score
+        for r in bm25_scores(re_idx, qdf, stable_round=6).collect()
+    }
+    assert refolded == folded
