@@ -136,6 +136,13 @@ HEADLINE = [
     "bm25_topk",
     "dsir_score",
     "bpe_tokenize",
+    # new round 10: the gap+cap batch sessionizer (applyInPandas walk,
+    # one user_id exchange) and the real baseline-JPEG decoder (narrow
+    # mapInPandas codec map; fixture encode at plan build). Both are
+    # the round's new operators given a perf surface, per the r9
+    # pattern of benching each round's additions.
+    "events_capped_sessions",
+    "media_decode_jpeg",
     # replicate=20, 90% hot key (the 12M-row null-key pathology): the
     # scale where salting beats the AQE-assisted plain join DECISIVELY
     # (1.59x, runs don't overlap), so the regression guard points the

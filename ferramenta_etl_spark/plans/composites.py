@@ -243,6 +243,30 @@ def add_bench_composites(
     queries["bm25_topk"] = plan_cache(_bm25_topk)
     queries["dsir_score"] = plan_cache(_dsir_score)
     queries["bpe_tokenize"] = plan_cache(_bpe_tokenize)
+
+    def _jpeg_decode(spark, sf):
+        # fixture encode (attach_jpeg_media over the doc spine — a mix
+        # of 4:4:4 / 4:2:0 / restart-interval files) happens at
+        # plan-build time and checkpoints; timed runs measure DECODE:
+        # the narrow mapInPandas codec map, no shuffle (round 10's real
+        # baseline-JPEG decoder — the only new-op bench row whose cost
+        # is pure Python-side codec work, so a decoder regression is
+        # visible here and nowhere else)
+        from ..operators.containers import attach_jpeg_media, decode_images
+
+        docs = load_table(spark, sf, "documents").select("doc_id")
+        # repartition BEFORE the checkpoint: the single-file sf fixture
+        # arrives as one partition, and a narrow codec map inherits its
+        # input partitioning — unrepartitioned, the decode serialized
+        # onto one core (6.8 s; balanced: ~1 s on local[32])
+        media = (
+            attach_jpeg_media(docs)
+            .repartition(spark.sparkContext.defaultParallelism)
+            .localCheckpoint(eager=True)
+        )
+        return decode_images(media)
+
+    queries["media_decode_jpeg"] = plan_cache(_jpeg_decode)
     queries["dedup_minhash_fast"] = plan_cache(_minhash_fast)
     queries["dedup_simhash_fast"] = plan_cache(_simhash_fast)
     # mirrors are written at plan-build time (amortized, like the index
