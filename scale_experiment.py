@@ -1190,6 +1190,72 @@ def round9b_experiment(spark, sf_dir: str, scratch: str) -> dict:
     return out
 
 
+def round10_experiment(spark, sf_dir: str) -> dict:
+    """Round-10 operator linearity probes: the gap+cap batch
+    sessionizer (one user_id exchange + Arrow per-group walk — cost
+    must scale with events, not explode with users x batches) and the
+    baseline-JPEG decoder (narrow codec map — pure map parallelism).
+    Replication policy: events replicate with shifted user_ids (10x
+    users, same per-user history → 10x sessions, the scale-out shape);
+    JPEG fixtures replicate the doc spine with shifted doc_ids."""
+    import time as _t
+
+    from pyspark.sql import functions as F
+
+    from ferramenta_etl_spark.operators.containers import (
+        attach_jpeg_media,
+        decode_images,
+    )
+    from ferramenta_etl_spark.operators.sessionize import capped_sessions
+    from ferramenta_etl_spark.sources import load_table
+
+    def _noop(df) -> float:
+        df.write.format("noop").mode("overwrite").save()
+        t0 = _t.perf_counter()
+        df.write.format("noop").mode("overwrite").save()
+        return round(_t.perf_counter() - t0, 3)
+
+    out: dict = {"sf_dir": sf_dir}
+    par = spark.sparkContext.defaultParallelism
+
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts", "value")
+    ev10 = ev
+    for i in range(1, 10):
+        ev10 = ev10.unionByName(
+            ev.withColumn("user_id", F.col("user_id") + F.lit(i * _OFFSET))
+        )
+    for tag, d in (("1x", ev), ("10x", ev10.repartition(par))):
+        d = d.localCheckpoint(eager=True)
+        n = d.count()
+        s = _noop(capped_sessions(d, gap="24 hours", max_duration="2 hours"))
+        out[f"capped_sessions_rows_{tag}"] = n
+        out[f"capped_sessions_s_{tag}"] = s
+    out["capped_sessions_ratio"] = round(
+        out["capped_sessions_s_10x"] / out["capped_sessions_s_1x"], 1
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    docs10 = docs
+    for i in range(1, 10):
+        docs10 = docs10.unionByName(
+            docs.withColumn("doc_id", F.col("doc_id") + F.lit(i * _OFFSET))
+        )
+    for tag, d in (("1x", docs), ("10x", docs10)):
+        media = (
+            attach_jpeg_media(d)
+            .repartition(par)
+            .localCheckpoint(eager=True)
+        )
+        n = media.count()
+        s = _noop(decode_images(media))
+        out[f"jpeg_decode_docs_{tag}"] = n
+        out[f"jpeg_decode_s_{tag}"] = s
+    out["jpeg_decode_ratio"] = round(
+        out["jpeg_decode_s_10x"] / out["jpeg_decode_s_1x"], 1
+    )
+    return out
+
+
 def bpe_jobs_experiment(spark, sf_dir: str, num_merges: int = 512) -> dict:
     """VERDICT r09 #4: Spark-JOB COUNT of a ``num_merges``-merge BPE
     train through the three trainer paths — hybrid driver-side (the
@@ -1363,6 +1429,11 @@ def main() -> None:
              "training)",
     )
     p.add_argument(
+        "--round10", action="store_true",
+        help="run the round-10 operator linearity probes (capped-session "
+             "batch sessionizer, baseline-JPEG decode)",
+    )
+    p.add_argument(
         "--bpe-jobs", action="store_true",
         help="run the BPE trainer job-count probe (hybrid vs batched vs "
              "sequential, merge-list equality)",
@@ -1448,6 +1519,12 @@ def main() -> None:
     if args.round9b:
         result = round9b_experiment(spark, args.sf, args.out)
         print(json.dumps({"experiment": "round9b_ops", **result}))
+        spark.stop()
+        return
+
+    if args.round10:
+        result = round10_experiment(spark, args.sf)
+        print(json.dumps({"experiment": "round10_ops", **result}))
         spark.stop()
         return
 
