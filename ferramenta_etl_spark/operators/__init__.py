@@ -98,6 +98,7 @@ from .skew import salted_join, top_key_counts  # noqa: F401
 from .text import (  # noqa: F401
     chunk_documents,
     contamination_hits,
+    remove_contaminated_spans,
     content_fingerprint,
     dedup_paragraphs,
     extract_domain,

@@ -311,6 +311,117 @@ def contamination_hits(
     )
 
 
+def remove_contaminated_spans(
+    corpus,
+    benchmark,
+    n: int = 8,
+    margin: int = 0,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    out_col: str = "clean_text",
+):
+    """SPAN-LEVEL decontamination (the Llama/PaLM-style refinement of
+    ``contamination_hits``' doc-level drop): instead of discarding a
+    whole document that shares n-grams with the benchmark, excise just
+    the matching token spans — each hit gram's n tokens plus ``margin``
+    context tokens on both sides, overlapping spans merged — and keep
+    the clean remainder. On a web corpus the contaminated doc usually
+    QUOTES the benchmark (a blog post embedding a GSM8K problem); doc-
+    level dropping throws away the surrounding clean prose, span
+    removal keeps it.
+
+    Row-count-preserving over ``corpus``. Output adds: ``out_col``
+    (tokens outside every dirty span, space-joined — '' when the whole
+    doc is contaminated), ``n_tokens`` (original), ``n_tokens_removed``,
+    ``n_spans`` (merged dirty spans), and ``n_contaminated`` — the
+    DISTINCT hit grams per doc, the exact ``contamination_hits`` count
+    derived from the same single gram join (so a span-removing pipeline
+    never pays a second benchmark broadcast for the doc-level flag).
+    Callers gate on ``n_tokens_removed / n_tokens`` or a minimum
+    surviving length.
+
+    100 TB shape: the benchmark gram set is broadcast (metadata-scale),
+    positioned corpus grams join it map-side, and only (doc, hit-pos)
+    pairs — a vanishing fraction — shuffle back to the doc spine. The
+    excision itself is PURE Column expressions (an index-aware
+    ``F.filter`` over the token array against the sorted hit-position
+    list + an aggregate fold counting merged spans): whole-stage
+    codegen, no UDF, no second corpus shuffle. Per-token cost is
+    O(|hits in that doc|), and hits are few by construction."""
+    from ..sources.tables import ensure_scan_parallelism
+
+    span = n + 2 * margin  # merged-span gap threshold (see n_spans fold)
+    bench_grams = ensure_scan_parallelism(benchmark).select(
+        F.explode(word_ngrams(F.col(text_col), n)).alias("g")
+    ).distinct()
+    toks = ws_tokens(F.col(text_col))
+    m = F.greatest(F.size(toks) - F.lit(n - 1), F.lit(0))
+    pos_grams = ensure_scan_parallelism(corpus).select(
+        F.col(id_col).alias("__sid"),
+        F.posexplode(_gram_zip(toks, n, m)).alias("pos", "g"),
+    )
+    hit_pos = (
+        pos_grams.join(F.broadcast(bench_grams), "g")
+        .groupBy("__sid")
+        .agg(
+            F.sort_array(F.collect_list("pos")).alias("__hits"),
+            # distinct hit grams == contamination_hits' n_hits (its
+            # corpus grams are array_distinct'ed before the join).
+            # size(array_distinct(collect_list)) and NOT count_distinct:
+            # a distinct aggregate beside collect_list plans a second
+            # (__sid, g) exchange; the local dedup keeps the hit
+            # aggregation to ONE doc-keyed exchange (hit grams per doc
+            # are few by construction — plan pinned in test_plans)
+            F.size(F.array_distinct(F.collect_list("g"))).alias("__nc"),
+        )
+    )
+    joined = corpus.join(
+        hit_pos, F.col(id_col) == F.col("__sid"), "left"
+    ).drop("__sid")
+    hits = F.coalesce(
+        F.col("__hits"), F.array().cast("array<int>")
+    )
+    # token i is dirty iff some hit gram starting at p covers it with
+    # margin: p - margin <= i <= p + n - 1 + margin
+    def _clean(tk):
+        return F.filter(
+            tk,
+            lambda x, i: ~F.exists(
+                hits,
+                lambda p: (i >= p - F.lit(margin))
+                & (i <= p + F.lit(n - 1 + margin)),
+            ),
+        )
+
+    clean_toks = _clean(toks)
+    # merged-span count: consecutive hits p_prev, p merge when their
+    # margin-padded intervals touch, i.e. p - p_prev <= n + 2*margin
+    n_spans = F.aggregate(
+        hits,
+        F.struct(
+            F.lit(0).alias("cnt"), F.lit(-(10**9)).alias("prev")
+        ),
+        lambda acc, p: F.struct(
+            (
+                acc["cnt"]
+                + F.when(p - acc["prev"] > F.lit(span), 1).otherwise(0)
+            ).alias("cnt"),
+            p.cast("int").alias("prev"),
+        ),
+        lambda acc: acc["cnt"],
+    )
+    return joined.select(
+        *[c for c in corpus.columns],
+        F.array_join(clean_toks, " ").alias(out_col),
+        F.size(toks).alias("n_tokens"),
+        (F.size(toks) - F.size(clean_toks)).alias("n_tokens_removed"),
+        n_spans.alias("n_spans"),
+        F.coalesce(F.col("__nc"), F.lit(0)).cast("bigint").alias(
+            "n_contaminated"
+        ),
+    )
+
+
 def chunk_documents(
     df,
     chunk_tokens: int = 512,

@@ -628,34 +628,77 @@ def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM grams c JOIN bench b USING (g)
         WHERE c.doc_id % 97 <> 0
         GROUP BY c.doc_id
+    ),
+    -- span removal: POSITIONED grams (1-based start i), hit starts per
+    -- doc, then an index-aware token filter. A 5-gram at start p covers
+    -- tokens [p, p+4]; margin 1 widens to [p-1, p+5]; merged spans gap
+    -- at start deltas > 5 + 2*1 = 7.
+    posg AS (
+        SELECT doc_id, unnest(range(1, greatest(len(t) - 4, 0) + 1)) AS i, t
+        FROM toks WHERE doc_id % 97 <> 0
+    ),
+    hitpos AS (
+        SELECT p.doc_id, list_sort(list(p.i)) AS hp
+        FROM (SELECT doc_id, i,
+                     array_to_string(list_slice(t, i, i + 4), ' ') AS g
+              FROM posg) p
+        JOIN bench b USING (g)
+        GROUP BY p.doc_id
+    ),
+    spans AS (
+        SELECT tk.doc_id,
+               list_filter(tk.t, (x, i) ->
+                   NOT len(list_filter(COALESCE(h.hp, []),
+                       p -> i >= p - 1 AND i <= p + 5)) > 0) AS ct,
+               tk.t AS t,
+               COALESCE(h.hp, []) AS hp
+        FROM (SELECT doc_id, t FROM toks WHERE doc_id % 97 <> 0) tk
+        LEFT JOIN hitpos h ON tk.doc_id = h.doc_id
     )
-    SELECT d.doc_id,
+    SELECT s.doc_id,
            CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_contaminated,
-           COALESCE(h.n_hits, 0) > 0 AS contaminated
-    FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id
-    WHERE d.doc_id % 97 <> 0
+           COALESCE(h.n_hits, 0) > 0 AS contaminated,
+           -- COALESCE: DuckDB's array_to_string([]) is NULL where
+           -- Spark's array_join([]) is '' (the fully-contaminated doc)
+           COALESCE(array_to_string(s.ct, ' '), '') AS clean_text,
+           CAST(len(s.t) AS INT) AS n_tokens,
+           CAST(len(s.t) - len(s.ct) AS INT) AS n_tokens_removed,
+           CAST(len(list_filter(range(1, len(s.hp) + 1),
+                    j -> j = 1 OR s.hp[j] - s.hp[j - 1] > 7)) AS INT)
+               AS n_spans
+    FROM spans s LEFT JOIN hits h ON s.doc_id = h.doc_id
     """,
 )
 def text_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Test-set decontamination: flag corpus docs sharing any 5-token
-    word n-gram with a held-out benchmark slice (docs with
-    doc_id % 97 == 0 stand in for the eval suite). The GPT-3-style
-    overlap-counting method — production pipelines use 8-13 grams on
-    natural text; 5 matches this fixture's short synthetic docs so the
-    query exercises real positives. See operators/text.contamination_hits
-    for the broadcast-benchmark zero-corpus-shuffle plan shape."""
+    """Test-set decontamination, doc-level AND span-level: flag corpus
+    docs sharing any 5-token word n-gram with a held-out benchmark
+    slice (docs with doc_id % 97 == 0 stand in for the eval suite), and
+    excise the matching spans (margin 1 token, overlaps merged) keeping
+    the clean remainder — the Llama/PaLM-style refinement added in
+    round 10 (operators/text.remove_contaminated_spans, pure Column
+    index-aware filter, no UDF). The GPT-3-style overlap count —
+    production pipelines use 8-13 grams on natural text; 5 matches this
+    fixture's short synthetic docs so the query exercises real
+    positives. See operators/text.contamination_hits for the
+    broadcast-benchmark zero-corpus-shuffle plan shape."""
+    from ..operators.text import remove_contaminated_spans
+
     docs = load_table(spark, sf_dir, "documents")
     bench = docs.filter(F.col("doc_id") % 97 == 0)
     corpus = docs.filter(F.col("doc_id") % 97 != 0)
-    hits = X.contamination_hits(corpus, bench, n=5)
-    return (
-        corpus.select("doc_id")
-        .join(hits, "doc_id", "left")
-        .select(
-            "doc_id",
-            F.coalesce(F.col("n_hits"), F.lit(0)).cast("bigint").alias("n_contaminated"),
-            (F.coalesce(F.col("n_hits"), F.lit(0)) > 0).alias("contaminated"),
-        )
+    # ONE operator pass: the span remover derives the doc-level
+    # distinct-gram hit count from its own gram join, so the query pays
+    # one benchmark broadcast and the corpus gram stream still never
+    # shuffles (plan pinned in tests/test_plans.py)
+    spans = remove_contaminated_spans(corpus, bench, n=5, margin=1)
+    return spans.select(
+        "doc_id",
+        "n_contaminated",
+        (F.col("n_contaminated") > 0).alias("contaminated"),
+        "clean_text",
+        "n_tokens",
+        "n_tokens_removed",
+        "n_spans",
     )
 
 

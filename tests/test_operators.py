@@ -1431,3 +1431,72 @@ def test_dedup_paragraphs_metachar_separator_roundtrips(spark):
     # doc 1 intact; doc 2 lost only the cross-doc duplicate 'beta'
     assert out[1] == "alpha|beta|gamma"
     assert out[2] == "delta"
+
+
+def test_remove_contaminated_spans_semantics(spark):
+    """Span-level decontamination: hit spans (plus margin) excised with
+    overlapping spans merged; clean docs untouched; fully-contaminated
+    docs come back as '' — each case pinned against hand-derived
+    expectations, including hits at doc start/end and adjacent hits
+    that must merge into ONE span."""
+    from ferramenta_etl_spark.operators.text import remove_contaminated_spans
+
+    bench = spark.createDataFrame(
+        [("aa bb cc dd",)], "text string"
+    )  # one 4-gram benchmark
+    corpus = spark.createDataFrame(
+        [
+            (1, "p q aa bb cc dd r s"),        # interior hit
+            (2, "aa bb cc dd tail1 tail2"),    # hit at doc start
+            (3, "head1 head2 aa bb cc dd"),    # hit at doc end
+            (4, "clean words only in here"),   # no hit
+            (5, "aa bb cc dd"),                # whole doc
+            # two hits whose margin-padded spans touch -> ONE span
+            (6, "x aa bb cc dd aa bb cc dd y"),
+            # two hits far apart -> TWO spans
+            (7, "aa bb cc dd m1 m2 m3 m4 m5 aa bb cc dd"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r.doc_id: r
+        for r in remove_contaminated_spans(
+            corpus, bench, n=4, margin=1
+        ).collect()
+    }
+    # doc 1: tokens 0..7; hit at pos 2 covers [2,5], margin -> [1,6]
+    assert out[1].clean_text == "p s"
+    assert (out[1].n_tokens, out[1].n_tokens_removed, out[1].n_spans) == (8, 6, 1)
+    # doc 2: hit at 0 covers [-1..4] -> keep token 5 only
+    assert out[2].clean_text == "tail2"
+    # doc 3: hit at 2 covers [1..6] -> keep token 0 only
+    assert out[3].clean_text == "head1"
+    assert out[4].clean_text == corpus.collect()[3].text or out[4].n_tokens_removed == 0
+    assert out[4].n_spans == 0 and out[4].n_tokens_removed == 0
+    assert out[5].clean_text == "" and out[5].n_tokens_removed == 4
+    # doc 6: hits at 1 and 5; delta 4 <= 4+2 -> merged, one span, all
+    # 10 tokens inside [0..9]
+    assert out[6].n_spans == 1 and out[6].clean_text == ""
+    # doc 7: hits at 0 and 9; delta 9 > 6 -> two spans; tokens 0..4 and
+    # 8..12 dirty -> keep 5,6,7 ("m2 m3 m4")
+    assert out[7].n_spans == 2 and out[7].clean_text == "m2 m3 m4"
+
+
+def test_remove_contaminated_spans_margin_zero_row_preserving(spark):
+    """margin=0 removes exactly the gram tokens, output stays
+    row-count-preserving over the corpus, and extra corpus columns pass
+    through untouched."""
+    from pyspark.sql import functions as F
+
+    from ferramenta_etl_spark.operators.text import remove_contaminated_spans
+
+    bench = spark.createDataFrame([("k1 k2",)], "text string")
+    corpus = spark.createDataFrame(
+        [(1, "a k1 k2 b", "keep"), (2, "c d", "keep2")],
+        "doc_id long, text string, extra string",
+    )
+    out = remove_contaminated_spans(corpus, bench, n=2, margin=0)
+    rows = {r.doc_id: r for r in out.collect()}
+    assert out.count() == 2
+    assert rows[1].clean_text == "a b" and rows[1].extra == "keep"
+    assert rows[2].clean_text == "c d" and rows[2].extra == "keep2"

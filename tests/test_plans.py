@@ -95,14 +95,20 @@ def test_decontamination_broadcasts_benchmark(spark):
 
     plan = physical(ext.text_decontaminate.__wrapped__(spark, SF_SMOKE))
     assert "BroadcastHashJoin" in plan
-    # hash exchanges: doc_id-keyed ones (hit counts + the left join back
-    # to the corpus) plus AT MOST ONE gram-keyed exchange — the distinct
-    # over the BENCHMARK grams feeding the broadcast, which is bounded by
-    # benchmark size. The corpus-side gram stream itself never shuffles.
+    # hash exchanges: doc-keyed ones (the hit-position/count aggregation
+    # keys on __sid, the span operator's doc alias; plus any doc_id join
+    # exchange) and AT MOST ONE gram-keyed exchange — the distinct over
+    # the BENCHMARK grams feeding the broadcast, which is bounded by
+    # benchmark size. The corpus-side gram stream itself never shuffles
+    # (round 10: the span remover's count_distinct was rewritten to a
+    # local array_distinct precisely because the distinct aggregate
+    # planned a second (__sid, g) exchange).
     part_lines = [
         l for l in plan.lower().splitlines() if "hashpartitioning" in l
     ]
-    gram_exchanges = [l for l in part_lines if "doc_id" not in l]
+    gram_exchanges = [
+        l for l in part_lines if "doc_id" not in l and "__sid" not in l
+    ]
     assert len(gram_exchanges) <= 1, part_lines
 
 
