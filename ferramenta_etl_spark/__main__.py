@@ -194,6 +194,13 @@ def main(argv: list[str] | None = None, _stop_session: bool = True) -> int:
         "to decontaminate against",
     )
     p.add_argument(
+        "--decontaminate-spans",
+        action="store_true",
+        help="curate: with --benchmark, excise the matching n-gram spans "
+        "(margin 1 token, overlaps merged) and keep the clean remainder "
+        "instead of dropping whole contaminated docs",
+    )
+    p.add_argument(
         "--redact-pii",
         action="store_true",
         help="curate: mask emails/IPs/phone numbers in the output text",
@@ -1165,6 +1172,7 @@ def main(argv: list[str] | None = None, _stop_session: bool = True) -> int:
                 clean_lines=args.clean_lines,
                 mix_total=args.mix_total,
                 mix_alpha=args.mix_alpha,
+                decontaminate_spans=args.decontaminate_spans,
                 ppl_max=args.ppl_max,
                 clf_min=args.clf_min,
                 clf_dir=args.clf_dir,

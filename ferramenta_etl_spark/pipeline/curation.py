@@ -7,8 +7,9 @@ into one idempotent job — what this engine exists to run at 100 TB.
       -> exact dedup (md5 hash-groupBy, min-id survivor)
       -> near-dup collapse (MinHash-LSH pairs -> connected components
          -> canonical survivor per cluster)
-      -> test-set decontamination (drop docs sharing an n-gram with the
-         benchmark set, when one is supplied)
+      -> test-set decontamination (when a benchmark is supplied: drop
+         docs sharing an n-gram with it, or — decontaminate_spans —
+         excise just the matching spans and keep the clean remainder)
       -> PII redaction (email/IP/phone masking, when enabled)
       -> idempotent keyed load, hive-partitioned by lang
 
@@ -54,6 +55,7 @@ def curate_documents(
     clean_lines: bool = False,
     mix_total: int | None = None,
     mix_alpha: float = 0.5,
+    decontaminate_spans: bool = False,
     ppl_max: float | None = None,
     clf_min: float | None = None,
     clf_dir: str | None = None,
@@ -89,6 +91,7 @@ def curate_documents(
         spark, sf_dir, min_quality, min_tokens, benchmark, decontaminate_n,
         redact, sample_rate, lang_quota, clean_lines,
         mix_total=mix_total, mix_alpha=mix_alpha,
+        decontaminate_spans=decontaminate_spans,
     )
     out = curated
     if ppl_max is not None:
@@ -159,6 +162,7 @@ def curated_frame(
     clean_lines: bool = False,
     mix_total: int | None = None,
     mix_alpha: float = 0.5,
+    decontaminate_spans: bool = False,
 ) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     if sample_rate is not None:
@@ -200,10 +204,42 @@ def curated_frame(
         # fewer docs pay the gram explode; the benchmark gram set
         # broadcasts (operators/text.contamination_hits) and the
         # contaminated ids are an anti-join away
-        contaminated = contamination_hits(
-            survivors, benchmark, n=decontaminate_n, hashed=True
-        ).select("doc_id")
-        survivors = survivors.join(contaminated, "doc_id", "left_anti")
+        if decontaminate_spans:
+            # SPAN mode (round 10): excise the matching spans and keep
+            # the clean remainder instead of dropping whole docs — the
+            # Llama-style refinement (operators/text.
+            # remove_contaminated_spans). String grams here (positions
+            # must locate tokens), vs the drop path's hashed grams; the
+            # min_tokens floor re-applies to what survives. `quality`
+            # stays the pre-excision score: the gate already passed on
+            # the full doc, and re-scoring would re-run the regex stack
+            # over the corpus for a bounded-change signal.
+            from ..operators.text import remove_contaminated_spans
+
+            spans = remove_contaminated_spans(
+                survivors, benchmark, n=decontaminate_n, margin=1
+            )
+            survivors = (
+                spans.withColumn(
+                    "text",
+                    F.when(
+                        F.col("n_spans") > 0, F.col("clean_text")
+                    ).otherwise(F.col("text")),
+                )
+                .withColumn(
+                    "n_tok", F.col("n_tokens") - F.col("n_tokens_removed")
+                )
+                .filter(F.col("n_tok") >= min_tokens)
+                .drop(
+                    "clean_text", "n_tokens", "n_tokens_removed",
+                    "n_spans", "n_contaminated",
+                )
+            )
+        else:
+            contaminated = contamination_hits(
+                survivors, benchmark, n=decontaminate_n, hashed=True
+            ).select("doc_id")
+            survivors = survivors.join(contaminated, "doc_id", "left_anti")
     if lang_quota is not None:
         # balance the training mix AFTER dedup/decontamination: quotas
         # count surviving docs, and the lowest-hash-bucket pick keeps

@@ -597,3 +597,41 @@ def test_cli_curate_clf_gate_bootstrap_persists_model(cli_tmp, spark):
     assert _run("curate", "--sink-dir", s, "--clf-min", "1e-6",
                 "--clf-dir", d, "--clf-iters", "4") == 0
     assert spark.read.parquet(f"{s}/curated_documents").count() == n1
+
+
+def test_cli_curate_decontaminate_spans(cli_tmp, capsys, spark):
+    """curate --decontaminate-spans: span excision keeps at least every
+    doc the drop mode keeps, and the GUARANTEE holds — no output text
+    shares a 5-gram with the benchmark (the contaminated spans are
+    gone, not just flagged)."""
+    bench_path = str(cli_tmp / "bench.parquet")
+    spark.read.parquet(f"{SF}/documents.parquet").filter(
+        "doc_id % 97 = 0"
+    ).select("doc_id", "text").write.parquet(bench_path)
+
+    drop_sink = str(cli_tmp / "cdrop")
+    span_sink = str(cli_tmp / "cspan")
+    assert _run("curate", "--sink-dir", drop_sink, "--benchmark", bench_path) == 0
+    assert _run(
+        "curate", "--sink-dir", span_sink, "--benchmark", bench_path,
+        "--decontaminate-spans",
+    ) == 0
+    capsys.readouterr()
+    dropped = spark.read.parquet(f"{drop_sink}/curated_documents")
+    spanned = spark.read.parquet(f"{span_sink}/curated_documents")
+    assert spanned.count() >= dropped.count() > 0
+
+    bench_grams = set()
+    for r in spark.read.parquet(bench_path).collect():
+        toks = r.text.lower().split(" ")
+        for i in range(len(toks) - 4):
+            bench_grams.add(" ".join(toks[i : i + 5]))
+    n_excised = 0
+    for r in spanned.collect():
+        toks = r.text.lower().split(" ")
+        grams = {
+            " ".join(toks[i : i + 5]) for i in range(len(toks) - 4)
+        }
+        assert not (grams & bench_grams), r.doc_id
+        n_excised += 1
+    assert n_excised == spanned.count()
