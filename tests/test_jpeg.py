@@ -83,7 +83,7 @@ def test_decoder_matches_independent_idct():
     img = (_gradient(24, 40).astype(int) + rng.integers(-20, 20, (24, 40, 3))).clip(
         0, 255
     ).astype(np.uint8)
-    for sub in ("4:4:4", "4:2:0"):
+    for sub in ("4:4:4", "4:2:0", "4:2:2"):
         data, blocks, qtabs, samp = encode_jpeg_bytes(
             img, quality=80, subsampling=sub, return_coeffs=True
         )
@@ -120,6 +120,7 @@ def test_decoder_matches_independent_idct():
 
 @pytest.mark.parametrize("sub,qual,max_err", [
     ("4:4:4", 95, 4), ("4:4:4", 75, 12), ("4:2:0", 95, 16),
+    ("4:2:2", 95, 16),
 ])
 def test_roundtrip_bounds(sub, qual, max_err):
     img = _gradient(40, 56)
