@@ -23,8 +23,12 @@ right sides are attached.
 Semantics match pandas.merge_asof (the differential oracle in
 tests/test_asof_generic.py): direction="backward" attaches the right
 row with the greatest on-value <= the left row's (ties included),
-"forward" the smallest >= it; ``tolerance`` bounds |left.on -
+"forward" the smallest >= it, "nearest" whichever of the two is closer
+(exact-distance ties go backward); ``tolerance`` bounds |left.on -
 matched.on|; unmatched left rows keep NULL right columns (left join).
+"nearest" costs one extra SORT-ONLY window over the same union — both
+directional fills share the single exchange, like any further fused
+spec.
 """
 
 from __future__ import annotations
@@ -139,10 +143,10 @@ def asof_join_multi(
     payloads: list[list[str]] = []
     taken = set(left.columns)
     for i, s in enumerate(specs):
-        if s.direction not in ("backward", "forward"):
+        if s.direction not in ("backward", "forward", "nearest"):
             raise ValueError(
-                f"spec {i}: direction must be backward|forward, got"
-                f" {s.direction!r}"
+                f"spec {i}: direction must be backward|forward|nearest, "
+                f"got {s.direction!r}"
             )
         pay = [c for c in s.right.columns if c != on and c not in by]
         if s.tiebreak is not None and s.tiebreak not in pay:
@@ -224,8 +228,7 @@ def asof_join_multi(
     )
     unioned = unioned.unionByName(l_tagged, allowMissingColumns=False)
 
-    filled = unioned
-    for i, s in enumerate(specs):
+    def _fill(df: DataFrame, i: int, s: AsofSpec, backward: bool, dest: str):
         # ties: the right row sorts BEFORE the left row at equal __on
         # (side 0 < 1), so "<=" / ">=" ties are included, matching
         # merge_asof. With a tiebreak, duplicate (by, on) right rows
@@ -234,9 +237,7 @@ def asof_join_multi(
         # __state_i is NULL, so ignorenulls skips them regardless of
         # position.
         order = [
-            F.col("__on").asc()
-            if s.direction == "backward"
-            else F.col("__on").desc(),
+            F.col("__on").asc() if backward else F.col("__on").desc(),
             F.col("__side").asc(),
         ]
         if s.tiebreak is not None:
@@ -246,13 +247,43 @@ def asof_join_multi(
             .orderBy(*order)
             .rowsBetween(Window.unboundedPreceding, Window.currentRow)
         )
-        filled = filled.withColumn(
-            f"__match_{i}", F.last(f"__state_{i}", ignorenulls=True).over(w)
+        return df.withColumn(
+            dest, F.last(f"__state_{i}", ignorenulls=True).over(w)
         )
+
+    filled = unioned
+    for i, s in enumerate(specs):
+        if s.direction == "nearest":
+            # nearest = both fills over the SAME union rows (the extra
+            # window re-sorts but does not re-shuffle, like any further
+            # fused spec); the closer match is chosen after tolerance
+            filled = _fill(filled, i, s, True, f"__match_{i}_b")
+            filled = _fill(filled, i, s, False, f"__match_{i}_f")
+        else:
+            filled = _fill(
+                filled, i, s, s.direction == "backward", f"__match_{i}"
+            )
 
     out = filled.filter(F.col("__side") == 1)
     for i, s in enumerate(specs):
-        if s.tolerance is not None:
+        if s.direction == "nearest":
+            gap_b = F.col("__on") - F.col(f"__match_{i}_b.__t")
+            gap_f = F.col(f"__match_{i}_f.__t") - F.col("__on")
+            b = F.col(f"__match_{i}_b")
+            f_ = F.col(f"__match_{i}_f")
+            if s.tolerance is not None:
+                b = F.when(gap_b <= F.lit(s.tolerance), b)
+                f_ = F.when(gap_f <= F.lit(s.tolerance), f_)
+            # closer side wins; exact ties go BACKWARD (merge_asof's
+            # nearest rule, pinned by the pandas differential test)
+            out = out.withColumn(
+                f"__match_{i}",
+                F.when(b.isNull(), f_)
+                .when(f_.isNull(), b)
+                .when(gap_b <= gap_f, b)
+                .otherwise(f_),
+            ).drop(f"__match_{i}_b", f"__match_{i}_f")
+        elif s.tolerance is not None:
             gap = (
                 F.col("__on") - F.col(f"__match_{i}.__t")
                 if s.direction == "backward"

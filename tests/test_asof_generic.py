@@ -54,7 +54,8 @@ def _oracle(left, right, direction, tolerance=None):
 
 @pytest.mark.parametrize(
     "direction,tolerance",
-    [("backward", None), ("backward", 25), ("forward", None), ("forward", 25)],
+    [("backward", None), ("backward", 25), ("forward", None), ("forward", 25),
+     ("nearest", None), ("nearest", 25)],
 )
 def test_matches_pandas_merge_asof(spark, direction, tolerance):
     left, right = _fixture()
@@ -84,7 +85,7 @@ def test_asof_join_guards_and_staleness(spark):
     ldf = spark.createDataFrame(left)
     rdf = spark.createDataFrame(right)
     with pytest.raises(ValueError, match="direction"):
-        asof_join(ldf, rdf, on="t", by=["k"], direction="nearest")
+        asof_join(ldf, rdf, on="t", by=["k"], direction="sideways")
     with pytest.raises(ValueError, match="collide"):
         asof_join(ldf, ldf.withColumnRenamed("t", "t2"), on="t2", by=["k"])
     out = asof_join(ldf, rdf, on="t", by=["k"]).collect()
@@ -140,7 +141,7 @@ from hypothesis import strategies as st
                 min_size=1, max_size=12),
     rt=st.lists(st.tuples(st.integers(0, 2), st.integers(0, 30)),
                 min_size=1, max_size=10),
-    direction=st.sampled_from(["backward", "forward"]),
+    direction=st.sampled_from(["backward", "forward", "nearest"]),
     tol=st.sampled_from([None, 5]),
 )
 @settings(max_examples=10, deadline=None,
