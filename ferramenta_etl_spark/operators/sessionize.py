@@ -99,12 +99,19 @@ def capped_sessions(
     The cap makes this genuinely iterative (where one session ends
     determines where the next begins — see streaming/stateful.py), so
     no window expression can produce it. Batch shape: ONE hash exchange
-    on ``user_col`` + an Arrow-batched per-group pandas kernel
-    (``applyInPandas``) that walks each user's events once — linear in
-    events, state is one tuple, output one row per session. At 100 TB
-    the per-group memory is one user's events (the minimum any
-    order-sensitive recursive split must see), same distribution as
-    any stateful agg.
+    on ``user_col`` (``repartition``) + an Arrow-batched
+    ``mapInPandas`` kernel that concatenates each PARTITION's batches
+    once and walks its users with a pandas groupby — linear in events,
+    one row per session out. mapInPandas over partitions rather than
+    ``applyInPandas`` per group deliberately: event sessions mean MANY
+    TINY groups (thousands of users, dozens of events each), and
+    per-group Arrow round-trips dominated the per-partition form 2x
+    (1.04 s vs 0.60 s on the sf0.1 fixture's 1.5k users). The kernel
+    must gather ALL the partition's Arrow batches before grouping — a
+    user's rows can span batch boundaries
+    (arrow.maxRecordsPerBatch) — so per-task memory is one partition's
+    events: size ``spark.sql.shuffle.partitions`` to the cluster as
+    with any shuffle. Per-user memory beyond that is one state tuple.
 
     ``sum_value`` uses the scaled-cents discipline of
     ``functions.tsql.sum2`` (floor(v*100+0.5) accumulated as ints,
@@ -123,60 +130,68 @@ def capped_sessions(
     gap_ms = _duration_ms(gap)
     cap_ms = _duration_ms(max_duration)
     sort_cols = [ts_col, *tiebreak]
+    out_cols = [f.name for f in SESSION_SCHEMA.fields]
 
-    def walk(pdf):
+    def walk_partition(batches):
         import pandas as pd
 
-        pdf = pdf.sort_values(sort_cols, kind="mergesort")
-        user_id = pdf[user_col].iloc[0]
-        ts_ms = (pdf[ts_col].astype("int64") // 1_000_000).to_numpy()
-        vals = pdf[value_col].to_numpy()
+        # gather the WHOLE partition before grouping: a user's rows can
+        # span Arrow batch boundaries, and a per-batch walk would split
+        # their sessions (the same gather-then-sort discipline as the
+        # streaming kernel's chunk handling)
+        chunks = [p for p in batches if len(p)]
+        if not chunks:
+            yield pd.DataFrame(columns=out_cols)
+            return
+        pdf = pd.concat(chunks)
         out: list[dict] = []
-        # (start_ms, last_ms, n, cents) — the streaming _STATE_SCHEMA
-        # with the float accumulator swapped for scaled-cents ints
-        st = None
+        for user_id, g in pdf.groupby(user_col, dropna=False, sort=False):
+            g = g.sort_values(sort_cols, kind="mergesort")
+            ts_ms = (g[ts_col].astype("int64") // 1_000_000).to_numpy()
+            vals = g[value_col].to_numpy()
+            # (start_ms, last_ms, n, cents) — the streaming
+            # _STATE_SCHEMA with the float accumulator swapped for
+            # scaled-cents ints
+            st = None
 
-        def close(state, reason):
-            start, last, n, cents = state
-            out.append(
-                {
-                    "user_id": user_id,
-                    "session_start_ms": start,
-                    "session_end_ms": last,
-                    "n_events": n,
-                    "sum_value": cents / 100.0,
-                    "closed_by": reason,
-                }
-            )
+            def close(state, reason):
+                start, last, n, cents = state
+                out.append(
+                    {
+                        "user_id": user_id,
+                        "session_start_ms": start,
+                        "session_end_ms": last,
+                        "n_events": n,
+                        "sum_value": cents / 100.0,
+                        "closed_by": reason,
+                    }
+                )
 
-        for t_ms, v in zip(ts_ms, vals):
-            t_ms = int(t_ms)
-            v = float(v)
-            c = int(math.floor(v * 100 + 0.5)) if math.isfinite(v) else 0
-            if st is None:
-                st = (t_ms, t_ms, 1, c)
-                continue
-            start, last, n, cents = st
-            # same transition order as the streaming kernel: the gap
-            # check wins when an event breaches both bounds
-            if t_ms - last > gap_ms:
-                close(st, "gap")
-                st = (t_ms, t_ms, 1, c)
-            elif t_ms - start > cap_ms:
-                close(st, "cap")
-                st = (t_ms, t_ms, 1, c)
-            else:
-                st = (start, t_ms, n + 1, cents + c)
-        if st is not None:
-            close(st, "timeout")
-        return pd.DataFrame(
-            out,
-            columns=[f.name for f in SESSION_SCHEMA.fields],
-        )
+            for t_ms, v in zip(ts_ms, vals):
+                t_ms = int(t_ms)
+                v = float(v)
+                c = int(math.floor(v * 100 + 0.5)) if math.isfinite(v) else 0
+                if st is None:
+                    st = (t_ms, t_ms, 1, c)
+                    continue
+                start, last, n, cents = st
+                # same transition order as the streaming kernel: the
+                # gap check wins when an event breaches both bounds
+                if t_ms - last > gap_ms:
+                    close(st, "gap")
+                    st = (t_ms, t_ms, 1, c)
+                elif t_ms - start > cap_ms:
+                    close(st, "cap")
+                    st = (t_ms, t_ms, 1, c)
+                else:
+                    st = (start, t_ms, n + 1, cents + c)
+            if st is not None:
+                close(st, "timeout")
+        yield pd.DataFrame(out, columns=out_cols)
 
     return (
         df.filter(F.col(ts_col).isNotNull())
         .select(user_col, ts_col, value_col, *tiebreak)
-        .groupBy(user_col)
-        .applyInPandas(walk, schema=SESSION_SCHEMA)
+        .repartition(user_col)
+        .mapInPandas(walk_partition, schema=SESSION_SCHEMA)
     )

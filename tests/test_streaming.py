@@ -388,3 +388,23 @@ def test_capped_sessions_batch_operator(spark, sf_dir):
     wto = want[want.closed_by == "timeout"]
     merged = wto.merge(to, on=key, how="left", suffixes=("_w", "_g"))
     assert merged["closed_by_g"].notna().all()
+
+
+def test_capped_sessions_survives_tiny_arrow_batches(spark, sf_dir):
+    """A user's rows can span Arrow batch boundaries inside a partition
+    (arrow.maxRecordsPerBatch); the kernel must gather the partition
+    before grouping or sessions split at batch edges. Forcing 7-row
+    batches must produce the identical session set."""
+    from ferramenta_etl_spark.operators.sessionize import capped_sessions
+    from ferramenta_etl_spark.sources import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    want = sorted(map(tuple, capped_sessions(ev).collect()))
+    key = "spark.sql.execution.arrow.maxRecordsPerBatch"
+    old = spark.conf.get(key)
+    try:
+        spark.conf.set(key, "7")
+        got = sorted(map(tuple, capped_sessions(ev).collect()))
+    finally:
+        spark.conf.set(key, old)
+    assert got == want and len(want) > 0
