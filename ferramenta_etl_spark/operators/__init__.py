@@ -53,6 +53,17 @@ from .audio import (  # noqa: F401
     resample_audio,
     trim_silence,
 )
+from .containers import (  # noqa: F401
+    attach_jpeg_media,
+    attach_png_media,
+    attach_wav_media,
+    decode_audio,
+    decode_images,
+    decode_png_bytes,
+    decode_wav_bytes,
+    sniff_container,
+)
+from .jpeg import decode_jpeg_bytes, encode_jpeg_bytes  # noqa: F401
 from .multimodal import (  # noqa: F401
     attach_fake_media,
     attach_fake_raw_images,
@@ -124,10 +135,12 @@ from .bpe import (  # noqa: F401
     save_bpe_merges,
     train_bpe,
     train_bpe_from_docs,
+    train_bpe_local,
     word_freq,
 )
 from .retrieval import (  # noqa: F401
     append_to_bm25_index,
+    bm25_scores,
     bm25_topk,
     compact_bm25_index,
     bm25_topk_on_index,
