@@ -541,7 +541,7 @@ def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     coverage, longest token run, alphabetic ratio — operators/text.py)
     — one per-doc projection, keyed by doc_id. Merged in round 10 to
     hold the registry at the driver's 50-query gate window while the
-    events_capped_sessions and bm25_score rows joined (the same
+    events_capped_sessions and hybrid_retrieval rows joined (the same
     absorb-related-micro-operators discipline as grouping_sets_sql);
     every operator keeps its own unit tests. All columns are linear
     per-doc folds at scan speed; the oracle's quadratic
@@ -1009,7 +1009,7 @@ _BM25_VALUES = ", ".join(f"({i}, '{q}')" for i, q in _BM25_QUERIES)
 
 
 @_q(
-    "bm25_score",
+    "hybrid_retrieval",
     f"""
     WITH tok AS (
         SELECT doc_id, unnest(list_filter(string_split(lower(text), ' '),
@@ -1048,27 +1048,160 @@ _BM25_VALUES = ", ".join(f"({i}, '{q}')" for i, q in _BM25_QUERIES)
         JOIN idf USING (term)
         JOIN qt USING (term),
              (SELECT total / CAST(n_docs AS DOUBLE) AS avgdl FROM stats)
+    ),
+    bmscore AS (
+        SELECT query_id, doc_id,
+               ROUND(list_aggregate(list(s ORDER BY term), 'sum'), 6) AS score
+        FROM contrib GROUP BY query_id, doc_id
+    ),
+    -- lexical arm: top-10 per query by the ROUNDED fold score (ties at
+    -- 6 dp break on doc_id, so the rank is a cross-engine total order)
+    lexk AS (
+        SELECT * FROM (
+            SELECT query_id, doc_id,
+                   ROW_NUMBER() OVER (PARTITION BY query_id
+                                      ORDER BY score DESC, doc_id ASC)
+                       AS lex_rank
+            FROM bmscore
+        ) WHERE lex_rank <= 10
+    ),
+    -- dense arm: the embedding_cosine_topk fold/round/rank discipline,
+    -- query vectors = embeddings of the probe query ids
+    qv AS (
+        SELECT vec_id AS query_id, embedding AS qvec
+        FROM embeddings WHERE vec_id < 3 AND {_usable_vec('embedding')}
+    ),
+    cvec AS (
+        SELECT vec_id, embedding FROM embeddings
+        WHERE {_usable_vec('embedding')}
+    ),
+    dk AS (
+        SELECT * FROM (
+            SELECT query_id, vec_id AS doc_id,
+                   ROW_NUMBER() OVER (PARTITION BY query_id
+                                      ORDER BY sim DESC, vec_id ASC)
+                       AS dense_rank
+            FROM (SELECT q.query_id, c.vec_id,
+                         ROUND({_cos('q.qvec', 'c.embedding')}, 6) AS sim
+                  FROM cvec c CROSS JOIN qv q)
+        ) WHERE dense_rank <= 10
+    ),
+    -- reciprocal rank fusion: 1/(60+rank) per arm; two commutative
+    -- float adds, bit-stable cross-engine
+    fused AS (
+        SELECT COALESCE(l.query_id, d.query_id) AS query_id,
+               COALESCE(l.doc_id, d.doc_id) AS doc_id,
+               COALESCE(1.0 / (60.0 + l.lex_rank), 0.0)
+                 + COALESCE(1.0 / (60.0 + d.dense_rank), 0.0) AS rrf_score,
+               l.lex_rank, d.dense_rank
+        FROM lexk l
+        FULL OUTER JOIN dk d
+          ON l.query_id = d.query_id AND l.doc_id = d.doc_id
+    ),
+    franked AS (
+        SELECT fused.*,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY rrf_score DESC, doc_id ASC)
+                   AS rank
+        FROM fused
     )
-    SELECT query_id, doc_id,
-           ROUND(list_aggregate(list(s ORDER BY term), 'sum'), 6) AS score
-    FROM contrib GROUP BY query_id, doc_id
+    SELECT 'bm25' AS stage, CAST(query_id AS BIGINT) AS query_id,
+           CAST(doc_id AS BIGINT) AS doc_id, score,
+           CAST(NULL AS INT) AS rank, CAST(NULL AS INT) AS lex_rank,
+           CAST(NULL AS INT) AS dense_rank
+    FROM bmscore
+    UNION ALL
+    SELECT 'fused', CAST(query_id AS BIGINT), CAST(doc_id AS BIGINT),
+           rrf_score, CAST(rank AS INT), CAST(lex_rank AS INT),
+           CAST(dense_rank AS INT)
+    FROM franked WHERE rank <= 10
     """,
 )
-def bm25_score(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Okapi BM25 scoring of the documents corpus against three literal
-    probe queries, through the REAL index build + scorer
-    (operators/retrieval.build_bm25_index / bm25_scores) in the
-    order-stable fold form: per-(query, doc) contributions sum by a
-    term-sorted sequential fold on BOTH engines (the cosine _dot
-    discipline), rounded to 6 dp to absorb any last-ulp ln()
-    difference between the JVM and libm. This moves BM25 from
-    pytest-only to the hash-checked gate; bench `bm25_topk` keeps
-    measuring the cheaper partial-aggregated serving plan."""
-    from ..operators.retrieval import bm25_scores, build_bm25_index
+def hybrid_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lexical + dense + fused retrieval, one merged gate query (the
+    events_windowed_agg kind-column discipline):
+
+    - stage='bm25': Okapi BM25 scores for EVERY (query, doc) pair
+      sharing a term, through the REAL index build + scorer
+      (operators/retrieval.build_bm25_index / bm25_scores) in the
+      order-stable fold form — per-pair contributions sum by a
+      term-sorted sequential fold on BOTH engines (the cosine _dot
+      discipline), rounded to 6 dp to absorb any last-ulp ln()
+      difference between the JVM and libm;
+    - stage='fused': the REAL reciprocal-rank fusion
+      (operators/retrieval.rrf_fuse, Cormack 2009) of the lexical
+      top-10 (ranked on the ROUNDED fold score — ties break on doc_id,
+      a cross-engine total order) and a dense cosine top-10
+      (similarity.cosine_topk, the fold/round/rank discipline of the
+      hash-green embedding_cosine_topk; query vectors are the probe
+      ids' embeddings — documents and embeddings share the 0..N id
+      space). RRF contributions 1/(60+rank) are exact doubles and at
+      most two add per doc (commutative), so rrf_score is bit-stable.
+
+    bench `bm25_topk` keeps measuring the cheaper partial-aggregated
+    serving plan; hybrid_topk (the one-call composition of the same
+    parts) stays pinned by tests/test_retrieval.py's recall evidence."""
+    from ..operators.retrieval import bm25_scores, build_bm25_index, rrf_fuse
+    from ..operators.topk import grouped_topk
 
     docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
     idx = build_bm25_index(docs)
     qdf = spark.createDataFrame(
         _BM25_QUERIES, "query_id int, query string"
     )
-    return bm25_scores(idx, qdf, stable_round=6)
+    scores = bm25_scores(idx, qdf, stable_round=6)
+    lex = grouped_topk(
+        scores,
+        ["query_id"],
+        [F.col("score").desc(), F.col("doc_id").asc()],
+        10,
+        rank_col="lex_rank",
+    ).select(
+        F.col("query_id").cast("long").alias("query_id"),
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "lex_rank",
+    )
+    qv = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+    dense = S.cosine_topk(emb.select("vec_id", "embedding"), qv, k=10).select(
+        F.col("query_id").cast("long").alias("query_id"),
+        F.col("vec_id").cast("long").alias("doc_id"),
+        F.col("rnk").alias("dense_rank"),
+    )
+    fused = rrf_fuse(
+        [
+            lex.select(
+                "query_id", "doc_id", F.col("lex_rank").alias("rank")
+            ),
+            dense.select(
+                "query_id", "doc_id", F.col("dense_rank").alias("rank")
+            ),
+        ],
+        k=10,
+    )
+    enriched = (
+        fused.join(lex, ["query_id", "doc_id"], "left")
+        .join(dense, ["query_id", "doc_id"], "left")
+        .select(
+            F.lit("fused").alias("stage"),
+            "query_id",
+            "doc_id",
+            F.col("rrf_score").alias("score"),
+            F.col("rank").cast("int").alias("rank"),
+            F.col("lex_rank").cast("int").alias("lex_rank"),
+            F.col("dense_rank").cast("int").alias("dense_rank"),
+        )
+    )
+    bm = scores.select(
+        F.lit("bm25").alias("stage"),
+        F.col("query_id").cast("long").alias("query_id"),
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "score",
+        F.lit(None).cast("int").alias("rank"),
+        F.lit(None).cast("int").alias("lex_rank"),
+        F.lit(None).cast("int").alias("dense_rank"),
+    )
+    return bm.unionByName(enriched)

@@ -104,7 +104,7 @@ def computed_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
     query earlier absorbed null_safe_eq, and absorbs the former
     math_functions in round 10 — same lineitem row spine — to hold the
     registry at the driver's 50-query gate window while
-    events_capped_sessions and bm25_score joined)."""
+    events_capped_sessions and hybrid_retrieval joined)."""
     li = load_table(spark, sf_dir, "lineitem")
     ns_a = F.nullif(F.col("l_returnflag"), F.lit("N"))
     ns_b = F.nullif(F.col("l_linestatus"), F.lit("O"))

@@ -155,12 +155,13 @@ def test_plan_construction_is_driver_job_free(spark, tmp_path):
     # centroids (index-BUILD class). grouped_quantiles_auto: its
     # cardinality probe is ONE narrow hash-sampled aggregate deciding
     # exact-vs-sketch routing — a documented plan-time statistics job
-    # (the ANALYZE analog), not accidental execution. bm25_score: the
-    # BM25 index build (corpus count + avgdl scalar) is the same
+    # (the ANALYZE analog), not accidental execution. hybrid_retrieval:
+    # its BM25 index build (corpus count + avgdl scalar) is the same
     # index-BUILD class — the train-once artifact cost every serving
     # call amortizes (bench's bm25_topk composite pays it at
     # plan-build time for the same reason).
-    allowed = {"embedding_ann_ivf", "grouped_quantiles_auto", "bm25_score"}
+    allowed = {"embedding_ann_ivf", "grouped_quantiles_auto",
+               "hybrid_retrieval"}
     sc = spark.sparkContext
     offenders: dict[str, int] = {}
     for name, fn in sorted(m.queries().items()):
