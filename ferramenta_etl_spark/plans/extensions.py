@@ -997,9 +997,11 @@ def events_capped_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# BM25 oracle constants: the literal probe queries (corpus-vocabulary
-# terms; q2 repeats 'key' so qtf=2 is exercised) and the k1/b floats
-# whose reprs are embedded in BOTH engines' expressions.
+# Retrieval-gate constants (hybrid_retrieval): the literal probe
+# queries (corpus-vocabulary terms; q2 repeats 'key' so qtf=2 is
+# exercised) — their ids double as the dense arm's query vec_ids — and
+# the k1/b floats whose reprs are embedded in BOTH engines'
+# expressions.
 _BM25_QUERIES = [
     (0, "table scan fast"),
     (1, "window agg stream batch"),
