@@ -390,10 +390,10 @@ def asof_self_join(
         raise ValueError("asof_self_join needs at least one AsofRole")
     taken = set(by) | {on} | set(left_payload)
     for i, r in enumerate(roles):
-        if r.direction not in ("backward", "forward"):
+        if r.direction not in ("backward", "forward", "nearest"):
             raise ValueError(
-                f"role {i}: direction must be backward|forward, got"
-                f" {r.direction!r}"
+                f"role {i}: direction must be backward|forward|nearest,"
+                f" got {r.direction!r}"
             )
         clash = (set(r.payload) | {r.matched_on}) & taken
         if clash:
@@ -428,13 +428,12 @@ def asof_self_join(
             )
     tagged = source.filter(relevant).select(*cols)
 
-    filled = tagged
-    for i, r in enumerate(roles):
+    def _fill(df, i, r, backward, dest):
         # scan order per direction; null-on left rows sort FIRST either
         # way (nulls_first both directions) so no state precedes them
         order = [
             F.col("__on").asc_nulls_first()
-            if r.direction == "backward"
+            if backward
             else F.col("__on").desc_nulls_first(),
             # states before left rows at equal __on: ties included
             F.col(f"__state_{i}").isNull().asc(),
@@ -448,13 +447,41 @@ def asof_self_join(
             .orderBy(*order)
             .rowsBetween(Window.unboundedPreceding, Window.currentRow)
         )
-        filled = filled.withColumn(
-            f"__match_{i}", F.last(f"__state_{i}", ignorenulls=True).over(w)
+        return df.withColumn(
+            dest, F.last(f"__state_{i}", ignorenulls=True).over(w)
         )
+
+    filled = tagged
+    for i, r in enumerate(roles):
+        if r.direction == "nearest":
+            # both fills over the same tagged rows — the extra window is
+            # sort-only (same single exchange), mirroring asof_join_multi
+            filled = _fill(filled, i, r, True, f"__match_{i}_b")
+            filled = _fill(filled, i, r, False, f"__match_{i}_f")
+        else:
+            filled = _fill(
+                filled, i, r, r.direction == "backward", f"__match_{i}"
+            )
 
     out = filled.filter(F.col("__is_left"))
     for i, r in enumerate(roles):
-        if r.tolerance is not None:
+        if r.direction == "nearest":
+            gap_b = F.col("__on") - F.col(f"__match_{i}_b.__t")
+            gap_f = F.col(f"__match_{i}_f.__t") - F.col("__on")
+            b = F.col(f"__match_{i}_b")
+            f_ = F.col(f"__match_{i}_f")
+            if r.tolerance is not None:
+                b = F.when(gap_b <= F.lit(r.tolerance), b)
+                f_ = F.when(gap_f <= F.lit(r.tolerance), f_)
+            # closer side wins; exact ties go backward (merge_asof)
+            out = out.withColumn(
+                f"__match_{i}",
+                F.when(b.isNull(), f_)
+                .when(f_.isNull(), b)
+                .when(gap_b <= gap_f, b)
+                .otherwise(f_),
+            ).drop(f"__match_{i}_b", f"__match_{i}_f")
+        elif r.tolerance is not None:
             gap = (
                 F.col("__on") - F.col(f"__match_{i}.__t")
                 if r.direction == "backward"

@@ -456,11 +456,11 @@ def attach_jpeg_media(
 ):
     """The ``attach_fake_raw_images`` pixel patterns wrapped in REAL
     baseline JPEG containers (``jpeg.encode_jpeg_bytes``). Subsampling
-    and restart intervals cycle with doc_id — 4:4:4, 4:2:0, and
-    4:4:4+DRI — so decode exercises the chroma-upsample and restart
-    paths; JPEG is lossy, so pixel agreement with the raw patterns is
-    bounded (asserted with a per-pixel tolerance in tests), unlike the
-    exact PNG fixture."""
+    and restart intervals cycle with doc_id — 4:4:4, 4:2:0, 4:4:4+DRI,
+    and 4:2:2 — so decode exercises both chroma-upsample geometries and
+    the restart path; JPEG is lossy, so pixel agreement with the raw
+    patterns is bounded (asserted with a per-pixel tolerance in
+    tests), unlike the exact PNG fixture."""
     from .jpeg import encode_jpeg_bytes
     from .multimodal import attach_fake_raw_images
 
@@ -479,13 +479,14 @@ def attach_jpeg_media(
                 img = np.frombuffer(bytes(blob), dtype=np.uint8).reshape(
                     h, w, 3
                 )
-                mode = did % 3
+                mode = did % 4
+                sub = {1: "4:2:0", 3: "4:2:2"}.get(mode, "4:4:4")
                 ids.append(did)
                 blobs.append(
                     encode_jpeg_bytes(
                         img,
                         quality=quality,
-                        subsampling="4:2:0" if mode == 1 else "4:4:4",
+                        subsampling=sub,
                         restart_interval=2 if mode == 2 else 0,
                     )
                 )

@@ -323,3 +323,68 @@ def test_asof_self_join_single_scan_matches_multi(spark):
     assert got == want
     assert got[(0, None, 9001)] == (None, None, None, None)
     assert got[(1, None, 9002)] == (None, None, None, None)
+
+
+def test_asof_self_join_nearest_matches_multi(spark):
+    """A nearest ROLE in the single-scan operator: still one scan and
+    one exchange (the second directional fill is sort-only), and
+    row-for-row equal to asof_join_multi's nearest spec — which the
+    pandas differential already pins."""
+    from pyspark.sql import functions as F
+
+    from ferramenta_etl_spark.operators.asof import (
+        AsofRole,
+        AsofSpec,
+        asof_join_multi,
+        asof_self_join,
+    )
+
+    left, right = _fixture(seed=29)
+    ev = pd.concat(
+        [
+            left.assign(kind="L").rename(columns={"ev": "id"}),
+            right.assign(kind="A")
+            .rename(columns={"st": "id"})
+            .drop(columns=["price"]),
+        ],
+        ignore_index=True,
+    )
+    ev["t"] = ev["t"].astype("Int64")
+    src = spark.createDataFrame(ev)
+    kind = F.col("kind")
+    fused = asof_self_join(
+        src,
+        on="t",
+        by=["k"],
+        left_predicate=kind == "L",
+        left_payload={"ev": F.col("id")},
+        roles=[
+            AsofRole(predicate=kind == "A", payload={"a_id": F.col("id")},
+                     direction="nearest", tolerance=25,
+                     tiebreak=F.col("id"), matched_on="ma"),
+        ],
+    )
+    plan = fused._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert plan.count("Scan ExistingRDD") <= 1, plan
+
+    ldf = src.filter(kind == "L").select("k", "t", F.col("id").alias("ev"))
+    ra = src.filter(kind == "A").select("k", "t", F.col("id").alias("a_id"))
+    ref = asof_join_multi(
+        ldf,
+        [AsofSpec(right=ra, direction="nearest", tolerance=25,
+                  tiebreak="a_id", matched_on="ma")],
+        on="t",
+        by=["k"],
+    )
+    key = lambda r: (r["k"], r["t"], r["ev"])
+    got = {key(r): (r["a_id"], r["ma"]) for r in fused.collect()}
+    want = {key(r): (r["a_id"], r["ma"]) for r in ref.collect()}
+    assert got == want and len(got) > 0
+    # the nearest match is genuinely two-sided on this fixture: some
+    # matched_on values sit after their left row, some before
+    after = sum(1 for (_, t, _e), (_, m) in got.items()
+                if m is not None and t is not None and m > t)
+    before = sum(1 for (_, t, _e), (_, m) in got.items()
+                 if m is not None and t is not None and m < t)
+    assert after > 0 and before > 0
