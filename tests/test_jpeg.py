@@ -239,3 +239,36 @@ def F_col(name):
     from pyspark.sql import functions as F
 
     return F.col(name)
+
+
+def test_decoder_corruption_fuzz():
+    """Random byte flips / truncations / splices of a valid JPEG must
+    either decode (some corruption lands in pixels) or raise ValueError
+    — never any other exception type and never garbage shapes: the
+    null-row policy in decode_images catches exactly ValueError-class
+    failures, so a stray IndexError/struct.error would poison a whole
+    Arrow batch instead of nulling one row."""
+    rng = np.random.default_rng(17)
+    base = bytearray(encode_jpeg_bytes(_gradient(24, 32), quality=85,
+                                       subsampling="4:2:0",
+                                       restart_interval=2))
+    for trial in range(300):
+        data = bytearray(base)
+        mode = trial % 3
+        if mode == 0:  # flip 1-4 random bytes
+            for _ in range(rng.integers(1, 5)):
+                data[rng.integers(0, len(data))] = rng.integers(0, 256)
+        elif mode == 1:  # truncate
+            data = data[: rng.integers(2, len(data))]
+        else:  # splice a random chunk
+            at = rng.integers(0, len(data))
+            data[at:at] = bytes(rng.integers(0, 256, rng.integers(1, 16)))
+        try:
+            out = decode_jpeg_bytes(bytes(data))
+        except ValueError:
+            continue
+        except Exception as e:  # noqa: BLE001
+            raise AssertionError(
+                f"trial {trial}: non-ValueError {type(e).__name__}: {e}"
+            ) from e
+        assert out.dtype == np.uint8 and out.ndim == 3 and out.shape[2] == 3
