@@ -88,12 +88,15 @@ def decode_png_bytes(raw: bytes):
         data = raw[pos + 8 : pos + 8 + length]
         if len(data) != length:
             raise ValueError("truncated PNG chunk")
-        (crc,) = struct.unpack(
-            ">I", raw[pos + 8 + length : pos + 12 + length]
-        )
+        crc_bytes = raw[pos + 8 + length : pos + 12 + length]
+        if len(crc_bytes) != 4:
+            raise ValueError("truncated PNG chunk CRC")
+        (crc,) = struct.unpack(">I", crc_bytes)
         if zlib.crc32(ctype + data) & 0xFFFFFFFF != crc:
             raise ValueError(f"PNG chunk CRC mismatch in {ctype!r}")
         if ctype == b"IHDR":
+            if length != 13:
+                raise ValueError("PNG IHDR must be 13 bytes")
             ihdr = struct.unpack(">IIBBBBB", data)
         elif ctype == b"PLTE":
             plte = data
@@ -114,7 +117,12 @@ def decode_png_bytes(raw: bytes):
         raise ValueError(f"unsupported PNG color type {color}")
     if w < 1 or h < 1:
         raise ValueError("empty PNG")
-    stream = zlib.decompress(b"".join(idat))
+    try:
+        stream = zlib.decompress(b"".join(idat))
+    except zlib.error as e:
+        # only reachable with a CRC-valid but zlib-invalid stream
+        # (crafted input): must be ValueError-class for the null-row net
+        raise ValueError(f"PNG IDAT inflate failed: {e}") from e
     stride = w * ch
     if len(stream) != h * (stride + 1):
         raise ValueError("PNG pixel data length mismatch")

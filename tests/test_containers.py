@@ -330,3 +330,43 @@ def test_wav_roundtrip_randomized(n, rate, channels, seed):
     got, got_rate = decode_wav_bytes(encode_wav_bytes(pcm, rate, channels))
     assert got_rate == rate
     assert np.array_equal(got, pcm)
+
+
+def test_png_decoder_corruption_fuzz():
+    """Random corruption of a valid PNG must either decode or raise
+    ValueError — never struct.error/zlib.error/IndexError (the null-row
+    policy catches exactly ValueError-class failures). Fuzz-found
+    guards: chunk-CRC truncation, 13-byte IHDR, zlib-invalid IDAT."""
+    import numpy as np
+
+    from ferramenta_etl_spark.operators.containers import (
+        decode_png_bytes,
+        encode_png_bytes,
+    )
+
+    yy, xx = np.mgrid[0:16, 0:20]
+    img = np.stack(
+        [(yy * 3 + xx) % 256, (xx * 2) % 256, (yy * 5) % 256], axis=2
+    ).astype(np.uint8)
+    base = bytearray(encode_png_bytes(img, filter_type=4))
+    rng = np.random.default_rng(7)
+    for trial in range(300):
+        data = bytearray(base)
+        mode = trial % 3
+        if mode == 0:
+            for _ in range(rng.integers(1, 6)):
+                data[rng.integers(0, len(data))] = rng.integers(0, 256)
+        elif mode == 1:
+            data = data[: rng.integers(9, len(data))]
+        else:
+            at = rng.integers(8, len(data))
+            data[at:at] = bytes(rng.integers(0, 256, rng.integers(1, 24)))
+        try:
+            out = decode_png_bytes(bytes(data))
+        except ValueError:
+            continue
+        except Exception as e:  # noqa: BLE001
+            raise AssertionError(
+                f"trial {trial}: non-ValueError {type(e).__name__}: {e}"
+            ) from e
+        assert out.dtype == np.uint8 and out.ndim == 3 and out.shape[2] == 3
