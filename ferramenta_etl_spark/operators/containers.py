@@ -121,7 +121,8 @@ def decode_png_bytes(raw: bytes):
         stream = zlib.decompress(b"".join(idat))
     except zlib.error as e:
         # only reachable with a CRC-valid but zlib-invalid stream
-        # (crafted input): must be ValueError-class for the null-row net
+        # (crafted input): normalized to the documented ValueError
+        # contract (the Spark wrappers catch broadly either way)
         raise ValueError(f"PNG IDAT inflate failed: {e}") from e
     stride = w * ch
     if len(stream) != h * (stride + 1):

@@ -334,9 +334,11 @@ def test_wav_roundtrip_randomized(n, rate, channels, seed):
 
 def test_png_decoder_corruption_fuzz():
     """Random corruption of a valid PNG must either decode or raise
-    ValueError — never struct.error/zlib.error/IndexError (the null-row
-    policy catches exactly ValueError-class failures). Fuzz-found
-    guards: chunk-CRC truncation, 13-byte IHDR, zlib-invalid IDAT."""
+    ValueError — never struct.error/zlib.error/IndexError. The Spark
+    wrappers catch Exception broadly (batches were never at risk);
+    this pins the FUNCTION's documented contract ("raises ValueError
+    on anything unsupported") for library callers. Fuzz-found guards:
+    chunk-CRC truncation, 13-byte IHDR, zlib-invalid IDAT."""
     import numpy as np
 
     from ferramenta_etl_spark.operators.containers import (

@@ -244,10 +244,12 @@ def F_col(name):
 def test_decoder_corruption_fuzz():
     """Random byte flips / truncations / splices of a valid JPEG must
     either decode (some corruption lands in pixels) or raise ValueError
-    — never any other exception type and never garbage shapes: the
-    null-row policy in decode_images catches exactly ValueError-class
-    failures, so a stray IndexError/struct.error would poison a whole
-    Arrow batch instead of nulling one row."""
+    — never any other exception type and never garbage shapes. The
+    Spark wrappers' null-row nets catch Exception broadly, so batches
+    were never at risk; this pins the FUNCTION's documented contract
+    ("raises ValueError on non-baseline or corrupt input") for library
+    callers, and the decompression-bomb guard it drove matters before
+    any exception: a corrupted SOF must not allocate 100 GB."""
     rng = np.random.default_rng(17)
     base = bytearray(encode_jpeg_bytes(_gradient(24, 32), quality=85,
                                        subsampling="4:2:0",
