@@ -254,11 +254,19 @@ def decode_wav_bytes(raw: bytes):
 
     import numpy as np
 
-    with wave.open(io.BytesIO(bytes(raw)), "rb") as wv:
-        nch = wv.getnchannels()
-        width = wv.getsampwidth()
-        rate = wv.getframerate()
-        data = wv.readframes(wv.getnframes())
+    try:
+        with wave.open(io.BytesIO(bytes(raw)), "rb") as wv:
+            nch = wv.getnchannels()
+            width = wv.getsampwidth()
+            rate = wv.getframerate()
+            data = wv.readframes(wv.getnframes())
+    except (wave.Error, EOFError, RuntimeError) as e:
+        # normalize the stdlib reader's corrupt-header errors to the
+        # ValueError contract the PNG/JPEG decoders share (the Spark
+        # wrappers catch broadly either way). RuntimeError included:
+        # wave.py's internal Chunk.seek raises it BARE on corrupt chunk
+        # sizes (fuzz-found, python 3.11 wave.py:155)
+        raise ValueError(f"bad WAV container: {e}") from e
     if rate <= 0 or nch <= 0:
         raise ValueError("bad WAV header")
     if width == 2:

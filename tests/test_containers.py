@@ -372,3 +372,41 @@ def test_png_decoder_corruption_fuzz():
                 f"trial {trial}: non-ValueError {type(e).__name__}: {e}"
             ) from e
         assert out.dtype == np.uint8 and out.ndim == 3 and out.shape[2] == 3
+
+
+def test_wav_decoder_corruption_fuzz():
+    """Random corruption of a valid WAV must either decode or raise
+    ValueError — the stdlib ``wave`` reader otherwise leaks wave.Error,
+    EOFError, and (fuzz-found) a BARE RuntimeError from its internal
+    Chunk.seek on corrupt chunk sizes; decode_wav_bytes normalizes all
+    of them to the shared ValueError contract."""
+    import numpy as np
+
+    from ferramenta_etl_spark.operators.containers import (
+        decode_wav_bytes,
+        encode_wav_bytes,
+    )
+
+    pcm = (np.sin(np.linspace(0, 50, 2000)) * 20000).astype(np.int16)
+    base = bytearray(encode_wav_bytes(pcm, 8000, channels=2))
+    rng = np.random.default_rng(11)
+    for trial in range(300):
+        data = bytearray(base)
+        mode = trial % 3
+        if mode == 0:
+            for _ in range(rng.integers(1, 6)):
+                data[rng.integers(0, len(data))] = rng.integers(0, 256)
+        elif mode == 1:
+            data = data[: rng.integers(4, len(data))]
+        else:
+            at = rng.integers(0, len(data))
+            data[at:at] = bytes(rng.integers(0, 256, rng.integers(1, 24)))
+        try:
+            out, rate = decode_wav_bytes(bytes(data))
+        except ValueError:
+            continue
+        except Exception as e:  # noqa: BLE001
+            raise AssertionError(
+                f"trial {trial}: non-ValueError {type(e).__name__}: {e}"
+            ) from e
+        assert out.dtype == np.int16 and rate > 0
