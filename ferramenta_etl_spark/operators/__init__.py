@@ -54,6 +54,7 @@ from .audio import (  # noqa: F401
     trim_silence,
 )
 from .containers import (  # noqa: F401
+    attach_gif_media,
     attach_jpeg_media,
     attach_png_media,
     attach_wav_media,
@@ -63,6 +64,7 @@ from .containers import (  # noqa: F401
     decode_wav_bytes,
     sniff_container,
 )
+from .gif import decode_gif_bytes, encode_gif_bytes  # noqa: F401
 from .jpeg import decode_jpeg_bytes, encode_jpeg_bytes  # noqa: F401
 from .multimodal import (  # noqa: F401
     attach_fake_media,

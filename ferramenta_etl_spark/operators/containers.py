@@ -5,8 +5,10 @@ per-scanline unfiltering. Everything the reference pipeline needs
 downstream of decode was already real (raw-RGB bilinear resize in
 ``multimodal.resize_images``, raw-PCM DSP in ``audio``); this module
 plus the baseline-JPEG codec in ``jpeg.py`` (numpy T.81 decoder,
-VERDICT r09 #3) close the image/audio gaps so a user handing the
-engine actual PNG/JPEG/WAV bytes gets real pixels and PCM. Only MP4
+VERDICT r09 #3) and the GIF codec in ``gif.py`` (pure-Python LZW,
+validated against real system GIFs) close the image/audio gaps so a
+user handing the engine actual PNG/JPEG/GIF/WAV bytes gets real
+pixels and PCM. Only MP4
 (codec/demux libraries absent from this environment and out of
 stdlib+numpy reach) keeps the documented deterministic fake in
 ``multimodal._fake_decode`` — routing is by magic bytes
@@ -39,7 +41,7 @@ _PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
 
 def sniff_container(raw: bytes | None) -> str | None:
     """Container format from magic bytes: 'png' | 'wav' | 'jpeg' |
-    'mp4' | None (unknown / raw payload / NULL)."""
+    'gif' | 'mp4' | None (unknown / raw payload / NULL)."""
     if raw is None or len(raw) < 12:
         return None
     raw = bytes(raw[:12])
@@ -49,6 +51,8 @@ def sniff_container(raw: bytes | None) -> str | None:
         return "wav"
     if raw[:3] == b"\xff\xd8\xff":
         return "jpeg"
+    if raw[:6] in (b"GIF87a", b"GIF89a"):
+        return "gif"
     if raw[4:8] == b"ftyp":
         return "mp4"
     return None
@@ -313,7 +317,7 @@ def encode_wav_bytes(pcm, rate: int, channels: int = 1) -> bytes:
 
 
 def decode_images(media_df: DataFrame, media_col: str = "media") -> DataFrame:
-    """PNG and baseline-JPEG containers -> ``RAW_IMAGE_SCHEMA``
+    """PNG, baseline-JPEG and GIF containers -> ``RAW_IMAGE_SCHEMA``
     (doc_id, media = H*W*3 uint8 raw-RGB, width, height): the codec
     front-end that feeds ``multimodal.resize_images`` and friends.
     Routing is by magic bytes; unknown payloads and failed decodes
@@ -323,6 +327,7 @@ def decode_images(media_df: DataFrame, media_col: str = "media") -> DataFrame:
     def batches(it: Iterator) -> Iterator:
         import pandas as pd
 
+        from .gif import decode_gif_bytes
         from .jpeg import decode_jpeg_bytes
 
         for pdf in it:
@@ -335,8 +340,10 @@ def decode_images(media_df: DataFrame, media_col: str = "media") -> DataFrame:
                         rgb = decode_png_bytes(bytes(raw))
                     elif kind == "jpeg":
                         rgb = decode_jpeg_bytes(bytes(raw))
+                    elif kind == "gif":
+                        rgb = decode_gif_bytes(bytes(raw))
                     else:
-                        raise ValueError("not a PNG/JPEG container")
+                        raise ValueError("not a PNG/JPEG/GIF container")
                 except Exception:  # noqa: BLE001 — any codec error -> null row
                     blobs.append(None)
                     ws.append(None)
@@ -507,6 +514,46 @@ def attach_jpeg_media(
                         restart_interval=2 if mode == 2 else 0,
                     )
                 )
+            yield pd.DataFrame({"doc_id": ids, "media": blobs})
+
+    import pyspark.sql.types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("media", T.BinaryType()),
+        ]
+    )
+    return raw.mapInPandas(batches, schema)
+
+
+def attach_gif_media(documents: DataFrame, max_w: int = 48, max_h: int = 32):
+    """The ``attach_fake_raw_images`` pixel patterns POSTERIZED to a
+    <=256-color palette (r&0xE0, g&0xE0, b&0xC0 — 8x8x4 colors max) and
+    wrapped in REAL GIF89a containers; odd doc_ids interlace. GIF is
+    lossless over its palette, so decoding reproduces the posterized
+    pattern EXACTLY (pinned in tests)."""
+    from .gif import encode_gif_bytes
+    from .multimodal import attach_fake_raw_images
+
+    raw = attach_fake_raw_images(documents, max_w=max_w, max_h=max_h)
+
+    def batches(it: Iterator) -> Iterator:
+        import numpy as np
+        import pandas as pd
+
+        for pdf in it:
+            ids, blobs = [], []
+            for did, blob, w, h in zip(
+                pdf["doc_id"], pdf["media"], pdf["width"], pdf["height"]
+            ):
+                did, w, h = int(did), int(w), int(h)
+                img = np.frombuffer(bytes(blob), dtype=np.uint8).reshape(
+                    h, w, 3
+                ).copy()
+                img &= np.array([0xE0, 0xE0, 0xC0], dtype=np.uint8)
+                ids.append(did)
+                blobs.append(encode_gif_bytes(img, interlace=bool(did % 2)))
             yield pd.DataFrame({"doc_id": ids, "media": blobs})
 
     import pyspark.sql.types as T

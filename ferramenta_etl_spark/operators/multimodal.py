@@ -3,13 +3,14 @@
 Media is modeled as an opaque ``binary`` column plus typed metadata —
 the Spark-side machinery (schema, Arrow batching, mapInPandas signature,
 partitioning) is real and tested. Container decode routes by MAGIC
-BYTES (``containers.sniff_container``): PNG, WAV and baseline JPEG get
-REAL decoders (``containers.decode_png_bytes`` / ``decode_wav_bytes`` /
-``jpeg.decode_jpeg_bytes`` — the last a from-scratch numpy T.81
-baseline decoder, VERDICT r09 #3); only MP4 (codec/demux libraries
-absent from this environment and out of stdlib+numpy reach) keeps the
-deterministic fake (``_fake_decode``) — swap pyav in and nothing else
-changes.
+BYTES (``containers.sniff_container``): PNG, WAV, baseline JPEG and
+GIF get REAL decoders (``containers.decode_png_bytes`` /
+``decode_wav_bytes`` / ``jpeg.decode_jpeg_bytes`` — a from-scratch
+numpy T.81 baseline decoder, VERDICT r09 #3 — / ``gif.decode_gif_bytes``
+— pure-Python LZW, validated against real system GIFs); only MP4
+(codec/demux libraries absent from this environment and out of
+stdlib+numpy reach) keeps the deterministic fake (``_fake_decode``) —
+swap pyav in and nothing else changes.
 Everything downstream of decode is REAL: raw-RGB resize is a numpy
 bilinear kernel (``resize_images``, oracle-tested per-pixel), letterbox
 geometry is a JVM expression, and frame sampling schedules are
@@ -72,9 +73,9 @@ def _fake_decode(media_type: str, raw: bytes | None) -> dict:
     dispatches pyav here) and for unknown/raw payloads. Kept
     arithmetic-only so oracles can reproduce it. A NULL payload (failed
     upstream fetch) yields all-null features — one bad row must not
-    TypeError the whole Arrow batch. PNG, WAV and JPEG payloads never
-    reach this: ``_decode_features`` routes them to the REAL decoders
-    by magic bytes."""
+    TypeError the whole Arrow batch. PNG, WAV, JPEG and GIF payloads
+    never reach this: ``_decode_features`` routes them to the REAL
+    decoders by magic bytes."""
     if raw is None:
         return {"byte_len": None, "width": None, "height": None, "checksum": None}
     n = len(raw)
@@ -88,8 +89,8 @@ def _fake_decode(media_type: str, raw: bytes | None) -> dict:
 
 def _decode_features(media_type: str, raw: bytes | None) -> dict:
     """Magic-byte-routed feature decode (VERDICT r08 #1 / r09 #3): PNG,
-    WAV and baseline JPEG get REAL decode paths; MP4/unknown keep the
-    documented fake. For PNG/JPEG, (width, height) are the decoded
+    WAV, baseline JPEG and GIF get REAL decode paths; MP4/unknown keep
+    the documented fake. For images, (width, height) are the decoded
     pixel dims and the checksum is over the first 64 DECODED RGB bytes
     (same sum-mod-2^31 convention as the fake, applied to real
     pixels). For WAV, the schema's dims slots
@@ -101,14 +102,17 @@ def _decode_features(media_type: str, raw: bytes | None) -> dict:
     from .containers import decode_png_bytes, decode_wav_bytes, sniff_container
 
     kind = sniff_container(raw)
-    if kind in ("png", "jpeg"):
+    if kind in ("png", "jpeg", "gif"):
+        from .gif import decode_gif_bytes
         from .jpeg import decode_jpeg_bytes
 
         try:
             if kind == "png":
                 rgb = decode_png_bytes(bytes(raw))
-            else:
+            elif kind == "jpeg":
                 rgb = decode_jpeg_bytes(bytes(raw))
+            else:
+                rgb = decode_gif_bytes(bytes(raw))
         except Exception:  # noqa: BLE001 — corrupt container -> null row
             return {
                 "byte_len": None, "width": None,
@@ -144,7 +148,7 @@ def extract_media_features(media_df: DataFrame) -> DataFrame:
 
     The UDF sees pandas DataFrames of (doc_id, media, media_type); bytes
     arrive as Python ``bytes`` through Arrow with zero row-at-a-time
-    pickling. Real decode for PNG/JPEG/WAV containers, documented
+    pickling. Real decode for PNG/JPEG/GIF/WAV containers, documented
     deterministic fake for MP4/raw (see ``_decode_features``).
     Narrow op: no shuffle.
     """
