@@ -208,11 +208,13 @@ def train_bpe(
     32k-merge vocabulary is 32k sequential jobs):
 
     - HYBRID FAST PATH: when the distinct-word table fits
-      ``driver_max_words`` (one count job to decide), it is collected
-      ONCE via Arrow and trained by the exact in-memory Sennrich
-      trainer (``train_bpe_local``) — a 512-merge train costs 2 Spark
-      jobs instead of ~1024, and the result is identical by
-      construction (same algorithm, same tie-break). This is the same
+      ``driver_max_words``, it is collected ONCE via Arrow and trained
+      by the exact in-memory Sennrich trainer (``train_bpe_local``) —
+      a 512-merge train costs one DATA-sized job (the checkpoint that
+      materializes the word table) plus two vocab-sized reads of it
+      (guard count, Arrow collect) instead of ~1024 corpus-touching
+      jobs, and the result is identical by construction (same
+      algorithm, same tie-break). This is the same
       size-guarded-driver-fallback discipline as the connected-
       components operator: the DATA-sized pass (corpus -> word table)
       already happened distributed in ``word_freq``; what the guard
@@ -249,10 +251,17 @@ def train_bpe(
     if min_pair_count < 1:
         raise ValueError(f"min_pair_count must be >= 1, got {min_pair_count}")
 
+    # materialize the word table ONCE before the size guard (ADVICE
+    # r10): `rel` is typically the corpus-sized word_freq aggregation,
+    # and an un-cached `rel.count()` followed by `rel.toPandas()` (or
+    # the over-guard `cur` derivation) would run that full corpus
+    # scan+shuffle twice. The checkpoint is vocab-sized — the guard
+    # count, the fast-path collect, and the distributed rounds all
+    # read it, so the data-sized pass happens exactly once.
     rel = words.select(
         F.col(word_col).cast("string").alias("word"),
         F.col(count_col).cast("long").alias("cnt"),
-    )
+    ).localCheckpoint(eager=True)
     if driver_max_words > 0 and rel.count() <= driver_max_words:
         pdf = rel.toPandas()
         return train_bpe_local(

@@ -783,20 +783,21 @@ _EPOCH = (
 
 
 @_q(
-    "events_windowed_agg",
+    "events_rollup_serve",
     f"""
-    WITH tumb AS (
+    WITH ev AS (SELECT ts, value FROM events WHERE ts IS NOT NULL),
+    tumb AS (
         SELECT 'tumbling' AS kind,
                {_EPOCH.format("time_bucket(INTERVAL 15 minutes, ts)")} AS win_start_ms,
                COUNT(*) AS n_events,
                CAST(SUM(CAST(FLOOR((CASE WHEN NOT isfinite(value) THEN NULL ELSE value END) * 100 + 0.5) AS BIGINT)) AS DOUBLE) / 100 AS sum_value
-        FROM events GROUP BY 1, 2
+        FROM ev GROUP BY 1, 2
     ),
     grids AS (
-        SELECT time_bucket(INTERVAL 15 minutes, ts) AS wstart, value FROM events
+        SELECT time_bucket(INTERVAL 15 minutes, ts) AS wstart, value FROM ev
         UNION ALL
         SELECT time_bucket(INTERVAL 15 minutes, ts) - INTERVAL 15 minutes, value
-        FROM events
+        FROM ev
     ),
     slid AS (
         SELECT 'sliding' AS kind,
@@ -808,15 +809,31 @@ _EPOCH = (
     SELECT * FROM tumb UNION ALL SELECT * FROM slid
     """,
 )
-def events_windowed_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+def events_rollup_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Event-time windowed aggregations, both kinds in one result (batch
     mirror of the Structured Streaming aggregations in
     streaming/windows.py): 15-minute tumbling windows, and 30-minute
     windows sliding by 15 where every event lands in exactly two windows
     (the oracle materializes the two offset tumbling grids). Tumbling IS
     sliding with slide == size, so one query covers the family; the
-    ``kind`` column keys the streaming equivalence tests."""
-    ev = load_table(spark, sf_dir, "events")
+    ``kind`` column keys the streaming equivalence tests.
+
+    Renamed from events_windowed_agg in round 11 (VERDICT r10 #8): the
+    TUMBLING arm now answers through the continuous-aggregate serve
+    path (pipeline/rollup.py) — windows closed by a mid-stream
+    watermark (60% through the fixture's time range) are MATERIALIZED
+    to a scratch rollup table and the query returns materialized ∪
+    live-tail — while the oracle stays the plain full-window SQL. A
+    green row therefore proves the mat/live split reassembles the
+    exact aggregation (no dropped, doubled, or straddled window), the
+    property the hypertable-rollup pattern must preserve. Null event
+    times belong to no window and are filtered on BOTH engines (the
+    rollup path's tail pruning could not see them)."""
+    import tempfile
+
+    from ..pipeline.rollup import materialize_rollup, serve_rollup
+
+    ev = load_table(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
 
     def windowed(kind: str, *win: str) -> DataFrame:
         return (
@@ -837,9 +854,24 @@ def events_windowed_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
 
-    return windowed("tumbling", "15 minutes").unionAll(
-        windowed("sliding", "30 minutes", "15 minutes")
+    # deterministic mid-stream watermark: 60% through the observed
+    # time range (two metadata-scale aggs; at 100 TB the watermark
+    # comes from the scheduler, not a scan — see pipeline/rollup.py)
+    lo, hi = ev.agg(
+        epoch_ms(F.min("ts")), epoch_ms(F.max("ts"))
+    ).first()
+    wm = lo + (hi - lo) * 6 // 10
+    path = tempfile.mkdtemp(prefix="rollup_serve_")
+    materialize_rollup(ev, path, "15 minutes", watermark_ms=wm)
+    tumbling = serve_rollup(
+        spark, ev, path, "15 minutes", watermark_ms=wm
+    ).select(
+        F.lit("tumbling").alias("kind"),
+        "win_start_ms",
+        "n_events",
+        "sum_value",
     )
+    return tumbling.unionAll(windowed("sliding", "30 minutes", "15 minutes"))
 
 
 @_q(
@@ -938,7 +970,11 @@ def events_session_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
                {_EPOCH.format("ts")} AS t_ms,
                CAST(FLOOR((CASE WHEN NOT isfinite(value) THEN 0.0
                                 ELSE value END) * 100 + 0.5) AS BIGINT) AS v_cents,
-               row_number() OVER (PARTITION BY user_id ORDER BY ts) AS rn
+               -- event_id tiebreak mirrors the kernel's tiebreak arg
+               -- (ADVICE r10): equal timestamps would otherwise make
+               -- both engines nondeterministic
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS rn
         FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL
     ), r AS (
         -- the genuinely recursive part: a session's start depends on
@@ -986,14 +1022,18 @@ def events_capped_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     (operators/sessionize.capped_sessions: one user_id exchange + an
     Arrow per-group walk). The oracle is a DuckDB RECURSIVE CTE: the
     duration cap makes session assignment an iterated split, so the
-    oracle recurses one event-rank per step. VERDICT r09 #6."""
+    oracle recurses one event-rank per step. VERDICT r09 #6. Both
+    engines order equal timestamps by event_id (ADVICE r10) so the
+    gate stays deterministic even if a future fixture draws duplicate
+    (user_id, ts) pairs."""
     from ..operators.sessionize import capped_sessions
 
     ev = load_table(spark, sf_dir, "events").filter(
         F.col("user_id").isNotNull()
     )
     return capped_sessions(
-        ev, gap="24 hours", max_duration="2 hours"
+        ev, gap="24 hours", max_duration="2 hours",
+        tiebreak=("event_id",),
     )
 
 
@@ -1121,7 +1161,7 @@ _BM25_VALUES = ", ".join(f"({i}, '{q}')" for i, q in _BM25_QUERIES)
 )
 def hybrid_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Lexical + dense + fused retrieval, one merged gate query (the
-    events_windowed_agg kind-column discipline):
+    events_rollup_serve kind-column discipline):
 
     - stage='bm25': Okapi BM25 scores for EVERY (query, doc) pair
       sharing a term, through the REAL index build + scorer
@@ -1207,3 +1247,177 @@ def hybrid_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(None).cast("int").alias("dense_rank"),
     )
     return bm.unionByName(enriched)
+
+
+# ===========================================================================
+# Tokenization + importance resampling (oracle rows — VERDICT r10 #4)
+# ===========================================================================
+
+# A FIXED merge list pins the tokenizer's serving vocabulary, the same
+# way _BM25_QUERIES pins the retrieval probes: tokenize-with-a-given-
+# vocab is the operator under test here; TRAINING is pinned separately
+# by the trainer-equality pytest suite (tests/test_bpe.py). The list is
+# train_bpe_local's exact output for 32 merges over the sf0.001
+# documents word table — deterministic, re-derivable, and embedded as
+# literals so the DuckDB oracle can apply the identical merge sequence.
+_BPE_MERGES: list[tuple[str, str]] = [
+    ("e", "r"), ("e", "</w>"), ("n", "</w>"), ("o", "r"), ("t", "</w>"),
+    ("er", "</w>"), ("o", "w"), ("ow", "</w>"), ("l", "u"), ("i", "n"),
+    ("y", "</w>"), ("a", "r"), ("p", "ar"), ("g", "</w>"), ("a", "s"),
+    ("h", "</w>"), ("a", "</w>"), ("s", "t"), ("a", "t"), ("a", "n</w>"),
+    ("c", "an</w>"), ("s", "can</w>"), ("c", "o"), ("co", "lu"),
+    ("colu", "m"), ("colum", "n</w>"), ("d", "ow</w>"), ("in", "dow</w>"),
+    ("w", "indow</w>"), ("d", "er</w>"), ("or", "der</w>"), ("or", "t</w>"),
+]
+
+
+def _bpe_oracle() -> str:
+    """DuckDB rendering of the greedy left-to-right BPE encoder: each
+    symbol is framed chr(1)+sym+chr(2) (framing chars are outside the
+    fixture's ASCII alphabet), so replace(S(a)S(b) -> S(ab)) can never
+    match across symbol boundaries, and replace()'s left-to-right
+    non-overlapping scan IS the greedy adjacent-pair fold of
+    operators/bpe.encode_word (verified token-for-token on the fixture
+    corpus). One replace per learned merge, applied in training order
+    inside a per-word list_transform lambda."""
+
+    def s(x: str) -> str:
+        return "\x01" + x + "\x02"
+
+    expr = (
+        "regexp_replace(w, '(.)', chr(1) || '\\1' || chr(2), 'g')"
+        " || chr(1) || '</w>' || chr(2)"
+    )
+    for a, b in _BPE_MERGES:
+        expr = f"replace({expr}, '{s(a) + s(b)}', '{s(a + b)}')"
+    return f"""
+    WITH words AS (
+        SELECT doc_id,
+               list_filter(string_split(lower(text), ' '), x -> x <> '') AS ws
+        FROM documents
+    ),
+    enc AS (
+        -- DuckDB's array_to_string returns NULL for an EMPTY list, so
+        -- coalesce inside a ws-null guard: NULL text -> NULL stream
+        -- (matching the pandas kernel), whitespace-only text -> ''
+        SELECT doc_id,
+               CASE WHEN ws IS NULL THEN NULL ELSE
+               COALESCE(array_to_string(list_transform(ws,
+                   w -> replace(trim({expr}, chr(1) || chr(2)),
+                                chr(2) || chr(1), ' ')), ' '), '') END
+                   AS tokens_str
+        FROM words
+    )
+    SELECT doc_id,
+           CASE WHEN tokens_str = '' THEN 0
+                ELSE len(string_split(tokens_str, ' ')) END AS n_tokens,
+           tokens_str
+    FROM enc
+    """
+
+
+@_q("bpe_tokenize", _bpe_oracle())
+def bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Serve-side BPE tokenization of the documents corpus under the
+    pinned ``_BPE_MERGES`` vocabulary (operators/bpe.bpe_tokenize: one
+    narrow Arrow-batched pandas UDF with a Zipfian word cache — no
+    shuffle, linear in corpus bytes). Output is (doc_id, n_tokens,
+    tokens_str): the token count plus the space-joined token stream
+    (tokens never contain spaces — words were split on spaces and the
+    end-of-word sentinel is '</w>'), so the driver hash-checks every
+    token of every document against the oracle's replace-chain encoder.
+    VERDICT r10 #4 (bench headliner bpe_tokenize graduates from
+    pytest-only to oracle-gated)."""
+    from ..operators.bpe import bpe_tokenize as bpe_op
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = bpe_op(docs, _BPE_MERGES)
+    return toks.select(
+        "doc_id",
+        F.size("bpe_tokens").alias("n_tokens"),
+        F.array_join("bpe_tokens", " ").alias("tokens_str"),
+    )
+
+
+_DSIR_BUCKETS = 4096
+
+
+@_q(
+    "dsir_score",
+    f"""
+    WITH toks AS (
+        SELECT doc_id, lang,
+               list_filter(string_split(lower(text), ' '), x -> x <> '') AS t
+        FROM documents
+    ),
+    grams AS (
+        -- unigrams + bigrams with multiplicity, the ns=(1,2) stream of
+        -- operators/dsir._gram_stream (len<2 docs yield no bigram)
+        SELECT doc_id, lang, unnest(list_concat(t,
+                   list_transform(range(1, greatest(len(t) - 1, 0) + 1),
+                                  i -> t[i] || ' ' || t[i + 1]))) AS g
+        FROM toks
+    ),
+    feats AS (
+        SELECT doc_id, lang,
+               CAST(('0x' || substr(md5(g), 1, 15))::BIGINT
+                    % {_DSIR_BUCKETS} AS INT) AS bucket,
+               COUNT(*) AS cnt
+        FROM grams GROUP BY 1, 2, 3
+    ),
+    tc AS (SELECT bucket, SUM(cnt) AS ct FROM feats
+           WHERE lang = 'en' GROUP BY 1),
+    rc AS (SELECT bucket, SUM(cnt) AS cr FROM feats GROUP BY 1),
+    norms AS (
+        SELECT ln((SELECT COALESCE(SUM(ct), 0) FROM tc)
+                  + {_DSIR_BUCKETS}.0)
+             - ln((SELECT COALESCE(SUM(cr), 0) FROM rc)
+                  + {_DSIR_BUCKETS}.0) AS nd
+    ),
+    -- the target corpus is a subset of raw, so raw's buckets cover
+    -- every observed bucket: rc LEFT JOIN tc == the full-outer join of
+    -- fit_dsir, and the smoothing default never fires for these docs
+    ratios AS (
+        SELECT rc.bucket,
+               ln(COALESCE(tc.ct, 0) + 1.0) - ln(cr + 1.0) - norms.nd
+                   AS log_ratio
+        FROM rc LEFT JOIN tc USING (bucket), norms
+    )
+    SELECT d.doc_id,
+           ROUND(COALESCE(s.log_w, 0.0) * 1000000) / 1000000 + 0.0 AS log_w
+    FROM documents d
+    LEFT JOIN (
+        SELECT doc_id, SUM(cnt * log_ratio) AS log_w
+        FROM feats JOIN ratios USING (bucket)
+        GROUP BY doc_id
+    ) s USING (doc_id)
+    """,
+)
+def dsir_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance log-weights of every document, scored under a
+    model fitted on-the-fly: target = the lang='en' slice, raw = the
+    whole corpus (operators/dsir.fit_dsir + dsir_log_weights: hashed
+    unigram+bigram buckets, add-one smoothing, broadcast log-ratio
+    join, id-spine-preserving sum). Runs the portable md5-prefix hash
+    family so the oracle reproduces every bucket id bit-for-bit
+    (operators/dedup.portable_hash); the library default stays
+    xxhash64. Weights round at 6 dp via the scale-then-round idiom
+    (per-doc sums are O(100) terms of O(1) log-ratios — float
+    accumulation-order error lands ~1e-12, far inside the rounding).
+    VERDICT r10 #4 (bench headliner dsir_score graduates from
+    pytest-only to oracle-gated)."""
+    from ..functions.tsql import round6_stable
+    from ..operators.dsir import dsir_log_weights, fit_dsir
+
+    docs = load_table(spark, sf_dir, "documents")
+    model = fit_dsir(
+        docs.filter(F.col("lang") == "en"),
+        docs,
+        n_buckets=_DSIR_BUCKETS,
+        ns=(1, 2),
+        alpha=1.0,
+        hash_family="md5",
+    )
+    return dsir_log_weights(model, docs).select(
+        "doc_id", round6_stable(F.col("log_w")).alias("log_w")
+    )

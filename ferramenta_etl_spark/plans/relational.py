@@ -57,24 +57,6 @@ QUERIES, ORACLES, _q = make_registry()
 
 
 @_q(
-    "projection_rename",
-    """
-    SELECT c_custkey AS cust_id, c_name AS cust_name,
-           c_mktsegment AS segment, c_nationkey AS nation_id
-    FROM customer
-    """,
-)
-def projection_rename(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Explicit column list + AS aliases (S:37-45,71-90); no SELECT *."""
-    return load_table(spark, sf_dir, "customer").select(
-        F.col("c_custkey").alias("cust_id"),
-        F.col("c_name").alias("cust_name"),
-        F.col("c_mktsegment").alias("segment"),
-        F.col("c_nationkey").alias("nation_id"),
-    )
-
-
-@_q(
     "computed_arithmetic",
     """
     SELECT l_orderkey, l_linenumber,
@@ -275,52 +257,50 @@ def self_alias_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT o_custkey, o_orderkey,
            strftime(o_orderdate, '%Y-%m-%d') AS order_date,
-           ROUND(o_totalprice, 2) AS total
-    FROM orders
+           ROUND(o_totalprice, 2) AS total, flag
+    FROM (
+        SELECT o_custkey, o_orderkey, o_orderdate, o_totalprice,
+               nullif(o_orderstatus, 'P') AS flag
+        FROM orders
+    )
     WHERE o_orderdate >= TIMESTAMP '1997-01-01'
       AND o_orderdate <  TIMESTAMP '1998-01-01'
+      AND flag IS NOT NULL AND flag <> 'F'
     ORDER BY o_custkey ASC, o_orderkey DESC
     LIMIT 100
     """,
 )
 def filter_sort_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Range predicate on a date column (S:56, S:97 — pushed to the scan)
-    + multi-column global sort (S:98) with LIMIT so the order is
-    observable under the driver's order-insensitive compare. Spark
-    executes TakeOrderedAndProject — no full global sort materialized.
-    (Merged former filter_range_date + multi_col_sort queries.)"""
+    + NULL/empty rejection filter (S:56: nullif flag IS NOT NULL AND
+    <> 'F'; absorbs the former filter_null_empty query in round 11 —
+    same orders spine, and the registry holds at the driver's 50-query
+    gate window while bpe_tokenize/dsir_score joined) + multi-column
+    global sort (S:98) with LIMIT so the order is observable under the
+    driver's order-insensitive compare. Spark executes
+    TakeOrderedAndProject — no full global sort materialized.
+    (Earlier merged former filter_range_date + multi_col_sort.)"""
     o = load_table(spark, sf_dir, "orders")
     return (
-        o.filter(
+        o.withColumn(
+            "flag", F.nullif(F.col("o_orderstatus"), F.lit("P"))
+        )
+        .filter(
             (F.col("o_orderdate") >= F.lit("1997-01-01"))
             & (F.col("o_orderdate") < F.lit("1998-01-01"))
+            & F.col("flag").isNotNull()
+            & (F.col("flag") != "F")
         )
         .select(
             "o_custkey",
             "o_orderkey",
             F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_date"),
             money("o_totalprice").alias("total"),
+            "flag",
         )
         .orderBy(F.col("o_custkey").asc(), F.col("o_orderkey").desc())
         .limit(100)
     )
-
-
-@_q(
-    "filter_null_empty",
-    """
-    SELECT o_orderkey, flag FROM (
-        SELECT o_orderkey, nullif(o_orderstatus, 'P') AS flag FROM orders
-    ) WHERE flag IS NOT NULL AND flag <> 'F'
-    """,
-)
-def filter_null_empty(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """NULL/empty rejection filter (S:56: IS NOT NULL AND <> '')."""
-    o = load_table(spark, sf_dir, "orders")
-    flagged = o.select(
-        "o_orderkey", F.nullif(F.col("o_orderstatus"), F.lit("P")).alias("flag")
-    )
-    return flagged.filter(F.col("flag").isNotNull() & (F.col("flag") != "F"))
 
 
 @_q(

@@ -232,20 +232,29 @@ def array_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
 @_q(
     "union_by_name",
     """
-    SELECT c_custkey AS id, c_name AS name, 'customer' AS src,
+    SELECT c_custkey AS id, c_name AS name, c_mktsegment AS segment,
+           c_nationkey AS nation_id, 'customer' AS src,
            ROUND(c_acctbal, 2) AS bal
     FROM customer
     UNION ALL BY NAME
-    SELECT 'supplier' AS src, s_name AS name, s_suppkey AS id
+    SELECT 'supplier' AS src, s_name AS name, s_suppkey AS id,
+           s_nationkey AS nation_id
     FROM supplier
     """,
 )
 def union_by_name(spark: SparkSession, sf_dir: str) -> DataFrame:
     """UNION ALL BY NAME: columns matched by name not position; columns
-    missing on one side null-fill (allowMissingColumns)."""
+    missing on one side null-fill (allowMissingColumns). Each branch is
+    an explicit column list + AS aliases, no SELECT * (S:37-45,71-90) —
+    absorbs the former projection_rename query in round 11 (the
+    customer branch IS that projection verbatim plus acctbal/src; the
+    registry holds at the driver's 50-query gate window while
+    bpe_tokenize/dsir_score joined)."""
     c = load_table(spark, sf_dir, "customer").select(
         F.col("c_custkey").alias("id"),
         F.col("c_name").alias("name"),
+        F.col("c_mktsegment").alias("segment"),
+        F.col("c_nationkey").alias("nation_id"),
         F.lit("customer").alias("src"),
         money("c_acctbal").alias("bal"),
     )
@@ -253,6 +262,7 @@ def union_by_name(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("supplier").alias("src"),
         F.col("s_name").alias("name"),
         F.col("s_suppkey").alias("id"),
+        F.col("s_nationkey").alias("nation_id"),
     )
     return c.unionByName(s, allowMissingColumns=True)
 

@@ -107,7 +107,7 @@ def test_doc_oracles_on_adversarial_corpus(spark, nasty_dir, name):
 # bucketing could silently disagree.
 # ---------------------------------------------------------------------------
 
-EVENT_QUERIES = ["events_windowed_agg", "events_session_agg"]
+EVENT_QUERIES = ["events_rollup_serve", "events_session_agg"]
 
 
 def _nasty_events():

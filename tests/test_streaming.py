@@ -72,8 +72,8 @@ def capped_sessions_batch_replay(events, gap, max_duration, watermark="1 hour"):
 @pytest.mark.parametrize(
     "stream_fn,batch_name,kind",
     [
-        (tumbling_agg_stream, "events_windowed_agg", "tumbling"),
-        (sliding_agg_stream, "events_windowed_agg", "sliding"),
+        (tumbling_agg_stream, "events_rollup_serve", "tumbling"),
+        (sliding_agg_stream, "events_rollup_serve", "sliding"),
         (session_agg_stream, "events_session_agg", None),
     ],
 )
@@ -240,7 +240,7 @@ def test_streaming_curation_sampled_subset(spark, sf_dir, tmp_path):
 @pytest.mark.parametrize(
     "stream_fn,batch_name,kind",
     [
-        (tumbling_agg_stream, "events_windowed_agg", "tumbling"),
+        (tumbling_agg_stream, "events_rollup_serve", "tumbling"),
         (session_agg_stream, "events_session_agg", None),
     ],
 )
