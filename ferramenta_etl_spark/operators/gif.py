@@ -136,7 +136,7 @@ def decode_gif_bytes(raw: bytes) -> np.ndarray:
         raise ValueError("not a GIF")
     if len(raw) < 13:
         raise ValueError("GIF header truncated")
-    sw, sh, flags, _bg, _ar = struct.unpack("<HHBBB", raw[6:13])
+    sw, sh, flags, bg_idx, _ar = struct.unpack("<HHBBB", raw[6:13])
     if sw < 1 or sh < 1:
         raise ValueError("GIF: empty logical screen")
     if sw * sh > MAX_IMAGE_PIXELS:
@@ -206,12 +206,13 @@ def decode_gif_bytes(raw: bytes) -> np.ndarray:
         frame = pal[idx.reshape(ih, iw)]
         if (ix, iy, iw, ih) == (0, 0, sw, sh):
             return frame
-        # sub-screen frame: compose on background (global color 0)
-        bg = (
-            gct[0]
-            if gct is not None
-            else np.zeros(3, dtype=np.uint8)
-        )
+        # sub-screen frame: compose on the screen descriptor's
+        # background color index (ADVICE r10 — was hardcoded to global
+        # entry 0); out-of-table index falls back to entry 0 / black
+        if gct is not None:
+            bg = gct[bg_idx] if bg_idx < len(gct) else gct[0]
+        else:
+            bg = np.zeros(3, dtype=np.uint8)
         screen = np.broadcast_to(bg, (sh, sw, 3)).copy()
         screen[iy : iy + ih, ix : ix + iw] = frame
         return screen

@@ -170,3 +170,32 @@ def test_decode_images_routes_gif(spark):
             want.width,
             want.height,
         ), did
+
+
+def test_subframe_composes_on_declared_bg_index():
+    """The logical screen descriptor's background-color-index byte picks
+    the compose color (ADVICE r10 — was hardcoded to global entry 0);
+    an out-of-table index falls back to entry 0."""
+    import struct
+
+    from ferramenta_etl_spark.operators.gif import _lzw_encode
+
+    pal = b"\x10\x20\x30" + b"\xff\x00\x00"  # 0: teal-ish, 1: red
+    frame_idx = np.zeros((4, 4), dtype=np.uint8)  # frame all color 0
+    lzw = _lzw_encode(2, frame_idx.reshape(-1))
+    blocks = b""
+    for i in range(0, len(lzw), 255):
+        c = lzw[i : i + 255]
+        blocks += bytes([len(c)]) + c
+    desc = b"\x2c" + struct.pack("<HHHHB", 2, 1, 4, 4, 0) + bytes([2])
+
+    # bg index 1 -> border must be RED, not entry 0
+    hdr = b"GIF89a" + struct.pack("<HHBBB", 8, 6, 0x80, 1, 0)
+    out = decode_gif_bytes(hdr + pal + desc + blocks + b"\x00\x3b")
+    assert (out[1:5, 2:6] == [0x10, 0x20, 0x30]).all()  # the frame
+    assert (out[0, 0] == [0xFF, 0x00, 0x00]).all()  # declared bg = 1
+
+    # out-of-table bg index (7 with a 2-entry table) -> entry-0 fallback
+    hdr_bad = b"GIF89a" + struct.pack("<HHBBB", 8, 6, 0x80, 7, 0)
+    out = decode_gif_bytes(hdr_bad + pal + desc + blocks + b"\x00\x3b")
+    assert (out[0, 0] == [0x10, 0x20, 0x30]).all()

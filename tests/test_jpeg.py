@@ -274,3 +274,40 @@ def test_decoder_corruption_fuzz():
                 f"trial {trial}: non-ValueError {type(e).__name__}: {e}"
             ) from e
         assert out.dtype == np.uint8 and out.ndim == 3 and out.shape[2] == 3
+
+
+def test_annex_k_reserves_all_ones_code():
+    """T.81 Annex K (ADVICE r10): no emitted table may assign the
+    all-ones code word of its maximum length to a real symbol — the
+    1-bit end-of-scan padding must never form a valid code for strict
+    third-party decoders. Sweeps adversarial frequency shapes (uniform
+    ties, Zipf, singletons, two-symbol) over both Huffman and the
+    flat-code fallback."""
+    import random
+
+    from ferramenta_etl_spark.operators.jpeg import _canonical_table
+
+    rng = random.Random(11)
+    cases = [
+        {0: 5},
+        {0: 1, 1: 1},
+        {s: 1 for s in range(176)},          # max tie pressure
+        {s: s + 1 for s in range(64)},
+        {s: 2 ** min(s, 20) for s in range(40)},  # deep skew
+    ]
+    for _ in range(40):
+        n = rng.randint(1, 176)
+        cases.append({s: rng.randint(1, 10_000) for s in range(n)})
+    # a shape whose plain Huffman depth exceeds 16 -> flat fallback
+    cases.append({s: 2 ** s for s in range(30)})
+    for freqs in cases:
+        bits, ordered, codes = _canonical_table(freqs)
+        assert set(ordered) == set(freqs)
+        assert sum(bits) == len(freqs)
+        max_len = max(length for _, length in codes.values())
+        for sym, (code, length) in codes.items():
+            if length == max_len:
+                assert code != (1 << length) - 1, (
+                    f"all-ones code at max length {length} "
+                    f"assigned to real symbol {sym}"
+                )
