@@ -8,11 +8,13 @@ plus the baseline-JPEG codec in ``jpeg.py`` (numpy T.81 decoder,
 VERDICT r09 #3) and the GIF codec in ``gif.py`` (pure-Python LZW,
 validated against real system GIFs) close the image/audio gaps so a
 user handing the engine actual PNG/JPEG/GIF/WAV bytes gets real
-pixels and PCM. Only MP4
-(codec/demux libraries absent from this environment and out of
-stdlib+numpy reach) keeps the documented deterministic fake in
-``multimodal._fake_decode`` — routing is by magic bytes
-(``sniff_container``), so real and fake payloads can share a column.
+pixels and PCM. MP4 gets real box-tree METADATA (``mp4.py``: mvhd
+duration, tkhd dims, stsd codecs — round 11); only its frame decode
+stays out (H.264/AAC are beyond stdlib+numpy reach — a production
+deployment dispatches pyav there). Unknown/raw payloads keep the
+documented deterministic fake in ``multimodal._fake_decode`` —
+routing is by magic bytes (``sniff_container``), so real and fake
+payloads can share a column.
 
 Scale posture: identical to the rest of the media layer — decode is a
 NARROW ``mapInPandas`` map (no shuffle, output partitioning == input),
@@ -565,3 +567,47 @@ def attach_gif_media(documents: DataFrame, max_w: int = 48, max_h: int = 32):
         ]
     )
     return raw.mapInPandas(batches, schema)
+
+
+def attach_mp4_media(documents: DataFrame) -> DataFrame:
+    """REAL minimal MP4 containers over the doc spine
+    (``mp4.build_mp4_bytes``): per-doc deterministic geometry/duration
+    (dims cycle with doc_id through SD/HD shapes, duration follows
+    doc_id, odd ids carry an audio track, every 4th file uses the
+    64-bit mvhd/tkhd layout) so the metadata parser's fields all vary
+    and both FullBox versions are exercised. Column expressions feed a
+    narrow mapInPandas builder — same plumbing as the other attach_*
+    fixtures."""
+    from .mp4 import build_mp4_bytes
+
+    def batches(it: Iterator) -> Iterator:
+        import pandas as pd
+
+        dims = [(64, 48), (320, 240), (640, 360), (128, 96)]
+        for pdf in it:
+            ids, blobs = [], []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                w, h = dims[did % 4]
+                ids.append(did)
+                blobs.append(
+                    build_mp4_bytes(
+                        width=w,
+                        height=h,
+                        duration_ms=1000 + (did % 97) * 250,
+                        video_codec="avc1" if did % 3 else "hvc1",
+                        audio_codec="mp4a" if did % 2 else None,
+                        version1=(did % 4 == 0),
+                    )
+                )
+            yield pd.DataFrame({"doc_id": ids, "media": blobs})
+
+    import pyspark.sql.types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("media", T.BinaryType()),
+        ]
+    )
+    return documents.select("doc_id").mapInPandas(batches, schema)

