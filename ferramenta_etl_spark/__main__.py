@@ -519,9 +519,26 @@ def main(argv: list[str] | None = None, _stop_session: bool = True) -> int:
                     pngs.unionByName(jpgs).unionByName(gifs)
                 )
                 audio = decode_audio(attach_wav_media(docs))
+                # round 11: real MP4 containers probed for box-tree
+                # metadata (duration/dims/codecs) into their own sink —
+                # the demuxer half of the video path; frame extraction
+                # stays on the raw fixtures below (no stdlib H.264)
+                from .operators.containers import (
+                    attach_mp4_media,
+                    probe_videos,
+                )
+
+                vmeta = probe_videos(attach_mp4_media(docs)).filter(
+                    F.col("duration_ms").isNotNull()
+                )
+                n_vmeta = write_ignore_conflicts(
+                    vmeta, f"{args.sink_dir}/media_video_meta",
+                    keys=["doc_id"],
+                )
             else:
                 images = attach_fake_raw_images(docs)
                 audio = attach_fake_raw_audio(docs)
+                n_vmeta = 0
 
             resized = resize_images(images, img_w, img_h).filter(
                 F.col("media").isNotNull()
@@ -551,8 +568,8 @@ def main(argv: list[str] | None = None, _stop_session: bool = True) -> int:
             )
             print(
                 f"✅ media-curate: {n_img} images, {n_aud} audio clips, "
-                f"{n_vid} video frames loaded ({bad} malformed videos "
-                "skipped)"
+                f"{n_vid} video frames, {n_vmeta} video metadata rows "
+                f"loaded ({bad} malformed videos skipped)"
             )
             return 0
         if args.command == "neardup-admit":

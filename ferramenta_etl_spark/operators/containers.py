@@ -611,3 +611,56 @@ def attach_mp4_media(documents: DataFrame) -> DataFrame:
         ]
     )
     return documents.select("doc_id").mapInPandas(batches, schema)
+
+
+def probe_videos(media_df: DataFrame) -> DataFrame:
+    """The ffprobe analog over an MP4 ``media`` column: (doc_id,
+    duration_ms, width, height, video_codec, audio_codec, n_tracks)
+    from real box-tree metadata (``mp4.parse_mp4_metadata``). Narrow
+    Arrow-batched map, no shuffle; a malformed container yields a
+    null-metadata row (visible downstream, batch intact) — the same
+    corruption policy as decode_images. Only the first few KB of each
+    blob are touched (moov-first layouts), so the per-row cost is
+    header-sized regardless of media size."""
+    import pyspark.sql.types as T
+
+    from .mp4 import parse_mp4_metadata
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("duration_ms", T.LongType()),
+            T.StructField("width", T.LongType()),
+            T.StructField("height", T.LongType()),
+            T.StructField("video_codec", T.StringType()),
+            T.StructField("audio_codec", T.StringType()),
+            T.StructField("n_tracks", T.LongType()),
+        ]
+    )
+
+    def batches(it: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in it:
+            rows = []
+            for did, blob in zip(pdf["doc_id"], pdf["media"]):
+                base = {"doc_id": int(did)}
+                try:
+                    m = parse_mp4_metadata(bytes(blob))
+                except Exception:  # noqa: BLE001 — corrupt -> null row
+                    rows.append(
+                        {**base, "duration_ms": None, "width": None,
+                         "height": None, "video_codec": None,
+                         "audio_codec": None, "n_tracks": None}
+                    )
+                    continue
+                rows.append(
+                    {**base, "duration_ms": m.duration_ms,
+                     "width": m.width, "height": m.height,
+                     "video_codec": m.video_codec,
+                     "audio_codec": m.audio_codec,
+                     "n_tracks": m.n_tracks}
+                )
+            yield pd.DataFrame(rows)
+
+    return media_df.mapInPandas(batches, schema)

@@ -236,6 +236,18 @@ def test_cli_media_curate_containers_matches_raw(cli_tmp, capsys, spark):
             wp = np.frombuffer(bytes(want.media), dtype=np.uint8).astype(int)
             assert np.abs(gp - wp).mean() <= tol, (third, did)
 
+    # round 11: containers mode also probes real MP4 box metadata into
+    # its own sink — one row per doc, the fixture's deterministic
+    # geometry/duration cycle
+    vm = {r.doc_id: r for r in
+          spark.read.parquet(f"{con_sink}/media_video_meta").collect()}
+    assert len(vm) == ai.count()  # one probed container per doc
+    dims = [(64, 48), (320, 240), (640, 360), (128, 96)]
+    for did, row in vm.items():
+        assert (row.width, row.height) == dims[did % 4]
+        assert row.duration_ms == 1000 + (did % 97) * 250
+        assert row.video_codec in ("avc1", "hvc1")
+
 
 def test_cli_vocab_snapshot(cli_tmp, capsys, spark):
     s = str(cli_tmp / "s")
