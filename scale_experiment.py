@@ -1256,6 +1256,130 @@ def round10_experiment(spark, sf_dir: str) -> dict:
     return out
 
 
+def round11_experiment(spark, sf_dir: str, scratch: str) -> dict:
+    """Round-11 operator linearity probes:
+
+    - ROLLUP SERVE (pipeline/rollup.py, the oracle-gated
+      events_rollup_serve path): events replicate 10x with SHIFTED
+      TIMESTAMPS (10x the time range → 10x the windows — the dimension
+      a continuous aggregate grows along). Materialize at a 60%
+      watermark, then time SERVE (materialized ∪ live tail). The serve
+      scan must scale with the un-materialized TAIL + the windows
+      table, both 10x here, so ~linear is the pass bar; the win over
+      full recompute is structural (tail-bounded scan) and shows in
+      the serve-vs-recompute column.
+    - MP4 METADATA PROBE (containers.probe_videos): doc spine 10x —
+      a narrow header-bytes map, pure map parallelism like the JPEG
+      decode probe, expected ~flat per-row.
+    """
+    import time as _t
+
+    from pyspark.sql import functions as F
+
+    from ferramenta_etl_spark.functions.tsql import epoch_ms
+    from ferramenta_etl_spark.operators.containers import (
+        attach_mp4_media,
+        probe_videos,
+    )
+    from ferramenta_etl_spark.pipeline.rollup import (
+        _windowed_agg,
+        materialize_rollup,
+        serve_rollup,
+    )
+    from ferramenta_etl_spark.sources import load_table
+
+    def _noop(df) -> float:
+        df.write.format("noop").mode("overwrite").save()
+        t0 = _t.perf_counter()
+        df.write.format("noop").mode("overwrite").save()
+        return round(_t.perf_counter() - t0, 3)
+
+    out: dict = {"sf_dir": sf_dir}
+    par = spark.sparkContext.defaultParallelism
+
+    ev = load_table(spark, sf_dir, "events").select("ts", "value").filter(
+        F.col("ts").isNotNull()
+    )
+    lo, hi = ev.agg(epoch_ms(F.min("ts")), epoch_ms(F.max("ts"))).first()
+    span = hi - lo + 60_000
+    ev10 = ev
+    for i in range(1, 10):
+        ev10 = ev10.unionByName(
+            ev.withColumn(
+                "ts",
+                (epoch_ms(F.col("ts")) + F.lit(i * span))
+                .cast("double").__div__(1000).cast("timestamp"),
+            )
+        )
+    for tag, d, wid in (("1x", ev, span), ("10x", ev10.repartition(par), span * 10)):
+        d = d.localCheckpoint(eager=True)
+        wm = lo + wid * 6 // 10
+        path = f"{scratch}/rollup_{tag}"
+        materialize_rollup(d, path, "15 minutes", watermark_ms=wm)
+        s_serve = _noop(serve_rollup(spark, d, path, "15 minutes", watermark_ms=wm))
+        s_full = _noop(_windowed_agg(d, "15 minutes"))
+        out[f"rollup_events_{tag}"] = d.count()
+        out[f"rollup_serve_s_{tag}"] = s_serve
+        out[f"rollup_recompute_s_{tag}"] = s_full
+    out["rollup_serve_ratio"] = round(
+        out["rollup_serve_s_10x"] / out["rollup_serve_s_1x"], 1
+    )
+
+    # The shape the serve path EXISTS for: a long, 99%-materialized,
+    # DAY-PARTITIONED history with a small live tail. The caller
+    # pre-prunes the raw scan on the partition column with the same
+    # cut serve applies to ts (live_boundary_ms), so the tail scan is
+    # a directory filter — full recompute must scan every partition.
+    from ferramenta_etl_spark.pipeline.rollup import live_boundary_ms
+
+    part_dir = f"{scratch}/events_by_day"
+    (
+        ev10.withColumn("day", F.to_date("ts"))
+        .repartition("day")
+        .write.mode("overwrite")
+        .partitionBy("day")
+        .parquet(part_dir)
+    )
+    evp = spark.read.parquet(part_dir)
+    wm99 = lo + span * 10 * 99 // 100
+    path99 = f"{scratch}/rollup_tail"
+    materialize_rollup(evp, path99, "15 minutes", watermark_ms=wm99)
+    cut = live_boundary_ms(spark, path99, "15 minutes", wm99)
+    pruned = evp.filter(
+        F.col("day") >= F.from_unixtime(F.lit(cut / 1000)).cast("date")
+    )
+    out["rollup_tail_serve_s"] = _noop(
+        serve_rollup(spark, pruned, path99, "15 minutes", watermark_ms=wm99)
+    )
+    out["rollup_tail_recompute_s"] = _noop(_windowed_agg(evp, "15 minutes"))
+    out["rollup_tail_speedup"] = round(
+        out["rollup_tail_recompute_s"] / out["rollup_tail_serve_s"], 1
+    )
+    # the pruned union must still equal the full aggregation
+    full = _windowed_agg(evp, "15 minutes")
+    served = serve_rollup(spark, pruned, path99, "15 minutes", watermark_ms=wm99)
+    out["rollup_tail_rows_match"] = bool(
+        full.exceptAll(served).isEmpty() and served.exceptAll(full).isEmpty()
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    docs10 = docs
+    for i in range(1, 10):
+        docs10 = docs10.unionByName(
+            docs.withColumn("doc_id", F.col("doc_id") + F.lit(i * _OFFSET))
+        )
+    for tag, d in (("1x", docs), ("10x", docs10)):
+        media = (
+            attach_mp4_media(d).repartition(par).localCheckpoint(eager=True)
+        )
+        out[f"mp4_probe_docs_{tag}"] = media.count()
+        out[f"mp4_probe_s_{tag}"] = _noop(probe_videos(media))
+    out["mp4_probe_ratio"] = round(
+        out["mp4_probe_s_10x"] / out["mp4_probe_s_1x"], 1
+    )
+    return out
+
+
 def bpe_jobs_experiment(spark, sf_dir: str, num_merges: int = 512) -> dict:
     """VERDICT r09 #4: Spark-JOB COUNT of a ``num_merges``-merge BPE
     train through the three trainer paths — hybrid driver-side (the
@@ -1434,6 +1558,11 @@ def main() -> None:
              "batch sessionizer, baseline-JPEG decode)",
     )
     p.add_argument(
+        "--round11", action="store_true",
+        help="run the round-11 operator linearity probes (rollup serve "
+             "vs recompute, MP4 metadata probe)",
+    )
+    p.add_argument(
         "--bpe-jobs", action="store_true",
         help="run the BPE trainer job-count probe (hybrid vs batched vs "
              "sequential, merge-list equality)",
@@ -1525,6 +1654,12 @@ def main() -> None:
     if args.round10:
         result = round10_experiment(spark, args.sf)
         print(json.dumps({"experiment": "round10_ops", **result}))
+    if args.round11:
+        import tempfile
+
+        with tempfile.TemporaryDirectory() as scratch:
+            result = round11_experiment(spark, args.sf, scratch)
+        print(json.dumps({"experiment": "round11_ops", **result}))
         spark.stop()
         return
 
