@@ -251,3 +251,50 @@ def run_available_now(stream_df: DataFrame, checkpoint_dir: str, query_name: str
 def _has_agg(df: DataFrame) -> bool:
     plan = df._jdf.queryExecution().analyzed().toString()
     return "Aggregate" in plan
+
+
+def materialize_rollup_stream(
+    events: DataFrame,
+    path: str,
+    checkpoint_dir: str,
+    size: str = "15 minutes",
+    watermark: str = "1 hour",
+) -> int:
+    """The STREAMING maintenance loop of the continuous aggregate
+    (pipeline/rollup.py): tumbling windows in APPEND output mode — the
+    engine emits each window exactly once, when the event-time
+    watermark passes its end, i.e. 'closed windows only' is enforced by
+    Structured Streaming's own finalization rather than the batch
+    path's explicit watermark filter — flowing through the keyed
+    idempotent sink (first-writer-wins on win_start_ms), so checkpoint
+    replays and at-least-once sources append zero duplicates to the
+    rollup table ``serve_rollup`` reads.
+
+    Drains with AvailableNow and returns windows appended. Windows
+    still inside the watermark horizon at end-of-input do NOT emit
+    (they haven't closed); serve_rollup's live side owns them — run
+    the stream again as more data lands, exactly like re-running the
+    batch materializer with an advanced watermark.
+
+    At 100 TB this replaces the 'recompute the rollup nightly' job
+    with per-microbatch increments whose state is one row per OPEN
+    window, bounded by the watermark horizon."""
+    from ..sinks import write_ignore_conflicts
+
+    agg = tumbling_agg_stream(events, size, watermark)
+    appended = {"n": 0}
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        appended["n"] += write_ignore_conflicts(
+            batch_df, path, keys=["win_start_ms"]
+        )
+
+    q = (
+        agg.writeStream.foreachBatch(sink)
+        .outputMode("append")
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return appended["n"]
