@@ -143,6 +143,13 @@ HEADLINE = [
     # pattern of benching each round's additions.
     "events_capped_sessions",
     "media_decode_jpeg",
+    # new round 11: the continuous-aggregate SERVE path (materialized ∪
+    # live tail — the oracle-gated events_rollup_serve registry row;
+    # mat write at plan build via the registry plan cache, timed runs
+    # measure serve) and the MP4 box-tree metadata probe (ffprobe
+    # analog, header-bytes narrow map over a 10x container spine)
+    "events_rollup_serve",
+    "media_probe_mp4",
     # replicate=20, 90% hot key (the 12M-row null-key pathology): the
     # scale where salting beats the AQE-assisted plain join DECISIVELY
     # (1.59x, runs don't overlap), so the regression guard points the

@@ -279,7 +279,28 @@ def add_bench_composites(
         )
         return decode_images(media)
 
+    def _mp4_probe(spark, sf):
+        # round 11: the ffprobe analog — box-tree metadata over real
+        # MP4 containers (fixture encode at plan build, like the JPEG
+        # row); timed runs measure the header-bytes narrow map. The
+        # 10x-replicated spine keeps the ~0.3 s wall above the jitter
+        # floor under the stability policy (same sizing rationale as
+        # media_decode_jpeg's 2x spine).
+        from ..operators.containers import attach_mp4_media, probe_videos
+
+        docs = load_table(spark, sf, "documents").select("doc_id")
+        docs = docs.withColumn(
+            "__r", F.explode(F.sequence(F.lit(0), F.lit(9)))
+        ).select((F.col("doc_id") * 10 + F.col("__r")).alias("doc_id"))
+        media = (
+            attach_mp4_media(docs)
+            .repartition(spark.sparkContext.defaultParallelism)
+            .localCheckpoint(eager=True)
+        )
+        return probe_videos(media)
+
     queries["media_decode_jpeg"] = plan_cache(_jpeg_decode)
+    queries["media_probe_mp4"] = plan_cache(_mp4_probe)
     queries["dedup_minhash_fast"] = plan_cache(_minhash_fast)
     queries["dedup_simhash_fast"] = plan_cache(_simhash_fast)
     # mirrors are written at plan-build time (amortized, like the index
