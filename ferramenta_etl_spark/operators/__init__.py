@@ -12,6 +12,7 @@ from .dedup import (  # noqa: F401
     substring_dup_pairs,
     tokenset_jaccard_pairs,
 )
+from .ids import content_ids, dense_ids, id_collisions  # noqa: F401
 from .packing import pack_sequences  # noqa: F401
 from .quantile import (  # noqa: F401
     grouped_exact_quantile,

@@ -1,0 +1,109 @@
+"""Scalable row-ID assignment for corpus construction.
+
+Training-data pipelines constantly need document ids — embedding-matrix
+row indices, shard-local offsets, join keys for fixture-less corpora.
+The naive Spark answers both fail at 100 TB: ``row_number() OVER ()``
+is a single-partition global sort (one task sees every row), and
+``monotonically_increasing_id`` is neither dense nor stable (ids jump
+by 2^33 between partitions and change with partitioning). Two honest
+alternatives:
+
+- ``dense_ids``: exactly 0..N-1, assigned with ONE metadata-scale count
+  job (per-partition row counts -> driver offsets, numPartitions rows)
+  plus one narrow map — no shuffle, no global sort. Ids follow the
+  current partition layout: deterministic for a fixed input layout
+  (re-running on the same files gives the same ids) but NOT stable
+  under repartitioning — the documented contract, same class as
+  ``zipWithIndex``. Use when the requirement is "dense and unique
+  now" (matrix rows, shard offsets).
+- ``content_ids``: ``xxhash64`` of the content columns — stable across
+  partitioning, reruns, and engines, NOT dense, and collides with
+  probability ~n²/2^65 (≈2.7e-9 at a billion rows). ``id_collisions``
+  is the audit: the colliding groups, metadata-sized unless something
+  is actually wrong. Use when the requirement is "the same document
+  always gets the same id".
+
+The two compose: content id for identity, dense id for layout.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator, Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def dense_ids(df: DataFrame, id_col: str = "row_id") -> DataFrame:
+    """Append ``id_col``: dense 0..N-1 longs in partition-then-row
+    order. Cost: one count-by-partition job (numPartitions result rows)
+    + one narrow mapInPandas — the input is scanned twice but never
+    shuffled; cache/checkpoint upstream if the lineage is expensive.
+    The id column is appended LAST in the schema."""
+    if id_col in df.columns:
+        raise ValueError(f"column {id_col!r} already exists")
+    tagged = df.withColumn("__pid", F.spark_partition_id())
+    counts = dict(
+        tagged.groupBy("__pid").count().collect()
+    )  # numPartitions rows — metadata-scale by construction
+    offsets = {}
+    acc = 0
+    for pid in sorted(counts):
+        offsets[pid] = acc
+        acc += counts[pid]
+    from pyspark.sql.types import StructType
+
+    # copy before .add: StructType.add MUTATES in place, and df.schema
+    # is the DataFrame's cached instance — appending to it directly
+    # would corrupt the INPUT's visible schema
+    out_schema = StructType(list(df.schema.fields)).add(id_col, "long", False)
+
+    def assign(it: Iterator) -> Iterator:
+        seen = 0
+        base = None
+        for pdf in it:
+            if len(pdf) == 0:
+                continue
+            if base is None:
+                # every row of a mapInPandas partition shares one pid
+                base = offsets[int(pdf["__pid"].iloc[0])]
+            out = pdf.drop(columns=["__pid"])
+            out[id_col] = range(base + seen, base + seen + len(pdf))
+            seen += len(pdf)
+            yield out
+
+    return tagged.mapInPandas(assign, out_schema)
+
+
+def content_ids(
+    df: DataFrame,
+    cols: Sequence[str],
+    id_col: str = "content_id",
+) -> DataFrame:
+    """Append ``id_col``: xxhash64 over ``cols`` — stable across
+    partitioning/reruns/engines (the id IS a pure function of content).
+    Distinct contents collide with ~n²/2^65 probability; run
+    ``id_collisions`` before trusting the ids as unique keys."""
+    if not cols:
+        raise ValueError("content_ids needs at least one content column")
+    if id_col in df.columns:
+        raise ValueError(f"column {id_col!r} already exists")
+    return df.withColumn(id_col, F.xxhash64(*[F.col(c) for c in cols]))
+
+
+def id_collisions(
+    df: DataFrame,
+    cols: Sequence[str],
+    id_col: str = "content_id",
+) -> DataFrame:
+    """(id, n_contents) for ids held by MORE THAN ONE distinct content —
+    the ``content_ids`` audit. Empty means the ids are safe as unique
+    keys for this corpus; one groupBy exchange on the id, output sized
+    by actual collisions (normally zero rows)."""
+    return (
+        df.groupBy(F.col(id_col))
+        .agg(
+            F.count_distinct(*[F.col(c) for c in cols]).alias("n_contents")
+        )
+        .filter(F.col("n_contents") > 1)
+    )
