@@ -265,3 +265,49 @@ def test_batched_rounds_exhaust_and_batch(spark):
     # batching exercised for real: strictly fewer stats rounds than
     # merges (round 1 must take (a,b) and (g,h) together)
     assert spy.call_count < len(got)
+
+
+def test_duckdb_replace_chain_equals_greedy_encoder():
+    """The bpe_tokenize ORACLE's core claim (round 11): a chain of
+    framed-symbol replace() calls — left-to-right, non-overlapping —
+    is EXACTLY the greedy adjacent-pair fold of encode_word, for any
+    merge sequence. Randomized differential over adversarial alphabets
+    (tiny alphabets maximize overlapping-run cases like aaaa with
+    (a,a) then (aa,aa))."""
+    import duckdb
+
+    from ferramenta_etl_spark.operators.bpe import END, encode_word
+
+    rng = random.Random(23)
+
+    def sql_encode(word: str, merges) -> list[str]:
+        def s(x):
+            return "\x01" + x + "\x02"
+
+        expr = (
+            "regexp_replace(w, '(.)', chr(1) || '\\1' || chr(2), 'g')"
+            " || chr(1) || '</w>' || chr(2)"
+        )
+        for a, b in merges:
+            expr = f"replace({expr}, '{s(a) + s(b)}', '{s(a + b)}')"
+        (enc,) = duckdb.sql(
+            f"SELECT {expr} FROM (SELECT '{word}' AS w)"
+        ).fetchone()
+        return enc.strip("\x01\x02").split("\x02\x01")
+
+    for trial in range(60):
+        alpha = "ab" if trial % 3 == 0 else "abc"
+        word = "".join(rng.choice(alpha) for _ in range(rng.randint(1, 12)))
+        # grow a VALID merge sequence: each merge pairs tokens already
+        # producible at that point (mirrors a real trainer's output)
+        vocab = list(alpha) + [END]
+        merges = []
+        for _ in range(rng.randint(0, 8)):
+            a, b = rng.choice(vocab), rng.choice(vocab)
+            if a == END:  # END never starts a pair
+                continue
+            merges.append((a, b))
+            vocab.append(a + b)
+        assert sql_encode(word, merges) == encode_word(word, merges), (
+            word, merges,
+        )
