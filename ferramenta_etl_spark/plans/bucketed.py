@@ -32,8 +32,11 @@ from ._registry import plan_cache
 
 # sized so a bucket is a few hundred MB at the 100 TB target per the
 # bucketing module's economics; at bench scale the count just needs to
-# exceed cores enough to keep the bucketed scan parallel
-N_BUCKETS = 16
+# MATCH local[32]'s cores — a bucket-cooperating join runs exactly
+# one task per bucket, so 16 buckets capped those stages at half the
+# machine (round-11 sweep: nb=16 1.61 s, nb=32 1.49 s broadcast-on;
+# 5.04 vs 4.92 s broadcast-off)
+N_BUCKETS = 32
 
 _FACT_KEYS = (("orders", "o_orderkey"), ("lineitem", "l_orderkey"))
 
