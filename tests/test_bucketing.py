@@ -107,3 +107,46 @@ def test_flagship_bucketed_same_result_fewer_exchanges(spark, sf_dir):
     assert n_bucketed < n_plain, (
         f"bucketed flagship should shuffle less: {n_bucketed} vs {n_plain}"
     )
+
+
+def test_flagship_bucketed_removes_fact_exchanges(spark, sf_dir):
+    """The full-plan contract (round 11, SCALING.md decomposition):
+    under the no-broadcast shape — where orders/lineitem could never
+    broadcast, i.e. the 100 TB fact-fact reality — the orderkey mirrors
+    must remove the three promised fact-side exchanges (the CTE
+    bridge's lineitem side + both sides of the final parcelas⋈header
+    join) from the flagship plan."""
+    from ferramenta_etl_spark.plans.bucketed import bucketed_facts
+    from ferramenta_etl_spark.plans.flagship import flagship
+
+    keys = (
+        "spark.sql.autoBroadcastJoinThreshold",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold",
+    )
+    saved = {k: spark.conf.get(k, None) for k in keys}
+    for k in keys:
+        spark.conf.set(k, "-1")
+    try:
+        # kwargs bypass the plan cache, so both plans build under the
+        # no-broadcast conf rather than being served pre-planned
+        plain = flagship(spark, sf_dir, ordered=False)
+        mirrors = bucketed_facts.__wrapped__(spark, sf_dir)
+        bucketed = flagship(spark, sf_dir, tables=mirrors)
+        plain.write.format("noop").mode("overwrite").save()
+        bucketed.write.format("noop").mode("overwrite").save()
+
+        def n_exchanges(df):
+            return (
+                df._jdf.queryExecution().executedPlan().toString()
+                .count("Exchange hashpartitioning")
+            )
+
+        np_, nb = n_exchanges(plain), n_exchanges(bucketed)
+        assert nb <= np_ - 3, (np_, nb)
+        assert bucketed.count() == plain.count()
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
