@@ -135,3 +135,58 @@ def live_boundary_ms(
     # (s <= mat_max) and closed (s+W <= watermark); live owns the rest.
     wm_boundary = ((watermark_ms - wms) // wms + 1) * wms
     return min(mat_max + wms, wm_boundary)
+
+
+def cascade_rollup(
+    spark: SparkSession,
+    fine_path: str,
+    coarse_path: str,
+    fine_size: str = "15 minutes",
+    coarse_size: str = "1 hour",
+    watermark_ms: int | None = None,
+) -> int:
+    """Materialize a COARSER rollup from a finer one — the TimescaleDB
+    continuous-aggregate-on-continuous-aggregate cascade (15 m → 1 h →
+    1 d). Reads the fine WINDOWS table (one row per fine window), never
+    raw events, so each resolution costs O(windows) regardless of
+    corpus size; idempotent via the same keyed first-writer-wins sink.
+
+    Only coarse windows whose EVERY fine constituent has closed
+    materialize: the effective watermark is min(caller's watermark,
+    end of the last fine window present), so a fine window still owned
+    by the live tail can never be baked into a coarse aggregate
+    missing its contribution. sum_value re-aggregates EXACTLY: each
+    fine sum_value is cents/100.0, so floor(x*100+0.5) recovers the
+    integer cents, the cascade sums longs, and divides once at the
+    edge — double-summing drift cannot accumulate across levels."""
+    wms_f = _window_ms(fine_size)
+    wms_c = _window_ms(coarse_size)
+    if wms_c % wms_f != 0:
+        raise ValueError(
+            f"coarse size {coarse_size!r} must be a whole multiple of "
+            f"fine size {fine_size!r}"
+        )
+    fine = spark.read.parquet(fine_path)
+    fine_max = fine.agg(F.max("win_start_ms")).first()[0]
+    if fine_max is None:
+        return 0
+    closed_through = fine_max + wms_f  # end of the last fine window
+    eff_wm = (
+        closed_through
+        if watermark_ms is None
+        else min(watermark_ms, closed_through)
+    )
+    cents = F.floor(F.col("sum_value") * 100 + F.lit(0.5)).cast("long")
+    agg = (
+        fine.groupBy(
+            (F.floor(F.col("win_start_ms") / wms_c) * wms_c)
+            .cast("long")
+            .alias("win_start_ms")
+        )
+        .agg(
+            F.sum("n_events").alias("n_events"),
+            (F.sum(cents).cast("double") / 100).alias("sum_value"),
+        )
+        .filter(F.col("win_start_ms") + wms_c <= eff_wm)
+    )
+    return write_ignore_conflicts(agg, coarse_path, keys=["win_start_ms"])

@@ -169,3 +169,73 @@ def test_stream_materialize_then_serve_equals_batch(spark, sf_dir, tmp_path):
         watermark="1 hour",
     )
     assert n2 == 0
+
+
+def test_cascade_rollup_equals_direct_and_respects_fine_frontier(
+    spark, sf_dir, tmp_path
+):
+    """15m -> 1h cascade (round 11): re-aggregating the fine WINDOWS
+    table equals the direct 1-hour aggregation of raw events for every
+    fully-covered hour; an hour whose fine constituents are not all
+    materialized never appears; reruns append zero; non-multiple sizes
+    are rejected."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from ferramenta_etl_spark.functions.tsql import epoch_ms
+    from ferramenta_etl_spark.pipeline.rollup import (
+        _windowed_agg,
+        cascade_rollup,
+        materialize_rollup,
+    )
+    from ferramenta_etl_spark.sources import load_table
+
+    ev = load_table(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
+    lo, hi = ev.agg(epoch_ms(F.min("ts")), epoch_ms(F.max("ts"))).first()
+    fine_p, coarse_p = str(tmp_path / "m15"), str(tmp_path / "h1")
+    HOUR = 3_600_000
+
+    # fine materialized only through a 60% watermark
+    wm = lo + (hi - lo) * 6 // 10
+    materialize_rollup(ev, fine_p, "15 minutes", watermark_ms=wm)
+    n = cascade_rollup(spark, fine_p, coarse_p, "15 minutes", "1 hour")
+    assert n > 0
+
+    got = spark.read.parquet(coarse_p)
+    fine_max = (
+        spark.read.parquet(fine_p).agg(F.max("win_start_ms")).first()[0]
+    )
+    frontier = fine_max + 15 * 60 * 1000
+    # every produced hour is fully covered by closed fine windows
+    assert got.filter(F.col("win_start_ms") + HOUR > frontier).count() == 0
+    # and equals the direct hourly aggregation on those hours
+    direct = _windowed_agg(ev, "1 hour").filter(
+        F.col("win_start_ms") + HOUR <= frontier
+    )
+    assert got.exceptAll(direct).isEmpty() and direct.exceptAll(got).isEmpty()
+
+    # rerun appends zero (keyed first-writer-wins)
+    assert cascade_rollup(spark, fine_p, coarse_p, "15 minutes", "1 hour") == 0
+
+    # advancing the fine frontier lets the remaining hours cascade in —
+    # except the trailing hour whose last 15m constituents end past the
+    # fine frontier: the cascade correctly withholds a coarse window
+    # until EVERY constituent has closed, so compare at its frontier
+    materialize_rollup(ev, fine_p, "15 minutes", watermark_ms=hi + HOUR)
+    n2 = cascade_rollup(spark, fine_p, coarse_p, "15 minutes", "1 hour")
+    assert n2 > 0
+    got2 = spark.read.parquet(coarse_p)
+    frontier2 = (
+        spark.read.parquet(fine_p).agg(F.max("win_start_ms")).first()[0]
+        + 15 * 60 * 1000
+    )
+    direct_all = _windowed_agg(ev, "1 hour").filter(
+        F.col("win_start_ms") + HOUR <= frontier2
+    )
+    assert (
+        got2.exceptAll(direct_all).isEmpty()
+        and direct_all.exceptAll(got2).isEmpty()
+    )
+
+    with pytest.raises(ValueError, match="whole multiple"):
+        cascade_rollup(spark, fine_p, coarse_p, "1 hour", "15 minutes")
