@@ -246,6 +246,12 @@ def main(argv: list[str] | None = None, _stop_session: bool = True) -> int:
         help="rollup: close windows ending at or before this epoch-ms "
         "(default: materialize everything — final backfill)",
     )
+    p.add_argument(
+        "--cascade",
+        action="store_true",
+        help="rollup: also materialize the 1-hour and 1-day levels from "
+        "the level below (multi-resolution continuous aggregate)",
+    )
     p.add_argument("--zorder", help="optimize: comma-separated columns to Z-order cluster on")
     p.add_argument("--target-mb", type=int, default=128, help="optimize: target file size (MiB)")
     p.add_argument("--files", type=int, default=0, help="optimize --zorder: output file count")
@@ -398,14 +404,28 @@ def main(argv: list[str] | None = None, _stop_session: bool = True) -> int:
                 print(f"✅ compacted {args.job} into {n} files")
             return 0
         if args.command == "rollup":
-            from .pipeline.rollup import materialize_rollup
+            from .pipeline.rollup import cascade_rollup, materialize_rollup
             from .sources import load_table
 
             ev = load_table(spark, args.sf_dir, "events")
-            n = materialize_rollup(
-                ev, f"{args.sink_dir}/events_rollup", watermark_ms=args.watermark_ms
-            )
-            print(f"✅ events_rollup: {n} closed windows appended")
+            fine = f"{args.sink_dir}/events_rollup"
+            n = materialize_rollup(ev, fine, watermark_ms=args.watermark_ms)
+            msg = f"✅ events_rollup: {n} closed windows appended"
+            if args.cascade:
+                # multi-resolution: each coarse level re-aggregates the
+                # level below it (O(windows) per level, exact cents)
+                sizes = ["15 minutes", "1 hour", "1 day"]
+                prev = fine
+                for size in sizes[1:]:
+                    tag = size.replace(" ", "_")
+                    nxt = f"{args.sink_dir}/events_rollup_{tag}"
+                    k = cascade_rollup(
+                        spark, prev, nxt, sizes[sizes.index(size) - 1],
+                        size, watermark_ms=args.watermark_ms,
+                    )
+                    msg += f"; {tag}: {k}"
+                    prev = nxt
+            print(msg)
             return 0
         if args.command == "make-dataset":
             # The full corpus -> training-shards composition: curate

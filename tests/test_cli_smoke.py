@@ -45,10 +45,29 @@ def test_cli_curate_batch_and_stream(cli_tmp):
     assert _run("curate-stream", "--sink-dir", str(cli_tmp / "ss")) == 0
 
 
-def test_cli_stream_and_rollup(cli_tmp):
+def test_cli_stream_and_rollup(cli_tmp, spark):
     s = str(cli_tmp / "s")
     assert _run("stream", "--sink-dir", s) == 0
     assert _run("rollup", "--sink-dir", s) == 0
+    # multi-resolution cascade (round 11): hour/day levels appear and
+    # each coarse level's totals re-aggregate the one below
+    assert _run("rollup", "--sink-dir", s, "--cascade") == 0
+    from pyspark.sql import functions as F
+
+    fine = spark.read.parquet(f"{s}/events_rollup")
+    day = spark.read.parquet(f"{s}/events_rollup_1_day")
+    assert day.count() > 0
+    # each materialized day == the sum of its fine constituents (the
+    # trailing day may be withheld until its last 15m window closes,
+    # so compare over the days actually produced)
+    DAY = 24 * 3_600_000
+    covered = day.agg(F.max("win_start_ms")).first()[0] + DAY
+    assert (
+        day.agg(F.sum("n_events")).first()[0]
+        == fine.filter(F.col("win_start_ms") < covered)
+        .agg(F.sum("n_events"))
+        .first()[0]
+    )
 
 
 def test_cli_optimize_compact_and_zorder(cli_tmp, spark):
