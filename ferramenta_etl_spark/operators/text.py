@@ -766,3 +766,55 @@ def extract_domain(url: Column, registered: bool = False) -> Column:
         host = F.regexp_extract(host, r"([^.]+\.[^.]+)$", 1)
         host = F.nullif(host, F.lit(""))
     return host
+
+
+def tfidf_keywords(
+    docs: "DataFrame",
+    k: int = 5,
+    text_col: str = "text",
+    doc_id_col: str = "doc_id",
+    min_df: int = 2,
+) -> "DataFrame":
+    """Top-``k`` characteristic terms per document by smoothed TF-IDF —
+    the classic keyword-extraction / topic-tagging pass of a corpus
+    curation pipeline. (doc_id, term, tfidf, rank), rank 1 = most
+    characteristic; ties break on the term so the output is a total
+    order (rerun/partitioning deterministic).
+
+    tf is RAW count (keyword extraction wants the prominence of the
+    term in THIS doc); idf is ln(1 + (N - df + 0.5)/(df + 0.5)), the
+    same Robertson non-negative form the BM25 scorer uses — one idf
+    convention across the lexical stack. ``min_df`` drops hapax noise
+    (typos/ids score an extreme idf but characterize nothing).
+
+    Scale shape: two linear map-side-combined aggregations (tf, df),
+    a broadcast-sized (vocab-row) idf join, and the shared two-phase
+    grouped_topk — no all-pairs, no Python on rows. At 100 TB the df
+    relation is vocabulary-sized; if vocabulary outgrows broadcast,
+    the equi-join degrades gracefully to a shuffled hash join on
+    term."""
+    from .retrieval import _idf_expr
+    from .topk import grouped_topk
+
+    toks = F.filter(ws_tokens(F.col(text_col)), lambda t: t != "")
+    terms = docs.select(
+        F.col(doc_id_col).alias("doc_id"), F.explode(toks).alias("term")
+    )
+    tf = terms.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    n_docs = docs.count()
+    df_rel = (
+        tf.groupBy("term")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") >= min_df)
+    )
+    idf = df_rel.select("term", _idf_expr(n_docs).alias("idf"))
+    scored = tf.join(idf, "term").select(
+        "doc_id", "term", (F.col("tf") * F.col("idf")).alias("tfidf")
+    )
+    return grouped_topk(
+        scored,
+        ["doc_id"],
+        [F.col("tfidf").desc(), F.col("term").asc()],
+        k,
+        rank_col="rank",
+    ).select("doc_id", "term", "tfidf", "rank")

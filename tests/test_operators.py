@@ -1500,3 +1500,53 @@ def test_remove_contaminated_spans_margin_zero_row_preserving(spark):
     assert out.count() == 2
     assert rows[1].clean_text == "a b" and rows[1].extra == "keep"
     assert rows[2].clean_text == "c d" and rows[2].extra == "keep2"
+
+
+def test_tfidf_keywords_matches_python_reference(spark, sf_dir):
+    """tfidf_keywords == a from-scratch Python TF-IDF over the same
+    tokenization (raw tf x Robertson idf, min_df floor, (score desc,
+    term asc) total order); deterministic across partitionings."""
+    import math
+    from collections import Counter
+
+    from ferramenta_etl_spark.operators.text import tfidf_keywords
+    from ferramenta_etl_spark.sources import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    rows = docs.select("doc_id", "text").collect()
+    tf = {
+        r.doc_id: Counter(t for t in r.text.lower().split(" ") if t)
+        for r in rows
+    }
+    n = len(rows)
+    df = Counter(t for c in tf.values() for t in c)
+    want = {}
+    for did, c in tf.items():
+        scored = [
+            (cnt * math.log(1 + (n - df[t] + 0.5) / (df[t] + 0.5)), t)
+            for t, cnt in c.items()
+            if df[t] >= 2
+        ]
+        scored.sort(key=lambda x: (-x[0], x[1]))
+        want[did] = [(t, s) for s, t in scored[:5]]
+
+    got = {}
+    for r in tfidf_keywords(docs, k=5).collect():
+        got.setdefault(r.doc_id, []).append((r.rank, r.term, r.tfidf))
+    for did, lst in got.items():
+        lst.sort()
+        assert [t for _, t, _ in lst] == [t for t, _ in want[did]], did
+        for (_, _, s_got), (_, s_want) in zip(lst, want[did]):
+            assert abs(s_got - s_want) < 1e-9
+
+    # partitioning-proof: identical (doc, rank, term) triples
+    first = {
+        (did, rank, term)
+        for did, lst in got.items()
+        for rank, term, _ in lst
+    }
+    again = {
+        (r.doc_id, r.rank, r.term)
+        for r in tfidf_keywords(docs.repartition(13), k=5).collect()
+    }
+    assert again == first
