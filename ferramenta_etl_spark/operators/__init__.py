@@ -120,6 +120,7 @@ from .text import (  # noqa: F401
     quality_score,
     normalize_url,
     redact_pii,
+    tfidf_keywords,
     token_vocab,
     winnowing_fingerprints,
     word_ngrams,
