@@ -57,16 +57,19 @@ from .audio import (  # noqa: F401
 from .containers import (  # noqa: F401
     attach_gif_media,
     attach_jpeg_media,
+    attach_mp4_media,
     attach_png_media,
     attach_wav_media,
     decode_audio,
     decode_images,
     decode_png_bytes,
     decode_wav_bytes,
+    probe_videos,
     sniff_container,
 )
 from .gif import decode_gif_bytes, encode_gif_bytes  # noqa: F401
 from .jpeg import decode_jpeg_bytes, encode_jpeg_bytes  # noqa: F401
+from .mp4 import build_mp4_bytes, parse_mp4_metadata  # noqa: F401
 from .multimodal import (  # noqa: F401
     attach_fake_media,
     attach_fake_raw_images,
