@@ -52,7 +52,7 @@ def main(argv: list[str] | None = None, _stop_session: bool = True) -> int:
             "list", "run", "run-all", "curate", "optimize", "plan-audit",
             "stream", "curate-stream", "rollup", "stats", "ingest",
             "neardup-admit", "make-dataset", "ann-index", "ann-query",
-            "media-curate", "vocab", "mine-negatives", "verify-dataset",
+            "media-curate", "vocab", "keywords", "mine-negatives", "verify-dataset",
             "split-dataset", "ppl-score", "bpe-train", "bpe-encode",
             "bm25-index", "bm25-query", "bm25-append", "dsir-select",
             "quality-classify", "dataset-card", "jdbc-maintenance",
@@ -761,6 +761,21 @@ def main(argv: list[str] | None = None, _stop_session: bool = True) -> int:
             ).limit(10).collect():
                 print(f"{r.token:20} {r.tf:>8} {r.df_approx:>6}")
             print(f"✅ vocab: {n} tokens written to {out_dir}")
+            return 0
+        if args.command == "keywords":
+            # Per-document TF-IDF keywords: a derived aggregate like
+            # vocab — each run replaces the snapshot.
+            from .operators.text import tfidf_keywords
+            from .sources import load_table
+
+            kw = tfidf_keywords(
+                load_table(spark, args.sf_dir, "documents"),
+                k=args.top_n if args.top_n else 5,
+            )
+            out_dir = f"{args.sink_dir}/keywords"
+            kw.write.mode("overwrite").parquet(out_dir)
+            n = spark.read.parquet(out_dir).count()
+            print(f"✅ keywords: {n} (doc, term) rows written to {out_dir}")
             return 0
         if args.command == "split-dataset":
             # Leakage-safe train/val/test assignment: near-dup pairs

@@ -671,3 +671,13 @@ def test_cli_curate_decontaminate_spans(cli_tmp, capsys, spark):
         assert not (grams & bench_grams), r.doc_id
         n_excised += 1
     assert n_excised == spanned.count()
+
+
+def test_cli_keywords(cli_tmp, capsys, spark):
+    s = str(cli_tmp / "kw")
+    assert _run("keywords", "--sink-dir", s, "--top-n", "3") == 0
+    assert "✅ keywords:" in capsys.readouterr().out
+    snap = spark.read.parquet(f"{s}/keywords")
+    assert snap.columns == ["doc_id", "term", "tfidf", "rank"]
+    assert snap.filter("rank > 3").count() == 0
+    assert snap.count() > 0
