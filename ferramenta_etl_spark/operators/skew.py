@@ -13,6 +13,15 @@ benefit: the hot key's rows land on R tasks instead of one.
 Use when a profile (e.g. ``top_key_counts``) shows a key holding more
 rows than a healthy task should own — the classic 100 TB failure is one
 null/default key holding 10% of a fact table.
+
+Joins ONLY, deliberately: a skewed combinable AGGREGATION needs no
+salt — hash aggregation partially combines before the exchange, so a
+90%-hot key crosses the shuffle as one row per input partition
+(measured ~21% over uniform on the fixture where the plain join pays
+1.59x; SCALING.md "Round-11: why the skew operator targets JOINS").
+Non-combinable aggregates (exact collect/percentile) are the
+exception — the quantile operators route those through the histogram
+shuffle instead.
 """
 
 from __future__ import annotations
