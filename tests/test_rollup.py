@@ -239,3 +239,67 @@ def test_cascade_rollup_equals_direct_and_respects_fine_frontier(
 
     with pytest.raises(ValueError, match="whole multiple"):
         cascade_rollup(spark, fine_p, coarse_p, "1 hour", "15 minutes")
+
+
+def test_rollup_cascade_boundary_sweep(spark, tmp_path):
+    """Window-boundary adversarial sweep: events exactly ON 15m/1h
+    boundaries, one tick before/after, and duplicate timestamps —
+    materialize + cascade + serve must reassemble the direct
+    aggregation at EVERY watermark position across a window edge."""
+    from datetime import datetime, timedelta
+
+    from pyspark.sql import functions as F
+
+    from ferramenta_etl_spark.functions.tsql import epoch_ms
+    from ferramenta_etl_spark.pipeline.rollup import (
+        _windowed_agg,
+        cascade_rollup,
+        materialize_rollup,
+        serve_rollup,
+    )
+
+    base = datetime(2024, 3, 1)
+    rows = []
+    for k, dt in enumerate(
+        [
+            base,                                   # exactly on both edges
+            base + timedelta(minutes=15),           # on a 15m edge
+            base + timedelta(minutes=15, seconds=-1),
+            base + timedelta(minutes=15, seconds=1),
+            base + timedelta(hours=1),              # on the 1h edge
+            base + timedelta(hours=1, microseconds=-1000),
+            base + timedelta(hours=1, microseconds=1000),
+            base + timedelta(hours=2, minutes=44, seconds=59),
+            base + timedelta(hours=2, minutes=45),
+            base + timedelta(hours=2, minutes=45),  # duplicate ts
+            base + timedelta(hours=3, minutes=59, seconds=59),
+        ]
+    ):
+        rows.append((k, dt, 1.25 * (k + 1)))
+    ev = spark.createDataFrame(rows, "event_id long, ts timestamp, value double")
+    lo = ev.agg(epoch_ms(F.min("ts"))).first()[0]
+    W, H = 15 * 60 * 1000, 3_600_000
+
+    for i, wm in enumerate(
+        [lo + W, lo + W + 1, lo + H, lo + H - 1, lo + 4 * H]
+    ):
+        fine_p = str(tmp_path / f"f{i}")
+        coarse_p = str(tmp_path / f"c{i}")
+        materialize_rollup(ev, fine_p, "15 minutes", watermark_ms=wm)
+        served = serve_rollup(spark, ev, fine_p, "15 minutes", watermark_ms=wm)
+        direct = _windowed_agg(ev, "15 minutes")
+        assert served.exceptAll(direct).isEmpty(), ("serve", wm)
+        assert direct.exceptAll(served).isEmpty(), ("serve", wm)
+
+        cascade_rollup(spark, fine_p, coarse_p, "15 minutes", "1 hour",
+                       watermark_ms=wm)
+        mat = spark.read.parquet(fine_p)
+        if mat.count() == 0:
+            continue
+        frontier = mat.agg(F.max("win_start_ms")).first()[0] + W
+        want = _windowed_agg(ev, "1 hour").filter(
+            F.col("win_start_ms") + H <= min(wm, frontier)
+        )
+        got = spark.read.parquet(coarse_p)
+        assert got.exceptAll(want).isEmpty(), ("cascade", wm)
+        assert want.exceptAll(got).isEmpty(), ("cascade", wm)
