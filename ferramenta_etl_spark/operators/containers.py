@@ -642,6 +642,10 @@ def probe_videos(media_df: DataFrame) -> DataFrame:
         import pandas as pd
 
         for pdf in it:
+            if len(pdf) == 0:
+                # a 0-row batch built from an empty list-of-dicts would
+                # lose its columns and break the Arrow schema contract
+                continue
             rows = []
             for did, blob in zip(pdf["doc_id"], pdf["media"]):
                 base = {"doc_id": int(did)}
