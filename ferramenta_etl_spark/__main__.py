@@ -413,7 +413,10 @@ def main(argv: list[str] | None = None, _stop_session: bool = True) -> int:
             msg = f"✅ events_rollup: {n} closed windows appended"
             if args.cascade:
                 # multi-resolution: each coarse level re-aggregates the
-                # level below it (O(windows) per level, exact cents)
+                # level below it (O(windows) per level, exact cents).
+                # No --watermark-ms means the CLI's documented final
+                # backfill — bake everything, trailing partials
+                # included (cascade_rollup final=True)
                 sizes = ["15 minutes", "1 hour", "1 day"]
                 prev = fine
                 for size in sizes[1:]:
@@ -422,6 +425,7 @@ def main(argv: list[str] | None = None, _stop_session: bool = True) -> int:
                     k = cascade_rollup(
                         spark, prev, nxt, sizes[sizes.index(size) - 1],
                         size, watermark_ms=args.watermark_ms,
+                        final=args.watermark_ms is None,
                     )
                     msg += f"; {tag}: {k}"
                     prev = nxt

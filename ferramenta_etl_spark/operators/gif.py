@@ -129,8 +129,9 @@ def decode_gif_bytes(raw: bytes) -> np.ndarray:
     Raises ValueError on corrupt/truncated input — callers map that to
     a null row. Transparency keeps the palette color (no alpha channel
     in raw-RGB); frames are composed on the logical screen when smaller
-    than it (background = color 0 of the global table, the common
-    still-image case is a full-screen frame)."""
+    than it (background = the screen descriptor's background-color
+    index into the global table, entry-0 fallback when out of range —
+    ADVICE r10; the common still-image case is a full-screen frame)."""
     raw = bytes(raw)
     if raw[:6] not in (b"GIF87a", b"GIF89a"):
         raise ValueError("not a GIF")

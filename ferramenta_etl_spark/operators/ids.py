@@ -42,6 +42,10 @@ def dense_ids(df: DataFrame, id_col: str = "row_id") -> DataFrame:
     The id column is appended LAST in the schema."""
     if id_col in df.columns:
         raise ValueError(f"column {id_col!r} already exists")
+    if "__pid" in df.columns:
+        # the same loud failure as an id_col clash — silently
+        # overwriting and dropping a caller's column is worse
+        raise ValueError("dense_ids reserves the column name '__pid'")
     tagged = df.withColumn("__pid", F.spark_partition_id())
     counts = dict(
         tagged.groupBy("__pid").count().collect()

@@ -86,7 +86,13 @@ def serve_rollup(
     materialized = spark.read.parquet(path)
     if watermark_ms is None:
         return materialized
-    live_start_ms = live_boundary_ms(spark, path, size, watermark_ms)
+    # reuse the already-loaded relation for the frontier probe: a
+    # second read-plus-aggregate of the same windows table per serve
+    # call is pure waste (review r11)
+    mat_max = materialized.agg(F.max("win_start_ms")).first()[0]
+    live_start_ms = live_boundary_ms(
+        spark, path, size, watermark_ms, _mat_max=mat_max
+    )
     if live_start_ms is None:
         return _windowed_agg(events, size)
     wms = _window_ms(size)
@@ -104,11 +110,15 @@ def serve_rollup(
     return mat.unionByName(live)
 
 
+_UNREAD = object()  # sentinel: "probe the table yourself"
+
+
 def live_boundary_ms(
     spark: SparkSession,
     path: str,
     size: str = "15 minutes",
     watermark_ms: int | None = None,
+    _mat_max: object = _UNREAD,
 ) -> int | None:
     """First event-time millisecond the LIVE side of ``serve_rollup``
     must scan (None = no windows materialized yet, live owns
@@ -126,6 +136,8 @@ def live_boundary_ms(
     wms = _window_ms(size)
     mat_max = (
         spark.read.parquet(path).agg(F.max("win_start_ms")).first()[0]
+        if _mat_max is _UNREAD
+        else _mat_max  # serve_rollup passes its already-probed max
     )
     if mat_max is None:
         return None
@@ -144,6 +156,7 @@ def cascade_rollup(
     fine_size: str = "15 minutes",
     coarse_size: str = "1 hour",
     watermark_ms: int | None = None,
+    final: bool = False,
 ) -> int:
     """Materialize a COARSER rollup from a finer one — the TimescaleDB
     continuous-aggregate-on-continuous-aggregate cascade (15 m → 1 h →
@@ -153,12 +166,31 @@ def cascade_rollup(
 
     Only coarse windows whose EVERY fine constituent has closed
     materialize: the effective watermark is min(caller's watermark,
-    end of the last fine window present), so a fine window still owned
-    by the live tail can never be baked into a coarse aggregate
-    missing its contribution. sum_value re-aggregates EXACTLY: each
-    fine sum_value is cents/100.0, so floor(x*100+0.5) recovers the
-    integer cents, the cascade sums longs, and divides once at the
-    edge — double-summing drift cannot accumulate across levels."""
+    end of the last fine window present) — or the frontier alone when
+    no watermark is given — so a fine window still owned by the live
+    tail can never be baked into a coarse aggregate missing its
+    contribution. ``final=True`` is the explicit FINAL-BACKFILL
+    escape hatch (review r11): the caller asserts the dataset is
+    finished and the fine level fully materialized, so EVERY coarse
+    window bakes — including the trailing partial one, which under the
+    frontier rule could never close (data rarely ends on a coarse
+    boundary). Explicit because baking it from a PARTIALLY
+    materialized fine level would freeze a wrong row forever under
+    first-writer-wins.
+
+    sum_value re-aggregates EXACTLY: each fine sum_value is
+    cents/100.0, so floor(x*100+0.5) recovers the integer cents, the
+    cascade sums longs, and divides once at the edge — double-summing
+    drift cannot accumulate across levels.
+
+    Watermark contract caveat (shared with the whole rollup family):
+    an event arriving LATER than the watermark that closed its window
+    is lost — at the fine level first-writer-wins drops it if its
+    window materialized, and a window that closed EMPTY (no row
+    written) would gain a late-only row on a re-materialize while any
+    already-baked coarse parent stays frozen. Late data behind the
+    watermark violates the watermark; pick the watermark delay to make
+    that impossible, as Structured Streaming does."""
     wms_f = _window_ms(fine_size)
     wms_c = _window_ms(coarse_size)
     if wms_c % wms_f != 0:
@@ -171,11 +203,12 @@ def cascade_rollup(
     if fine_max is None:
         return 0
     closed_through = fine_max + wms_f  # end of the last fine window
-    eff_wm = (
-        closed_through
-        if watermark_ms is None
-        else min(watermark_ms, closed_through)
-    )
+    if final:
+        eff_wm = None  # explicit backfill: bake every window present
+    elif watermark_ms is None:
+        eff_wm = closed_through
+    else:
+        eff_wm = min(watermark_ms, closed_through)
     cents = F.floor(F.col("sum_value") * 100 + F.lit(0.5)).cast("long")
     agg = (
         fine.groupBy(
@@ -187,6 +220,7 @@ def cascade_rollup(
             F.sum("n_events").alias("n_events"),
             (F.sum(cents).cast("double") / 100).alias("sum_value"),
         )
-        .filter(F.col("win_start_ms") + wms_c <= eff_wm)
     )
+    if eff_wm is not None:
+        agg = agg.filter(F.col("win_start_ms") + wms_c <= eff_wm)
     return write_ignore_conflicts(agg, coarse_path, keys=["win_start_ms"])

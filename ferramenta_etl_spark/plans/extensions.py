@@ -862,6 +862,13 @@ def events_rollup_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).first()
     wm = lo + (hi - lo) * 6 // 10
     path = tempfile.mkdtemp(prefix="rollup_serve_")
+    # scratch rollup table: reclaimed at interpreter exit (plan-cached,
+    # so at most one directory per (session, dataset) — but a leak is a
+    # leak; review r11)
+    import atexit
+    import shutil
+
+    atexit.register(shutil.rmtree, path, ignore_errors=True)
     materialize_rollup(ev, path, "15 minutes", watermark_ms=wm)
     tumbling = serve_rollup(
         spark, ev, path, "15 minutes", watermark_ms=wm

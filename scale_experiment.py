@@ -1654,6 +1654,9 @@ def main() -> None:
     if args.round10:
         result = round10_experiment(spark, args.sf)
         print(json.dumps({"experiment": "round10_ops", **result}))
+        spark.stop()
+        return
+
     if args.round11:
         import tempfile
 

@@ -57,16 +57,11 @@ def test_cli_stream_and_rollup(cli_tmp, spark):
     fine = spark.read.parquet(f"{s}/events_rollup")
     day = spark.read.parquet(f"{s}/events_rollup_1_day")
     assert day.count() > 0
-    # each materialized day == the sum of its fine constituents (the
-    # trailing day may be withheld until its last 15m window closes,
-    # so compare over the days actually produced)
-    DAY = 24 * 3_600_000
-    covered = day.agg(F.max("win_start_ms")).first()[0] + DAY
+    # no --watermark-ms = FINAL BACKFILL: every level bakes everything,
+    # including the trailing partial day, so totals match exactly
     assert (
         day.agg(F.sum("n_events")).first()[0]
-        == fine.filter(F.col("win_start_ms") < covered)
-        .agg(F.sum("n_events"))
-        .first()[0]
+        == fine.agg(F.sum("n_events")).first()[0]
     )
 
 

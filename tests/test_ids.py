@@ -40,6 +40,9 @@ def test_dense_ids_empty_partitions_and_empty_df(spark):
 def test_dense_ids_rejects_existing_column(spark):
     with pytest.raises(ValueError, match="already exists"):
         dense_ids(spark.range(3).withColumnRenamed("id", "row_id"))
+    # the internal partition tag is reserved loudly, not clobbered
+    with pytest.raises(ValueError, match="__pid"):
+        dense_ids(spark.range(3).withColumnRenamed("id", "__pid"))
 
 
 def test_content_ids_stable_across_partitioning(spark, sf_dir):
