@@ -52,6 +52,12 @@ def dense_ids(df: DataFrame, id_col: str = "row_id") -> DataFrame:
     )  # numPartitions rows — metadata-scale by construction
     offsets = {}
     acc = 0
+    # sorted() is LOAD-BEARING for the determinism contract, not for
+    # uniqueness (disjoint offsets are dense+unique in any order): the
+    # counts arrive in collect() order, which Spark does not pin across
+    # runs — iterating unsorted would assign different ids per run
+    # (mutation-tested: the uniqueness tests can't catch it because
+    # in-session collect order happens to be stable)
     for pid in sorted(counts):
         offsets[pid] = acc
         acc += counts[pid]
