@@ -772,9 +772,12 @@ def main(argv: list[str] | None = None, _stop_session: bool = True) -> int:
             from .operators.text import tfidf_keywords
             from .sources import load_table
 
+            k = args.top_n if args.top_n is not None else 5
+            if k < 1:
+                p.error(f"--top-n must be >= 1 for keywords (got {k})")
             kw = tfidf_keywords(
                 load_table(spark, args.sf_dir, "documents"),
-                k=args.top_n if args.top_n else 5,
+                k=k,
             )
             out_dir = f"{args.sink_dir}/keywords"
             kw.write.mode("overwrite").parquet(out_dir)

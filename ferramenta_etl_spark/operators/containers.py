@@ -620,8 +620,9 @@ def probe_videos(media_df: DataFrame) -> DataFrame:
     Arrow-batched map, no shuffle; a malformed container yields a
     null-metadata row (visible downstream, batch intact) — the same
     corruption policy as decode_images. Only the first few KB of each
-    blob are touched (moov-first layouts), so the per-row cost is
-    header-sized regardless of media size."""
+    blob are touched (moov-first layouts) and bytes payloads are passed
+    through uncopied, so the per-row cost is header-sized regardless of
+    media size (a non-bytes payload pays one normalizing copy)."""
     import pyspark.sql.types as T
 
     from .mp4 import parse_mp4_metadata
@@ -650,7 +651,7 @@ def probe_videos(media_df: DataFrame) -> DataFrame:
             for did, blob in zip(pdf["doc_id"], pdf["media"]):
                 base = {"doc_id": int(did)}
                 try:
-                    m = parse_mp4_metadata(bytes(blob))
+                    m = parse_mp4_metadata(blob)
                 except Exception:  # noqa: BLE001 — corrupt -> null row
                     rows.append(
                         {**base, "duration_ms": None, "width": None,

@@ -34,18 +34,31 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-def dense_ids(df: DataFrame, id_col: str = "row_id") -> DataFrame:
+def dense_ids(
+    df: DataFrame, id_col: str = "row_id", checkpoint: bool = False
+) -> DataFrame:
     """Append ``id_col``: dense 0..N-1 longs in partition-then-row
     order. Cost: one count-by-partition job (numPartitions result rows)
     + one narrow mapInPandas — the input is scanned twice but never
-    shuffled; cache/checkpoint upstream if the lineage is expensive.
-    The id column is appended LAST in the schema."""
+    shuffled. The two scans must see the same rows per partition: pass
+    ``checkpoint=True`` to pin nondeterministic lineage (shuffles with
+    ties, sampling, current-timestamp filters) via an eager
+    localCheckpoint before counting — same playbook as ``train_bpe``.
+    Either way the assign pass re-verifies each partition's row count
+    against the counted value and raises loudly on a shift (the silent
+    failure mode is ids that are duplicated/non-dense); a partition
+    that counted non-empty but arrives EMPTY on the second scan is the
+    one shift this per-partition check cannot see — that is what
+    ``checkpoint=True`` is for. The id column is appended LAST in the
+    schema."""
     if id_col in df.columns:
         raise ValueError(f"column {id_col!r} already exists")
     if "__pid" in df.columns:
         # the same loud failure as an id_col clash — silently
         # overwriting and dropping a caller's column is worse
         raise ValueError("dense_ids reserves the column name '__pid'")
+    if checkpoint:
+        df = df.localCheckpoint(eager=True)
     tagged = df.withColumn("__pid", F.spark_partition_id())
     counts = dict(
         tagged.groupBy("__pid").count().collect()
@@ -70,17 +83,30 @@ def dense_ids(df: DataFrame, id_col: str = "row_id") -> DataFrame:
 
     def assign(it: Iterator) -> Iterator:
         seen = 0
+        pid = None
         base = None
         for pdf in it:
             if len(pdf) == 0:
                 continue
             if base is None:
                 # every row of a mapInPandas partition shares one pid
-                base = offsets[int(pdf["__pid"].iloc[0])]
+                pid = int(pdf["__pid"].iloc[0])
+                base = offsets[pid]
             out = pdf.drop(columns=["__pid"])
             out[id_col] = range(base + seen, base + seen + len(pdf))
             seen += len(pdf)
             yield out
+        # post-hoc guard: the offsets were sized from scan 1's counts;
+        # if nondeterministic lineage shifted this partition's row
+        # count between the two jobs, the ids just assigned overlap the
+        # next partition's range (or leave a hole) — fail loudly
+        # instead. (A brand-new pid already KeyErrors on offsets[].)
+        if pid is not None and seen != counts[pid]:
+            raise ValueError(
+                f"dense_ids: partition {pid} had {counts[pid]} rows at "
+                f"count time but {seen} at assign time — input lineage "
+                "is nondeterministic; rerun with checkpoint=True"
+            )
 
     return tagged.mapInPandas(assign, out_schema)
 

@@ -136,7 +136,11 @@ def _stsd_fourcc(raw: bytes, s: int, e: int) -> str | None:
 def parse_mp4_metadata(raw: bytes) -> MP4Meta:
     """Box-tree metadata of an ISO BMFF payload. Raises ValueError on
     anything structurally broken (shared codec contract)."""
-    raw = bytes(raw)
+    if not isinstance(raw, bytes):
+        # normalize ONLY non-bytes payloads (bytearray/memoryview):
+        # Arrow binary columns arrive as bytes, and copying them here
+        # would make the header-only probe O(media size) per row
+        raw = bytes(raw)
     if len(raw) < 12 or raw[4:8] != b"ftyp":
         raise ValueError("not an MP4 (no leading ftyp box)")
     major = None

@@ -152,7 +152,7 @@ def _decode_features(media_type: str, raw: bytes | None) -> dict:
         from .mp4 import parse_mp4_metadata
 
         try:
-            meta = parse_mp4_metadata(bytes(raw))
+            meta = parse_mp4_metadata(raw)
         except Exception:  # noqa: BLE001 — corrupt container -> null row
             return {
                 "byte_len": None, "width": None,

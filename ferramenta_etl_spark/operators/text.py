@@ -793,6 +793,8 @@ def tfidf_keywords(
     relation is vocabulary-sized; if vocabulary outgrows broadcast,
     the equi-join degrades gracefully to a shuffled hash join on
     term."""
+    if k < 1:
+        raise ValueError(f"k must be >= 1 (got {k})")
     from .retrieval import _idf_expr
     from .topk import grouped_topk
 

@@ -90,3 +90,27 @@ def test_content_ids_guards(spark):
         content_ids(df, [])
     with pytest.raises(ValueError, match="already exists"):
         content_ids(df.withColumnRenamed("id", "content_id"), ["content_id"])
+
+def test_dense_ids_detects_count_shift_and_checkpoint_pins_it(spark):
+    """Round-12 ADVICE fix: nondeterministic lineage that changes a
+    partition's row count between the count job and the assign job must
+    fail LOUDLY (the silent mode is duplicated/non-dense ids), and
+    checkpoint=True must pin the lineage so the same input succeeds."""
+    import random as _random
+
+    from pyspark.sql.types import DoubleType
+
+    flaky = F.udf(lambda: _random.random(), DoubleType()).asNondeterministic()
+    df = spark.range(0, 2000, 1, 4).filter(flaky() > 0.5)
+
+    # Without checkpoint the two scans see different survivor sets;
+    # some partition's count shifts with overwhelming probability and
+    # the in-map guard raises (surfaced through Py4J as PythonException).
+    with pytest.raises(Exception, match="nondeterministic|dense_ids"):
+        dense_ids(df).collect()
+
+    # checkpoint=True materializes one survivor set; ids come out dense.
+    out = dense_ids(df, checkpoint=True)
+    got = sorted(r.row_id for r in out.select("row_id").collect())
+    assert got == list(range(len(got)))
+    assert len(got) > 0

@@ -134,3 +134,13 @@ def test_extract_media_features_real_mp4_dims(spark):
     out = {r.doc_id: r for r in extract_media_features(bad).collect()}
     assert out[3].width is None and out[3].checksum is None
     assert out[2].width == 640  # neighbors unharmed
+
+
+def test_parse_accepts_non_bytes_without_semantic_change():
+    """Round-12 ADVICE fix: bytes payloads are parsed uncopied; bytearray
+    and memoryview payloads are normalized and parse identically."""
+    raw = build_mp4_bytes(width=320, height=240, duration_ms=1500)
+    a = parse_mp4_metadata(raw)
+    b = parse_mp4_metadata(bytearray(raw))
+    c = parse_mp4_metadata(memoryview(raw))
+    assert a == b == c
