@@ -150,6 +150,11 @@ HEADLINE = [
     # analog, header-bytes narrow map over a 10x container spine)
     "events_rollup_serve",
     "media_probe_mp4",
+    # new round 12: the cascade (15m->1h->1d computed from the FINE
+    # windows table, never raw events — oracle-gated registry row;
+    # materializations at plan build, timed runs measure the two
+    # windows-table aggregations + union serve)
+    "events_rollup_cascade",
     # replicate=20, 90% hot key (the 12M-row null-key pathology): the
     # scale where salting beats the AQE-assisted plain join DECISIVELY
     # (1.59x, runs don't overlap), so the regression guard points the

@@ -882,6 +882,75 @@ def events_rollup_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "events_rollup_cascade",
+    f"""
+    WITH ev AS (
+        SELECT ts,
+               CAST(FLOOR((CASE WHEN NOT isfinite(value) THEN NULL
+                                ELSE value END) * 100 + 0.5) AS BIGINT) AS c
+        FROM events WHERE ts IS NOT NULL
+    ),
+    hourly AS (
+        SELECT '1 hour' AS level,
+               {_EPOCH.format("time_bucket(INTERVAL 1 hour, ts)")} AS win_start_ms,
+               COUNT(*) AS n_events,
+               CAST(SUM(c) AS DOUBLE) / 100 AS sum_value
+        FROM ev GROUP BY 1, 2
+    ),
+    daily AS (
+        SELECT '1 day' AS level,
+               {_EPOCH.format("time_bucket(INTERVAL 1 day, ts)")} AS win_start_ms,
+               COUNT(*) AS n_events,
+               CAST(SUM(c) AS DOUBLE) / 100 AS sum_value
+        FROM ev GROUP BY 1, 2
+    )
+    SELECT * FROM hourly UNION ALL SELECT * FROM daily
+    """,
+)
+def events_rollup_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The continuous-aggregate CASCADE (pipeline/rollup.cascade_rollup,
+    round 12 / VERDICT r11 #4): the 15-minute rollup is materialized
+    from raw events ONCE, then the 1-hour level is computed FROM the
+    15-minute windows table and the 1-day level FROM the 1-hour one —
+    raw events are scanned exactly once regardless of how many
+    resolutions exist. The oracle aggregates raw events DIRECTLY at
+    both granularities, so a green row proves the cascade's core claim:
+    rolling up a rollup equals aggregating the source, including the
+    exact-cents re-aggregation contract (each level recovers integer
+    cents via floor(sum*100+0.5), so double drift cannot accumulate
+    across levels). final=True is the finished-dataset backfill arm —
+    every window present bakes, including the trailing partials the
+    frontier rule would hold back (those semantics are pytest-covered
+    in tests/test_rollup.py). Null event times belong to no window and
+    are filtered on both engines."""
+    import atexit
+    import shutil
+    import tempfile
+
+    from ..pipeline.rollup import cascade_rollup, materialize_rollup
+
+    ev = load_table(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
+    paths = {}
+    for lvl in ("15m", "1h", "1d"):
+        paths[lvl] = tempfile.mkdtemp(prefix=f"rollup_cascade_{lvl}_")
+        atexit.register(shutil.rmtree, paths[lvl], ignore_errors=True)
+    materialize_rollup(ev, paths["15m"], "15 minutes")  # full backfill
+    cascade_rollup(
+        spark, paths["15m"], paths["1h"], "15 minutes", "1 hour", final=True
+    )
+    cascade_rollup(
+        spark, paths["1h"], paths["1d"], "1 hour", "1 day", final=True
+    )
+
+    def level(lvl: str, name: str) -> DataFrame:
+        return spark.read.parquet(paths[lvl]).select(
+            F.lit(name).alias("level"), "win_start_ms", "n_events", "sum_value"
+        )
+
+    return level("1h", "1 hour").unionAll(level("1d", "1 day"))
+
+
+@_q(
     "text_chunking",
     """
     WITH t AS (

@@ -409,40 +409,73 @@ def tsql_formats(spark: SparkSession, sf_dir: str) -> DataFrame:
 @_q(
     "group_agg",
     """
-    SELECT l_returnflag, l_linestatus,
-           -- scaled-long money sums: both engines derive the identical
-           -- cent integer via floor(x*100 + 0.5) — the same IEEE
-           -- multiply/add/floor sequence on both sides, so the longs
-           -- match bit-exactly (do NOT "simplify" to ROUND: half-up
-           -- and floor(x+0.5) differ on negative halves, and the
-           -- parity argument is same-sequence, not same-rounding-mode)
-           -- — then sum exactly in integers and divide at the edge
-           -- (functions/tsql sum2)
-           CAST(SUM(CAST(FLOOR(l_quantity * 100 + 0.5) AS BIGINT)) AS DOUBLE) / 100      AS sum_qty,
-           CAST(SUM(CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT)) AS DOUBLE) / 100 AS sum_base_price,
-           -- computed ratio: scale-then-round (round2_stable's idiom at
-           -- 4 dp) so a half-way landing rounds identically on both
-           -- engines
-           ROUND(CAST(SUM(CAST(FLOOR(l_quantity * 100 + 0.5) AS BIGINT)) AS DOUBLE) / 100
-                 / COUNT(*) * 10000) / 10000 + 0.0 AS avg_qty,
-           ROUND(MIN(l_extendedprice), 2) AS min_price,
-           ROUND(MAX(l_extendedprice), 2) AS max_price,
-           COUNT(*) FILTER (WHERE l_quantity > 25) AS n_bulk,
-           CAST(SUM(CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT))
-                FILTER (WHERE l_discount > 0.05) AS DOUBLE) / 100 AS discounted_revenue,
-           COUNT(*) AS count_order
-    FROM lineitem
-    WHERE l_shipdate <= TIMESTAMP '2000-09-02'
-    GROUP BY l_returnflag, l_linestatus
+    WITH q1 AS (
+        SELECT l_returnflag, l_linestatus,
+               -- scaled-long money sums: both engines derive the identical
+               -- cent integer via floor(x*100 + 0.5) — the same IEEE
+               -- multiply/add/floor sequence on both sides, so the longs
+               -- match bit-exactly (do NOT "simplify" to ROUND: half-up
+               -- and floor(x+0.5) differ on negative halves, and the
+               -- parity argument is same-sequence, not same-rounding-mode)
+               -- — then sum exactly in integers and divide at the edge
+               -- (functions/tsql sum2)
+               CAST(SUM(CAST(FLOOR(l_quantity * 100 + 0.5) AS BIGINT)) AS DOUBLE) / 100      AS sum_qty,
+               CAST(SUM(CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT)) AS DOUBLE) / 100 AS sum_base_price,
+               -- computed ratio: scale-then-round (round2_stable's idiom at
+               -- 4 dp) so a half-way landing rounds identically on both
+               -- engines
+               ROUND(CAST(SUM(CAST(FLOOR(l_quantity * 100 + 0.5) AS BIGINT)) AS DOUBLE) / 100
+                     / COUNT(*) * 10000) / 10000 + 0.0 AS avg_qty,
+               ROUND(MIN(l_extendedprice), 2) AS min_price,
+               ROUND(MAX(l_extendedprice), 2) AS max_price,
+               COUNT(*) FILTER (WHERE l_quantity > 25) AS n_bulk,
+               CAST(SUM(CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT))
+                    FILTER (WHERE l_discount > 0.05) AS DOUBLE) / 100 AS discounted_revenue,
+               COUNT(*) AS count_order
+        FROM lineitem
+        WHERE l_shipdate <= TIMESTAMP '2000-09-02'
+        GROUP BY l_returnflag, l_linestatus
+    ),
+    stats AS (
+        SELECT l_returnflag AS rf,
+               COUNT(DISTINCT l_partkey) AS n_parts,
+               COUNT(DISTINCT l_suppkey) AS n_supps,
+               -- round6_stable's scale-then-round idiom: interpolated
+               -- quantiles are computed doubles, where plain ROUND(x, 6)
+               -- diverges between engines on half-ulp landings
+               (ROUND(quantile_cont(l_quantity, 0.5) * 1000000) / 1000000 + 0.0)
+                                                              AS median_qty,
+               (ROUND(quantile_cont(l_extendedprice, 0.9) * 1000000) / 1000000 + 0.0)
+                                                              AS p90_price
+        FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT q1.*, s.n_parts, s.n_supps, s.median_qty, s.p90_price
+    FROM q1 LEFT JOIN stats s ON q1.l_returnflag IS NOT DISTINCT FROM s.rf
     """,
 )
 def group_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q1-shaped grouped aggregation, plus FILTER-clause conditional
     aggregates (== aggregate over CASE; merged former conditional_agg
-    query). Decimal-accumulated sums are order-independent, so map-side
-    partial agg + AQE coalescing stay safe for exact comparison."""
+    query), joined with per-returnflag exact statistics (merged former
+    exact_stats query, round 12 — itself the former distinct_agg +
+    exact_percentiles): COUNT(DISTINCT) expands to a two-phase
+    aggregate; the exact quantiles go through the HISTOGRAM-based
+    operator (operators/quantile.py — parallel value-count shuffle,
+    rank arithmetic over the compact histogram) rather than Spark's
+    `percentile` aggregate, whose per-group in-memory value buffer
+    cannot spill and OOMs at warehouse group sizes. Both quantiles ride
+    ONE fact scan: grouped_exact_quantiles stacks the value columns
+    into a single histogram pass; the approximate 100 TB substitutes
+    live in approx_sketches. The Q1 arm filters on shipdate while the
+    stats arm scans all of lineitem (the merged queries' original
+    frames, preserved verbatim); the stats relation is group-count
+    sized, so the final join broadcasts. Decimal-accumulated sums are
+    order-independent, so map-side partial agg + AQE coalescing stay
+    safe for exact comparison."""
+    from ..operators.quantile import grouped_exact_quantiles
+
     li = load_table(spark, sf_dir, "lineitem")
-    return (
+    q1 = (
         li.filter(F.col("l_shipdate") <= F.lit("2000-09-02"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
@@ -468,40 +501,7 @@ def group_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("count_order"),
         )
     )
-
-
-@_q(
-    "exact_stats",
-    """
-    SELECT l_returnflag,
-           COUNT(DISTINCT l_partkey) AS n_parts,
-           COUNT(DISTINCT l_suppkey) AS n_supps,
-           -- round6_stable's scale-then-round idiom: interpolated
-           -- quantiles are computed doubles, where plain ROUND(x, 6)
-           -- diverges between engines on half-ulp landings
-           (ROUND(quantile_cont(l_quantity, 0.5) * 1000000) / 1000000 + 0.0)
-                                                          AS median_qty,
-           (ROUND(quantile_cont(l_extendedprice, 0.9) * 1000000) / 1000000 + 0.0)
-                                                          AS p90_price
-    FROM lineitem GROUP BY l_returnflag
-    """,
-)
-def exact_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact per-group statistics (merged former distinct_agg +
-    exact_percentiles queries): COUNT(DISTINCT) expands to a two-phase
-    aggregate; the exact quantiles go through the HISTOGRAM-based
-    operator (operators/quantile.py — parallel value-count shuffle,
-    rank arithmetic over the compact histogram) rather than Spark's
-    `percentile` aggregate, whose per-group in-memory value buffer
-    cannot spill and OOMs at warehouse group sizes. Both quantiles ride
-    ONE fact scan: grouped_exact_quantiles stacks the value columns
-    into a single histogram pass. Same quantile_cont interpolation
-    either way; the approximate 100 TB substitutes live in
-    approx_sketches."""
-    from ..operators.quantile import grouped_exact_quantiles
-
-    li = load_table(spark, sf_dir, "lineitem")
-    base = li.groupBy("l_returnflag").agg(
+    base = li.groupBy(F.col("l_returnflag").alias("__rf")).agg(
         F.count_distinct("l_partkey").alias("n_parts"),
         F.count_distinct("l_suppkey").alias("n_supps"),
     )
@@ -510,18 +510,23 @@ def exact_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         ["l_returnflag"],
         [("l_quantity", 0.5, "__mq"), ("l_extendedprice", 0.9, "__pp")],
     ).withColumnRenamed("l_returnflag", "__g1")
-    return (
+    stats = (
         # eqNullSafe: a NULL group key is a real group (both engines
         # aggregate it); a plain equi-join would drop its quantiles
-        base.join(qs, F.col("l_returnflag").eqNullSafe(F.col("__g1")), "left")
+        base.join(qs, F.col("__rf").eqNullSafe(F.col("__g1")), "left")
         .select(
-            "l_returnflag",
+            "__rf",
             "n_parts",
             "n_supps",
             round6_stable(F.col("__mq")).alias("median_qty"),
             round6_stable(F.col("__pp")).alias("p90_price"),
         )
     )
+    return q1.join(
+        F.broadcast(stats),
+        F.col("l_returnflag").eqNullSafe(F.col("__rf")),
+        "left",
+    ).drop("__rf")
 
 
 @_q(

@@ -164,9 +164,12 @@ def test_plan_construction_is_driver_job_free(spark, tmp_path):
     # two scalar totals). events_rollup_serve: the MATERIALIZE half of
     # the continuous aggregate (watermark probe + closed-window append)
     # runs as the scheduler's job by design; only the serve union is
-    # lazy.
+    # lazy. events_rollup_cascade: same class — the 15m materialization
+    # plus the two cascade appends are the scheduler's jobs; only the
+    # two-level union serve is lazy.
     allowed = {"embedding_ann_ivf", "grouped_quantiles_auto",
-               "hybrid_retrieval", "dsir_score", "events_rollup_serve"}
+               "hybrid_retrieval", "dsir_score", "events_rollup_serve",
+               "events_rollup_cascade"}
     sc = spark.sparkContext
     offenders: dict[str, int] = {}
     for name, fn in sorted(m.queries().items()):
