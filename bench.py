@@ -200,6 +200,90 @@ def _round_number(repo_dir: str) -> int:
     return (max(ns) + 1) if ns else 1
 
 
+def _fixture_digest(sf_dir: str) -> str:
+    """Content hash of the dataset the numbers were measured on
+    (VERDICT r11 #1). SCALING.md's round-10 decomposition proved the
+    r8->r10 "perf creep" was mostly a REGENERATED fixture plus machine
+    drift (~2x on untouched plans) — two rounds of attention spent
+    adjudicating noise that one digest line would have dismissed.
+    Streaming blake2b over every parquet file (sorted relative path +
+    size + bytes); sf0.1 is ~17 MB, so this costs milliseconds. The
+    first 16 hex chars ride in BOTH the stdout line (-> BENCH_r{N}.json)
+    and the detail artifact; round-over-round ratios are meaningful ONLY
+    between artifacts sharing a digest — the drift note below enforces
+    that mechanically."""
+    import hashlib
+
+    h = hashlib.blake2b(digest_size=16)
+    for root, dirs, files in sorted(os.walk(sf_dir)):
+        dirs.sort()
+        for name in sorted(files):
+            if not name.endswith(".parquet"):
+                continue
+            path = os.path.join(root, name)
+            rel = os.path.relpath(path, sf_dir)
+            h.update(rel.encode())
+            h.update(str(os.path.getsize(path)).encode())
+            with open(path, "rb") as fh:
+                while chunk := fh.read(1 << 20):
+                    h.update(chunk)
+    return h.hexdigest()[:16]
+
+
+def _drift_vs_prev(repo_dir: str, rnd: int, digest: str, sf_val,
+                   timings: dict) -> dict:
+    """Round-over-round drift note for the detail artifact — REFUSES the
+    comparison unless the previous round's detail artifact carries the
+    SAME fixture digest and scale factor (the protocol's answer to
+    VERDICT r11 #1: cross-digest ratios measure fixture regeneration,
+    not code, and must not be read as plan drift)."""
+    import re
+
+    prev_rounds = sorted(
+        int(m.group(1))
+        for f in os.listdir(repo_dir)
+        if (m := re.fullmatch(r"BENCH_DETAIL_r(\d+)\.json", f))
+        and int(m.group(1)) < rnd
+    )
+    if not prev_rounds:
+        return {"comparable": False, "reason": "no prior detail artifact"}
+    prev_r = prev_rounds[-1]
+    with open(os.path.join(repo_dir, f"BENCH_DETAIL_r{prev_r:02d}.json")) as fh:
+        prev = json.load(fh)
+    prev_digest = prev.get("fixture_digest")
+    if prev_digest is None:
+        return {
+            "comparable": False,
+            "vs_round": prev_r,
+            "reason": "prior artifact predates fixture digests (pre-r12); "
+                      "ratios vs it conflate fixture drift with code",
+        }
+    if prev_digest != digest or prev.get("sf") != sf_val:
+        return {
+            "comparable": False,
+            "vs_round": prev_r,
+            "reason": f"fixture digest/sf mismatch (prev {prev_digest}/"
+                      f"{prev.get('sf')}, now {digest}/{sf_val}) — the "
+                      "dataset changed; ratios would measure the fixture",
+        }
+    common = sorted(set(timings) & set(prev.get("queries", {})))
+    ratios = {
+        n: round(timings[n] / prev["queries"][n], 3)
+        for n in common
+        if prev["queries"][n] > 0
+    }
+    return {
+        "comparable": True,
+        "vs_round": prev_r,
+        "per_query_ratio": ratios,
+        "total_ratio": round(
+            sum(timings[n] for n in common)
+            / sum(prev["queries"][n] for n in common),
+            3,
+        ) if common else None,
+    }
+
+
 def _foreign_jvm_pids() -> list[int]:
     """PIDs of java processes NOT descended from this bench process.
     A concurrent Spark JVM (parallel pytest session, another bench)
@@ -434,6 +518,7 @@ def main() -> None:
     }
     total = round(sum(timings.values()), 3)
     sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
+    fixture_digest = _fixture_digest(sf_dir)
     # stdout: the compact driver-facing line ONLY (VERDICT r07 #1 — the
     # full artifact outgrew the driver's tail capture; parsed:null).
     # Compact separators shave ~15% more off the line length.
@@ -446,6 +531,7 @@ def main() -> None:
                 "queries": timings,
                 "sf": sf_val,
                 "noisy": env["noisy"],
+                "fixture_digest": fixture_digest,
             },
             separators=(",", ":"),
         )
@@ -467,12 +553,22 @@ def main() -> None:
     # BENCH_DETAIL_r0N.json (diffable across rounds — the driver never
     # touches it) and as BENCH_DETAIL.json (stable path for tooling).
     repo_dir = os.path.dirname(os.path.abspath(__file__))
+    rnd = _round_number(repo_dir)
     detail = {
         "metric": "headline_queries_total_time",
         "value": total,
         "unit": "sec",
         "queries": timings,
         "sf": sf_val,
+        "fixture_digest": fixture_digest,
+        "fixture_digest_policy": (
+            "blake2b over the sf_dir's parquet set; round-over-round "
+            "ratios are meaningful ONLY between artifacts with equal "
+            "digest+sf — drift_vs_prev refuses the comparison otherwise"
+        ),
+        "drift_vs_prev": _drift_vs_prev(
+            repo_dir, rnd, fixture_digest, sf_val, timings
+        ),
         "spread_pct": spreads,
         "spread_abs_s": spreads_abs,
         "stability_policy": (
@@ -483,7 +579,6 @@ def main() -> None:
         "stability": stability,
         "env": env,
     }
-    rnd = _round_number(repo_dir)
     for fname in (f"BENCH_DETAIL_r{rnd:02d}.json", "BENCH_DETAIL.json"):
         with open(os.path.join(repo_dir, fname), "w") as fh:
             json.dump(detail, fh, indent=1)

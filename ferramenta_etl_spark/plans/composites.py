@@ -161,21 +161,29 @@ def add_bench_composites(
         # like the IVF centroids / bucketed mirrors; timed runs measure
         # SERVING: broadcast query-term join + (query, doc) agg + top-k.
         # The query set is 8 mid-frequency corpus terms, derived once at
-        # build so the benchmark is corpus-agnostic.
+        # build so the benchmark is corpus-agnostic: the MIDDLE 8 of the
+        # frequency-ranked vocabulary (round-12 fix: the old [32:40]
+        # slice of the top-64 assumed a >=40-term vocabulary, but the
+        # fixture's Zipfian generator emits only 31 distinct words at
+        # EVERY sf — the slice was empty and the bench row had been
+        # timing an 0-query serve since round 9; caught by
+        # tests/test_bench_channels.py's non-empty assertion).
         from ..operators.retrieval import bm25_topk, build_bm25_index
 
         docs = load_table(spark, sf, "documents")
         idx = build_bm25_index(docs)
         postings = idx.postings.persist()
         postings.count()  # materialize at build, outside timed runs
-        terms = [
+        ranked = [
             r.term
             for r in postings.groupBy("term")
             .count()
             .orderBy(F.col("count").desc(), F.col("term").asc())
             .limit(64)
             .collect()
-        ][32:40]
+        ]
+        mid = len(ranked) // 2
+        terms = ranked[max(0, mid - 4): mid + 4]
         qdf = spark.createDataFrame(
             list(enumerate(terms)), "query_id int, query string"
         )
