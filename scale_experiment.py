@@ -1380,6 +1380,105 @@ def round11_experiment(spark, sf_dir: str, scratch: str) -> dict:
     return out
 
 
+def round12_experiment(spark, sf_dir: str, scratch: str) -> dict:
+    """Round-12 operator linearity probes (VERDICT r11 #5):
+
+    - CASCADE ROLLUP (pipeline/rollup.cascade_rollup): events replicate
+      10x with SHIFTED timestamps (10x time range -> 10x windows at
+      every level, the dimension a multi-resolution continuous
+      aggregate grows along). The 15m level materializes once; timed is
+      the 15m->1h cascade append — which reads only the fine WINDOWS
+      table, so its cost must track windows (10x), never raw events.
+      The windows-per-level counts are recorded to show the 4x/24x/96x
+      collapse that makes each cascade level cheaper than the last.
+    - TF-IDF KEYWORDS (operators/text.tfidf_keywords): doc spine 10x —
+      two linear aggregations + vocab-sized idf join + grouped top-k;
+      ~linear is the pass bar.
+    - ROW IDS (operators/ids.dense_ids / content_ids): doc spine 10x.
+      content_ids is one narrow projection (~flat per row); dense_ids
+      is a count-by-partition job + narrow map (~linear, no shuffle —
+      the collision audit exists since r11; this adds the scale probe).
+    """
+    import time as _t
+
+    from pyspark.sql import functions as F
+
+    from ferramenta_etl_spark.functions.tsql import epoch_ms
+    from ferramenta_etl_spark.operators.ids import content_ids, dense_ids
+    from ferramenta_etl_spark.operators.text import tfidf_keywords
+    from ferramenta_etl_spark.pipeline.rollup import (
+        cascade_rollup,
+        materialize_rollup,
+    )
+    from ferramenta_etl_spark.sources import load_table
+
+    def _noop(df) -> float:
+        df.write.format("noop").mode("overwrite").save()
+        t0 = _t.perf_counter()
+        df.write.format("noop").mode("overwrite").save()
+        return round(_t.perf_counter() - t0, 3)
+
+    out: dict = {"sf_dir": sf_dir}
+    par = spark.sparkContext.defaultParallelism
+
+    # --- cascade rollup: 10x the time range -------------------------
+    ev = load_table(spark, sf_dir, "events").select("ts", "value").filter(
+        F.col("ts").isNotNull()
+    )
+    lo, hi = ev.agg(epoch_ms(F.min("ts")), epoch_ms(F.max("ts"))).first()
+    span = hi - lo + 60_000
+    ev10 = ev
+    for i in range(1, 10):
+        ev10 = ev10.unionByName(
+            ev.withColumn(
+                "ts",
+                (epoch_ms(F.col("ts")) + F.lit(i * span))
+                .cast("double").__div__(1000).cast("timestamp"),
+            )
+        )
+    for tag, d in (("1x", ev), ("10x", ev10.repartition(par))):
+        d = d.localCheckpoint(eager=True)
+        fine = f"{scratch}/cascade_fine_{tag}"
+        materialize_rollup(d, fine, "15 minutes")  # full backfill
+        out[f"cascade_fine_windows_{tag}"] = spark.read.parquet(fine).count()
+        # warm-up cascade to a throwaway path (JIT + fine-table footer
+        # reads), then the timed append to a fresh path — cascade is an
+        # ACTION (sink write), so it is timed directly
+        cascade_rollup(spark, fine, f"{scratch}/cascade_warm_{tag}",
+                       "15 minutes", "1 hour", final=True)
+        t0 = _t.perf_counter()
+        n_coarse = cascade_rollup(spark, fine, f"{scratch}/cascade_1h_{tag}",
+                                  "15 minutes", "1 hour", final=True)
+        out[f"cascade_1h_s_{tag}"] = round(_t.perf_counter() - t0, 3)
+        out[f"cascade_1h_windows_{tag}"] = n_coarse
+        t0 = _t.perf_counter()
+        n_day = cascade_rollup(spark, f"{scratch}/cascade_1h_{tag}",
+                               f"{scratch}/cascade_1d_{tag}",
+                               "1 hour", "1 day", final=True)
+        out[f"cascade_1d_s_{tag}"] = round(_t.perf_counter() - t0, 3)
+        out[f"cascade_1d_windows_{tag}"] = n_day
+    out["cascade_1h_ratio"] = round(
+        out["cascade_1h_s_10x"] / out["cascade_1h_s_1x"], 1
+    )
+
+    # --- tfidf keywords + row ids: 10x the doc spine ----------------
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    docs10 = docs
+    for i in range(1, 10):
+        docs10 = docs10.unionByName(
+            docs.withColumn("doc_id", F.col("doc_id") + F.lit(i * _OFFSET))
+        )
+    for tag, d in (("1x", docs), ("10x", docs10.repartition(par))):
+        d = d.localCheckpoint(eager=True)
+        out[f"docs_{tag}"] = d.count()
+        out[f"tfidf_keywords_s_{tag}"] = _noop(tfidf_keywords(d, k=5))
+        out[f"dense_ids_s_{tag}"] = _noop(dense_ids(d))
+        out[f"content_ids_s_{tag}"] = _noop(content_ids(d, ["text"]))
+    for op in ("tfidf_keywords", "dense_ids", "content_ids"):
+        out[f"{op}_ratio"] = round(out[f"{op}_s_10x"] / out[f"{op}_s_1x"], 1)
+    return out
+
+
 def bpe_jobs_experiment(spark, sf_dir: str, num_merges: int = 512) -> dict:
     """VERDICT r09 #4: Spark-JOB COUNT of a ``num_merges``-merge BPE
     train through the three trainer paths — hybrid driver-side (the
@@ -1563,6 +1662,11 @@ def main() -> None:
              "vs recompute, MP4 metadata probe)",
     )
     p.add_argument(
+        "--round12", action="store_true",
+        help="run the round-12 operator linearity probes (cascade "
+             "rollup windows growth, tfidf keywords, dense/content ids)",
+    )
+    p.add_argument(
         "--bpe-jobs", action="store_true",
         help="run the BPE trainer job-count probe (hybrid vs batched vs "
              "sequential, merge-list equality)",
@@ -1663,6 +1767,15 @@ def main() -> None:
         with tempfile.TemporaryDirectory() as scratch:
             result = round11_experiment(spark, args.sf, scratch)
         print(json.dumps({"experiment": "round11_ops", **result}))
+        spark.stop()
+        return
+
+    if args.round12:
+        import tempfile
+
+        with tempfile.TemporaryDirectory() as scratch:
+            result = round12_experiment(spark, args.sf, scratch)
+        print(json.dumps({"experiment": "round12_ops", **result}))
         spark.stop()
         return
 
