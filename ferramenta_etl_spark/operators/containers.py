@@ -590,6 +590,12 @@ def attach_mp4_media(documents: DataFrame) -> DataFrame:
                 did = int(did)
                 w, h = dims[did % 4]
                 ids.append(did)
+                # real sample tables (round 12): a deterministic frame
+                # count and GOP-patterned stss so keyframe_sample_schedule
+                # has actual stream timing to align to; every 5th doc
+                # omits stss (all-sync per ISO 14496-12 8.6.2)
+                n_frames = 24 + (did % 7) * 12
+                gop = 6 + did % 5
                 blobs.append(
                     build_mp4_bytes(
                         width=w,
@@ -598,6 +604,12 @@ def attach_mp4_media(documents: DataFrame) -> DataFrame:
                         video_codec="avc1" if did % 3 else "hvc1",
                         audio_codec="mp4a" if did % 2 else None,
                         version1=(did % 4 == 0),
+                        n_frames=n_frames,
+                        keyframes=(
+                            None
+                            if did % 5 == 0
+                            else tuple(range(1, n_frames + 1, gop))
+                        ),
                     )
                 )
             yield pd.DataFrame({"doc_id": ids, "media": blobs})

@@ -196,6 +196,124 @@ def parse_mp4_metadata(raw: bytes) -> MP4Meta:
     )
 
 
+# ------------------------------------------------------- sample tables --
+
+
+class MP4SampleTables(NamedTuple):
+    """Timing of the FIRST video track's samples, straight from the
+    stbl boxes a real demuxer seeks with (round 12 / VERDICT r11 #8):
+
+    - ``media_timescale``: mdhd's clock (per-TRACK, not mvhd's movie
+      clock — the classic demuxer bug is conflating them);
+    - ``n_samples``: total frames (sum of stts run counts);
+    - ``stts_runs``: the decode-delta run-length table as written,
+      ((count, delta), ...) in media_timescale units;
+    - ``keyframes``: 1-based sync-sample numbers from stss, or None
+      when no stss box exists — which per ISO 14496-12 8.6.2 means
+      EVERY sample is a sync sample (all-intra streams omit the box).
+    """
+
+    media_timescale: int
+    n_samples: int
+    stts_runs: tuple
+    keyframes: tuple | None
+
+    def sample_times_ms(self):
+        """Decode start time of each sample in ms (n_samples longs) —
+        the cumulative stts expansion. List-returning (a frame count is
+        bounded per container; callers batch per-row anyway)."""
+        out = []
+        t = 0
+        for count, delta in self.stts_runs:
+            for _ in range(count):
+                out.append(t * 1000 // self.media_timescale)
+                t += delta
+        return out
+
+
+def _mdhd_timescale(raw: bytes, s: int, e: int) -> int:
+    v, p = _fullbox(raw, s, e)
+    off = p + (16 if v == 1 else 8)
+    if off + 4 > e:
+        raise ValueError("MP4: truncated mdhd")
+    ts = struct.unpack_from(">I", raw, off)[0]
+    if ts == 0:
+        raise ValueError("MP4: mdhd timescale 0")
+    return ts
+
+
+def _stts_runs(raw: bytes, s: int, e: int) -> tuple:
+    _, p = _fullbox(raw, s, e)
+    if p + 4 > e:
+        raise ValueError("MP4: truncated stts")
+    n = struct.unpack_from(">I", raw, p)[0]
+    if p + 4 + 8 * n > e:
+        raise ValueError("MP4: stts entries overrun the box")
+    return tuple(
+        struct.unpack_from(">II", raw, p + 4 + 8 * i) for i in range(n)
+    )
+
+
+def _stss_samples(raw: bytes, s: int, e: int) -> tuple:
+    _, p = _fullbox(raw, s, e)
+    if p + 4 > e:
+        raise ValueError("MP4: truncated stss")
+    n = struct.unpack_from(">I", raw, p)[0]
+    if p + 4 + 4 * n > e:
+        raise ValueError("MP4: stss entries overrun the box")
+    return tuple(
+        struct.unpack_from(">I", raw, p + 4 + 4 * i)[0] for i in range(n)
+    )
+
+
+def parse_mp4_sample_tables(raw: bytes) -> MP4SampleTables | None:
+    """stts/stss timing of the FIRST video track, or None when the
+    container has no video track or its stbl carries no stts (a
+    metadata-only moov, like the pre-r12 builder emitted). Raises
+    ValueError on structural corruption — the shared codec contract."""
+    if not isinstance(raw, bytes):
+        raw = bytes(raw)
+    if len(raw) < 12 or raw[4:8] != b"ftyp":
+        raise ValueError("not an MP4 (no leading ftyp box)")
+    moov = None
+    for t, s, e in _iter_boxes(raw, 0, len(raw)):
+        if t == b"moov":
+            moov = (s, e)
+    if moov is None:
+        raise ValueError("MP4: missing moov box")
+    for t, s, e in _iter_boxes(raw, *moov):
+        if t != b"trak":
+            continue
+        mdia = _find(raw, s, e, b"mdia")
+        if mdia is None:
+            continue
+        hd = _find(raw, *mdia, b"hdlr")
+        if hd is None or _hdlr_type(raw, *hd) != b"vide":
+            continue
+        md = _find(raw, *mdia, b"mdhd")
+        if md is None:
+            raise ValueError("MP4: video trak without mdhd")
+        minf = _find(raw, *mdia, b"minf")
+        stbl = _find(raw, *minf, b"stbl") if minf is not None else None
+        stts = _find(raw, *stbl, b"stts") if stbl is not None else None
+        if stts is None:
+            return None  # metadata-only container: no sample timing
+        runs = _stts_runs(raw, *stts)
+        n_samples = sum(c for c, _ in runs)
+        stss = _find(raw, *stbl, b"stss")
+        keyframes = None
+        if stss is not None:
+            keyframes = _stss_samples(raw, *stss)
+            if any(
+                k < 1 or k > n_samples for k in keyframes
+            ) or list(keyframes) != sorted(set(keyframes)):
+                raise ValueError("MP4: stss samples out of range/order")
+        return MP4SampleTables(
+            _mdhd_timescale(raw, *md), n_samples, runs, keyframes
+        )
+    return None  # no video track
+
+
 # -------------------------------------------------------------- build --
 
 
@@ -216,15 +334,60 @@ def build_mp4_bytes(
     audio_codec: str | None = "mp4a",
     major_brand: str = "isom",
     version1: bool = False,
+    n_frames: int | None = None,
+    keyframes: tuple | list | None = None,
 ) -> bytes:
     """Deterministic minimal MP4: ftyp + moov(mvhd, video trak, optional
     audio trak) + a stub mdat. Structurally valid ISO BMFF — real
     demuxers read the same duration/dims/codecs ``parse_mp4_metadata``
     does (no coded frames inside, so players render nothing).
-    ``version1=True`` emits 64-bit mvhd/tkhd variants."""
+    ``version1=True`` emits 64-bit mvhd/tkhd variants.
+
+    ``n_frames`` (round 12) additionally writes REAL sample tables into
+    the video trak's stbl: an stts spreading the track duration over
+    the frames (two runs when the division has a remainder — the last
+    frame absorbs it, keeping sum(deltas) == duration exactly), and,
+    when ``keyframes`` (1-based ascending sample numbers) is given, an
+    stss sync-sample box. Omitting stss means every sample is sync per
+    ISO 14496-12 8.6.2; omitting n_frames reproduces the pre-r12
+    metadata-only layout byte for byte."""
     if width <= 0 or height <= 0 or duration_ms < 0 or timescale <= 0:
         raise ValueError("build_mp4_bytes: non-positive geometry/clock")
+    if keyframes is not None and n_frames is None:
+        raise ValueError("build_mp4_bytes: keyframes requires n_frames")
+    if n_frames is not None and n_frames < 1:
+        raise ValueError("build_mp4_bytes: n_frames must be >= 1")
     duration = duration_ms * timescale // 1000
+    stbl_extra = b""
+    if n_frames is not None:
+        delta = duration // n_frames
+        rem = duration - delta * n_frames
+        if rem and n_frames > 1:
+            runs = [(n_frames - 1, delta), (1, delta + rem)]
+        else:
+            runs = [(n_frames, delta + (rem if n_frames == 1 else 0))]
+        stts = _full(
+            b"stts",
+            0,
+            struct.pack(">I", len(runs))
+            + b"".join(struct.pack(">II", c, d) for c, d in runs),
+        )
+        stbl_extra = stts
+        if keyframes is not None:
+            ks = [int(k) for k in keyframes]
+            if ks != sorted(set(ks)) or any(
+                k < 1 or k > n_frames for k in ks
+            ):
+                raise ValueError(
+                    "build_mp4_bytes: keyframes must be ascending unique "
+                    "1-based sample numbers within n_frames"
+                )
+            stbl_extra += _full(
+                b"stss",
+                0,
+                struct.pack(">I", len(ks))
+                + b"".join(struct.pack(">I", k) for k in ks),
+            )
 
     ftyp = _box(b"ftyp", major_brand.encode("latin-1")[:4].ljust(4)
                 + struct.pack(">I", 0) + b"isomiso2")
@@ -275,7 +438,7 @@ def build_mp4_bytes(
         entry = struct.pack(">I", 16) + fourcc.encode("latin-1")[:4].ljust(4) \
             + b"\x00" * 6 + struct.pack(">H", 1)
         stsd = _full(b"stsd", 0, struct.pack(">I", 1) + entry)
-        stbl = _box(b"stbl", stsd)
+        stbl = _box(b"stbl", stsd + (stbl_extra if handler == b"vide" else b""))
         minf = _box(b"minf", stbl)
         mdia = _box(b"mdia", mdhd + hdlr + minf)
         return _box(b"trak", tkhd + mdia)

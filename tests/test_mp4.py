@@ -144,3 +144,126 @@ def test_parse_accepts_non_bytes_without_semantic_change():
     b = parse_mp4_metadata(bytearray(raw))
     c = parse_mp4_metadata(memoryview(raw))
     assert a == b == c
+
+
+# ------------------------------------------------- sample tables (r12)
+
+
+def test_sample_tables_roundtrip_with_remainder_run():
+    """stts round-trip including the remainder run: 1500 ms over 7
+    frames at timescale 1000 -> deltas 214x6 + 216, summing EXACTLY to
+    the track duration; stss round-trips the keyframe pattern."""
+    from ferramenta_etl_spark.operators.mp4 import parse_mp4_sample_tables
+
+    raw = build_mp4_bytes(
+        duration_ms=1500, timescale=1000, n_frames=7, keyframes=(1, 4, 7)
+    )
+    t = parse_mp4_sample_tables(raw)
+    assert t is not None
+    assert t.media_timescale == 1000
+    assert t.n_samples == 7
+    assert sum(c * d for c, d in t.stts_runs) == 1500
+    assert t.stts_runs == ((6, 214), (1, 216))
+    assert t.keyframes == (1, 4, 7)
+    times = t.sample_times_ms()
+    assert times == [0, 214, 428, 642, 856, 1070, 1284]
+
+
+def test_sample_tables_absent_and_no_stss():
+    from ferramenta_etl_spark.operators.mp4 import parse_mp4_sample_tables
+
+    # pre-r12 metadata-only layout: no stts -> None (nothing to plan)
+    assert parse_mp4_sample_tables(build_mp4_bytes()) is None
+    # stts without stss: all samples sync (keyframes None)
+    t = parse_mp4_sample_tables(build_mp4_bytes(n_frames=10))
+    assert t is not None and t.keyframes is None and t.n_samples == 10
+
+
+def test_sample_tables_corruption_and_builder_guards():
+    from ferramenta_etl_spark.operators.mp4 import parse_mp4_sample_tables
+
+    raw = bytearray(build_mp4_bytes(n_frames=10, keyframes=(1, 5)))
+    at = bytes(raw).find(b"stts")
+    # entry_count inflated past the box end -> overrun
+    struct.pack_into(">I", raw, at + 8, 10_000)
+    with pytest.raises(ValueError, match="stts"):
+        parse_mp4_sample_tables(bytes(raw))
+    with pytest.raises(ValueError, match="keyframes requires"):
+        build_mp4_bytes(keyframes=(1,))
+    with pytest.raises(ValueError, match="ascending unique"):
+        build_mp4_bytes(n_frames=5, keyframes=(3, 2))
+    with pytest.raises(ValueError, match="ascending unique"):
+        build_mp4_bytes(n_frames=5, keyframes=(1, 9))
+
+
+def test_keyframe_schedule_lands_on_keyframes(spark):
+    """VERDICT r11 #8 done-criterion: an MP4 with a KNOWN keyframe
+    pattern scheduled via the real stts/stss tables — every scheduled
+    sample is a sync sample, each 1 s target maps to the latest
+    keyframe at-or-before it, and the whole plan matches a pure-Python
+    reference."""
+    import pandas as pd  # noqa: F401 (arrow path)
+
+    from ferramenta_etl_spark.operators.multimodal import (
+        keyframe_sample_schedule,
+    )
+
+    # 100 frames over 10 s (delta 100 ms), keyframes every 30 starting
+    # at 1 -> sync samples 0,30,60,90 (0-based), times 0/3000/6000/9000
+    raw = build_mp4_bytes(
+        duration_ms=10_000, timescale=1000, n_frames=100,
+        keyframes=tuple(range(1, 101, 30)),
+    )
+    df = spark.createDataFrame([(7, bytearray(raw))], "doc_id long, media binary")
+    got = {
+        (r.sample_idx, r.t_ms)
+        for r in keyframe_sample_schedule(df, every_ms=1000).collect()
+    }
+    # targets 0..9000: 0-2999 -> kf 0; 3000-5999 -> kf 30; etc.
+    assert got == {(0, 0), (30, 3000), (60, 6000), (90, 9000)}
+
+    # no-stss container: every sample is sync -> exact 1 s grid
+    raw2 = build_mp4_bytes(duration_ms=5_000, timescale=1000, n_frames=50)
+    df2 = spark.createDataFrame([(8, bytearray(raw2))], "doc_id long, media binary")
+    got2 = sorted(
+        (r.sample_idx, r.t_ms)
+        for r in keyframe_sample_schedule(df2, every_ms=1000).collect()
+    )
+    assert got2 == [(0, 0), (10, 1000), (20, 2000), (30, 3000), (40, 4000)]
+
+
+def test_keyframe_schedule_corrupt_and_fixture_spine(spark):
+    """Corrupt containers surface as one null row; the attach_mp4_media
+    fixture spine (real GOP-patterned stss, every 5th doc all-sync)
+    yields a schedule whose every row is a sync sample of its doc."""
+    from ferramenta_etl_spark.operators.containers import attach_mp4_media
+    from ferramenta_etl_spark.operators.mp4 import parse_mp4_sample_tables
+    from ferramenta_etl_spark.operators.multimodal import (
+        keyframe_sample_schedule,
+    )
+
+    bad = spark.createDataFrame(
+        [(1, bytearray(b"\x00" * 40))], "doc_id long, media binary"
+    )
+    rows = keyframe_sample_schedule(bad, every_ms=500).collect()
+    assert [(r.doc_id, r.sample_idx, r.t_ms) for r in rows] == [(1, None, None)]
+
+    docs = spark.range(0, 40).withColumnRenamed("id", "doc_id")
+    media = attach_mp4_media(docs)
+    sched = keyframe_sample_schedule(media, every_ms=1000).collect()
+    assert sched and all(r.sample_idx is not None for r in sched)
+    blobs = {r.doc_id: bytes(r.media) for r in media.collect()}
+    by_doc = {}
+    for r in sched:
+        by_doc.setdefault(r.doc_id, set()).add(r.sample_idx)
+    for did, picked in by_doc.items():
+        t = parse_mp4_sample_tables(blobs[did])
+        sync = (
+            set(range(t.n_samples))
+            if t.keyframes is None
+            else {k - 1 for k in t.keyframes}
+        )
+        assert picked <= sync, f"doc {did}: non-sync samples {picked - sync}"
+        assert 0 in picked  # frame-0 coverage: target 0 always schedules
+    with pytest.raises(ValueError, match="every_ms"):
+        keyframe_sample_schedule(bad, every_ms=0)
