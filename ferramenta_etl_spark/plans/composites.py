@@ -212,11 +212,60 @@ def add_bench_composites(
         # training (driver-held merge list) at plan-build time — the
         # tokenizer artifact; timed runs measure corpus tokenization,
         # the Arrow-batched narrow map that is the recurring cost.
+        # 16x-replicated spine + pinned partitioning + checkpoint
+        # (VERDICT r11 #3, the media_decode_jpeg playbook): at ~0.47 s
+        # the wall rode directly on the ~0.12 s python-worker jitter
+        # (26.5% spread, passing only via the 0.15 s abs floor) — and
+        # most of that 0.47 s turned out to be the UNREPARTITIONED
+        # single-file scan, not tokenization (the balanced checkpointed
+        # corpus tokenizes 4x the docs in 0.29 s). 16x gives the
+        # encode-only measurement a ~1 s wall, putting the additive
+        # jitter near 10%.
         from ..operators.bpe import bpe_tokenize, train_bpe_from_docs
 
-        docs = load_table(spark, sf, "documents")
+        docs = load_table(spark, sf, "documents").select("doc_id", "text")
         merges = train_bpe_from_docs(docs, 15)
-        return bpe_tokenize(docs, merges).select("doc_id", "bpe_tokens")
+        docs16 = (
+            docs.withColumn("__r", F.explode(F.sequence(F.lit(0), F.lit(15))))
+            .select(
+                (F.col("doc_id") * 16 + F.col("__r")).alias("doc_id"), "text"
+            )
+            .repartition(spark.sparkContext.defaultParallelism)
+            .localCheckpoint(eager=True)
+        )
+        return bpe_tokenize(docs16, merges).select("doc_id", "bpe_tokens")
+
+    def _capped_sessions(spark, sf):
+        # the oracle-gated operator (events_capped_sessions registry
+        # row verifies it at sf0.01) over a 4x-replicated USER spine:
+        # disjoint user ids per replica, so per-user session semantics
+        # are untouched and the wall grows 4x past the applyInPandas
+        # jitter floor (VERDICT r11 #3 — 21.3% spread at 0.57 s).
+        # Replication + checkpoint at plan build; timed runs measure
+        # the user_id exchange + Arrow per-group walk.
+        from ..operators.sessionize import capped_sessions
+
+        ev = (
+            load_table(spark, sf, "events")
+            .filter(F.col("user_id").isNotNull())
+            .select("user_id", "ts", "event_id", "value")
+        )
+        ev4 = (
+            ev.withColumn("__r", F.explode(F.sequence(F.lit(0), F.lit(3))))
+            .select(
+                (F.col("user_id") + F.col("__r") * F.lit(10_000_000_000))
+                .alias("user_id"),
+                "ts",
+                "event_id",
+                "value",
+            )
+            .repartition(spark.sparkContext.defaultParallelism)
+            .localCheckpoint(eager=True)
+        )
+        return capped_sessions(
+            ev4, gap="24 hours", max_duration="2 hours",
+            tiebreak=("event_id",),
+        )
 
     def _skew_plain_x20(spark, sf):
         return join_skewed_plain(spark, sf, replicate=20)
@@ -251,6 +300,7 @@ def add_bench_composites(
     queries["bm25_topk"] = plan_cache(_bm25_topk)
     queries["dsir_score"] = plan_cache(_dsir_score)
     queries["bpe_tokenize"] = plan_cache(_bpe_tokenize)
+    queries["events_capped_sessions"] = plan_cache(_capped_sessions)
 
     def _jpeg_decode(spark, sf):
         # fixture encode (attach_jpeg_media over the doc spine — a mix
