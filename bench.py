@@ -153,8 +153,11 @@ HEADLINE = [
     # new round 12: the cascade (15m->1h->1d computed from the FINE
     # windows table, never raw events — oracle-gated registry row;
     # materializations at plan build, timed runs measure the two
-    # windows-table aggregations + union serve)
+    # windows-table aggregations + union serve) and the keyframe-
+    # aligned frame-sampling plan from real stts/stss tables (narrow
+    # header-parse map over the 10x MP4 spine)
     "events_rollup_cascade",
+    "media_frame_schedule",
     # replicate=20, 90% hot key (the 12M-row null-key pathology): the
     # scale where salting beats the AQE-assisted plain join DECISIVELY
     # (1.59x, runs don't overlap), so the regression guard points the

@@ -311,6 +311,169 @@ def contamination_hits(
     )
 
 
+def _bloom_params(expected: int, fpp: float) -> tuple[int, int]:
+    """Standard sizing: m bits and k probes for ``expected`` insertions
+    at ``fpp`` false-positive rate (m = -n ln p / ln2^2, k = m/n ln2)."""
+    import math
+
+    expected = max(1, expected)
+    m = max(64, int(-expected * math.log(fpp) / (math.log(2) ** 2)))
+    k = max(1, round(m / expected * math.log(2)))
+    return m, k
+
+
+def _mix64(h):
+    """splitmix64 finalizer (numpy uint64, vectorized): the gram hashes
+    are 31-bit polynomial values (dedup.shingle_hashes), so their high
+    word is EMPTY — splitting them raw would collapse the double-hash
+    increment to 1 and cluster every key's probes. The mix spreads the
+    31 input bits over all 64 before the split."""
+    import numpy as np
+
+    h = h.astype(np.uint64, copy=True)
+    h ^= h >> np.uint64(30)
+    h *= np.uint64(0xBF58476D1CE4E5B9)
+    h ^= h >> np.uint64(27)
+    h *= np.uint64(0x94D049BB133111EB)
+    h ^= h >> np.uint64(31)
+    return h
+
+
+def _bloom_positions(h, i: int, m: int):
+    """Kirsch–Mitzenmacher double hashing over a MIXED 64-bit gram hash
+    (numpy uint64 array): pos_i = (h1 + i*h2) mod m, h2 forced odd.
+    uint64 wrap before the mod is a negligible bias at bloom scale.
+    Callers pass the _mix64 output."""
+    import numpy as np
+
+    h1 = h & np.uint64(0xFFFFFFFF)
+    h2 = (h >> np.uint64(32)) | np.uint64(1)
+    return ((h1 + np.uint64(i) * h2) % np.uint64(m)).astype(np.int64)
+
+
+def contamination_hits_scaled(
+    corpus,
+    benchmark,
+    n: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    expected_grams: int = 1_000_000,
+    fpp: float = 1e-3,
+):
+    """``contamination_hits(hashed=True)`` for benchmark sets PAST
+    broadcast size — decontaminating against another corpus (the
+    held-out split of the training set itself, a sibling crawl) rather
+    than a metadata-scale eval suite. Identical output by construction;
+    tests assert row-for-row equality.
+
+    The broadcast-join shape breaks down when |benchmark grams| is
+    billions: the gram table cannot broadcast and a plain shuffled join
+    shuffles EVERY corpus gram. This path:
+
+    1. builds a Bloom bitmap over the benchmark's 64-bit gram hashes
+       with a treeAggregate of per-partition numpy bitmaps (the same
+       strategy as Spark's own ``DataFrame.stat.bloomFilter``, done in
+       columnar batches; ``expected_grams``/``fpp`` size it —
+       ~14.4 bits/gram at 1e-3, so even 10^9 grams is a ~1.7 GB driver
+       artifact where the string set is ~100x that),
+    2. screens corpus grams against the broadcast bitmap in a
+       vectorized Arrow batch (no shuffle, false negatives impossible),
+    3. exact-verifies ONLY the survivors with a left-semi join against
+       the benchmark hash table — so the shuffle carries
+       |true hits| + fpp·|corpus grams| rows instead of all of them,
+       and bloom false positives are eliminated, keeping the result
+       EXACTLY ``contamination_hits(hashed=True)`` (same 31-bit-gram
+       hash-collision caveat, nothing more).
+
+    An undersized ``expected_grams`` only degrades fpp (more verify
+    shuffle, same answer). Returns (id_col, n_hits) for contaminated
+    docs only."""
+    import numpy as np
+
+    from ..operators.dedup import shingle_hashes
+    from ..sources.tables import ensure_scan_parallelism
+
+    m, k = _bloom_params(expected_grams, fpp)
+
+    def grams(col):
+        return F.array_distinct(shingle_hashes(col, n))
+
+    bench_hashes = ensure_scan_parallelism(benchmark).select(
+        F.explode(grams(F.col(text_col))).alias("g")
+    )
+
+    nbytes = (m + 7) // 8
+
+    def _set_bits(pdf_iter):
+        import pandas as pd
+
+        bits = np.zeros(nbytes, dtype=np.uint8)
+        for pdf in pdf_iter:
+            if len(pdf) == 0:
+                continue
+            h = _mix64(pdf["g"].values.view(np.uint64))
+            for i in range(k):
+                pos = _bloom_positions(h, i, m)
+                np.bitwise_or.at(
+                    bits, pos >> 3, np.uint8(1) << (pos & 7).astype(np.uint8)
+                )
+        yield pd.DataFrame({"bits": [bits.tobytes()]})
+
+    def _or_fold(pdf_iter):
+        import pandas as pd
+
+        acc = None
+        for pdf in pdf_iter:
+            for b in pdf["bits"]:
+                arr = np.frombuffer(b, dtype=np.uint8)
+                acc = arr.copy() if acc is None else acc | arr
+        if acc is not None:
+            yield pd.DataFrame({"bits": [acc.tobytes()]})
+
+    # per-partition bitmaps tree-OR-combined down to a handful of rows
+    # before the driver fold — gram rows never cross the wire, and the
+    # driver receives O(1) bitmaps however many scan partitions exist
+    # (the same shape as Spark's own stat.bloomFilter treeAggregate)
+    parts = (
+        bench_hashes.mapInPandas(_set_bits, "bits binary")
+        .repartition(4)
+        .mapInPandas(_or_fold, "bits binary")
+        .collect()
+    )
+    bitmap = np.zeros(nbytes, dtype=np.uint8)
+    for row in parts:
+        bitmap |= np.frombuffer(row.bits, dtype=np.uint8)
+    bc = corpus.sparkSession.sparkContext.broadcast(bitmap.tobytes())
+
+    from pyspark.sql.types import BooleanType
+
+    @F.pandas_udf(BooleanType())
+    def might_contain(hs):
+        import pandas as pd
+
+        bits = np.frombuffer(bc.value, dtype=np.uint8)
+        h = _mix64(hs.values.view(np.uint64))
+        ok = np.ones(len(h), dtype=bool)
+        for i in range(k):
+            pos = _bloom_positions(h, i, m)
+            ok &= ((bits[pos >> 3] >> (pos & 7).astype(np.uint8)) & 1) == 1
+            if not ok.any():
+                break
+        return pd.Series(ok)
+
+    corpus_grams = ensure_scan_parallelism(corpus).select(
+        F.col(id_col), F.explode(grams(F.col(text_col))).alias("g")
+    )
+    survivors = corpus_grams.filter(might_contain(F.col("g")))
+    return (
+        # left_semi: at most one match per (doc, gram) however often the
+        # gram repeats in the benchmark — no bench-side distinct needed
+        survivors.join(bench_hashes, "g", "left_semi")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+
+
 def remove_contaminated_spans(
     corpus,
     benchmark,

@@ -357,8 +357,29 @@ def add_bench_composites(
         )
         return probe_videos(media)
 
+    def _frame_schedule(spark, sf):
+        # round 12: keyframe-aligned frame sampling from real stts/stss
+        # tables (multimodal.keyframe_sample_schedule) over the same
+        # 10x MP4 spine as media_probe_mp4 — timed runs measure the
+        # sample-table parse + snap walk, the recurring planning cost
+        # of a video decode pipeline.
+        from ..operators.containers import attach_mp4_media
+        from ..operators.multimodal import keyframe_sample_schedule
+
+        docs = load_table(spark, sf, "documents").select("doc_id")
+        docs = docs.withColumn(
+            "__r", F.explode(F.sequence(F.lit(0), F.lit(9)))
+        ).select((F.col("doc_id") * 10 + F.col("__r")).alias("doc_id"))
+        media = (
+            attach_mp4_media(docs)
+            .repartition(spark.sparkContext.defaultParallelism)
+            .localCheckpoint(eager=True)
+        )
+        return keyframe_sample_schedule(media, every_ms=500)
+
     queries["media_decode_jpeg"] = plan_cache(_jpeg_decode)
     queries["media_probe_mp4"] = plan_cache(_mp4_probe)
+    queries["media_frame_schedule"] = plan_cache(_frame_schedule)
     queries["dedup_minhash_fast"] = plan_cache(_minhash_fast)
     queries["dedup_simhash_fast"] = plan_cache(_simhash_fast)
     # mirrors are written at plan-build time (amortized, like the index

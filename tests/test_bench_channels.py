@@ -51,6 +51,9 @@ VARIANT_CHANNELS = {
     " T.81 fixture class) + tests/test_containers.py routing",
     "media_probe_mp4": "tests/test_mp4.py (box-tree round-trips, five"
     " corruption classes) + probe_videos routing",
+    "media_frame_schedule": "tests/test_mp4.py::"
+    "test_keyframe_schedule_lands_on_keyframes (+ fixture-spine sync-"
+    "sample containment, corrupt-row nulls)",
     "join_skewed_plain_x20": "tests/test_skew.py::"
     "test_salted_join_equals_plain_join (the A/B pair's control arm)",
     "join_skewed_salted_x20": "tests/test_skew.py::"

@@ -1550,3 +1550,78 @@ def test_tfidf_keywords_matches_python_reference(spark, sf_dir):
         for r in tfidf_keywords(docs.repartition(13), k=5).collect()
     }
     assert again == first
+
+
+def test_contamination_bloom_path_equals_hashed_join(spark, sf_dir):
+    """contamination_hits_scaled (round 12: bloom pre-screen + exact
+    left-semi verify, for benchmark sets past broadcast size) returns
+    EXACTLY contamination_hits(hashed=True) — false positives die in
+    the verify join, false negatives are impossible — at a healthy fpp,
+    at a deliberately starved bitmap (expected_grams=4: fpp ~ 1, every
+    gram survives the screen, the verify join still decides), and the
+    flagged set is non-trivial on the fixture."""
+    from ferramenta_etl_spark.operators.text import (
+        contamination_hits,
+        contamination_hits_scaled,
+    )
+    from ferramenta_etl_spark.sources import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 97 == 0)
+    corpus = docs.filter(F.col("doc_id") % 97 != 0)
+    want = {
+        (r.doc_id, r.n_hits)
+        for r in contamination_hits(corpus, bench, n=5, hashed=True).collect()
+    }
+    assert want, "fixture should contain contaminated docs"
+    got = {
+        (r.doc_id, r.n_hits)
+        for r in contamination_hits_scaled(corpus, bench, n=5).collect()
+    }
+    assert got == want
+    starved = {
+        (r.doc_id, r.n_hits)
+        for r in contamination_hits_scaled(
+            corpus, bench, n=5, expected_grams=4, fpp=0.5
+        ).collect()
+    }
+    assert starved == want
+
+
+def test_contamination_bloom_empty_benchmark_and_screen_selectivity(spark):
+    """An empty benchmark flags nothing; on disjoint corpora the bloom
+    screen passes ~fpp of grams, i.e. the verify-join shuffle is a
+    vanishing fraction of corpus grams (the operator's scale claim)."""
+    from ferramenta_etl_spark.operators.text import (
+        _bloom_params,
+        _bloom_positions,
+        _mix64,
+        contamination_hits_scaled,
+    )
+
+    corpus = spark.createDataFrame(
+        [(i, f"alpha bravo charlie delta echo {i}") for i in range(50)],
+        "doc_id long, text string",
+    )
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    assert contamination_hits_scaled(corpus, empty, n=3).count() == 0
+
+    # direct fpp check of the bitmap math (numpy, no Spark): insert 10k
+    # random keys, probe 10k others; observed rate within 5x of nominal
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    m, k = _bloom_params(10_000, 1e-3)
+    bits = np.zeros((m + 7) // 8, dtype=np.uint8)
+    ins = _mix64(rng.integers(0, 2**31, 10_000, dtype=np.int64).view(np.uint64))
+    for i in range(k):
+        pos = _bloom_positions(ins, i, m)
+        np.bitwise_or.at(bits, pos >> 3, np.uint8(1) << (pos & 7).astype(np.uint8))
+    probe = _mix64(
+        rng.integers(2**31, 2**32, 10_000, dtype=np.int64).view(np.uint64)
+    )
+    ok = np.ones(10_000, dtype=bool)
+    for i in range(k):
+        pos = _bloom_positions(probe, i, m)
+        ok &= ((bits[pos >> 3] >> (pos & 7).astype(np.uint8)) & 1) == 1
+    assert ok.mean() <= 5e-3, f"observed fpp {ok.mean():.4f} vs nominal 1e-3"
