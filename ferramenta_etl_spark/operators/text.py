@@ -388,6 +388,12 @@ def contamination_hits_scaled(
     An undersized ``expected_grams`` only degrades fpp (more verify
     shuffle, same answer). Returns (id_col, n_hits) for contaminated
     docs only."""
+    if not 0.0 < fpp < 1.0:
+        raise ValueError(f"fpp must be in (0, 1), got {fpp}")
+    if expected_grams < 1:
+        raise ValueError(f"expected_grams must be >= 1, got {expected_grams}")
+    if n < 1:
+        raise ValueError(f"n must be >= 1, got {n}")
     import numpy as np
 
     from ..operators.dedup import shingle_hashes

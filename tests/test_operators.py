@@ -1625,3 +1625,17 @@ def test_contamination_bloom_empty_benchmark_and_screen_selectivity(spark):
         pos = _bloom_positions(probe, i, m)
         ok &= ((bits[pos >> 3] >> (pos & 7).astype(np.uint8)) & 1) == 1
     assert ok.mean() <= 5e-3, f"observed fpp {ok.mean():.4f} vs nominal 1e-3"
+
+
+def test_contamination_bloom_validates_parameters(spark):
+    from ferramenta_etl_spark.operators.text import contamination_hits_scaled
+
+    df = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="fpp"):
+        contamination_hits_scaled(df, df, fpp=0.0)
+    with pytest.raises(ValueError, match="fpp"):
+        contamination_hits_scaled(df, df, fpp=1.0)
+    with pytest.raises(ValueError, match="expected_grams"):
+        contamination_hits_scaled(df, df, expected_grams=0)
+    with pytest.raises(ValueError, match="n must"):
+        contamination_hits_scaled(df, df, n=0)
