@@ -220,8 +220,11 @@ class MP4SampleTables(NamedTuple):
 
     def sample_times_ms(self):
         """Decode start time of each sample in ms (n_samples longs) —
-        the cumulative stts expansion. List-returning (a frame count is
-        bounded per container; callers batch per-row anyway)."""
+        the cumulative stts expansion. List-returning; allocates
+        O(n_samples), and n_samples comes from a DECLARED run-length
+        count an 8-byte corrupt box can set to 2^32 — bound it against
+        a sanity cap before calling (keyframe_sample_schedule's
+        max_samples guard is the model)."""
         out = []
         t = 0
         for count, delta in self.stts_runs:

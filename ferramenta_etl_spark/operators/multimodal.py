@@ -258,6 +258,7 @@ def keyframe_sample_schedule(
     every_ms: int = 1000,
     media_col: str = "media",
     id_col: str = "doc_id",
+    max_samples: int = 10_000_000,
 ) -> DataFrame:
     """The sampling plan for video frame extraction driven by the
     container's REAL sample tables (round 12 / VERDICT r11 #8 — closes
@@ -276,11 +277,21 @@ def keyframe_sample_schedule(
     downstream, batch intact — the decode_images policy); a container
     with no video track or a metadata-only stbl (no stts) schedules
     NOTHING, the same no-frames policy as ``frame_sample_schedule``.
+    ``max_samples`` bounds the per-row work BEFORE any expansion: an
+    stts declaring more samples than that — or a duration implying more
+    than that many targets — is treated as corrupt (null row), because
+    the run-length stts format lets an 8-byte box declare 2^32 samples
+    and the box-bounds checks cannot see it (its sample count is free,
+    unlike stss's 4-bytes-per-entry); without the bound one adversarial
+    blob in a 100 TB corpus would expand a multi-GB list inside the
+    executor instead of yielding the documented null row (review r12).
     Narrow Arrow-batched map over header bytes, no shuffle; at 100 TB
     the schedule join against a frame-decode stage is what Spark
     parallelizes and prunes."""
     if every_ms < 1:
         raise ValueError(f"every_ms must be >= 1, got {every_ms}")
+    if max_samples < 1:
+        raise ValueError(f"max_samples must be >= 1, got {max_samples}")
 
     from .mp4 import parse_mp4_sample_tables
 
@@ -293,7 +304,11 @@ def keyframe_sample_schedule(
             if len(pdf) == 0:
                 continue
             ids, idxs, ts = [], [], []
-            for did, blob in zip(pdf[id_col], pdf[media_col]):
+            # the select below aliases the caller's id column to doc_id,
+            # so the kernel reads the POST-alias names regardless of the
+            # id_col/media_col arguments (review r12: pdf[id_col] broke
+            # every non-default id_col with a worker-side KeyError)
+            for did, blob in zip(pdf["doc_id"], pdf["media"]):
                 did = int(did)
                 try:
                     tables = parse_mp4_sample_tables(blob)
@@ -304,6 +319,22 @@ def keyframe_sample_schedule(
                     continue
                 if tables is None or tables.n_samples == 0:
                     continue  # no video / no sample timing: nothing to plan
+                # bound the work BEFORE expanding anything: total_ms is
+                # O(runs) to compute, and an implausible declared sample
+                # or target count is corruption, not a schedule
+                total_ms = (
+                    sum(c * d for c, d in tables.stts_runs)
+                    * 1000
+                    // tables.media_timescale
+                )
+                if (
+                    tables.n_samples > max_samples
+                    or total_ms // every_ms > max_samples
+                ):
+                    ids.append(did)
+                    idxs.append(None)
+                    ts.append(None)
+                    continue
                 times = tables.sample_times_ms()
                 # 0-based indices of the seekable samples
                 sync = (
@@ -313,11 +344,6 @@ def keyframe_sample_schedule(
                 )
                 if not sync:
                     continue  # stss present but empty: nowhere to seek
-                total_ms = (
-                    sum(c * d for c, d in tables.stts_runs)
-                    * 1000
-                    // tables.media_timescale
-                )
                 seen = set()
                 for target in range(0, max(total_ms, 1), every_ms):
                     # latest sample starting at-or-before the target …
@@ -337,7 +363,7 @@ def keyframe_sample_schedule(
             yield pd.DataFrame({"doc_id": ids, "sample_idx": idxs, "t_ms": ts})
 
     return media_df.select(
-        F.col(id_col).alias("doc_id"), F.col(media_col)
+        F.col(id_col).alias("doc_id"), F.col(media_col).alias("media")
     ).mapInPandas(batches, KEYFRAME_SCHEDULE_SCHEMA)
 
 

@@ -351,62 +351,16 @@ def _bloom_positions(h, i: int, m: int):
     return ((h1 + np.uint64(i) * h2) % np.uint64(m)).astype(np.int64)
 
 
-def contamination_hits_scaled(
-    corpus,
-    benchmark,
-    n: int = 8,
-    text_col: str = "text",
-    id_col: str = "doc_id",
-    expected_grams: int = 1_000_000,
-    fpp: float = 1e-3,
-):
-    """``contamination_hits(hashed=True)`` for benchmark sets PAST
-    broadcast size — decontaminating against another corpus (the
-    held-out split of the training set itself, a sibling crawl) rather
-    than a metadata-scale eval suite. Identical output by construction;
-    tests assert row-for-row equality.
-
-    The broadcast-join shape breaks down when |benchmark grams| is
-    billions: the gram table cannot broadcast and a plain shuffled join
-    shuffles EVERY corpus gram. This path:
-
-    1. builds a Bloom bitmap over the benchmark's 64-bit gram hashes
-       with a treeAggregate of per-partition numpy bitmaps (the same
-       strategy as Spark's own ``DataFrame.stat.bloomFilter``, done in
-       columnar batches; ``expected_grams``/``fpp`` size it —
-       ~14.4 bits/gram at 1e-3, so even 10^9 grams is a ~1.7 GB driver
-       artifact where the string set is ~100x that),
-    2. screens corpus grams against the broadcast bitmap in a
-       vectorized Arrow batch (no shuffle, false negatives impossible),
-    3. exact-verifies ONLY the survivors with a left-semi join against
-       the benchmark hash table — so the shuffle carries
-       |true hits| + fpp·|corpus grams| rows instead of all of them,
-       and bloom false positives are eliminated, keeping the result
-       EXACTLY ``contamination_hits(hashed=True)`` (same 31-bit-gram
-       hash-collision caveat, nothing more).
-
-    An undersized ``expected_grams`` only degrades fpp (more verify
-    shuffle, same answer). Returns (id_col, n_hits) for contaminated
-    docs only."""
-    if not 0.0 < fpp < 1.0:
-        raise ValueError(f"fpp must be in (0, 1), got {fpp}")
-    if expected_grams < 1:
-        raise ValueError(f"expected_grams must be >= 1, got {expected_grams}")
-    if n < 1:
-        raise ValueError(f"n must be >= 1, got {n}")
+def build_gram_bloom(hash_df, m: int, k: int) -> bytes:
+    """Bloom bitmap bytes over a single-long-column ``g`` DataFrame of
+    gram hashes: per-partition numpy bitmaps, tree-OR-combined down to
+    a handful of rows before the driver fold — gram rows never cross
+    the wire, and the driver receives O(1) bitmaps however many scan
+    partitions exist (the same shape as Spark's own stat.bloomFilter
+    treeAggregate). Shared by ``contamination_hits_scaled`` and the
+    ``--bloom-decontam`` scaling probe so the measurement harness can
+    never drift from the shipped screen (review r12)."""
     import numpy as np
-
-    from ..operators.dedup import shingle_hashes
-    from ..sources.tables import ensure_scan_parallelism
-
-    m, k = _bloom_params(expected_grams, fpp)
-
-    def grams(col):
-        return F.array_distinct(shingle_hashes(col, n))
-
-    bench_hashes = ensure_scan_parallelism(benchmark).select(
-        F.explode(grams(F.col(text_col))).alias("g")
-    )
 
     nbytes = (m + 7) // 8
 
@@ -436,12 +390,8 @@ def contamination_hits_scaled(
         if acc is not None:
             yield pd.DataFrame({"bits": [acc.tobytes()]})
 
-    # per-partition bitmaps tree-OR-combined down to a handful of rows
-    # before the driver fold — gram rows never cross the wire, and the
-    # driver receives O(1) bitmaps however many scan partitions exist
-    # (the same shape as Spark's own stat.bloomFilter treeAggregate)
     parts = (
-        bench_hashes.mapInPandas(_set_bits, "bits binary")
+        hash_df.mapInPandas(_set_bits, "bits binary")
         .repartition(4)
         .mapInPandas(_or_fold, "bits binary")
         .collect()
@@ -449,7 +399,15 @@ def contamination_hits_scaled(
     bitmap = np.zeros(nbytes, dtype=np.uint8)
     for row in parts:
         bitmap |= np.frombuffer(row.bits, dtype=np.uint8)
-    bc = corpus.sparkSession.sparkContext.broadcast(bitmap.tobytes())
+    return bitmap.tobytes()
+
+
+def gram_bloom_probe_udf(bitmap_bc, m: int, k: int):
+    """Vectorized membership test against a broadcast ``build_gram_bloom``
+    bitmap: a boolean pandas UDF over a long gram-hash column. False
+    negatives impossible; positives are probabilistic (callers verify
+    exactly). The shared probe half of the screen."""
+    import numpy as np
 
     from pyspark.sql.types import BooleanType
 
@@ -457,7 +415,7 @@ def contamination_hits_scaled(
     def might_contain(hs):
         import pandas as pd
 
-        bits = np.frombuffer(bc.value, dtype=np.uint8)
+        bits = np.frombuffer(bitmap_bc.value, dtype=np.uint8)
         h = _mix64(hs.values.view(np.uint64))
         ok = np.ones(len(h), dtype=bool)
         for i in range(k):
@@ -466,6 +424,79 @@ def contamination_hits_scaled(
             if not ok.any():
                 break
         return pd.Series(ok)
+
+    return might_contain
+
+
+def contamination_hits_scaled(
+    corpus,
+    benchmark,
+    n: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    expected_grams: int = 1_000_000,
+    fpp: float = 1e-3,
+):
+    """``contamination_hits(hashed=True)`` for benchmark sets PAST
+    broadcast size — decontaminating against another corpus (the
+    held-out split of the training set itself, a sibling crawl) rather
+    than a metadata-scale eval suite. Identical output by construction;
+    tests assert row-for-row equality.
+
+    The broadcast-join shape breaks down when |benchmark grams| is
+    billions: the gram table cannot broadcast and a plain shuffled join
+    shuffles EVERY corpus gram. This path:
+
+    1. builds a Bloom bitmap over the benchmark's 64-bit gram hashes
+       with a treeAggregate of per-partition numpy bitmaps (the same
+       strategy as Spark's own ``DataFrame.stat.bloomFilter``, done in
+       columnar batches; ``expected_grams``/``fpp`` size it —
+       ~14.4 bits/gram at 1e-3, so even 10^9 grams is a ~1.7 GB driver
+       artifact where the string set is ~100x that),
+    2. screens corpus grams against the broadcast bitmap in a
+       vectorized Arrow batch (no shuffle, false negatives impossible),
+    3. exact-verifies ONLY the survivors with a left-semi join against
+       the benchmark hash table — so the CORPUS side of the shuffle
+       carries |true hits| + fpp·|corpus grams| rows instead of all of
+       them, and bloom false positives are eliminated, keeping the
+       result EXACTLY ``contamination_hits(hashed=True)`` (same
+       31-bit-gram hash-collision caveat, nothing more).
+
+    What the screen does NOT save: the verify join still shuffles the
+    BENCHMARK gram table once (a left-semi cannot broadcast a
+    past-broadcast build side), and the benchmark's gram projection
+    executes twice — once for the bitmap, once for the join — so
+    ``localCheckpoint``/persist the benchmark DF when that scan is
+    expensive. The corpus side is the one that dwarfs at training
+    scale (|corpus| >> |benchmark|), which is why screening it is the
+    win: measured 1,621x corpus-gram shuffle reduction at fpp=1e-3
+    (SCALING.md round-12).
+
+    An undersized ``expected_grams`` only degrades fpp (more verify
+    shuffle, same answer). Returns (id_col, n_hits) for contaminated
+    docs only."""
+    if not 0.0 < fpp < 1.0:
+        raise ValueError(f"fpp must be in (0, 1), got {fpp}")
+    if expected_grams < 1:
+        raise ValueError(f"expected_grams must be >= 1, got {expected_grams}")
+    if n < 1:
+        raise ValueError(f"n must be >= 1, got {n}")
+    from ..operators.dedup import shingle_hashes
+    from ..sources.tables import ensure_scan_parallelism
+
+    m, k = _bloom_params(expected_grams, fpp)
+
+    def grams(col):
+        return F.array_distinct(shingle_hashes(col, n))
+
+    bench_hashes = ensure_scan_parallelism(benchmark).select(
+        F.explode(grams(F.col(text_col))).alias("g")
+    )
+
+    bc = corpus.sparkSession.sparkContext.broadcast(
+        build_gram_bloom(bench_hashes, m, k)
+    )
+    might_contain = gram_bloom_probe_udf(bc, m, k)
 
     corpus_grams = ensure_scan_parallelism(corpus).select(
         F.col(id_col), F.explode(grams(F.col(text_col))).alias("g")

@@ -930,6 +930,12 @@ def events_rollup_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..pipeline.rollup import cascade_rollup, materialize_rollup
 
     ev = load_table(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
+    # scratch rollup tables, reclaimed at interpreter exit — the same
+    # accepted caveat as events_rollup_serve's scratch dir: the plan
+    # cache bounds this to one dir trio per (session, dataset); fresh
+    # dirs per build are REQUIRED, not lazy — reusing a path across
+    # fixture regenerations would let first-writer-wins pin stale
+    # windows from the old data forever (review r12)
     paths = {}
     for lvl in ("15m", "1h", "1d"):
         paths[lvl] = tempfile.mkdtemp(prefix=f"rollup_cascade_{lvl}_")

@@ -1560,63 +1560,29 @@ def bloom_decontam_experiment(spark, sf_dir: str) -> dict:
     # scale the survivors fraction IS the shuffle-bytes fraction.
     # Rebuilt from the same helpers the operator uses (same bitmap
     # parameters), counting survivors of the screen.
-    from ferramenta_etl_spark.operators.text import _bloom_params
+    # rebuilt with the SAME shared helpers the operator uses (review
+    # r12: a copy-pasted screen here could silently diverge from the
+    # shipped code and the measured selectivity would stop measuring it)
+    from ferramenta_etl_spark.operators.text import (
+        _bloom_params,
+        build_gram_bloom,
+        gram_bloom_probe_udf,
+    )
 
     m, k = _bloom_params(1_000_000, 1e-3)
     out["bloom_bits_mb"] = round(m / 8 / 1e6, 2)
-    import numpy as np
-
-    from ferramenta_etl_spark.operators.text import (
-        _bloom_positions,
-        _mix64,
-    )
-
-    def _set_bits(pdf_iter):
-        import pandas as pd
-
-        nb = (m + 7) // 8
-        bits = np.zeros(nb, dtype=np.uint8)
-        for pdf in pdf_iter:
-            if len(pdf) == 0:
-                continue
-            h = _mix64(pdf["g"].values.view(np.uint64))
-            for i in range(k):
-                pos = _bloom_positions(h, i, m)
-                np.bitwise_or.at(
-                    bits, pos >> 3, np.uint8(1) << (pos & 7).astype(np.uint8)
-                )
-        yield pd.DataFrame({"bits": [bits.tobytes()]})
-
-    import pandas as _pd  # noqa: F401
-
-    bparts = (
-        bench.select(
-            F.explode(
-                F.array_distinct(shingle_hashes(F.col("text"), n))
-            ).alias("g")
+    bcv = spark.sparkContext.broadcast(
+        build_gram_bloom(
+            bench.select(
+                F.explode(
+                    F.array_distinct(shingle_hashes(F.col("text"), n))
+                ).alias("g")
+            ),
+            m,
+            k,
         )
-        .mapInPandas(_set_bits, "bits binary")
-        .collect()
     )
-    bitmap = np.zeros((m + 7) // 8, dtype=np.uint8)
-    for row in bparts:
-        bitmap |= np.frombuffer(row.bits, dtype=np.uint8)
-    bcv = spark.sparkContext.broadcast(bitmap.tobytes())
-
-    from pyspark.sql.types import BooleanType
-
-    @F.pandas_udf(BooleanType())
-    def might(hs):
-        import pandas as pd
-
-        bits = np.frombuffer(bcv.value, dtype=np.uint8)
-        h = _mix64(hs.values.view(np.uint64))
-        ok = np.ones(len(h), dtype=bool)
-        for i in range(k):
-            pos = _bloom_positions(h, i, m)
-            ok &= ((bits[pos >> 3] >> (pos & 7).astype(np.uint8)) & 1) == 1
-        return pd.Series(ok)
-
+    might = gram_bloom_probe_udf(bcv, m, k)
     survivors = cg.filter(might(F.col("g"))).count()
     out["screen_survivor_grams"] = int(survivors)
     out["screen_survivor_fraction"] = round(survivors / max(n_grams, 1), 6)

@@ -58,17 +58,37 @@ VARIANT_CHANNELS = {
     "test_salted_join_equals_plain_join (the A/B pair's control arm)",
     "join_skewed_salted_x20": "tests/test_skew.py::"
     "test_salted_join_equals_plain_join (twin equality)",
+    # These two SHADOW oracle-gated registry names in the bench dict
+    # (add_bench_composites overrides them with replicated-spine
+    # variants for stability, r12); the gate verifies the operator,
+    # these twin tests verify the replication wrappers preserve it.
+    "bpe_tokenize": "tests/test_bench_channels.py::"
+    "test_bpe_composite_replicas_match_unreplicated_operator",
+    "events_capped_sessions": "tests/test_bench_channels.py::"
+    "test_capped_sessions_composite_replicas_match_operator",
+    "dsir_score": "tests/test_bench_channels.py::"
+    "test_composite_independent_builds_agree[dsir_score] (+ every fit "
+    "weight pinned vs a pure-Python oracle, tests/test_dsir.py)",
 }
 
 
 def test_every_bench_row_has_a_channel():
     import bench
     from ferramenta_etl_spark.plans import all_oracles
+    from ferramenta_etl_spark.plans.composites import add_bench_composites
 
     gated = set(all_oracles())
+    # a composite that re-registers a GATED name shadows it in the
+    # bench dict — the oracle then checks the registry query while
+    # bench times the composite, so the name's gate membership no
+    # longer verifies the timed code (review r12): shadowed names need
+    # their own variant channel like any other composite
+    comp: dict = {}
+    add_bench_composites(comp)
+    shadowed = set(comp) & gated
     unverified = [
         n for n in bench.HEADLINE
-        if n not in gated and n not in VARIANT_CHANNELS
+        if (n not in gated or n in shadowed) and n not in VARIANT_CHANNELS
     ]
     assert not unverified, (
         f"bench rows with no verification channel: {unverified} — add a "
@@ -225,7 +245,7 @@ def _content_hash(df):
     return (df.count(), str(row[0]))
 
 
-@pytest.mark.parametrize("name", ["curation", "seq_packing"])
+@pytest.mark.parametrize("name", ["curation", "seq_packing", "dsir_score"])
 def test_composite_independent_builds_agree(spark, sf_dir, tmp_path, name):
     """curation / seq_packing hash-equality: two INDEPENDENT plan builds
     (fresh symlinked dataset paths, so the plan cache and table memo
@@ -245,3 +265,70 @@ def test_composite_independent_builds_agree(spark, sf_dir, tmp_path, name):
         hashes.append(_content_hash(qs[name](spark, str(link))))
     assert hashes[0] == hashes[1]
     assert hashes[0][0] > 0
+
+
+def test_bpe_composite_replicas_match_unreplicated_operator(spark, sf_dir):
+    """The bpe_tokenize BENCH composite (16x-replicated checkpointed
+    spine) is the gated operator run 16 times over: every replica's
+    token list equals the unreplicated operator's output for its base
+    doc under the same trained merges, and the row count is exactly
+    16x. A replication-wrapper regression (offset collision, dropped
+    rows, wrong merges) breaks this while leaving the gate green."""
+    from ferramenta_etl_spark.operators.bpe import (
+        bpe_tokenize,
+        train_bpe_from_docs,
+    )
+    from ferramenta_etl_spark.plans.composites import add_bench_composites
+
+    qs = {}
+    add_bench_composites(qs)
+    got = qs["bpe_tokenize"](spark, sf_dir).collect()
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    merges = train_bpe_from_docs(docs, 15)
+    base = {
+        r.doc_id: list(r.bpe_tokens)
+        for r in bpe_tokenize(docs, merges)
+        .select("doc_id", "bpe_tokens")
+        .collect()
+    }
+    assert len(got) == 16 * len(base)
+    for r in got:
+        assert list(r.bpe_tokens) == base[r.doc_id // 16]
+
+
+def test_capped_sessions_composite_replicas_match_operator(spark, sf_dir):
+    """The events_capped_sessions BENCH composite (4x disjoint-user
+    replicated spine) yields exactly four offset copies of the gated
+    operator's sessions: canonicalizing user_id modulo the replica
+    offset reproduces the base result four times over."""
+    from collections import Counter
+
+    from ferramenta_etl_spark.operators.sessionize import capped_sessions
+    from ferramenta_etl_spark.plans.composites import add_bench_composites
+
+    qs = {}
+    add_bench_composites(qs)
+    got = qs["events_capped_sessions"](spark, sf_dir).collect()
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("user_id").isNotNull())
+        .select("user_id", "ts", "event_id", "value")
+    )
+    base = capped_sessions(
+        ev, gap="24 hours", max_duration="2 hours", tiebreak=("event_id",)
+    ).collect()
+    cols = base[0].__fields__
+    assert "user_id" in cols
+
+    def canon(rows, mod):
+        return Counter(
+            tuple(
+                (v % 10_000_000_000 if c == "user_id" and mod else v)
+                for c, v in zip(cols, row)
+            )
+            for row in rows
+        )
+
+    want = canon(base, mod=False)
+    want = Counter({k: v * 4 for k, v in want.items()})
+    assert canon(got, mod=True) == want

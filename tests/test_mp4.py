@@ -267,3 +267,43 @@ def test_keyframe_schedule_corrupt_and_fixture_spine(spark):
         assert 0 in picked  # frame-0 coverage: target 0 always schedules
     with pytest.raises(ValueError, match="every_ms"):
         keyframe_sample_schedule(bad, every_ms=0)
+
+
+def test_keyframe_schedule_nondefault_columns_and_sample_bomb(spark):
+    """Review-r12 fixes: (a) non-default id/media column names work (the
+    kernel reads post-alias names); (b) an 8-byte stts declaring 2^32
+    samples — which passes box-bounds checks because the count is a free
+    field — yields the corrupt null row instead of expanding a multi-GB
+    list in the executor."""
+    from ferramenta_etl_spark.operators.multimodal import (
+        keyframe_sample_schedule,
+    )
+
+    raw = build_mp4_bytes(duration_ms=3000, timescale=1000, n_frames=30,
+                          keyframes=(1, 16))
+    df = spark.createDataFrame(
+        [(5, bytearray(raw))], "video_id long, payload binary"
+    )
+    got = sorted(
+        (r.doc_id, r.sample_idx, r.t_ms)
+        for r in keyframe_sample_schedule(
+            df, every_ms=1000, media_col="payload", id_col="video_id"
+        ).collect()
+    )
+    # keyframes at samples 0 and 15 (times 0 and 1500); targets 0/1000/
+    # 2000 snap to 0, 0, 15
+    assert got == [(5, 0, 0), (5, 15, 1500)]
+
+    bomb = bytearray(build_mp4_bytes(n_frames=10))
+    at = bytes(bomb).find(b"stts")
+    struct.pack_into(">I", bomb, at + 12, 0xFFFFFFFF)  # first run count
+    struct.pack_into(">I", bomb, at + 16, 1)  # delta 1 tick
+    bdf = spark.createDataFrame(
+        [(9, bytes(bomb))], "doc_id long, media binary"
+    )
+    rows = keyframe_sample_schedule(bdf, every_ms=1000).collect()
+    assert [(r.doc_id, r.sample_idx, r.t_ms) for r in rows] == [(9, None, None)]
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="max_samples"):
+        keyframe_sample_schedule(bdf, max_samples=0)
