@@ -1476,6 +1476,30 @@ def round12_experiment(spark, sf_dir: str, scratch: str) -> dict:
         out[f"content_ids_s_{tag}"] = _noop(content_ids(d, ["text"]))
     for op in ("tfidf_keywords", "dense_ids", "content_ids"):
         out[f"{op}_ratio"] = round(out[f"{op}_s_10x"] / out[f"{op}_s_1x"], 1)
+
+    # --- keyframe frame-sampling plan: 10x the MP4 spine -------------
+    from ferramenta_etl_spark.operators.containers import attach_mp4_media
+    from ferramenta_etl_spark.operators.multimodal import (
+        keyframe_sample_schedule,
+    )
+
+    spine = load_table(spark, sf_dir, "documents").select("doc_id")
+    spine10 = spine
+    for i in range(1, 10):
+        spine10 = spine10.unionByName(
+            spine.withColumn("doc_id", F.col("doc_id") + F.lit(i * _OFFSET))
+        )
+    for tag, d in (("1x", spine), ("10x", spine10)):
+        media = (
+            attach_mp4_media(d).repartition(par).localCheckpoint(eager=True)
+        )
+        out[f"frame_schedule_docs_{tag}"] = media.count()
+        out[f"frame_schedule_s_{tag}"] = _noop(
+            keyframe_sample_schedule(media, every_ms=500)
+        )
+    out["frame_schedule_ratio"] = round(
+        out["frame_schedule_s_10x"] / out["frame_schedule_s_1x"], 1
+    )
     return out
 
 
