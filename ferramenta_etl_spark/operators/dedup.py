@@ -891,10 +891,52 @@ def simhash_near_dup_pairs(
             f"bound n_blocks-1 ({n_blocks - 1}); raise n_blocks"
         )
     bits = 60 if portable else 64  # 60 = 15 md5 hex chars, see portable_hash
-    assert bits % n_blocks == 0
+    fp = simhash_fingerprints(df, text_col, id_col, bits, portable)
+    return hamming_pairs(
+        fp,
+        max_hamming=max_hamming,
+        id_col=id_col,
+        fp_col="fp",
+        bits=bits,
+        n_blocks=n_blocks,
+        max_block_size=max_block_size,
+    )
+
+
+def hamming_pairs(
+    fp_df: DataFrame,
+    max_hamming: int = 3,
+    id_col: str = "doc_id",
+    fp_col: str = "fp",
+    bits: int = 64,
+    n_blocks: int = 4,
+    max_block_size: int | None = None,
+) -> DataFrame:
+    """(doc_id_a, doc_id_b, hamming) pairs within ``max_hamming`` over
+    ANY 64-bit-or-less fingerprint column — the pigeonhole-blocked
+    candidate join factored out of ``simhash_near_dup_pairs`` (round 12)
+    so other fingerprint families reuse it: text SimHash and image
+    dHash (multimodal.image_near_dup_pairs) share this exact kernel.
+    Split the fingerprint into ``n_blocks`` equal blocks; any pair
+    within distance n_blocks-1 shares at least one exact block, so
+    candidates come from an equi-join on (block_idx, block_value) — no
+    cross join at scale. ``max_block_size`` caps per-block membership
+    (quadratic fan-out guard); dedup exact copies FIRST, identical
+    fingerprints put whole dup-groups in every block."""
+    if max_hamming > n_blocks - 1:
+        # the pigeonhole guarantee only covers distance <= n_blocks-1:
+        # a more distant pair can differ in EVERY block and never become
+        # a candidate — returning a plausible-looking but incomplete
+        # pair set would silently violate the recall contract
+        raise ValueError(
+            f"max_hamming ({max_hamming}) exceeds the pigeonhole recall "
+            f"bound n_blocks-1 ({n_blocks - 1}); raise n_blocks"
+        )
+    if bits % n_blocks != 0:
+        raise ValueError(f"bits ({bits}) must divide into n_blocks ({n_blocks})")
     width = bits // n_blocks
     mask = (1 << width) - 1
-    fp = simhash_fingerprints(df, text_col, id_col, bits, portable)
+    fp = fp_df.select(F.col(id_col), F.col(fp_col).alias("fp"))
     blocked = fp.select(
         id_col,
         "fp",

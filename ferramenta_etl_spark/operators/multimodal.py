@@ -518,6 +518,107 @@ def resize_stub(media_df: DataFrame, width: int, height: int) -> DataFrame:
     return resize_images(media_df, width, height)
 
 
+DHASH_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("fp", T.LongType()),
+    ]
+)
+
+
+def dhash_images(media_df: DataFrame) -> DataFrame:
+    """64-bit difference hash (dHash) per image — the standard
+    perceptual fingerprint a multimodal corpus dedups on (round 12):
+    re-encodes, small resizes, and mild noise leave the hash within a
+    few bits, while distinct images land ~32 bits apart (the random
+    baseline). Per image: grayscale via the Rec.601 luma weights, the
+    repo's own bilinear kernel down to 9x8, then bit j of row r is
+    1 iff g[r, c] > g[r, c+1] — 8 rows x 8 horizontal gradients = 64
+    bits, brightness/contrast-invariant because only ORDER between
+    neighbors matters.
+
+    Expects ``RAW_IMAGE_SCHEMA`` columns (the H*W*3 uint8 interchange
+    format every codec decodes into — chain decode_images/resize_images
+    in front for compressed containers). Malformed rows (null payload,
+    byte length != w*h*3, non-positive dims) yield a null fp — visible
+    downstream, batch intact. Narrow Arrow-batched map, no shuffle,
+    O(pixels) per row; the fingerprint relation that leaves this op is
+    16 bytes/image, which is what ``image_near_dup_pairs`` shuffles."""
+
+    def batches(it: Iterator) -> Iterator:
+        import numpy as np
+        import pandas as pd
+
+        for pdf in it:
+            if len(pdf) == 0:
+                continue
+            ids, fps = [], []
+            for did, raw, w, h in zip(
+                pdf["doc_id"], pdf["media"], pdf["width"], pdf["height"]
+            ):
+                ids.append(None if pd.isna(did) else int(did))
+                if (
+                    raw is None
+                    or pd.isna(w)
+                    or pd.isna(h)
+                    or int(w) <= 0
+                    or int(h) <= 0
+                    or len(raw) != int(w) * int(h) * 3
+                ):
+                    fps.append(None)
+                    continue
+                w, h = int(w), int(h)
+                img = np.frombuffer(bytes(raw), dtype=np.uint8).reshape(h, w, 3)
+                gray = (
+                    img[:, :, 0] * 0.299
+                    + img[:, :, 1] * 0.587
+                    + img[:, :, 2] * 0.114
+                )
+                small = _bilinear_resize(gray[:, :, None], 9, 8)[:, :, 0]
+                bits = (small[:, :-1] > small[:, 1:]).flatten()
+                fp = 0
+                for j, b in enumerate(bits):
+                    if b:
+                        fp |= 1 << j
+                # keep the fingerprint inside signed-long range for the
+                # Arrow/Spark LongType column (bit 63 set would overflow)
+                fps.append(fp - (1 << 64) if fp >= (1 << 63) else fp)
+            yield pd.DataFrame({"doc_id": ids, "fp": fps})
+
+    return media_df.select("doc_id", "media", "width", "height").mapInPandas(
+        batches, DHASH_SCHEMA
+    )
+
+
+def image_near_dup_pairs(
+    media_df: DataFrame,
+    max_hamming: int = 3,
+    n_blocks: int = 4,
+    max_block_size: int | None = None,
+) -> DataFrame:
+    """(doc_id_a, doc_id_b, hamming) pairs of perceptually
+    near-duplicate images: dHash fingerprints through the SAME
+    pigeonhole-blocked candidate kernel text SimHash uses
+    (dedup.hamming_pairs) — candidates from an equi-join on 16-bit
+    fingerprint blocks, never an all-pairs product, with the same
+    n_blocks-1 recall bound and per-block cap. Null fingerprints
+    (malformed images) join nothing and drop out. Feed the pairs to
+    dedup.connected_components + canonical collapse exactly like the
+    text families — the image arm of corpus dedup."""
+    from .dedup import hamming_pairs
+
+    fp = dhash_images(media_df).filter(F.col("fp").isNotNull())
+    return hamming_pairs(
+        fp,
+        max_hamming=max_hamming,
+        id_col="doc_id",
+        fp_col="fp",
+        bits=64,
+        n_blocks=n_blocks,
+        max_block_size=max_block_size,
+    )
+
+
 RAW_VIDEO_SCHEMA = T.StructType(
     [
         T.StructField("doc_id", T.LongType()),

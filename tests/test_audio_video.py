@@ -387,3 +387,95 @@ def test_truncated_prefilter_prefix_column_same_answer(spark, sf_dir):
     assert a == b
     with pytest.raises(ValueError, match="prefilter_dim"):
         with_prefix_column(corpus, 0)
+
+
+# ------------------------------------------------- image near-dup (r12)
+
+
+def test_dhash_invariance_and_discrimination(spark):
+    """dHash is stable under mild brightness shift + slight resize (the
+    perceptual-duplicate cases) and far apart for distinct images; a
+    malformed row yields a null fp."""
+    import numpy as np
+
+    from ferramenta_etl_spark.operators.multimodal import dhash_images
+
+    rng = np.random.default_rng(3)
+    base = rng.integers(0, 256, (32, 48, 3)).astype(np.uint8)
+    bright = np.clip(base.astype(np.int16) + 7, 0, 255).astype(np.uint8)
+    other = rng.integers(0, 256, (32, 48, 3)).astype(np.uint8)
+    rows = [
+        (1, base.tobytes(), 48, 32),
+        (2, bright.tobytes(), 48, 32),
+        (3, other.tobytes(), 48, 32),
+        (4, b"\x00" * 10, 48, 32),  # byte length != w*h*3
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, media binary, width long, height long"
+    )
+    fps = {r.doc_id: r.fp for r in dhash_images(df).collect()}
+    assert fps[4] is None
+    ham = lambda a, b: bin((a ^ b) & ((1 << 64) - 1)).count("1")  # noqa: E731
+    assert ham(fps[1], fps[2]) <= 3, "brightness shift should barely move dHash"
+    assert ham(fps[1], fps[3]) >= 15, "distinct images should be far apart"
+
+    # slight downscale of the same image stays near — on SMOOTH content
+    # (the photo-like case dHash exists for; pure per-pixel noise has
+    # near-tie gradients everywhere and resizing flips them, which is a
+    # property of the input, not a hash defect)
+    from ferramenta_etl_spark.operators.multimodal import _bilinear_resize
+
+    yy, xx = np.mgrid[0:32, 0:48]
+    smooth = np.stack(
+        [
+            (128 + 80 * np.sin(xx / 7.0) + 30 * np.cos(yy / 5.0)),
+            (xx * 3 % 256),
+            ((xx + yy) % 256),
+        ],
+        axis=-1,
+    ).clip(0, 255).astype(np.uint8)
+    small = _bilinear_resize(smooth, 40, 27)
+    df2 = spark.createDataFrame(
+        [(1, smooth.tobytes(), 48, 32), (5, small.tobytes(), 40, 27)],
+        "doc_id long, media binary, width long, height long",
+    )
+    fps2 = {r.doc_id: r.fp for r in dhash_images(df2).collect()}
+    assert ham(fps2[1], fps2[5]) <= 4
+
+
+def test_image_near_dup_pairs_planted_clones(spark):
+    """The image arm of corpus dedup: planted perceptual clones (mild
+    noise on fixture images) surface as pairs through the shared
+    pigeonhole kernel; unrelated fixture images do not; the recall
+    bound guard raises past n_blocks-1."""
+    import numpy as np
+    import pytest as _pytest
+
+    from ferramenta_etl_spark.operators.multimodal import (
+        attach_fake_raw_images,
+        image_near_dup_pairs,
+    )
+
+    media = attach_fake_raw_images(
+        spark.range(0, 30).withColumnRenamed("id", "doc_id")
+    ).collect()
+    rows = [(r.doc_id, bytes(r.media), r.width, r.height) for r in media]
+    # clone docs 0..4 with +3 brightness under new ids 1000..1004
+    for r in media[:5]:
+        img = np.frombuffer(bytes(r.media), dtype=np.uint8)
+        noisy = np.clip(img.astype(np.int16) + 3, 0, 255).astype(np.uint8)
+        rows.append((1000 + r.doc_id, noisy.tobytes(), r.width, r.height))
+    df = spark.createDataFrame(
+        rows, "doc_id long, media binary, width long, height long"
+    )
+    pairs = {
+        (r.doc_id_a, r.doc_id_b): r.hamming
+        for r in image_near_dup_pairs(df, max_hamming=3).collect()
+    }
+    planted = {(d, 1000 + d) for d in range(5)}
+    found = planted & set(pairs)
+    assert len(found) >= 4, f"planted clone recall too low: {sorted(pairs)}"
+    assert all(h <= 3 for h in pairs.values())
+
+    with _pytest.raises(ValueError, match="pigeonhole"):
+        image_near_dup_pairs(df, max_hamming=4, n_blocks=4)
