@@ -227,3 +227,88 @@ def trim_silence(media_df: DataFrame, threshold: int = 512) -> DataFrame:
     return media_df.select("doc_id", "media", "sample_rate").mapInPandas(
         batches, RAW_AUDIO_SCHEMA
     )
+
+
+FINGERPRINT_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("fp", T.LongType()),
+    ]
+)
+
+
+def audio_fingerprints(media_df: DataFrame) -> DataFrame:
+    """64-bit energy-envelope difference hash per clip — the audio
+    sibling of the image dHash (round 12), completing the multimodal
+    dedup triad on one shared candidate kernel: re-encodes, volume
+    changes, and mild resampling leave the hash within a few bits,
+    because only the ORDER of neighboring envelope frames matters.
+
+    Per clip: |int16 PCM| mean over 65 equal time frames (the envelope
+    at fixed TIME resolution, so two sample rates of the same material
+    frame the same audio), bit j = env[j] > env[j+1] — 64 gradient
+    bits. Amplitude-scale invariant by construction; clips shorter
+    than 65 samples (or malformed rows) yield a null fp — visible
+    downstream, batch intact. Narrow Arrow-batched map, no shuffle;
+    only 16 bytes/clip ever shuffle."""
+
+    def batches(it: Iterator) -> Iterator:
+        import numpy as np
+        import pandas as pd
+
+        for pdf in it:
+            if len(pdf) == 0:
+                continue
+            ids, fps = [], []
+            for did, raw, rate in zip(
+                pdf["doc_id"], pdf["media"], pdf["sample_rate"]
+            ):
+                ids.append(None if pd.isna(did) else int(did))
+                pcm = _pcm(raw, rate)
+                if pcm is None or len(pcm) < 65:
+                    fps.append(None)
+                    continue
+                env = np.array(
+                    [
+                        np.abs(f.astype(np.int64)).mean()
+                        for f in np.array_split(pcm, 65)
+                    ]
+                )
+                bits = env[:-1] > env[1:]
+                fp = 0
+                for j, b in enumerate(bits):
+                    if b:
+                        fp |= 1 << j
+                fps.append(fp - (1 << 64) if fp >= (1 << 63) else fp)
+            yield pd.DataFrame({"doc_id": ids, "fp": fps})
+
+    return media_df.select("doc_id", "media", "sample_rate").mapInPandas(
+        batches, FINGERPRINT_SCHEMA
+    )
+
+
+def audio_near_dup_pairs(
+    media_df: DataFrame,
+    max_hamming: int = 3,
+    n_blocks: int = 4,
+    max_block_size: int | None = None,
+) -> DataFrame:
+    """(doc_id_a, doc_id_b, hamming) pairs of perceptually near-
+    duplicate clips through the SAME pigeonhole-blocked candidate
+    kernel the text SimHash and image dHash families use
+    (dedup.hamming_pairs) — equi-join on 16-bit fingerprint blocks,
+    never an all-pairs product. Null fingerprints drop out; feed the
+    pairs to dedup.connected_components for canonical collapse."""
+    from .dedup import hamming_pairs
+    from pyspark.sql import functions as F
+
+    fp = audio_fingerprints(media_df).filter(F.col("fp").isNotNull())
+    return hamming_pairs(
+        fp,
+        max_hamming=max_hamming,
+        id_col="doc_id",
+        fp_col="fp",
+        bits=64,
+        n_blocks=n_blocks,
+        max_block_size=max_block_size,
+    )

@@ -479,3 +479,56 @@ def test_image_near_dup_pairs_planted_clones(spark):
 
     with _pytest.raises(ValueError, match="pigeonhole"):
         image_near_dup_pairs(df, max_hamming=4, n_blocks=4)
+
+
+def test_audio_fingerprint_invariance_and_pairs(spark):
+    """Audio dedup arm: the envelope hash is invariant to volume scaling
+    and mild resampling, far for different material, null for too-short
+    clips; planted clones surface through the shared pair kernel."""
+    import numpy as np
+
+    from ferramenta_etl_spark.operators.audio import (
+        audio_fingerprints,
+        audio_near_dup_pairs,
+        resample_audio,
+    )
+
+    t = np.arange(8000) / 8000.0
+    # material with a moving envelope (AM tone) vs different material
+    a = (np.sin(2 * np.pi * 440 * t) * (0.2 + 0.8 * np.abs(np.sin(2 * np.pi * 3 * t))) * 20000).astype("<i2")
+    b = (np.sin(2 * np.pi * 555 * t) * (0.2 + 0.8 * np.abs(np.cos(2 * np.pi * 7 * t + 1))) * 20000).astype("<i2")
+    half = (a.astype(np.float64) * 0.5).astype("<i2")
+    rows = [
+        (1, a.tobytes(), 8000),
+        (2, half.tobytes(), 8000),     # volume-scaled clone
+        (3, b.tobytes(), 8000),        # different material
+        (4, a[:40].tobytes(), 8000),   # too short -> null fp
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, media binary, sample_rate long"
+    )
+    fps = {r.doc_id: r.fp for r in audio_fingerprints(df).collect()}
+    ham = lambda x, y: bin((x ^ y) & ((1 << 64) - 1)).count("1")  # noqa: E731
+    assert fps[4] is None
+    assert ham(fps[1], fps[2]) <= 2, "volume scaling must not move the hash"
+    assert ham(fps[1], fps[3]) >= 15, "different material must be far"
+
+    # resampled clone (same material at 12 kHz) stays near: resample the
+    # 8 kHz clip up with the repo's own kernel
+    up = resample_audio(
+        spark.createDataFrame([(5, a.tobytes(), 8000)],
+                              "doc_id long, media binary, sample_rate long"),
+        12000,
+    ).collect()[0]
+    df2 = spark.createDataFrame(
+        [(1, a.tobytes(), 8000), (5, bytes(up.media), 12000)],
+        "doc_id long, media binary, sample_rate long",
+    )
+    fps2 = {r.doc_id: r.fp for r in audio_fingerprints(df2).collect()}
+    assert ham(fps2[1], fps2[5]) <= 4
+
+    pairs = {
+        (r.doc_id_a, r.doc_id_b): r.hamming
+        for r in audio_near_dup_pairs(df, max_hamming=3).collect()
+    }
+    assert (1, 2) in pairs and (1, 3) not in pairs
