@@ -590,10 +590,38 @@ def main(argv: list[str] | None = None, _stop_session: bool = True) -> int:
                 f"{args.sink_dir}/media_frames",
                 keys=["doc_id", "frame_idx"],
             )
+
+            # Perceptual near-dup maps (round 12): dHash / envelope-hash
+            # pairs through the shared pigeonhole kernel, collapsed to
+            # (doc_id, canonical_id) via connected components — the
+            # same artifact shape the text dedup pipeline persists, so
+            # a downstream loader drops non-canonical media with one
+            # join. Additive sinks; the media sinks above are untouched.
+            from .operators.audio import audio_near_dup_pairs
+            from .operators.dedup import connected_components
+            from .operators.multimodal import image_near_dup_pairs
+
+            def _dup_map(pairs):
+                return connected_components(pairs).select(
+                    F.col("v").alias("doc_id"),
+                    F.col("label").alias("canonical_id"),
+                )
+
+            n_img_dup = write_ignore_conflicts(
+                _dup_map(image_near_dup_pairs(images)),
+                f"{args.sink_dir}/media_image_dups",
+                keys=["doc_id"],
+            )
+            n_aud_dup = write_ignore_conflicts(
+                _dup_map(audio_near_dup_pairs(audio)),
+                f"{args.sink_dir}/media_audio_dups",
+                keys=["doc_id"],
+            )
             print(
                 f"✅ media-curate: {n_img} images, {n_aud} audio clips, "
                 f"{n_vid} video frames, {n_vmeta} video metadata rows "
-                f"loaded ({bad} malformed videos skipped)"
+                f"loaded ({bad} malformed videos skipped; perceptual "
+                f"dup-map rows: {n_img_dup} image, {n_aud_dup} audio)"
             )
             return 0
         if args.command == "neardup-admit":
