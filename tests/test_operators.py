@@ -1639,3 +1639,43 @@ def test_contamination_bloom_validates_parameters(spark):
         contamination_hits_scaled(df, df, expected_grams=0)
     with pytest.raises(ValueError, match="n must"):
         contamination_hits_scaled(df, df, n=0)
+
+
+def test_hamming_pairs_equals_brute_force(spark):
+    """The factored pigeonhole kernel (round 12) against an all-pairs
+    python reference on random-ish 64-bit fingerprints with planted
+    near-neighbors: exact same pair set and distances at max_hamming <=
+    n_blocks-1 (the pigeonhole recall bound makes blocked == brute
+    force, not approximately but exactly)."""
+    import random
+
+    from ferramenta_etl_spark.operators.dedup import hamming_pairs
+
+    rng = random.Random(42)
+    fps = {i: rng.getrandbits(64) for i in range(40)}
+    # plant near pairs: ids 100+i = ids i with 1..3 bits flipped
+    for i in range(6):
+        fp = fps[i]
+        for _ in range(rng.randint(1, 3)):
+            fp ^= 1 << rng.randrange(64)
+        fps[100 + i] = fp
+
+    def signed(v):
+        return v - (1 << 64) if v >= (1 << 63) else v
+
+    df = spark.createDataFrame(
+        [(i, signed(v)) for i, v in fps.items()], "doc_id long, fp long"
+    )
+    got = {
+        (r.doc_id_a, r.doc_id_b): r.hamming
+        for r in hamming_pairs(df, max_hamming=3, n_blocks=4).collect()
+    }
+    want = {}
+    ids = sorted(fps)
+    for ai in range(len(ids)):
+        for bi in range(ai + 1, len(ids)):
+            a, b = ids[ai], ids[bi]
+            h = bin(fps[a] ^ fps[b]).count("1")
+            if h <= 3:
+                want[(a, b)] = h
+    assert got == want and len(want) >= 6
