@@ -526,6 +526,26 @@ DHASH_SCHEMA = T.StructType(
 )
 
 
+def _dhash64(img) -> int:
+    """64-bit dHash of one H*W*3 uint8 array: Rec.601 luma, bilinear
+    9x8, bit j = g[r, c] > g[r, c+1]. Unsigned int result; callers
+    convert to signed for LongType columns."""
+    gray = (
+        img[:, :, 0] * 0.299 + img[:, :, 1] * 0.587 + img[:, :, 2] * 0.114
+    )
+    small = _bilinear_resize(gray[:, :, None], 9, 8)[:, :, 0]
+    bits = (small[:, :-1] > small[:, 1:]).flatten()
+    fp = 0
+    for j, b in enumerate(bits):
+        if b:
+            fp |= 1 << j
+    return fp
+
+
+def _signed64(fp: int) -> int:
+    return fp - (1 << 64) if fp >= (1 << 63) else fp
+
+
 def dhash_images(media_df: DataFrame) -> DataFrame:
     """64-bit difference hash (dHash) per image — the standard
     perceptual fingerprint a multimodal corpus dedups on (round 12):
@@ -569,24 +589,98 @@ def dhash_images(media_df: DataFrame) -> DataFrame:
                     continue
                 w, h = int(w), int(h)
                 img = np.frombuffer(bytes(raw), dtype=np.uint8).reshape(h, w, 3)
-                gray = (
-                    img[:, :, 0] * 0.299
-                    + img[:, :, 1] * 0.587
-                    + img[:, :, 2] * 0.114
-                )
-                small = _bilinear_resize(gray[:, :, None], 9, 8)[:, :, 0]
-                bits = (small[:, :-1] > small[:, 1:]).flatten()
-                fp = 0
-                for j, b in enumerate(bits):
-                    if b:
-                        fp |= 1 << j
-                # keep the fingerprint inside signed-long range for the
-                # Arrow/Spark LongType column (bit 63 set would overflow)
-                fps.append(fp - (1 << 64) if fp >= (1 << 63) else fp)
+                # signed-long conversion keeps bit 63 inside LongType
+                fps.append(_signed64(_dhash64(img)))
             yield pd.DataFrame({"doc_id": ids, "fp": fps})
 
     return media_df.select("doc_id", "media", "width", "height").mapInPandas(
         batches, DHASH_SCHEMA
+    )
+
+
+def video_fingerprints(video_df: DataFrame, n_sample_frames: int = 8) -> DataFrame:
+    """64-bit perceptual fingerprint per raw video (round 12, the
+    fourth arm of the shared-kernel dedup family): dHash each of up to
+    ``n_sample_frames`` evenly-spaced frames, then MAJORITY-VOTE each
+    bit across the sampled frames (ties break 0) — the SimHash voting
+    idea applied to frame hashes, so a re-encode or mild per-frame
+    noise must flip a bit in MOST sampled frames to flip it in the
+    video fingerprint. Expects ``RAW_VIDEO_SCHEMA`` (media = n_frames
+    concatenated H*W*3 uint8 frames); malformed rows (null payload,
+    byte length mismatch, no frames) yield a null fp. Narrow map;
+    16 bytes/video shuffle downstream."""
+    if n_sample_frames < 1:
+        raise ValueError(
+            f"n_sample_frames must be >= 1, got {n_sample_frames}"
+        )
+
+    def batches(it: Iterator) -> Iterator:
+        import numpy as np
+        import pandas as pd
+
+        for pdf in it:
+            if len(pdf) == 0:
+                continue
+            ids, fps = [], []
+            for did, raw, w, h, nf in zip(
+                pdf["doc_id"], pdf["media"], pdf["width"],
+                pdf["height"], pdf["n_frames"],
+            ):
+                ids.append(None if pd.isna(did) else int(did))
+                if (
+                    raw is None
+                    or pd.isna(w) or pd.isna(h) or pd.isna(nf)
+                    or int(w) <= 0 or int(h) <= 0 or int(nf) <= 0
+                    or len(raw) != int(w) * int(h) * 3 * int(nf)
+                ):
+                    fps.append(None)
+                    continue
+                w, h, nf = int(w), int(h), int(nf)
+                frames = np.frombuffer(bytes(raw), dtype=np.uint8).reshape(
+                    nf, h, w, 3
+                )
+                take = np.unique(
+                    np.linspace(0, nf - 1, min(n_sample_frames, nf)).astype(int)
+                )
+                votes = np.zeros(64, dtype=np.int64)
+                for fi in take:
+                    fp = _dhash64(frames[fi])
+                    for j in range(64):
+                        votes[j] += 1 if (fp >> j) & 1 else -1
+                out = 0
+                for j in range(64):
+                    if votes[j] > 0:
+                        out |= 1 << j
+                fps.append(_signed64(out))
+            yield pd.DataFrame({"doc_id": ids, "fp": fps})
+
+    return video_df.select(
+        "doc_id", "media", "width", "height", "n_frames"
+    ).mapInPandas(batches, DHASH_SCHEMA)
+
+
+def video_near_dup_pairs(
+    video_df: DataFrame,
+    max_hamming: int = 3,
+    n_blocks: int = 4,
+    max_block_size: int | None = None,
+) -> DataFrame:
+    """(doc_id_a, doc_id_b, hamming) pairs of perceptually near-
+    duplicate videos via the shared pigeonhole kernel
+    (dedup.hamming_pairs) — text SimHash, image dHash, audio envelope
+    hash, and this all generate candidates through the same equi-join
+    on fingerprint blocks."""
+    from .dedup import hamming_pairs
+
+    fp = video_fingerprints(video_df).filter(F.col("fp").isNotNull())
+    return hamming_pairs(
+        fp,
+        max_hamming=max_hamming,
+        id_col="doc_id",
+        fp_col="fp",
+        bits=64,
+        n_blocks=n_blocks,
+        max_block_size=max_block_size,
     )
 
 

@@ -532,3 +532,73 @@ def test_audio_fingerprint_invariance_and_pairs(spark):
         for r in audio_near_dup_pairs(df, max_hamming=3).collect()
     }
     assert (1, 2) in pairs and (1, 3) not in pairs
+
+
+def test_video_fingerprint_invariance_and_pairs(spark):
+    """Video dedup arm: per-frame brightness shift leaves the majority-
+    voted fingerprint within a few bits, different videos are far,
+    malformed rows yield null, planted clones pair up."""
+    import numpy as np
+
+    from ferramenta_etl_spark.operators.multimodal import (
+        attach_fake_raw_video,
+        video_fingerprints,
+        video_near_dup_pairs,
+    )
+
+    # distinct random-content videos (the fixture generator's gradient
+    # ramps differ only by a brightness OFFSET across doc_ids, so a
+    # brightness-invariant hash rightly sees them as near-identical —
+    # a fixture property, not a defect; discrimination needs genuinely
+    # different content)
+    rng = np.random.default_rng(11)
+    rows = []
+    shapes = {}
+    for d in range(6):
+        w, h, nf = 12 + d, 10, 20
+        # range 0..199 so the +5 clone shift never CLIPS: clipping at
+        # 255 breaks gradient order at saturated pixels, which is a
+        # property of clipping, not of the hash
+        vid = rng.integers(0, 200, (nf, h, w, 3), dtype=np.uint8)
+        rows.append((d, vid.tobytes(), w, h, nf))
+        shapes[d] = (vid, w, h, nf)
+    # clone videos 0..2 with +5 brightness under ids 1000..1002
+    for d in range(3):
+        vid, w, h, nf = shapes[d]
+        noisy = np.clip(vid.astype(np.int16) + 5, 0, 255).astype(np.uint8)
+        rows.append((1000 + d, noisy.tobytes(), w, h, nf))
+    rows.append((99, b"\x00" * 7, 4, 4, 2))  # byte-length mismatch -> null
+    df = spark.createDataFrame(
+        rows,
+        "doc_id long, media binary, width long, height long, n_frames long",
+    )
+    fps = {r.doc_id: r.fp for r in video_fingerprints(df).collect()}
+    assert fps[99] is None
+    ham = lambda a, b: bin((a ^ b) & ((1 << 64) - 1)).count("1")  # noqa: E731
+    for d in range(3):
+        assert ham(fps[d], fps[1000 + d]) <= 3, f"clone {d} moved too far"
+    assert ham(fps[0], fps[5]) >= 10, "different videos should be far"
+
+    pairs = set(
+        (r.doc_id_a, r.doc_id_b)
+        for r in video_near_dup_pairs(df, max_hamming=3).collect()
+    )
+    planted = {(d, 1000 + d) for d in range(3)}
+    assert planted <= pairs
+    assert not any(a < 1000 and b < 1000 for a, b in pairs), (
+        "distinct random videos must not pair"
+    )
+    # the FIXTURE videos, by contrast, are one gradient family: the
+    # hash sees them as near-dups — assert that known property so a
+    # future fixture change that breaks it is visible
+    fx = attach_fake_raw_video(
+        spark.range(0, 4).withColumnRenamed("id", "doc_id")
+    )
+    fx_fps = [r.fp for r in video_fingerprints(fx).collect()]
+    assert all(
+        ham(fx_fps[0], f) <= 8 for f in fx_fps[1:]
+    ), "fixture gradient family drifted apart"
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="n_sample_frames"):
+        video_fingerprints(df, n_sample_frames=0)
