@@ -617,11 +617,19 @@ def main(argv: list[str] | None = None, _stop_session: bool = True) -> int:
                 f"{args.sink_dir}/media_audio_dups",
                 keys=["doc_id"],
             )
+            from .operators.multimodal import video_near_dup_pairs
+
+            n_vid_dup = write_ignore_conflicts(
+                _dup_map(video_near_dup_pairs(attach_fake_raw_video(docs))),
+                f"{args.sink_dir}/media_video_dups",
+                keys=["doc_id"],
+            )
             print(
                 f"✅ media-curate: {n_img} images, {n_aud} audio clips, "
                 f"{n_vid} video frames, {n_vmeta} video metadata rows "
                 f"loaded ({bad} malformed videos skipped; perceptual "
-                f"dup-map rows: {n_img_dup} image, {n_aud_dup} audio)"
+                f"dup-map rows: {n_img_dup} image, {n_aud_dup} audio, "
+                f"{n_vid_dup} video)"
             )
             return 0
         if args.command == "neardup-admit":

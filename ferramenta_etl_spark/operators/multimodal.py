@@ -526,20 +526,32 @@ DHASH_SCHEMA = T.StructType(
 )
 
 
-def _dhash64(img) -> int:
-    """64-bit dHash of one H*W*3 uint8 array: Rec.601 luma, bilinear
-    9x8, bit j = g[r, c] > g[r, c+1]. Unsigned int result; callers
-    convert to signed for LongType columns."""
+def _dhash_bits(img):
+    """The 64 dHash gradient bits of one H*W*3 uint8 array as a (64,)
+    bool vector: Rec.601 luma, bilinear 9x8, bit j = g[r, c] > g[r, c+1].
+    Shared by the scalar hash below and the per-frame voting of
+    ``video_fingerprints`` (vectorized — no per-bit Python)."""
     gray = (
         img[:, :, 0] * 0.299 + img[:, :, 1] * 0.587 + img[:, :, 2] * 0.114
     )
     small = _bilinear_resize(gray[:, :, None], 9, 8)[:, :, 0]
-    bits = (small[:, :-1] > small[:, 1:]).flatten()
-    fp = 0
-    for j, b in enumerate(bits):
-        if b:
-            fp |= 1 << j
-    return fp
+    return (small[:, :-1] > small[:, 1:]).flatten()
+
+
+def _bits_to_u64(bits) -> int:
+    """(64,) bool -> unsigned int with bit j = bits[j] (packbits in
+    little bit-order, no Python bit loop)."""
+    import numpy as np
+
+    return int.from_bytes(
+        np.packbits(bits, bitorder="little").tobytes(), "little"
+    )
+
+
+def _dhash64(img) -> int:
+    """64-bit dHash of one H*W*3 uint8 array. Unsigned int result;
+    callers convert to signed for LongType columns."""
+    return _bits_to_u64(_dhash_bits(img))
 
 
 def _signed64(fp: int) -> int:
@@ -644,14 +656,8 @@ def video_fingerprints(video_df: DataFrame, n_sample_frames: int = 8) -> DataFra
                 )
                 votes = np.zeros(64, dtype=np.int64)
                 for fi in take:
-                    fp = _dhash64(frames[fi])
-                    for j in range(64):
-                        votes[j] += 1 if (fp >> j) & 1 else -1
-                out = 0
-                for j in range(64):
-                    if votes[j] > 0:
-                        out |= 1 << j
-                fps.append(_signed64(out))
+                    votes += np.where(_dhash_bits(frames[fi]), 1, -1)
+                fps.append(_signed64(_bits_to_u64(votes > 0)))
             yield pd.DataFrame({"doc_id": ids, "fp": fps})
 
     return video_df.select(

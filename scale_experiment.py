@@ -1500,6 +1500,39 @@ def round12_experiment(spark, sf_dir: str, scratch: str) -> dict:
     out["frame_schedule_ratio"] = round(
         out["frame_schedule_s_10x"] / out["frame_schedule_s_1x"], 1
     )
+
+    # --- perceptual fingerprints (the r12 dedup quadrant): 10x spines.
+    # Only the fingerprint maps are probed — the shared hamming_pairs
+    # kernel is the simhash candidate join, measured since round 1.
+    from ferramenta_etl_spark.operators.audio import (
+        attach_fake_raw_audio,
+        audio_fingerprints,
+    )
+    from ferramenta_etl_spark.operators.multimodal import (
+        attach_fake_raw_images,
+        attach_fake_raw_video,
+        dhash_images,
+        video_fingerprints,
+    )
+
+    for tag, d in (("1x", spine), ("10x", spine10)):
+        imgs = (
+            attach_fake_raw_images(d).repartition(par)
+            .localCheckpoint(eager=True)
+        )
+        out[f"dhash_s_{tag}"] = _noop(dhash_images(imgs))
+        aud = (
+            attach_fake_raw_audio(d).repartition(par)
+            .localCheckpoint(eager=True)
+        )
+        out[f"audio_fp_s_{tag}"] = _noop(audio_fingerprints(aud))
+        vid = (
+            attach_fake_raw_video(d).repartition(par)
+            .localCheckpoint(eager=True)
+        )
+        out[f"video_fp_s_{tag}"] = _noop(video_fingerprints(vid))
+    for op in ("dhash", "audio_fp", "video_fp"):
+        out[f"{op}_ratio"] = round(out[f"{op}_s_10x"] / out[f"{op}_s_1x"], 1)
     return out
 
 
