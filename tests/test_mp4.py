@@ -307,3 +307,36 @@ def test_keyframe_schedule_nondefault_columns_and_sample_bomb(spark):
 
     with _pytest.raises(ValueError, match="max_samples"):
         keyframe_sample_schedule(bdf, max_samples=0)
+
+
+def test_sample_tables_byteflip_fuzz():
+    """Deterministic byte-flip fuzz over the sample-table path: any
+    single-byte corruption either parses to a structurally sane result
+    or raises ValueError — never another exception type and never an
+    unbounded expansion (n_samples is just a declared count; the
+    EXPANSION bound lives in keyframe_sample_schedule's max_samples
+    guard, so here we only sanity-check declared fields)."""
+    import random
+
+    from ferramenta_etl_spark.operators.mp4 import parse_mp4_sample_tables
+
+    base = build_mp4_bytes(
+        duration_ms=4000, timescale=1000, n_frames=40,
+        keyframes=(1, 11, 21, 31),
+    )
+    rng = random.Random(1234)
+    for _ in range(400):
+        raw = bytearray(base)
+        for _ in range(rng.randint(1, 3)):
+            raw[rng.randrange(len(raw))] = rng.randrange(256)
+        try:
+            t = parse_mp4_sample_tables(bytes(raw))
+        except ValueError:
+            continue  # the documented corruption contract
+        if t is None:
+            continue  # video trak or stts no longer recognizable
+        assert t.media_timescale > 0
+        assert t.n_samples == sum(c for c, _ in t.stts_runs)
+        if t.keyframes is not None:
+            assert list(t.keyframes) == sorted(set(t.keyframes))
+            assert all(1 <= k <= t.n_samples for k in t.keyframes)
