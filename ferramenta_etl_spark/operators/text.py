@@ -511,6 +511,53 @@ def contamination_hits_scaled(
     )
 
 
+def contamination_hits_auto(
+    corpus,
+    benchmark,
+    n: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    broadcast_gram_limit: int = 5_000_000,
+    fpp: float = 1e-3,
+):
+    """Route between the broadcast path (``contamination_hits``,
+    hashed) and the bloom-screened path (``contamination_hits_scaled``)
+    by MEASURING the benchmark's gram count — the probe-and-route idiom
+    ``grouped_quantiles_auto`` established (one cheap plan-time
+    statistics aggregate, the ANALYZE class; at 100 TB the scheduler
+    caches it). Both branches return the identical relation, so the
+    routing is purely a physical-plan decision: below
+    ``broadcast_gram_limit`` distinct-ish grams the set comfortably
+    broadcasts (5M longs ~ 40 MB pre-dedup bound) and the join is
+    map-side; above it the bloom screen + exact verify keeps the
+    corpus-side shuffle at survivors only. The probe counts TOTAL
+    per-doc-distinct grams — an upper bound on the distinct set, which
+    is the conservative direction (never broadcasts something too
+    big)."""
+    from ..operators.dedup import shingle_hashes
+    from ..sources.tables import ensure_scan_parallelism
+
+    total = (
+        ensure_scan_parallelism(benchmark)
+        .select(
+            F.sum(
+                F.size(F.array_distinct(shingle_hashes(F.col(text_col), n)))
+            ).alias("s")
+        )
+        .first()
+        .s
+    )
+    if total is None or total <= broadcast_gram_limit:
+        return contamination_hits(
+            corpus, benchmark, n=n, text_col=text_col, id_col=id_col,
+            hashed=True,
+        )
+    return contamination_hits_scaled(
+        corpus, benchmark, n=n, text_col=text_col, id_col=id_col,
+        expected_grams=int(total), fpp=fpp,
+    )
+
+
 def remove_contaminated_spans(
     corpus,
     benchmark,

@@ -1679,3 +1679,35 @@ def test_hamming_pairs_equals_brute_force(spark):
             if h <= 3:
                 want[(a, b)] = h
     assert got == want and len(want) >= 6
+
+
+def test_contamination_auto_routes_and_agrees(spark, sf_dir):
+    """The probe-and-route wrapper returns the identical relation on
+    BOTH routes: with the default limit the fixture benchmark
+    broadcasts; with limit=0 the bloom path is forced — results equal
+    either way, and equal to the direct hashed path."""
+    from ferramenta_etl_spark.operators.text import (
+        contamination_hits,
+        contamination_hits_auto,
+    )
+    from ferramenta_etl_spark.sources import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 97 == 0)
+    corpus = docs.filter(F.col("doc_id") % 97 != 0)
+    want = {
+        (r.doc_id, r.n_hits)
+        for r in contamination_hits(corpus, bench, n=5, hashed=True).collect()
+    }
+    assert want
+    broadcast_route = {
+        (r.doc_id, r.n_hits)
+        for r in contamination_hits_auto(corpus, bench, n=5).collect()
+    }
+    bloom_route = {
+        (r.doc_id, r.n_hits)
+        for r in contamination_hits_auto(
+            corpus, bench, n=5, broadcast_gram_limit=0
+        ).collect()
+    }
+    assert broadcast_route == bloom_route == want
