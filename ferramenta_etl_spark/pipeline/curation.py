@@ -31,7 +31,6 @@ from ..operators.sampling import (
 )
 from ..operators.text import (
     clean_document_lines,
-    contamination_hits,
     lang_id,
     n_tokens,
     quality_score,
@@ -201,9 +200,9 @@ def curated_frame(
     survivors = dedup_keep_canonical(exact_unique, pairs)
     if benchmark is not None:
         # decontaminate LAST: dedup has already shrunk the corpus, so
-        # fewer docs pay the gram explode; the benchmark gram set
-        # broadcasts (operators/text.contamination_hits) and the
-        # contaminated ids are an anti-join away
+        # fewer docs pay the gram explode; the contaminated ids are an
+        # anti-join away (broadcast or bloom route chosen by measured
+        # benchmark gram count — contamination_hits_auto)
         if decontaminate_spans:
             # SPAN mode (round 10): excise the matching spans and keep
             # the clean remainder instead of dropping whole docs — the
@@ -236,8 +235,15 @@ def curated_frame(
                 )
             )
         else:
-            contaminated = contamination_hits(
-                survivors, benchmark, n=decontaminate_n, hashed=True
+            # probe-and-route (round 12): identical relation either
+            # way — broadcasts an eval-suite-sized benchmark as before,
+            # switches to the bloom screen + exact verify when the
+            # benchmark is another CORPUS whose gram set outgrows a
+            # broadcast (operators/text.contamination_hits_auto)
+            from ..operators.text import contamination_hits_auto
+
+            contaminated = contamination_hits_auto(
+                survivors, benchmark, n=decontaminate_n
             ).select("doc_id")
             survivors = survivors.join(contaminated, "doc_id", "left_anti")
     if lang_quota is not None:
