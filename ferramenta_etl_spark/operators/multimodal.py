@@ -17,7 +17,14 @@ the deterministic fake (``_fake_decode``).
 Everything downstream of decode is REAL: raw-RGB resize is a numpy
 bilinear kernel (``resize_images``, oracle-tested per-pixel), letterbox
 geometry is a JVM expression, and frame sampling schedules are
-sequence+explode projections.
+sequence+explode projections — or, for MP4 payloads, derived from the
+container's actual stts/stss sample tables with keyframe alignment
+(``keyframe_sample_schedule``, round 12). Perceptual near-dup dedup
+(round 12) reduces each item to a 64-bit fingerprint in the same
+narrow-map style — ``dhash_images`` for stills, majority-voted frame
+dHash for videos (``video_fingerprints``), with the audio envelope
+hash in ``operators/audio.py`` — and all three pair up through the one
+pigeonhole kernel text SimHash uses (``dedup.hamming_pairs``).
 
 Design points for 100 TB:
 - bytes never leave the JVM except through Arrow record batches
