@@ -581,9 +581,8 @@ def main(argv: list[str] | None = None, _stop_session: bool = True) -> int:
                 gated, f"{args.sink_dir}/media_audio", keys=["doc_id"]
             )
 
-            frames = sample_video_frames(
-                attach_fake_raw_video(docs), every_n=args.every_n
-            )
+            raw_video = attach_fake_raw_video(docs)
+            frames = sample_video_frames(raw_video, every_n=args.every_n)
             bad = frames.filter(F.col("frame_idx").isNull()).count()
             n_vid = write_ignore_conflicts(
                 frames.filter(F.col("frame_idx").isNotNull()),
@@ -597,9 +596,20 @@ def main(argv: list[str] | None = None, _stop_session: bool = True) -> int:
             # same artifact shape the text dedup pipeline persists, so
             # a downstream loader drops non-canonical media with one
             # join. Additive sinks; the media sinks above are untouched.
+            # max_block_size caps the per-block candidate fan-out
+            # (review r12): a corpus that is ONE perceptual family —
+            # exactly what the synthetic gradient fixtures are — puts
+            # identical fingerprints into every block, and an uncapped
+            # pigeonhole join degenerates quadratic. The cap trades
+            # recall inside oversized blocks for a bounded join, the
+            # same guard the text families run with in the curation
+            # pipeline.
             from .operators.audio import audio_near_dup_pairs
             from .operators.dedup import connected_components
-            from .operators.multimodal import image_near_dup_pairs
+            from .operators.multimodal import (
+                image_near_dup_pairs,
+                video_near_dup_pairs,
+            )
 
             def _dup_map(pairs):
                 return connected_components(pairs).select(
@@ -607,20 +617,21 @@ def main(argv: list[str] | None = None, _stop_session: bool = True) -> int:
                     F.col("label").alias("canonical_id"),
                 )
 
+            cap = 200
             n_img_dup = write_ignore_conflicts(
-                _dup_map(image_near_dup_pairs(images)),
+                _dup_map(image_near_dup_pairs(images, max_block_size=cap)),
                 f"{args.sink_dir}/media_image_dups",
                 keys=["doc_id"],
             )
             n_aud_dup = write_ignore_conflicts(
-                _dup_map(audio_near_dup_pairs(audio)),
+                _dup_map(audio_near_dup_pairs(audio, max_block_size=cap)),
                 f"{args.sink_dir}/media_audio_dups",
                 keys=["doc_id"],
             )
-            from .operators.multimodal import video_near_dup_pairs
-
             n_vid_dup = write_ignore_conflicts(
-                _dup_map(video_near_dup_pairs(attach_fake_raw_video(docs))),
+                _dup_map(
+                    video_near_dup_pairs(raw_video, max_block_size=cap)
+                ),
                 f"{args.sink_dir}/media_video_dups",
                 keys=["doc_id"],
             )

@@ -251,6 +251,7 @@ def audio_fingerprints(media_df: DataFrame) -> DataFrame:
     than 65 samples (or malformed rows) yield a null fp — visible
     downstream, batch intact. Narrow Arrow-batched map, no shuffle;
     only 16 bytes/clip ever shuffle."""
+    from .multimodal import _bits_to_u64, _signed64
 
     def batches(it: Iterator) -> Iterator:
         import numpy as np
@@ -270,16 +271,17 @@ def audio_fingerprints(media_df: DataFrame) -> DataFrame:
                     continue
                 env = np.array(
                     [
-                        np.abs(f.astype(np.int64)).mean()
-                        for f in np.array_split(pcm, 65)
+                        f.mean()
+                        for f in np.array_split(
+                            np.abs(pcm.astype(np.int64)), 65
+                        )
                     ]
                 )
-                bits = env[:-1] > env[1:]
-                fp = 0
-                for j, b in enumerate(bits):
-                    if b:
-                        fp |= 1 << j
-                fps.append(fp - (1 << 64) if fp >= (1 << 63) else fp)
+                # bit packing + signed conversion shared with the image
+                # dHash (review r12: two drifting copies is how the
+                # vectorization fix reaches one modality and not the
+                # other)
+                fps.append(_signed64(_bits_to_u64(env[:-1] > env[1:])))
             yield pd.DataFrame({"doc_id": ids, "fp": fps})
 
     return media_df.select("doc_id", "media", "sample_rate").mapInPandas(
@@ -299,8 +301,9 @@ def audio_near_dup_pairs(
     (dedup.hamming_pairs) — equi-join on 16-bit fingerprint blocks,
     never an all-pairs product. Null fingerprints drop out; feed the
     pairs to dedup.connected_components for canonical collapse."""
-    from .dedup import hamming_pairs
     from pyspark.sql import functions as F
+
+    from .dedup import hamming_pairs
 
     fp = audio_fingerprints(media_df).filter(F.col("fp").isNotNull())
     return hamming_pairs(

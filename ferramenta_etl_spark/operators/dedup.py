@@ -880,16 +880,9 @@ def simhash_near_dup_pairs(
     per-block membership (quadratic pair fan-out guard, see _cap_blocks);
     on high-duplication corpora run exact dedup FIRST — identical texts
     share a fingerprint, putting whole dup-groups into every block.
+    (The recall-bound and bits-divisibility guards live in
+    ``hamming_pairs``, the factored kernel this delegates to.)
     """
-    if max_hamming > n_blocks - 1:
-        # the pigeonhole guarantee only covers distance <= n_blocks-1:
-        # a more distant pair can differ in EVERY block and never become
-        # a candidate — returning a plausible-looking but incomplete
-        # pair set would silently violate the recall contract
-        raise ValueError(
-            f"max_hamming ({max_hamming}) exceeds the pigeonhole recall "
-            f"bound n_blocks-1 ({n_blocks - 1}); raise n_blocks"
-        )
     bits = 60 if portable else 64  # 60 = 15 md5 hex chars, see portable_hash
     fp = simhash_fingerprints(df, text_col, id_col, bits, portable)
     return hamming_pairs(

@@ -522,32 +522,51 @@ def contamination_hits_auto(
 ):
     """Route between the broadcast path (``contamination_hits``,
     hashed) and the bloom-screened path (``contamination_hits_scaled``)
-    by MEASURING the benchmark's gram count — the probe-and-route idiom
-    ``grouped_quantiles_auto`` established (one cheap plan-time
-    statistics aggregate, the ANALYZE class; at 100 TB the scheduler
-    caches it). Both branches return the identical relation, so the
-    routing is purely a physical-plan decision: below
-    ``broadcast_gram_limit`` distinct-ish grams the set comfortably
-    broadcasts (5M longs ~ 40 MB pre-dedup bound) and the join is
-    map-side; above it the bloom screen + exact verify keeps the
-    corpus-side shuffle at survivors only. The probe counts TOTAL
-    per-doc-distinct grams — an upper bound on the distinct set, which
-    is the conservative direction (never broadcasts something too
-    big)."""
+    by ESTIMATING the benchmark's gram count — the probe-and-route
+    idiom ``grouped_quantiles_auto`` established (a plan-time
+    statistics job, the ANALYZE class; at 100 TB the scheduler caches
+    it). Both branches return the identical relation, so the routing is
+    purely a physical-plan decision: below ``broadcast_gram_limit``
+    distinct-ish grams the set comfortably broadcasts (5M longs ~ 40 MB
+    pre-dedup bound) and the join is map-side; above it the bloom
+    screen + exact verify keeps the corpus-side shuffle at survivors
+    only.
+
+    The probe tokenizes a deterministic 5% HASH SAMPLE of the benchmark
+    (not the whole thing — a full gram pass over a corpus-sized
+    benchmark would cost as much as the work being routed, and the
+    bloom branch re-derives the gram relation anyway; review r12) and
+    extrapolates with a 1.25x bloom-leaning safety factor: sampling
+    error can only push a borderline benchmark toward the bloom route,
+    which is correct either way — only slower by one screen. Null
+    texts contribute zero (size(NULL) is -1 under non-ANSI semantics
+    and would silently DEFLATE the estimate — review r12)."""
     from ..operators.dedup import shingle_hashes
+    from ..operators.sampling import hash_sample
     from ..sources.tables import ensure_scan_parallelism
 
-    total = (
-        ensure_scan_parallelism(benchmark)
-        .select(
+    frac = 0.05
+    # sample keyed on the text hash — the one column every benchmark is
+    # guaranteed to carry here (id_col names the CORPUS's id)
+    sampled = hash_sample(
+        ensure_scan_parallelism(benchmark), frac, id_col=text_col
+    )
+    est = (
+        sampled.select(
             F.sum(
-                F.size(F.array_distinct(shingle_hashes(F.col(text_col), n)))
+                F.greatest(
+                    F.size(
+                        F.array_distinct(shingle_hashes(F.col(text_col), n))
+                    ),
+                    F.lit(0),
+                )
             ).alias("s")
         )
         .first()
         .s
     )
-    if total is None or total <= broadcast_gram_limit:
+    total = int((est or 0) / frac * 1.25)
+    if total <= broadcast_gram_limit:
         return contamination_hits(
             corpus, benchmark, n=n, text_col=text_col, id_col=id_col,
             hashed=True,
