@@ -51,7 +51,8 @@ def main(argv: list[str] | None = None, _stop_session: bool = True) -> int:
         choices=[
             "list", "run", "run-all", "curate", "optimize", "plan-audit",
             "stream", "curate-stream", "rollup", "stats", "ingest",
-            "neardup-admit", "make-dataset", "ann-index", "ann-query",
+            "neardup-admit", "media-admit", "make-dataset", "ann-index",
+            "ann-query",
             "media-curate", "vocab", "keywords", "mine-negatives", "verify-dataset",
             "split-dataset", "ppl-score", "bpe-train", "bpe-encode",
             "bm25-index", "bm25-query", "bm25-append", "dsir-select",
@@ -660,6 +661,30 @@ def main(argv: list[str] | None = None, _stop_session: bool = True) -> int:
             )
             n = admitted.count()
             print(f"✅ neardup-admit: {n} docs admitted (near-dup-free vs index)")
+            return 0
+        if args.command == "media-admit":
+            # The multimodal sibling of neardup-admit: admit this
+            # batch's perceptually-novel images against (and into) the
+            # persisted fingerprint index (pipeline/media_index.py) —
+            # dHash over the raw-image spine, same first-arrived-wins /
+            # replay-appends-zero contract as the text index.
+            from .operators.multimodal import (
+                attach_fake_raw_images,
+                dhash_images,
+            )
+            from .pipeline.media_index import fingerprint_dedup_incremental
+            from .sources import load_table
+
+            docs = load_table(spark, args.sf_dir, "documents").select("doc_id")
+            fps = dhash_images(attach_fake_raw_images(docs))
+            admitted = fingerprint_dedup_incremental(
+                spark, fps, f"{args.sink_dir}/image_fp_index"
+            )
+            n = admitted.count()
+            print(
+                f"✅ media-admit: {n} images admitted "
+                "(perceptually novel vs index)"
+            )
             return 0
         if args.command == "ingest":
             # file -> schema contract -> corrupt-line quarantine ->

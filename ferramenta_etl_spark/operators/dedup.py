@@ -896,6 +896,40 @@ def simhash_near_dup_pairs(
     )
 
 
+def fingerprint_blocks(
+    fp_df: DataFrame,
+    id_col: str = "doc_id",
+    fp_col: str = "fp",
+    bits: int = 64,
+    n_blocks: int = 4,
+) -> DataFrame:
+    """(id_col, fp, blk, bval): the pigeonhole block explosion of a
+    fingerprint column — one row per (doc, block), id column name
+    preserved. Shared by ``hamming_pairs`` (self-join candidates) and
+    the incremental media index (``pipeline/media_index.py``, which
+    persists exactly this relation plus a canonical_id)."""
+    width = bits // n_blocks
+    mask = (1 << width) - 1
+    fp = fp_df.select(F.col(id_col), F.col(fp_col).alias("fp"))
+    return fp.select(
+        id_col,
+        "fp",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("blk"),
+                        F.shiftright("fp", i * width)
+                        .bitwiseAND(F.lit(mask))
+                        .alias("bval"),
+                    )
+                    for i in range(n_blocks)
+                ]
+            )
+        ).alias("b"),
+    ).select(id_col, "fp", "b.blk", "b.bval")
+
+
 def hamming_pairs(
     fp_df: DataFrame,
     max_hamming: int = 3,
@@ -927,24 +961,7 @@ def hamming_pairs(
         )
     if bits % n_blocks != 0:
         raise ValueError(f"bits ({bits}) must divide into n_blocks ({n_blocks})")
-    width = bits // n_blocks
-    mask = (1 << width) - 1
-    fp = fp_df.select(F.col(id_col), F.col(fp_col).alias("fp"))
-    blocked = fp.select(
-        id_col,
-        "fp",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(i).alias("blk"),
-                        F.shiftright("fp", i * width).bitwiseAND(F.lit(mask)).alias("bval"),
-                    )
-                    for i in range(n_blocks)
-                ]
-            )
-        ).alias("b"),
-    ).select(id_col, "fp", "b.blk", "b.bval")
+    blocked = fingerprint_blocks(fp_df, id_col, fp_col, bits, n_blocks)
     if max_block_size is not None:
         blocked = _cap_blocks(blocked, ["blk", "bval"], max_block_size)
     a, b = blocked.alias("a"), blocked.alias("b")

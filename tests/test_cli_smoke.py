@@ -111,6 +111,20 @@ def test_cli_neardup_admit_idempotent(cli_tmp, capsys):
     assert os.path.isdir(os.path.join(s, "minhash_index"))
 
 
+def test_cli_media_admit_idempotent(cli_tmp, capsys):
+    s = str(cli_tmp / "s")
+    assert _run("media-admit", "--sink-dir", s) == 0
+    first = capsys.readouterr().out
+    assert "images admitted" in first
+    n_first = int(first.split("media-admit:")[1].split()[0])
+    assert n_first > 0
+    # rerun: the same batch re-admits the same images, index appends zero
+    assert _run("media-admit", "--sink-dir", s) == 0
+    second = capsys.readouterr().out
+    assert int(second.split("media-admit:")[1].split()[0]) == n_first
+    assert os.path.isdir(os.path.join(s, "image_fp_index"))
+
+
 def test_cli_make_dataset(cli_tmp, capsys):
     import gzip
     import json
