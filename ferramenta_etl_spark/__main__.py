@@ -678,7 +678,8 @@ def main(argv: list[str] | None = None, _stop_session: bool = True) -> int:
             docs = load_table(spark, args.sf_dir, "documents").select("doc_id")
             fps = dhash_images(attach_fake_raw_images(docs))
             admitted = fingerprint_dedup_incremental(
-                spark, fps, f"{args.sink_dir}/image_fp_index"
+                spark, fps, f"{args.sink_dir}/image_fp_index",
+                max_block_size=200,
             )
             n = admitted.count()
             print(

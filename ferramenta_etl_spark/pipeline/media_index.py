@@ -98,6 +98,7 @@ def fingerprint_dedup_incremental(
     n_blocks: int = 4,
     id_col: str = "doc_id",
     fp_col: str = "fp",
+    max_block_size: int | None = None,
 ) -> DataFrame:
     """Admit the perceptually-novel subset of ``fp_df`` (rows of
     (id, fingerprint), from any of the fingerprint ops) against — and
@@ -106,28 +107,41 @@ def fingerprint_dedup_incremental(
     within a batch; anchor domination across; null-fp rows admitted
     un-indexed. Same recall bound as ``hamming_pairs``: pairs beyond
     n_blocks-1 bits are invisible, so the guard rejects a
-    ``max_hamming`` past it."""
+    ``max_hamming`` past it. ``max_block_size`` caps the batch's
+    per-block membership BEFORE the self-join and the index probe —
+    the same quadratic-fan-out guard ``hamming_pairs`` takes, for
+    batches that are one perceptual family (capping only trades recall
+    inside oversized blocks; the cap does not touch index rows, so
+    cross-batch bridges stay intact)."""
     if max_hamming > n_blocks - 1:
         raise ValueError(
             f"max_hamming ({max_hamming}) exceeds the pigeonhole recall "
             f"bound n_blocks-1 ({n_blocks - 1}); raise n_blocks"
         )
     fp = fp_df.select(F.col(id_col).alias("doc_id"), F.col(fp_col).alias("fp"))
-    # three consumers (probe, self-join, append): checkpoint once
+    # three consumers (probe, self-join, append): checkpoint once. The
+    # cap applies ONLY to the join sides — the APPEND must stay
+    # uncapped, or capped-away rows would lose their bridge coverage in
+    # the index and replays/chains would resolve differently
     blocked = fingerprint_blocks(
         fp.filter(F.col("fp").isNotNull()), "doc_id", "fp", 64, n_blocks
     ).localCheckpoint(eager=True)
+    blocked_join = blocked
+    if max_block_size is not None:
+        from ..operators.dedup import _cap_blocks
+
+        blocked_join = _cap_blocks(blocked, ["blk", "bval"], max_block_size)
 
     meta = {"max_hamming": max_hamming, "n_blocks": n_blocks, "layout": 1}
     drop_pairs = None
     if index_exists(spark, index_path):
         _check_index_meta(spark, index_path, meta)
         index = load_fp_index(spark, index_path)
-        drop_pairs = _cross_batch_matches(blocked, index, max_hamming)
+        drop_pairs = _cross_batch_matches(blocked_join, index, max_hamming)
     else:
         _write_index_meta(spark, index_path, meta)
 
-    a, b = blocked.alias("a"), blocked.alias("b")
+    a, b = blocked_join.alias("a"), blocked_join.alias("b")
     intra_pairs = (
         a.join(
             b,

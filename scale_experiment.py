@@ -1536,6 +1536,76 @@ def round12_experiment(spark, sf_dir: str, scratch: str) -> dict:
     return out
 
 
+def media_admit_experiment(spark, scratch: str) -> dict:
+    """Admit-vs-recompute for the perceptual-fingerprint index
+    (pipeline/media_index.py, round 12) — the media sibling of the
+    round-3/4 MinHash admit experiment. A 200k-fingerprint corpus is
+    indexed once; admitting a 1k batch (half near-dups of indexed
+    items, half novel) is timed against recomputing hamming_pairs over
+    the full corpus+batch. Fingerprinting cost is excluded from BOTH
+    arms (identical either way); what differs is probe-vs-recompute.
+    Fingerprints are synthetic uniform 64-bit values with planted
+    neighbors — the index mechanics don't care what hashed them."""
+    import time as _t
+
+    from pyspark.sql import functions as F
+
+    from ferramenta_etl_spark.operators.dedup import hamming_pairs
+    from ferramenta_etl_spark.pipeline.media_index import (
+        fingerprint_dedup_incremental,
+        load_fp_index,
+    )
+
+    out: dict = {}
+    n_batch = 1_000
+    for n_corpus in (200_000, 4_000_000):
+        tag = f"{n_corpus // 1000}k"
+        corpus = (
+            spark.range(0, n_corpus)
+            .select(
+                F.col("id").alias("doc_id"),
+                F.xxhash64(F.col("id").cast("string")).alias("fp"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        idx = f"{scratch}/media_fp_index_{tag}"
+        t0 = _t.perf_counter()
+        fingerprint_dedup_incremental(spark, corpus, idx)
+        out[f"bootstrap_s_{tag}"] = round(_t.perf_counter() - t0, 3)
+        # batch: 500 near-dups of indexed items (1 bit flipped), 500 novel
+        near = spark.range(0, n_batch // 2).select(
+            (F.col("id") + 100_000_000).alias("doc_id"),
+            F.xxhash64(F.col("id").cast("string"))
+            .bitwiseXOR(F.lit(1)).alias("fp"),
+        )
+        novel = spark.range(0, n_batch // 2).select(
+            (F.col("id") + 200_000_000).alias("doc_id"),
+            F.xxhash64((F.col("id") + 7_777_777).cast("string")).alias("fp"),
+        )
+        batch = near.unionByName(novel).localCheckpoint(eager=True)
+        # warm admit on a throwaway index is impossible (admission
+        # mutates); warm the JVM with the recompute arm instead
+        allfps = corpus.unionByName(batch).localCheckpoint(eager=True)
+        pairs = hamming_pairs(allfps, max_hamming=3)
+        pairs.write.format("noop").mode("overwrite").save()
+        t0 = _t.perf_counter()
+        pairs.write.format("noop").mode("overwrite").save()
+        out[f"recompute_pairs_s_{tag}"] = round(_t.perf_counter() - t0, 3)
+        t0 = _t.perf_counter()
+        admitted = fingerprint_dedup_incremental(spark, batch, idx)
+        n_adm = admitted.count()
+        out[f"admit_s_{tag}"] = round(_t.perf_counter() - t0, 3)
+        # correctness side-channel: exactly the 500 novel fps admit and
+        # the index holds every fp
+        out[f"admitted_{tag}"] = int(n_adm)
+        out[f"index_docs_{tag}"] = load_fp_index(spark, idx).select(
+            "doc_id"
+        ).distinct().count()
+        allfps.unpersist()
+        corpus.unpersist()
+    return out
+
+
 def bloom_decontam_experiment(spark, sf_dir: str) -> dict:
     """contamination_hits_scaled vs its alternatives on a 10x corpus
     (round 12): the bloom path exists for benchmark sets PAST broadcast
@@ -1846,6 +1916,11 @@ def main() -> None:
              "broadcast-disabled shuffled joins on a 10x corpus",
     )
     p.add_argument(
+        "--media-admit", action="store_true",
+        help="perceptual-fingerprint index admit-vs-recompute at a "
+             "200k-fp corpus",
+    )
+    p.add_argument(
         "--bpe-jobs", action="store_true",
         help="run the BPE trainer job-count probe (hybrid vs batched vs "
              "sequential, merge-list equality)",
@@ -1961,6 +2036,15 @@ def main() -> None:
     if args.bloom_decontam:
         result = bloom_decontam_experiment(spark, args.sf)
         print(json.dumps({"experiment": "bloom_decontam", **result}))
+        spark.stop()
+        return
+
+    if args.media_admit:
+        import tempfile
+
+        with tempfile.TemporaryDirectory() as scratch:
+            result = media_admit_experiment(spark, scratch)
+        print(json.dumps({"experiment": "media_admit", **result}))
         spark.stop()
         return
 

@@ -152,3 +152,21 @@ def test_end_to_end_with_real_image_fingerprints(spark, tmp_path):
     admitted2 = fingerprint_dedup_incremental(spark, dhash_images(b2), idx)
     got = {r.doc_id for r in admitted2.collect()}
     assert got == set(novel), f"expected only novel images admitted, got {got}"
+
+
+def test_cap_bounds_join_but_not_index_coverage(spark, tmp_path):
+    """max_block_size caps the batch's JOIN fan-out only: every
+    fingerprinted batch row still lands in the index (bridge coverage
+    intact), and a one-family batch admits at least its canonical
+    instead of exploding quadratically."""
+    idx = str(tmp_path / "fpidx6")
+    family = _fp_df(spark, [(i, BASE) for i in range(50)])  # identical fps
+    admitted = fingerprint_dedup_incremental(
+        spark, family, idx, max_block_size=5
+    )
+    # with identical fingerprints the capped blocks still pair enough
+    # rows per block to collapse SOME of the family; the invariant that
+    # matters: at least one survivor, and EVERY row indexed
+    n_admitted = admitted.count()
+    assert 1 <= n_admitted <= 50
+    assert load_fp_index(spark, idx).select("doc_id").distinct().count() == 50
