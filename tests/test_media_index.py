@@ -170,3 +170,31 @@ def test_cap_bounds_join_but_not_index_coverage(spark, tmp_path):
     n_admitted = admitted.count()
     assert 1 <= n_admitted <= 50
     assert load_fp_index(spark, idx).select("doc_id").distinct().count() == 50
+
+
+def test_min_anchor_wins_when_bridging_two_clusters(spark, tmp_path):
+    """A batch item within range of TWO separately-indexed clusters
+    resolves to the MINIMUM anchor (deterministic; incremental
+    admission cannot merge already-admitted clusters) — pins the
+    min-vs-max choice in the anchor-domination aggregate, which a
+    single-anchor test cannot distinguish."""
+    idx = str(tmp_path / "fpidx7")
+    far = _flip(BASE, 60, 61, 62, 63)  # 4 bits from BASE: a 2nd cluster
+    fingerprint_dedup_incremental(
+        spark, _fp_df(spark, [(7, BASE), (9, far)]), idx
+    )  # both admitted (distance 4 > max_hamming 3)
+    # bridger: 2 bits from BASE (60,61 flipped back... construct: flip
+    # 60,61 only -> distance 2 from BASE and distance 2 from far)
+    bridge = _flip(BASE, 60, 61)
+    admitted = fingerprint_dedup_incremental(
+        spark, _fp_df(spark, [(50, bridge)]), idx
+    )
+    assert admitted.count() == 0
+    canon = {
+        r.doc_id: r.canonical_id
+        for r in load_fp_index(spark, idx)
+        .select("doc_id", "canonical_id")
+        .distinct()
+        .collect()
+    }
+    assert canon[50] == 7  # min(7, 9), not max
