@@ -25,13 +25,17 @@ itself — two jobs could both pass the anti-join and append the same key
 with atomic exclusive create (local, HDFS); on plain S3 the lock is
 best-effort and the single-writer assertion stands (the reference had
 the same at-most-once guarantee only per-process). For true ACID upsert
-under concurrent writers, the ``delta`` backend issues a table-format
-``MERGE ... WHEN NOT MATCHED THEN INSERT`` (≙ ON CONFLICT's server-side
-conflict check, S:214-218) behind the SAME call signature — selected
-automatically when the target is a Delta table and delta-spark is
-importable (it is not baked into this container, so the MERGE path is
-covered by the pure condition-builder unit tests plus an integration
-test that skips without the package).
+under concurrent writers there are two table-format MERGE backends
+behind the SAME call signature (≙ ON CONFLICT's server-side conflict
+check, S:214-218): ``txlog`` — the self-contained transaction-log
+format in :mod:`.txlog`, lock-free optimistic concurrency with atomic
+version publish, fully executed in CI including a concurrent-append
+race test — and ``delta`` (Delta Lake MERGE), selected automatically
+when the target is a Delta table and delta-spark is importable (it is
+NOT installable in this container, so the Delta branch is
+available-but-unproven: covered by the pure condition-builder unit
+tests plus an integration test that skips without the package; the
+txlog backend carries the executed ACID guarantee here).
 """
 
 from __future__ import annotations
@@ -319,6 +323,25 @@ def ensure_table(
     return True
 
 
+def anti_join_keys(df: DataFrame, existing_keys: DataFrame, keys: Sequence[str]) -> DataFrame:
+    """``df`` minus the rows whose key tuple already exists — NULL-SAFE
+    (``<=>``), matching :func:`merge_insert_condition` and the in-batch
+    dedup (whose partitionBy groups NULL keys together): a name-based
+    equi-join's plain ``=`` would never match a NULL key, so a NULL-keyed
+    row would re-append on every batch. EqualNullSafe is still an
+    equi-join predicate to Spark — hash/broadcast join strategies and AQE
+    apply exactly as for ``=``."""
+    import functools
+    import operator
+
+    renamed = existing_keys.toDF(*[f"__existing_{k}" for k in keys])
+    cond = functools.reduce(
+        operator.and_,
+        [df[k].eqNullSafe(F.col(f"__existing_{k}")) for k in keys],
+    )
+    return df.join(renamed, on=cond, how="left_anti")
+
+
 def merge_insert_condition(keys: Sequence[str], target: str = "t", source: str = "s") -> str:
     """The MERGE ON condition for first-writer-wins insert: null-safe
     equality over the key columns (``<=>`` matches ON CONFLICT's PK
@@ -454,9 +477,13 @@ def write_ignore_conflicts(
     3. append the survivors.
 
     ``backend``: ``parquet`` (anti-join + append, serialized under an
-    advisory writer LOCK — see below), ``delta`` (ACID MERGE; requires
-    delta-spark), or ``auto`` (delta iff the package is importable and
-    the target is/will be a Delta table, else parquet).
+    advisory writer LOCK — see below), ``txlog`` (ACID MERGE on the
+    self-contained transaction-log format, :mod:`.txlog` — lock-free
+    optimistic concurrency, the CI-proven ACID path in this
+    environment), ``delta`` (ACID MERGE; requires delta-spark, not
+    installable here — available-but-unproven), or ``auto`` (delta iff
+    the package is importable and the target is/will be a Delta table,
+    else parquet).
 
     Concurrency (parquet backend): the anti-join + append sequence runs
     under :func:`_sink_lock` — an atomic-create sibling lock file that
@@ -521,6 +548,17 @@ def write_ignore_conflicts(
         order_by=[F.col(c).asc() for c in order_by] if order_by else [F.col(k).asc() for k in keys],
         tiebreak=non_key if non_key else list(keys),
     )
+    if backend == "txlog":
+        if partition_cols:
+            raise ValueError(
+                "the txlog backend does not hive-partition; its conflict "
+                "check is pruned by per-file key min/max stats instead "
+                "(sinks/txlog.py) — drop partition_cols or use the "
+                "parquet backend"
+            )
+        from .txlog import write_merge_txlog
+
+        return write_merge_txlog(incoming, path, keys)
     if backend == "delta" or (backend == "auto" and _delta_usable(df, path)):
         if not _delta_available():
             raise RuntimeError(
@@ -584,7 +622,7 @@ def _write_parquet_locked(
         if partition_cols:
             existing = existing.filter(_touched_partition_filter(incoming, partition_cols))
         existing_keys = existing.select(*keys)
-        fresh = incoming.join(existing_keys, on=list(keys), how="left_anti")
+        fresh = anti_join_keys(incoming, existing_keys, list(keys))
     # Materialize the survivors BEFORE appending: localCheckpoint cuts
     # the lineage back to the target parquet, so a task retry / cache
     # eviction during the append can never re-scan the path mid-write

@@ -49,6 +49,18 @@ def test_first_writer_wins(spark, target):
     assert rows == {1: "a", 2: "b", 3: "c"}  # k=2 NOT updated (DO NOTHING)
 
 
+def test_null_keys_conflict_null_safe(spark, target):
+    """Cross-batch NULL-key conflicts (regression, r13): the anti-join
+    is <=> (anti_join_keys), matching merge_insert_condition and the
+    in-batch dedup — a plain = join would re-append the NULL-keyed row
+    on every rerun."""
+    df = spark.createDataFrame([(None, "n"), (1, "a")], "k int, v string")
+    n1 = write_ignore_conflicts(df, target, keys=["k"])
+    n2 = write_ignore_conflicts(df, target, keys=["k"])
+    assert n1 == 2 and n2 == 0
+    assert spark.read.parquet(target).count() == 2
+
+
 def test_in_batch_duplicates_collapse(spark, target):
     df = spark.createDataFrame([(1, "x"), (1, "y"), (2, "z")], "k int, v string")
     n = write_ignore_conflicts(df, target, keys=["k"], order_by=["v"])
