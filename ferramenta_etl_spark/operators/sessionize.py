@@ -15,7 +15,6 @@ a new session; an event exactly ``gap`` later extends the current one.
 
 from __future__ import annotations
 
-import math
 from collections.abc import Sequence
 
 from pyspark.sql import DataFrame, Window
@@ -81,34 +80,62 @@ def sessionize(
 
 
 def _walk_events(ts_ms, vals, gap_ms: int, cap_ms: int, final_reason: str):
-    """Sequential session walk over one already-ordered event run:
-    yields (start_ms, end_ms, n_events, cents, closed_by). Shared by
-    the whole-user path and the gap-block path — the transition order
-    (gap check wins when an event breaches both bounds) matches the
-    streaming kernel. ``final_reason`` closes the last open session:
-    'timeout' at true end-of-history, 'gap' when the caller knows a
-    > gap interval follows this run (the gap-block path)."""
+    """Session walk over one already-ordered event run: yields
+    (start_ms, end_ms, n_events, cents, closed_by). Shared by the
+    whole-user path and the gap-block path; semantics match the
+    streaming kernel's transition order (the gap check wins when an
+    event breaches both bounds — a run ending at a gap closes 'gap'
+    even if the breaching event also breached the cap).
+
+    VECTORIZED (r13): the naive form is a per-event Python loop — the
+    dominant constant factor of the whole operator (SCALING.md
+    hot-user probe: 900k events ≈ 3 s in ONE loop). Instead: gap
+    boundaries come from one ``np.diff`` (unconditional splits), and
+    inside a gap segment only CAP closes remain, each found by a
+    ``searchsorted`` jump to the first event strictly past start+cap —
+    so the Python-level iteration count is O(sessions), not O(events),
+    and per-session sums come from one cents ``cumsum``. Bot bursts
+    (many events, few sessions) are exactly where that gap is largest.
+
+    ``final_reason`` closes the last open session: 'timeout' at true
+    end-of-history, 'gap' when the caller knows a > gap interval
+    follows this run (the gap-block path)."""
+    import numpy as np
+
+    m = len(ts_ms)
+    if m == 0:
+        return []
+    ts = np.asarray(ts_ms, dtype=np.int64)
+    v = np.asarray(vals, dtype=np.float64)
+    # scaled-cents discipline (functions.tsql.sum2): floor(v*100+0.5) as
+    # int64, non-finite -> 0; cumsum gives O(1) per-session sums
+    cents = np.where(np.isfinite(v), np.floor(v * 100.0 + 0.5), 0.0).astype(
+        np.int64
+    )
+    ccents = np.concatenate(([0], np.cumsum(cents)))
+    breaks = np.flatnonzero(np.diff(ts) > gap_ms) + 1
+    seg_starts = np.concatenate(([0], breaks))
+    seg_ends = np.concatenate((breaks, [m]))
     out = []
-    st = None
-    for t_ms, v in zip(ts_ms, vals):
-        t_ms = int(t_ms)
-        v = float(v)
-        c = int(math.floor(v * 100 + 0.5)) if math.isfinite(v) else 0
-        if st is None:
-            st = (t_ms, t_ms, 1, c)
-            continue
-        start, last, n, cents = st
-        if t_ms - last > gap_ms:
-            out.append((start, last, n, cents, "gap"))
-            st = (t_ms, t_ms, 1, c)
-        elif t_ms - start > cap_ms:
-            out.append((start, last, n, cents, "cap"))
-            st = (t_ms, t_ms, 1, c)
-        else:
-            st = (start, t_ms, n + 1, cents + c)
-    if st is not None:
-        start, last, n, cents = st
-        out.append((start, last, n, cents, final_reason))
+    last_seg = len(seg_starts) - 1
+    for si, (a, b) in enumerate(zip(seg_starts, seg_ends)):
+        i = int(a)
+        b = int(b)
+        while i < b:
+            s = int(ts[i])
+            # first event STRICTLY past s+cap starts the next session;
+            # an event exactly at s+cap extends (side='right')
+            j = int(np.searchsorted(ts[i:b], s + cap_ms, side="right")) + i
+            if j < b:
+                reason = "cap"
+            elif si < last_seg:
+                reason = "gap"
+            else:
+                reason = final_reason
+            out.append(
+                (s, int(ts[j - 1]), j - i, int(ccents[j] - ccents[i]), reason)
+            )
+            i = j
     return out
 
 
@@ -122,6 +149,7 @@ def capped_sessions(
     tiebreak: Sequence[str] = (),
     split_hot_users: bool | str = "auto",
     hot_user_events: int = 1_000_000,
+    bucket: str = "1 day",
 ) -> DataFrame:
     """Batch replay of ``streaming.capped_sessions_stream``: per-user
     sessions that close on ``gap`` inactivity OR when the next event
@@ -153,13 +181,22 @@ def capped_sessions(
     is an UNCONDITIONAL session boundary — both the gap close and the
     cap close reset state AT the breaching event — so a user's timeline
     decomposes at gap boundaries into independent "gap blocks" whose
-    walks never interact. The split path therefore: (1) labels blocks
-    with the lag+cumsum idiom (one window over ``user_col``), (2)
-    re-keys the shuffle by ``(user, block)``, and (3) closes each
-    block's final open session with ``'gap'`` unless it is the user's
-    LAST block (then ``'timeout'``) — bit-identical output to the
-    sequential walk, pinned by ``tests/test_streaming.py``. Cost: one
-    extra exchange + window sort, so ``split_hot_users='auto'`` probes
+    walks never interact. The split path labels those blocks WITHOUT
+    ever sorting one user's whole history in one task (a plain window
+    over ``user_col`` would — the same hot-key funnel, moved from the
+    walk to the sort): (1) a lag+cumsum window over ``(user,
+    time-bucket)`` — ``bucket`` wide, floored at max(gap, cap) — gives
+    per-bucket LOCAL block ids, with partitions bounded by arrival rate
+    x bucket, never by a user's total history; (2) the bucket SUMMARY
+    (one row per active user-bucket — metadata scale) chains local ids
+    into global ones with a per-user prefix sum, merging a bucket's
+    first block into the previous bucket's last when the boundary
+    interval is <= ``gap``; (3) the walk re-keys by ``(user, global
+    block)`` and closes each block's final open session with ``'gap'``
+    unless it is the user's LAST block (then ``'timeout'``) —
+    bit-identical output to the sequential walk, pinned by
+    ``tests/test_streaming.py``. Cost: one summary aggregation + a
+    co-keyed join back, so ``split_hot_users='auto'`` probes
     ``max(events per user)`` first (a map-side-combined count, cheap
     relative to the walk) and routes: below ``hot_user_events`` the
     original single-exchange plan runs; above it the block plan does —
@@ -241,20 +278,83 @@ def capped_sessions(
         )
 
     # --- gap-block split path -------------------------------------------
+    # Assign every event a globally-consistent gap-block id WITHOUT ever
+    # sorting one user's whole history in one task (the window-over-user
+    # form would — same hot-key funnel, just moved from the walk to the
+    # sort). Two levels:
+    #   1. window over (user, time-bucket): per-bucket local blocks via
+    #      lag+cumsum — partitions bounded by events-per-user-per-bucket
+    #      (arrival rate x bucket), never by a user's total history;
+    #   2. the BUCKET SUMMARY (one row per active user-bucket — metadata
+    #      scale) gets a per-user window that decides, from adjacent
+    #      min/max timestamps, whether a bucket's first block continues
+    #      the previous bucket's last block (C_b), and a prefix sum
+    #      turns local ids into global ones:
+    #          global = start_b + local − C_b,
+    #          start_b = Σ_{b'<b} (n_blocks_b' − C_b').
+    #      (C_b=1 makes bucket b's first block alias the previous
+    #      bucket's last — one chained id across the boundary.)
+    # The summary joins back on (user, bucket) — co-keyed with the pass-1
+    # shuffle — and the walk re-keys by (user, global block).
     from ..functions.tsql import epoch_ms
 
+    bucket_ms = max(_duration_ms(bucket), gap_ms, cap_ms)
     ms = epoch_ms(ts_col)
-    w = Window.partitionBy(user_col).orderBy(
-        ms.asc(), *[F.col(c).asc() for c in tiebreak]
+    ev = base.withColumn("_ms", ms).withColumn(
+        "_bkt", (F.col("_ms") / F.lit(bucket_ms)).cast("long")
     )
-    prev = F.lag(ms).over(w)
-    blk = F.sum(
-        F.when(prev.isNull() | ((ms - prev) > F.lit(gap_ms)), 1).otherwise(0)
-    ).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
-    # both windows partition by user_col: one exchange + one sort serves
-    # the lag/cumsum AND the per-user block count
-    labeled = base.withColumn("_blk", blk).withColumn(
-        "_last_blk", F.max("_blk").over(Window.partitionBy(user_col))
+    w1 = Window.partitionBy(user_col, "_bkt").orderBy(
+        F.col("_ms").asc(), *[F.col(c).asc() for c in tiebreak]
+    )
+    prev = F.lag("_ms").over(w1)
+    local_blk = F.sum(
+        F.when(prev.isNull() | ((F.col("_ms") - prev) > F.lit(gap_ms)), 1)
+        .otherwise(0)
+    ).over(w1.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    labeled = ev.withColumn("_lblk", local_blk)
+
+    summary = labeled.groupBy(user_col, "_bkt").agg(
+        F.min("_ms").alias("_first_ms"),
+        F.max("_ms").alias("_last_ms"),
+        F.max("_lblk").alias("_nblk"),
+    )
+    w2 = Window.partitionBy(user_col).orderBy(F.col("_bkt").asc())
+    cont = F.when(
+        (F.col("_first_ms") - F.lag("_last_ms").over(w2)) <= F.lit(gap_ms), 1
+    ).otherwise(0)
+    summary = summary.withColumn("_cont", cont).withColumn(
+        "_start",
+        F.coalesce(
+            F.sum(F.col("_nblk") - F.col("_cont")).over(
+                w2.rowsBetween(Window.unboundedPreceding, -1)
+            ),
+            F.lit(0),
+        ),
+    ).withColumn("_last_bkt", F.lead("_bkt").over(w2).isNull())
+
+    # null-safe on the user key: NULL user_id is a legal group for the
+    # sequential path's dropna=False groupby, so the summary join must
+    # not drop it
+    joined = labeled.alias("e").join(
+        summary.select(
+            F.col(user_col).alias("_s_user"),
+            F.col("_bkt").alias("_s_bkt"),
+            "_cont",
+            "_start",
+            "_nblk",
+            "_last_bkt",
+        ),
+        on=(
+            F.col(f"e.{user_col}").eqNullSafe(F.col("_s_user"))
+            & (F.col("e._bkt") == F.col("_s_bkt"))
+        ),
+        how="inner",
+    ).withColumn(
+        "_gblk", F.col("_start") + F.col("_lblk") - F.col("_cont")
+    ).withColumn(
+        "_final", F.col("_last_bkt") & (F.col("_lblk") == F.col("_nblk"))
+    ).select(
+        f"e.{user_col}", ts_col, value_col, *tiebreak, "_gblk", "_final"
     )
 
     def walk_blocks(batches):
@@ -266,17 +366,17 @@ def capped_sessions(
             return
         pdf = pd.concat(chunks)
         out: list[dict] = []
-        for (user_id, b), g in pdf.groupby(
-            [user_col, "_blk"], dropna=False, sort=False
+        for (user_id, _b), g in pdf.groupby(
+            [user_col, "_gblk"], dropna=False, sort=False
         ):
             g = g.sort_values(sort_cols, kind="mergesort")
             ts_ms = (g[ts_col].astype("int64") // 1_000_000).to_numpy()
             vals = g[value_col].to_numpy()
-            final = "timeout" if b == g["_last_blk"].iloc[0] else "gap"
+            final = "timeout" if bool(g["_final"].any()) else "gap"
             for s in _walk_events(ts_ms, vals, gap_ms, cap_ms, final):
                 out.append(session_row(user_id, s))
         yield pd.DataFrame(out, columns=out_cols)
 
-    return labeled.repartition(user_col, "_blk").mapInPandas(
+    return joined.repartition(user_col, "_gblk").mapInPandas(
         walk_blocks, schema=SESSION_SCHEMA
     )

@@ -1837,6 +1837,101 @@ def clf_overhead_experiment(spark, sf_dir: str) -> dict:
     return out
 
 
+def hot_user_experiment(spark, factor: int, scratch: str) -> dict:
+    """90%-one-user capped-sessionization probe (VERDICT r12 #2).
+
+    Fixture: ``100k x factor`` events, 90 % under ONE user as 1000-event
+    bursts (1 s cadence, bursts 1 h apart), 10 % across ``1000 x
+    factor`` cold users. With gap=30 min / cap=5 min, every burst is a
+    gap block and the cap fires ~3x inside each — the bot-traffic shape.
+
+    Arms: the sequential whole-user walk (split_hot_users=False — one
+    task owns 90 % of all events) vs the gap-block path (True — the hot
+    history re-keys into ~90·factor independent blocks), equality of
+    outputs asserted, plus the auto probe's routing decision. A 1x
+    STREAMING arm drains the same fixture through
+    capped_sessions_stream: applyInPandasWithState keys by user, so a
+    hot-user BACKFILL concentrates in one task there too (state itself
+    stays one tuple per user); in production the per-trigger batch is
+    bounded by arrival rate, so the block-split batch operator is the
+    right tool for backfills — that routing is the recorded conclusion.
+    """
+    import time as _t
+
+    from pyspark.sql import functions as F
+
+    from ferramenta_etl_spark.operators.sessionize import capped_sessions
+
+    def _noop(df) -> float:
+        df.write.format("noop").mode("overwrite").save()
+        t0 = _t.perf_counter()
+        df.write.format("noop").mode("overwrite").save()
+        return round(_t.perf_counter() - t0, 3)
+
+    par = spark.sparkContext.defaultParallelism
+    n_total = 100_000 * factor
+    n_hot = int(n_total * 0.9)
+    burst_len = 1000
+    t0_ms = 1_700_000_000_000
+    hot = spark.range(n_hot).select(
+        F.lit(1).cast("long").alias("user_id"),
+        F.timestamp_millis(
+            F.lit(t0_ms)
+            + (F.col("id") / burst_len).cast("long") * F.lit(3_600_000)
+            + (F.col("id") % burst_len) * F.lit(1000)
+        ).alias("ts"),
+        F.lit(1.0).alias("value"),
+    )
+    cold = spark.range(n_total - n_hot).select(
+        (F.lit(2) + (F.col("id") / 100).cast("long")).alias("user_id"),
+        F.timestamp_millis(
+            F.lit(t0_ms) + (F.col("id") % 100) * F.lit(60_000)
+        ).alias("ts"),
+        F.lit(2.0).alias("value"),
+    )
+    ev = hot.unionByName(cold).repartition(par).localCheckpoint(eager=True)
+    out: dict = {"factor": factor, "rows": ev.count(), "hot_rows": n_hot}
+
+    common = dict(gap="30 minutes", max_duration="5 minutes")
+    seq_df = capped_sessions(ev, split_hot_users=False, **common)
+    blk_df = capped_sessions(ev, split_hot_users=True, **common)
+    out["sequential_s"] = _noop(seq_df)
+    out["gap_block_s"] = _noop(blk_df)
+    out["speedup"] = round(out["sequential_s"] / out["gap_block_s"], 2)
+    seq = sorted(map(tuple, seq_df.collect()))
+    blk = sorted(map(tuple, blk_df.collect()))
+    out["outputs_identical"] = seq == blk
+    out["n_sessions"] = len(seq)
+    out["hot_blocks"] = n_hot // burst_len  # independent walks after split
+    # the auto probe must route this shape to the block path
+    hottest = ev.groupBy("user_id").count().agg(F.max("count")).first()[0]
+    out["auto_routes_to_blocks"] = bool(hottest > 1_000_000)
+
+    # 1x streaming backfill arm: same shape, one AvailableNow drain
+    from ferramenta_etl_spark.streaming import run_available_now
+    from ferramenta_etl_spark.streaming.stateful import capped_sessions_stream
+
+    ev1 = (
+        hot.limit(90_000).unionByName(cold.limit(10_000))
+        if factor > 1
+        else ev
+    )
+    src = f"{scratch}/hot_user_events"
+    ev1.write.mode("overwrite").parquet(src)
+    t0 = _t.perf_counter()
+    stream = spark.readStream.schema(
+        "user_id long, ts timestamp, value double"
+    ).parquet(src)
+    drained = run_available_now(
+        capped_sessions_stream(stream, **common),
+        f"{scratch}/hot_user_ckpt",
+        "q_hot_user_probe",
+    )
+    out["stream_backfill_1x_s"] = round(_t.perf_counter() - t0, 3)
+    out["stream_backfill_1x_sessions"] = drained.count()
+    return out
+
+
 def main() -> None:
     p = argparse.ArgumentParser()
     p.add_argument("--factor", type=int, default=100)
@@ -1930,6 +2025,12 @@ def main() -> None:
         help="run the classifier per-iteration driver-overhead probe "
              "(n_buckets 2^12 vs 2^18, Arrow vs legacy row-wise weights "
              "exchange)",
+    )
+    p.add_argument(
+        "--hot-user", action="store_true",
+        help="run the 90%%-one-user capped-sessionization probe "
+             "(sequential whole-user walk vs gap-block split, --factor x "
+             "100k events)",
     )
     p.add_argument(
         "--skew", type=int, metavar="REPLICATE", default=0,
@@ -2057,6 +2158,15 @@ def main() -> None:
     if args.clf_overhead:
         result = clf_overhead_experiment(spark, args.sf)
         print(json.dumps({"experiment": "clf_overhead", **result}))
+        spark.stop()
+        return
+
+    if args.hot_user:
+        import tempfile
+
+        with tempfile.TemporaryDirectory() as scratch:
+            result = hot_user_experiment(spark, args.factor, scratch)
+        print(json.dumps({"experiment": "hot_user_sessions", **result}))
         spark.stop()
         return
 

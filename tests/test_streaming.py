@@ -452,6 +452,40 @@ def test_capped_sessions_hot_user_auto_routes_and_matches(spark):
     assert {t[-1] for t in hot} == {"gap", "timeout"}
 
 
+def test_capped_sessions_block_chain_across_buckets(spark):
+    """Force a tiny `bucket` so one gap-free run spans MANY buckets: the
+    summary prefix-sum must chain each bucket's single block into ONE
+    global block (cont=1 ⇒ nblk−cont=0 keeps the id flat), cap closes
+    must still fire inside the chained block, and only the true
+    end-of-history closes 'timeout'. Pinned against the sequential walk."""
+    from ferramenta_etl_spark.operators.sessionize import capped_sessions
+
+    t0 = 1_700_000_000_000
+    rows = []
+    # user 1: 600 events, 10s cadence — 100 min of gap-free activity.
+    # bucket=2min ⇒ ~50 buckets; gap=1min never fires inside the run;
+    # cap=7min closes ~14 sessions, each spanning 3-4 buckets.
+    for i in range(600):
+        rows.append((1, (t0 + i * 10_000) // 1000, 1.0))
+    # then a >gap silence and a short second run (gap close + timeout)
+    t1 = t0 + 600 * 10_000 + 300_000
+    for i in range(5):
+        rows.append((1, (t1 + i * 10_000) // 1000, 3.0))
+    ev = spark.createDataFrame(
+        rows, "user_id long, sec long, value double"
+    ).select("user_id", F.col("sec").cast("timestamp").alias("ts"), "value")
+    common = dict(gap="1 minute", max_duration="7 minutes")
+    seq = sorted(map(tuple, capped_sessions(
+        ev, split_hot_users=False, **common).collect()))
+    blk = sorted(map(tuple, capped_sessions(
+        ev, split_hot_users=True, bucket="2 minutes", **common).collect()))
+    assert blk == seq and len(seq) > 0
+    reasons = [t[-1] for t in seq]
+    assert reasons.count("cap") >= 10
+    assert reasons.count("gap") == 1
+    assert reasons.count("timeout") == 1
+
+
 def test_capped_sessions_survives_tiny_arrow_batches(spark, sf_dir):
     """A user's rows can span Arrow batch boundaries inside a partition
     (arrow.maxRecordsPerBatch); the kernel must gather the partition
