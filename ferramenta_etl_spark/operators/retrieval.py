@@ -336,6 +336,7 @@ def mmr_rerank(
     id_col: str = "doc_id",
     score_col: str = "score",
     vec_col: str = "embedding",
+    stable_round: int | None = None,
 ) -> DataFrame:
     """Maximal-marginal-relevance re-ranking (Carbonell & Goldstein
     1998) of a per-query candidate list: greedily pick the candidate
@@ -356,7 +357,12 @@ def mmr_rerank(
     collapse the whole query's normalized relevance to all-ones,
     reducing its ordering to a pure redundancy penalty — an upstream
     scorer that emits nulls should be fixed, not papered over).
-    Deterministic: ties break on ascending id."""
+    Deterministic: ties break on ascending id. ``stable_round`` rounds
+    each pairwise redundancy cosine to that many decimals before the
+    greedy compares marginal values — the bm25_scores discipline that
+    lets a DuckDB oracle (sequential-fold cosine, vs numpy's dot)
+    reproduce the selection bit-for-bit (hybrid_retrieval's mmr
+    stage); None keeps full precision for library use."""
     import numpy as np
     import pandas as pd
 
@@ -417,6 +423,8 @@ def mmr_rerank(
                 for i in remaining:
                     if vecs[i] is not None:
                         s = float(np.dot(vecs[i], vecs[best_i]))
+                        if stable_round is not None:
+                            s = round(s, stable_round)
                         if s > max_sim[i]:
                             max_sim[i] = s
         rows = pdf.iloc[picked]

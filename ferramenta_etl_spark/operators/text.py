@@ -802,7 +802,9 @@ def clean_document_lines(
     ).drop("__lines", "__tail")
 
 
-def winnowing_fingerprints(text: Column, k: int = 3, window: int = 4) -> Column:
+def winnowing_fingerprints(
+    text: Column, k: int = 3, window: int = 4, portable: bool = False
+) -> Column:
     """Rolling-hash document fingerprints by winnowing (the MOSS scheme):
     hash every k-token shingle with the polynomial rolling hash
     (operators/dedup.shingle_hashes), slide a ``window`` over the hash
@@ -818,10 +820,13 @@ def winnowing_fingerprints(text: Column, k: int = 3, window: int = 4) -> Column:
 
     Pure SQL higher-order expressions; selections-per-doc ~= 2/(window+1)
     of the shingle count, so the exploded join input is a fraction of
-    the token stream."""
+    the token stream. ``portable`` swaps xxhash64 for the md5-prefix
+    hash family (dedup.portable_hash) so a DuckDB oracle reproduces the
+    fingerprints bit-for-bit (the dedup_minhash_lsh discipline; the
+    dedup_fingerprint gate's winnow stage runs portable)."""
     from .dedup import shifted_fold, shingle_hashes
 
-    h = shingle_hashes(text, k)
+    h = shingle_hashes(text, k, portable=portable)
     # window-min via the shared shifted-slice fold (dedup.shifted_fold;
     # the old transform(sequence(1, n_win), i -> array_min(slice(h,i,w)))
     # form re-evaluated the shingle-hash expression per WINDOW POSITION —
@@ -1040,6 +1045,7 @@ def tfidf_keywords(
     text_col: str = "text",
     doc_id_col: str = "doc_id",
     min_df: int = 2,
+    stable_round: int | None = None,
 ) -> "DataFrame":
     """Top-``k`` characteristic terms per document by smoothed TF-IDF —
     the classic keyword-extraction / topic-tagging pass of a corpus
@@ -1058,7 +1064,14 @@ def tfidf_keywords(
     grouped_topk — no all-pairs, no Python on rows. At 100 TB the df
     relation is vocabulary-sized; if vocabulary outgrows broadcast,
     the equi-join degrades gracefully to a shuffled hash join on
-    term."""
+    term.
+
+    ``stable_round`` rounds tfidf to that many decimals BEFORE ranking
+    (the hybrid_retrieval lexk discipline): ln() can differ by an ulp
+    between the JVM and libm, and ranking on the rounded score with the
+    term tie-break keeps the top-k a cross-engine total order — the
+    text_quality_score oracle gate runs with 6; None (library default)
+    ranks at full precision."""
     if k < 1:
         raise ValueError(f"k must be >= 1 (got {k})")
     from .retrieval import _idf_expr
@@ -1076,8 +1089,11 @@ def tfidf_keywords(
         .filter(F.col("df") >= min_df)
     )
     idf = df_rel.select("term", _idf_expr(n_docs).alias("idf"))
+    score = F.col("tf") * F.col("idf")
+    if stable_round is not None:
+        score = F.round(score, stable_round)
     scored = tf.join(idf, "term").select(
-        "doc_id", "term", (F.col("tf") * F.col("idf")).alias("tfidf")
+        "doc_id", "term", score.alias("tfidf")
     )
     return grouped_topk(
         scored,

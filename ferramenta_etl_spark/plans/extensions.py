@@ -61,6 +61,8 @@ def _cos(a: str, b: str) -> str:
 # Deduplication
 # ===========================================================================
 
+_P31 = 2_147_483_647
+
 
 @_q(
     "dedup_exact",
@@ -79,24 +81,136 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @_q(
     "dedup_fingerprint",
-    """
-    SELECT md5(array_to_string(list_sort(list_distinct(
-               string_split(lower(text), ' '))), ' ')) AS fp,
-           MIN(doc_id) AS canonical_id,
-           COUNT(*) AS n_docs
-    FROM documents
-    GROUP BY 1
+    f"""
+    WITH cfp AS (
+        SELECT md5(array_to_string(list_sort(list_distinct(
+                   string_split(lower(text), ' '))), ' ')) AS fp,
+               MIN(doc_id) AS canonical_id,
+               COUNT(*) AS n_docs
+        FROM documents
+        GROUP BY 1
+    ),
+    -- para stage: CCNet-style cross-document paragraph dedup
+    -- (operators/text.dedup_paragraphs), 'the' as the literal
+    -- separator (the fixture corpus has no newlines). First corpus-wide
+    -- occurrence of each distinct paragraph survives (lowest
+    -- (doc_id, pos)); sub-min_chars paragraphs bypass; docs reassemble
+    -- in original order, fully-deduped docs come back EMPTY.
+    paras AS (
+        SELECT doc_id, l, unnest(range(1, len(l) + 1)) AS pos
+        FROM (SELECT doc_id, string_split(text, 'the') AS l FROM documents)
+    ),
+    p2 AS (
+        SELECT doc_id, pos, l[pos] AS para,
+               length(trim(l[pos])) >= 1 AS e, md5(l[pos]) AS h
+        FROM paras
+    ),
+    surv AS (
+        SELECT doc_id, pos, para FROM (
+            SELECT doc_id, pos, para,
+                   row_number() OVER (PARTITION BY h
+                                      ORDER BY doc_id, pos) AS rn
+            FROM p2 WHERE e
+        ) WHERE rn = 1
+        UNION ALL
+        SELECT doc_id, pos, para FROM p2 WHERE NOT e
+    ),
+    rebuilt AS (
+        SELECT d.doc_id, COALESCE(s.t, '') AS t
+        FROM documents d LEFT JOIN (
+            SELECT doc_id, string_agg(para, 'the' ORDER BY pos) AS t
+            FROM surv GROUP BY doc_id) s ON d.doc_id = s.doc_id
+    ),
+    -- winnow stage: MOSS winnowing fingerprints
+    -- (operators/text.winnowing_fingerprints, k=3 window=4, portable
+    -- md5-prefix hash family) grouped corpus-wide: docs sharing a
+    -- fingerprint share a >= window+k-1 token run
+    wdoc AS (
+        SELECT doc_id,
+               list_sort(list_distinct(list_transform(
+                   range(1, greatest(len(g) - 3, least(len(g), 1)) + 1),
+                   i -> list_min(list_slice(g, i, i + 3))))) AS fps
+        FROM (
+            SELECT doc_id,
+                   list_transform(range(1, greatest(len(h) - 2, 0) + 1),
+                       i -> ((h[i] * 1000003 + h[i+1]) % {_P31} * 1000003
+                             + h[i+2]) % {_P31}) AS g
+            FROM (SELECT doc_id,
+                         list_transform(string_split(lower(text), ' '),
+                             t -> ('0x' || substr(md5(t), 1, 14))::BIGINT
+                                  % {_P31}) AS h
+                  FROM documents)
+        )
+    ),
+    wg AS (
+        SELECT w AS wfp, MIN(doc_id) AS canonical_id, COUNT(*) AS n_docs
+        FROM (SELECT doc_id, unnest(fps) AS w FROM wdoc) GROUP BY 1
+    )
+    SELECT 'fp' AS stage, fp, canonical_id, n_docs FROM cfp
+    UNION ALL
+    SELECT 'para', md5(t), doc_id,
+           CAST(len(string_split(t, 'the')) AS BIGINT)
+    FROM rebuilt
+    UNION ALL
+    SELECT 'winnow', CAST(wfp AS VARCHAR), canonical_id, n_docs FROM wg
     """,
 )
 def dedup_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Content fingerprint dedup: md5 of the sorted distinct token set —
-    catches token-reordered copies that exact hashing misses."""
+    """Fingerprint-family dedup, one merged gate query (the
+    hybrid_retrieval stage-column discipline; r13, VERDICT r12 #4):
+
+    - stage='fp': content fingerprint dedup — md5 of the sorted
+      distinct token set (operators/text.content_fingerprint), catches
+      token-reordered copies that exact hashing misses;
+    - stage='para': the REAL operators/text.dedup_paragraphs pass
+      (posexplode -> md5-keyed first-occurrence window -> in-order
+      reassembly; 'the' as the literal separator since the fixture has
+      no newlines) — fp is the md5 of each doc's reassembled text,
+      n_docs its surviving-paragraph count;
+    - stage='winnow': operators/text.winnowing_fingerprints (MOSS
+      rolling-hash winnowing, k=3/window=4, portable hash family)
+      exploded and grouped corpus-wide — docs sharing a fingerprint
+      share a token run of >= window+k-1."""
     docs = load_table(spark, sf_dir, "documents")
-    return (
+    fp = (
         docs.select(X.content_fingerprint(F.col("text")).alias("fp"), "doc_id")
         .groupBy("fp")
-        .agg(F.min("doc_id").alias("canonical_id"), F.count(F.lit(1)).alias("n_docs"))
+        .agg(
+            F.min("doc_id").alias("canonical_id"),
+            F.count(F.lit(1)).alias("n_docs"),
+        )
+        .select(F.lit("fp").alias("stage"), "fp", "canonical_id", "n_docs")
     )
+    para = X.dedup_paragraphs(
+        docs.select("doc_id", "text"), sep="the", min_chars=1
+    ).select(
+        F.lit("para").alias("stage"),
+        F.md5("text").alias("fp"),
+        F.col("doc_id").alias("canonical_id"),
+        F.size(F.split(F.col("text"), "\\Qthe\\E")).cast("long").alias("n_docs"),
+    )
+    winnow = (
+        docs.select(
+            "doc_id",
+            F.explode(
+                X.winnowing_fingerprints(
+                    F.col("text"), k=3, window=4, portable=True
+                )
+            ).alias("wfp"),
+        )
+        .groupBy("wfp")
+        .agg(
+            F.min("doc_id").alias("canonical_id"),
+            F.count(F.lit(1)).alias("n_docs"),
+        )
+        .select(
+            F.lit("winnow").alias("stage"),
+            F.col("wfp").cast("string").alias("fp"),
+            "canonical_id",
+            "n_docs",
+        )
+    )
+    return fp.unionByName(para).unionByName(winnow)
 
 
 @_q(
@@ -168,7 +282,6 @@ def dedup_tokenset_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 # exact-dedup, token hashing, shingle poly-fold, 32 affine min-hashes,
 # 8-band bucketing, signature-match estimation — is hash-checked end to
 # end (round 2 recorded it rows-only under xxhash64).
-_P31 = 2_147_483_647
 _DEDUP_CTE = """dedup AS (
         SELECT doc_id, text FROM (
             SELECT doc_id, text,
@@ -577,14 +690,45 @@ def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
                least(CAST(len(string_split(lower(text), ' ')) AS DOUBLE) / 100.0, 1.0)
                  AS len_factor
         FROM documents
+    ),
+    tok AS (
+        SELECT doc_id, unnest(list_filter(string_split(lower(text), ' '),
+                                          t -> t <> '')) AS term
+        FROM documents
+    ), tfr AS (
+        SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY 1, 2
+    ), idfr AS (
+        -- the tfidf_keywords Robertson idf (retrieval._idf_expr order):
+        -- ln(1 + (N - df + 0.5)/(df + 0.5)); min_df=2 drops hapax noise
+        SELECT term,
+               ln(1.0 + (CAST((SELECT COUNT(*) FROM documents) AS DOUBLE)
+                         - CAST(df AS DOUBLE) + 0.5)
+                        / (CAST(df AS DOUBLE) + 0.5)) AS idf
+        FROM (SELECT term, COUNT(*) AS df FROM tfr GROUP BY 1
+              HAVING COUNT(*) >= 2)
+    ), ranked AS (
+        -- rank on the ROUNDED score, ties on term (the lexk discipline)
+        SELECT doc_id, term, tfidf,
+               ROW_NUMBER() OVER (PARTITION BY doc_id
+                                  ORDER BY tfidf DESC, term ASC) AS rank
+        FROM (SELECT doc_id, t.term,
+                     ROUND(CAST(tf AS DOUBLE) * idf, 6) AS tfidf
+              FROM tfr t JOIN idfr USING (term))
+    ), kw AS (
+        SELECT doc_id,
+               string_agg(term, ' ' ORDER BY rank) AS keywords,
+               MAX(CASE WHEN rank = 1 THEN tfidf END) AS top_tfidf
+        FROM ranked WHERE rank <= 3 GROUP BY doc_id
     )
-    SELECT doc_id,
+    SELECT f.doc_id,
            ROUND(stop_ratio, 6) AS stopword_ratio,
            ROUND(dig_ratio, 6) AS digit_ratio,
            ROUND(punct_ratio, 6) AS punct_ratio,
            ROUND(stop_ratio * 0.3 + (1.0 - dig_ratio) * 0.3
-                 + (1.0 - punct_ratio) * 0.2 + len_factor * 0.2, 6) AS quality
-    FROM feats
+                 + (1.0 - punct_ratio) * 0.2 + len_factor * 0.2, 6) AS quality,
+           COALESCE(k.keywords, '') AS keywords,
+           COALESCE(k.top_tfidf, 0.0) AS top_tfidf
+    FROM feats f LEFT JOIN kw k ON f.doc_id = k.doc_id
     """,
 )
 def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -596,17 +740,48 @@ def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     class the scan-parallelism guard exists for: on a single-row-group
     input the whole scoring stage would run one core (0.42 s -> 0.36 s
     at sf0.1 — the round-robin ships the bodies once, which caps the
-    local win); on any real multi-file corpus the guard is a no-op."""
+    local win); on any real multi-file corpus the guard is a no-op.
+
+    r13 (VERDICT r12 #4): absorbs the formerly pytest-only
+    operators/text.tfidf_keywords under the same gate — each doc gains
+    its top-3 characteristic terms (space-joined, rank order) and the
+    rank-1 tfidf, ranked on the 6-dp-ROUNDED score with the term
+    tie-break so ln() ulp differences between engines can't flip the
+    top-k (the hybrid_retrieval lexk discipline)."""
+    from ..operators.text import tfidf_keywords
     from ..sources.tables import ensure_scan_parallelism
 
     docs = ensure_scan_parallelism(load_table(spark, sf_dir, "documents"))
     t = F.col("text")
-    return docs.select(
+    feats = docs.select(
         "doc_id",
         F.round(X.stopword_ratio(t), 6).alias("stopword_ratio"),
         F.round(X.digit_ratio(t), 6).alias("digit_ratio"),
         F.round(X.punct_ratio(t), 6).alias("punct_ratio"),
         F.round(X.quality_score(t), 6).alias("quality"),
+    )
+    kw = (
+        tfidf_keywords(docs, k=3, min_df=2, stable_round=6)
+        .groupBy("doc_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct(F.col("rank"), F.col("term")))
+                    ),
+                    lambda s: s.getField("term"),
+                ),
+                " ",
+            ).alias("keywords"),
+            F.max(F.when(F.col("rank") == 1, F.col("tfidf"))).alias(
+                "top_tfidf"
+            ),
+        )
+    )
+    return (
+        feats.join(kw, "doc_id", "left")
+        .withColumn("keywords", F.coalesce(F.col("keywords"), F.lit("")))
+        .withColumn("top_tfidf", F.coalesce(F.col("top_tfidf"), F.lit(0.0)))
     )
 
 
@@ -1135,7 +1310,7 @@ _BM25_VALUES = ", ".join(f"({i}, '{q}')" for i, q in _BM25_QUERIES)
 @_q(
     "hybrid_retrieval",
     f"""
-    WITH tok AS (
+    WITH RECURSIVE tok AS (
         SELECT doc_id, unnest(list_filter(string_split(lower(text), ' '),
                                           t -> t <> '')) AS term
         FROM documents
@@ -1201,7 +1376,7 @@ _BM25_VALUES = ", ".join(f"({i}, '{q}')" for i, q in _BM25_QUERIES)
     ),
     dk AS (
         SELECT * FROM (
-            SELECT query_id, vec_id AS doc_id,
+            SELECT query_id, vec_id AS doc_id, sim,
                    ROW_NUMBER() OVER (PARTITION BY query_id
                                       ORDER BY sim DESC, vec_id ASC)
                        AS dense_rank
@@ -1228,6 +1403,73 @@ _BM25_VALUES = ", ".join(f"({i}, '{q}')" for i, q in _BM25_QUERIES)
                                   ORDER BY rrf_score DESC, doc_id ASC)
                    AS rank
         FROM fused
+    ),
+    -- mmr stage: greedy maximal-marginal-relevance over the dense
+    -- top-10 (lam=0.5 keeps (1-lam) an exact double). One recursion
+    -- step per pick; the working row carries the whole candidate list
+    -- (with per-candidate pair-sim lists) so the recursive term needs
+    -- ONLY list HOFs — no aggregate/window/LATERAL, the
+    -- events_capped_sessions recursion discipline. Selection = first
+    -- element of a struct sort on (-val, -rel, doc_id): DuckDB struct
+    -- comparison is field-order lexicographic, so this IS the kernel's
+    -- "strict > keeps the earliest (rel desc, id asc)" tie-break.
+    mstat AS (SELECT query_id, MIN(sim) AS mn, MAX(sim) AS mx
+              FROM dk GROUP BY 1),
+    mpair AS (
+        SELECT a.query_id, a.doc_id AS ia,
+               list(struct_pack(b := b.doc_id,
+                                s := ROUND({_cos('ea.embedding',
+                                                 'eb.embedding')}, 6))
+                    ORDER BY b.doc_id) AS sims
+        FROM dk a JOIN dk b ON a.query_id = b.query_id
+                           AND a.doc_id <> b.doc_id
+        JOIN cvec ea ON ea.vec_id = a.doc_id
+        JOIN cvec eb ON eb.vec_id = b.doc_id
+        GROUP BY 1, 2
+    ),
+    mcand AS (
+        SELECT d.query_id,
+               list(struct_pack(
+                   doc_id := d.doc_id,
+                   rel := d.sim,
+                   nrel := CASE WHEN s.mx > s.mn
+                                THEN (d.sim - s.mn) / (s.mx - s.mn)
+                                ELSE 1.0 END,
+                   sims := p.sims) ORDER BY d.sim DESC, d.doc_id ASC)
+                 AS cands
+        FROM dk d JOIN mstat s USING (query_id)
+        LEFT JOIN mpair p ON p.query_id = d.query_id AND p.ia = d.doc_id
+        GROUP BY 1
+    ),
+    mrec AS (
+        SELECT query_id, 0 AS step, CAST([] AS BIGINT[]) AS picked,
+               CAST(NULL AS BIGINT) AS sel, CAST(NULL AS DOUBLE) AS val,
+               cands
+        FROM mcand
+        UNION ALL
+        SELECT query_id, step + 1, list_append(picked, best.doc_id),
+               best.doc_id, best.v, cands
+        FROM (
+            SELECT query_id, step, picked, cands,
+                   list_sort(list_transform(
+                       list_filter(cands,
+                                   c -> NOT list_contains(picked, c.doc_id)),
+                       c -> struct_pack(
+                           nv := -(0.5 * c.nrel - 0.5 * COALESCE(list_max(
+                                 list_transform(
+                                   list_filter(c.sims,
+                                       e -> list_contains(picked, e.b)),
+                                   e -> e.s)), 0.0)),
+                           nr := -c.rel,
+                           doc_id := c.doc_id,
+                           v := 0.5 * c.nrel - 0.5 * COALESCE(list_max(
+                                 list_transform(
+                                   list_filter(c.sims,
+                                       e -> list_contains(picked, e.b)),
+                                   e -> e.s)), 0.0))))[1] AS best
+            FROM mrec
+            WHERE step < 5 AND len(cands) > len(picked)
+        )
     )
     SELECT 'bm25' AS stage, CAST(query_id AS BIGINT) AS query_id,
            CAST(doc_id AS BIGINT) AS doc_id, score,
@@ -1239,6 +1481,11 @@ _BM25_VALUES = ", ".join(f"({i}, '{q}')" for i, q in _BM25_QUERIES)
            rrf_score, CAST(rank AS INT), CAST(lex_rank AS INT),
            CAST(dense_rank AS INT)
     FROM franked WHERE rank <= 10
+    UNION ALL
+    SELECT 'mmr', CAST(query_id AS BIGINT), CAST(sel AS BIGINT),
+           ROUND(val, 6), CAST(step AS INT), CAST(NULL AS INT),
+           CAST(NULL AS INT)
+    FROM mrec WHERE step >= 1
     """,
 )
 def hybrid_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1265,7 +1512,12 @@ def hybrid_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
     bench `bm25_topk` keeps measuring the cheaper partial-aggregated
     serving plan; hybrid_topk (the one-call composition of the same
     parts) stays pinned by tests/test_retrieval.py's recall evidence."""
-    from ..operators.retrieval import bm25_scores, build_bm25_index, rrf_fuse
+    from ..operators.retrieval import (
+        bm25_scores,
+        build_bm25_index,
+        mmr_rerank,
+        rrf_fuse,
+    )
     from ..operators.topk import grouped_topk
 
     docs = load_table(spark, sf_dir, "documents")
@@ -1290,11 +1542,15 @@ def hybrid_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("query_vec"),
     )
-    dense = S.cosine_topk(emb.select("vec_id", "embedding"), qv, k=10).select(
+    dense_scored = S.cosine_topk(
+        emb.select("vec_id", "embedding"), qv, k=10
+    ).select(
         F.col("query_id").cast("long").alias("query_id"),
         F.col("vec_id").cast("long").alias("doc_id"),
+        "sim",
         F.col("rnk").alias("dense_rank"),
     )
+    dense = dense_scored.select("query_id", "doc_id", "dense_rank")
     fused = rrf_fuse(
         [
             lex.select(
@@ -1328,7 +1584,27 @@ def hybrid_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(None).cast("int").alias("lex_rank"),
         F.lit(None).cast("int").alias("dense_rank"),
     )
-    return bm.unionByName(enriched)
+    # stage='mmr' (r13, VERDICT r12 #4): the REAL greedy MMR rerank
+    # (operators/retrieval.mmr_rerank) over the dense top-10, lam=0.5
+    # so (1-lam) is an exact double; stable_round=6 rounds each
+    # pairwise redundancy cosine so the DuckDB recursive-CTE oracle
+    # (sequential-fold cosine) reproduces every selection.
+    mmr = mmr_rerank(
+        dense_scored.select("query_id", "doc_id", F.col("sim").alias("score")),
+        emb.select(F.col("vec_id").alias("doc_id"), "embedding"),
+        k=5,
+        lam=0.5,
+        stable_round=6,
+    ).select(
+        F.lit("mmr").alias("stage"),
+        F.col("query_id").cast("long").alias("query_id"),
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.round("mmr_score", 6).alias("score"),
+        F.col("rank").cast("int").alias("rank"),
+        F.lit(None).cast("int").alias("lex_rank"),
+        F.lit(None).cast("int").alias("dense_rank"),
+    )
+    return bm.unionByName(enriched).unionByName(mmr)
 
 
 # ===========================================================================
