@@ -64,6 +64,96 @@ def default_config(path: str) -> dict:
         return json.load(f)
 
 
+def _plan_manifestos(spark: SparkSession, sf_dir: str):
+    o = load_table(spark, sf_dir, "orders")
+    return latest_per_key(
+        o,
+        keys=["o_custkey"],
+        order_by=[F.col("o_orderdate").desc()],
+        tiebreak=[F.col("o_orderkey").desc()],
+    ).select(
+        F.col("o_custkey").alias("id_cliente"),
+        F.col("o_orderkey").alias("id_manifesto"),
+        F.col("o_orderstatus").alias("cd_status"),
+        F.round("o_totalprice", 2).alias("vl_total"),
+    )
+
+
+def _plan_movimento(spark: SparkSession, sf_dir: str):
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "15 minutes").alias("win"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_eventos"),
+            sum2(F.col("value")).alias("vl_total"),
+        )
+        .select(
+            epoch_ms(F.col("win.start")).alias("ms_inicio"),
+            F.col("event_type").alias("ds_tipo"),
+            "n_eventos",
+            "vl_total",
+        )
+    )
+
+
+def _plan_manifestomovimento(spark: SparkSession, sf_dir: str):
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .filter(F.col("o_orderdate") >= F.lit("1998-01-01"))
+        .select(
+            F.col("l_orderkey").alias("id_manifesto"),
+            F.col("l_linenumber").alias("id_movimento"),
+            F.col("o_orderstatus").alias("cd_status"),
+            F.round("l_extendedprice", 2).alias("vl_movimento"),
+        )
+    )
+
+
+def _plan_adicionais(spark: SparkSession, sf_dir: str):
+    from ..functions.tsql import round2_stable
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.select(
+        F.col("l_orderkey").alias("id_manifesto"),
+        F.col("l_linenumber").alias("cd_parcela"),
+        # the shared cross-engine money rounding (round(x*100)/100
+        # + the -0.0 normalization) — not a hand-rolled copy that
+        # could drift from the helper's contract
+        round2_stable(
+            F.col("l_extendedprice") * (1 - F.col("l_discount"))
+            * (1 + F.col("l_tax"))
+        ).alias("vl_adicional"),
+    )
+
+
+def _plan_parcela_ciot(spark: SparkSession, sf_dir: str):
+    from ..plans.flagship import flagship
+
+    return flagship(spark, sf_dir)
+
+
+# Job name -> (plan builder, sink basename, idempotency keys). The ONE
+# place the example pipeline's shapes live — the parquet build
+# (build_jobs) and the JDBC build (build_jobs_jdbc) both derive from it,
+# so the two sink families can never drift apart on plan or keys.
+JOB_SPECS: dict[str, tuple[Callable, str, list[str]]] = {
+    "alimentacao_view_manifestos": (
+        _plan_manifestos, "view_manifestos", ["id_cliente"]),
+    "alimentacao_view_movimento": (
+        _plan_movimento, "view_movimento", ["ms_inicio", "ds_tipo"]),
+    "alimentacao_view_manifestomovimento": (
+        _plan_manifestomovimento, "view_manifestomovimento",
+        ["id_manifesto", "id_movimento"]),
+    "alimentacao_view_adicionais": (
+        _plan_adicionais, "view_adicionais", ["id_manifesto", "cd_parcela"]),
+    # composite PK, ≙ S:119
+    "alimentacao_parcela_ciot": (
+        _plan_parcela_ciot, "parcela_ciot", ["id_manifesto", "cd_parcela"]),
+}
+
+
 def build_jobs(
     sf_dir: str, sink_dir: str, quarantine_dir: str | None = None
 ) -> dict[str, Callable[[SparkSession], int]]:
@@ -76,102 +166,47 @@ def build_jobs(
     ``{quarantine_dir}/{job_sink}`` with a ``_violations`` audit column
     instead of failing or silently corrupting the sink."""
 
-    def _bad(job_sink: str) -> str | None:
-        return f"{quarantine_dir}/{job_sink}" if quarantine_dir else None
-
-    def manifestos(spark: SparkSession) -> int:
-        o = load_table(spark, sf_dir, "orders")
-        snap = latest_per_key(
-            o,
-            keys=["o_custkey"],
-            order_by=[F.col("o_orderdate").desc()],
-            tiebreak=[F.col("o_orderkey").desc()],
-        ).select(
-            F.col("o_custkey").alias("id_cliente"),
-            F.col("o_orderkey").alias("id_manifesto"),
-            F.col("o_orderstatus").alias("cd_status"),
-            F.round("o_totalprice", 2).alias("vl_total"),
-        )
-        return write_ignore_conflicts(
-            snap, f"{sink_dir}/view_manifestos", keys=["id_cliente"],
-            bad_records_path=_bad("view_manifestos"),
-        )
-
-    def movimento(spark: SparkSession) -> int:
-        ev = load_table(spark, sf_dir, "events")
-        agg = (
-            ev.groupBy(F.window("ts", "15 minutes").alias("win"), "event_type")
-            .agg(
-                F.count(F.lit(1)).alias("n_eventos"),
-                sum2(F.col("value")).alias("vl_total"),
+    def make(plan, sink, keys):
+        def job(spark: SparkSession) -> int:
+            return write_ignore_conflicts(
+                plan(spark, sf_dir),
+                f"{sink_dir}/{sink}",
+                keys=keys,
+                bad_records_path=(
+                    f"{quarantine_dir}/{sink}" if quarantine_dir else None
+                ),
             )
-            .select(
-                epoch_ms(F.col("win.start")).alias("ms_inicio"),
-                F.col("event_type").alias("ds_tipo"),
-                "n_eventos",
-                "vl_total",
-            )
-        )
-        return write_ignore_conflicts(
-            agg, f"{sink_dir}/view_movimento", keys=["ms_inicio", "ds_tipo"],
-            bad_records_path=_bad("view_movimento"),
-        )
 
-    def manifestomovimento(spark: SparkSession) -> int:
-        o = load_table(spark, sf_dir, "orders")
-        li = load_table(spark, sf_dir, "lineitem")
-        joined = (
-            li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
-            .filter(F.col("o_orderdate") >= F.lit("1998-01-01"))
-            .select(
-                F.col("l_orderkey").alias("id_manifesto"),
-                F.col("l_linenumber").alias("id_movimento"),
-                F.col("o_orderstatus").alias("cd_status"),
-                F.round("l_extendedprice", 2).alias("vl_movimento"),
-            )
-        )
-        return write_ignore_conflicts(
-            joined,
-            f"{sink_dir}/view_manifestomovimento",
-            keys=["id_manifesto", "id_movimento"],
-            bad_records_path=_bad("view_manifestomovimento"),
-        )
-
-    def adicionais(spark: SparkSession) -> int:
-        from ..functions.tsql import round2_stable
-
-        li = load_table(spark, sf_dir, "lineitem")
-        add = li.select(
-            F.col("l_orderkey").alias("id_manifesto"),
-            F.col("l_linenumber").alias("cd_parcela"),
-            # the shared cross-engine money rounding (round(x*100)/100
-            # + the -0.0 normalization) — not a hand-rolled copy that
-            # could drift from the helper's contract
-            round2_stable(
-                F.col("l_extendedprice") * (1 - F.col("l_discount"))
-                * (1 + F.col("l_tax"))
-            ).alias("vl_adicional"),
-        )
-        return write_ignore_conflicts(
-            add, f"{sink_dir}/view_adicionais", keys=["id_manifesto", "cd_parcela"],
-            bad_records_path=_bad("view_adicionais"),
-        )
-
-    def parcela_ciot(spark: SparkSession) -> int:
-        from ..plans.flagship import flagship
-
-        df = flagship(spark, sf_dir)
-        return write_ignore_conflicts(
-            df,
-            f"{sink_dir}/parcela_ciot",
-            keys=["id_manifesto", "cd_parcela"],  # composite PK, ≙ S:119
-            bad_records_path=_bad("parcela_ciot"),
-        )
+        return job
 
     return {
-        "alimentacao_view_manifestos": manifestos,
-        "alimentacao_view_movimento": movimento,
-        "alimentacao_view_manifestomovimento": manifestomovimento,
-        "alimentacao_view_adicionais": adicionais,
-        "alimentacao_parcela_ciot": parcela_ciot,
+        name: make(plan, sink, keys)
+        for name, (plan, sink, keys) in JOB_SPECS.items()
+    }
+
+
+def build_jobs_jdbc(sf_dir: str, cfg) -> dict[str, Callable[[SparkSession], int]]:
+    """The same 5-job pipeline loading into a REAL relational database
+    through the staged conflict-insert sink
+    (sinks/jdbc_conflict.write_jdbc_ignore_conflicts) — the reference's
+    actual deployment shape (S:213-225: batched inserts into PostgreSQL
+    with ON CONFLICT DO NOTHING; here the portable NOT-EXISTS dialect
+    against whatever ``cfg`` points at, e.g. embedded Derby in CI).
+    Same plans, same keys as ``build_jobs`` (both read JOB_SPECS), so
+    the S:217 re-run contract — the second run inserts ONLY new key
+    pairs, a full replay inserts zero — holds over JDBC exactly as it
+    does over parquet (tests/test_jdbc_derby.py pins it end-to-end)."""
+    from ..sinks.jdbc_conflict import write_jdbc_ignore_conflicts
+
+    def make(plan, sink, keys):
+        def job(spark: SparkSession) -> int:
+            return write_jdbc_ignore_conflicts(
+                plan(spark, sf_dir), cfg, sink, keys=keys
+            )
+
+        return job
+
+    return {
+        name: make(plan, sink, keys)
+        for name, (plan, sink, keys) in JOB_SPECS.items()
     }

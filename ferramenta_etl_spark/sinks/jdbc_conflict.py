@@ -87,6 +87,7 @@ def conflict_insert_sql(
     columns: Sequence[str],
     keys: Sequence[str],
     dialect: str = "postgresql",
+    cast_keys: dict[str, str] | None = None,
 ) -> str:
     """The single set-based statement of step 2.
 
@@ -130,7 +131,7 @@ def conflict_insert_sql(
             f"WHEN NOT MATCHED THEN INSERT ({cols}) VALUES ({vals});"
         )
     if dialect == "generic":
-        pred = " AND ".join(f"{t}.{_qcol(k)} = {s}.{_qcol(k)}" for k in keys)
+        pred = " AND ".join(_key_eq(t, s, k, cast_keys) for k in keys)
         return (
             f"INSERT INTO {t} ({cols}) SELECT {cols} FROM {s} "
             f"WHERE NOT EXISTS (SELECT 1 FROM {t} WHERE {pred})"
@@ -144,6 +145,7 @@ def conflict_upsert_sql(
     columns: Sequence[str],
     keys: Sequence[str],
     dialect: str = "postgresql",
+    cast_keys: dict[str, str] | None = None,
 ) -> str:
     """Set-based UPSERT — the natural next clause after DO NOTHING, for
     changed-row reloads where the newest batch should win.
@@ -184,7 +186,10 @@ def conflict_upsert_sql(
     if dialect in ("generic", "sqlserver"):
         hold = " WITH (HOLDLOCK)" if dialect == "sqlserver" else ""
         term = ";" if dialect == "sqlserver" else ""
-        on = " AND ".join(f"{t}.{_qcol(k)} = {s}.{_qcol(k)}" for k in keys)
+        on = " AND ".join(
+            _key_eq(t, s, k, cast_keys if dialect == "generic" else None)
+            for k in keys
+        )
         matched = ""
         if nonkey:
             sets = ", ".join(
@@ -221,6 +226,25 @@ def _run_statement_jvm(df: DataFrame, cfg: JdbcConfig, sql: str) -> int:
 
 
 _STG_RE_TMPL = r"{table}__stg_[0-9a-f]{{12}}"
+
+_CAST_TYPE_RE = re.compile(r"^[A-Za-z][A-Za-z0-9 ]*(\(\d+(,\s*\d+)?\))?$")
+
+
+def _key_eq(t: str, s: str, k: str, cast_keys: dict[str, str] | None) -> str:
+    """One key-equality term for the anti-join/MERGE ON clause. When
+    ``cast_keys`` maps the key to a SQL type, BOTH sides are cast —
+    Derby maps StringType to CLOB, and CLOB = CLOB is a syntax error
+    (ERROR 42818; Derby's own docs prescribe exactly this cast). The
+    cast rides the comparison only, so staging keeps the driver's
+    native types and null handling (casting the staged COLUMN TYPES
+    instead broke Spark's setNull(CLOB) on every null string)."""
+    a, b = f"{t}.{_qcol(k)}", f"{s}.{_qcol(k)}"
+    if cast_keys and k in cast_keys:
+        ty = cast_keys[k]
+        if not _CAST_TYPE_RE.match(ty):
+            raise ValueError(f"invalid SQL cast type: {ty!r}")
+        a, b = f"CAST({a} AS {ty})", f"CAST({b} AS {ty})"
+    return f"{a} = {b}"
 
 
 def _default_staging(table: str) -> str:
@@ -298,6 +322,7 @@ def write_jdbc_ignore_conflicts(
     run_statement: Callable[[str], int] | None = None,
     ensure_target: bool = True,
     upsert: bool = False,
+    string_key_cast: str | None = "VARCHAR(4000)",
 ) -> int:
     """Stage-then-conflict-insert into a JDBC target; returns the
     server-reported affected-row count (inserted rows; for ``upsert``,
@@ -314,6 +339,18 @@ def write_jdbc_ignore_conflicts(
     collapses them server-side, but the NOT EXISTS dialect would insert
     both — the sink must behave identically across dialects), matching
     the parquet backend's policy.
+
+    ``string_key_cast``: on the generic dialect, string-typed KEY
+    columns compare as ``CAST(k AS <this type>)`` on both sides of the
+    anti-join/MERGE ON. Spark's JDBC writer maps StringType to CLOB on
+    Derby, and CLOB = CLOB is a syntax error (ERROR 42818) — the cast
+    is Derby's documented fix and rides the comparison only, so staging
+    keeps driver-native types (and null strings keep working: staging
+    the columns AS VARCHAR instead breaks Spark's setNull(CLOB) path).
+    Keys longer than the cast width would truncate-error rather than
+    silently collide (Derby raises 22001) — size it to the key domain.
+    PostgreSQL/SQL Server compare TEXT/NVARCHAR natively and ignore it.
+    Pass None to compare uncasted everywhere.
     """
     if not keys:
         raise ValueError("keys must be non-empty")
@@ -323,8 +360,15 @@ def write_jdbc_ignore_conflicts(
     target = _ident(table)
     staging = _ident(staging_table or _default_staging(table))
     dialect = jdbc_dialect(cfg.url)
+    cast_keys = None
+    if string_key_cast is not None and dialect == "generic":
+        cast_keys = {
+            f.name: string_key_cast
+            for f in df.schema.fields
+            if f.name in keys and f.dataType.typeName() == "string"
+        } or None
     build = conflict_upsert_sql if upsert else conflict_insert_sql
-    sql = build(target, staging, df.columns, keys, dialect)
+    sql = build(target, staging, df.columns, keys, dialect, cast_keys=cast_keys)
     run = run_statement or (lambda s: _run_statement_jvm(df, cfg, s))
 
     deduped = df.dropDuplicates(list(keys))
