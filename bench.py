@@ -97,6 +97,10 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 HEADLINE = [
     "flagship",
     "flagship_bucketed",
+    # r13 (VERDICT r12 #6): flagship over the date-partitioned orders
+    # mirror — times the statically-pruned scan (PartitionFilters on
+    # o_month; mirror written at plan build, amortized like the rest)
+    "flagship_partitioned",
     "group_agg",
     "latest_per_key",
     "inner_join_chain",

@@ -91,6 +91,7 @@ def add_bench_composites(
     from ..pipeline.curation import curated_frame
     from ..sources import load_table
     from .bucketed import flagship_bucketed
+    from .partitioned import flagship_partitioned
 
     def _curation(spark, sf):
         return curated_frame(spark, sf, redact=True)
@@ -385,3 +386,7 @@ def add_bench_composites(
     # mirrors are written at plan-build time (amortized, like the index
     # builds); timed runs measure the exchange-free joins
     queries["flagship_bucketed"] = plan_cache(flagship_bucketed)
+    # date-partitioned mirror twin (r13, VERDICT r12 #6): timed runs
+    # measure the statically-PRUNED scan — the months before the
+    # partition-aligned bound are never listed into tasks
+    queries["flagship_partitioned"] = plan_cache(flagship_partitioned)

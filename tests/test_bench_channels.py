@@ -29,6 +29,9 @@ from ferramenta_etl_spark.sources import load_table
 VARIANT_CHANNELS = {
     "flagship_bucketed": "tests/test_bucketing.py::"
     "test_flagship_bucketed_same_result_fewer_exchanges (twin equality)",
+    "flagship_partitioned": "tests/test_partitioned.py::"
+    "test_flagship_over_partitioned_mirror_prunes_and_matches (twin"
+    " equality + PartitionFilters plan contract + pruned-dir count)",
     "dedup_minhash_fast": "tests/test_operators.py::"
     "test_minhash_lsh_approximates_exact_jaccard (xxhash family vs exact"
     " Jaccard, recall >= 0.8 on the fixture)",
