@@ -488,6 +488,24 @@ def main() -> None:
         run_counts[name] = m["n_runs"]
         attempts_per_query[name] = len(attempts)
 
+    # SUB-TIMERS for merged rows (VERDICT r12 #7): group_agg times three
+    # former queries in one number; time each arm standalone (warm-up +
+    # 5 runs, median) so drift on the merged row names its arm. Detail-
+    # artifact only — the headline row stays the merged plan.
+    from ferramenta_etl_spark.plans.relational import group_agg_arms
+
+    subtimers: dict[str, dict[str, float]] = {}
+    arms = group_agg_arms(spark, sf_dir)
+    subtimers["group_agg"] = {}
+    for arm_name, arm_df in arms.items():
+        arm_df.write.format("noop").mode("overwrite").save()  # warm-up
+        arm_runs = []
+        for _ in range(5):
+            t0 = time.perf_counter()
+            arm_df.write.format("noop").mode("overwrite").save()
+            arm_runs.append(time.perf_counter() - t0)
+        subtimers["group_agg"][arm_name] = round(sorted(arm_runs)[2], 3)
+
     jvms_end = _foreign_jvm_pids()
     # A query is flagged noisy only when the REPORTED number is suspect:
     # the median sits far above the first-quartile run (one slow outlier
@@ -584,6 +602,9 @@ def main() -> None:
             "(the measured local-mode jitter floor; see module docstring)"
         ),
         "stability": stability,
+        # standalone per-arm medians for merged headline rows; arm times
+        # need not sum to the merged row (shared scan + final join)
+        "subtimers": subtimers,
         "env": env,
     }
     for fname in (f"BENCH_DETAIL_r{rnd:02d}.json", "BENCH_DETAIL.json"):

@@ -472,6 +472,37 @@ def group_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     sized, so the final join broadcasts. Decimal-accumulated sums are
     order-independent, so map-side partial agg + AQE coalescing stay
     safe for exact comparison."""
+    arms = group_agg_arms(spark, sf_dir)
+    q1, base, qs = arms["q1"], arms["count_distinct"], arms["exact_quantiles"]
+    stats = (
+        # eqNullSafe: a NULL group key is a real group (both engines
+        # aggregate it); a plain equi-join would drop its quantiles
+        base.join(qs, F.col("__rf").eqNullSafe(F.col("__g1")), "left")
+        .select(
+            "__rf",
+            "n_parts",
+            "n_supps",
+            round6_stable(F.col("__mq")).alias("median_qty"),
+            round6_stable(F.col("__pp")).alias("p90_price"),
+        )
+    )
+    return q1.join(
+        F.broadcast(stats),
+        F.col("l_returnflag").eqNullSafe(F.col("__rf")),
+        "left",
+    ).drop("__rf")
+
+
+def group_agg_arms(spark: SparkSession, sf_dir: str) -> dict:
+    """The three workloads merged into group_agg, as STANDALONE
+    sub-plans (VERDICT r12 #7): 'q1' (the TPC-H Q1-shaped grouped
+    aggregation with FILTER-clause conditionals), 'count_distinct'
+    (2x COUNT DISTINCT per returnflag), 'exact_quantiles' (grouped
+    exact median/p90 via the spillable histogram operator). bench.py
+    times each separately into BENCH_DETAIL's subtimers map so
+    round-over-round drift on the merged row names its arm. The arm
+    medians need not sum to the merged row's time (the merged plan
+    shares one scan and adds the broadcast join)."""
     from ..operators.quantile import grouped_exact_quantiles
 
     li = load_table(spark, sf_dir, "lineitem")
@@ -510,23 +541,7 @@ def group_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         ["l_returnflag"],
         [("l_quantity", 0.5, "__mq"), ("l_extendedprice", 0.9, "__pp")],
     ).withColumnRenamed("l_returnflag", "__g1")
-    stats = (
-        # eqNullSafe: a NULL group key is a real group (both engines
-        # aggregate it); a plain equi-join would drop its quantiles
-        base.join(qs, F.col("__rf").eqNullSafe(F.col("__g1")), "left")
-        .select(
-            "__rf",
-            "n_parts",
-            "n_supps",
-            round6_stable(F.col("__mq")).alias("median_qty"),
-            round6_stable(F.col("__pp")).alias("p90_price"),
-        )
-    )
-    return q1.join(
-        F.broadcast(stats),
-        F.col("l_returnflag").eqNullSafe(F.col("__rf")),
-        "left",
-    ).drop("__rf")
+    return {"q1": q1, "count_distinct": base, "exact_quantiles": qs}
 
 
 @_q(
