@@ -58,6 +58,41 @@ def test_generic_statement_is_anti_join_insert():
     )
 
 
+def test_generic_statement_casts_string_keys():
+    """r13 (found by the Derby 5-job e2e run): Derby stages StringType
+    as CLOB and CLOB = CLOB is a syntax error (42818) — string keys
+    compare under CAST on BOTH sides, non-string keys uncasted, and the
+    cast rides the comparison only (INSERT/SELECT lists untouched)."""
+    sql = conflict_insert_sql(
+        "t", "stg", ["k", "s", "v"], ["k", "s"], dialect="generic",
+        cast_keys={"s": "VARCHAR(4000)"},
+    )
+    assert sql == (
+        'INSERT INTO t ("k", "s", "v") SELECT "k", "s", "v" FROM stg '
+        'WHERE NOT EXISTS (SELECT 1 FROM t WHERE t."k" = stg."k" AND '
+        'CAST(t."s" AS VARCHAR(4000)) = CAST(stg."s" AS VARCHAR(4000)))'
+    )
+    up = conflict_upsert_sql(
+        "t", "stg", ["k", "s", "v"], ["k", "s"], dialect="generic",
+        cast_keys={"s": "VARCHAR(4000)"},
+    )
+    assert (
+        'ON (t."k" = stg."k" AND CAST(t."s" AS VARCHAR(4000)) = '
+        'CAST(stg."s" AS VARCHAR(4000)))' in up
+    )
+    # sqlserver compares NVARCHAR natively: cast_keys must not leak in
+    ss = conflict_upsert_sql(
+        "t", "stg", ["k", "s", "v"], ["k", "s"], dialect="sqlserver",
+        cast_keys={"s": "VARCHAR(4000)"},
+    )
+    assert "CAST" not in ss
+    with pytest.raises(ValueError, match="invalid SQL cast type"):
+        conflict_insert_sql(
+            "t", "stg", ["s"], ["s"], dialect="generic",
+            cast_keys={"s": "VARCHAR(10)); DROP TABLE t; --"},
+        )
+
+
 def test_statement_validation():
     with pytest.raises(ValueError, match="invalid SQL identifier"):
         conflict_insert_sql("t; DROP TABLE x", "s", ["k"], ["k"])
