@@ -63,11 +63,23 @@ def bpe_ish_count(text: Column) -> Column:
     return F.regexp_count(F.lower(text), F.lit(BPE_ISH_RE))
 
 
+# translate() deletes every char of the match set in one linear
+# char-map pass — measured 4.4x faster than the regexp_replace-strip
+# form on fixture docs and 26x on book-length docs (SCALING.md r13
+# outlier decomposition; regexp_count was measured SLOWER than either,
+# its per-match engine iteration costing more than the replace's
+# string building). Counts are identical integers for ALL inputs, so
+# the DuckDB oracles keep their regexp form untouched.
+_DIGITS = "0123456789"
+_PLAIN = "abcdefghijklmnopqrstuvwxyz0123456789 "
+
+
 def digit_ratio(text: Column) -> Column:
     # empty text has no digits: define the ratio as 0 rather than 0/0
     # (ANSI division by zero aborts the whole job on one empty doc)
     return F.coalesce(
-        F.length(F.regexp_replace(text, "[^0-9]", "")).cast("double")
+        (F.length(text) - F.length(F.translate(text, _DIGITS, "")))
+        .cast("double")
         / F.nullif(F.length(text), F.lit(0)),
         F.lit(0.0),
     )
@@ -75,7 +87,7 @@ def digit_ratio(text: Column) -> Column:
 
 def punct_ratio(text: Column) -> Column:
     return F.coalesce(
-        F.length(F.regexp_replace(F.lower(text), "[a-z0-9 ]", "")).cast("double")
+        F.length(F.translate(F.lower(text), _PLAIN, "")).cast("double")
         / F.nullif(F.length(text), F.lit(0)),
         F.lit(0.0),
     )
