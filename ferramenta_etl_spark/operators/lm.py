@@ -104,6 +104,7 @@ def score_cross_entropy(
     lm: BigramLM,
     text_col: str = "text",
     doc_id_col: str = "doc_id",
+    stable_micros: bool = False,
 ) -> DataFrame:
     """(doc_id, n_tokens, cross_entropy_bits, perplexity) per document:
     mean -log2 p(tok | prev) over the doc's token stream under ``lm``.
@@ -113,23 +114,43 @@ def score_cross_entropy(
     Join shape: bigram stream ⋈ lm.bigrams on (prev, tok)
     [left] ⋈ lm.contexts on prev [left]; both LM relations broadcast
     when filter-grade small, and the per-doc mean is one
-    partial-aggregated groupBy."""
+    partial-aggregated groupBy.
+
+    ``stable_micros=True`` quantizes each bigram's log2 term to
+    micro-bits (floor(lp*1e6 + 0.5), a long) and sums INTEGERS — the
+    scaled-cents discipline of functions.tsql.sum2: a float sum's ulp
+    depends on partition order, so only the quantized form is a pure
+    function of the data that a DuckDB oracle can hash-match
+    (text_lang_id's LM arm runs this); the division back to bits and
+    the perplexity pow happen once per doc at the edge. Default off:
+    library callers keep full float precision."""
     bg = _bigram_stream(docs, text_col, doc_id_col)
     kv = F.lit(float(lm.k * lm.v))
-    scored = (
-        bg.join(lm.bigrams, ["prev", "tok"], "left")
-        .join(lm.contexts, "prev", "left")
-        .select(
-            "doc_id",
-            F.coalesce(
-                F.col("logp"),  # seen bigram: trained logp
-                # known context, unseen continuation: the add-k floor
-                F.log2(F.lit(float(lm.k)) / (F.col("c_prev") + kv)),
-                # unknown context: uniform over the vocabulary
-                F.lit(-math.log2(lm.v)),
-            ).alias("lp"),
-        )
+    lp = F.coalesce(
+        F.col("logp"),  # seen bigram: trained logp
+        # known context, unseen continuation: the add-k floor
+        F.log2(F.lit(float(lm.k)) / (F.col("c_prev") + kv)),
+        # unknown context: uniform over the vocabulary
+        F.lit(-math.log2(lm.v)),
     )
+    joined = bg.join(lm.bigrams, ["prev", "tok"], "left").join(
+        lm.contexts, "prev", "left"
+    )
+    if stable_micros:
+        scored = joined.select(
+            "doc_id",
+            F.floor(lp * F.lit(1_000_000.0) + F.lit(0.5))
+            .cast("long")
+            .alias("lq"),
+        )
+        n = F.count(F.lit(1))
+        ce = -(F.sum("lq").cast("double") / F.lit(1_000_000.0)) / n
+        return scored.groupBy("doc_id").agg(
+            n.alias("n_tokens"),
+            ce.alias("cross_entropy_bits"),
+            F.pow(F.lit(2.0), ce).alias("perplexity"),
+        )
+    scored = joined.select("doc_id", lp.alias("lp"))
     return scored.groupBy("doc_id").agg(
         F.count(F.lit(1)).alias("n_tokens"),
         (-F.avg("lp")).alias("cross_entropy_bits"),

@@ -627,6 +627,46 @@ _PRED = (
                              generate_subscripts(toks, 1) AS i FROM t)
             ) GROUP BY doc_id, tok, grp
         ) GROUP BY doc_id
+    ),
+    -- LM arm (operators/lm.py): add-k bigram LM trained on the corpus
+    -- (k=0.5, min_count=2), per-doc cross-entropy. Each log2 term is
+    -- quantized to micro-bits (floor(lp*1e6+0.5) BIGINT) and summed in
+    -- INTEGERS — the scaled-cents discipline, since a float sum's ulp
+    -- depends on summation order
+    lmtok AS (
+        SELECT doc_id,
+               list_prepend('<s>', list_filter(string_split(lower(text), ' '),
+                                               x -> x <> '')) AS l
+        FROM documents
+    ),
+    lmbg AS (
+        SELECT doc_id, l[i] AS prev, l[i + 1] AS tok
+        FROM (SELECT doc_id, l, unnest(range(1, len(l))) AS i FROM lmtok)
+    ),
+    lmctx AS (SELECT prev, COUNT(*) AS c_prev FROM lmbg GROUP BY 1),
+    lmv AS (SELECT COUNT(DISTINCT tok) AS v FROM lmbg),
+    lmp AS (
+        SELECT c.prev, c.tok,
+               log2((c.c + 0.5) / (x.c_prev + 0.5 * v)) AS logp
+        FROM (SELECT prev, tok, COUNT(*) AS c FROM lmbg GROUP BY 1, 2
+              HAVING COUNT(*) >= 2) c
+        JOIN lmctx x USING (prev), lmv
+    ),
+    lmterms AS (
+        SELECT b.doc_id,
+               CAST(FLOOR(COALESCE(p.logp,
+                                   log2(0.5 / (x.c_prev + 0.5 * v)),
+                                   -log2(CAST(v AS DOUBLE)))
+                          * 1000000 + 0.5) AS BIGINT) AS lq
+        FROM lmbg b
+        LEFT JOIN lmp p ON b.prev = p.prev AND b.tok = p.tok
+        LEFT JOIN lmctx x ON b.prev = x.prev, lmv
+    ),
+    lmscore AS (
+        SELECT doc_id, COUNT(*) AS lm_n_bigrams,
+               ROUND(-(CAST(SUM(lq) AS DOUBLE) / 1000000.0) / COUNT(*), 6)
+                   AS lm_ce_bits
+        FROM lmterms GROUP BY 1
     )
     SELECT d.doc_id, d.lang AS true_lang, {_PRED} AS pred_lang,
            len(string_split(d.text, ' ')) AS n_ws_tokens,
@@ -639,11 +679,13 @@ _PRED = (
                  * 2.0 / len(g.toks), 6) AS top_2gram_frac,
            CAST(runs.max_run AS INT) AS max_token_run,
            ROUND(CAST(len(list_filter(g.toks, x -> regexp_matches(x, '[a-z]')))
-                      AS DOUBLE) / len(g.toks), 6) AS alpha_word_ratio
+                      AS DOUBLE) / len(g.toks), 6) AS alpha_word_ratio,
+           s.lm_n_bigrams, s.lm_ce_bits
     FROM documents d
     JOIN scored ON d.doc_id = scored.doc_id
     JOIN g      ON d.doc_id = g.doc_id
     JOIN runs   ON d.doc_id = runs.doc_id
+    LEFT JOIN lmscore s ON d.doc_id = s.doc_id
     """,
 )
 def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -659,10 +701,20 @@ def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     every operator keeps its own unit tests. All columns are linear
     per-doc folds at scan speed; the oracle's quadratic
     count-per-distinct-gram and gaps-and-islands window forms are the
-    independent cross-checks of the folds."""
+    independent cross-checks of the folds.
+
+    r13: absorbs the formerly pytest-only bigram-LM perplexity scorer
+    (operators/lm.py, the CCNet-style quality signal) — an add-k LM
+    (k=0.5, min_count=2) trained on the corpus itself, per-doc
+    cross-entropy in bits under the micro-bit integer-sum discipline
+    (each log2 term quantized to floor(lp*1e6+0.5) and summed as
+    longs, so the score is independent of partition order and the
+    DuckDB oracle reproduces it exactly)."""
+    from ..operators.lm import score_cross_entropy, train_bigram_lm
+
     docs = load_table(spark, sf_dir, "documents")
     t = F.col("text")
-    return docs.select(
+    base = docs.select(
         "doc_id",
         F.col("lang").alias("true_lang"),
         X.lang_id(t).alias("pred_lang"),
@@ -673,6 +725,17 @@ def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
         X.max_token_run(t).alias("max_token_run"),
         F.round(X.alpha_word_ratio(t), 6).alias("alpha_word_ratio"),
     )
+    # LM arm (r13): add-k bigram LM trained on the corpus itself
+    # (k=0.5, min_count=2 pruning), per-doc cross-entropy under the
+    # micro-bit integer-sum discipline so the score is a pure function
+    # of the data (operators/lm.score_cross_entropy stable_micros)
+    lm = train_bigram_lm(docs, k=0.5, min_count=2)
+    scores = score_cross_entropy(docs, lm, stable_micros=True).select(
+        "doc_id",
+        F.col("n_tokens").alias("lm_n_bigrams"),
+        F.round("cross_entropy_bits", 6).alias("lm_ce_bits"),
+    )
+    return base.join(scores, "doc_id", "left")
 
 
 @_q(

@@ -152,6 +152,33 @@ def test_bigram_lm_matches_python_oracle(spark):
     assert got99.perplexity == pytest.approx(2 ** want99, rel=1e-9)
 
 
+def test_stable_micros_partition_invariant_and_close_to_float(spark):
+    """r13 (the text_lang_id gate arm): stable_micros quantizes each
+    log2 term to micro-bits and sums INTEGERS, so the score is
+    bit-identical under any partitioning (a float sum's ulp is
+    partition-order dependent) and within quantization error
+    (0.5e-6 bits per term) of the float score."""
+    df = spark.createDataFrame(CORPUS, "doc_id long, text string")
+    lm = train_bigram_lm(df, k=0.5, min_count=2)
+    a = {
+        r.doc_id: r.cross_entropy_bits
+        for r in score_cross_entropy(df, lm, stable_micros=True).collect()
+    }
+    b = {
+        r.doc_id: r.cross_entropy_bits
+        for r in score_cross_entropy(
+            df.repartition(7), lm, stable_micros=True
+        ).collect()
+    }
+    assert a == b and len(a) > 0
+    flt = {
+        r.doc_id: r.cross_entropy_bits
+        for r in score_cross_entropy(df, lm).collect()
+    }
+    for did, ce in a.items():
+        assert ce == pytest.approx(flt[did], abs=1e-6), did
+
+
 def test_perplexity_filter_drops_gibberish(spark):
     """CCNet's actual shape: the LM is trained on a REFERENCE corpus of
     fluent text and scores the full (held-out) crawl — gibberish the
