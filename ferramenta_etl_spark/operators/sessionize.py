@@ -147,7 +147,7 @@ def capped_sessions(
     gap: str = "30 minutes",
     max_duration: str = "2 hours",
     tiebreak: Sequence[str] = (),
-    split_hot_users: bool | str = "auto",
+    split_hot_users: bool | str = False,
     hot_user_events: int = 1_000_000,
     bucket: str = "1 day",
 ) -> DataFrame:
@@ -196,12 +196,17 @@ def capped_sessions(
     unless it is the user's LAST block (then ``'timeout'``) —
     bit-identical output to the sequential walk, pinned by
     ``tests/test_streaming.py``. Cost: one summary aggregation + a
-    co-keyed join back, so ``split_hot_users='auto'`` probes
+    co-keyed join back. ``split_hot_users='auto'`` probes
     ``max(events per user)`` first (a map-side-combined count, cheap
     relative to the walk) and routes: below ``hot_user_events`` the
-    original single-exchange plan runs; above it the block plan does —
-    the ``grouped_quantiles_auto``/``contamination_hits_auto`` idiom.
-    Pass True/False to skip the probe. Residual bound, documented not
+    original single-exchange plan runs; above it the block plan does.
+    CAVEAT: the auto probe is an EAGER Spark job at plan-CONSTRUCTION
+    time — it breaks the engine's plans-build-job-free contract
+    (tests/test_plans.py) and re-scans the input once per plan build,
+    which is why the DEFAULT is False (the single-exchange plan) and
+    auto is opt-in for callers who don't know their skew and are
+    building the plan once to execute it once. Callers who DO know
+    (a bot-heavy clickstream) pass True. Residual bound, documented not
     hidden: a single block can still be long — a bot pinging faster
     than ``gap`` forever never splits — so the per-task walk is bounded
     by the longest gap-free BURST, not by the user's history; see
@@ -249,32 +254,39 @@ def capped_sessions(
             "closed_by": reason,
         }
 
-    if not split:
+    def make_walker(group_keys, final_reason):
+        """One shared mapInPandas kernel for both paths; they differ
+        ONLY in the grouping key and how the final open session's close
+        reason is chosen (``final_reason(group_df) -> str``). Gather the
+        WHOLE partition before grouping: a group's rows can span Arrow
+        batch boundaries, and a per-batch walk would split sessions
+        (the streaming kernel's gather-then-sort discipline)."""
 
-        def walk_partition(batches):
+        def walk(batches):
             import pandas as pd
 
-            # gather the WHOLE partition before grouping: a user's rows
-            # can span Arrow batch boundaries, and a per-batch walk
-            # would split their sessions (the same gather-then-sort
-            # discipline as the streaming kernel's chunk handling)
             chunks = [p for p in batches if len(p)]
             if not chunks:
                 yield pd.DataFrame(columns=out_cols)
                 return
             pdf = pd.concat(chunks)
             out: list[dict] = []
-            for user_id, g in pdf.groupby(user_col, dropna=False, sort=False):
+            for gk, g in pdf.groupby(group_keys, dropna=False, sort=False):
                 g = g.sort_values(sort_cols, kind="mergesort")
                 ts_ms = (g[ts_col].astype("int64") // 1_000_000).to_numpy()
                 vals = g[value_col].to_numpy()
-                for s in _walk_events(ts_ms, vals, gap_ms, cap_ms, "timeout"):
+                user_id = gk[0] if isinstance(gk, tuple) else gk
+                for s in _walk_events(
+                    ts_ms, vals, gap_ms, cap_ms, final_reason(g)
+                ):
                     out.append(session_row(user_id, s))
             yield pd.DataFrame(out, columns=out_cols)
 
-        return (
-            base.repartition(user_col)
-            .mapInPandas(walk_partition, schema=SESSION_SCHEMA)
+        return walk
+
+    if not split:
+        return base.repartition(user_col).mapInPandas(
+            make_walker(user_col, lambda g: "timeout"), schema=SESSION_SCHEMA
         )
 
     # --- gap-block split path -------------------------------------------
@@ -357,26 +369,10 @@ def capped_sessions(
         f"e.{user_col}", ts_col, value_col, *tiebreak, "_gblk", "_final"
     )
 
-    def walk_blocks(batches):
-        import pandas as pd
-
-        chunks = [p for p in batches if len(p)]
-        if not chunks:
-            yield pd.DataFrame(columns=out_cols)
-            return
-        pdf = pd.concat(chunks)
-        out: list[dict] = []
-        for (user_id, _b), g in pdf.groupby(
-            [user_col, "_gblk"], dropna=False, sort=False
-        ):
-            g = g.sort_values(sort_cols, kind="mergesort")
-            ts_ms = (g[ts_col].astype("int64") // 1_000_000).to_numpy()
-            vals = g[value_col].to_numpy()
-            final = "timeout" if bool(g["_final"].any()) else "gap"
-            for s in _walk_events(ts_ms, vals, gap_ms, cap_ms, final):
-                out.append(session_row(user_id, s))
-        yield pd.DataFrame(out, columns=out_cols)
-
     return joined.repartition(user_col, "_gblk").mapInPandas(
-        walk_blocks, schema=SESSION_SCHEMA
+        make_walker(
+            [user_col, "_gblk"],
+            lambda g: "timeout" if bool(g["_final"].any()) else "gap",
+        ),
+        schema=SESSION_SCHEMA,
     )

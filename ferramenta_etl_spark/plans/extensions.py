@@ -1517,19 +1517,25 @@ _BM25_VALUES = ", ".join(f"({i}, '{q}')" for i, q in _BM25_QUERIES)
                    list_sort(list_transform(
                        list_filter(cands,
                                    c -> NOT list_contains(picked, c.doc_id)),
+                       -- GREATEST(..., 0.0): the kernel's max_sim
+                       -- starts at 0 and only rises (s > max_sim), so
+                       -- an all-negative similarity set penalizes 0,
+                       -- never rewards
                        c -> struct_pack(
-                           nv := -(0.5 * c.nrel - 0.5 * COALESCE(list_max(
-                                 list_transform(
-                                   list_filter(c.sims,
-                                       e -> list_contains(picked, e.b)),
-                                   e -> e.s)), 0.0)),
+                           nv := -(0.5 * c.nrel - 0.5 * GREATEST(
+                                 COALESCE(list_max(
+                                   list_transform(
+                                     list_filter(c.sims,
+                                         e -> list_contains(picked, e.b)),
+                                     e -> e.s)), 0.0), 0.0)),
                            nr := -c.rel,
                            doc_id := c.doc_id,
-                           v := 0.5 * c.nrel - 0.5 * COALESCE(list_max(
-                                 list_transform(
-                                   list_filter(c.sims,
-                                       e -> list_contains(picked, e.b)),
-                                   e -> e.s)), 0.0))))[1] AS best
+                           v := 0.5 * c.nrel - 0.5 * GREATEST(
+                                 COALESCE(list_max(
+                                   list_transform(
+                                     list_filter(c.sims,
+                                         e -> list_contains(picked, e.b)),
+                                     e -> e.s)), 0.0), 0.0))))[1] AS best
             FROM mrec
             WHERE step < 5 AND len(cands) > len(picked)
         )

@@ -178,13 +178,29 @@ def _publish_json(spark: SparkSession, path: str, name: str, body: dict) -> bool
     p, fs = _hadoop(spark, path.rstrip("/") + f"/{LOG_DIR}/{name}")
     try:
         out = fs.create(p, False)  # atomic exclusive create on HDFS
-        try:
-            out.write(bytearray(payload.encode("utf-8")))
-        finally:
+    except Exception as e:  # noqa: BLE001 — py4j wraps the java class
+        # ONLY lost-the-race maps to False. Any other create failure
+        # must surface: returning False would make the writer retry at
+        # v+1 believing it lost an OCC race.
+        msg = str(e)
+        if "FileAlreadyExists" in msg or "already exists" in msg.lower():
+            return False
+        raise
+    try:
+        out.write(bytearray(payload.encode("utf-8")))
+        out.close()
+    except Exception:
+        # a create-then-failed-write would otherwise leave a TRUNCATED
+        # manifest published at this version — permanently corrupting
+        # the log (every reader's json.loads fails). Clean up the
+        # half-written file and re-raise; the caller sees a real error,
+        # not a phantom race.
+        with contextlib.suppress(Exception):
             out.close()
-        return True
-    except Exception:  # noqa: BLE001 — py4j wraps FileAlreadyExists
-        return False
+        with contextlib.suppress(Exception):
+            fs.delete(p, False)
+        raise
+    return True
 
 
 def snapshot_txlog(spark: SparkSession, path: str) -> Snapshot:
@@ -262,8 +278,6 @@ def _file_stats(local_file: str, keys: Sequence[str]) -> dict:
             lo = st.min if lo is None else min(lo, st.min)
             hi = st.max if hi is None else max(hi, st.max)
         if ok and lo is not None and isinstance(lo, (int, float, str)):
-            if isinstance(lo, bytes):  # defensive: undecoded byte stats
-                continue
             out[k] = [lo, hi]
     return out
 
@@ -315,15 +329,23 @@ def _batch_bounds(df: DataFrame, keys: Sequence[str]) -> dict:
     aggregate job; the result is driver-side metadata used to skip
     existing files whose key range cannot overlap."""
     aggs = []
+    dt = dict(df.dtypes)
     for k in keys:
+        # NULL keys compare equal under <=> but are invisible to
+        # min/max (both here and in parquet footers), so a column
+        # with any NULL in the batch must not prune at all: the
+        # matching NULL could hide in any file. NaN is the same hole
+        # for float keys — parquet footer min/max EXCLUDE NaN while
+        # Spark's NaN <=> NaN matches — so a batch NaN also disables
+        # pruning on that column (Spark's own max() returning NaN
+        # would otherwise poison the range compare too).
+        unusable = F.col(k).isNull()
+        if dt.get(k) in ("double", "float"):
+            unusable = unusable | F.isnan(k)
         aggs += [
             F.min(k).alias(f"__min_{k}"),
             F.max(k).alias(f"__max_{k}"),
-            # NULL keys compare equal under <=> but are invisible to
-            # min/max (both here and in parquet footers), so a column
-            # with any NULL in the batch must not prune at all: the
-            # matching NULL could hide in any file.
-            F.count(F.when(F.col(k).isNull(), F.lit(1))).alias(f"__nulls_{k}"),
+            F.count(F.when(unusable, F.lit(1))).alias(f"__nulls_{k}"),
         ]
     row = df.agg(*aggs).first()
     out = {}

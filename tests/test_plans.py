@@ -166,10 +166,15 @@ def test_plan_construction_is_driver_job_free(spark, tmp_path):
     # runs as the scheduler's job by design; only the serve union is
     # lazy. events_rollup_cascade: same class — the 15m materialization
     # plus the two cascade appends are the scheduler's jobs; only the
-    # two-level union serve is lazy.
+    # two-level union serve is lazy. text_quality_score (r13): its
+    # tfidf arm needs the corpus doc count N for idf — the same
+    # train-once scalar as hybrid_retrieval's BM25 build. text_lang_id
+    # (r13): train_bigram_lm's vocabulary count — the LM fit is the
+    # dsir_score train-once class.
     allowed = {"embedding_ann_ivf", "grouped_quantiles_auto",
                "hybrid_retrieval", "dsir_score", "events_rollup_serve",
-               "events_rollup_cascade"}
+               "events_rollup_cascade", "text_quality_score",
+               "text_lang_id"}
     sc = spark.sparkContext
     offenders: dict[str, int] = {}
     for name, fn in sorted(m.queries().items()):

@@ -36,6 +36,33 @@ def _rows(spark, path):
     return {(r.k, r.v) for r in read_txlog(spark, path).collect()}
 
 
+def test_nan_double_key_never_pruned_into_double_insert(spark, tmp_path):
+    """r13 code-review finding: parquet footer min/max EXCLUDE NaN, so
+    a file holding a NaN key reads as [1.0, 5.0] while Spark's NaN <=>
+    NaN MATCHES — a batch whose non-NaN range is disjoint ([10.0, 10.0])
+    would prune the file and double-insert the NaN key. The fix treats
+    batch NaN like NULL (pruning disabled on that column)."""
+    nan = float("nan")
+    target = str(tmp_path / "t")
+    df1 = spark.createDataFrame(
+        [(1.0, "a"), (5.0, "b"), (nan, "n1")], "k double, v string"
+    )
+    df2 = spark.createDataFrame(
+        [(10.0, "c"), (nan, "n2")], "k double, v string"
+    )
+    assert write_ignore_conflicts(df1, target, keys=["k"], backend="txlog") == 3
+    # only 10.0 is new: the NaN key must be seen as a conflict even
+    # though every file's stats range excludes it
+    assert write_ignore_conflicts(df2, target, keys=["k"], backend="txlog") == 1
+    got = read_txlog(spark, target).collect()
+    assert len(got) == 4
+    import math as _m
+
+    assert sum(1 for r in got if _m.isnan(r.k)) == 1  # n1 won, n2 skipped
+    # and the bounds helper itself reports the column unusable
+    assert _batch_bounds(df2, ["k"]) == {}
+
+
 def test_roundtrip_idempotent_rerun(spark, tmp_path):
     """First-writer-wins semantics end-to-end through the public sink
     API: overlapping second batch inserts only the new key; exact
