@@ -116,14 +116,23 @@ def score_cross_entropy(
     when filter-grade small, and the per-doc mean is one
     partial-aggregated groupBy.
 
-    ``stable_micros=True`` quantizes each bigram's log2 term to
-    micro-bits (floor(lp*1e6 + 0.5), a long) and sums INTEGERS — the
-    scaled-cents discipline of functions.tsql.sum2: a float sum's ulp
-    depends on partition order, so only the quantized form is a pure
-    function of the data that a DuckDB oracle can hash-match
+    ``stable_micros=True`` quantizes each bigram's log2 term to a
+    1e-4-bit grid (floor(lp*1e4 + 0.5), a long) and sums INTEGERS —
+    the scaled-cents discipline of functions.tsql.sum2: a float sum's
+    ulp depends on partition order, so only the quantized form is a
+    pure function of the data that a DuckDB oracle can hash-match
     (text_lang_id's LM arm runs this); the division back to bits and
-    the perplexity pow happen once per doc at the edge. Default off:
-    library callers keep full float precision."""
+    the perplexity pow happen once per doc at the edge. The grid is
+    deliberately COARSE: log2 itself differs by an ulp between the JVM
+    and libm on ~a third of values (measured at sf0.1), and a term
+    landing within that ulp of a grid boundary floors differently per
+    engine — 1e-4 keeps ample margin while still scoring far finer
+    than any quality-filter threshold. NOTE for display rounding: the
+    resulting ce is a TERMINATING decimal (sumq/(1e4*n)), which lands
+    exactly on half boundaries of any decimal rounding — round it with
+    functions.tsql.round6_stable, never plain round(x, 6), or the two
+    engines' half-way conventions diverge (the text_lang_id gate does
+    this). Default off: library callers keep full float precision."""
     bg = _bigram_stream(docs, text_col, doc_id_col)
     kv = F.lit(float(lm.k * lm.v))
     lp = F.coalesce(
@@ -139,12 +148,12 @@ def score_cross_entropy(
     if stable_micros:
         scored = joined.select(
             "doc_id",
-            F.floor(lp * F.lit(1_000_000.0) + F.lit(0.5))
+            F.floor(lp * F.lit(10_000.0) + F.lit(0.5))
             .cast("long")
             .alias("lq"),
         )
         n = F.count(F.lit(1))
-        ce = -(F.sum("lq").cast("double") / F.lit(1_000_000.0)) / n
+        ce = -(F.sum("lq").cast("double") / F.lit(10_000.0)) / n
         return scored.groupBy("doc_id").agg(
             n.alias("n_tokens"),
             ce.alias("cross_entropy_bits"),

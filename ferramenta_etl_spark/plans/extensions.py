@@ -653,19 +653,25 @@ _PRED = (
         JOIN lmctx x USING (prev), lmv
     ),
     lmterms AS (
+        -- 1e-4-bit grid, NOT finer: log2 differs by an ulp between
+        -- engines, and a term within that ulp of a grid boundary
+        -- floors differently (one sf0.1 row caught at 1e-6)
         SELECT b.doc_id,
                CAST(FLOOR(COALESCE(p.logp,
                                    log2(0.5 / (x.c_prev + 0.5 * v)),
                                    -log2(CAST(v AS DOUBLE)))
-                          * 1000000 + 0.5) AS BIGINT) AS lq
+                          * 10000 + 0.5) AS BIGINT) AS lq
         FROM lmbg b
         LEFT JOIN lmp p ON b.prev = p.prev AND b.tok = p.tok
         LEFT JOIN lmctx x ON b.prev = x.prev, lmv
     ),
     lmscore AS (
+        -- round6_stable's scale-then-round idiom: ce is a terminating
+        -- decimal (sumq / (1e4*n)) that lands exactly on 6-dp halves,
+        -- where ROUND(x, 6) diverges between engines
         SELECT doc_id, COUNT(*) AS lm_n_bigrams,
-               ROUND(-(CAST(SUM(lq) AS DOUBLE) / 1000000.0) / COUNT(*), 6)
-                   AS lm_ce_bits
+               (ROUND(-(CAST(SUM(lq) AS DOUBLE) / 10000.0) / COUNT(*)
+                      * 1000000) / 1000000 + 0.0) AS lm_ce_bits
         FROM lmterms GROUP BY 1
     )
     SELECT d.doc_id, d.lang AS true_lang, {_PRED} AS pred_lang,
@@ -729,11 +735,18 @@ def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (k=0.5, min_count=2 pruning), per-doc cross-entropy under the
     # micro-bit integer-sum discipline so the score is a pure function
     # of the data (operators/lm.score_cross_entropy stable_micros)
+    from ..functions.tsql import round6_stable
+
     lm = train_bigram_lm(docs, k=0.5, min_count=2)
+    # round6_stable, NOT F.round(x, 6): ce = sumq/(1e4*n) is a
+    # terminating decimal that lands EXACTLY on 6-dp half boundaries
+    # (n=40 -> denominator 400000), where Spark's BigDecimal HALF_UP on
+    # the shortest repr and DuckDB's binary rounding disagree — the
+    # same half-way divergence group_agg's quantile arm hit
     scores = score_cross_entropy(docs, lm, stable_micros=True).select(
         "doc_id",
         F.col("n_tokens").alias("lm_n_bigrams"),
-        F.round("cross_entropy_bits", 6).alias("lm_ce_bits"),
+        round6_stable(F.col("cross_entropy_bits")).alias("lm_ce_bits"),
     )
     return base.join(scores, "doc_id", "left")
 

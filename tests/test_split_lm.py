@@ -154,10 +154,10 @@ def test_bigram_lm_matches_python_oracle(spark):
 
 def test_stable_micros_partition_invariant_and_close_to_float(spark):
     """r13 (the text_lang_id gate arm): stable_micros quantizes each
-    log2 term to micro-bits and sums INTEGERS, so the score is
+    log2 term to a 1e-4-bit grid and sums INTEGERS, so the score is
     bit-identical under any partitioning (a float sum's ulp is
     partition-order dependent) and within quantization error
-    (0.5e-6 bits per term) of the float score."""
+    (0.5e-4 bits per term) of the float score."""
     df = spark.createDataFrame(CORPUS, "doc_id long, text string")
     lm = train_bigram_lm(df, k=0.5, min_count=2)
     a = {
@@ -176,7 +176,7 @@ def test_stable_micros_partition_invariant_and_close_to_float(spark):
         for r in score_cross_entropy(df, lm).collect()
     }
     for did, ce in a.items():
-        assert ce == pytest.approx(flt[did], abs=1e-6), did
+        assert ce == pytest.approx(flt[did], abs=1e-4), did
 
 
 def test_perplexity_filter_drops_gibberish(spark):
