@@ -172,7 +172,17 @@ def grouped_exact_quantiles(
     wcum = wg.orderBy(F.col("__v").asc()).rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )
-    pos = (F.sum("__cnt").over(wg) - 1) * q_for_spec
+    # n rides the SAME ordered window as cum, as a full-frame sum: an
+    # unordered partition-only window would plan its own Sort(keys) +
+    # Window pass BEFORE the (keys, __v) sort — one full extra sort of
+    # the histogram (r13, measured ~12% of the group_agg row at sf0.1).
+    # __cnt is a long, so the sum is order-independent and exact.
+    n_full = F.sum("__cnt").over(
+        wg.orderBy(F.col("__v").asc()).rowsBetween(
+            Window.unboundedPreceding, Window.unboundedFollowing
+        )
+    )
+    pos = (n_full - 1) * q_for_spec
     lo_rank = F.floor(pos) + 1
     cum = F.sum("__cnt").over(wcum)
     prev = cum - F.col("__cnt")
