@@ -1071,12 +1071,12 @@ def tfidf_keywords(
     convention across the lexical stack. ``min_df`` drops hapax noise
     (typos/ids score an extreme idf but characterize nothing).
 
-    Scale shape: two linear map-side-combined aggregations (tf, df),
-    a broadcast-sized (vocab-row) idf join, and the shared two-phase
-    grouped_topk — no all-pairs, no Python on rows. At 100 TB the df
-    relation is vocabulary-sized; if vocabulary outgrows broadcast,
-    the equi-join degrades gracefully to a shuffled hash join on
-    term.
+    Scale shape (r13): one vocabulary-sized df aggregation + a
+    broadcast map<term, idf> row; tf and the per-doc top-k are
+    row-local array expressions and the output rows come from a
+    narrow posexplode — no doc-term shuffle at all (see
+    :func:`tfidf_topk_arrays`, the kernel). No all-pairs, no Python
+    on rows.
 
     ``stable_round`` rounds tfidf to that many decimals BEFORE ranking
     (the hybrid_retrieval lexk discipline): ln() can differ by an ulp
@@ -1086,31 +1086,146 @@ def tfidf_keywords(
     ranks at full precision."""
     if k < 1:
         raise ValueError(f"k must be >= 1 (got {k})")
+    kw = tfidf_topk_arrays(docs, k, text_col, doc_id_col, min_df, stable_round)
+    return kw.select(
+        F.col(doc_id_col).alias("doc_id"),
+        F.posexplode("__kw").alias("__p", "__s"),
+    ).select(
+        "doc_id",
+        F.col("__s.term").alias("term"),
+        F.col("__s.tfidf").alias("tfidf"),
+        (F.col("__p") + 1).cast("int").alias("rank"),
+    )
+
+
+def tfidf_topk_arrays(
+    docs: "DataFrame",
+    k: int = 5,
+    text_col: str = "text",
+    doc_id_col: str = "doc_id",
+    min_df: int = 2,
+    stable_round: int | None = None,
+) -> "DataFrame":
+    """(doc_id, __kw) — each doc's top-``k`` TF-IDF keywords as ONE
+    rank-ordered array<struct<tfidf, term>> column (empty array when no
+    term survives ``min_df``). The array kernel behind
+    :func:`tfidf_keywords`, exposed so compositions that want the
+    keywords ON the doc row (the text_quality_score gate) skip the
+    explode AND the re-collect.
+
+    Physical shape (r13 rewrite — the guide's "shuffle keys and
+    metadata instead of payloads"): the former plan shuffled the
+    (doc, term) relation three times — groupBy(doc, term) for tf, a
+    WindowGroupLimit top-k exchange on doc_id, and the consumer's
+    collect_list groupBy — plus a broadcast idf join. But tf and the
+    per-doc ranking are PER-DOC facts: run-length-encoding the doc's
+    own sorted token array gives its tf pairs, and ranking k of them
+    is an array_sort + slice — all row-local expressions, no exchange.
+    Only the CORPUS facts remain distributed: one map-side-combined
+    distinct-term aggregation for df (vocabulary-sized output) folded
+    into a single map<term, idf> row that is broadcast back onto the
+    doc stream (a nested-loop join of one row). Measured on the
+    text_quality_score gate at sf0.1: 1.39 s -> see OPTIMIZATION_r13.
+    Same broadcast posture as before — the old plan broadcast the
+    vocabulary-row idf relation too; vocabularies beyond broadcast
+    scale need the join form either way.
+
+    tf is RAW count; idf is ln(1 + (N - df + 0.5)/(df + 0.5)); ranking
+    is (tfidf DESC, term ASC) — see tfidf_keywords for the contract
+    and ``stable_round``.
+    """
     from .retrieval import _idf_expr
-    from .topk import grouped_topk
 
     toks = F.filter(ws_tokens(F.col(text_col)), lambda t: t != "")
-    terms = docs.select(
-        F.col(doc_id_col).alias("doc_id"), F.explode(toks).alias("term")
-    )
-    tf = terms.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
-    n_docs = docs.count()
+    dterms = docs.select(F.explode(F.array_distinct(toks)).alias("term"))
     df_rel = (
-        tf.groupBy("term")
+        dterms.groupBy("term")
         .agg(F.count(F.lit(1)).alias("df"))
         .filter(F.col("df") >= min_df)
     )
-    idf = df_rel.select("term", _idf_expr(n_docs).alias("idf"))
-    score = F.col("tf") * F.col("idf")
-    if stable_round is not None:
-        score = F.round(score, stable_round)
-    scored = tf.join(idf, "term").select(
-        "doc_id", "term", score.alias("tfidf")
+    n_docs = docs.count()
+    idf_map = df_rel.agg(
+        F.map_from_entries(
+            F.collect_list(F.struct(F.col("term"), _idf_expr(n_docs).alias("idf")))
+        ).alias("__idf_map")
     )
-    return grouped_topk(
-        scored,
-        ["doc_id"],
-        [F.col("tfidf").desc(), F.col("term").asc()],
-        k,
-        rank_col="rank",
-    ).select("doc_id", "term", "tfidf", "rank")
+
+    # run-length tf over the doc's sorted tokens: run ends are the
+    # positions where the next token differs; (end - previous end) is
+    # the run length. All O(tokens log tokens) per row, no shuffle.
+    # Degenerate inputs need no special case: an empty/null token array
+    # yields an empty `ends` (the probe indexes resolve to NULL, and a
+    # NULL filter predicate drops), zip_with pads with NULLs, and the
+    # NULL-scored entries are filtered out — kw = [].
+    #
+    # Every intermediate is BOUND AS A COLUMN (chained withColumns), not
+    # captured into the next lambda as an expression: higher-order
+    # functions run interpreted, with NO common-subexpression
+    # elimination inside the lambda, so a captured array_sort(split(..))
+    # would re-sort the doc on every element probe — measured 4.7x
+    # slower than the column-bound form on the text_quality_score gate.
+    #
+    # F.get / try_element_at, not element_at: probes past the array end
+    # and map misses must yield NULL (out-of-range element_at and absent
+    # map keys THROW under ANSI mode, Spark 4's default). get() is
+    # 0-based, hence the -1s.
+    st = F.col("__tt_st")
+    n = F.size(st)
+    ends = F.filter(
+        F.sequence(F.lit(1), F.greatest(n, F.lit(1))),
+        lambda i: (i == n) | (F.get(st, i - 1) != F.get(st, i)),
+    )
+    tf_pairs = F.zip_with(
+        F.col("__tt_ends"),
+        F.concat(
+            F.array(F.lit(0)),
+            F.slice(
+                F.col("__tt_ends"),
+                1,
+                F.greatest(F.size(F.col("__tt_ends")) - 1, F.lit(0)),
+            ),
+        ),
+        lambda e, s: F.struct(
+            F.get(st, e - 1).alias("term"), (e - s).alias("tf")
+        ),
+    )
+
+    def _score(p):
+        s = p["tf"] * F.try_element_at(F.col("__idf_map"), p["term"])
+        return F.round(s, stable_round) if stable_round is not None else s
+
+    scored = F.filter(
+        F.transform(
+            F.col("__tt_pairs"),
+            lambda p: F.struct(p["term"].alias("term"), _score(p).alias("tfidf")),
+        ),
+        lambda s: s["tfidf"].isNotNull(),
+    )
+    # sort key: (-tfidf, term) ascending == (tfidf DESC, term ASC); terms
+    # outside the idf map (dropped by min_df) scored NULL and are gone
+    kw = F.transform(
+        F.slice(
+            F.array_sort(
+                F.transform(
+                    F.col("__tt_scored"),
+                    lambda s: F.struct(
+                        (-s["tfidf"]).alias("__neg"),
+                        s["term"].alias("term"),
+                        s["tfidf"].alias("tfidf"),
+                    ),
+                )
+            ),
+            1,
+            k,
+        ),
+        lambda s: F.struct(s["tfidf"].alias("tfidf"), s["term"].alias("term")),
+    )
+    return (
+        docs.crossJoin(F.broadcast(idf_map))
+        .withColumn("__tt_st", F.array_sort(toks))
+        .withColumn("__tt_ends", ends)
+        .withColumn("__tt_pairs", tf_pairs)
+        .withColumn("__tt_scored", scored)
+        .withColumn("__kw", kw)
+        .drop("__idf_map", "__tt_st", "__tt_ends", "__tt_pairs", "__tt_scored")
+    )

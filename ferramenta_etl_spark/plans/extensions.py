@@ -824,40 +824,29 @@ def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     rank-1 tfidf, ranked on the 6-dp-ROUNDED score with the term
     tie-break so ln() ulp differences between engines can't flip the
     top-k (the hybrid_retrieval lexk discipline)."""
-    from ..operators.text import tfidf_keywords
+    from ..operators.text import tfidf_topk_arrays
     from ..sources.tables import ensure_scan_parallelism
 
     docs = ensure_scan_parallelism(load_table(spark, sf_dir, "documents"))
     t = F.col("text")
-    feats = docs.select(
+    # r13: the keywords ride the per-doc array kernel
+    # (text.tfidf_topk_arrays), so the whole query is ONE projection
+    # over the doc scan plus the vocabulary-sized df aggregation — the
+    # former plan's 3 doc-term shuffles (tf groupBy, top-k window,
+    # collect_list groupBy) and the feats join are gone (plan diff in
+    # plans/r13/text_quality_score_{before,after}.txt).
+    return tfidf_topk_arrays(docs, k=3, min_df=2, stable_round=6).select(
         "doc_id",
         F.round(X.stopword_ratio(t), 6).alias("stopword_ratio"),
         F.round(X.digit_ratio(t), 6).alias("digit_ratio"),
         F.round(X.punct_ratio(t), 6).alias("punct_ratio"),
         F.round(X.quality_score(t), 6).alias("quality"),
-    )
-    kw = (
-        tfidf_keywords(docs, k=3, min_df=2, stable_round=6)
-        .groupBy("doc_id")
-        .agg(
-            F.array_join(
-                F.transform(
-                    F.array_sort(
-                        F.collect_list(F.struct(F.col("rank"), F.col("term")))
-                    ),
-                    lambda s: s.getField("term"),
-                ),
-                " ",
-            ).alias("keywords"),
-            F.max(F.when(F.col("rank") == 1, F.col("tfidf"))).alias(
-                "top_tfidf"
-            ),
-        )
-    )
-    return (
-        feats.join(kw, "doc_id", "left")
-        .withColumn("keywords", F.coalesce(F.col("keywords"), F.lit("")))
-        .withColumn("top_tfidf", F.coalesce(F.col("top_tfidf"), F.lit(0.0)))
+        F.array_join(
+            F.transform(F.col("__kw"), lambda s: s.getField("term")), " "
+        ).alias("keywords"),
+        F.coalesce(
+            F.get(F.col("__kw"), 0).getField("tfidf"), F.lit(0.0)
+        ).alias("top_tfidf"),
     )
 
 
