@@ -193,22 +193,45 @@ def dsir_log_weights(
     of every document under ``model``. Featureless documents (empty
     text) score 0.0 — no evidence either way.
 
-    Plan: feature stream -> broadcast join against the <=n_buckets-row
-    log-ratio relation -> groupBy(doc_id).sum -> left join back onto
-    the id spine so no input row is ever dropped."""
-    feats = hashed_ngram_buckets(
-        docs, text_col, doc_id_col, model.n_buckets, model.ns, model.hash_family
+    Plan (r13 rewrite): the model is <= n_buckets scalars, so scoring
+    needs no relational join at all — the log-ratio relation is
+    collected ONCE at plan build (bounded by n_buckets, the IVF
+    centroid-inlining precedent) into a dense constant array<double>
+    (index = bucket, holes filled with the smoothing default), and
+    each gram's contribution is an O(1) ``F.get`` by bucket id. One
+    projection + one groupBy(doc_id).sum — the former plan's
+    (doc_id, bucket) pre-aggregation exchange and its broadcast join
+    are gone (the map-side partial sum already collapses each doc to
+    ~one row per partition before the one remaining exchange). A
+    dense ARRAY, not a map, deliberately: Catalyst MapData lookups
+    are linear scans, O(n_buckets) per gram. Summation order changes
+    vs the per-bucket form (per-gram stream vs per-bucket cnt*ratio);
+    both are float sums whose order already depended on partitioning,
+    and every oracle consumer rounds at 6 dp, far above the ~1e-12
+    accumulation drift of O(100)-term sums (dsir_score docstring).
+    The spine join stays, so no input row is ever dropped."""
+    from .similarity import _vec_sql
+
+    grams = _gram_stream(text_col, model.ns)
+    nb = model.n_buckets
+    # one bounded collect at plan build (<= n_buckets scalars — the IVF
+    # _vec_sql centroid-inlining precedent), folded to a constant array
+    # literal. NOT an in-plan map/array construction: a broadcast
+    # subplan re-executes per action, and a transform-over-sequence
+    # dense fill is n_buckets linear map scans in the interpreter —
+    # measured 3.4 s/run vs 0.1 s once here at n_buckets=10k.
+    dense = [float(model.default_log_ratio)] * nb
+    for r in model.log_ratio.select("bucket", "log_ratio").collect():
+        if r.bucket is not None and 0 <= r.bucket < nb:
+            dense[r.bucket] = float(r.log_ratio)
+    arr = F.expr(_vec_sql(dense))
+    exploded = docs.select(
+        F.col(doc_id_col).alias("doc_id"), F.explode(grams).alias("__g")
+    ).select(
+        "doc_id",
+        F.get(arr, _bucket(F.col("__g"), nb, model.hash_family)).alias("__c"),
     )
-    scored = (
-        feats.join(F.broadcast(model.log_ratio), "bucket", "left")
-        .groupBy("doc_id")
-        .agg(
-            F.sum(
-                F.col("cnt")
-                * F.coalesce(F.col("log_ratio"), F.lit(model.default_log_ratio))
-            ).alias("log_w")
-        )
-    )
+    scored = exploded.groupBy("doc_id").agg(F.sum("__c").alias("log_w"))
     spine = docs.select(F.col(doc_id_col).alias("doc_id"))
     return spine.join(scored, "doc_id", "left").select(
         "doc_id", F.coalesce(F.col("log_w"), F.lit(0.0)).alias("log_w")
