@@ -70,11 +70,19 @@ def flagship(
     supplier = tab("supplier")
 
     # ---- CTE 1: MANIFESTO_INFO (S:35-57) ----
-    manifesto_info = (
-        orders.join(customer, orders.o_custkey == customer.c_custkey)  # S:51
-        .join(nation, customer.c_nationkey == nation.n_nationkey)  # S:52
-        .join(region, nation.n_regionkey == region.r_regionkey)
-        .join(lineitem, orders.o_orderkey == lineitem.l_orderkey)  # bridge S:53
+    # r13 restructure: cd_placa / ds_tipo_veiculo / ds_regiao /
+    # total_frete / vl_combustivel are all functions of o_custkey — the
+    # very key the CTE-2 pick groups by — so the customer⋈nation⋈region
+    # dimension joins are GROUP-CONSTANT and commute with the pick.
+    # Joining them after it moves three broadcast joins (and their
+    # string columns) off the orders×lineitem fan-out stream and onto
+    # the ~|customers| picked rows, and the pick's aggregation payload
+    # narrows to the bridge columns. Row-for-row identical: an inner
+    # dim join drops whole custkey groups, never individual bridge
+    # rows, so dropping-before-pick == picking-then-dropping (oracle
+    # hash-checked at sf0.01).
+    bridge = (
+        orders.join(lineitem, orders.o_orderkey == lineitem.l_orderkey)  # bridge S:53
         .join(part, lineitem.l_partkey == part.p_partkey)  # S:54-55
         .select(
             F.col("o_orderkey").alias("id_manifesto"),
@@ -86,14 +94,8 @@ def flagship(
             F.col("o_custkey").alias("ciot_key"),
             F.col("o_custkey").cast("string").alias("nr_ciot"),
             F.col("l_linenumber").alias("nr_movimento"),
-            F.col("c_name").alias("cd_placa"),
-            F.col("n_name").alias("ds_tipo_veiculo"),
-            F.col("r_name").alias("ds_regiao"),
             F.col("p_brand").alias("ds_tipo_movimento"),
-            money(F.col("o_totalprice") + F.col("c_acctbal")).alias("total_frete"),  # S:44
-            F.when(F.col("c_acctbal") < 0, money(-F.col("c_acctbal"))).alias(
-                "vl_combustivel"
-            ),  # S:43 (nullable)
+            F.col("o_totalprice"),
             F.col("o_orderdate"),
         )
         .filter(
@@ -104,8 +106,8 @@ def flagship(
     )
 
     # ---- CTE 2: LATEST_MANIFESTO (S:58-70) ----
-    latest_manifesto = latest_per_key(
-        manifesto_info,
+    picked = latest_per_key(
+        bridge,
         keys=["ciot_key"],
         order_by=[F.col("id_manifesto").desc()],  # S:49
         # Deterministic total order over the PROJECTED columns: synthetic
@@ -127,16 +129,24 @@ def flagship(
             (-F.col("nr_movimento")).alias("k2"),
             F.col("ds_tipo_movimento").alias("k3"),
         ),
-    ).select(
-        "ciot_key",
-        "nr_ciot",
-        "id_manifesto",
-        "total_frete",
-        "vl_combustivel",
-        "cd_placa",
-        "ds_tipo_veiculo",
-        "ds_regiao",
-        "ds_tipo_movimento",
+    )
+    latest_manifesto = (
+        picked.join(customer, picked.ciot_key == customer.c_custkey)  # S:51
+        .join(nation, customer.c_nationkey == nation.n_nationkey)  # S:52
+        .join(region, nation.n_regionkey == region.r_regionkey)
+        .select(
+            "ciot_key",
+            "nr_ciot",
+            "id_manifesto",
+            money(F.col("o_totalprice") + F.col("c_acctbal")).alias("total_frete"),  # S:44
+            F.when(F.col("c_acctbal") < 0, money(-F.col("c_acctbal"))).alias(
+                "vl_combustivel"
+            ),  # S:43 (nullable)
+            F.col("c_name").alias("cd_placa"),
+            F.col("n_name").alias("ds_tipo_veiculo"),
+            F.col("r_name").alias("ds_regiao"),
+            "ds_tipo_movimento",
+        )
     )
 
     # ---- final select (S:71-98) ----

@@ -238,10 +238,12 @@ def test_dir_mtime_sees_part_file_rewritten_in_place(tmp_path):
     assert _dir_mtime(str(sf_dir)) >= future
 
 
-def test_dsir_scoring_broadcasts_the_ratio_table(spark):
-    """DSIR scoring must join the corpus feature stream against the
-    <=n_buckets-row log-ratio relation WITHOUT shuffling the corpus:
-    broadcast hash join, no row-wise Python anywhere."""
+def test_dsir_scoring_inlines_the_ratio_table(spark):
+    """DSIR scoring must never shuffle the corpus for the model: since
+    r13 the <=n_buckets-row log-ratio relation is collected at plan
+    build and inlined as a constant array (O(1) get per gram), so the
+    ONLY join left in the plan is the row-preserving id-spine join —
+    no model join, no row-wise Python anywhere."""
     from ferramenta_etl_spark.operators.dsir import dsir_log_weights, fit_dsir
 
     docs = spark.createDataFrame(
@@ -250,7 +252,10 @@ def test_dsir_scoring_broadcasts_the_ratio_table(spark):
     )
     model = fit_dsir(docs.limit(20), docs, n_buckets=64)
     plan = physical(dsir_log_weights(model, docs))
-    assert "BroadcastHashJoin" in plan
+    # exactly one join: the spine join (model join gone)
+    n_joins = sum(plan.count(j) for j in
+                  ("BroadcastHashJoin", "SortMergeJoin", "ShuffledHashJoin"))
+    assert n_joins == 1, plan
     assert "BatchEvalPython" not in plan
 
 
