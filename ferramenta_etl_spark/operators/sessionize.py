@@ -79,66 +79,6 @@ def sessionize(
     )
 
 
-def _walk_events(ts_ms, vals, gap_ms: int, cap_ms: int, final_reason: str):
-    """Session walk over one already-ordered event run: yields
-    (start_ms, end_ms, n_events, cents, closed_by). Shared by the
-    whole-user path and the gap-block path; semantics match the
-    streaming kernel's transition order (the gap check wins when an
-    event breaches both bounds — a run ending at a gap closes 'gap'
-    even if the breaching event also breached the cap).
-
-    VECTORIZED (r13): the naive form is a per-event Python loop — the
-    dominant constant factor of the whole operator (SCALING.md
-    hot-user probe: 900k events ≈ 3 s in ONE loop). Instead: gap
-    boundaries come from one ``np.diff`` (unconditional splits), and
-    inside a gap segment only CAP closes remain, each found by a
-    ``searchsorted`` jump to the first event strictly past start+cap —
-    so the Python-level iteration count is O(sessions), not O(events),
-    and per-session sums come from one cents ``cumsum``. Bot bursts
-    (many events, few sessions) are exactly where that gap is largest.
-
-    ``final_reason`` closes the last open session: 'timeout' at true
-    end-of-history, 'gap' when the caller knows a > gap interval
-    follows this run (the gap-block path)."""
-    import numpy as np
-
-    m = len(ts_ms)
-    if m == 0:
-        return []
-    ts = np.asarray(ts_ms, dtype=np.int64)
-    v = np.asarray(vals, dtype=np.float64)
-    # scaled-cents discipline (functions.tsql.sum2): floor(v*100+0.5) as
-    # int64, non-finite -> 0; cumsum gives O(1) per-session sums
-    cents = np.where(np.isfinite(v), np.floor(v * 100.0 + 0.5), 0.0).astype(
-        np.int64
-    )
-    ccents = np.concatenate(([0], np.cumsum(cents)))
-    breaks = np.flatnonzero(np.diff(ts) > gap_ms) + 1
-    seg_starts = np.concatenate(([0], breaks))
-    seg_ends = np.concatenate((breaks, [m]))
-    out = []
-    last_seg = len(seg_starts) - 1
-    for si, (a, b) in enumerate(zip(seg_starts, seg_ends)):
-        i = int(a)
-        b = int(b)
-        while i < b:
-            s = int(ts[i])
-            # first event STRICTLY past s+cap starts the next session;
-            # an event exactly at s+cap extends (side='right')
-            j = int(np.searchsorted(ts[i:b], s + cap_ms, side="right")) + i
-            if j < b:
-                reason = "cap"
-            elif si < last_seg:
-                reason = "gap"
-            else:
-                reason = final_reason
-            out.append(
-                (s, int(ts[j - 1]), j - i, int(ccents[j] - ccents[i]), reason)
-            )
-            i = j
-    return out
-
-
 def capped_sessions(
     df: DataFrame,
     ts_col: str = "ts",
@@ -162,18 +102,22 @@ def capped_sessions(
     determines where the next begins — see streaming/stateful.py), so
     no window expression can produce it. Batch shape: ONE hash exchange
     on ``user_col`` (``repartition``) + an Arrow-batched
-    ``mapInPandas`` kernel that concatenates each PARTITION's batches
-    once and walks its users with a pandas groupby — linear in events,
-    one row per session out. mapInPandas over partitions rather than
-    ``applyInPandas`` per group deliberately: event sessions mean MANY
-    TINY groups (thousands of users, dozens of events each), and
-    per-group Arrow round-trips dominated the per-partition form 2x
-    (1.04 s vs 0.60 s on the sf0.1 fixture's 1.5k users). The kernel
-    must gather ALL the partition's Arrow batches before grouping — a
-    user's rows can span batch boundaries
-    (arrow.maxRecordsPerBatch) — so per-task memory is one partition's
-    events: size ``spark.sql.shuffle.partitions`` to the cluster as
-    with any shuffle. Per-user memory beyond that is one state tuple.
+    ``mapInPandas`` kernel, fully VECTORIZED over the partition (r13 —
+    see make_walker): one lexsort, one diff for gap segments, one
+    global searchsorted for every cap jump, sessions emitted in
+    frontier rounds — no per-group pandas loop, no per-session Python
+    appends (with cap-heavy parameters sessions ~ events, so those
+    loops were the kernel's whole cost). mapInPandas over partitions
+    rather than ``applyInPandas`` per group deliberately: event
+    sessions mean MANY TINY groups, and per-group Arrow round-trips
+    dominated the per-partition form 2x (1.04 s vs 0.60 s on the sf0.1
+    fixture's 1.5k users). The kernel must gather ALL the partition's
+    Arrow batches before grouping — a user's rows can span batch
+    boundaries (arrow.maxRecordsPerBatch) — so per-task memory is one
+    partition's events: size ``spark.sql.shuffle.partitions`` to the
+    cluster as with any shuffle. The timestamp crosses the Python
+    boundary pre-converted to int64 epoch-ms (functions.tsql.epoch_ms,
+    the same truncation the split path and the oracle use).
 
     HOT-USER GUARD (r13, VERDICT r12 #2): hashing by ``user_col`` alone
     funnels a pathological user (bot traffic — 90 % of a day's events
@@ -224,11 +168,11 @@ def capped_sessions(
     session, the ``sessionize`` policy). Equal timestamps within a user
     need ``tiebreak`` columns for a deterministic walk order.
     """
+    from ..functions.tsql import epoch_ms
     from ..streaming.stateful import SESSION_SCHEMA, _duration_ms
 
     gap_ms = _duration_ms(gap)
     cap_ms = _duration_ms(max_duration)
-    sort_cols = [ts_col, *tiebreak]
     out_cols = [f.name for f in SESSION_SCHEMA.fields]
 
     base = df.filter(F.col(ts_col).isNotNull()).select(
@@ -243,50 +187,144 @@ def capped_sessions(
     else:
         split = bool(split_hot_users)
 
-    def session_row(user_id, s):
-        start, last, n, cents, reason = s
-        return {
-            "user_id": user_id,
-            "session_start_ms": start,
-            "session_end_ms": last,
-            "n_events": n,
-            "sum_value": cents / 100.0,
-            "closed_by": reason,
-        }
-
-    def make_walker(group_keys, final_reason):
+    def make_walker(group_keys, final_flag_col=None):
         """One shared mapInPandas kernel for both paths; they differ
         ONLY in the grouping key and how the final open session's close
-        reason is chosen (``final_reason(group_df) -> str``). Gather the
-        WHOLE partition before grouping: a group's rows can span Arrow
-        batch boundaries, and a per-batch walk would split sessions
-        (the streaming kernel's gather-then-sort discipline)."""
+        reason is chosen (no flag column -> the group's last session
+        closes 'timeout'; with ``final_flag_col`` -> 'timeout' iff any
+        row of the group carries the flag, else 'gap' — the split
+        path's is-this-the-user's-last-block marker). Gather the WHOLE
+        partition before grouping: a group's rows can span Arrow batch
+        boundaries, and a per-batch walk would split sessions (the
+        streaming kernel's gather-then-sort discipline).
+
+        FULLY VECTORIZED over the partition (r13): the former kernel
+        looped pandas groupby -> per-group sort -> per-SESSION Python
+        appends, and with cap-heavy parameters sessions ~ events (the
+        bench shape emits 338k sessions from 400k events), so the
+        Python-level iteration count was ~rows. This kernel never
+        loops rows OR sessions-per-group: one partition-wide lexsort,
+        gap segments from one diff, and ONE global vectorized
+        searchsorted giving every event's cap-jump target — each
+        segment's timestamps are rebased onto disjoint int64 lanes
+        (segment_index x a span-exceeding stride) so a single sorted
+        array serves every segment's searches without crossing
+        segments. Sessions are then emitted in FRONTIER ROUNDS: round
+        k closes every segment's k-th session at once, so Python-level
+        iterations = max sessions per segment in the partition, and
+        total numpy work stays linear in sessions. Output columns are
+        built directly from index arrays — no per-session dicts."""
+        import numpy as np
+        import pandas as pd
+
+        gcols = [group_keys] if isinstance(group_keys, str) else list(group_keys)
 
         def walk(batches):
-            import pandas as pd
-
             chunks = [p for p in batches if len(p)]
             if not chunks:
                 yield pd.DataFrame(columns=out_cols)
                 return
-            pdf = pd.concat(chunks)
-            out: list[dict] = []
-            for gk, g in pdf.groupby(group_keys, dropna=False, sort=False):
-                g = g.sort_values(sort_cols, kind="mergesort")
-                ts_ms = (g[ts_col].astype("int64") // 1_000_000).to_numpy()
-                vals = g[value_col].to_numpy()
-                user_id = gk[0] if isinstance(gk, tuple) else gk
-                for s in _walk_events(
-                    ts_ms, vals, gap_ms, cap_ms, final_reason(g)
-                ):
-                    out.append(session_row(user_id, s))
-            yield pd.DataFrame(out, columns=out_cols)
+            pdf = pd.concat(chunks, ignore_index=True)
+            m = len(pdf)
+            # null-safe group codes (factorize keys NaN like any value)
+            codes = None
+            for gcol in gcols:
+                c, _ = pd.factorize(pdf[gcol], use_na_sentinel=False)
+                codes = (
+                    c.astype(np.int64)
+                    if codes is None
+                    else codes * np.int64(int(c.max()) + 1) + c
+                )
+            ms_raw = pdf["__ms"].to_numpy(np.int64)
+            tb_arrays = tuple(
+                pdf[c].to_numpy() for c in reversed(list(tiebreak))
+            )
+            order = np.lexsort(tb_arrays + (ms_raw, codes))
+            codes = codes[order]
+            ms = ms_raw[order]
+            vals = pdf[value_col].to_numpy(np.float64)[order]
+            users = pdf[user_col].to_numpy()[order]
+            # scaled-cents discipline (functions.tsql.sum2): floor(v*100
+            # + 0.5) as int64, non-finite -> 0; cumsum gives O(1)
+            # per-session sums
+            cents = np.where(
+                np.isfinite(vals), np.floor(vals * 100.0 + 0.5), 0.0
+            ).astype(np.int64)
+            ccents = np.concatenate(([0], np.cumsum(cents)))
+
+            new_grp = np.empty(m, dtype=bool)
+            new_grp[0] = True
+            new_grp[1:] = codes[1:] != codes[:-1]
+            new_seg = new_grp.copy()
+            new_seg[1:] |= (ms[1:] - ms[:-1]) > gap_ms
+            seg_starts = np.flatnonzero(new_seg)
+            n_seg = len(seg_starts)
+            seg_ends = np.concatenate((seg_starts[1:], [m]))
+            seg_len = seg_ends - seg_starts
+            seg_of_row = np.repeat(np.arange(n_seg), seg_len)
+            # rebase each segment onto its own int64 lane: strictly
+            # sorted globally, and a start+cap probe can never reach
+            # past its own segment's lane
+            stride = np.int64(int(ms.max()) - int(ms.min())) + cap_ms + 1
+            adj = (ms - np.repeat(ms[seg_starts], seg_len)) + seg_of_row * stride
+            nxt = np.searchsorted(adj, adj + cap_ms, side="right")
+
+            # close reason of each segment's FINAL session: 'gap' unless
+            # it is the group's last segment, then timeout/gap by flag
+            grp_of_seg = codes[seg_starts]
+            last_seg = np.empty(n_seg, dtype=bool)
+            last_seg[-1] = True
+            last_seg[:-1] = grp_of_seg[:-1] != grp_of_seg[1:]
+            if final_flag_col is None:
+                grp_timeout = np.ones(n_seg, dtype=bool)
+            else:
+                flags = pdf[final_flag_col].to_numpy()[order].astype(bool)
+                grp_starts = np.flatnonzero(new_grp)
+                per_grp = np.maximum.reduceat(flags, grp_starts)
+                grp_timeout = per_grp[np.cumsum(new_grp)[seg_starts] - 1]
+            # reason codes: 0=cap, 1=gap, 2=timeout
+            seg_final_rc = np.where(last_seg & grp_timeout, 2, 1)
+
+            s_parts, e_parts, rc_parts = [], [], []
+            active = seg_starts
+            act_seg = np.arange(n_seg)
+            while active.size:
+                j = nxt[active]
+                se = seg_ends[act_seg]
+                done = j >= se
+                j = np.minimum(j, se)
+                s_parts.append(active)
+                e_parts.append(j)
+                rc_parts.append(np.where(done, seg_final_rc[act_seg], 0))
+                active = j[~done]
+                act_seg = act_seg[~done]
+            s = np.concatenate(s_parts)
+            e = np.concatenate(e_parts)
+            rc = np.concatenate(rc_parts)
+            reasons = np.array(["cap", "gap", "timeout"], dtype=object)[rc]
+            yield pd.DataFrame(
+                {
+                    "user_id": users[s],
+                    "session_start_ms": ms[s],
+                    "session_end_ms": ms[e - 1],
+                    "n_events": e - s,
+                    "sum_value": (ccents[e] - ccents[s]) / 100.0,
+                    "closed_by": reasons,
+                },
+                columns=out_cols,
+            )
 
         return walk
 
     if not split:
-        return base.repartition(user_col).mapInPandas(
-            make_walker(user_col, lambda g: "timeout"), schema=SESSION_SCHEMA
+        # __ms computed JVM-side: the Python boundary then moves a plain
+        # int64 instead of a timestamp (no per-row datetime conversion
+        # in the kernel), and only the columns the walk needs cross
+        return (
+            base.withColumn("__ms", epoch_ms(ts_col))
+            .select(user_col, "__ms", value_col, *tiebreak)
+            .repartition(user_col)
+            .mapInPandas(make_walker(user_col), schema=SESSION_SCHEMA)
         )
 
     # --- gap-block split path -------------------------------------------
@@ -308,8 +346,6 @@ def capped_sessions(
     #      bucket's last — one chained id across the boundary.)
     # The summary joins back on (user, bucket) — co-keyed with the pass-1
     # shuffle — and the walk re-keys by (user, global block).
-    from ..functions.tsql import epoch_ms
-
     bucket_ms = max(_duration_ms(bucket), gap_ms, cap_ms)
     ms = epoch_ms(ts_col)
     ev = base.withColumn("_ms", ms).withColumn(
@@ -366,13 +402,15 @@ def capped_sessions(
     ).withColumn(
         "_final", F.col("_last_bkt") & (F.col("_lblk") == F.col("_nblk"))
     ).select(
-        f"e.{user_col}", ts_col, value_col, *tiebreak, "_gblk", "_final"
+        f"e.{user_col}",
+        F.col("e._ms").alias("__ms"),
+        value_col,
+        *tiebreak,
+        "_gblk",
+        "_final",
     )
 
     return joined.repartition(user_col, "_gblk").mapInPandas(
-        make_walker(
-            [user_col, "_gblk"],
-            lambda g: "timeout" if bool(g["_final"].any()) else "gap",
-        ),
+        make_walker([user_col, "_gblk"], final_flag_col="_final"),
         schema=SESSION_SCHEMA,
     )
