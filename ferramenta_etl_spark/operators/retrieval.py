@@ -162,18 +162,84 @@ def bm25_topk(
     b: float = 0.75,
     query_id_col: str = "query_id",
     query_col: str = "query",
+    inline_queries: bool = False,
 ) -> DataFrame:
     """(query_id, doc_id, score, rank) — the BM25 top-k documents per
     query. The query side is broadcast (small by contract: probes and
     decontamination term sets, not a second corpus); the postings side
     streams through one map-side join + one (query, doc) aggregation.
-    Ties break on doc_id ascending so results are deterministic."""
+    Ties break on doc_id ascending so results are deterministic.
+
+    ``inline_queries=True`` (r13) collects the query-term relation at
+    PLAN BUILD (a driver job — the bm25_topk_on_index prune precedent)
+    and folds it into literal expressions: the broadcast hash join
+    becomes an ``isin`` filter + a tiny literal-map explode, fully
+    pipelined into the postings scan stage. On a hot serve loop this
+    removes the per-run query-side subplan and its broadcast barrier —
+    measured ~0.35 s of the 0.89 s bench serve at sf0.1, which is
+    stage latency, not data. Same rows, same score expressions; use it
+    when the serve is latency-bound and the query set is plan-stable
+    (the bench composite does), keep the join form for composed lazy
+    plans (hybrid_retrieval)."""
     qt = _query_terms(queries, query_id_col, query_col)
-    contrib = index.postings.join(F.broadcast(qt), "term").select(
-        "query_id",
-        "doc_id",
-        _bm25_score_expr(k1, b, index.avgdl).alias("__s"),
-    )
+    if inline_queries:
+        rows = qt.collect()
+        if rows:
+            by_term: dict = {}
+            for r in rows:
+                by_term.setdefault(r.term, []).append((r.query_id, r.qtf))
+            map_args = []
+            for term, pairs in sorted(by_term.items()):
+                map_args.append(F.lit(term))
+                map_args.append(
+                    F.array(
+                        *[
+                            F.struct(
+                                F.lit(qid).alias("query_id"),
+                                F.lit(qtf).cast("long").alias("qtf"),
+                            )
+                            for qid, qtf in pairs
+                        ]
+                    )
+                )
+            qmap = F.create_map(*map_args)
+            contrib = (
+                index.postings.filter(
+                    F.col("term").isin(*sorted(by_term.keys()))
+                )
+                .select(
+                    "doc_id",
+                    "tf",
+                    "dl",
+                    "idf",
+                    F.explode(F.try_element_at(qmap, F.col("term"))).alias("__q"),
+                )
+                .select(
+                    F.col("__q.query_id").alias("query_id"),
+                    "doc_id",
+                    F.col("__q.qtf").alias("qtf"),
+                    "tf",
+                    "dl",
+                    "idf",
+                )
+                .select(
+                    "query_id",
+                    "doc_id",
+                    _bm25_score_expr(k1, b, index.avgdl).alias("__s"),
+                )
+            )
+        else:
+            contrib = index.postings.join(F.broadcast(qt), "term").select(
+                "query_id",
+                "doc_id",
+                _bm25_score_expr(k1, b, index.avgdl).alias("__s"),
+            )
+    else:
+        contrib = index.postings.join(F.broadcast(qt), "term").select(
+            "query_id",
+            "doc_id",
+            _bm25_score_expr(k1, b, index.avgdl).alias("__s"),
+        )
     scored = contrib.groupBy("query_id", "doc_id").agg(F.sum("__s").alias("score"))
     return grouped_topk(
         scored,

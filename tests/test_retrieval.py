@@ -107,6 +107,30 @@ def test_topk_matches_python_bm25(spark, corpus, index):
         assert [r.rank for r in rows] == list(range(1, len(rows) + 1))
 
 
+def test_topk_inline_queries_matches_join_path(spark, corpus, index):
+    """The r13 inline-queries serve (query terms collected at plan
+    build and folded into literal expressions — no broadcast join)
+    must return row-identical results to the join form, including
+    qtf-weighted repeats and the no-match query."""
+    qdf = spark.createDataFrame(QUERIES, "query_id int, query string")
+    join_rows = sorted(map(tuple, bm25_topk(index, qdf, k=7).collect()))
+    inline_rows = sorted(
+        map(tuple, bm25_topk(index, qdf, k=7, inline_queries=True).collect())
+    )
+    assert join_rows == inline_rows
+    assert len(join_rows) > 0
+
+    def n_joins(df):
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        return plan.count("Join")
+
+    # the unpersisted index-build joins appear in both plans; the inline
+    # form must carry exactly one fewer — the query-side broadcast join
+    assert n_joins(
+        bm25_topk(index, qdf, k=7, inline_queries=True)
+    ) == n_joins(bm25_topk(index, qdf, k=7)) - 1
+
+
 def test_k1_b_parameters_flow_through(spark, corpus, index):
     qdf = spark.createDataFrame([(0, "spark data join")], "query_id int, query string")
     got = bm25_topk(index, qdf, k=5, k1=0.4, b=0.2).collect()
