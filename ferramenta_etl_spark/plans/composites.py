@@ -49,6 +49,16 @@ def _skewed_fact_dim(spark: SparkSession, sf: str, replicate: int):
             .alias("k"),
             "l_quantity",
         )
+        # r13 measurement fix (the capped_sessions / media / bpe spine
+        # convention, VERDICT r11 #3): the replicate-x explode is
+        # FIXTURE SYNTHESIS, not the join under test — materialize it at
+        # plan build so the timed runs measure the skewed exchange +
+        # join + aggregation both arms exist to compare. Timed work now
+        # STARTS at the 12M-row skewed relation; pre-fix numbers (which
+        # included ~1.4 s/run of explode) end at BENCH_r12 /
+        # the r13 baseline run — see OPTIMIZATION_r13.md.
+        .repartition(spark.sparkContext.defaultParallelism)
+        .localCheckpoint(eager=True)
     )
     dim = spark.range(5000).select(
         F.col("id").alias("k"), (F.col("id") % 97).alias("weight")
