@@ -130,10 +130,26 @@ def flagship(
             F.col("ds_tipo_movimento").alias("k3"),
         ),
     )
-    latest_manifesto = (
-        picked.join(customer, picked.ciot_key == customer.c_custkey)  # S:51
-        .join(nation, customer.c_nationkey == nation.n_nationkey)  # S:52
+    # The dim chain joins AFTER the pick, deduped per custkey as a
+    # WHOLE: a custkey group survives the original (join-then-pick)
+    # formulation iff at least one customer⋈nation⋈region chain
+    # succeeds for it, and duplicates anywhere along the chain were
+    # absorbed by the rn=1 pick — so the commuted form must keep
+    # exactly one SUCCESSFUL chain per custkey (deduping each dim
+    # separately can keep a dead-end duplicate and drop a live group —
+    # caught by the duplicate/null-key oracle fuzz). Among multiple
+    # successful chains the survivor is arbitrary, the same tie class
+    # the original window pick (and the oracle's ROW_NUMBER) already
+    # had. Cost: one dimension-sized dedup exchange, far below the
+    # orders x lineitem fan-out stream these joins left.
+    chain = (
+        customer.join(nation, customer.c_nationkey == nation.n_nationkey)  # S:52
         .join(region, nation.n_regionkey == region.r_regionkey)
+        .select("c_custkey", "c_name", "c_acctbal", "n_name", "r_name")
+        .dropDuplicates(["c_custkey"])
+    )
+    latest_manifesto = (
+        picked.join(chain, picked.ciot_key == chain.c_custkey)  # S:51
         .select(
             "ciot_key",
             "nr_ciot",
