@@ -120,15 +120,16 @@ def test_topk_inline_queries_matches_join_path(spark, corpus, index):
     assert join_rows == inline_rows
     assert len(join_rows) > 0
 
-    def n_joins(df):
-        plan = df._jdf.queryExecution().executedPlan().toString()
-        return plan.count("Join")
+    # plan pin on a lineage-truncated index (the index-build joins would
+    # otherwise ride along and their count varies with session conf):
+    # the inline serve must contain NO join at all, the join form one
+    flat = index._replace(postings=index.postings.localCheckpoint(eager=True))
 
-    # the unpersisted index-build joins appear in both plans; the inline
-    # form must carry exactly one fewer — the query-side broadcast join
-    assert n_joins(
-        bm25_topk(index, qdf, k=7, inline_queries=True)
-    ) == n_joins(bm25_topk(index, qdf, k=7)) - 1
+    def plan_of(df):
+        return df._jdf.queryExecution().executedPlan().toString()
+
+    assert "Join" not in plan_of(bm25_topk(flat, qdf, k=7, inline_queries=True))
+    assert "Join" in plan_of(bm25_topk(flat, qdf, k=7))
 
 
 def test_k1_b_parameters_flow_through(spark, corpus, index):
