@@ -656,26 +656,35 @@ def remove_contaminated_spans(
     joined = corpus.join(
         hit_pos, F.col(id_col) == F.col("__sid"), "left"
     ).drop("__sid")
-    hits = F.coalesce(
-        F.col("__hits"), F.array().cast("array<int>")
-    )
-    # token i is dirty iff some hit gram starting at p covers it with
-    # margin: p - margin <= i <= p + n - 1 + margin
-    def _clean(tk):
-        return F.filter(
-            tk,
-            lambda x, i: ~F.exists(
-                hits,
-                lambda p: (i >= p - F.lit(margin))
-                & (i <= p + F.lit(n - 1 + margin)),
+    # tokens / hit list / cleaned tokens BOUND AS COLUMNS before the
+    # final projection: the select consumes each of them several times
+    # (join + two sizes), higher-order expressions stay interpreted (no
+    # codegen CSE), and a repeated tree re-tokenizes or re-filters per
+    # reference — measured ~24% of the operator at sf0.1 (r13; the
+    # tfidf_topk_arrays lesson applied here)
+    joined = (
+        joined.withColumn("__tk", toks)
+        .withColumn(
+            "__h", F.coalesce(F.col("__hits"), F.array().cast("array<int>"))
+        )
+        .withColumn(
+            # token i is dirty iff some hit gram starting at p covers it
+            # with margin: p - margin <= i <= p + n - 1 + margin
+            "__ct",
+            F.filter(
+                F.col("__tk"),
+                lambda x, i: ~F.exists(
+                    F.col("__h"),
+                    lambda p: (i >= p - F.lit(margin))
+                    & (i <= p + F.lit(n - 1 + margin)),
+                ),
             ),
         )
-
-    clean_toks = _clean(toks)
+    )
     # merged-span count: consecutive hits p_prev, p merge when their
     # margin-padded intervals touch, i.e. p - p_prev <= n + 2*margin
     n_spans = F.aggregate(
-        hits,
+        F.col("__h"),
         F.struct(
             F.lit(0).alias("cnt"), F.lit(-(10**9)).alias("prev")
         ),
@@ -690,9 +699,11 @@ def remove_contaminated_spans(
     )
     return joined.select(
         *[c for c in corpus.columns],
-        F.array_join(clean_toks, " ").alias(out_col),
-        F.size(toks).alias("n_tokens"),
-        (F.size(toks) - F.size(clean_toks)).alias("n_tokens_removed"),
+        F.array_join(F.col("__ct"), " ").alias(out_col),
+        F.size(F.col("__tk")).alias("n_tokens"),
+        (F.size(F.col("__tk")) - F.size(F.col("__ct"))).alias(
+            "n_tokens_removed"
+        ),
         n_spans.alias("n_spans"),
         F.coalesce(F.col("__nc"), F.lit(0)).cast("bigint").alias(
             "n_contaminated"
