@@ -113,11 +113,21 @@ def test_topk_inline_queries_matches_join_path(spark, corpus, index):
     must return row-identical results to the join form, including
     qtf-weighted repeats and the no-match query."""
     qdf = spark.createDataFrame(QUERIES, "query_id int, query string")
-    join_rows = sorted(map(tuple, bm25_topk(index, qdf, k=7).collect()))
+    join_rows = sorted(bm25_topk(index, qdf, k=7).collect(),
+                       key=lambda r: (r.query_id, r.rank))
     inline_rows = sorted(
-        map(tuple, bm25_topk(index, qdf, k=7, inline_queries=True).collect())
+        bm25_topk(index, qdf, k=7, inline_queries=True).collect(),
+        key=lambda r: (r.query_id, r.rank),
     )
-    assert join_rows == inline_rows
+    # ids and ranks exactly; scores to the ulp — the per-(query, doc)
+    # F.sum adds partial aggregates in partition order, which differs
+    # between the two plans (bm25_topk documents the serve sum as
+    # order-dependent / rank-stable), so last-ulp drift is expected
+    assert [(r.query_id, r.doc_id, r.rank) for r in join_rows] == [
+        (r.query_id, r.doc_id, r.rank) for r in inline_rows
+    ]
+    for a, b in zip(join_rows, inline_rows):
+        assert a.score == pytest.approx(b.score, rel=1e-12)
     assert len(join_rows) > 0
 
     # plan pin on a lineage-truncated index (the index-build joins would
