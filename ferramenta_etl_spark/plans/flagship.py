@@ -34,6 +34,35 @@ from ..functions.tsql import convert_103, dt_hr_concat, isnull, money
 from ..operators.dedup import latest_per_key
 from ..sources import load_table
 
+# Broadcast cap for the customer-cardinality relations (the deduped dim
+# chain and latest_manifesto): the guide's §3.1 sizing — a few hundred MB
+# broadcasts comfortably, multiple GB risks driver/executor OOM and the
+# 8 GB hard cap. Catalyst's own estimate of the BASE dim tables gates the
+# hints (r14): the r13 restructure moved the customer⋈nation⋈region chain
+# behind a dropDuplicates aggregate, whose output-size estimate Catalyst
+# garbles upward, so the broadcast the pre-r13 plan applied to these same
+# dims degraded to SortMergeJoin + 2 Sorts (VERDICT r13 #1). The hint
+# restores the decision from the honest base-table stats; past the cap
+# (dims genuinely beyond broadcast scale) the sort-merge plan returns.
+_BCAST_DIM_CAP_BYTES = 256 * 1024 * 1024
+
+
+def _dims_fit_broadcast(*dims: DataFrame) -> bool:
+    """True when Catalyst's size estimate of every given relation sums
+    under ``_BCAST_DIM_CAP_BYTES``. Stats-only (analysis, no job);
+    unknown estimates (Catalyst returns Long.Max for some sources)
+    disable the hint — fail toward the always-correct sort-merge plan."""
+    total = 0
+    for d in dims:
+        try:
+            est = int(d._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+        except Exception:
+            return False
+        if est < 0 or est >= (1 << 62):  # unknown/absent statistics
+            return False
+        total += est
+    return total < _BCAST_DIM_CAP_BYTES
+
 
 def flagship(
     spark: SparkSession,
@@ -68,6 +97,21 @@ def flagship(
     lineitem = tab("lineitem")
     part = tab("part")
     supplier = tab("supplier")
+
+    # r14: with the dims broadcast (below), BOTH lineitem consumers run
+    # broadcast-join-only stages whose parallelism is the scan's split
+    # count — a single-file input serializes the bridge's partial pick
+    # aggregate and the final 5-join+format stage onto one core. The
+    # committed guard repartitions IFF the scan is under-parallel (no-op
+    # at production scale where inputs span files); hashed on l_orderkey
+    # — the key both consumers immediately join on — rather than
+    # round-robin, whose mandatory binary sort is itself a serialized
+    # full-input pass (measured 1.34 s vs 0.73 s on the parcelas stream).
+    from ..sources.tables import ensure_scan_parallelism
+
+    dims_small = _dims_fit_broadcast(customer, nation, region)
+    if dims_small:
+        lineitem = ensure_scan_parallelism(lineitem, spread_by=("l_orderkey",))
 
     # ---- CTE 1: MANIFESTO_INFO (S:35-57) ----
     # r13 restructure: cd_placa / ds_tipo_veiculo / ds_regiao /
@@ -148,6 +192,14 @@ def flagship(
         .select("c_custkey", "c_name", "c_acctbal", "n_name", "r_name")
         .dropDuplicates(["c_custkey"])
     )
+    # r14 (VERDICT r13 #1): the dropDuplicates aggregate hides the
+    # chain's dimension-sized estimate, so this join planned as a
+    # SortMergeJoin — the explicit hint restores the broadcast the
+    # pre-restructure plan already applied to these dims, and with it
+    # the picked side's Exchange+Sort disappear. Gated on the base
+    # tables' own stats so dims beyond broadcast scale keep the SMJ.
+    if dims_small:
+        chain = F.broadcast(chain)
     latest_manifesto = (
         picked.join(chain, picked.ciot_key == chain.c_custkey)  # S:51
         .select(
@@ -168,7 +220,17 @@ def flagship(
     # ---- final select (S:71-98) ----
     a = lineitem.alias("a")  # parcelas (tbd_22_CIOTParcela)
     b = orders.alias("b")  # header (tbd_22_CIOT)
-    m = latest_manifesto.alias("m")
+    # r14: latest_manifesto is customer-CARDINALITY (one row per picked
+    # custkey — bounded by |customer| regardless of the orders×lineitem
+    # fan-out), but its size estimate flows through the pick aggregate,
+    # so every prior round's plan sort-merge-joined it: the ONLY
+    # remaining row-scale Exchange+Sort in the query was the parcelas
+    # fan-out stream being hashed on o_custkey just to meet this
+    # dimension-sized relation. Broadcasting it (same stats gate as the
+    # chain) removes that exchange outright — the final select becomes
+    # a pure chain of broadcast joins over the lineitem scan, the §2.4
+    # "remove shuffles outright" shape. Past the cap the SMJ returns.
+    m = (F.broadcast(latest_manifesto) if dims_small else latest_manifesto).alias("m")
     c = supplier.alias("c")  # motorista (S:94)
     d = supplier.alias("d")  # agregado  (S:95)
     bank = nation.alias("bank")  # referencia bancaria (S:96)

@@ -15,6 +15,8 @@ and nothing else changes.
 
 from __future__ import annotations
 
+from collections.abc import Sequence
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -209,7 +211,11 @@ def _estimated_scan_partitions(df: DataFrame, files: list[str]) -> int:
     return max(1, -(-padded // max(1, max_split)))  # ceil div
 
 
-def ensure_scan_parallelism(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
+def ensure_scan_parallelism(
+    df: DataFrame,
+    min_partitions: int | None = None,
+    spread_by: "Sequence[str]" = (),
+) -> DataFrame:
     """Round-robin repartition IFF the plan currently has fewer
     partitions than the session's parallelism. Guards expression-heavy
     map work (n-gram explodes and similar interpreted HOF projections)
@@ -236,7 +242,15 @@ def ensure_scan_parallelism(df: DataFrame, min_partitions: int | None = None) ->
       short-circuits: each file is at least one split);
     - scan-free plans (local relations) fall back to the rdd probe —
       with no scans and no exchanges there are no query stages to
-      trigger."""
+      trigger.
+
+    ``spread_by`` (r14): names of well-spread key columns; when given,
+    the guard repartitions by HASH on them instead of round-robin,
+    skipping round-robin's mandatory per-partition binary sort
+    (sortBeforeRepartition) — which this guard would otherwise pay as a
+    serialized full-input pass, since it fires exactly when the input
+    is one partition. Callers must pick keys with enough distinct
+    values to spread across ``target`` partitions (guide §2.5)."""
     import re
 
     target = min_partitions or df.sparkSession.sparkContext.defaultParallelism
@@ -251,12 +265,28 @@ def ensure_scan_parallelism(df: DataFrame, min_partitions: int | None = None) ->
     files = df.inputFiles()
     if len(files) >= target:
         return df
+
+    def _spread(d: DataFrame) -> DataFrame:
+        # HASH repartition when the caller names well-spread key columns
+        # (r14): a keyless round-robin repartition first SORTS each input
+        # partition by the rows' binary form (sortBeforeRepartition, on
+        # by default since SPARK-23207 so retried tasks reproduce their
+        # row-to-partition assignment) — and this guard fires exactly
+        # when the input is ONE partition, making that sort a serialized
+        # full-input pass (measured 1.34 s vs 0.73 s on the flagship
+        # parcelas stream at sf0.1). Hash partitioning is deterministic
+        # per row, needs no such sort, and a real key column spreads as
+        # well as round-robin (guide §2.5's deterministic-key rule).
+        if spread_by:
+            return d.repartition(target, *[F.col(c) for c in spread_by])
+        return d.repartition(target)
+
     if files:
         if _estimated_scan_partitions(df, files) >= target:
             return df
-        return df.repartition(target)
+        return _spread(df)
     if df.rdd.getNumPartitions() < target:
-        return df.repartition(target)
+        return _spread(df)
     return df
 
 
