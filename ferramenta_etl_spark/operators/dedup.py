@@ -481,7 +481,7 @@ def minhash_signatures(
         # the shingle explode is the expensive map stage; don't let a
         # single-row-group scan serialize it onto one core (measured
         # ~13% whole-query win at sf0.1; no-op on many-file inputs)
-        ensure_scan_parallelism(df)
+        ensure_scan_parallelism(df, spread_by=(id_col,))
         .select(
             F.col(id_col),
             F.explode(shingle_hashes(F.col(text_col), shingle_k, portable)).alias("h"),
@@ -1024,7 +1024,7 @@ def substring_dup_pairs(
 
     from ..sources.tables import ensure_scan_parallelism
 
-    fps = ensure_scan_parallelism(df).select(
+    fps = ensure_scan_parallelism(df, spread_by=(id_col,)).select(
         F.col(id_col),
         F.explode(winnowing_fingerprints(F.col(text_col), k, window)).alias("fp"),
     )

@@ -310,10 +310,10 @@ def contamination_hits(
 
     # gram generation is the expensive interpreted-HOF projection; make
     # sure it isn't serialized onto one core by a single-row-group scan
-    bench_grams = ensure_scan_parallelism(benchmark).select(
+    bench_grams = ensure_scan_parallelism(benchmark, spread_by=(text_col,)).select(
         F.explode(grams(F.col(text_col))).alias("g")
     ).distinct()
-    corpus_grams = ensure_scan_parallelism(corpus).select(
+    corpus_grams = ensure_scan_parallelism(corpus, spread_by=(id_col,)).select(
         F.col(id_col), F.explode(grams(F.col(text_col))).alias("g")
     )
     return (
@@ -501,7 +501,7 @@ def contamination_hits_scaled(
     def grams(col):
         return F.array_distinct(shingle_hashes(col, n))
 
-    bench_hashes = ensure_scan_parallelism(benchmark).select(
+    bench_hashes = ensure_scan_parallelism(benchmark, spread_by=(text_col,)).select(
         F.explode(grams(F.col(text_col))).alias("g")
     )
 
@@ -510,7 +510,7 @@ def contamination_hits_scaled(
     )
     might_contain = gram_bloom_probe_udf(bc, m, k)
 
-    corpus_grams = ensure_scan_parallelism(corpus).select(
+    corpus_grams = ensure_scan_parallelism(corpus, spread_by=(id_col,)).select(
         F.col(id_col), F.explode(grams(F.col(text_col))).alias("g")
     )
     survivors = corpus_grams.filter(might_contain(F.col("g")))
@@ -561,7 +561,8 @@ def contamination_hits_auto(
     # sample keyed on the text hash — the one column every benchmark is
     # guaranteed to carry here (id_col names the CORPUS's id)
     sampled = hash_sample(
-        ensure_scan_parallelism(benchmark), frac, id_col=text_col
+        ensure_scan_parallelism(benchmark, spread_by=(text_col,)), frac,
+        id_col=text_col,
     )
     est = (
         sampled.select(
@@ -629,12 +630,12 @@ def remove_contaminated_spans(
     from ..sources.tables import ensure_scan_parallelism
 
     span = n + 2 * margin  # merged-span gap threshold (see n_spans fold)
-    bench_grams = ensure_scan_parallelism(benchmark).select(
+    bench_grams = ensure_scan_parallelism(benchmark, spread_by=(text_col,)).select(
         F.explode(word_ngrams(F.col(text_col), n)).alias("g")
     ).distinct()
     toks = ws_tokens(F.col(text_col))
     m = F.greatest(F.size(toks) - F.lit(n - 1), F.lit(0))
-    pos_grams = ensure_scan_parallelism(corpus).select(
+    pos_grams = ensure_scan_parallelism(corpus, spread_by=(id_col,)).select(
         F.col(id_col).alias("__sid"),
         F.posexplode(_gram_zip(toks, n, m)).alias("pos", "g"),
     )

@@ -827,7 +827,9 @@ def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.text import tfidf_topk_arrays
     from ..sources.tables import ensure_scan_parallelism
 
-    docs = ensure_scan_parallelism(load_table(spark, sf_dir, "documents"))
+    docs = ensure_scan_parallelism(
+        load_table(spark, sf_dir, "documents"), spread_by=("doc_id",)
+    )
     t = F.col("text")
     # r13: the keywords ride the per-doc array kernel
     # (text.tfidf_topk_arrays), so the whole query is ONE projection
