@@ -154,6 +154,66 @@ def _query_terms(queries: DataFrame, query_id_col: str, query_col: str) -> DataF
     )
 
 
+def _inline_query_contrib(
+    postings: DataFrame, qt: DataFrame, keep_term: bool = False
+) -> DataFrame | None:
+    """The r13 ``inline_queries`` kernel, shared by bm25_topk and
+    bm25_scores: collect the (small by contract) query-term relation at
+    PLAN BUILD and fold it into literal expressions — an ``isin``
+    filter + a tiny literal-map explode replace the per-action
+    query-side subplan and its broadcast barrier. Returns the
+    (query_id, doc_id, [term,] qtf, tf, dl, idf) relation, or None when
+    the query set is empty (caller falls back to the join form, which
+    yields the same zero rows lazily). query_id/qtf literals are cast
+    to the collected relation's own dtypes (ADVICE r13: a bigint
+    query_id rebuilt via F.lit would come back as IntegerType and
+    silently change the output schema vs the join path)."""
+    rows = qt.collect()
+    if not rows:
+        return None
+    qid_type = qt.schema["query_id"].dataType
+    qtf_type = qt.schema["qtf"].dataType
+    by_term: dict = {}
+    for r in rows:
+        by_term.setdefault(r.term, []).append((r.query_id, r.qtf))
+    map_args = []
+    for term, pairs in sorted(by_term.items()):
+        map_args.append(F.lit(term))
+        map_args.append(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(qid).cast(qid_type).alias("query_id"),
+                        F.lit(qtf).cast(qtf_type).alias("qtf"),
+                    )
+                    for qid, qtf in pairs
+                ]
+            )
+        )
+    qmap = F.create_map(*map_args)
+    out = (
+        postings.filter(F.col("term").isin(*sorted(by_term.keys())))
+        .select(
+            "term",
+            "doc_id",
+            "tf",
+            "dl",
+            "idf",
+            F.explode(F.try_element_at(qmap, F.col("term"))).alias("__q"),
+        )
+        .select(
+            F.col("__q.query_id").alias("query_id"),
+            "doc_id",
+            *(["term"] if keep_term else []),
+            F.col("__q.qtf").alias("qtf"),
+            "tf",
+            "dl",
+            "idf",
+        )
+    )
+    return out
+
+
 def bm25_topk(
     index: BM25Index,
     queries: DataFrame,
@@ -182,58 +242,15 @@ def bm25_topk(
     (the bench composite does), keep the join form for composed lazy
     plans (hybrid_retrieval)."""
     qt = _query_terms(queries, query_id_col, query_col)
-    if inline_queries:
-        rows = qt.collect()
-        if rows:
-            by_term: dict = {}
-            for r in rows:
-                by_term.setdefault(r.term, []).append((r.query_id, r.qtf))
-            map_args = []
-            for term, pairs in sorted(by_term.items()):
-                map_args.append(F.lit(term))
-                map_args.append(
-                    F.array(
-                        *[
-                            F.struct(
-                                F.lit(qid).alias("query_id"),
-                                F.lit(qtf).cast("long").alias("qtf"),
-                            )
-                            for qid, qtf in pairs
-                        ]
-                    )
-                )
-            qmap = F.create_map(*map_args)
-            contrib = (
-                index.postings.filter(
-                    F.col("term").isin(*sorted(by_term.keys()))
-                )
-                .select(
-                    "doc_id",
-                    "tf",
-                    "dl",
-                    "idf",
-                    F.explode(F.try_element_at(qmap, F.col("term"))).alias("__q"),
-                )
-                .select(
-                    F.col("__q.query_id").alias("query_id"),
-                    "doc_id",
-                    F.col("__q.qtf").alias("qtf"),
-                    "tf",
-                    "dl",
-                    "idf",
-                )
-                .select(
-                    "query_id",
-                    "doc_id",
-                    _bm25_score_expr(k1, b, index.avgdl).alias("__s"),
-                )
-            )
-        else:
-            contrib = index.postings.join(F.broadcast(qt), "term").select(
-                "query_id",
-                "doc_id",
-                _bm25_score_expr(k1, b, index.avgdl).alias("__s"),
-            )
+    inlined = (
+        _inline_query_contrib(index.postings, qt) if inline_queries else None
+    )
+    if inlined is not None:
+        contrib = inlined.select(
+            "query_id",
+            "doc_id",
+            _bm25_score_expr(k1, b, index.avgdl).alias("__s"),
+        )
     else:
         contrib = index.postings.join(F.broadcast(qt), "term").select(
             "query_id",
@@ -258,9 +275,20 @@ def bm25_scores(
     query_id_col: str = "query_id",
     query_col: str = "query",
     stable_round: int | None = None,
+    inline_queries: bool = False,
 ) -> DataFrame:
     """(query_id, doc_id, score) for every document sharing at least
     one term with the query — ``bm25_topk`` without the top-k cut.
+
+    ``inline_queries`` (r14, VERDICT r13 #5): the bm25_topk inline
+    path for plan-stable query sets — the query-term relation is
+    collected at plan build and folded into literal expressions, so
+    each action skips the query-side subplan and its broadcast
+    barrier. Row- and ulp-identical to the join form under
+    ``stable_round`` (the fold sums per-(query, doc) contributions in
+    term order either way; differential-tested), and ulp-identical
+    score EXPRESSIONS in the default form (only the join mechanics
+    change, not the arithmetic).
 
     ``stable_round=N``: ORDER-STABLE scoring for the oracle gate — the
     per-posting contributions are collected per (query, doc), sorted by
@@ -273,12 +301,25 @@ def bm25_scores(
     (None) keeps the partial-aggregated sum: cheaper, and rank-stable
     for serving."""
     qt = _query_terms(queries, query_id_col, query_col)
-    contrib = index.postings.join(F.broadcast(qt), "term").select(
-        "query_id",
-        "doc_id",
-        "term",
-        _bm25_score_expr(k1, b, index.avgdl).alias("__s"),
+    inlined = (
+        _inline_query_contrib(index.postings, qt, keep_term=True)
+        if inline_queries
+        else None
     )
+    if inlined is not None:
+        contrib = inlined.select(
+            "query_id",
+            "doc_id",
+            "term",
+            _bm25_score_expr(k1, b, index.avgdl).alias("__s"),
+        )
+    else:
+        contrib = index.postings.join(F.broadcast(qt), "term").select(
+            "query_id",
+            "doc_id",
+            "term",
+            _bm25_score_expr(k1, b, index.avgdl).alias("__s"),
+        )
     if stable_round is None:
         return contrib.groupBy("query_id", "doc_id").agg(
             F.sum("__s").alias("score")

@@ -1599,7 +1599,13 @@ def hybrid_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
     qdf = spark.createDataFrame(
         _BM25_QUERIES, "query_id int, query string"
     )
-    scores = bm25_scores(idx, qdf, stable_round=6)
+    # r14 (VERDICT r13 #5): the probe query set is plan-stable, so the
+    # serve folds it into literal expressions (the bm25_topk r13 path,
+    # now shared) instead of re-running the query-side subplan +
+    # broadcast per action. Same rows to the ulp: the stable fold sums
+    # per-(query, doc) contributions in term order either way
+    # (differential test in tests/test_retrieval.py).
+    scores = bm25_scores(idx, qdf, stable_round=6, inline_queries=True)
     lex = grouped_topk(
         scores,
         ["query_id"],

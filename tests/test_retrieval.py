@@ -10,6 +10,7 @@ import pytest
 from pyspark.sql import functions as F
 
 from ferramenta_etl_spark.operators.retrieval import (
+    bm25_scores,
     bm25_topk,
     bm25_topk_on_index,
     build_bm25_index,
@@ -140,6 +141,49 @@ def test_topk_inline_queries_matches_join_path(spark, corpus, index):
 
     assert "Join" not in plan_of(bm25_topk(flat, qdf, k=7, inline_queries=True))
     assert "Join" in plan_of(bm25_topk(flat, qdf, k=7))
+
+
+def test_scores_inline_queries_matches_join_path(spark, corpus, index):
+    """r14 (VERDICT r13 #5): bm25_scores grows the same inline-queries
+    opt-in so hybrid_retrieval's serve can skip the per-action
+    query-side subplan. Under stable_round the two paths must be
+    BIT-identical — the fold sums per-(query, doc) contributions in
+    term order regardless of how the query terms were attached, and
+    both round to the same decimals."""
+    qdf = spark.createDataFrame(QUERIES, "query_id int, query string")
+    join_rows = sorted(
+        bm25_scores(index, qdf, stable_round=6).collect(),
+        key=lambda r: (r.query_id, r.doc_id),
+    )
+    inline_rows = sorted(
+        bm25_scores(index, qdf, stable_round=6, inline_queries=True).collect(),
+        key=lambda r: (r.query_id, r.doc_id),
+    )
+    assert [(r.query_id, r.doc_id, r.score) for r in join_rows] == [
+        (r.query_id, r.doc_id, r.score) for r in inline_rows
+    ]
+    assert len(join_rows) > 0
+
+
+def test_inline_queries_preserves_bigint_query_id_schema(spark, corpus, index):
+    """ADVICE r13: the inline path rebuilds query_id via literals, so a
+    non-int32 id column must come back with its ORIGINAL dtype — the
+    differential tests above only use int ids and would not catch an
+    IntegerType downcast."""
+    qdf = spark.createDataFrame(
+        [(10_000_000_000, "spark data join")], "query_id long, query string"
+    )
+    join_df = bm25_topk(index, qdf, k=3)
+    inline_df = bm25_topk(index, qdf, k=3, inline_queries=True)
+    # dtypes (names + types) must match exactly; nullability may only
+    # TIGHTEN on the inline path (literals are provably non-null)
+    assert inline_df.dtypes == join_df.dtypes
+    assert dict(inline_df.dtypes)["query_id"] == "bigint"
+    for inl, jn in zip(inline_df.schema.fields, join_df.schema.fields):
+        assert (not inl.nullable) or jn.nullable
+    assert sorted(
+        (r.query_id, r.doc_id, r.rank) for r in inline_df.collect()
+    ) == sorted((r.query_id, r.doc_id, r.rank) for r in join_df.collect())
 
 
 def test_k1_b_parameters_flow_through(spark, corpus, index):
