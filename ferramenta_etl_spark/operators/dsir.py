@@ -183,11 +183,23 @@ def fit_dsir(
     return DSIRModel(log_ratio, default, n_buckets, ns, hash_family)
 
 
+_MAX_INLINE_BUCKETS = 262_144
+"""Ceiling on the dense-literal scoring path (VERDICT r13 #4): the
+inline form parses and constant-folds an n_buckets-element array
+literal — ~5 MB of SQL text and a same-sized Catalyst constant at this
+bound, both linear in n_buckets, so a 10^8-bucket model would blow up
+the expression tree/codegen long before the data moves. Past the
+ceiling, scoring falls back to the broadcast-join form (the pre-r13
+plan): one (doc, bucket) pre-aggregation + a bucket-keyed broadcast
+join — the shape that scales with n_buckets instead of inlining it."""
+
+
 def dsir_log_weights(
     model: DSIRModel,
     docs: DataFrame,
     text_col: str = "text",
     doc_id_col: str = "doc_id",
+    max_inline_buckets: int = _MAX_INLINE_BUCKETS,
 ) -> DataFrame:
     """Row-count-preserving (doc_id, log_w): the importance log-weight
     of every document under ``model``. Featureless documents (empty
@@ -209,11 +221,46 @@ def dsir_log_weights(
     both are float sums whose order already depended on partitioning,
     and every oracle consumer rounds at 6 dp, far above the ~1e-12
     accumulation drift of O(100)-term sums (dsir_score docstring).
-    The spine join stays, so no input row is ever dropped."""
+    The spine join stays, so no input row is ever dropped.
+
+    ``max_inline_buckets`` (r14, VERDICT r13 #4): models past the
+    ceiling score through the broadcast-join form instead — see
+    ``_MAX_INLINE_BUCKETS``. Summation order differs between the two
+    forms (per-gram stream vs per-bucket cnt*ratio), the same float
+    class as the inline rewrite itself; every oracle consumer rounds
+    at 6 dp."""
     from .similarity import _vec_sql
 
-    grams = _gram_stream(text_col, model.ns)
+    # loud-failure contract (ADVICE r13): the r13 inline rewrite no
+    # longer routes through hashed_ngram_buckets, so an unrecognized
+    # hash_family (hand-built or corrupted artifact) would silently
+    # score with portable_hash — validate up front on BOTH paths
+    _check_family(model.hash_family)
     nb = model.n_buckets
+    if nb > max_inline_buckets:
+        feats = hashed_ngram_buckets(
+            docs, text_col, doc_id_col, nb, model.ns, model.hash_family
+        )
+        scored = (
+            feats.join(F.broadcast(model.log_ratio), "bucket", "left")
+            .select(
+                "doc_id",
+                (
+                    F.col("cnt")
+                    * F.coalesce(
+                        F.col("log_ratio"),
+                        F.lit(float(model.default_log_ratio)),
+                    )
+                ).alias("__c"),
+            )
+            .groupBy("doc_id")
+            .agg(F.sum("__c").alias("log_w"))
+        )
+        spine = docs.select(F.col(doc_id_col).alias("doc_id"))
+        return spine.join(scored, "doc_id", "left").select(
+            "doc_id", F.coalesce(F.col("log_w"), F.lit(0.0)).alias("log_w")
+        )
+    grams = _gram_stream(text_col, model.ns)
     # one bounded collect at plan build (<= n_buckets scalars — the IVF
     # _vec_sql centroid-inlining precedent), folded to a constant array
     # literal. NOT an in-plan map/array construction: a broadcast
@@ -281,6 +328,10 @@ def load_dsir(spark, path: str) -> DSIRModel:
     )
     if meta.get("format") != "dsir_hashed_ngram":
         raise ValueError(f"not a dsir_hashed_ngram artifact: {path}")
+    # loud-failure contract (ADVICE r13): a corrupted/hand-edited meta
+    # carrying an unknown hash family must fail HERE, not silently
+    # score with the wrong hash downstream
+    _check_family(str(meta["hash_family"]))
     return DSIRModel(
         log_ratio=spark.read.parquet(os.path.join(path, "log_ratio")),
         default_log_ratio=float(meta["default_log_ratio"]),

@@ -130,6 +130,55 @@ def test_log_weights_match_python(spark, corpora, model):
     assert got[pool.index("")] == 0.0
 
 
+def test_log_weights_join_fallback_matches_inline(spark, corpora, model):
+    """r14 size guard (VERDICT r13 #4): a model whose n_buckets exceeds
+    max_inline_buckets scores through the broadcast-join form — same
+    weights as the dense-literal path (to float-sum reordering, well
+    under the oracle consumers' 6 dp), same row-count-preserving spine,
+    and the plan actually contains the join the inline path eliminated."""
+    _, _, pool = corpora
+    df = spark.createDataFrame(list(enumerate(pool)), "doc_id int, text string")
+    inline = {r.doc_id: r.log_w for r in dsir_log_weights(model, df).collect()}
+    joined_df = dsir_log_weights(model, df, max_inline_buckets=B - 1)
+    joined = {r.doc_id: r.log_w for r in joined_df.collect()}
+    assert set(joined) == set(inline)
+    for i in inline:
+        assert joined[i] == pytest.approx(inline[i], abs=1e-9)
+    plan = joined_df._jdf.queryExecution().executedPlan().toString()
+    assert "Join" in plan  # the fallback really is the join form
+
+
+def test_log_weights_rejects_unknown_hash_family(spark, corpora, model):
+    """ADVICE r13: the inline rewrite bypassed hashed_ngram_buckets, so
+    a corrupted/hand-built model with an unknown hash family silently
+    scored with portable_hash; it must fail loudly on entry instead."""
+    _, _, pool = corpora
+    df = spark.createDataFrame(list(enumerate(pool)), "doc_id int, text string")
+    bad = model._replace(hash_family="fnv1a")
+    with pytest.raises(ValueError, match="hash_family"):
+        dsir_log_weights(bad, df)
+
+
+def test_load_dsir_rejects_unknown_hash_family(spark, corpora, model, tmp_path):
+    import json
+    import os
+
+    from ferramenta_etl_spark.operators.dsir import load_dsir, save_dsir
+
+    path = str(tmp_path / "dsir")
+    save_dsir(model, path)
+    from ferramenta_etl_spark.sinks.layout import _fs_read_text, _fs_write_text
+
+    meta_p = os.path.join(path, "_dsir_meta.json")
+    meta = json.loads(_fs_read_text(spark, meta_p))
+    meta["hash_family"] = "fnv1a"
+    # rewrite through the same FS layer (a direct open() would leave a
+    # stale Hadoop .crc sidecar and fail the read on checksum instead)
+    _fs_write_text(spark, meta_p, json.dumps(meta))
+    with pytest.raises(ValueError, match="hash_family"):
+        load_dsir(spark, path)
+
+
 def test_targety_docs_outscore_rawy_docs(spark, corpora, model):
     _, _, pool = corpora
     df = spark.createDataFrame(list(enumerate(pool)), "doc_id int, text string")

@@ -1552,6 +1552,30 @@ def test_tfidf_keywords_matches_python_reference(spark, sf_dir):
     assert again == first
 
 
+def test_tfidf_join_fallback_matches_inline(spark, sf_dir):
+    """r14 vocabulary guard (VERDICT r13 #4): past max_inline_vocab the
+    idf attach goes through a relational term join instead of the
+    single map<term, idf> row. Same (doc, rank, term) triples and
+    scores as the inline path, empty-keyword docs keep an empty array,
+    and the fallback plan really contains the join."""
+    from ferramenta_etl_spark.operators.text import tfidf_topk_arrays
+    from ferramenta_etl_spark.sources import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    inline = tfidf_topk_arrays(docs, k=5)
+    fallback = tfidf_topk_arrays(docs, k=5, max_inline_vocab=1)
+    a = {r.doc_id: [(s.term, s.tfidf) for s in r["__kw"]] for r in inline.collect()}
+    b = {r.doc_id: [(s.term, s.tfidf) for s in r["__kw"]] for r in fallback.collect()}
+    assert set(a) == set(b)
+    for did in a:
+        assert [t for t, _ in a[did]] == [t for t, _ in b[did]], did
+        for (_, sa), (_, sb) in zip(a[did], b[did]):
+            assert abs(sa - sb) < 1e-9
+    assert inline.columns == fallback.columns
+    plan = fallback._jdf.queryExecution().executedPlan().toString()
+    assert "Join" in plan
+
+
 def test_contamination_bloom_path_equals_hashed_join(spark, sf_dir):
     """contamination_hits_scaled (round 12: bloom pre-screen + exact
     left-semi verify, for benchmark sets past broadcast size) returns
