@@ -79,6 +79,60 @@ def sessionize(
     )
 
 
+def _cap_jump_targets(ms, seg_starts, seg_ends, seg_of_row, cap_ms):
+    """Row index of the first event strictly more than ``cap_ms`` after
+    each event, clamped to the event's own gap segment — the vectorized
+    heart of the capped walk. Fast path: rebase each segment onto its
+    own disjoint int64 lane (segment_index * stride) so ONE global
+    searchsorted serves every segment. The lane product can silently
+    wrap int64 when (many segments) x (wide time span) — ADVICE r13 —
+    so when n_seg * stride would overflow, fall back to one
+    searchsorted per segment: same answers, Python-loop-per-segment
+    cost, only on inputs whose span x segment-count is astronomically
+    past any real workload (the guard preserves correctness, not
+    speed, there)."""
+    import numpy as np
+
+    n_seg = len(seg_starts)
+    if n_seg == 0:
+        return np.empty(0, dtype=np.int64)
+    stride = np.int64(int(ms.max()) - int(ms.min())) + cap_ms + 1
+    lim = np.iinfo(np.int64).max
+    # need max(adj) + cap_ms = (n_seg-1)*stride + span + cap_ms < lim;
+    # n_seg * stride bounds that sum with margin (stride > span + cap_ms)
+    if int(n_seg) * int(stride) < lim:
+        seg_len = seg_ends - seg_starts
+        adj = (ms - np.repeat(ms[seg_starts], seg_len)) + seg_of_row * stride
+        return np.searchsorted(adj, adj + cap_ms, side="right")
+    nxt = np.empty(len(ms), dtype=np.int64)
+    for i in range(n_seg):
+        s, e = seg_starts[i], seg_ends[i]
+        nxt[s:e] = s + np.searchsorted(ms[s:e], ms[s:e] + cap_ms, side="right")
+    return nxt
+
+
+def _lexsort_safe(arr, series):
+    """Tiebreak column made np.lexsort-safe (ADVICE r13): numeric/bool
+    dtypes pass through (NaN already sorts last); object dtype — where
+    None or mixed types raise TypeError inside lexsort — is replaced by
+    dense ascending rank codes with nulls LAST, the same order the
+    pre-vectorization pandas sort_values walk gave them. Mixed
+    incomparable types fall back to ranking the string form: an
+    arbitrary but deterministic total order for data that never had a
+    meaningful one."""
+    import numpy as np
+
+    if arr.dtype != object:
+        return arr
+    try:
+        r = series.rank(method="dense", na_option="bottom")
+    except TypeError:
+        r = series.astype(str).where(series.notna()).rank(
+            method="dense", na_option="bottom"
+        )
+    return r.to_numpy(np.float64)
+
+
 def capped_sessions(
     df: DataFrame,
     ts_col: str = "ts",
@@ -237,7 +291,8 @@ def capped_sessions(
                 )
             ms_raw = pdf["__ms"].to_numpy(np.int64)
             tb_arrays = tuple(
-                pdf[c].to_numpy() for c in reversed(list(tiebreak))
+                _lexsort_safe(pdf[c].to_numpy(), pdf[c])
+                for c in reversed(list(tiebreak))
             )
             order = np.lexsort(tb_arrays + (ms_raw, codes))
             codes = codes[order]
@@ -262,12 +317,9 @@ def capped_sessions(
             seg_ends = np.concatenate((seg_starts[1:], [m]))
             seg_len = seg_ends - seg_starts
             seg_of_row = np.repeat(np.arange(n_seg), seg_len)
-            # rebase each segment onto its own int64 lane: strictly
-            # sorted globally, and a start+cap probe can never reach
-            # past its own segment's lane
-            stride = np.int64(int(ms.max()) - int(ms.min())) + cap_ms + 1
-            adj = (ms - np.repeat(ms[seg_starts], seg_len)) + seg_of_row * stride
-            nxt = np.searchsorted(adj, adj + cap_ms, side="right")
+            # lane-rebased global searchsorted, with the int64-overflow
+            # per-segment fallback (ADVICE r13) — see _cap_jump_targets
+            nxt = _cap_jump_targets(ms, seg_starts, seg_ends, seg_of_row, cap_ms)
 
             # close reason of each segment's FINAL session: 'gap' unless
             # it is the group's last segment, then timeout/gap by flag

@@ -390,6 +390,79 @@ def test_capped_sessions_batch_operator(spark, sf_dir):
     assert merged["closed_by_g"].notna().all()
 
 
+def test_cap_jump_targets_overflow_fallback_matches_fast_path():
+    """ADVICE r13: the lane rebase multiplies segment index by a
+    span-derived stride — many segments x a wide span silently wraps
+    int64 and corrupts every cap jump. The guard must route such inputs
+    through the per-segment fallback with identical answers."""
+    import numpy as np
+
+    from ferramenta_etl_spark.operators.sessionize import _cap_jump_targets
+
+    rng = np.random.default_rng(7)
+    cap = np.int64(1000)
+    # 40 segments of 1..8 events each, sorted within segment
+    seg_lens = rng.integers(1, 9, size=40)
+    seg_starts = np.concatenate(([0], np.cumsum(seg_lens)[:-1])).astype(np.int64)
+    seg_ends = np.cumsum(seg_lens).astype(np.int64)
+    m = int(seg_ends[-1])
+    ms = np.sort(rng.integers(0, 5000, size=m)).astype(np.int64)
+    # re-sort within segments (global sort above is fine per segment too)
+    for s, e in zip(seg_starts, seg_ends):
+        ms[s:e] = np.sort(ms[s:e])
+    seg_of_row = np.repeat(np.arange(len(seg_starts)), seg_lens)
+    fast = _cap_jump_targets(ms, seg_starts, seg_ends, seg_of_row, cap)
+
+    # widen the span so n_seg * stride overflows int64: shift one event
+    # to the far future — stride jumps to ~2^62, 40 segments overflow
+    ms2 = ms.copy()
+    ms2[-1] = np.int64(2**61)
+    seg_big = _cap_jump_targets(ms2, seg_starts, seg_ends, seg_of_row, cap)
+    assert int(len(seg_starts)) * (int(ms2.max()) - int(ms2.min()) + int(cap) + 1) > np.iinfo(np.int64).max
+    # the shifted event only affects its own (final) segment; every
+    # other segment's jumps must be identical to the fast path
+    last_s = seg_starts[-1]
+    assert (seg_big[:last_s] == fast[:last_s]).all()
+    # and the fallback agrees with a brute-force per-event scan
+    for i in range(m):
+        s, e = seg_starts[seg_of_row[i]], seg_ends[seg_of_row[i]]
+        want = e
+        for j in range(i, e):
+            if ms2[j] > ms2[i] + cap:
+                want = j
+                break
+        assert seg_big[i] == want, i
+
+
+def test_capped_sessions_null_tiebreak_does_not_crash(spark):
+    """ADVICE r13: np.lexsort over a raw object-dtype tiebreak column
+    raises TypeError when it holds None/mixed types; the pandas
+    sort_values path the kernel replaced tolerated them (NaN last). The
+    rank-encoded tiebreak must restore that: nulls sort LAST among
+    equal timestamps, and the walk completes."""
+    import datetime as dt
+
+    from ferramenta_etl_spark.operators.sessionize import capped_sessions
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        (1, t0, None, 1.0),
+        (1, t0, "a", 2.0),
+        (1, t0 + dt.timedelta(hours=1), "b", 4.0),
+        (2, t0, None, 8.0),
+    ]
+    ev = spark.createDataFrame(
+        rows, "user_id long, ts timestamp, tag string, value double"
+    )
+    got = capped_sessions(
+        ev, gap="30 minutes", max_duration="2 hours", tiebreak=("tag",)
+    ).toPandas()
+    # user 1: two sessions (gap split), user 2: one; all rows survive
+    assert int(got["n_events"].sum()) == 4
+    assert len(got[got.user_id == 1]) == 2
+    assert len(got[got.user_id == 2]) == 1
+
+
 def test_capped_sessions_gap_block_split_identical(spark, sf_dir):
     """The hot-user gap-block path (r13, VERDICT r12 #2) is bit-identical
     to the sequential whole-user walk: any gap > `gap` closes whatever
