@@ -654,30 +654,33 @@ def probe_videos(media_df: DataFrame) -> DataFrame:
     def batches(it: Iterator) -> Iterator:
         import pandas as pd
 
+        cols = (
+            "duration_ms", "width", "height",
+            "video_codec", "audio_codec", "n_tracks",
+        )
         for pdf in it:
             if len(pdf) == 0:
-                # a 0-row batch built from an empty list-of-dicts would
-                # lose its columns and break the Arrow schema contract
+                # a 0-row batch built from empty columns would lose its
+                # dtypes and break the Arrow schema contract
                 continue
-            rows = []
+            # columnar accumulators, not per-row dicts (r14): the dict
+            # form built+merged two dicts per container and let pandas
+            # re-discover the columns from 10k-row dict lists
+            out: dict = {"doc_id": [], **{c: [] for c in cols}}
             for did, blob in zip(pdf["doc_id"], pdf["media"]):
-                base = {"doc_id": int(did)}
+                out["doc_id"].append(int(did))
                 try:
                     m = parse_mp4_metadata(blob)
                 except Exception:  # noqa: BLE001 — corrupt -> null row
-                    rows.append(
-                        {**base, "duration_ms": None, "width": None,
-                         "height": None, "video_codec": None,
-                         "audio_codec": None, "n_tracks": None}
-                    )
+                    for c in cols:
+                        out[c].append(None)
                     continue
-                rows.append(
-                    {**base, "duration_ms": m.duration_ms,
-                     "width": m.width, "height": m.height,
-                     "video_codec": m.video_codec,
-                     "audio_codec": m.audio_codec,
-                     "n_tracks": m.n_tracks}
-                )
-            yield pd.DataFrame(rows)
+                out["duration_ms"].append(m.duration_ms)
+                out["width"].append(m.width)
+                out["height"].append(m.height)
+                out["video_codec"].append(m.video_codec)
+                out["audio_codec"].append(m.audio_codec)
+                out["n_tracks"].append(m.n_tracks)
+            yield pd.DataFrame(out)
 
     return media_df.mapInPandas(batches, schema)
