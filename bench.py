@@ -506,6 +506,27 @@ def main() -> None:
             arm_runs.append(time.perf_counter() - t0)
         subtimers["group_agg"][arm_name] = round(sorted(arm_runs)[2], 3)
 
+    # Skew-pair regression guard (VERDICT r13 #8): the x20 pair exists
+    # to show salting beating the AQE-assisted plain join DECISIVELY;
+    # after the r13 fixture fix the margin reads ~2-3x on clean runs. A
+    # future AQE/conf change that silently erodes the guard's signal
+    # must be caught mechanically: the detail artifact asserts a
+    # conservative 1.3x floor (below any clean-run reading, above the
+    # noise where the sign historically flipped). ok=false flags the
+    # run; stdout stays the one compact line either way.
+    skew_guard = None
+    if timings.get("join_skewed_salted_x20"):
+        margin = round(
+            timings["join_skewed_plain_x20"]
+            / timings["join_skewed_salted_x20"],
+            2,
+        )
+        skew_guard = {
+            "plain_over_salted": margin,
+            "floor": 1.3,
+            "ok": margin >= 1.3,
+        }
+
     jvms_end = _foreign_jvm_pids()
     # A query is flagged noisy only when the REPORTED number is suspect:
     # the median sits far above the first-quartile run (one slow outlier
@@ -605,6 +626,9 @@ def main() -> None:
         # standalone per-arm medians for merged headline rows; arm times
         # need not sum to the merged row (shared scan + final join)
         "subtimers": subtimers,
+        # salted-vs-plain margin floor (VERDICT r13 #8) — ok=false means
+        # the skew guard's signal eroded and the pair needs attention
+        "skew_guard": skew_guard,
         "env": env,
     }
     for fname in (f"BENCH_DETAIL_r{rnd:02d}.json", "BENCH_DETAIL.json"):
