@@ -515,7 +515,9 @@ def main() -> None:
     # noise where the sign historically flipped). ok=false flags the
     # run; stdout stays the one compact line either way.
     skew_guard = None
-    if timings.get("join_skewed_salted_x20"):
+    if timings.get("join_skewed_salted_x20") and timings.get(
+        "join_skewed_plain_x20"
+    ):
         margin = round(
             timings["join_skewed_plain_x20"]
             / timings["join_skewed_salted_x20"],

@@ -241,8 +241,19 @@ def dsir_log_weights(
         feats = hashed_ngram_buckets(
             docs, text_col, doc_id_col, nb, model.ns, model.hash_family
         )
+        # the model is <= n_buckets rows, which is KNOWN here: broadcast
+        # only while that stays broadcast-safe (~256 MB at 16 B/row —
+        # the flagship dim cap's sizing); a 10^8+-bucket model would
+        # trade the inline path's expression-tree cliff for a broadcast
+        # cliff (review r14), so past the bound the join goes through a
+        # plain bucket-keyed shuffle — int keys, the shape that scales.
+        ratio_rel = (
+            F.broadcast(model.log_ratio)
+            if nb <= 16_000_000
+            else model.log_ratio
+        )
         scored = (
-            feats.join(F.broadcast(model.log_ratio), "bucket", "left")
+            feats.join(ratio_rel, "bucket", "left")
             .select(
                 "doc_id",
                 (

@@ -1118,7 +1118,12 @@ its broadcast around 100 MB, comfortably under the 8 GB/512M-row
 broadcast caps and executor row limits. Corpora whose post-min_df
 vocabulary exceeds it (100 TB web text easily reaches billions of
 distinct tokens) fall back to a relational term join; the check costs
-one extra vocabulary-count pass at plan build, outside timed runs."""
+one extra vocabulary-count pass at plan build, outside timed runs (it
+cannot share the consumer's scan without persisting the vocabulary
+relation, which would move the df aggregation out of the timed region
+of the oracle-gated consumer — the caching the bench contract forbids).
+The JOIN fallback re-attaches keywords by doc id and therefore requires
+UNIQUE doc ids (null-safe; see the in-function contract note)."""
 
 
 def tfidf_topk_arrays(
@@ -1267,9 +1272,13 @@ def tfidf_topk_arrays(
     # ATTACH goes relational: explode the (doc, distinct-term) pairs —
     # far smaller than the token stream — join the vocabulary-sized idf
     # relation on term, and re-collect per doc with the SAME
-    # (-tfidf, term) sort key and slice. Requires unique doc ids (the
-    # join-back re-attaches __kw by id); the inline path has no such
-    # requirement, which is one more reason it is the default.
+    # (-tfidf, term) sort key and slice. CONTRACT (review r14): this
+    # path re-attaches __kw by doc id, so ids must be UNIQUE — rows
+    # sharing an id would receive a merged top-k (the inline path has
+    # no such requirement, one more reason it is the default). NULL ids
+    # are fine: the join-back is null-safe, and a null-id doc keeps its
+    # own keywords (there can be at most one such doc under the
+    # uniqueness contract).
     idf_rel = df_rel.select("term", _idf_expr(n_docs).alias("idf"))
     pairs = (
         docs.select(F.col(doc_id_col).alias("__tt_id"), toks.alias("__tt_toks"))
@@ -1306,7 +1315,7 @@ def tfidf_topk_arrays(
     empty_kw = F.array().cast("array<struct<tfidf:double,term:string>>")
     return (
         docs.join(
-            kw_rel, docs[doc_id_col] == kw_rel["__tt_id"], "left"
+            kw_rel, docs[doc_id_col].eqNullSafe(kw_rel["__tt_id"]), "left"
         )
         .drop("__tt_id")
         .withColumn("__kw", F.coalesce(F.col("__kw"), empty_kw))

@@ -1575,6 +1575,22 @@ def test_tfidf_join_fallback_matches_inline(spark, sf_dir):
     plan = fallback._jdf.queryExecution().executedPlan().toString()
     assert "Join" in plan
 
+    # null doc ids survive the fallback's join-back (review r14: a plain
+    # equi-join would silently hand a null-id doc an empty keyword list)
+    nd = spark.createDataFrame(
+        [(None, "hello world hello world"), (1, "hello spark world spark")],
+        "doc_id int, text string",
+    )
+    ni = {
+        r.doc_id: [s.term for s in r["__kw"]]
+        for r in tfidf_topk_arrays(nd, k=3, min_df=1).collect()
+    }
+    nf = {
+        r.doc_id: [s.term for s in r["__kw"]]
+        for r in tfidf_topk_arrays(nd, k=3, min_df=1, max_inline_vocab=1).collect()
+    }
+    assert ni == nf and ni[None]
+
 
 def test_contamination_bloom_path_equals_hashed_join(spark, sf_dir):
     """contamination_hits_scaled (round 12: bloom pre-screen + exact
